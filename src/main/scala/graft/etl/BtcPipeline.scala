@@ -1,0 +1,83 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch backfill pipeline over a directory of `btcusd-YYYY-MM-DD.csv`
+  * minute-bar files — the reference's main path (btc_etl.py:104-147)
+  * re-expressed as one declarative plan.
+  *
+  * Scale notes (the reference processes one pandas frame per file on a
+  * thread pool; this runs one Spark task per file split):
+  *   - the glob scan parallelises across the cluster; with 100 TB of daily
+  *     files the unit of parallelism stays the file — no shuffle anywhere
+  *     in the transform (scan -> filter -> project is narrow),
+  *   - the filename-validity filter and date extraction run on the
+  *     already-scanned `input_file_name()`, not a separate listing pass,
+  *   - the ledger anti-join broadcasts the (small) ledger; the fact side
+  *     never shuffles,
+  *   - the sink partitions by date, so downstream reads prune by time like
+  *     the reference's TimescaleDB hypertable (btc_etl.py:99-101).
+  */
+object BtcPipeline {
+
+  /** Scan + validate + transform: the per-file ETL (btc_etl.py:150-176).
+    * Returns the sink-shaped frame (date_time + 7 renamed metric columns).
+    */
+  def transform(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .schema(Schemas.btcCsv)
+      .option("pathGlobFilter", "*.csv")
+      .csv(dir)
+      .withColumn("_file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+
+    val valid = raw
+      .filter(Ops.isValidBtcFilename(col("_file")))
+      .withColumn("file_date", Ops.dateFromFilename(col("_file")))
+
+    val kept = Ops.dropAllNull(valid, Schemas.metricCols)
+
+    val stamped = kept
+      .withColumn("date_time", Ops.makeTimestamp(col("file_date"), col("Time")))
+
+    Ops.renameAndSelect(stamped)
+  }
+
+  /** Full backfill: transform, drop files already in the ledger, dedup the
+    * PK within the batch (btc_etl.py:74 — duplicate `date_time` would abort
+    * the file's insert; we keep the first by file order deterministically),
+    * append to a date-partitioned parquet sink, append the ledger. */
+  def backfill(
+      spark: SparkSession,
+      srcDir: String,
+      sinkPath: String,
+      ledgerPath: String): Unit = {
+    import spark.implicits._
+
+    val ledger: DataFrame =
+      if (new java.io.File(ledgerPath).exists())
+        spark.read.parquet(ledgerPath)
+      else Seq.empty[String].toDF("path")
+
+    val df = transform(spark, srcDir)
+      .withColumn("path", input_file_name())
+
+    val fresh = Ops.antiJoinLedger(df, ledger, "path")
+      .dropDuplicates("date_time")
+      .withColumn("date", to_date(col("date_time")))
+
+    fresh
+      .select((Schemas.sinkCols :+ "date").map(col): _*)
+      .write.mode("append").partitionBy("date").parquet(sinkPath)
+
+    val processed = fresh.select("path").distinct()
+    Ops.ledgerAppend(ledger, processed)
+      .write.mode("overwrite").parquet(ledgerPath + ".tmp")
+    // atomic-ish swap so a crash mid-write never truncates the ledger
+    val tmp = new java.io.File(ledgerPath + ".tmp")
+    val dst = new java.io.File(ledgerPath)
+    if (dst.exists()) { org.apache.commons.io.FileUtils.deleteDirectory(dst) }
+    tmp.renameTo(dst)
+  }
+}

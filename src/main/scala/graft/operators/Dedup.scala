@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CrossFns._
+
+/** Deduplication operators for a large-scale training-data pipeline.
+  *
+  * All hashing uses the cross-engine polynomial hash (CrossFns.charHash),
+  * never Spark's murmur3 `hash()` — results must be reproducible outside
+  * Spark (and oracle-checkable in DuckDB).
+  *
+  * Scale design: every step is explode -> hash-partition groupBy; no
+  * driver-side state, no O(n^2) all-pairs stage. Candidate generation is
+  * LSH-banded so the only pairwise work happens inside buckets.
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val Bands = 4 // 4 rows per band
+
+  /** Exact duplicate groups by content digest. At 100 TB this is one
+    * hash-partitioned shuffle on a 16-byte digest rather than the full
+    * text. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .select(col("doc_id"), col("n_dups"), col("digest"))
+
+  /** doc_id -> distinct word-3-gram shingle hashes, exploded. */
+  def shingleTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+
+  /** The NumHashes (a,b) seed rows; tiny — always broadcast. Affine family
+    * mh_i = (a_i*h + b_i) mod P. */
+  private def seedTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until NumHashes).map(s => (s, 31L * s + 17L, 97L * s + 11L)).toDF("seed", "a", "b")
+  }
+
+  /** MinHash signatures banded for LSH: (doc_id, band, sig). */
+  def bandedSignatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val rowsPerBand = NumHashes / Bands
+    val mh = shingleTable(docs)
+      .crossJoin(broadcast(seedTable(spark)))
+      .select(col("doc_id"), col("seed"), ((col("a") * col("h") + col("b")) % HashP).as("v"))
+      .groupBy("doc_id", "seed").agg(min("v").as("mh"))
+    mh.withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+          s => s.getField("mh").cast("string")), ",").as("sig"))
+  }
+
+  /** MinHash+LSH candidate near-duplicate pairs: docs sharing any full band
+    * signature. Self-join on (band, sig) — the shuffle key is the banded
+    * signature, so work is proportional to bucket sizes, not n^2. */
+  def minhashCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val bands = bandedSignatures(spark, docs)
+    val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard verification of the LSH candidates: intersection
+    * via a co-partitioned equi-join of the shingle tables; |A|,|B| from a
+    * pre-aggregated size table. Integer counts -> one double division. */
+  def jaccardVerified(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
+    val cand = minhashCandidates(spark, docs)
+    val sh = shingleTable(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint (32-bit): per-token hashes vote per bit position;
+    * bit j of the fingerprint is set when the weighted vote is positive.
+    * Near-dups land on close fingerprints; bucketing on the fingerprint
+    * gives an O(n) candidate pass at scale. */
+  def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bits = (0 until 32).toDF("bit")
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .select(col("doc_id"), charHash(col("t")).as("h"))
+    toks.crossJoin(broadcast(bits))
+      .select(col("doc_id"), col("bit"),
+        when((floor(col("h") / pow(lit(2), col("bit"))).cast("long") % 2) === 1, lit(1L))
+          .otherwise(lit(-1L)).as("vote"))
+      .groupBy("doc_id", "bit").agg(sum("vote").as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, pow(lit(2), col("bit")).cast("long")).otherwise(lit(0L))).as("simhash"))
+  }
+}

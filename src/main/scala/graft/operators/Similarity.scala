@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.CrossFns._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Vector math runs on quantised integers (floor(x*1e6)) so results are
+  * bit-reproducible across engines — see CrossFns.quantize. The final
+  * cosine is a fixed dag of double ops on identical int64 operands.
+  *
+  * Scale path: brute force is the correctness baseline (linear per probe,
+  * broadcast-nested-loop — no shuffle of the corpus). The LSH/IVF variants
+  * bucket the corpus first so each probe only scans its bucket.
+  */
+object Similarity {
+
+  /** vec_id, qv (quantised), nrm (integer self-dot). Zero-norm vectors are
+    * dropped — cosine undefined. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nrm", qdot(col("qv"), col("qv")))
+      .filter(col("nrm") > 0)
+
+  /** Brute-force top-k cosine for a probe set. The probe side is tiny and
+    * broadcast; the corpus streams through map-side — one pass, no shuffle
+    * until the per-probe top-k (k rows per probe). */
+  def bruteForceTopK(emb: DataFrame, probePred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val q = quantized(emb)
+    val probes = q.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nrm").as("pnrm"))
+    val pairs = broadcast(probes).join(q, col("probe_id") =!= col("vec_id"))
+      .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      // bigint: DuckDB's row_number is int64, Spark's int32 — match schemas
+      .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold.
+    * All-pairs here (fine at testdata scale); at 100 TB the LSH-bucketed
+    * variant below bounds the pair space first. */
+  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val q = quantized(emb)
+    val a = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na"))
+    val b = q.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", qcosine(qdot(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of dot products with
+    * NumPlanes deterministic pseudo-random hyperplanes (components derived
+    * from the cross-engine char hash, so buckets reproduce anywhere).
+    * Vectors sharing a bucket are near-duplicate candidates — an O(n)
+    * shuffle on the bucket id replaces the O(n^2) pair space. */
+  def lshBuckets(emb: DataFrame, numPlanes: Int): DataFrame = {
+    val q = quantized(emb)
+    // plane p component i = charHash("p:i") mod 2001 - 1000 (range [-1000,1000])
+    val planeComponent = (p: Int, i: org.apache.spark.sql.Column) =>
+      (charHash(concat(lit(s"$p:"), i.cast("string"))) % 2001L) - 1000L
+    val bucketBits = (0 until numPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(col("qv"), transform(sequence(lit(0), size(col("qv")) - 1), i => planeComponent(p, i)),
+          (x, r) => x * r),
+        lit(0L), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
+    }
+    q.withColumn("bucket", bucketBits.reduce(_ + _))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.CrossFns._
+
+/** Text-analysis operators over the `documents` table: language-ID
+  * heuristic, quality scoring, token counting, document fingerprinting.
+  * Pure Catalyst higher-order functions — per-doc work, narrow plan, no
+  * shuffle except the caller's final ordering.
+  */
+object TextOps {
+
+  /** Stopword lexicons for the n-gram/stopword language heuristic. Only
+    * Latin-script languages are detectable this way; docs with no hits get
+    * 'unk' (covers the corpus's 'zh' label, which the synthetic generator
+    * writes with ASCII words anyway). Keep in sync with Oracles.langLex. */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ein", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+  )
+
+  val enStopwords: Seq[String] = langLexicons.toMap.apply("en")
+
+  private def lexScore(toks: Column, lex: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(lex))).cast("long")
+
+  /** (doc_id, lang_guess, score): argmax of lexicon hit counts, ties broken
+    * alphabetically, zero hits -> 'unk'. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id"),
+      explode(array(langLexicons.map { case (lang, lex) =>
+        struct(lit(lang).as("lang"), lexScore(toks, lex).as("score"))
+      }: _*)).as("s"))
+      .select(col("doc_id"), col("s.lang").as("lang"), col("s.score").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(
+        col("doc_id"),
+        when(col("score") === 0, lit("unk")).otherwise(col("lang")).as("lang_guess"),
+        col("score"))
+  }
+
+  /** Quality components + composite score. All ratios derive from integer
+    * counts, so the doubles are bit-identical across engines. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_toks"),
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _).as("sum_len"),
+      lexScore(toks, enStopwords).as("stop_hits"))
+      .select(
+        col("doc_id"), col("n_toks"),
+        when(col("n_toks") === 0, lit(0.0d))
+          .otherwise(col("sum_len").cast("double") / col("n_toks")).as("avg_tok_len"),
+        when(col("n_toks") === 0, lit(0.0d))
+          .otherwise(col("stop_hits").cast("double") / col("n_toks")).as("stop_ratio"))
+      .withColumn("quality",
+        col("stop_ratio") * 0.5 + least(lit(1.0d), col("n_toks").cast("double") / 100.0d) * 0.5)
+  }
+
+  /** (doc_id, n_tokens, n_unique). */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_unique"))
+  }
+
+  /** Order-sensitive document fingerprint: polynomial fold of per-token
+    * hashes — fp = fold((acc*1000003 + charHash(tok)) mod P) — a rolling
+    * content hash reproducible in any engine. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      aggregate(transform(toks, t => charHash(t)), lit(0L),
+        (acc, h) => (acc * 1000003L + h) % HashP).as("fp"))
+  }
+
+  /** Multimodal plumbing: treat content as an opaque binary column with
+    * typed metadata. The byte length and digest are real; at 100 TB the
+    * binary payload would be image/audio bytes and the decode step a
+    * vectorised batch UDF — here content derives from text (the container
+    * ships no codec libs; see graft.operators.Multimodal for the stubbed
+    * decode path). */
+  def binaryMeta(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("digest"))
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.CrossFns._
+import graft.operators.{Dedup, Similarity, TextOps}
+import Staging._
+
+/** Extension operators beyond the reference surface (SURVEY §2.3 /
+  * BASELINE north star): dedup, similarity search, text analysis,
+  * multimodal metadata — plus the relational agg/join/window queries a
+  * complete engine needs. Each is oracle-checked against DuckDB.
+  */
+object ExtQueries {
+
+  // ---- dedup -------------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(tbl(spark, dir, "documents")).orderBy("doc_id")
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(spark, tbl(spark, dir, "documents")).orderBy("doc_a", "doc_b")
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardVerified(spark, tbl(spark, dir, "documents"), 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(spark, tbl(spark, dir, "documents")).orderBy("doc_id")
+
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(tbl(spark, dir, "embeddings"), 0.5)
+      .orderBy("vec_a", "vec_b")
+
+  // ---- similarity search -------------------------------------------------
+
+  def simsearchBruteforce(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(tbl(spark, dir, "embeddings"), col("vec_id") < 5, 10)
+      .orderBy("probe_id", "rk")
+
+  // ---- text analysis -----------------------------------------------------
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(tbl(spark, dir, "documents")).orderBy("doc_id")
+
+  def textQualityScore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(tbl(spark, dir, "documents")).orderBy("doc_id")
+
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(tbl(spark, dir, "documents")).orderBy("doc_id")
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(tbl(spark, dir, "documents")).orderBy("doc_id")
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    TextOps.binaryMeta(tbl(spark, dir, "documents")).orderBy("doc_id")
+
+  // ---- relational: windows / joins / aggregations ------------------------
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Hourly OHLCV bars from the event stream — the analytic shape the
+    * reference's minute-bar data exists for. Open/close via row_number over
+    * (ts, event_id); volume as an exact decimal sum. */
+  def windowOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+      .withColumn("hour_s", date_format(date_trunc("hour", col("ts")), tsFmt))
+    val asc = Window.partitionBy("hour_s").orderBy(col("ts"), col("event_id"))
+    val desc = Window.partitionBy("hour_s").orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(desc))
+      .groupBy("hour_s")
+      .agg(
+        max(when(col("ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rd") === 1, col("value"))).as("close"),
+        decSum2(col("value")).as("volume"),
+        count(lit(1)).as("n"))
+      .orderBy("hour_s")
+  }
+
+  /** Per-user moving average over the last 4 events (frame-based window);
+    * exact decimal frame sum / frame count. */
+  def windowMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, 0)
+    tbl(spark, dir, "events")
+      .withColumn("mavg",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("mavg"))
+      .orderBy("event_id")
+  }
+
+  /** Star join region ⋈ nation ⋈ customer ⋈ orders with broadcast dims —
+    * the fact table never shuffles for the join (only for the final
+    * aggregate). */
+  def joinAggRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = tbl(spark, dir, "region")
+    val nation = tbl(spark, dir, "nation")
+    val customer = tbl(spark, dir, "customer")
+    val orders = tbl(spark, dir, "orders")
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"), decSum2(col("o_totalprice")).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Top-10 orders per priority class (rank window + deterministic
+    * tie-break) — top-k pushes only k rows per group past the shuffle. */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    tbl(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("o_orderpriority"), col("rk").cast("long").as("rk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  /** TPC-H Q1-shaped pricing summary: partial-aggregatable exact decimal
+    * sums — map-side combine then one shuffle on the 6-ish group keys. */
+  def aggPricingSummary(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum2(col("l_quantity")).as("sum_qty"),
+        decSum2(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "simsearch_bruteforce" -> (simsearchBruteforce _),
+    "text_lang_id" -> (textLangId _),
+    "text_quality_score" -> (textQualityScore _),
+    "text_token_count" -> (textTokenCount _),
+    "text_fingerprint" -> (textFingerprint _),
+    "multimodal_meta" -> (multimodalMeta _),
+    "window_ohlc" -> (windowOhlc _),
+    "window_moving_avg" -> (windowMovingAvg _),
+    "join_agg_revenue" -> (joinAggRevenue _),
+    "topk_orders" -> (topkOrders _),
+    "agg_pricing_summary" -> (aggPricingSummary _),
+  )
+}

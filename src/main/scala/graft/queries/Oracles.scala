@@ -1,0 +1,319 @@
+package graft.queries
+
+/** DuckDB oracle SQL — one ANSI-ish statement per query key, run by the
+  * driver over the same parquet tables (table names = bare `lineitem`,
+  * `events`, ... views).
+  *
+  * Parity rules (mirrors CrossFns):
+  *   - timestamps formatted to `%Y-%m-%d %H:%M:%S` strings; ordering uses
+  *     `CAST(ts AS TIMESTAMP)` so DuckDB's ns precision matches Spark's µs,
+  *   - double sums as exact DECIMAL accumulations cast to DOUBLE once,
+  *   - hashing = the same polynomial char fold (list_reduce) as
+  *     CrossFns.charHash — never an engine-native hash,
+  *   - vector math on floor(x*1e6) int64 quantisation,
+  *   - row_number outputs cast to BIGINT on the Spark side (Spark's
+  *     row_number is int, DuckDB's bigint).
+  */
+object Oracles {
+
+  /** DuckDB fragment equivalent to CrossFns.charHash(x). Lambda vars j_/ac_/c_
+    * are reserved for this fragment (nested-lambda safe). */
+  private def ch(x: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, length($x)), j_ -> CAST(ascii(substring($x, j_, 1)) AS BIGINT))), " +
+      s"(ac_, c_) -> (ac_*31 + c_) % 1000000007)"
+
+  /** DuckDB fragment equivalent to CrossFns.tokens(x). Reserves t_. */
+  private def tok(x: String): String =
+    s"list_filter(regexp_split_to_array($x, '\\s+'), t_ -> length(t_) > 0)"
+
+  /** Word-3-gram shingles from token-list column w. Reserves i_. */
+  private def shingles(w: String): String =
+    s"CASE WHEN len($w) >= 3 THEN list_transform(generate_series(1, len($w) - 2), " +
+      s"i_ -> $w[i_] || ' ' || $w[i_+1] || ' ' || $w[i_+2]) ELSE CAST([] AS VARCHAR[]) END"
+
+  private def quant(x: String): String =
+    s"list_transform($x, x_ -> CAST(floor(CAST(x_ AS DOUBLE)*1000000) AS BIGINT))"
+
+  private val tsS = "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')"
+  private def decSum2(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Filename derivation shared by filter_filename_valid / project_extract_date. */
+  private val fnameExpr: String =
+    """CASE o_orderkey % 5
+      | WHEN 0 THEN 'btcusd-' || strftime(o_orderdate, '%Y-%m-%d') || '.csv'
+      | WHEN 1 THEN 'ethusd-' || strftime(o_orderdate, '%Y-%m-%d') || '.csv'
+      | WHEN 2 THEN 'btcusd-' || replace(strftime(o_orderdate, '%Y-%m-%d'), '-', '/') || '.csv'
+      | WHEN 3 THEN 'btcusd-' || strftime(o_orderdate, '%Y-%m-%d')
+      | ELSE 'btcusd-' || substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 4) || '-13-32.csv'
+      |END""".stripMargin
+
+  private val fnameValid: String =
+    """length(fname) = 21
+      | AND regexp_matches(fname, '^btcusd-\d{4}-\d{2}-\d{2}\.csv$')
+      | AND try_strptime(substring(fname, 8, 10), '%Y-%m-%d') IS NOT NULL""".stripMargin
+
+  /** Shared CTE prefix for the minhash family. */
+  private val minhashCtes: String =
+    s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+       |sh0 AS (SELECT doc_id, list_distinct(list_transform(${shingles("w")}, s_ -> ${ch("s_")})) AS hs FROM w),
+       |sh AS (SELECT doc_id, unnest(hs) AS h FROM sh0 WHERE len(hs) > 0),
+       |seeds AS (SELECT s AS seed, CAST(31*s + 17 AS BIGINT) AS a, CAST(97*s + 11 AS BIGINT) AS b
+       |          FROM (SELECT unnest(generate_series(0, 15)) AS s)),
+       |mh AS (SELECT doc_id, seed, min((a*h + b) % 1000000007) AS mh FROM sh, seeds GROUP BY doc_id, seed),
+       |bands AS (SELECT doc_id, seed // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+       |          FROM mh GROUP BY doc_id, seed // 4),
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Quantised-embedding CTE prefix. */
+  private val embCtes: String =
+    s"""WITH q AS (SELECT vec_id, ${quant("embedding")} AS qv FROM embeddings),
+       |n AS (SELECT vec_id, qv,
+       |        CAST(list_sum(list_transform(generate_series(1, len(qv)), i_ -> qv[i_]*qv[i_])) AS BIGINT) AS nrm
+       |      FROM q),
+       |f AS (SELECT * FROM n WHERE nrm > 0)""".stripMargin
+
+  private def qdotPair(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(generate_series(1, len($a)), i_ -> $a[i_]*$b[i_])) AS BIGINT)"
+
+  private val langLexSql: String =
+    """(VALUES ('de', ['der','die','und','das','ein','nicht']),
+      |        ('en', ['the','and','of','to','a','in','is']),
+      |        ('es', ['el','la','de','que','y','los']),
+      |        ('fr', ['le','la','et','les','des','un'])) AS lx(lang, lex)""".stripMargin
+
+  private val enLex = "['the','and','of','to','a','in','is']"
+
+  val all: Map[String, String] = Map(
+    "scan_csv" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
+
+    "scan_directory" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+
+    "filter_filename_valid" ->
+      s"""SELECT o_orderkey, fname
+         |FROM (SELECT o_orderkey, $fnameExpr AS fname FROM orders)
+         |WHERE $fnameValid ORDER BY o_orderkey""".stripMargin,
+
+    "project_extract_date" ->
+      s"""SELECT o_orderkey, substring(fname, 8, 10) AS file_date
+         |FROM (SELECT o_orderkey, $fnameExpr AS fname FROM orders)
+         |WHERE $fnameValid ORDER BY o_orderkey""".stripMargin,
+
+    "sort_by_date" ->
+      s"SELECT event_id, $tsS AS ts_str FROM events ORDER BY ts_str, event_id",
+
+    "filter_required_column" ->
+      "SELECT event_id, value FROM events WHERE ts IS NOT NULL ORDER BY event_id",
+
+    "filter_dropna_all" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value2,
+        | CASE WHEN event_id % 3 = 0 THEN NULL ELSE props END AS props2
+        |FROM events
+        |WHERE NOT (event_id % 7 = 0 AND event_id % 3 = 0)
+        |ORDER BY event_id""".stripMargin,
+
+    "project_make_timestamp" ->
+      s"SELECT event_id, $tsS AS date_time FROM events ORDER BY event_id",
+
+    "project_rename" ->
+      """SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+        | l_quantity AS quantity, l_extendedprice AS price
+        |FROM lineitem ORDER BY order_key, line_no""".stripMargin,
+
+    "project_select" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "antijoin_processed" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 3)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "ledger_append" ->
+      """SELECT DISTINCT o_orderkey FROM (
+        | SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 3
+        | UNION ALL
+        | SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sink_append_db" ->
+      s"""SELECT event_id, $tsS AS date_time, event_type, value
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "ddl_create_table" ->
+      """SELECT * FROM (VALUES ('date_time', 'timestamp'), ('event_id', 'bigint'),
+        | ('event_type', 'string'), ('value', 'double')) AS t(col_name, data_type)
+        |ORDER BY col_name""".stripMargin,
+
+    "ddl_partition_time" ->
+      s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+         | count(*) AS n, ${decSum2("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "parallel_files" ->
+      s"""SELECT event_type, count(*) AS n, ${decSum2("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "error_isolation" ->
+      """SELECT event_id, CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "pipeline_backfill" ->
+      s"""SELECT event_id, $tsS AS date_time, event_type,
+         | CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+         |FROM events
+         |WHERE NOT (event_id % 7 = 0 AND event_id % 3 = 0)
+         |ORDER BY event_id""".stripMargin,
+
+    "stream_file_source" ->
+      s"""SELECT event_id, $tsS AS date_time, event_type, value
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_window_agg" ->
+      s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
+         | event_type, count(*) AS n, ${decSum2("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // ---- extensions ------------------------------------------------------
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups, md5(text) AS digest
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"$minhashCtes\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b",
+
+    "dedup_ngram_jaccard" ->
+      s"""$minhashCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+         |          FROM pairs p
+         |          JOIN sh x ON x.doc_id = p.doc_a
+         |          JOIN sh y ON y.doc_id = p.doc_b AND y.h = x.h
+         |          GROUP BY p.doc_a, p.doc_b)
+         |SELECT i.doc_a, i.doc_b, i.inter / (sa.n + sb.n - i.inter) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.doc_a
+         |JOIN sizes sb ON sb.doc_id = i.doc_b
+         |WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |th AS (SELECT doc_id, ${ch("t")} AS h FROM (SELECT doc_id, unnest(w) AS t FROM w)),
+         |bits AS (SELECT unnest(generate_series(0, 31)) AS bit),
+         |votes AS (SELECT doc_id, bit,
+         |            sum(CASE WHEN CAST(floor(h / power(2, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM th, bits GROUP BY doc_id, bit)
+         |SELECT doc_id,
+         | CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""$embCtes
+         |SELECT vec_a, vec_b, cosine FROM (
+         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  CAST(${qdotPair("a.qv", "b.qv")} AS DOUBLE) /
+         |   (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+         | FROM f a JOIN f b ON a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.5 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "simsearch_bruteforce" ->
+      s"""$embCtes,
+         |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |   CAST(${qdotPair("p.qv", "c.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+         | FROM (SELECT * FROM f WHERE vec_id < 5) p JOIN f c ON c.vec_id <> p.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM pairs)
+         |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin,
+
+    "text_lang_id" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |        CAST(len(list_filter(w, t_ -> list_contains(lex, t_))) AS BIGINT) AS score
+         |      FROM w, $langLexSql),
+         |r AS (SELECT doc_id, lang, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk FROM s)
+         |SELECT doc_id, CASE WHEN score = 0 THEN 'unk' ELSE lang END AS lang_guess, score
+         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_quality_score" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks,
+         |        CAST(coalesce(list_sum(list_transform(w, t_ -> length(t_))), 0) AS BIGINT) AS sum_len,
+         |        CAST(len(list_filter(w, t_ -> list_contains($enLex, t_))) AS BIGINT) AS stop_hits
+         |      FROM w)
+         |SELECT doc_id, n_toks,
+         | CASE WHEN n_toks = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(sum_len AS DOUBLE) / n_toks END AS avg_tok_len,
+         | CASE WHEN n_toks = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(stop_hits AS DOUBLE) / n_toks END AS stop_ratio,
+         | (CASE WHEN n_toks = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(stop_hits AS DOUBLE) / n_toks END) * CAST(0.5 AS DOUBLE)
+         |  + least(CAST(1 AS DOUBLE), CAST(n_toks AS DOUBLE) / CAST(100 AS DOUBLE)) * CAST(0.5 AS DOUBLE) AS quality
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_token_count" ->
+      s"""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, CAST(len(list_distinct(w)) AS BIGINT) AS n_unique
+         |FROM (SELECT doc_id, ${tok("text")} AS w FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t_ -> ${ch("t_")})),
+         |   (a2_, h2_) -> (a2_*1000003 + h2_) % 1000000007) AS fp
+         |FROM (SELECT doc_id, ${tok("text")} AS w FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "window_ohlc" ->
+      s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS tsu, value,
+         |             strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_s
+         |           FROM events),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY hour_s ORDER BY tsu, event_id) AS ra,
+         |        row_number() OVER (PARTITION BY hour_s ORDER BY tsu DESC, event_id DESC) AS rd
+         |      FROM e)
+         |SELECT hour_s,
+         | max(CASE WHEN ra = 1 THEN value END) AS open,
+         | max(value) AS high, min(value) AS low,
+         | max(CASE WHEN rd = 1 THEN value END) AS close,
+         | ${decSum2("value")} AS volume, count(*) AS n
+         |FROM r GROUP BY hour_s ORDER BY hour_s""".stripMargin,
+
+    "window_moving_avg" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w AS mavg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "join_agg_revenue" ->
+      s"""SELECT r_name, n_name, count(*) AS n_orders, ${decSum2("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders)
+        |WHERE rk <= 10 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${decSum2("l_quantity")} AS sum_qty,
+         | ${decSum2("l_extendedprice")} AS sum_base_price,
+         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |   (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+         | ${decSum2("l_quantity")} / count(*) AS avg_qty,
+         | count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  )
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.queries.Staging._
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** Structured Streaming re-expression of the reference's watchdog tail
+  * (btc_etl.py:185-228). The file stream source subsumes watchdog + the
+  * Redis processed-set + the backfill pass: it lists existing files on the
+  * first trigger, discovers new ones per micro-batch, and tracks processed
+  * paths exactly-once in the checkpoint log (an upgrade over the reference's
+  * at-least-once Redis semantics, utils.py:27-36 — documented in SURVEY §4.3).
+  */
+object StreamQueries {
+
+  private val nameSeq = new AtomicLong(0)
+
+  /** #16 stream_file_source: stage events as an 8-file CSV directory, drain
+    * it through a real micro-batch streaming query (maxFilesPerTrigger=2 ->
+    * 4 micro-batches), transform rows exactly like the batch path, collect
+    * through a memory sink. */
+  def streamFileSource(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("streamsrc")
+    tbl(spark, dir, "events")
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("event_type"), col("value"))
+      .repartition(8, col("event_id"))
+      .write.mode("overwrite").option("header", "true").csv(src)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_s", StringType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+
+    val stream = spark.readStream
+      .option("header", "true").option("maxFilesPerTrigger", 2)
+      .schema(schema)
+      .option("pathGlobFilter", "*.csv")
+      .csv(src)
+      .select(
+        col("event_id"),
+        date_format(to_timestamp(col("ts_s"), "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss")
+          .as("date_time"),
+        col("event_type"), col("value"))
+
+    val qname = s"graft_sfs_${nameSeq.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory").queryName(qname).outputMode("append")
+      .option("checkpointLocation", tmpDir("streamckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname).orderBy("event_id")
+  }
+
+  /** #17 stream_window_agg: event-time tumbling windows over the stream —
+    * the stateful aggregation the reference lacks (SURVEY §2.2 "Streaming").
+    * Complete output mode so every window is emitted deterministically once
+    * the bounded stream drains. */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("streamwin")
+    tbl(spark, dir, "events").write.mode("overwrite").parquet(src)
+    val schema = tbl(spark, dir, "events").schema
+
+    val agg = spark.readStream.schema(schema).parquet(src)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+    val qname = s"graft_swa_${nameSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(qname).outputMode("complete")
+      .option("checkpointLocation", tmpDir("streamwinckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname).orderBy("win_start", "event_type")
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_file_source" -> (streamFileSource _),
+    "stream_window_agg" -> (streamWindowAgg _),
+  )
+}
