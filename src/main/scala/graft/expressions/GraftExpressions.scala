@@ -1,0 +1,202 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot inner loops of the dedup /
+  * similarity operators. Each is semantically identical to a composition of
+  * built-in higher-order functions (kept in CrossFns as `*Hof` reference
+  * implementations and differential-tested in CrossFnsSpec) but runs as a
+  * single codegen'd static call per row instead of one interpreted lambda
+  * frame per element — ~20-40× less per-row overhead, and the whole-stage
+  * codegen span stays unbroken.
+  *
+  * All arithmetic is the cross-engine deterministic form (see CrossFns):
+  * polynomial fold mod 1e9+7 over codepoints, affine minhash family,
+  * int64 dot products. DuckDB oracles reproduce it exactly.
+  */
+object GraftHash {
+  final val P = 1000000007L
+
+  /** charHash: fold h = (h*31 + codepoint) mod P. Matches
+    * aggregate(transform(...ascii(substr)...)) exactly (ascii = codepoint). */
+  def charHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  private def foldToken(h0: Long, str: String): Long = {
+    var h = h0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Rolling hash of each word n-gram (tokens joined by ' '), without
+    * materialising the shingle strings: charHash(t1 + ' ' + t2 + ...) =
+    * fold over t1 chars, then 32 (space), then t2 chars, ... */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val strs = new Array[String](m)
+    var i = 0
+    while (i < m) { strs(i) = tokens.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var h = 0L
+      var k = 0
+      while (k < n) {
+        h = foldToken(h, strs(i + k))
+        if (k < n - 1) h = (h * 31 + 32) % P
+        k += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature: numHashes mins of (a_s*h + b_s) mod P over the hash
+    * set, a_s = 31s+17, b_s = 97s+11 — one pass over the input, no
+    * explode/shuffle. Empty input -> empty signature. */
+  def minHashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val m = hashes.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      var s = 0
+      while (s < numHashes) {
+        val v = ((31L * s + 17L) * h + 97L * s + 11L) % P
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (m == 0) Array.emptyLongArray else mins)
+  }
+
+  /** Integer dot product over the common prefix of two long arrays. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val m = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < m) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  /** floor(x*1e6) quantisation of a float/double array (CrossFns.quantize). */
+  def quantizeFloat(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) { out(i) = math.floor(arr.getFloat(i).toDouble * 1000000.0d).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def quantizeDouble(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) { out(i) = math.floor(arr.getDouble(i) * 1000000.0d).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+case class CharHashExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"graft_char_hash needs string, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.charHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.charHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_char_hash"
+}
+
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_shingle_hashes needs array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.shingleHashes(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_minhash_sig needs array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.minHashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.minHashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+case class DotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"graft_dot_long needs array<bigint> x2, got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.GraftHash.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dot_long"
+}
+
+/** Quantise array<float>/array<double> to array<long> via floor(x*1e6). */
+case class QuantizeExpr(child: Expression) extends UnaryExpression {
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    elemType match {
+      case FloatType | DoubleType => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_quantize needs array<float|double>, got ${child.dataType.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = elemType match {
+    case FloatType => GraftHash.quantizeFloat(input.asInstanceOf[ArrayData])
+    case DoubleType => GraftHash.quantizeDouble(input.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (elemType == FloatType) "quantizeFloat" else "quantizeDouble"
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.$fn($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_quantize"
+}

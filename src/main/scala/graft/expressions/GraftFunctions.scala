@@ -1,0 +1,30 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** Session registration for the native expressions (exposed to the Column
+  * API through `functions.call_function`, and to SQL by name). Idempotent;
+  * called from Staging.tbl so every query path registers lazily.
+  */
+object GraftFunctions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_char_hash",
+      exprs => CharHashExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      exprs => ShingleHashesExpr(exprs(0), litInt(exprs(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSigExpr(exprs(0), litInt(exprs(1), "numHashes")), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot_long",
+      exprs => DotLongExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_quantize",
+      exprs => QuantizeExpr(exprs.head), "built-in")
+  }
+}

@@ -25,12 +25,18 @@ object CrossFns {
     * acc*31 + 127 < 3.2e10; seed*h < 1e2 * 1e9 = 1e11). */
   val HashP = 1000000007L
 
-  /** Polynomial rolling hash over ASCII codes:
+  /** Polynomial rolling hash over codepoints:
     * fold h = (h*31 + ascii(c)) mod P, h0 = 0.
+    * Fast path: the native codegen'd [[graft.expressions.CharHashExpr]]
+    * (GraftFunctions.register runs lazily in Staging.tbl).
     * DuckDB equivalent: list_reduce over generate_series — see
-    * [[graft.queries.Oracles.charHashSql]].
+    * [[graft.queries.Oracles]].
     */
-  def charHash(s: Column): Column = {
+  def charHash(s: Column): Column = call_function("graft_char_hash", s)
+
+  /** Reference implementation of [[charHash]] from built-in higher-order
+    * functions only — differential-tested against the native expression. */
+  def charHashHof(s: Column): Column = {
     val codes = transform(sequence(lit(1), length(s)), i => ascii(substr(s, i, lit(1))).cast("long"))
     val folded = aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x) % HashP)
     when(s.isNull || length(s) === 0, lit(0L)).otherwise(folded)
@@ -42,7 +48,8 @@ object CrossFns {
     filter(split(s, "\\s+"), t => length(t) > 0)
 
   /** Word n-gram shingles (space-joined) from a token array; empty when the
-    * doc has fewer than n tokens. */
+    * doc has fewer than n tokens. Reference form for tests; the operators
+    * use [[shingleHashes]] which never materialises the strings. */
   def shingles(toks: Column, n: Int): Column = {
     require(n >= 1)
     val idx = sequence(lit(1), size(toks) - (n - 1))
@@ -52,20 +59,36 @@ object CrossFns {
   }
 
   /** Distinct shingle hashes for a document — the set MinHash/Jaccard
-    * operate on. */
+    * operate on. Native expression: hashes the n-gram windows directly off
+    * the token array. */
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(tokens(text), n), sh => charHash(sh)))
+    array_distinct(call_function("graft_shingle_hashes", tokens(text), lit(n)))
+
+  /** HOF reference implementation of [[shingleHashes]]. */
+  def shingleHashesHof(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(tokens(text), n), sh => charHashHof(sh)))
+
+  /** MinHash signature (array of NumHashes mins of the affine family
+    * (31s+17)h + 97s+11 mod P) in one pass — no explode, no shuffle. */
+  def minhashSig(shingleHashes: Column, numHashes: Int): Column =
+    call_function("graft_minhash_sig", shingleHashes, lit(numHashes))
 
   /** Quantise a float/double array to integers: floor(x * 1e6).
     * float->double widening, *1e6, floor are all exact/deterministic IEEE
     * steps, identical in Spark and DuckDB — unlike decimal casts or float
     * sums. |x| <= ~1 in the embeddings table, so values fit comfortably:
     * 64-dim dot products stay < 1e14 << Long.Max. */
-  def quantize(arr: Column): Column =
+  def quantize(arr: Column): Column = call_function("graft_quantize", arr)
+
+  /** HOF reference implementation of [[quantize]]. */
+  def quantizeHof(arr: Column): Column =
     transform(arr, v => floor(v.cast("double") * lit(1000000.0d)).cast("long"))
 
-  /** Integer dot product of two quantised vectors. */
-  def qdot(a: Column, b: Column): Column =
+  /** Integer dot product of two quantised vectors (native expression). */
+  def qdot(a: Column, b: Column): Column = call_function("graft_dot_long", a, b)
+
+  /** HOF reference implementation of [[qdot]]. */
+  def qdotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Cosine similarity from quantised vectors: all inputs int64-exact, the

@@ -33,25 +33,28 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), explode(col("hs")).as("h"))
 
-  /** The NumHashes (a,b) seed rows; tiny — always broadcast. Affine family
-    * mh_i = (a_i*h + b_i) mod P. */
-  private def seedTable(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    (0 until NumHashes).map(s => (s, 31L * s + 17L, 97L * s + 11L)).toDF("seed", "a", "b")
-  }
-
-  /** MinHash signatures banded for LSH: (doc_id, band, sig). */
+  /** MinHash signatures banded for LSH: (doc_id, band, sig).
+    *
+    * The whole signature is computed per document in one narrow pass
+    * (MinHashSigExpr — all NumHashes mins in a single scan of the shingle
+    * set), then sliced into Bands signature strings. No explode, no
+    * shuffle: at 100 TB the per-doc work stays map-side and the only
+    * shuffle in the dedup pipeline is the final bucket self-join. */
   def bandedSignatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / Bands
-    val mh = shingleTable(docs)
-      .crossJoin(broadcast(seedTable(spark)))
-      .select(col("doc_id"), col("seed"), ((col("a") * col("h") + col("b")) % HashP).as("v"))
-      .groupBy("doc_id", "seed").agg(min("v").as("mh"))
-    mh.withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-          s => s.getField("mh").cast("string")), ",").as("sig"))
+    val sigs = docs
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashSig(col("hs"), NumHashes).as("sig"))
+    sigs.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+        struct(
+          b.cast("int").as("band"),
+          array_join(
+            transform(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+              v => v.cast("string")), ",").as("sig")))).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.sig").as("sig"))
   }
 
   /** MinHash+LSH candidate near-duplicate pairs: docs sharing any full band

@@ -63,23 +63,21 @@ object ExtQueries {
   /** Hourly OHLCV bars from the event stream — the analytic shape the
     * reference's minute-bar data exists for. Open/close via row_number over
     * (ts, event_id); volume as an exact decimal sum. */
-  def windowOhlc(spark: SparkSession, dir: String): DataFrame = {
-    val e = tbl(spark, dir, "events")
+  def windowOhlc(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
       .withColumn("hour_s", date_format(date_trunc("hour", col("ts")), tsFmt))
-    val asc = Window.partitionBy("hour_s").orderBy(col("ts"), col("event_id"))
-    val desc = Window.partitionBy("hour_s").orderBy(col("ts").desc, col("event_id").desc)
-    e.withColumn("ra", row_number().over(asc))
-      .withColumn("rd", row_number().over(desc))
       .groupBy("hour_s")
       .agg(
-        max(when(col("ra") === 1, col("value"))).as("open"),
+        // min_by/max_by on the (ts, event_id) total order: one partial-
+        // aggregatable hash agg — no per-hour sort, unlike the row_number
+        // formulation (the oracle keeps that form; semantics identical)
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max(when(col("rd") === 1, col("value"))).as("close"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         decSum2(col("value")).as("volume"),
         count(lit(1)).as("n"))
       .orderBy("hour_s")
-  }
 
   /** Per-user moving average over the last 4 events (frame-based window);
     * exact decimal frame sum / frame count. */

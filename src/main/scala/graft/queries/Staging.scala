@@ -20,6 +20,7 @@ object Staging {
     * (`div`, integer division: ns values ~1.7e18 overflow double math).
     * DuckDB's CAST(ts AS TIMESTAMP) truncates ns->µs the same way. */
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
