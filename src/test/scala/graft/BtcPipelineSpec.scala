@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.BtcPipeline
+
+/** Golden test over the full reference dataset (/root/reference/dataset-test,
+  * read-only): 732 daily CSVs, 2011-12-31 → 2013-12-31. Expected values
+  * pinned from an independent DuckDB scan of the same files (SURVEY §5,
+  * FIXTURES §A.4). */
+class BtcPipelineSpec extends SparkSpec {
+
+  private val refDir = "/root/reference/dataset-test"
+
+  private lazy val out = BtcPipeline.transform(spark, refDir).cache()
+
+  test("golden: post-drop row count (how='all' on 7 metrics)") {
+    assert(out.count() === 346394L)
+  }
+
+  test("golden: pre-drop row count = 1,053,608 over 732 files") {
+    val raw = spark.read.option("header", "true")
+      .schema(graft.etl.Schemas.btcCsv).csv(refDir)
+    assert(raw.count() === 1053608L)
+    assert(raw.select(input_file_name()).distinct().count() === 732L)
+  }
+
+  test("golden: min/max date_time") {
+    val r = out.agg(
+      date_format(min("date_time"), "yyyy-MM-dd HH:mm:ss"),
+      date_format(max("date_time"), "yyyy-MM-dd HH:mm:ss")).head()
+    assert(r.getString(0) === "2011-12-31 07:52:00")
+    assert(r.getString(1) === "2013-12-31 23:59:00")
+  }
+
+  test("golden: spot-check day total (2013-12-31: 1202 traded minutes, vol sum)") {
+    val r = out.filter(to_date(col("date_time")) === lit("2013-12-31"))
+      .agg(count(lit(1)), round(sum(col("volume_btc").cast("decimal(20,8)")), 6).cast("double"))
+      .head()
+    assert(r.getLong(0) === 1202L) // 1440 minutes, 238 empty ones dropped
+    assert(r.getDouble(1) === 7919.32033)
+  }
+
+  test("sink schema matches the reference DDL shape (btc_etl.py:73-82)") {
+    assert(out.columns.toSeq === graft.etl.Schemas.sinkCols)
+    val types = out.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("date_time") === "timestamp")
+    assert(graft.etl.Schemas.sinkCols.tail.forall(c => types(c) === "double"))
+  }
+
+  test("backfill is idempotent via the ledger (FIXTURES §A.5)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-backfill-").toString
+    val sink = s"$tmp/sink"
+    val ledger = s"$tmp/ledger"
+    // first run ingests everything; second run must add nothing
+    BtcPipeline.backfill(spark, refDir, sink, ledger)
+    val n1 = spark.read.parquet(sink).count()
+    BtcPipeline.backfill(spark, refDir, sink, ledger)
+    val n2 = spark.read.parquet(sink).count()
+    assert(n1 === n2, "second backfill over the same files must be a no-op")
+    assert(n1 > 0)
+    // the sink is date-partitioned (hypertable analog, btc_etl.py:99-101)
+    assert(new java.io.File(sink).listFiles().exists(_.getName.startsWith("date=")))
+  }
+}

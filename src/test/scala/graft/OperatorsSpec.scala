@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Behavioral tests for the training-pipeline extension operators on
+  * constructed corpora with known ground truth. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // near-dup 2 differs from 0 by one appended word -> shingle Jaccard
+  // ~0.94, which the 4x4 LSH banding detects deterministically (fixed
+  // seeds; verified by the assertions below)
+  private val base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+  private lazy val docs = Seq(
+    (0L, base.trim),                                  // original
+    (1L, base.trim),                                  // exact dup of 0
+    (2L, base.trim + " postscript"),                  // near dup of 0
+    (3L, "completely different content about spark catalyst optimizer rules and physical plans " * 4),
+    (4L, "der hund und die katze und das haus und der baum und die sonne"),
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds the exact duplicate pair") {
+    val g = Dedup.exactGroups(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(g(0L) === 2L, "docs 0 and 1 share a digest group")
+    assert(g(2L) === 1L && g(3L) === 1L)
+  }
+
+  test("minhash LSH candidates: near-dups found, unrelated not paired") {
+    val cand = Dedup.minhashCandidates(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)), "exact dups must share all bands")
+    assert(cand.contains((0L, 2L)) && cand.contains((1L, 2L)), "near dup should bucket with original")
+    assert(!cand.exists { case (a, b) => b == 3L || a == 3L }, "unrelated doc must not pair")
+  }
+
+  test("jaccardVerified: exact dup = 1.0, near dup high, thresholds respected") {
+    val j = Dedup.jaccardVerified(spark, docs, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) === 1.0)
+    assert(j((0L, 2L)) > 0.5 && j((0L, 2L)) < 1.0)
+  }
+
+  test("simhash: identical docs identical, near dups close in hamming distance") {
+    val s = Dedup.simhash(spark, docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(0L) === s(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(s(0L), s(2L)) < hamming(s(0L), s(3L)),
+      s"near dup should be closer: ${hamming(s(0L), s(2L))} vs ${hamming(s(0L), s(3L))}")
+  }
+
+  test("bruteForceTopK: self-similar vectors rank first, k respected") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),   // nearly parallel to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),    // orthogonal to 0
+      (3L, Array(-1.0f, 0.0f, 0.0f)),   // opposite to 0
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, col("vec_id") === 0, 3)
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(top.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(top(0)._2 > 0.99 && math.abs(top(1)._2) < 1e-6 && top(2)._2 < -0.99)
+  }
+
+  test("cosinePairs finds only the near-parallel pair at 0.9") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.95f, 0.05f)), (2L, Array(0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(vecs, 0.9).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
+  test("lshBuckets: identical vectors share buckets; opposite vectors do not") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.2f, -0.3f)), (1L, Array(1.0f, 0.2f, -0.3f)),
+      (2L, Array(-1.0f, -0.2f, 0.3f)),
+    ).toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(vecs, 8).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(b(0L) === b(1L))
+    assert(b(0L) !== b(2L), "antipodal vectors flip every hyperplane sign")
+  }
+
+  test("langId picks the dominant lexicon, unk when no hits") {
+    val d = Seq(
+      (0L, "the cat and the dog of a house in a field is big"),
+      (1L, "der hund und die katze und das haus"),
+      (2L, "zzz qqq xxx www"),
+    ).toDF("doc_id", "text")
+    val got = TextOps.langId(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) === "en" && got(1L) === "de" && got(2L) === "unk")
+  }
+
+  test("tokenCounts + fingerprint: order-sensitivity of the fingerprint") {
+    val d = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"), (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val tc = TextOps.tokenCounts(d).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tc.forall { case (_, n, u) => n === 3L && u === 3L })
+    val fp = TextOps.fingerprint(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) === fp(2L), "same token sequence, same fingerprint")
+    assert(fp(0L) !== fp(1L), "reordered tokens must change the fingerprint")
+  }
+
+  test("qualityScore components are exact ratios") {
+    val d = Seq((0L, "the fox and the dog")).toDF("doc_id", "text") // 5 toks, 3 stopword hits
+    val r = TextOps.qualityScore(d).head()
+    assert(r.getLong(1) === 5L)
+    assert(r.getDouble(2) === (3 + 3 + 3 + 3 + 3) / 5.0)
+    assert(r.getDouble(3) === 3 / 5.0)
+  }
+}

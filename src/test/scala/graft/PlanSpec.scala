@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the properties that make the engine viable at
+  * 100 TB — column pruning reaching the scan, filter pushdown, broadcast
+  * joins for small sides, partition pruning on the date-partitioned sink,
+  * and unbroken whole-stage codegen over the hot expressions. */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("project_select prunes the parquet ReadSchema to the selected columns") {
+    val plan = formatted(graft.queries.CoreQueries.projectSelect(spark, sf))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan must not read unprojected columns:\n$readSchema")
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val df = graft.queries.Staging.tbl(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"expected pushed filter in:\n$plan")
+  }
+
+  test("ledger anti-join broadcasts the ledger side (no fact shuffle)") {
+    val plan = formatted(graft.queries.CoreQueries.antijoinProcessed(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"anti-join should be broadcast:\n$plan")
+  }
+
+  test("star join broadcasts all dimension tables") {
+    val plan = formatted(graft.queries.ExtQueries.joinAggRevenue(spark, sf))
+    // formatted mode prints each node in the tree and again in the detail
+    // section -> 2 occurrences per join
+    val n = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(n >= 3, s"region/nation/customer should all broadcast, got $n in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("date-partitioned sink read prunes partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft-prune-").toString
+    graft.queries.Staging.tbl(spark, sf, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("event_date") === "2024-01-03")
+    val plan = formatted(pruned)
+    // the date predicate becomes a PartitionFilter on the scan, not a data
+    // filter (Timescale chunk-exclusion analog)
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-03"), plan)
+    // and the scan actually lists only the one matching partition
+    pruned.collect()
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    }.flatten
+    assert(scans.nonEmpty, pruned.queryExecution.executedPlan.toString)
+    val files = scans.map(_.metrics("numFiles").value).sum
+    val total = spark.read.parquet(out).inputFiles.length
+    assert(files < total / 5, s"pruning should skip most partitions: $files of $total files read")
+  }
+
+  test("aggregations use partial (map-side) aggregation before the shuffle") {
+    val plan = formatted(graft.queries.ExtQueries.aggPricingSummary(spark, sf))
+    // HashAggregate appears twice per agg: partial + final
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("hashpartitioning(l_returnflag"), plan)
+  }
+
+  test("native expressions stay inside WholeStageCodegen") {
+    val df = graft.queries.Staging.tbl(spark, sf, "documents")
+      .select(graft.functions.CrossFns.charHash(col("text")).as("h"))
+      .filter(col("h") > 0)
+    // formatted mode marks codegen'd nodes with '*'; the hash must sit in
+    // a starred Project/Filter, not a fallback
+    val plan = formatted(df)
+    assert(plan.contains("* Project") && plan.contains("* Filter"), plan)
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+
+  test("minhash signature pipeline has no shuffle before the bucket join") {
+    val bands = graft.operators.Dedup.bandedSignatures(spark,
+      graft.queries.Staging.tbl(spark, sf, "documents"))
+    val plan = formatted(bands)
+    assert(!plan.contains("Exchange"),
+      s"signature computation must be map-side only:\n$plan")
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths}
+
+/** Structured Streaming semantics the reference implements with
+  * watchdog+Redis (btc_etl.py:185-228, utils.py:24-36), upgraded to the
+  * file-source checkpoint: exactly-once file handling across restarts
+  * (replaces the Redis tests utils_test.py:47-70), plus watermarked
+  * event-time windows (absent from the reference, SURVEY §2.2). */
+class StreamingSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType)))
+
+  private def writeFile(dir: String, name: String, rows: Seq[(Long, Double)]): Unit = {
+    val body = "id,v\n" + rows.map { case (i, v) => s"$i,$v" }.mkString("\n")
+    Files.writeString(Paths.get(dir, name), body)
+  }
+
+  test("checkpoint restart: files processed exactly once (FIXTURES A.5c)") {
+    val src = Files.createTempDirectory("graft-stream-src-").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-").toString
+    val out = Files.createTempDirectory("graft-stream-out-").toString
+
+    writeFile(src, "a.csv", Seq((1L, 1.0), (2L, 2.0)))
+    writeFile(src, "b.csv", Seq((3L, 3.0)))
+
+    // parquet sink: supports checkpoint recovery (memory sink does not),
+    // and mirrors the real pipeline's sink+ledger transactionality
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).option("header", "true").csv(src)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    run()
+    assert(spark.read.parquet(out).count() === 3)
+
+    // restart with the same checkpoint after a new file lands: only the
+    // new file is read (a.csv/b.csv are in the checkpoint's file log)
+    writeFile(src, "c.csv", Seq((4L, 4.0), (5L, 5.0)))
+    run()
+    val ids = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 4L, 5L),
+      "restart must process ONLY the new file, never re-ingest a/b")
+  }
+
+  test("watermarked tumbling window emits closed windows in append mode") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-wm-src-").toString
+    val ckpt = Files.createTempDirectory("graft-wm-ckpt-").toString
+    val sch = StructType(Seq(StructField("ts", TimestampType), StructField("v", DoubleType)))
+
+    def mkParquet(name: String, rows: Seq[(String, Double)]): Unit =
+      rows.toDF("s", "v").select(to_timestamp(col("s")).as("ts"), col("v"))
+        .coalesce(1).write.parquet(s"$src/$name")
+
+    // batch 1: two events in hour 10; batch 2: an event far past the
+    // watermark horizon closes hour 10
+    mkParquet("p1", Seq(("2024-01-01 10:05:00", 1.0), ("2024-01-01 10:45:00", 2.0)))
+
+    val agg = spark.readStream.schema(sch).option("pathGlobFilter", "*.parquet")
+      .parquet(s"$src/*")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(sum("v").as("sv"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"), col("sv"))
+
+    val q = agg.writeStream.format("memory").queryName("wm1")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("wm1").count() === 0, "open window must not emit in append mode")
+
+    mkParquet("p2", Seq(("2024-01-01 13:00:00", 9.0)))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("wm1").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq === Seq(("2024-01-01 10:00:00", 3.0)),
+      "hour-10 window closes once the watermark passes it")
+  }
+
+  test("maxFilesPerTrigger bounds each micro-batch") {
+    val src = Files.createTempDirectory("graft-mft-src-").toString
+    val ckpt = Files.createTempDirectory("graft-mft-ckpt-").toString
+    (0 until 6).foreach(i => writeFile(src, s"f$i.csv", Seq((i.toLong, i.toDouble))))
+
+    val q = spark.readStream.schema(schema).option("header", "true")
+      .option("maxFilesPerTrigger", 2).csv(src)
+      .writeStream.format("memory").queryName("mft")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("mft").count() === 6)
+    // 6 files / 2 per trigger = 3 committed batches in the checkpoint log
+    val commits = new java.io.File(s"$ckpt/commits").list().count(!_.startsWith("."))
+    assert(commits === 3, s"expected 3 micro-batches, got $commits")
+  }
+}
