@@ -54,6 +54,46 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
+    * K centroid cells (deterministic "training": the first K vectors by
+    * vec_id are the centroids); a probe searches only its nprobe nearest
+    * cells. At 100 TB this bounds each probe to ~nprobe/K of the corpus and
+    * the cell assignment is a single map-side pass over the data (centroids
+    * broadcast); the only shuffle keys on the small cell id.
+    *
+    * Assignment argmax is computed as array_max over (cosine, -cid) structs
+    * — no per-vector window/shuffle; ties break toward the smaller cid. */
+  def ivfTopK(emb: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
+      probePred: org.apache.spark.sql.Column): DataFrame = {
+    val q = quantized(emb)
+    val cents = q.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+
+    // per vector: array of (cosine-to-centroid, -cid) structs, map-side
+    val withCos = q.join(broadcast(cents))
+      .withColumn("ccos", qcosine(qdot(col("qv"), col("cqv")), col("nrm"), col("cnrm")))
+      .groupBy("vec_id", "qv", "nrm")
+      .agg(collect_list(struct(col("ccos"), (-col("cid")).as("ncid"))).as("cells"))
+      .withColumn("sorted", reverse(array_sort(col("cells"))))
+
+    val assigned = withCos
+      .withColumn("cid", -col("sorted")(0).getField("ncid"))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cid"))
+
+    val probes = withCos.filter(probePred)
+      .select(
+        col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nrm").as("pnrm"),
+        explode(transform(slice(col("sorted"), 1, nprobe), s => -s.getField("ncid"))).as("cid"))
+
+    broadcast(probes).join(assigned, Seq("cid"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of dot products with
     * NumPlanes deterministic pseudo-random hyperplanes (components derived
     * from the cross-engine char hash, so buckets reproduce anywhere).

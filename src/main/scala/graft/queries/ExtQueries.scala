@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.CrossFns._
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 import Staging._
 
 /** Extension operators beyond the reference surface (SURVEY §2.3 /
@@ -39,6 +39,12 @@ object ExtQueries {
     Similarity.bruteForceTopK(tbl(spark, dir, "embeddings"), col("vec_id") < 5, 10)
       .orderBy("probe_id", "rk")
 
+  /** IVF ANN: 8 cells, probe the 2 nearest — the bounded-scan scale path. */
+  def simsearchIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(tbl(spark, dir, "embeddings"), k = 5, numCentroids = 8,
+      nprobe = 2, probePred = col("vec_id") < 5)
+      .orderBy("probe_id", "rk")
+
   // ---- text analysis -----------------------------------------------------
 
   def textLangId(spark: SparkSession, dir: String): DataFrame =
@@ -55,6 +61,11 @@ object ExtQueries {
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     TextOps.binaryMeta(tbl(spark, dir, "documents")).orderBy("doc_id")
+
+  /** Batch decode through the typed mapPartitions plumbing (stubbed codec,
+    * real schema/batch shape — see graft.operators.Multimodal). */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAll(spark, tbl(spark, dir, "documents")).toDF().orderBy("doc_id")
 
   // ---- relational: windows / joins / aggregations ------------------------
 
@@ -122,6 +133,64 @@ object ExtQueries {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** Gap-based sessionization (30-min inactivity splits a session) via
+    * lag + running sum — the batch form of the stateful stream operator;
+    * per-user work, one shuffle on user_id. */
+  def windowSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    tbl(spark, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), tsFmt).as("start_s"),
+        date_format(max(col("ts")), tsFmt).as("end_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** ROLLUP over order priority/status: hierarchical totals in one pass. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(
+        // grouping() must live inside the rollup's agg list
+        grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+        grouping(col("o_orderstatus")).cast("int").as("g_st"),
+        count(lit(1)).as("n"), decSum2(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("g_pri"), col("g_st"), col("n"), col("revenue"))
+      .orderBy("priority", "status", "g_pri", "g_st")
+
+  /** LEFT OUTER customer->orders aggregate: customers with no orders kept
+    * at zero (count of a null key = 0; null sum coalesced). */
+  def joinOuterAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = tbl(spark, dir, "customer")
+    val o = tbl(spark, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
+          lit(0).cast("decimal(18,2)")).cast("double").as("spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** EXCEPT: customers who placed orders but none above 200k. */
+  def setopExcept(spark: SparkSession, dir: String): DataFrame = {
+    val o = tbl(spark, dir, "orders")
+    o.select("o_custkey")
+      .except(o.filter(col("o_totalprice") > 200000).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
   /** TPC-H Q1-shaped pricing summary: partial-aggregatable exact decimal
     * sums — map-side combine then one shuffle on the 6-ish group keys. */
   def aggPricingSummary(spark: SparkSession, dir: String): DataFrame =
@@ -144,15 +213,21 @@ object ExtQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "simsearch_bruteforce" -> (simsearchBruteforce _),
+    "simsearch_ivf" -> (simsearchIvf _),
     "text_lang_id" -> (textLangId _),
     "text_quality_score" -> (textQualityScore _),
     "text_token_count" -> (textTokenCount _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_decode" -> (multimodalDecode _),
     "window_ohlc" -> (windowOhlc _),
     "window_moving_avg" -> (windowMovingAvg _),
+    "window_sessionize" -> (windowSessionize _),
     "join_agg_revenue" -> (joinAggRevenue _),
+    "join_outer_agg" -> (joinOuterAgg _),
     "topk_orders" -> (topkOrders _),
+    "setop_except" -> (setopExcept _),
+    "agg_rollup" -> (aggRollup _),
     "agg_pricing_summary" -> (aggPricingSummary _),
   )
 }

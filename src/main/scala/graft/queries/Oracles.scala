@@ -231,6 +231,66 @@ object Oracles {
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM pairs)
          |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin,
 
+    "simsearch_ivf" ->
+      s"""$embCtes,
+         |cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM f WHERE vec_id < 8),
+         |ccos AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+         |   CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |    (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         | FROM f v, cents c),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM ccos),
+         |assigned AS (SELECT vec_id, qv, nrm, cid FROM ranked WHERE crk = 1),
+         |probecells AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm, cid
+         |               FROM ranked WHERE vec_id < 5 AND crk <= 2),
+         |scored AS (SELECT p.probe_id, a.vec_id,
+         |   CAST(${qdotPair("p.pqv", "a.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.pnrm AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cosine
+         | FROM probecells p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+         |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
+    "window_sessionize" ->
+      """WITH b AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |l AS (SELECT *, lag(epoch_us(tsu)) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_us FROM b),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(tsu) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s FROM l),
+        |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | strftime(min(tsu), '%Y-%m-%d %H:%M:%S') AS start_s,
+        | strftime(max(tsu), '%Y-%m-%d %H:%M:%S') AS end_s
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "agg_rollup" ->
+      s"""SELECT coalesce(o_orderpriority, '(all)') AS priority,
+         | coalesce(o_orderstatus, '(all)') AS status,
+         | CAST(grouping(o_orderpriority) AS INTEGER) AS g_pri,
+         | CAST(grouping(o_orderstatus) AS INTEGER) AS g_st,
+         | count(*) AS n, ${decSum2("o_totalprice")} AS revenue
+         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+         |ORDER BY priority, status, g_pri, g_st""".stripMargin,
+
+    "join_outer_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "setop_except" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        | CAST(16 + octet_length(encode(text)) % 32 AS BIGINT) AS width,
+        | CAST(16 + (octet_length(encode(text)) * 7) % 32 AS BIGINT) AS height,
+        | CAST(3 AS BIGINT) AS channels,
+        | CAST((CASE WHEN length(text) > 0
+        |   THEN ascii(substring(text, 1, 1)) + ascii(substring(text, length(text), 1))
+        |   ELSE 0 END) % 256 AS BIGINT) AS brightness
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "text_lang_id" ->
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
          |s AS (SELECT doc_id, lang,
