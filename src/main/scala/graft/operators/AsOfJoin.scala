@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for each left row, the most recent right row with
+  * right.ts <= left.ts within the same key — the canonical time-series
+  * operator Spark's join zoo lacks.
+  *
+  * Implemented by composition (preference (a) of the custom-operator
+  * ladder: compose built-ins before reaching for a custom
+  * LogicalPlan/Strategy): union-tag both sides, one window pass per key
+  * carrying the last right row forward, filter back to left rows. Exactly
+  * one shuffle (hash partition by key) and one per-partition sort — the
+  * same cost profile a dedicated sort-merge as-of physical operator would
+  * have, but it inherits AQE, codegen and spill handling for free.
+  *
+  * Tie rule: right rows sort before left rows at equal ts (an event AT the
+  * probe time matches), and among equal-ts right rows the largest tie-key
+  * wins. Deterministic — mirrored exactly by the oracle SQL.
+  */
+object AsOfJoin {
+
+  /** Returns one row per left row: (keyCol, tsCol, tieCol) plus
+    * `asof_<tsCol>`, `asof_<tieCol>` and `asof_<payload...>` from the
+    * matched right row (nulls when no right row precedes).
+    *
+    * @param keyCol equi key on both sides
+    * @param tsCol  event-time column on both sides
+    * @param tieCol unique per-row tiebreak column on both sides
+    * @param payload extra right-side columns to carry
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, payload: Seq[String]): DataFrame = {
+    val r = right.select(
+      col(keyCol).as("_k"), col(tsCol).as("_ts"), col(tieCol).as("_tie"),
+      lit(0).as("_tag"),
+      struct(col(tsCol).as("ts") +: col(tieCol).as("tie") +:
+        payload.map(c => col(c).as(c)): _*).as("_r"))
+    val l = left.select(
+      col(keyCol).as("_k"), col(tsCol).as("_ts"), col(tieCol).as("_tie"),
+      lit(1).as("_tag"),
+      lit(null).cast(r.schema("_r").dataType).as("_r"))
+
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_ts"), col("_tag"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val matched = r.unionByName(l)
+      .withColumn("_last", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+
+    val base = matched.select(
+      col("_k").as(keyCol), col("_ts").as(tsCol), col("_tie").as(tieCol),
+      col("_last"))
+    (Seq("ts" -> s"asof_$tsCol", "tie" -> s"asof_$tieCol") ++
+      payload.map(c => c -> s"asof_$c"))
+      .foldLeft(base) { case (df, (f, name)) =>
+        df.withColumn(name, col("_last").getField(f))
+      }
+      .drop("_last")
+  }
+}

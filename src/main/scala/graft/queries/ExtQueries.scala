@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.CrossFns._
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps}
 import Staging._
 
 /** Extension operators beyond the reference surface (SURVEY §2.3 /
@@ -133,6 +133,22 @@ object ExtQueries {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** As-of join: each purchase matched to the user's most recent click at
+    * or before it (see operators.AsOfJoin for the single-shuffle plan). */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+    val purchases = e.filter(col("event_type") === "purchase")
+    AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "event_id", Seq("value"))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("ts_str"),
+        col("asof_event_id").as("click_id"),
+        date_format(col("asof_ts"), tsFmt).as("click_ts"),
+        col("asof_value").as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Gap-based sessionization (30-min inactivity splits a session) via
     * lag + running sum — the batch form of the stateful stream operator;
     * per-user work, one shuffle on user_id. */
@@ -225,6 +241,7 @@ object ExtQueries {
     "window_sessionize" -> (windowSessionize _),
     "join_agg_revenue" -> (joinAggRevenue _),
     "join_outer_agg" -> (joinOuterAgg _),
+    "join_asof" -> (joinAsof _),
     "topk_orders" -> (topkOrders _),
     "setop_except" -> (setopExcept _),
     "agg_rollup" -> (aggRollup _),

@@ -359,6 +359,28 @@ object Oracles {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
+    "join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
+        |u AS (
+        | SELECT user_id AS k, tsu AS ts, event_id AS tie, 0 AS tag,
+        |        tsu AS r_ts, event_id AS r_tie, value AS r_value
+        | FROM e WHERE event_type = 'click'
+        | UNION ALL
+        | SELECT user_id, tsu, event_id, 1, NULL, NULL, NULL
+        | FROM e WHERE event_type = 'purchase'),
+        |win AS (SELECT *,
+        |  last_value(r_ts IGNORE NULLS) OVER w AS a_ts,
+        |  last_value(r_tie IGNORE NULLS) OVER w AS a_tie,
+        |  last_value(r_value IGNORE NULLS) OVER w AS a_value
+        | FROM u WINDOW w AS (PARTITION BY k ORDER BY ts, tag, tie
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT tie AS event_id, k AS user_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        | a_tie AS click_id,
+        | strftime(a_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        | a_value AS click_value
+        |FROM win WHERE tag = 1 ORDER BY event_id""".stripMargin,
+
     "topk_orders" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -99,6 +99,29 @@ class OperatorsSpec extends SparkSpec {
     assert(fp(0L) !== fp(1L), "reordered tokens must change the fingerprint")
   }
 
+  test("asOf matches the latest right row at-or-before each left row") {
+    import graft.operators.AsOfJoin
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, 1.0),
+      (1L, ts("2024-01-01 10:20:00"), 101L, 2.0),
+      (2L, ts("2024-01-01 11:00:00"), 102L, 3.0),
+    ).toDF("user_id", "ts", "event_id", "value")
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:20:00"), 200L, 9.0), // equal ts: click 101 matches
+      (1L, ts("2024-01-01 10:10:00"), 201L, 9.0), // between clicks -> 100
+      (2L, ts("2024-01-01 10:30:00"), 202L, 9.0), // before any click -> null
+      (3L, ts("2024-01-01 12:00:00"), 203L, 9.0), // user with no clicks -> null
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "event_id", Seq("value"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_event_id")).map(_.toLong)).toMap
+    assert(got(200L) === Some(101L))
+    assert(got(201L) === Some(100L))
+    assert(got(202L) === None)
+    assert(got(203L) === None)
+  }
+
   test("qualityScore components are exact ratios") {
     val d = Seq((0L, "the fox and the dog")).toDF("doc_id", "text") // 5 toks, 3 stopword hits
     val r = TextOps.qualityScore(d).head()
