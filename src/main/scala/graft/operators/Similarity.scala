@@ -113,4 +113,19 @@ object Similarity {
     }
     q.withColumn("bucket", bucketBits.reduce(_ + _))
   }
+
+  /** LSH-bucketed embedding near-dup pairs: hyperplane-sign buckets first,
+    * exact cosine only within a bucket — the O(n) candidate pass that
+    * replaces the all-pairs join at scale (recall < 1 by construction;
+    * the brute-force cosinePairs is the exhaustive baseline). */
+  def lshCosinePairs(emb: DataFrame, numPlanes: Int, threshold: Double): DataFrame = {
+    val b = lshBuckets(emb, numPlanes)
+    val a = b.select(col("bucket"), col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na"))
+    val c = b.select(col("bucket"), col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb"))
+    a.join(c, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", qcosine(qdot(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
 }

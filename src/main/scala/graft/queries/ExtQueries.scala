@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.CrossFns._
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, SkewJoin, TextOps}
 import Staging._
 
 /** Extension operators beyond the reference surface (SURVEY §2.3 /
@@ -31,6 +31,12 @@ object ExtQueries {
 
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(tbl(spark, dir, "embeddings"), 0.5)
+      .orderBy("vec_a", "vec_b")
+
+  /** Hyperplane-LSH bucketed near-dup pairs — O(n) candidate generation
+    * (4 planes, cosine >= 0.4 verified inside buckets). */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshCosinePairs(tbl(spark, dir, "embeddings"), numPlanes = 4, threshold = 0.4)
       .orderBy("vec_a", "vec_b")
 
   // ---- similarity search -------------------------------------------------
@@ -133,6 +139,21 @@ object ExtQueries {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** Salted skew join: events (fact, salt from event_id) ⋈ per-user dim
+    * replicated across 8 salts — identical results to the plain join, hot
+    * user keys spread over 8 reducers. */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+    val dim = e.groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
+    SkewJoin.saltedInnerJoin(e, dim, "user_id", col("event_id"), 8)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        decSum2(col("value")).as("sum_value"),
+        sum(col("n_user_events")).as("sum_dim"))
+      .orderBy("event_type")
+  }
+
   /** As-of join: each purchase matched to the user's most recent click at
     * or before it (see operators.AsOfJoin for the single-shuffle plan). */
   def joinAsof(spark: SparkSession, dir: String): DataFrame = {
@@ -228,6 +249,7 @@ object ExtQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "simsearch_bruteforce" -> (simsearchBruteforce _),
     "simsearch_ivf" -> (simsearchIvf _),
     "text_lang_id" -> (textLangId _),
@@ -242,6 +264,7 @@ object ExtQueries {
     "join_agg_revenue" -> (joinAggRevenue _),
     "join_outer_agg" -> (joinOuterAgg _),
     "join_asof" -> (joinAsof _),
+    "join_skew_salted" -> (joinSkewSalted _),
     "topk_orders" -> (topkOrders _),
     "setop_except" -> (setopExcept _),
     "agg_rollup" -> (aggRollup _),

@@ -222,6 +222,34 @@ object Oracles {
          | FROM f a JOIN f b ON a.vec_id < b.vec_id)
          |WHERE cosine >= 0.5 ORDER BY vec_a, vec_b""".stripMargin,
 
+    "dedup_embedding_lsh" -> {
+      val planeComp = ch("(CAST(p AS VARCHAR) || ':' || CAST(i_ - 1 AS VARCHAR))")
+      s"""$embCtes,
+         |planes AS (SELECT unnest(generate_series(0, 3)) AS p),
+         |dots AS (SELECT f.vec_id, p,
+         |   CAST(list_sum(list_transform(generate_series(1, len(qv)),
+         |     i_ -> qv[i_] * (($planeComp) % 2001 - 1000))) AS BIGINT) AS dot
+         | FROM f, planes),
+         |buckets AS (SELECT vec_id,
+         |   CAST(sum(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM dots GROUP BY vec_id),
+         |b AS (SELECT f.vec_id, f.qv, f.nrm, buckets.bucket FROM f JOIN buckets USING (vec_id))
+         |SELECT vec_a, vec_b, cosine FROM (
+         | SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  CAST(${qdotPair("x.qv", "y.qv")} AS DOUBLE) /
+         |   (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) AS cosine
+         | FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+    },
+
+    "join_skew_salted" ->
+      s"""SELECT event_type, count(*) AS n, ${decSum2("value")} AS sum_value,
+         | CAST(sum(n_user_events) AS BIGINT) AS sum_dim
+         |FROM events e
+         |JOIN (SELECT user_id, count(*) AS n_user_events FROM events GROUP BY user_id) d
+         |  ON e.user_id = d.user_id
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "simsearch_bruteforce" ->
       s"""$embCtes,
          |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,

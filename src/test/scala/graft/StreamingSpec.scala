@@ -5,6 +5,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.{Files, Paths}
 
+// top-level so spark.implicits can derive Encoders (local case classes can't)
+case class Ev(user: Long, sec: Long)
+case class Sess(user: Long, start: Long, end: Long, n: Long)
+
 /** Structured Streaming semantics the reference implements with
   * watchdog+Redis (btc_etl.py:185-228, utils.py:24-36), upgraded to the
   * file-source checkpoint: exactly-once file handling across restarts
@@ -80,6 +84,54 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("wm1").collect().map(r => (r.getString(0), r.getDouble(1)))
     assert(rows.toSeq === Seq(("2024-01-01 10:00:00", 3.0)),
       "hour-10 window closes once the watermark passes it")
+  }
+
+  test("stateful sessionization via flatMapGroupsWithState") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = Files.createTempDirectory("graft-fmgs-src-").toString
+    val ckpt = Files.createTempDirectory("graft-fmgs-ckpt-").toString
+
+    // gap > 100s closes a session; emit closed sessions as they close
+    def fn(user: Long, evs: Iterator[Ev], state: GroupState[Sess]): Iterator[Sess] = {
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer[Sess]()
+      evs.toSeq.sortBy(_.sec).foreach { e =>
+        cur match {
+          case Some(s) if e.sec - s.end <= 100 =>
+            cur = Some(s.copy(end = e.sec, n = s.n + 1))
+          case Some(s) =>
+            out += s; cur = Some(Sess(user, e.sec, e.sec, 1))
+          case None =>
+            cur = Some(Sess(user, e.sec, e.sec, 1))
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+
+    Seq((1L, 10L), (1L, 50L), (2L, 10L)).toDF("user", "sec")
+      .write.parquet(s"$src/b1")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sec", org.apache.spark.sql.types.LongType))))
+      .option("pathGlobFilter", "*.parquet").parquet(s"$src/*")
+      .as[Ev]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn _)
+
+    val q = stream.writeStream.format("memory").queryName("fmgs")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("fmgs").count() === 0, "no session closed yet")
+
+    // user 1 returns after a >100s gap: the first session closes with both
+    // events; user 2's session stays open (state carried across batches)
+    Seq((1L, 300L)).toDF("user", "sec").write.parquet(s"$src/b2")
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("fmgs").as[Sess].collect()
+    assert(sessions.toSeq === Seq(Sess(1L, 10L, 50L, 2L)))
   }
 
   test("maxFilesPerTrigger bounds each micro-batch") {
