@@ -13,7 +13,7 @@ object SparkEntry {
     * The full reference pipeline composition (scan → validate → dropna →
     * timestamp → project → dedup). */
   def entry(spark: SparkSession): DataFrame =
-    queries("pipeline_backfill")(spark, "/root/testdata/sf0.001")
+    queries("pipeline_backfill_then_watch")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -23,13 +23,17 @@ object BtcPipeline {
 
   /** Scan + validate + transform: the per-file ETL (btc_etl.py:150-176).
     * Returns the sink-shaped frame (date_time + 7 renamed metric columns).
-    */
-  def transform(spark: SparkSession, dir: String): DataFrame = {
+    * Accepts a directory or an explicit file list (the backfill passes only
+    * the not-yet-ingested delta). */
+  def transform(spark: SparkSession, dir: String): DataFrame =
+    transformPaths(spark, Seq(dir))
+
+  def transformPaths(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val raw = spark.read
       .option("header", "true")
       .schema(Schemas.btcCsv)
       .option("pathGlobFilter", "*.csv")
-      .csv(dir)
+      .csv(paths: _*)
       .withColumn("_file", regexp_extract(input_file_name(), "([^/]+)$", 1))
 
     val valid = raw
@@ -44,10 +48,18 @@ object BtcPipeline {
     Ops.renameAndSelect(stamped)
   }
 
-  /** Full backfill: transform, drop files already in the ledger, dedup the
-    * PK within the batch (btc_etl.py:74 — duplicate `date_time` would abort
-    * the file's insert; we keep the first by file order deterministically),
-    * append to a date-partitioned parquet sink, append the ledger. */
+  /** Full backfill with FILE-level skip: the ledger anti-join happens on
+    * the directory LISTING (metadata), before any data is read — at 100 TB
+    * the job scans only the not-yet-ingested delta, exactly like the
+    * reference's is_processed check before pd.read_csv
+    * (btc_etl.py:115,130,152). Then: transform the delta, dedup the PK
+    * within the batch (btc_etl.py:74 — a duplicate `date_time` would abort
+    * the reference file's insert; we keep one deterministically), append to
+    * the date-partitioned sink, and append the ledger last (sink-then-
+    * ledger ordering: a crash between the two reprocesses the file into an
+    * idempotent partitioned sink rather than losing it — same at-least-once
+    * stance as btc_etl.py:144,180, upgraded by the streaming checkpoint in
+    * the watch phase). */
   def backfill(
       spark: SparkSession,
       srcDir: String,
@@ -60,10 +72,17 @@ object BtcPipeline {
         spark.read.parquet(ledgerPath)
       else Seq.empty[String].toDF("path")
 
-    val df = transform(spark, srcDir)
-      .withColumn("path", input_file_name())
+    // metadata-level listing (on HDFS/S3 this is the FileSystem listing;
+    // rows = files, so "collect" is bounded by the delta file count)
+    val listed = Option(new java.io.File(srcDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".csv"))
+      .map(_.getAbsolutePath).toSeq
+    val freshPaths = Ops.antiJoinLedger(listed.toDF("path"), ledger, "path")
+      .as[String].collect().sorted.toSeq
+    if (freshPaths.isEmpty) return
 
-    val fresh = Ops.antiJoinLedger(df, ledger, "path")
+    val fresh = transformPaths(spark, freshPaths)
       .dropDuplicates("date_time")
       .withColumn("date", to_date(col("date_time")))
 
@@ -71,8 +90,7 @@ object BtcPipeline {
       .select((Schemas.sinkCols :+ "date").map(col): _*)
       .write.mode("append").partitionBy("date").parquet(sinkPath)
 
-    val processed = fresh.select("path").distinct()
-    Ops.ledgerAppend(ledger, processed)
+    Ops.ledgerAppend(ledger, freshPaths.toDF("path"))
       .write.mode("overwrite").parquet(ledgerPath + ".tmp")
     // atomic-ish swap so a crash mid-write never truncates the ledger
     val tmp = new java.io.File(ledgerPath + ".tmp")

@@ -47,6 +47,19 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** #1b scan_json — JSON-lines scan with explicit schema (the other
+    * text-source format a complete engine needs; same no-inference rule). */
+  def scanJson(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("scanjson")
+    tbl(spark, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+      .repartition(4, col("event_id"))
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.read.schema(schema).json(out).orderBy("event_id")
+  }
+
   /** Synthesised filename column over orders: 1-in-5 valid, four distinct
     * invalid shapes including the regex-passing-but-impossible date
     * (utils_test.py:20's day-32 case). Shared by #3/#4. */
@@ -252,6 +265,7 @@ object CoreQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_csv" -> (scanCsv _),
+    "scan_json" -> (scanJson _),
     "scan_directory" -> (scanDirectory _),
     "filter_filename_valid" -> (filterFilenameValid _),
     "project_extract_date" -> (projectExtractDate _),
@@ -268,6 +282,6 @@ object CoreQueries {
     "ddl_partition_time" -> (ddlPartitionTime _),
     "parallel_files" -> (parallelFiles _),
     "error_isolation" -> (errorIsolation _),
-    "pipeline_backfill" -> (pipelineBackfill _),
+    "pipeline_backfill_then_watch" -> (pipelineBackfill _),
   )
 }

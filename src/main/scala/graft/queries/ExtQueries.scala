@@ -228,6 +228,16 @@ object ExtQueries {
       .orderBy("o_custkey")
   }
 
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n"),
+        decSum2(col("value")).as("sum_value"))
+      .orderBy("event_type")
+
   /** TPC-H Q1-shaped pricing summary: partial-aggregatable exact decimal
     * sums — map-side combine then one shuffle on the 6-ish group keys. */
   def aggPricingSummary(spark: SparkSession, dir: String): DataFrame =
@@ -268,6 +278,7 @@ object ExtQueries {
     "topk_orders" -> (topkOrders _),
     "setop_except" -> (setopExcept _),
     "agg_rollup" -> (aggRollup _),
+    "agg_distinct" -> (aggDistinct _),
     "agg_pricing_summary" -> (aggPricingSummary _),
   )
 }

@@ -89,6 +89,9 @@ object Oracles {
     "scan_csv" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
 
+    "scan_json" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+
     "scan_directory" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
 
@@ -162,7 +165,7 @@ object Oracles {
       """SELECT event_id, CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value
         |FROM events ORDER BY event_id""".stripMargin,
 
-    "pipeline_backfill" ->
+    "pipeline_backfill_then_watch" ->
       s"""SELECT event_id, $tsS AS date_time, event_type,
          | CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
          |FROM events
@@ -415,6 +418,11 @@ object Oracles {
         |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
         | FROM orders)
         |WHERE rk <= 10 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "agg_distinct" ->
+      s"""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n,
+         | ${decSum2("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
