@@ -48,6 +48,47 @@ object BtcPipeline {
     Ops.renameAndSelect(stamped)
   }
 
+  /** The unbounded "watch" phase (btc_etl.py:185-228): a Structured
+    * Streaming query over the same directory. The file-source checkpoint
+    * replaces watchdog + the Redis processed-set with exactly-once file
+    * tracking; `foreachBatch` writes each micro-batch into the same
+    * date-partitioned sink as the backfill. Returns the running query —
+    * callers stop() it (prod would awaitTermination). On a first start with
+    * a fresh checkpoint the source lists existing files too, so a single
+    * streaming query covers backfill+watch (SURVEY §2.1 #19). */
+  def watch(
+      spark: SparkSession,
+      srcDir: String,
+      sinkPath: String,
+      checkpoint: String,
+      maxFilesPerTrigger: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream
+      .option("header", "true")
+      .schema(Schemas.btcCsv)
+      .option("pathGlobFilter", "*.csv")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(srcDir)
+      .withColumn("_file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+
+    val shaped = {
+      val valid = stream
+        .filter(Ops.isValidBtcFilename(col("_file")))
+        .withColumn("file_date", Ops.dateFromFilename(col("_file")))
+      val kept = Ops.dropAllNull(valid, Schemas.metricCols)
+      Ops.renameAndSelect(
+        kept.withColumn("date_time", Ops.makeTimestamp(col("file_date"), col("Time"))))
+        .withColumn("date", to_date(col("date_time")))
+    }
+
+    shaped.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.dropDuplicates("date_time")
+          .write.mode("append").partitionBy("date").parquet(sinkPath)
+      }
+      .start()
+  }
+
   /** Full backfill with FILE-level skip: the ledger anti-join happens on
     * the directory LISTING (metadata), before any data is read — at 100 TB
     * the job scans only the not-yet-ingested delta, exactly like the

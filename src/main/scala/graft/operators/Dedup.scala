@@ -27,11 +27,14 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
       .select(col("doc_id"), col("n_dups"), col("digest"))
 
-  /** doc_id -> distinct word-3-gram shingle hashes, exploded. */
-  def shingleTable(docs: DataFrame): DataFrame =
+  /** doc_id -> distinct word-3-gram shingle hash SET (array form). */
+  def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
       .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
+
+  /** doc_id -> distinct word-3-gram shingle hashes, exploded. */
+  def shingleTable(docs: DataFrame): DataFrame =
+    shingleSets(docs).select(col("doc_id"), explode(col("hs")).as("h"))
 
   /** MinHash signatures banded for LSH: (doc_id, band, sig).
     *
@@ -40,12 +43,12 @@ object Dedup {
     * set), then sliced into Bands signature strings. No explode, no
     * shuffle: at 100 TB the per-doc work stays map-side and the only
     * shuffle in the dedup pipeline is the final bucket self-join. */
-  def bandedSignatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def bandedSignatures(spark: SparkSession, docs: DataFrame): DataFrame =
+    bandedSignaturesFromSets(shingleSets(docs))
+
+  def bandedSignaturesFromSets(hsDf: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / Bands
-    val sigs = docs
-      .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), minhashSig(col("hs"), NumHashes).as("sig"))
+    val sigs = hsDf.select(col("doc_id"), minhashSig(col("hs"), NumHashes).as("sig"))
     sigs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
@@ -60,8 +63,10 @@ object Dedup {
   /** MinHash+LSH candidate near-duplicate pairs: docs sharing any full band
     * signature. Self-join on (band, sig) — the shuffle key is the banded
     * signature, so work is proportional to bucket sizes, not n^2. */
-  def minhashCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val bands = bandedSignatures(spark, docs)
+  def minhashCandidates(spark: SparkSession, docs: DataFrame): DataFrame =
+    pairsFromBands(bandedSignatures(spark, docs))
+
+  private def pairsFromBands(bands: DataFrame): DataFrame = {
     val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "sig"))
@@ -70,12 +75,19 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard verification of the LSH candidates: intersection
-    * via a co-partitioned equi-join of the shingle tables; |A|,|B| from a
-    * pre-aggregated size table. Integer counts -> one double division. */
+    * via a co-partitioned equi-join of the shingle tables; |A|,|B| from the
+    * set sizes. Integer counts -> one double division.
+    *
+    * The shingle-set frame feeds four consumers (signatures, both join
+    * sides, sizes); it is persisted once so the text is tokenised+hashed a
+    * single time instead of four (at 100 TB: spill-able MEMORY_AND_DISK,
+    * or a materialised intermediate table between pipeline stages). */
   def jaccardVerified(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
-    val cand = minhashCandidates(spark, docs)
-    val sh = shingleTable(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val hsDf = shingleSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = pairsFromBands(bandedSignaturesFromSets(hsDf))
+    val sh = hsDf.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sizes = hsDf.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))

@@ -47,6 +47,36 @@ class BtcPipelineSpec extends SparkSpec {
     assert(graft.etl.Schemas.sinkCols.tail.forall(c => types(c) === "double"))
   }
 
+  test("watch phase: streams reference-shaped files into the sink exactly once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-watch-").toString
+    val src = s"$tmp/src"; new java.io.File(src).mkdirs()
+    def drop(name: String): Unit =
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/reference/dataset-test/$name"),
+        java.nio.file.Paths.get(s"$src/$name"))
+
+    drop("btcusd-2013-01-01.csv")
+    java.nio.file.Files.writeString( // ignored by the *.csv glob
+      java.nio.file.Paths.get(s"$src/not-a-valid-name.csv.bak"), "junk")
+    val q = graft.etl.BtcPipeline.watch(spark, src, s"$tmp/sink", s"$tmp/ckpt")
+    q.processAllAvailable()
+    val n1 = spark.read.parquet(s"$tmp/sink").count()
+    assert(n1 > 0 && n1 <= 1440)
+
+    // a new file lands while watching -> picked up incrementally
+    drop("btcusd-2013-01-02.csv")
+    q.processAllAvailable()
+    q.stop()
+    val n2 = spark.read.parquet(s"$tmp/sink").count()
+    assert(n2 > n1, "new file must be ingested")
+
+    // restart from the same checkpoint: nothing re-ingested
+    val q2 = graft.etl.BtcPipeline.watch(spark, src, s"$tmp/sink", s"$tmp/ckpt")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$tmp/sink").count() === n2,
+      "checkpoint restart must not duplicate rows")
+  }
+
   test("backfill is idempotent via the ledger (FIXTURES §A.5)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-backfill-").toString
     val sink = s"$tmp/sink"
