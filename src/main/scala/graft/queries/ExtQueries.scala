@@ -65,6 +65,33 @@ object ExtQueries {
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(tbl(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Corpus-level bigram frequencies, top-20 (text-analysis staple): the
+    * heavy part is a map-side explode + one hash-partitioned count; only
+    * 20 rows pass the final global sort. */
+  def textNgramFreq(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = tbl(spark, dir, "documents")
+      .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+    bigrams
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("bigram"))).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("bigram"), col("n"))
+      .orderBy("rk")
+  }
+
+  /** The same engine through the SQL door: GraftSession views + spark.sql
+    * (with a graft native function in the predicate). */
+  def sqlApi(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.open(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | min(graft_char_hash(o_orderpriority)) AS pri_hash
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     TextOps.binaryMeta(tbl(spark, dir, "documents")).orderBy("doc_id")
 
@@ -266,6 +293,8 @@ object ExtQueries {
     "text_quality_score" -> (textQualityScore _),
     "text_token_count" -> (textTokenCount _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_ngram_freq" -> (textNgramFreq _),
+    "sql_api" -> (sqlApi _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_decode" -> (multimodalDecode _),
     "window_ohlc" -> (windowOhlc _),

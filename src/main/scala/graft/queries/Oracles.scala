@@ -355,6 +355,23 @@ object Oracles {
          |   (a2_, h2_) -> (a2_*1000003 + h2_) % 1000000007) AS fp
          |FROM (SELECT doc_id, ${tok("text")} AS w FROM documents) ORDER BY doc_id""".stripMargin,
 
+    "text_ngram_freq" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |bg AS (SELECT unnest(CASE WHEN len(w) >= 2
+         |         THEN list_transform(generate_series(1, len(w) - 1), i_ -> w[i_] || ' ' || w[i_+1])
+         |         ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM w),
+         |c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram),
+         |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, bigram) AS rk FROM c)
+         |SELECT rk, bigram, n FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    "sql_api" -> {
+      val h = ch("o_orderpriority")
+      s"""SELECT o_orderpriority, count(*) AS n,
+         | ${decSum2("o_totalprice")} AS revenue,
+         | min($h) AS pri_hash
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    },
+
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
