@@ -1,0 +1,20 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    for (name <- args) {
+      println(s"\n========== $name ==========")
+      println(SparkEntry.queries(name)(spark, sf)
+        .queryExecution.explainString(ExplainMode.fromString("formatted")))
+    }
+    spark.stop()
+  }
+}

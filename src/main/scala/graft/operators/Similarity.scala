@@ -66,15 +66,23 @@ object Similarity {
   def ivfTopK(emb: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
       probePred: org.apache.spark.sql.Column): DataFrame = {
     val q = quantized(emb)
-    val cents = q.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("nrm").as("cnrm"))
 
-    // per vector: array of (cosine-to-centroid, -cid) structs, map-side
-    val withCos = q.join(broadcast(cents))
-      .withColumn("ccos", qcosine(qdot(col("qv"), col("cqv")), col("nrm"), col("cnrm")))
-      .groupBy("vec_id", "qv", "nrm")
-      .agg(collect_list(struct(col("ccos"), (-col("cid")).as("ncid"))).as("cells"))
-      .withColumn("sorted", reverse(array_sort(col("cells"))))
+    // "Training": centroids live on the driver (8 × dim longs — the same
+    // place a trained IVF index keeps them). Assignment is then a pure
+    // per-row expression: NO join, NO aggregation, NO shuffle — the plan
+    // audit showed the previous collect_list formulation exchanged the
+    // whole corpus.
+    val cents: Array[(Long, Seq[Long], Long)] = q.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id"), col("qv"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+
+    val cells = array(cents.map { case (cid, cqv, cnrm) =>
+      struct(
+        qcosine(qdot(col("qv"), typedLit(cqv)), col("nrm"), lit(cnrm)).as("ccos"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    val withCos = q.withColumn("sorted", reverse(array_sort(cells)))
 
     val assigned = withCos
       .withColumn("cid", -col("sorted")(0).getField("ncid"))
