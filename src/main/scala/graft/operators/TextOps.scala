@@ -74,6 +74,21 @@ object TextOps {
       size(array_distinct(toks)).cast("long").as("n_unique"))
   }
 
+  /** BPE-ish pre-tokenizer regex (GPT-2 style classes without lookarounds,
+    * so it runs identically in Spark and DuckDB): letter runs, digit runs,
+    * single punctuation marks. */
+  val bpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Token statistics under the BPE-ish segmentation — the token-count
+    * estimator a training pipeline budgets with. */
+  def bpeishCounts(docs: DataFrame): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit(bpeishPattern), lit(0))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_bpe_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_bpe_unique"))
+  }
+
   /** Order-sensitive document fingerprint: polynomial fold of per-token
     * hashes — fp = fold((acc*1000003 + charHash(tok)) mod P) — a rolling
     * content hash reproducible in any engine. */

@@ -62,6 +62,9 @@ object ExtQueries {
   def textTokenCount(spark: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(tbl(spark, dir, "documents")).orderBy("doc_id")
 
+  def textTokenBpe(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeishCounts(tbl(spark, dir, "documents")).orderBy("doc_id")
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(tbl(spark, dir, "documents")).orderBy("doc_id")
 
@@ -292,6 +295,7 @@ object ExtQueries {
     "text_lang_id" -> (textLangId _),
     "text_quality_score" -> (textQualityScore _),
     "text_token_count" -> (textTokenCount _),
+    "text_token_bpe" -> (textTokenBpe _),
     "text_fingerprint" -> (textFingerprint _),
     "text_ngram_freq" -> (textNgramFreq _),
     "sql_api" -> (sqlApi _),

@@ -349,6 +349,12 @@ object Oracles {
       s"""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, CAST(len(list_distinct(w)) AS BIGINT) AS n_unique
          |FROM (SELECT doc_id, ${tok("text")} AS w FROM documents) ORDER BY doc_id""".stripMargin,
 
+    "text_token_bpe" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        | CAST(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS n_bpe_unique
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "text_fingerprint" ->
       s"""SELECT doc_id,
          | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t_ -> ${ch("t_")})),

@@ -84,6 +84,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // external tables via option("path") — warehouse dir is static conf
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucket-wh-").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    graft.queries.Staging.tbl(spark, sf, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    graft.queries.Staging.tbl(spark, sf, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+    joined.collect()
+    val plan = formatted(joined)
+    // both sides read pre-bucketed: below the SortMergeJoin there must be
+    // no Exchange (the tree prints root-first, so the join's children are
+    // the lines between the join and the end of the tree section)
+    val tree = plan.linesIterator.toSeq
+    val joinIdx = tree.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinIdx > 0, plan)
+    val below = tree.drop(joinIdx + 1)
+      .takeWhile(l => l.trim.nonEmpty && !l.contains("== Initial Plan =="))
+    assert(!below.exists(_.contains("Exchange")),
+      s"bucketed join must not shuffle either side:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+  }
+
   test("minhash signature pipeline has no shuffle before the bucket join") {
     val bands = graft.operators.Dedup.bandedSignatures(spark,
       graft.queries.Staging.tbl(spark, sf, "documents"))
