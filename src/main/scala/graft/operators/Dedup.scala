@@ -100,6 +100,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** SimHash near-dup CLUSTER pairs: docs collapse to their exact
+    * fingerprint cluster first (identical fingerprints = one cluster), then
+    * clusters sharing a 16-bit fingerprint half (pigeonhole blocking;
+    * recall partial for spread-out bit flips — the standard tradeoff) are
+    * verified by exact popcount(xor) <= maxHamming INSIDE the bucket join.
+    * Working at cluster granularity shrinks the self-join quadratically on
+    * duplicate-heavy corpora and is the unit a dedup pipeline merges
+    * anyway. Output: representative doc ids, cluster sizes, distance. */
+  def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int): DataFrame = {
+    // four consumers (a/b sides x two halves): persist the tiny cluster
+    // frame so the token-explode simhash pipeline runs once, not 4x
+    val clusters = simhash(spark, docs)
+      .groupBy("simhash")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+      .withColumn("lo", col("simhash") % 65536L)
+      .withColumn("hi", floor(col("simhash") / 65536L).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def half(c: String) = {
+      val a = clusters.select(col(c).as("k"), col("simhash").as("sa"),
+        col("rep").as("rep_a"), col("n_docs").as("docs_a"))
+      val b = clusters.select(col(c).as("k"), col("simhash").as("sb"),
+        col("rep").as("rep_b"), col("n_docs").as("docs_b"))
+      a.join(b, Seq("k")).filter(col("sa") < col("sb")).drop("k")
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+        .filter(col("hamming") <= maxHamming)
+    }
+    half("lo").unionByName(half("hi"))
+      .select(col("rep_a"), col("rep_b"), col("docs_a"), col("docs_b"), col("hamming"))
+      .distinct()
+  }
+
   /** SimHash fingerprint (32-bit): per-token hashes vote per bit position;
     * bit j of the fingerprint is set when the weighted vote is positive.
     * Near-dups land on close fingerprints; bucketing on the fingerprint

@@ -29,6 +29,10 @@ object ExtQueries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(spark, tbl(spark, dir, "documents")).orderBy("doc_id")
 
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(spark, tbl(spark, dir, "documents"), maxHamming = 3)
+      .orderBy("rep_a", "rep_b")
+
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(tbl(spark, dir, "embeddings"), 0.5)
       .orderBy("vec_a", "vec_b")
@@ -73,7 +77,11 @@ object ExtQueries {
     * 20 rows pass the final global sort. */
   def textNgramFreq(spark: SparkSession, dir: String): DataFrame = {
     val bigrams = tbl(spark, dir, "documents")
-      .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))
+      // materialise tokens once per row: inlining tokens(text) into the
+      // shingle lambda makes element_at re-tokenise the doc per bigram
+      // (O(tokens^2) — showed up as the slowest bench query)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(shingles(col("toks"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
     bigrams
       .withColumn("rk", row_number().over(
@@ -288,6 +296,7 @@ object ExtQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "simsearch_bruteforce" -> (simsearchBruteforce _),

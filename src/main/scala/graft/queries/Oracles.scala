@@ -216,6 +216,30 @@ object Oracles {
          | CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "dedup_simhash_pairs" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |th AS (SELECT doc_id, ${ch("t")} AS h FROM (SELECT doc_id, unnest(w) AS t FROM w)),
+         |bits AS (SELECT unnest(generate_series(0, 31)) AS bit),
+         |votes AS (SELECT doc_id, bit,
+         |            sum(CASE WHEN CAST(floor(h / power(2, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM th, bits GROUP BY doc_id, bit),
+         |sh AS (SELECT doc_id,
+         |         CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM votes GROUP BY doc_id),
+         |keyed AS (SELECT simhash, min(doc_id) AS rep, count(*) AS n_docs,
+         |            simhash % 65536 AS lo, CAST(floor(simhash / 65536) AS BIGINT) AS hi
+         |          FROM sh GROUP BY simhash),
+         |cand AS (
+         | SELECT a.rep AS rep_a, b.rep AS rep_b, a.n_docs AS docs_a, b.n_docs AS docs_b,
+         |        a.simhash AS sa, b.simhash AS sb
+         | FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.simhash < b.simhash
+         | UNION
+         | SELECT a.rep, b.rep, a.n_docs, b.n_docs, a.simhash, b.simhash
+         | FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.simhash < b.simhash)
+         |SELECT DISTINCT rep_a, rep_b, docs_a, docs_b,
+         | CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY rep_a, rep_b""".stripMargin,
+
     "dedup_embedding_cosine" ->
       s"""$embCtes
          |SELECT vec_a, vec_b, cosine FROM (
