@@ -266,6 +266,35 @@ object ExtQueries {
       .orderBy("o_custkey")
   }
 
+  /** Per-user running (cumulative) spend — frame-to-current window with an
+    * exact decimal accumulator. */
+  def windowCume(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tbl(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_value"))
+      .orderBy("event_id")
+  }
+
+  /** LEFT SEMI: customers having at least one urgent order (EXISTS). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = tbl(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    tbl(spark, dir, "customer")
+      .join(urgent, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Frame sampling through the typed batch plumbing (every 7th byte as a
+    * stand-in frame — see Multimodal.frameSample). */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(spark, tbl(spark, dir, "documents"), 7)
+      .orderBy("doc_id", "frame_idx")
+
   /** Exact distinct aggregation (expand + two-phase agg under the hood). */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "events")
@@ -313,6 +342,9 @@ object ExtQueries {
     "window_ohlc" -> (windowOhlc _),
     "window_moving_avg" -> (windowMovingAvg _),
     "window_sessionize" -> (windowSessionize _),
+    "window_cume" -> (windowCume _),
+    "join_semi" -> (joinSemi _),
+    "multimodal_frames" -> (multimodalFrames _),
     "join_agg_revenue" -> (joinAggRevenue _),
     "join_outer_agg" -> (joinOuterAgg _),
     "join_asof" -> (joinAsof _),

@@ -429,6 +429,27 @@ object Oracles {
         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
+    "window_cume" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS frame_idx,
+        | CAST(ascii(substring(text, i, 1)) AS BIGINT) AS sample
+        |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 7)) AS i
+        |      FROM documents WHERE length(text) > 0)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "join_agg_revenue" ->
       s"""SELECT r_name, n_name, count(*) AS n_orders, ${decSum2("o_totalprice")} AS revenue
          |FROM orders
