@@ -1,4 +1,6 @@
 package graft
+
+/** Dev tool: print formatted physical plans — `runMain graft.ExplainDump <key>...` (source of docs/PLANS.md). */
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 object ExplainDump {

@@ -1,4 +1,6 @@
 package graft
+
+/** Dev tool: time one catalog query cold — `runMain graft.TimeQ <key> <sfDir>`. */
 import org.apache.spark.sql.SparkSession
 object TimeQ {
   def main(args: Array[String]): Unit = {

@@ -86,6 +86,31 @@ class StreamingSpec extends SparkSpec {
       "hour-10 window closes once the watermark passes it")
   }
 
+  test("streaming dropDuplicates: cross-batch row dedup (the reference's PK, btc_etl.py:74)") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-dd-src-").toString
+    val ckpt = Files.createTempDirectory("graft-dd-ckpt-").toString
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    def put(name: String, rows: Seq[(String, Long)]): Unit =
+      rows.toDF("s", "k").select(to_timestamp(col("s")).as("ts"), col("k"))
+        .coalesce(1).write.parquet(s"$src/$name")
+
+    put("b1", Seq(("2024-01-01 10:00:00", 1L), ("2024-01-01 10:00:30", 1L), ("2024-01-01 10:01:00", 2L)))
+    val q = spark.readStream.schema(sch).option("pathGlobFilter", "*.parquet").parquet(s"$src/*")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("k")
+      .writeStream.format("memory").queryName("dd")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    q.processAllAvailable()
+    // a later batch re-sends key 1 within the watermark -> suppressed
+    put("b2", Seq(("2024-01-01 10:02:00", 1L), ("2024-01-01 10:02:00", 3L)))
+    q.processAllAvailable(); q.stop()
+    val ks = spark.table("dd").select("k").as[Long].collect().sorted
+    assert(ks.toSeq === Seq(1L, 2L, 3L), s"key 1 must appear once, got ${ks.toSeq}")
+  }
+
   test("stateful sessionization via flatMapGroupsWithState") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
