@@ -92,6 +92,40 @@ object GraftHash {
     new GenericArrayData(if (m == 0) Array.emptyLongArray else mins)
   }
 
+  /** 60-bit SimHash over a token array in ONE pass: per token
+    * h = (charHash(reverse(t)) << 30) + charHash(t); each bit votes ±1;
+    * fingerprint sets bit j when votes[j] > 0. Replaces an explode ×
+    * 60-bit crossJoin × two shuffles with a per-row loop. Exactly matches
+    * the vote/mask SQL formulation in the oracle. */
+  def simhash60(tokens: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val m = tokens.numElements()
+    var i = 0
+    while (i < m) {
+      val str = tokens.getUTF8String(i).toString
+      val h1 = foldToken(0L, str)
+      // charHash of the codepoint-reversed token, without materialising it
+      var h2 = 0L
+      var k = str.length
+      while (k > 0) {
+        val cp = str.codePointBefore(k)
+        h2 = (h2 * 31 + cp) % P
+        k -= Character.charCount(cp)
+      }
+      val h = (h2 << 30) + h1
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
   /** Integer dot product over the common prefix of two long arrays. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val m = math.min(a.numElements(), b.numElements())
@@ -158,6 +192,20 @@ case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpres
     defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.minHashSig($c, $numHashes)")
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "graft_minhash_sig"
+}
+
+case class SimHash60Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_simhash60 needs array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.simhash60(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_simhash60"
 }
 
 case class DotLongExpr(left: Expression, right: Expression)

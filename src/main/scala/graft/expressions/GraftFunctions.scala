@@ -26,5 +26,7 @@ object GraftFunctions {
       exprs => DotLongExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_quantize",
       exprs => QuantizeExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash60",
+      exprs => SimHash60Expr(exprs.head), "built-in")
   }
 }

@@ -114,8 +114,8 @@ object Dedup {
     val clusters = simhash(spark, docs)
       .groupBy("simhash")
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
-      .withColumn("lo", col("simhash") % 65536L)
-      .withColumn("hi", floor(col("simhash") / 65536L).cast("long"))
+      .withColumn("lo", col("simhash") % 1073741824L)
+      .withColumn("hi", expr("shiftright(simhash, 30)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def half(c: String) = {
       val a = clusters.select(col(c).as("k"), col("simhash").as("sa"),
@@ -131,23 +131,19 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash fingerprint (32-bit): per-token hashes vote per bit position;
-    * bit j of the fingerprint is set when the weighted vote is positive.
-    * Near-dups land on close fingerprints; bucketing on the fingerprint
-    * gives an O(n) candidate pass at scale. */
-  def simhash(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val bits = (0 until 32).toDF("bit")
-    val toks = docs
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(col("w")).as("t"))
-      .select(col("doc_id"), charHash(col("t")).as("h"))
-    toks.crossJoin(broadcast(bits))
-      .select(col("doc_id"), col("bit"),
-        when((floor(col("h") / pow(lit(2), col("bit"))).cast("long") % 2) === 1, lit(1L))
-          .otherwise(lit(-1L)).as("vote"))
-      .groupBy("doc_id", "bit").agg(sum("vote").as("v"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, pow(lit(2), col("bit")).cast("long")).otherwise(lit(0L))).as("simhash"))
-  }
+  /** SimHash bit width. 60 bits: per-token hash = charHash(t) (bits 0..29)
+    * ++ charHash(reverse(t)) (bits 30..59) — two independent 30-bit
+    * polynomial folds, both cross-engine reproducible. 32 bits proved too
+    * coarse on same-vocabulary corpora (everything within hamming 3). */
+  val SimhashBits = 60
+
+  /** SimHash fingerprint: per-token hashes vote per bit position; bit j of
+    * the fingerprint is set when the weighted vote is positive. One fused
+    * native-expression pass per document (SimHash60Expr) — no explode, no
+    * per-bit crossJoin, no shuffle. Near-dups land on close fingerprints;
+    * bucketing on fingerprint halves gives an O(n) candidate pass at
+    * scale. */
+  def simhash(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      call_function("graft_simhash60", tokens(col("text"))).as("simhash"))
 }

@@ -30,7 +30,7 @@ object ExtQueries {
     Dedup.simhash(spark, tbl(spark, dir, "documents")).orderBy("doc_id")
 
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(spark, tbl(spark, dir, "documents"), maxHamming = 3)
+    Dedup.simhashPairs(spark, tbl(spark, dir, "documents"), maxHamming = 6)
       .orderBy("rep_a", "rep_b")
 
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =

@@ -181,6 +181,14 @@ object Oracles {
          | event_type, count(*) AS n, ${decSum2("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "stream_static_join" ->
+      s"""SELECT event_type, count(*) AS n, ${decSum2("value")} AS sum_value,
+         | CAST(sum(n_user_events) AS BIGINT) AS sum_dim
+         |FROM events e
+         |JOIN (SELECT user_id, count(*) AS n_user_events FROM events GROUP BY user_id) d
+         |  ON e.user_id = d.user_id
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // ---- extensions ------------------------------------------------------
 
     "dedup_exact" ->
@@ -207,27 +215,29 @@ object Oracles {
 
     "dedup_simhash" ->
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
-         |th AS (SELECT doc_id, ${ch("t")} AS h FROM (SELECT doc_id, unnest(w) AS t FROM w)),
-         |bits AS (SELECT unnest(generate_series(0, 31)) AS bit),
+         |th AS (SELECT doc_id, (${ch("reverse(t)")} << 30) + ${ch("t")} AS h
+         |       FROM (SELECT doc_id, unnest(w) AS t FROM w)),
+         |bits AS (SELECT unnest(generate_series(0, 59)) AS bit),
          |votes AS (SELECT doc_id, bit,
-         |            sum(CASE WHEN CAST(floor(h / power(2, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |            sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
          |          FROM th, bits GROUP BY doc_id, bit)
          |SELECT doc_id,
-         | CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         | CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash_pairs" ->
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
-         |th AS (SELECT doc_id, ${ch("t")} AS h FROM (SELECT doc_id, unnest(w) AS t FROM w)),
-         |bits AS (SELECT unnest(generate_series(0, 31)) AS bit),
+         |th AS (SELECT doc_id, (${ch("reverse(t)")} << 30) + ${ch("t")} AS h
+         |       FROM (SELECT doc_id, unnest(w) AS t FROM w)),
+         |bits AS (SELECT unnest(generate_series(0, 59)) AS bit),
          |votes AS (SELECT doc_id, bit,
-         |            sum(CASE WHEN CAST(floor(h / power(2, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |            sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
          |          FROM th, bits GROUP BY doc_id, bit),
          |sh AS (SELECT doc_id,
-         |         CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
          |       FROM votes GROUP BY doc_id),
          |keyed AS (SELECT simhash, min(doc_id) AS rep, count(*) AS n_docs,
-         |            simhash % 65536 AS lo, CAST(floor(simhash / 65536) AS BIGINT) AS hi
+         |            simhash % 1073741824 AS lo, simhash >> 30 AS hi
          |          FROM sh GROUP BY simhash),
          |cand AS (
          | SELECT a.rep AS rep_a, b.rep AS rep_b, a.n_docs AS docs_a, b.n_docs AS docs_b,
@@ -238,7 +248,7 @@ object Oracles {
          | FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.simhash < b.simhash)
          |SELECT DISTINCT rep_a, rep_b, docs_a, docs_b,
          | CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY rep_a, rep_b""".stripMargin,
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 6 ORDER BY rep_a, rep_b""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""$embCtes

@@ -85,8 +85,38 @@ object StreamQueries {
     spark.table(qname).orderBy("win_start", "event_type")
   }
 
+  /** Stream-static join: the micro-batched stream enriches each event with
+    * a broadcastable static dimension (per-user profile), then aggregates —
+    * the standard pattern for joining a firehose against reference data
+    * without shuffling the stream. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("streamjoin")
+    val events = tbl(spark, dir, "events")
+    events.write.mode("overwrite").parquet(src)
+    val dim = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_user_events"))
+
+    val agg = spark.readStream.schema(events.schema).parquet(src)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        sum(col("n_user_events")).as("sum_dim"))
+
+    val qname = s"graft_ssj_${nameSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(qname).outputMode("complete")
+      .option("checkpointLocation", tmpDir("streamjoinckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname).orderBy("event_type")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_file_source" -> (streamFileSource _),
     "stream_window_agg" -> (streamWindowAgg _),
+    "stream_static_join" -> (streamStaticJoin _),
   )
 }
