@@ -258,6 +258,63 @@ object ExtQueries {
       .orderBy("c_custkey")
   }
 
+  /** INTERSECT: users who both clicked and purchased. */
+  def setopIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+    e.filter(col("event_type") === "click").select("user_id")
+      .intersect(e.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** CUBE over two dimensions: all 4 grouping combinations in one pass. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .cube("event_type", "user_id")
+      .agg(
+        grouping(col("event_type")).cast("int").as("g_t"),
+        grouping(col("user_id")).cast("int").as("g_u"),
+        count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("user_id").cast("string"), lit("(all)")).as("user_id"),
+        col("g_t"), col("g_u"), col("n"), col("sum_value"))
+      .orderBy("event_type", "user_id", "g_t", "g_u")
+
+  /** Typed cogroup (Dataset API): per order key, reconcile the order total
+    * against its line items without a join — both sides grouped once,
+    * merged by a typed function. */
+  def typedCogroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = tbl(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Double)].groupByKey(_._1)
+    val lines = tbl(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .as[(Long, Double)].groupByKey(_._1)
+    orders.cogroup(lines) { (key, os, ls) =>
+      val osSeq = os.toSeq
+      if (osSeq.isEmpty) Iterator.empty // lines without an order: drop
+      else {
+        val lsSeq = ls.toSeq
+        // exact decimal accumulation, same as the SQL path
+        val sumLines = lsSeq.map(t => BigDecimal(t._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .foldLeft(BigDecimal(0))(_ + _)
+        Iterator((key, osSeq.head._2, lsSeq.size.toLong, sumLines.toDouble))
+      }
+    }.toDF("o_orderkey", "o_totalprice", "n_lines", "sum_line_price")
+      .orderBy("o_orderkey")
+  }
+
+  /** Exact interpolated percentiles (median/p90) per order status. */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** EXCEPT: customers who placed orders but none above 200k. */
   def setopExcept(spark: SparkSession, dir: String): DataFrame = {
     val o = tbl(spark, dir, "orders")
@@ -351,8 +408,12 @@ object ExtQueries {
     "join_skew_salted" -> (joinSkewSalted _),
     "topk_orders" -> (topkOrders _),
     "setop_except" -> (setopExcept _),
+    "setop_intersect" -> (setopIntersect _),
     "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
     "agg_distinct" -> (aggDistinct _),
+    "agg_percentile" -> (aggPercentile _),
+    "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),
   )
 }

@@ -340,6 +340,34 @@ object Oracles {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
+    "setop_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "agg_cube" ->
+      s"""SELECT coalesce(event_type, '(all)') AS event_type,
+         | coalesce(CAST(user_id AS VARCHAR), '(all)') AS user_id,
+         | CAST(grouping(event_type) AS INTEGER) AS g_t,
+         | CAST(grouping(user_id) AS INTEGER) AS g_u,
+         | count(*) AS n, ${decSum2("value")} AS sum_value
+         |FROM events GROUP BY CUBE (event_type, user_id)
+         |ORDER BY event_type, user_id, g_t, g_u""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "typed_cogroup" ->
+      """SELECT o_orderkey, o_totalprice, count(l_orderkey) AS n_lines,
+        | CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_line_price
+        |FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""".stripMargin,
+
     "setop_except" ->
       """SELECT o_custkey FROM orders
         |EXCEPT
