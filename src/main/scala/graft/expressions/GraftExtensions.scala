@@ -1,0 +1,42 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Packaging hook for external users: register the native functions at
+  * session build time via
+  * `--conf spark.sql.extensions=graft.expressions.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`), instead of the lazy
+  * in-library GraftFunctions.register call. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.expressions", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+  }
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_char_hash"),
+      info("graft_char_hash", "polynomial codepoint hash mod 1e9+7"),
+      (exprs: Seq[Expression]) => CharHashExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "word n-gram rolling hashes"),
+      (exprs: Seq[Expression]) => ShingleHashesExpr(exprs(0), litInt(exprs(1)))))
+    e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "minhash signature"),
+      (exprs: Seq[Expression]) => MinHashSigExpr(exprs(0), litInt(exprs(1)))))
+    e.injectFunction((FunctionIdentifier("graft_dot_long"),
+      info("graft_dot_long", "int64 dot product"),
+      (exprs: Seq[Expression]) => DotLongExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_quantize"),
+      info("graft_quantize", "floor(x*1e6) quantisation"),
+      (exprs: Seq[Expression]) => QuantizeExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_simhash60"),
+      info("graft_simhash60", "60-bit simhash of a token array"),
+      (exprs: Seq[Expression]) => SimHash60Expr(exprs.head)))
+  }
+}

@@ -60,6 +60,15 @@ object CoreQueries {
     spark.read.schema(schema).json(out).orderBy("event_id")
   }
 
+  /** #1c scan_orc — columnar ORC round trip (built-in vectorised reader;
+    * predicate pushdown and column pruning work as for parquet). */
+  def scanOrc(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("scanorc")
+    tbl(spark, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out).orderBy("event_id")
+  }
+
   /** Synthesised filename column over orders: 1-in-5 valid, four distinct
     * invalid shapes including the regex-passing-but-impossible date
     * (utils_test.py:20's day-32 case). Shared by #3/#4. */
@@ -266,6 +275,7 @@ object CoreQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_csv" -> (scanCsv _),
     "scan_json" -> (scanJson _),
+    "scan_orc" -> (scanOrc _),
     "scan_directory" -> (scanDirectory _),
     "filter_filename_valid" -> (filterFilenameValid _),
     "project_extract_date" -> (projectExtractDate _),

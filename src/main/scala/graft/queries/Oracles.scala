@@ -92,6 +92,9 @@ object Oracles {
     "scan_json" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
 
+    "scan_orc" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+
     "scan_directory" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
 
