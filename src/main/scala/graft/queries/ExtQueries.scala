@@ -111,6 +111,51 @@ object ExtQueries {
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAll(spark, tbl(spark, dir, "documents")).toDF().orderBy("doc_id")
 
+  /** The full training-data cleaning pipeline over documents — the north
+    * star composition: language filter (en), quality threshold, exact
+    * dedup (keep lowest doc_id per digest), near-dup removal (drop the
+    * higher doc_id of every verified Jaccard>=0.5 pair). Everything is
+    * semi/anti joins over the operators defined above — one declarative
+    * plan, no driver-side loops. */
+  def pipelineTextClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val langOk = TextOps.langId(docs)
+      .filter(col("lang_guess") === "en").select("doc_id")
+    val qualOk = TextOps.qualityScore(docs)
+      .filter(col("quality") >= 0.3).select("doc_id")
+    val exactKeep = Dedup.exactGroups(docs).select("doc_id")
+    val nearDrop = Dedup.jaccardVerified(spark, docs, 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.select("doc_id", "n_chars")
+      .join(langOk, Seq("doc_id"), "left_semi")
+      .join(qualOk, Seq("doc_id"), "left_semi")
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** Column-level profile of the events table: null/distinct counts and
+    * formatted min/max — the data-quality sweep run before any training
+    * job. One pass per column, unioned. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+    def prof(name: String, c: org.apache.spark.sql.Column, fmt: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      e.agg(
+        count(when(c.isNull, lit(1))).as("n_null"),
+        countDistinct(c).as("n_distinct"),
+        fmt(min(c)).as("vmin"), fmt(max(c)).as("vmax"))
+        .select(lit(name).as("column"), col("n_null"), col("n_distinct"), col("vmin"), col("vmax"))
+    val asIs = (c: org.apache.spark.sql.Column) => c.cast("string")
+    val dec2 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)").cast("string")
+    val tsf = (c: org.apache.spark.sql.Column) => date_format(c, tsFmt)
+    prof("event_id", col("event_id"), asIs)
+      .unionByName(prof("user_id", col("user_id"), asIs))
+      .unionByName(prof("event_type", col("event_type"), asIs))
+      .unionByName(prof("value", col("value"), dec2))
+      .unionByName(prof("ts", col("ts"), tsf))
+      .orderBy("column")
+  }
+
   // ---- relational: windows / joins / aggregations ------------------------
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss"
@@ -395,6 +440,8 @@ object ExtQueries {
     "text_ngram_freq" -> (textNgramFreq _),
     "sql_api" -> (sqlApi _),
     "multimodal_meta" -> (multimodalMeta _),
+    "pipeline_text_clean" -> (pipelineTextClean _),
+    "profile_table" -> (profileTable _),
     "multimodal_decode" -> (multimodalDecode _),
     "window_ohlc" -> (windowOhlc _),
     "window_moving_avg" -> (windowMovingAvg _),

@@ -443,6 +443,60 @@ object Oracles {
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
     },
 
+    "pipeline_text_clean" ->
+      s"""$minhashCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+         |          FROM pairs p
+         |          JOIN sh x ON x.doc_id = p.doc_a
+         |          JOIN sh y ON y.doc_id = p.doc_b AND y.h = x.h
+         |          GROUP BY p.doc_a, p.doc_b),
+         |neardrop AS (SELECT DISTINCT i.doc_b AS doc_id FROM inter i
+         |             JOIN sizes sa ON sa.doc_id = i.doc_a
+         |             JOIN sizes sb ON sb.doc_id = i.doc_b
+         |             WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5),
+         |langok AS (SELECT doc_id FROM (
+         |    SELECT doc_id, lang, score,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+         |    FROM (SELECT doc_id, lang,
+         |            CAST(len(list_filter(w, t_ -> list_contains(lex, t_))) AS BIGINT) AS score
+         |          FROM w, $langLexSql))
+         |  WHERE rk = 1 AND score > 0 AND lang = 'en'),
+         |qualok AS (SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      (CASE WHEN len(w) = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(len(list_filter(w, t_ -> list_contains($enLex, t_))) AS DOUBLE) / CAST(len(w) AS BIGINT) END)
+         |        * CAST(0.5 AS DOUBLE)
+         |      + least(CAST(1 AS DOUBLE), CAST(CAST(len(w) AS BIGINT) AS DOUBLE) / CAST(100 AS DOUBLE)) * CAST(0.5 AS DOUBLE) AS quality
+         |    FROM w) WHERE quality >= 0.3),
+         |exactkeep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM langok)
+         |  AND d.doc_id IN (SELECT doc_id FROM qualok)
+         |  AND d.doc_id IN (SELECT doc_id FROM exactkeep)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM neardrop)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "profile_table" ->
+      """SELECT 'event_id' AS "column", count(CASE WHEN event_id IS NULL THEN 1 END) AS n_null,
+        | count(DISTINCT event_id) AS n_distinct,
+        | CAST(min(event_id) AS VARCHAR) AS vmin, CAST(max(event_id) AS VARCHAR) AS vmax FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(CASE WHEN user_id IS NULL THEN 1 END), count(DISTINCT user_id),
+        | CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR) FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(CASE WHEN event_type IS NULL THEN 1 END), count(DISTINCT event_type),
+        | min(event_type), max(event_type) FROM events
+        |UNION ALL
+        |SELECT 'value', count(CASE WHEN value IS NULL THEN 1 END), count(DISTINCT value),
+        | CAST(CAST(min(value) AS DECIMAL(18,2)) AS VARCHAR),
+        | CAST(CAST(max(value) AS DECIMAL(18,2)) AS VARCHAR) FROM events
+        |UNION ALL
+        |SELECT 'ts', count(CASE WHEN ts IS NULL THEN 1 END), count(DISTINCT ts),
+        | strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S'),
+        | strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') FROM events
+        |ORDER BY "column"""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
