@@ -129,6 +129,9 @@ object BtcPipeline {
 
     fresh
       .select((Schemas.sinkCols :+ "date").map(col): _*)
+      // cluster by the partition column: one writer task per date instead
+      // of tasks × dates small files
+      .repartition(col("date"))
       .write.mode("append").partitionBy("date").parquet(sinkPath)
 
     Ops.ledgerAppend(ledger, freshPaths.toDF("path"))

@@ -213,6 +213,10 @@ object CoreQueries {
     val out = tmpDir("part")
     tbl(spark, dir, "events")
       .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      // cluster rows by the partition column before partitionBy: without
+      // this every task writes a file into every partition (tasks ×
+      // partitions small files — a real killer at 100 TB)
+      .repartition(col("event_date"))
       .write.mode("overwrite").partitionBy("event_date").parquet(out)
     spark.read.parquet(out)
       .groupBy(col("event_date").cast("string").as("event_date"))

@@ -350,6 +350,33 @@ object ExtQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Explicit GROUPING SETS: the two marginals without the full cube. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("user_id"))),
+        col("event_type"), col("user_id"))
+      .agg(
+        grouping(col("event_type")).cast("int").as("g_t"),
+        grouping(col("user_id")).cast("int").as("g_u"),
+        count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("user_id").cast("string"), lit("(all)")).as("user_id"),
+        col("g_t"), col("g_u"), col("n"), col("sum_value"))
+      .orderBy("event_type", "user_id")
+
+  /** lead/lag analytics: per-user deltas between consecutive events. */
+  def windowLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    tbl(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("event_id")
+  }
+
   /** Exact interpolated percentiles (median/p90) per order status. */
   def aggPercentile(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -458,6 +485,8 @@ object ExtQueries {
     "setop_intersect" -> (setopIntersect _),
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "window_lead_lag" -> (windowLeadLag _),
     "agg_distinct" -> (aggDistinct _),
     "agg_percentile" -> (aggPercentile _),
     "typed_cogroup" -> (typedCogroup _),

@@ -358,6 +358,24 @@ object Oracles {
          |FROM events GROUP BY CUBE (event_type, user_id)
          |ORDER BY event_type, user_id, g_t, g_u""".stripMargin,
 
+    "agg_grouping_sets" ->
+      s"""SELECT coalesce(event_type, '(all)') AS event_type,
+         | coalesce(CAST(user_id AS VARCHAR), '(all)') AS user_id,
+         | CAST(grouping(event_type) AS INTEGER) AS g_t,
+         | CAST(grouping(user_id) AS INTEGER) AS g_u,
+         | count(*) AS n, ${decSum2("value")} AS sum_value
+         |FROM events GROUP BY GROUPING SETS ((event_type), (user_id))
+         |ORDER BY event_type, user_id""".stripMargin,
+
+    "window_lead_lag" ->
+      """SELECT event_id, user_id,
+        | epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+        |   OVER w AS gap_us,
+        | lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY event_id""".stripMargin,
+
     "agg_percentile" ->
       """SELECT o_orderstatus,
         | quantile_cont(o_totalprice, 0.5) AS p50,
