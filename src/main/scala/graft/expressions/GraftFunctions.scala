@@ -28,5 +28,8 @@ object GraftFunctions {
       exprs => QuantizeExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash60",
       exprs => SimHash60Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmv_distinct",
+      exprs => KMVDistinctAgg(exprs(0), litInt(exprs(1), "k")).toAggregateExpression(),
+      "built-in")
   }
 }

@@ -34,6 +34,14 @@ object CrossFns {
     */
   def charHash(s: Column): Column = call_function("graft_char_hash", s)
 
+  /** Uniformised hash for sketching: charHash is polynomial (short strings
+    * hash to small values — fine for equality/minhash, useless for order
+    * statistics), so KMV-style sketches scramble it with a Knuth
+    * multiplicative step: (h * 2654435761) mod P. h < P keeps the product
+    * within int64. Same expression in the DuckDB oracles. */
+  def scrambledHash(s: Column): Column =
+    (charHash(s) * lit(2654435761L)) % HashP
+
   /** Reference implementation of [[charHash]] from built-in higher-order
     * functions only — differential-tested against the native expression. */
   def charHashHof(s: Column): Column = {

@@ -377,6 +377,20 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** KMV distinct sketch vs exact count: bounded-memory mergeable sketch
+    * (TypedImperativeAggregate over the cross-engine hash, k=64) — the
+    * estimate itself oracle-matches because the sketch is deterministic. */
+  def sketchKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    tbl(spark, dir, "events")
+      .withColumn("hv", scrambledHash((col("event_id") % 997).cast("string")))
+      .groupBy("event_type")
+      .agg(
+        call_function("graft_kmv_distinct", col("hv"), lit(64)).as("kmv_est"),
+        countDistinct(col("event_id") % 997).as("exact"))
+      .orderBy("event_type")
+  }
+
   /** Exact interpolated percentiles (median/p90) per order status. */
   def aggPercentile(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -489,6 +503,7 @@ object ExtQueries {
     "window_lead_lag" -> (windowLeadLag _),
     "agg_distinct" -> (aggDistinct _),
     "agg_percentile" -> (aggPercentile _),
+    "sketch_kmv_distinct" -> (sketchKmvDistinct _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),
   )

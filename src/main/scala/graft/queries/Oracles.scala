@@ -376,6 +376,24 @@ object Oracles {
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         |ORDER BY event_id""".stripMargin,
 
+    "sketch_kmv_distinct" -> {
+      val hv = s"((${ch("CAST(event_id % 997 AS VARCHAR)")}) * 2654435761) % 1000000007"
+      s"""WITH hs AS (SELECT DISTINCT event_type, $hv AS hv FROM events),
+         |r AS (SELECT event_type, hv,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+         |        count(*) OVER (PARTITION BY event_type) AS nd
+         |      FROM hs),
+         |agg AS (SELECT event_type, max(nd) AS nd, max(CASE WHEN rk = 64 THEN hv END) AS kth
+         |        FROM r GROUP BY event_type),
+         |ex AS (SELECT event_type, count(DISTINCT event_id % 997) AS exact FROM events GROUP BY event_type)
+         |SELECT a.event_type,
+         | CASE WHEN a.nd < 64 THEN CAST(a.nd AS DOUBLE)
+         |      ELSE CAST(63 * CAST(1000000007 AS BIGINT) AS DOUBLE) / CAST(a.kth AS DOUBLE) END AS kmv_est,
+         | ex.exact
+         |FROM agg a JOIN ex ON ex.event_type = a.event_type
+         |ORDER BY a.event_type""".stripMargin
+    },
+
     "agg_percentile" ->
       """SELECT o_orderstatus,
         | quantile_cont(o_totalprice, 0.5) AS p50,

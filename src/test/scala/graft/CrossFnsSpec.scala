@@ -73,6 +73,22 @@ class CrossFnsSpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
+  test("KMV sketch: partition-invariant (merge correctness) and ~accurate") {
+    import org.apache.spark.sql.functions.{call_function, lit => flit}
+    val n = 5000
+    val df = spark.range(n).select(
+      CrossFns.scrambledHash(col("id").cast("string")).as("hv"))
+    def est(parts: Int): Double = df.repartition(parts)
+      .agg(call_function("graft_kmv_distinct", col("hv"), flit(64)))
+      .head().getDouble(0)
+    val e1 = est(1)
+    // merge across many partitions must give the IDENTICAL sketch result
+    assert(est(13) === e1)
+    assert(est(32) === e1)
+    // ~1/sqrt(k) relative error; allow 4 sigma
+    assert(math.abs(e1 - n) / n < 0.5, s"estimate $e1 too far from $n")
+  }
+
   test("charHash property: native == HOF on 500 seeded-random ASCII strings") {
     val rnd = new scala.util.Random(42)
     val strs = (0 until 500).map { _ =>
