@@ -222,6 +222,25 @@ object ExtQueries {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** Range (interval) join: each order matched to its price band by a
+    * BETWEEN condition. The band table is tiny and broadcast, so the
+    * non-equi join is a map-side broadcast-nested-loop — the right shape
+    * when one side is a handful of intervals. */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 100000.0),
+      ("mid", 100000.0, 250000.0),
+      ("high", 250000.0, 1000000000.0),
+    ).toDF("band", "lo", "hi")
+    tbl(spark, dir, "orders")
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), decSum2(col("o_totalprice")).as("revenue"))
+      .orderBy("band")
+  }
+
   /** Salted skew join: events (fact, salt from event_id) ⋈ per-user dim
     * replicated across 8 salts — identical results to the plain join, hot
     * user keys spread over 8 reducers. */
@@ -494,6 +513,7 @@ object ExtQueries {
     "join_outer_agg" -> (joinOuterAgg _),
     "join_asof" -> (joinAsof _),
     "join_skew_salted" -> (joinSkewSalted _),
+    "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),
     "setop_except" -> (setopExcept _),
     "setop_intersect" -> (setopIntersect _),

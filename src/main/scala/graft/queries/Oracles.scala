@@ -282,6 +282,14 @@ object Oracles {
          |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
     },
 
+    "join_range" ->
+      s"""SELECT band, count(*) AS n, ${decSum2("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
+         |             ('high', 250000.0, 1000000000.0)) AS b(band, lo, hi)
+         |  ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
+
     "join_skew_salted" ->
       s"""SELECT event_type, count(*) AS n, ${decSum2("value")} AS sum_value,
          | CAST(sum(n_user_events) AS BIGINT) AS sum_dim
