@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.queries.Staging.tbl
+
+/** Scaling experiment: replicate the sf0.1 tables f× (ids offset so keys
+  * stay unique) and measure the heavy operators at 1×/4×/16× — evidence
+  * for how each plan's cost grows with data size (linear for the
+  * LSH/bucketed paths, quadratic for the deliberate all-pairs baselines).
+  * Prints one JSON line per (op, factor). Results recorded in
+  * docs/SCALING.md.
+  */
+object ScaleCheck {
+
+  private def replicate(df: DataFrame, idCol: String, f: Int): DataFrame =
+    (0 until f).map(i => df.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L)))
+      .reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.expressions.GraftFunctions.register(spark)
+
+    // warm
+    spark.range(1000).selectExpr("sum(id)").collect()
+    tbl(spark, sfDir, "documents").count()
+
+    def time(op: String, f: Int)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$op","factor":$f,"rows":$rows,"secs":$secs%.2f}""")
+    }
+
+    val docs = tbl(spark, sfDir, "documents")
+    val emb = tbl(spark, sfDir, "embeddings")
+    val events = tbl(spark, sfDir, "events")
+    val lineitem = tbl(spark, sfDir, "lineitem")
+
+    for (f <- Seq(1, 4, 16)) {
+      val d = replicate(docs, "doc_id", f)
+      time("dedup_minhash_candidates", f) { Dedup.minhashCandidates(spark, d).count() }
+      time("dedup_jaccard_verified", f) { Dedup.jaccardVerified(spark, d, 0.5).count() }
+      time("dedup_simhash_pairs", f) { Dedup.simhashPairs(spark, d, 6).count() }
+      time("dedup_exact", f) { Dedup.exactGroups(d).count() }
+
+      val v = replicate(emb, "vec_id", f)
+      time("simsearch_ivf_top5", f) {
+        Similarity.ivfTopK(v, 5, 8, 2, col("vec_id") < 5).count()
+      }
+      time("dedup_embedding_lsh", f) {
+        Similarity.lshCosinePairs(v, 4, 0.4).count()
+      }
+      if (f <= 4) // all-pairs baseline: deliberately quadratic
+        time("dedup_embedding_allpairs", f) { Similarity.cosinePairs(v, 0.5).count() }
+
+      val e = replicate(events, "event_id", f)
+      time("window_ohlc", f) {
+        e.withColumn("hour_s", date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
+          .groupBy("hour_s")
+          .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+            max(col("value")).as("high"), min(col("value")).as("low"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("volume"))
+          .count()
+      }
+
+      val li = replicate(lineitem, "l_orderkey", f)
+      time("agg_pricing_summary", f) {
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"), count(lit(1)).as("n"))
+          .count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -66,6 +66,19 @@ object Dedup {
   def minhashCandidates(spark: SparkSession, docs: DataFrame): DataFrame =
     pairsFromBands(bandedSignatures(spark, docs))
 
+  /** Cluster form of minhash dedup: docs sharing the FULL signature
+    * (all NumHashes mins identical — near-certain dups) collapse to one
+    * representative. Unlike the pair-emitting candidates, output stays
+    * flat under heavy duplication (see docs/SCALING.md takeaway 1). */
+  def minhashSigClusters(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        array_join(transform(minhashSig(col("hs"), NumHashes), v => v.cast("string")), ",").as("sig"))
+      .groupBy("sig")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+      .select(col("rep"), col("n_docs"))
+
   private def pairsFromBands(bands: DataFrame): DataFrame = {
     val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("sig"), col("doc_id").as("doc_b"))

@@ -22,6 +22,9 @@ object ExtQueries {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(spark, tbl(spark, dir, "documents")).orderBy("doc_a", "doc_b")
 
+  def dedupMinhashClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSigClusters(spark, tbl(spark, dir, "documents")).orderBy("rep")
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardVerified(spark, tbl(spark, dir, "documents"), 0.5)
       .orderBy("doc_a", "doc_b")
@@ -485,6 +488,7 @@ object ExtQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
