@@ -144,6 +144,24 @@ object Dedup {
       .distinct()
   }
 
+  /** Character-level verification of the LSH candidates: classical
+    * unit-cost Levenshtein (built-in, identical definition in DuckDB) and
+    * a normalized similarity 1 - d/max(len). Candidates come from the
+    * banded minhash join, so the quadratic DP only runs on pairs already
+    * suspected — never all-pairs. */
+  def editDistanceVerified(spark: SparkSession, docs: DataFrame, minSim: Double): DataFrame = {
+    val cand = minhashCandidates(spark, docs)
+    val a = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("sim",
+        lit(1.0d) - col("dist").cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
+      .filter(col("sim") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("sim"))
+  }
+
   /** SimHash bit width. 60 bits: per-token hash = charHash(t) (bits 0..29)
     * ++ charHash(reverse(t)) (bits 30..59) — two independent 30-bit
     * polynomial folds, both cross-engine reproducible. 32 bits proved too

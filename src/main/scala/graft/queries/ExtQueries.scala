@@ -29,6 +29,10 @@ object ExtQueries {
     Dedup.jaccardVerified(spark, tbl(spark, dir, "documents"), 0.5)
       .orderBy("doc_a", "doc_b")
 
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceVerified(spark, tbl(spark, dir, "documents"), 0.4)
+      .orderBy("doc_a", "doc_b")
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(spark, tbl(spark, dir, "documents")).orderBy("doc_id")
 
@@ -490,6 +494,7 @@ object ExtQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),

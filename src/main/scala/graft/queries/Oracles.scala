@@ -223,6 +223,18 @@ object Oracles {
          |WHERE i.inter / (sa.n + sb.n - i.inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_edit_distance" ->
+      s"""$minhashCtes,
+         |j AS (SELECT p.doc_a, p.doc_b,
+         |        CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+         |        CAST(1 AS DOUBLE) - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |          CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) AS sim
+         |      FROM pairs p
+         |      JOIN documents da ON da.doc_id = p.doc_a
+         |      JOIN documents db ON db.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, dist, sim FROM j WHERE sim >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
          |th AS (SELECT doc_id, (${ch("reverse(t)")} << 30) + ${ch("t")} AS h
