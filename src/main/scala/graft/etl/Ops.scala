@@ -52,9 +52,12 @@ object Ops {
     df.withColumnsRenamed(Schemas.renameMap).select(Schemas.sinkCols.map(col): _*)
 
   /** #11 antijoin_processed (utils.py:24-29): keep rows whose `keyCol` is
-    * not in the ledger. The ledger is tiny relative to the input at scale;
-    * broadcast it so the anti-join is a map-side BroadcastHashJoin with no
-    * shuffle of the (huge) fact side. */
+    * not in the ledger. The ledger (processed FILE paths, not rows) stays
+    * small relative to the input even at 100 TB — broadcast it so the
+    * anti-join is a map-side BroadcastHashJoin with no shuffle of the
+    * (huge) fact side. If a deployment's ledger ever outgrows the
+    * broadcast budget, drop the hint and let AQE pick shuffle vs
+    * broadcast at runtime. */
   def antiJoinLedger(df: DataFrame, ledger: DataFrame, keyCol: String): DataFrame =
     df.join(broadcast(ledger.select(keyCol).distinct()), Seq(keyCol), "left_anti")
 

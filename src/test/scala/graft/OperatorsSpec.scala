@@ -41,6 +41,22 @@ class OperatorsSpec extends SparkSpec {
     assert(j((0L, 2L)) > 0.5 && j((0L, 2L)) < 1.0)
   }
 
+  test("editDistanceVerified: exact dup sim=1, near dup high, scoped to candidates") {
+    val j = Dedup.editDistanceVerified(spark, docs, 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(j((0L, 1L)) === ((0L, 1.0)))
+    val (dist02, sim02) = j((0L, 2L))
+    assert(dist02 === " postscript".length.toLong && sim02 > 0.9)
+    assert(!j.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhashSigClusters collapses identical docs into one representative") {
+    val c = Dedup.minhashSigClusters(spark, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(0L) >= 2L, "docs 0 and 1 share the full signature")
+    assert(!c.contains(1L), "doc 1 collapsed into doc 0's cluster")
+  }
+
   test("simhash: identical docs identical, near dups close in hamming distance") {
     val s = Dedup.simhash(spark, docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(s(0L) === s(1L))
