@@ -208,6 +208,13 @@ object Oracles {
          |SELECT min(doc_id) AS rep, count(*) AS n_docs
          |FROM sigs GROUP BY sig ORDER BY rep""".stripMargin,
 
+    "stream_dedup_clusters" ->
+      s"""$minhashCtes,
+         |sigs AS (SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+         |         FROM mh GROUP BY doc_id)
+         |SELECT min(doc_id) AS rep, count(*) AS n_docs
+         |FROM sigs GROUP BY sig ORDER BY rep""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""$minhashCtes,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -114,9 +114,46 @@ object StreamQueries {
     spark.table(qname).orderBy("event_type")
   }
 
+  /** Streaming dedup for a document firehose: minhash signature computed
+    * map-side per micro-batch (native expression), clusters maintained as
+    * a running groupBy state — the streaming form of
+    * dedup_minhash_clusters. min(doc_id) aggregation (not dropDuplicates)
+    * keeps the surviving representative deterministic regardless of
+    * micro-batch boundaries. */
+  def streamDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossFns._
+    val src = tmpDir("streamdedup")
+    val docs = tbl(spark, dir, "documents")
+    docs.write.mode("overwrite").parquet(src)
+
+    val agg = spark.readStream.schema(docs.schema).parquet(src)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        shingleHashes(org.apache.spark.sql.functions.col("text"), 3).as("hs"))
+      .filter(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("hs")) > 0)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.transform(
+            minhashSig(org.apache.spark.sql.functions.col("hs"), graft.operators.Dedup.NumHashes),
+            v => v.cast("string")), ",").as("sig"))
+      .groupBy("sig")
+      .agg(
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("doc_id")).as("rep"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+
+    val qname = s"graft_sdc_${nameSeq.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(qname).outputMode("complete")
+      .option("checkpointLocation", tmpDir("streamdedupckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname).select("rep", "n_docs").orderBy("rep")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_file_source" -> (streamFileSource _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_static_join" -> (streamStaticJoin _),
+    "stream_dedup_clusters" -> (streamDedupClusters _),
   )
 }
