@@ -122,6 +122,24 @@ object Similarity {
     q.withColumn("bucket", bucketBits.reduce(_ + _))
   }
 
+  /** LSH-bucketed top-k probe search: each probe scans only its hyperplane
+    * bucket (expected corpus/2^planes of the data) — the ANN alternative to
+    * IVF when no centroid training is wanted. Recall is partial by
+    * construction; brute force remains the exhaustive baseline. */
+  def lshTopK(emb: DataFrame, numPlanes: Int, k: Int,
+      probePred: org.apache.spark.sql.Column): DataFrame = {
+    val b = lshBuckets(emb, numPlanes)
+    val probes = b.filter(probePred)
+      .select(col("bucket"), col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nrm").as("pnrm"))
+    broadcast(probes).join(b, Seq("bucket"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
   /** LSH-bucketed embedding near-dup pairs: hyperplane-sign buckets first,
     * exact cosine only within a bucket — the O(n) candidate pass that
     * replaces the all-pairs join at scale (recall < 1 by construction;

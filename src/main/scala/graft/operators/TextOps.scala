@@ -27,6 +27,43 @@ object TextOps {
   private def lexScore(toks: Column, lex: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(lex))).cast("long")
 
+  /** Character trigrams of a string (overlapping, positions 1..len-2). */
+  def charTrigrams(s: Column): Column =
+    when(length(s) >= 3,
+      array_distinct(transform(sequence(lit(1), length(s) - 2), i => substr(s, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-language char-trigram profiles derived deterministically from the
+    * stopword lexicons (trigrams of the space-joined lexicon) — the
+    * same-in-both-engines reference profile for the n-gram language
+    * heuristic. */
+  val langTrigramProfiles: Seq[(String, Seq[String])] = langLexicons.map {
+    case (lang, lex) =>
+      val joined = lex.mkString(" ")
+      lang -> joined.sliding(3).toSeq.distinct
+  }
+
+  /** Language ID via char-trigram profile overlap: score = |doc trigrams ∩
+    * language profile|, argmax with alphabetical tie-break, zero -> 'unk'.
+    * The n-gram flavor of [[langId]] (which is word/stopword based). */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val tri = charTrigrams(col("text"))
+    val scored = docs.select(
+      col("doc_id"),
+      explode(array(langTrigramProfiles.map { case (lang, prof) =>
+        struct(lit(lang).as("lang"),
+          size(array_intersect(tri, array(prof.map(lit): _*))).cast("long").as("score"))
+      }: _*)).as("s"))
+      .select(col("doc_id"), col("s.lang").as("lang"), col("s.score").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(
+        col("doc_id"),
+        when(col("score") === 0, lit("unk")).otherwise(col("lang")).as("lang_guess"),
+        col("score"))
+  }
+
   /** (doc_id, lang_guess, score): argmax of lexicon hit counts, ties broken
     * alphabetically, zero hits -> 'unk'. */
   def langId(docs: DataFrame): DataFrame = {

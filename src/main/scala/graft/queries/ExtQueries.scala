@@ -62,10 +62,19 @@ object ExtQueries {
       nprobe = 2, probePred = col("vec_id") < 5)
       .orderBy("probe_id", "rk")
 
+  /** LSH-bucket ANN: probes scan only their hyperplane bucket (4 planes). */
+  def simsearchLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(tbl(spark, dir, "embeddings"), numPlanes = 4, k = 5,
+      probePred = col("vec_id") < 5)
+      .orderBy("probe_id", "rk")
+
   // ---- text analysis -----------------------------------------------------
 
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     TextOps.langId(tbl(spark, dir, "documents")).orderBy("doc_id")
+
+  def textLangIdNgram(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langIdNgram(tbl(spark, dir, "documents")).orderBy("doc_id")
 
   def textQualityScore(spark: SparkSession, dir: String): DataFrame =
     TextOps.qualityScore(tbl(spark, dir, "documents")).orderBy("doc_id")
@@ -501,7 +510,9 @@ object ExtQueries {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "simsearch_bruteforce" -> (simsearchBruteforce _),
     "simsearch_ivf" -> (simsearchIvf _),
+    "simsearch_lsh" -> (simsearchLsh _),
     "text_lang_id" -> (textLangId _),
+    "text_lang_id_ngram" -> (textLangIdNgram _),
     "text_quality_score" -> (textQualityScore _),
     "text_token_count" -> (textTokenCount _),
     "text_token_bpe" -> (textTokenBpe _),

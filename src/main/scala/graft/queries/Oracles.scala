@@ -324,6 +324,27 @@ object Oracles {
          |  ON e.user_id = d.user_id
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "simsearch_lsh" -> {
+      val planeComp = ch("(CAST(p AS VARCHAR) || ':' || CAST(i_ - 1 AS VARCHAR))")
+      s"""$embCtes,
+         |planes AS (SELECT unnest(generate_series(0, 3)) AS p),
+         |dots AS (SELECT f.vec_id, p,
+         |   CAST(list_sum(list_transform(generate_series(1, len(qv)),
+         |     i_ -> qv[i_] * (($planeComp) % 2001 - 1000))) AS BIGINT) AS dot
+         | FROM f, planes),
+         |buckets AS (SELECT vec_id,
+         |   CAST(sum(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM dots GROUP BY vec_id),
+         |b AS (SELECT f.vec_id, f.qv, f.nrm, buckets.bucket FROM f JOIN buckets USING (vec_id)),
+         |scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |   CAST(${qdotPair("p.qv", "c.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+         | FROM (SELECT * FROM b WHERE vec_id < 5) p
+         | JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+         |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+    },
+
     "simsearch_bruteforce" ->
       s"""$embCtes,
          |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
@@ -466,6 +487,27 @@ object Oracles {
          |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk FROM s)
          |SELECT doc_id, CASE WHEN score = 0 THEN 'unk' ELSE lang END AS lang_guess, score
          |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id_ngram" -> {
+      // profiles generated from the SAME Scala source as the Spark side
+      val profiles = graft.operators.TextOps.langTrigramProfiles
+        .map { case (lang, tris) =>
+          s"('$lang', [${tris.map(t => s"'$t'").mkString(",")}])"
+        }.mkString(",\n        ")
+      s"""WITH tri AS (SELECT doc_id,
+         |        CASE WHEN length(text) >= 3
+         |          THEN list_distinct(list_transform(generate_series(1, length(text) - 2),
+         |                 i_ -> substring(text, i_, 3)))
+         |          ELSE CAST([] AS VARCHAR[]) END AS tri
+         |      FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |        CAST(len(list_filter(prof, g_ -> list_contains(tri, g_))) AS BIGINT) AS score
+         |      FROM tri, (VALUES $profiles) AS pz(lang, prof)),
+         |r AS (SELECT doc_id, lang, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk FROM s)
+         |SELECT doc_id, CASE WHEN score = 0 THEN 'unk' ELSE lang END AS lang_guess, score
+         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+    },
 
     "text_quality_score" ->
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
