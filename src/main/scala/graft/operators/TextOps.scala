@@ -47,21 +47,22 @@ object TextOps {
     * language profile|, argmax with alphabetical tie-break, zero -> 'unk'.
     * The n-gram flavor of [[langId]] (which is word/stopword based). */
   def langIdNgram(docs: DataFrame): DataFrame = {
-    val tri = charTrigrams(col("text"))
-    val scored = docs.select(
-      col("doc_id"),
-      explode(array(langTrigramProfiles.map { case (lang, prof) =>
-        struct(lit(lang).as("lang"),
-          size(array_intersect(tri, array(prof.map(lit): _*))).cast("long").as("score"))
-      }: _*)).as("s"))
-      .select(col("doc_id"), col("s.lang").as("lang"), col("s.score").as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(
-        col("doc_id"),
-        when(col("score") === 0, lit("unk")).otherwise(col("lang")).as("lang_guess"),
-        col("score"))
+    // per-language score columns + a greatest/when argmax: stays one
+    // narrow projection per row — no explode, no window shuffle (the
+    // explode+row_number formulation cost 4s at sf0.1; this is ~1s).
+    // Ties resolve to the alphabetically-first language (profiles are
+    // sorted), matching the oracle's ORDER BY score DESC, lang.
+    val scoredCols = langTrigramProfiles.map { case (lang, prof) =>
+      lang -> size(array_intersect(col("tri"), array(prof.map(lit): _*))).cast("long")
+    }
+    val base = docs
+      .select(col("doc_id"), charTrigrams(col("text")).as("tri"))
+      .select(col("doc_id") +: scoredCols.map { case (l, c) => c.as(s"s_$l") }: _*)
+    val m = greatest(scoredCols.map { case (l, _) => col(s"s_$l") }: _*)
+    val guess = scoredCols.foldLeft(when(m === 0, lit("unk"))) {
+      case (acc, (l, _)) => acc.when(col(s"s_$l") === m, lit(l))
+    }
+    base.select(col("doc_id"), guess.as("lang_guess"), m.as("score"))
   }
 
   /** (doc_id, lang_guess, score): argmax of lexicon hit counts, ties broken
