@@ -54,6 +54,23 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: fit the (fake-decoded) dimensions into a bounding box
+    * preserving aspect ratio — integer math (scale by the limiting axis via
+    * exact rational arithmetic) so the oracle reproduces it. The real
+    * implementation would resample pixels inside the same mapPartitions
+    * batch; dims logic is what the pipeline schema depends on. */
+  def resizeTo(spark: SparkSession, docs: DataFrame, box: Int): DataFrame = {
+    import spark.implicits._
+    decodeAll(spark, docs).map { f =>
+      val (w, h) = (f.width, f.height)
+      val (rw, rh) =
+        if (w <= box && h <= box) (w, h)
+        else if (w >= h) (box.toLong, (h * box) / w) // integer floor division
+        else ((w * box) / h, box.toLong)
+      (f.doc_id, w, h, rw, rh)
+    }.toDF("doc_id", "width", "height", "rw", "rh")
+  }
+
   /** Frame-sampling stub for video-like payloads: every k-th byte stands in
     * for every k-th frame; keeps the explode/array plumbing honest. */
   def frameSample(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {

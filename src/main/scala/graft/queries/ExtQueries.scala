@@ -473,6 +473,18 @@ object ExtQueries {
     Multimodal.frameSample(spark, tbl(spark, dir, "documents"), 7)
       .orderBy("doc_id", "frame_idx")
 
+  /** Aspect-preserving resize through the typed batch plumbing (stub dims;
+    * box = 32 so both branches of the fit logic fire on this corpus). */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeTo(spark, tbl(spark, dir, "documents"), 32).orderBy("doc_id")
+
+  /** Fixed-width histogram of the value column (bin = floor(value/50)). */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .groupBy(floor(col("value") / 50).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
+      .orderBy("bin")
+
   /** Exact distinct aggregation (expand + two-phase agg under the hood). */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "events")
@@ -529,6 +541,8 @@ object ExtQueries {
     "window_cume" -> (windowCume _),
     "join_semi" -> (joinSemi _),
     "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_resize" -> (multimodalResize _),
+    "agg_histogram" -> (aggHistogram _),
     "join_agg_revenue" -> (joinAggRevenue _),
     "join_outer_agg" -> (joinOuterAgg _),
     "join_asof" -> (joinAsof _),

@@ -478,6 +478,25 @@ object Oracles {
         |   ELSE 0 END) % 256 AS BIGINT) AS brightness
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "multimodal_resize" ->
+      """WITH f AS (SELECT doc_id,
+        |   CAST(16 + octet_length(encode(text)) % 32 AS BIGINT) AS width,
+        |   CAST(16 + (octet_length(encode(text)) * 7) % 32 AS BIGINT) AS height
+        | FROM documents)
+        |SELECT doc_id, width, height,
+        | CASE WHEN width <= 32 AND height <= 32 THEN width
+        |      WHEN width >= height THEN 32
+        |      ELSE (width * 32) // height END AS rw,
+        | CASE WHEN width <= 32 AND height <= 32 THEN height
+        |      WHEN width >= height THEN (height * 32) // width
+        |      ELSE 32 END AS rh
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "agg_histogram" ->
+      s"""SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS n,
+         | ${decSum2("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "text_lang_id" ->
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
          |s AS (SELECT doc_id, lang,
