@@ -40,6 +40,7 @@ object ScaleCheck {
       val rows = body
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"""{"op":"$op","factor":$f,"rows":$rows,"secs":$secs%.2f}""")
+      spark.catalog.clearCache() // release intra-query persists
     }
 
     val docs = tbl(spark, sfDir, "documents")
@@ -50,6 +51,7 @@ object ScaleCheck {
     for (f <- Seq(1, 4, 16)) {
       val d = replicate(docs, "doc_id", f)
       time("dedup_minhash_candidates", f) { Dedup.minhashCandidates(spark, d).count() }
+      time("dedup_lsh_clusters", f) { Dedup.lshClusters(spark, d).count() }
       time("dedup_jaccard_verified", f) { Dedup.jaccardVerified(spark, d, 0.5).count() }
       time("dedup_simhash_pairs", f) { Dedup.simhashPairs(spark, d, 6).count() }
       time("dedup_exact", f) { Dedup.exactGroups(d).count() }

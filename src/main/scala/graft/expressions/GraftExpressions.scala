@@ -49,15 +49,23 @@ object GraftHash {
 
   /** Rolling hash of each word n-gram (tokens joined by ' '), without
     * materialising the shingle strings: charHash(t1 + ' ' + t2 + ...) =
-    * fold over t1 chars, then 32 (space), then t2 chars, ... */
+    * fold over t1 chars, then 32 (space), then t2 chars, ...
+    *
+    * Null array elements are SKIPPED (a user-supplied transform(...) can
+    * produce them even though CrossFns.tokens never does) — same result as
+    * filtering nulls before shingling. */
   def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
-    val m = tokens.numElements()
+    val mAll = tokens.numElements()
+    val strs = new Array[String](mAll)
+    var m = 0
+    var j = 0
+    while (j < mAll) {
+      if (!tokens.isNullAt(j)) { strs(m) = tokens.getUTF8String(j).toString; m += 1 }
+      j += 1
+    }
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
-    val strs = new Array[String](m)
-    var i = 0
-    while (i < m) { strs(i) = tokens.getUTF8String(i).toString; i += 1 }
     val out = new Array[Long](m - n + 1)
-    i = 0
+    var i = 0
     while (i <= m - n) {
       var h = 0L
       var k = 0
@@ -78,18 +86,23 @@ object GraftHash {
   def minHashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
     val m = hashes.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    var seen = 0
     var i = 0
     while (i < m) {
-      val h = hashes.getLong(i)
-      var s = 0
-      while (s < numHashes) {
-        val v = ((31L * s + 17L) * h + 97L * s + 11L) % P
-        if (v < mins(s)) mins(s) = v
-        s += 1
+      // null elements skipped, as in shingleHashes
+      if (!hashes.isNullAt(i)) {
+        seen += 1
+        val h = hashes.getLong(i)
+        var s = 0
+        while (s < numHashes) {
+          val v = ((31L * s + 17L) * h + 97L * s + 11L) % P
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(if (m == 0) Array.emptyLongArray else mins)
+    new GenericArrayData(if (seen == 0) Array.emptyLongArray else mins)
   }
 
   /** 60-bit SimHash over a token array in ONE pass: per token
@@ -102,6 +115,8 @@ object GraftHash {
     val m = tokens.numElements()
     var i = 0
     while (i < m) {
+      if (tokens.isNullAt(i)) { i += 1 } // null tokens skipped
+      else {
       val str = tokens.getUTF8String(i).toString
       val h1 = foldToken(0L, str)
       // charHash of the codepoint-reversed token, without materialising it
@@ -119,6 +134,7 @@ object GraftHash {
         j += 1
       }
       i += 1
+      }
     }
     var fp = 0L
     var j = 0
@@ -126,21 +142,30 @@ object GraftHash {
     fp
   }
 
-  /** Integer dot product over the common prefix of two long arrays. */
+  /** Integer dot product over the common prefix of two long arrays.
+    * Null elements contribute 0 (the term is skipped). */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val m = math.min(a.numElements(), b.numElements())
     var acc = 0L
     var i = 0
-    while (i < m) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < m) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
     acc
   }
 
-  /** floor(x*1e6) quantisation of a float/double array (CrossFns.quantize). */
+  /** floor(x*1e6) quantisation of a float/double array (CrossFns.quantize).
+    * Null elements quantise to 0 (vector length preserved). */
   def quantizeFloat(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     val out = new Array[Long](m)
     var i = 0
-    while (i < m) { out(i) = math.floor(arr.getFloat(i).toDouble * 1000000.0d).toLong; i += 1 }
+    while (i < m) {
+      out(i) = if (arr.isNullAt(i)) 0L
+        else math.floor(arr.getFloat(i).toDouble * 1000000.0d).toLong
+      i += 1
+    }
     new GenericArrayData(out)
   }
 
@@ -148,7 +173,11 @@ object GraftHash {
     val m = arr.numElements()
     val out = new Array[Long](m)
     var i = 0
-    while (i < m) { out(i) = math.floor(arr.getDouble(i) * 1000000.0d).toLong; i += 1 }
+    while (i < m) {
+      out(i) = if (arr.isNullAt(i)) 0L
+        else math.floor(arr.getDouble(i) * 1000000.0d).toLong
+      i += 1
+    }
     new GenericArrayData(out)
   }
 }

@@ -79,6 +79,28 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
       .select(col("rep"), col("n_docs"))
 
+  /** Cluster-emitting LSH dedup — the scale-safe output shape: instead of
+    * emitting candidate PAIRS (quadratic in duplicate multiplicity: a
+    * 1000-copy document yields ~500k pairs), emit one row per cluster
+    * representative. Connected-components-lite: each (band, sig) bucket
+    * gets a group representative (min doc_id); each doc collapses to the
+    * min representative over its Bands buckets; clusters = docs sharing
+    * that one-hop representative. Rows out is bounded by distinct docs —
+    * flat under any duplication level (docs/SCALING.md takeaway 1).
+    *
+    * All three steps are hash-partitioned groupBys on small keys
+    * ((band,sig), doc_id, rep) — no driver state, no pair blow-up; the
+    * transitive-closure refinement (full connected components) would
+    * iterate the doc->rep contraction, but one hop already merges every
+    * bucket overlap the pair form reports. */
+  def lshClusters(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val bands = bandedSignatures(spark, docs)
+    val grpRep = bands.groupBy("band", "sig").agg(min(col("doc_id")).as("grp_rep"))
+    val docRep = bands.join(grpRep, Seq("band", "sig"))
+      .groupBy("doc_id").agg(min(col("grp_rep")).as("rep"))
+    docRep.groupBy("rep").agg(count(lit(1)).as("n_docs"))
+  }
+
   private def pairsFromBands(bands: DataFrame): DataFrame = {
     val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
@@ -94,7 +116,10 @@ object Dedup {
     * The shingle-set frame feeds four consumers (signatures, both join
     * sides, sizes); it is persisted once so the text is tokenised+hashed a
     * single time instead of four (at 100 TB: spill-able MEMORY_AND_DISK,
-    * or a materialised intermediate table between pipeline stages). */
+    * or a materialised intermediate table between pipeline stages). The
+    * cache lives until the consuming action finishes; catalog runners
+    * (Bench/Verify/AllQueriesSpec) call spark.catalog.clearCache() between
+    * queries so a long-lived session doesn't accumulate blocks. */
   def jaccardVerified(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
     val hsDf = shingleSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -153,12 +178,26 @@ object Dedup {
     val cand = minhashCandidates(spark, docs)
     val a = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val la = length(col("text_a"))
+    val lb = length(col("text_b"))
+    // sim >= minSim  ⟺  dist <= (1-minSim)·max(len). cutoff rounds UP so no
+    // boundary row is lost to float rounding; the exactness filter below
+    // stays the double `sim >= minSim` the oracle uses.
+    val cutoff = ceil(greatest(la, lb).cast("double") * lit(1.0d - minSim)).cast("int")
     cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      // length prefilter: dist >= |la-lb| always, so a length gap past the
+      // cutoff can never reach minSim — zero DP work for those pairs
+      .filter(abs(la - lb) <= cutoff)
+      // thresholded Levenshtein: the DP early-exits once distance provably
+      // exceeds cutoff+1 and returns -1 — O(cutoff·len) instead of O(len²)
+      // for wildly-different candidate pairs
+      .withColumn("dist",
+        call_function("levenshtein", col("text_a"), col("text_b"), cutoff + lit(1))
+          .cast("long"))
       .withColumn("sim",
         lit(1.0d) - col("dist").cast("double") /
-          greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
-      .filter(col("sim") >= minSim)
+          greatest(la, lb).cast("double"))
+      .filter(col("dist") >= 0 && col("sim") >= minSim)
       .select(col("doc_a"), col("doc_b"), col("dist"), col("sim"))
   }
 

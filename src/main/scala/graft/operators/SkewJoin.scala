@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** @param saltSrc stable numeric column on `big` to derive the salt from */
+  /** @param saltSrc stable numeric column on `big` to derive the salt from.
+    *   A null saltSrc lands in salt bucket 0 (coalesce) — the row still
+    *   joins exactly as in the unsalted join instead of silently dropping. */
   def saltedInnerJoin(big: DataFrame, small: DataFrame, key: String,
       saltSrc: Column, nsalt: Int): DataFrame = {
-    val salted = big.withColumn("_salt", pmod(saltSrc, lit(nsalt)).cast("int"))
+    val salted = big.withColumn("_salt",
+      coalesce(pmod(saltSrc, lit(nsalt)).cast("int"), lit(0)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(nsalt - 1)).cast("array<int>")))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -66,22 +66,25 @@ object TextOps {
   }
 
   /** (doc_id, lang_guess, score): argmax of lexicon hit counts, ties broken
-    * alphabetically, zero hits -> 'unk'. */
+    * alphabetically, zero hits -> 'unk'.
+    *
+    * Same greatest/when argmax projection as [[langIdNgram]]: one narrow
+    * map-side pass per row — no explode fan-out, no per-doc row_number
+    * window shuffle (the explode+window formulation cost 1.86s at sf0.1 vs
+    * ~0.2s for this shape). langLexicons is alphabetically ordered, so the
+    * first `when` branch that matches the max IS the alphabetical
+    * tie-break the oracle's ORDER BY score DESC, lang expresses. */
   def langId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val scored = docs.select(
-      col("doc_id"),
-      explode(array(langLexicons.map { case (lang, lex) =>
-        struct(lit(lang).as("lang"), lexScore(toks, lex).as("score"))
-      }: _*)).as("s"))
-      .select(col("doc_id"), col("s.lang").as("lang"), col("s.score").as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("score").desc, col("lang"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(
-        col("doc_id"),
-        when(col("score") === 0, lit("unk")).otherwise(col("lang")).as("lang_guess"),
-        col("score"))
+    val base = docs.select(
+      col("doc_id") +: langLexicons.map { case (lang, lex) =>
+        lexScore(toks, lex).as(s"s_$lang")
+      }: _*)
+    val m = greatest(langLexicons.map { case (l, _) => col(s"s_$l") }: _*)
+    val guess = langLexicons.foldLeft(when(m === 0, lit("unk"))) {
+      case (acc, (l, _)) => acc.when(col(s"s_$l") === m, lit(l))
+    }
+    base.select(col("doc_id"), guess.as("lang_guess"), m.as("score"))
   }
 
   /** Quality components + composite score. All ratios derive from integer

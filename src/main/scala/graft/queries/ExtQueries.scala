@@ -25,6 +25,12 @@ object ExtQueries {
   def dedupMinhashClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSigClusters(spark, tbl(spark, dir, "documents")).orderBy("rep")
 
+  /** Scale-safe cluster output: one row per LSH cluster representative —
+    * linear rows-out under any duplicate multiplicity (the pair form is
+    * quadratic; see Dedup.lshClusters). */
+  def dedupLshClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshClusters(spark, tbl(spark, dir, "documents")).orderBy("rep")
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardVerified(spark, tbl(spark, dir, "documents"), 0.5)
       .orderBy("doc_a", "doc_b")
@@ -152,24 +158,37 @@ object ExtQueries {
 
   /** Column-level profile of the events table: null/distinct counts and
     * formatted min/max — the data-quality sweep run before any training
-    * job. One pass per column, unioned. */
+    * job. ONE scan: all 20 aggregates (4 per column) computed in a single
+    * aggregation (the 5 countDistincts share the scan through Catalyst's
+    * Expand rewrite), then unpivoted to a row per column via explode — vs
+    * the previous one-pass-per-column union (5 scans). */
   def profileTable(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "events")
-    def prof(name: String, c: org.apache.spark.sql.Column, fmt: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-      e.agg(
-        count(when(c.isNull, lit(1))).as("n_null"),
-        countDistinct(c).as("n_distinct"),
-        fmt(min(c)).as("vmin"), fmt(max(c)).as("vmax"))
-        .select(lit(name).as("column"), col("n_null"), col("n_distinct"), col("vmin"), col("vmax"))
     val asIs = (c: org.apache.spark.sql.Column) => c.cast("string")
     val dec2 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)").cast("string")
     val tsf = (c: org.apache.spark.sql.Column) => date_format(c, tsFmt)
-    prof("event_id", col("event_id"), asIs)
-      .unionByName(prof("user_id", col("user_id"), asIs))
-      .unionByName(prof("event_type", col("event_type"), asIs))
-      .unionByName(prof("value", col("value"), dec2))
-      .unionByName(prof("ts", col("ts"), tsf))
-      .orderBy("column")
+    val cols: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      ("event_id", col("event_id"), asIs),
+      ("user_id", col("user_id"), asIs),
+      ("event_type", col("event_type"), asIs),
+      ("value", col("value"), dec2),
+      ("ts", col("ts"), tsf))
+    val aggs = cols.flatMap { case (n, c, fmt) => Seq(
+      count(when(c.isNull, lit(1))).as(s"${n}_null"),
+      countDistinct(c).as(s"${n}_distinct"),
+      fmt(min(c)).as(s"${n}_min"),
+      fmt(max(c)).as(s"${n}_max"))
+    }
+    val one = e.agg(aggs.head, aggs.tail: _*)
+    val unpivoted = array(cols.map { case (n, _, _) =>
+      struct(
+        lit(n).as("column"),
+        col(s"${n}_null").as("n_null"),
+        col(s"${n}_distinct").as("n_distinct"),
+        col(s"${n}_min").as("vmin"),
+        col(s"${n}_max").as("vmax"))
+    }: _*)
+    one.select(explode(unpivoted).as("p")).select("p.*").orderBy("column")
   }
 
   // ---- relational: windows / joins / aggregations ------------------------
@@ -514,6 +533,7 @@ object ExtQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
+    "dedup_lsh_clusters" -> (dedupLshClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_simhash" -> (dedupSimhash _),

@@ -208,6 +208,14 @@ object Oracles {
          |SELECT min(doc_id) AS rep, count(*) AS n_docs
          |FROM sigs GROUP BY sig ORDER BY rep""".stripMargin,
 
+    "dedup_lsh_clusters" ->
+      s"""$minhashCtes,
+         |grp AS (SELECT band, sig, min(doc_id) AS grp_rep FROM bands GROUP BY band, sig),
+         |docrep AS (SELECT b.doc_id, min(g.grp_rep) AS rep
+         |           FROM bands b JOIN grp g ON b.band = g.band AND b.sig = g.sig
+         |           GROUP BY b.doc_id)
+         |SELECT rep, count(*) AS n_docs FROM docrep GROUP BY rep ORDER BY rep""".stripMargin,
+
     "stream_dedup_clusters" ->
       s"""$minhashCtes,
          |sigs AS (SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig

@@ -11,6 +11,10 @@ class AllQueriesSpec extends SparkSpec {
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty)
       assert(df.count() >= 0)
+      // release frames persisted for multi-consumer reuse inside a query
+      // (jaccard/simhash) — without this a whole-catalog session
+      // accumulates cached blocks for its lifetime
+      spark.catalog.clearCache()
     }
   }
 
