@@ -32,6 +32,41 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    regressionDiff(sfDir, results)
     spark.stop()
   }
+
+  /** Per-query regression tracking across rounds: diff against (then
+    * overwrite) the committed per-sf history file docs/bench/<sf>.json.
+    * (The driver's BENCH_r*.json keeps only a truncated stdout tail, so
+    * the repo maintains its own full per-query record.) stderr only —
+    * stdout stays the single JSON line the driver parses. Flags queries
+    * that moved by >20% AND >0.3s in either direction. */
+  private def regressionDiff(sfDir: String, results: Seq[(String, Double)]): Unit = try {
+    val sfName = new java.io.File(sfDir).getName
+    val hist = new java.io.File(s"docs/bench/$sfName.json")
+    if (hist.exists()) {
+      val prev = "\"([A-Za-z0-9_]+)\":([-0-9.eE+]+)".r
+        .findAllMatchIn(scala.io.Source.fromFile(hist).mkString)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      System.err.println(s"[bench] regression diff vs ${hist.getPath}:")
+      var flagged = 0
+      results.foreach { case (name, secs) =>
+        prev.get(name).foreach { p =>
+          val delta = secs - p
+          if (math.abs(delta) > 0.3 && math.abs(delta) > 0.2 * p) {
+            flagged += 1
+            val dir = if (delta > 0) "SLOWER" else "faster"
+            System.err.println(f"[bench]   $name%-28s $p%.2fs -> $secs%.2fs  ($dir ${math.abs(delta)}%.2fs)")
+          }
+        }
+      }
+      val newQ = results.map(_._1).filterNot(prev.contains)
+      if (newQ.nonEmpty) System.err.println(s"[bench]   new queries: ${newQ.mkString(", ")}")
+      if (flagged == 0) System.err.println("[bench]   no query moved >20% and >0.3s")
+    }
+    hist.getParentFile.mkdirs()
+    val json = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(hist.toPath, json + "\n")
+  } catch { case e: Throwable => System.err.println(s"[bench] diff skipped: $e") }
 }

@@ -7,33 +7,56 @@ import org.apache.spark.sql.SparkSession
   * scan+validate+transform+dedup+partitioned write — end to end, the same
   * work `process_existing_files()` does in the reference
   * (tests/benchmark.py:40-45, minus the Postgres round-trip).
-  * Prints one JSON line.
+  *
+  * Mirrors the reference's MT-vs-ST harness (tests/benchmark.py:31-50,
+  * README.md:28 "20% or higher"): one single-threaded run (local[1], the
+  * ST analog), then the parallel run (local[N]); speedup and %-faster are
+  * computed exactly like benchmark.py:47-50. Prints one JSON line.
   */
 object RefBench {
-  def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def newSession(cores: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-refbench-").toString
-    // warm
-    spark.range(1000).selectExpr("sum(id)").collect()
+    s.sparkContext.setLogLevel("WARN")
+    s.range(1000).selectExpr("sum(id)").collect() // warm codegen paths
+    s
+  }
+
+  private def timeBackfill(spark: SparkSession, tmp: String): Double = {
     val t0 = System.nanoTime()
     graft.etl.BtcPipeline.backfill(spark, "/root/reference/dataset-test",
       s"$tmp/sink", s"$tmp/ledger")
-    val secs = (System.nanoTime() - t0) / 1e9
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // ST analog first, in its own session (benchmark.py runs ST then MT)
+    val stSpark = newSession("1")
+    val stTmp = java.nio.file.Files.createTempDirectory("graft-refbench-st-").toString
+    val stSecs = timeBackfill(stSpark, stTmp)
+    stSpark.stop()
+
+    val spark = newSession(cpus)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-refbench-").toString
+    val secs = timeBackfill(spark, tmp)
     // incremental rerun: every file ledgered -> metadata-only, no data read
-    val t1 = System.nanoTime()
-    graft.etl.BtcPipeline.backfill(spark, "/root/reference/dataset-test",
-      s"$tmp/sink", s"$tmp/ledger")
-    val incSecs = (System.nanoTime() - t1) / 1e9
+    val incSecs = timeBackfill(spark, tmp)
     val rows = spark.read.parquet(s"$tmp/sink").count()
-    println(s"""{"metric":"refbench_backfill","value":$secs,"unit":"sec","rows":$rows,"files":732,"incremental_noop_sec":$incSecs}""")
+
+    val speedup = stSecs / secs
+    val pctFaster = (speedup - 1) * 100 // benchmark.py:47-50
+    println(
+      s"""{"metric":"refbench_backfill","value":$secs,"unit":"sec","rows":$rows,"files":732,""" +
+        s""""incremental_noop_sec":$incSecs,"st_sec":$stSecs,"mt_sec":$secs,""" +
+        f""""speedup":$speedup%.2f,"pct_faster":$pctFaster%.1f,"mt_cores":$cpus}""")
     spark.stop()
   }
 }

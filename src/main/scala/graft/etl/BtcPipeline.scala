@@ -1,5 +1,6 @@
 package graft.etl
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -83,10 +84,55 @@ object BtcPipeline {
     shaped.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.dropDuplicates("date_time")
-          .write.mode("append").partitionBy("date").parquet(sinkPath)
+        // within-batch deterministic PK dedup + cross-batch PK anti-join
+        // against the sink: together these give the reference's global
+        // `date_time PRIMARY KEY` semantics (btc_etl.py:74) — and make the
+        // at-least-once foreachBatch replay after a crash effectively
+        // exactly-once (replayed rows hit the anti-join and vanish)
+        val sess = batch.sparkSession
+        val b = dedupPk(batch).withColumn("date", to_date(col("date_time")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val dates = b.select(col("date")).distinct().collect()
+            .map(_.getDate(0)).toSeq
+          antiJoinSinkDates(sess, b, sinkPath, dates)
+            .write.mode("append").partitionBy("date").parquet(sinkPath)
+        } finally { b.unpersist(); () }
       }
       .start()
+  }
+
+  /** Deterministic PRIMARY-KEY dedup: one row per `date_time`, keeping the
+    * lexicographically-smallest metric tuple (min over a struct of the sink
+    * metric columns). Unlike dropDuplicates — whose survivor depends on
+    * partitioning and task order — reruns produce identical sink contents,
+    * matching the repo's cross-engine determinism stance. */
+  private[graft] def dedupPk(df: DataFrame): DataFrame = {
+    val metrics = Schemas.sinkCols.filterNot(_ == "date_time")
+    df.groupBy("date_time")
+      .agg(min(struct(metrics.map(col): _*)).as("_m"))
+      .select(col("date_time") +: metrics.map(m => col(s"_m.$m").as(m)): _*)
+  }
+
+  /** Cross-batch PRIMARY KEY enforcement (btc_etl.py:74): drop incoming
+    * rows whose `date_time` already exists in the sink. Reads ONLY the sink
+    * date partitions matching the batch's dates (static partition pruning
+    * on the literal date list), so the probe cost is bounded by the batch's
+    * date span — not sink size — at 100 TB. */
+  private[graft] def antiJoinSinkDates(
+      spark: SparkSession,
+      batch: DataFrame,
+      sinkPath: String,
+      dates: Seq[java.sql.Date]): DataFrame = {
+    val sinkP = new Path(sinkPath)
+    val fs = sinkP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (dates.isEmpty || !fs.exists(sinkP)) batch
+    else {
+      val existing = spark.read.parquet(sinkPath)
+        .filter(col("date").isin(dates: _*))
+        .select("date_time")
+      batch.join(existing, Seq("date_time"), "left_anti")
+    }
   }
 
   /** Full backfill with FILE-level skip: the ledger anti-join happens on
@@ -95,8 +141,12 @@ object BtcPipeline {
     * reference's is_processed check before pd.read_csv
     * (btc_etl.py:115,130,152). Then: transform the delta, dedup the PK
     * within the batch (btc_etl.py:74 — a duplicate `date_time` would abort
-    * the reference file's insert; we keep one deterministically), append to
-    * the date-partitioned sink, and append the ledger last (sink-then-
+    * the reference file's insert; dedupPk keeps the lexicographically-
+    * smallest metric row, so the survivor is partitioning-independent),
+    * drop rows whose key already exists in the sink (cross-batch PK,
+    * antiJoinSinkDates — a replayed file after ledger loss adds zero
+    * rows), append to the date-partitioned sink, and append the ledger
+    * last (sink-then-
     * ledger ordering: a crash between the two reprocesses the file into an
     * idempotent partitioned sink rather than losing it — same at-least-once
     * stance as btc_etl.py:144,180, upgraded by the streaming checkpoint in
@@ -107,39 +157,53 @@ object BtcPipeline {
       sinkPath: String,
       ledgerPath: String): Unit = {
     import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
 
+    val ledgerP = new Path(ledgerPath)
+    val ledgerFs = ledgerP.getFileSystem(hconf)
     val ledger: DataFrame =
-      if (new java.io.File(ledgerPath).exists())
-        spark.read.parquet(ledgerPath)
+      if (ledgerFs.exists(ledgerP)) spark.read.parquet(ledgerPath)
       else Seq.empty[String].toDF("path")
 
-    // metadata-level listing (on HDFS/S3 this is the FileSystem listing;
-    // rows = files, so "collect" is bounded by the delta file count)
-    val listed = Option(new java.io.File(srcDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.endsWith(".csv"))
-      .map(_.getAbsolutePath).toSeq
+    // metadata-level listing through the Hadoop FileSystem API — the same
+    // code path works on file://, hdfs:// and s3a:// (java.io.File would be
+    // dead on a cluster store); rows = files, so the collect is bounded by
+    // the delta file count. Paths are kept fully qualified.
+    val srcP = new Path(srcDir)
+    val srcFs = srcP.getFileSystem(hconf)
+    val listed = srcFs.listStatus(srcP)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".csv"))
+      .map(_.getPath.toString).toSeq
     val freshPaths = Ops.antiJoinLedger(listed.toDF("path"), ledger, "path")
       .as[String].collect().sorted.toSeq
     if (freshPaths.isEmpty) return
 
-    val fresh = transformPaths(spark, freshPaths)
-      .dropDuplicates("date_time")
+    val fresh = dedupPk(transformPaths(spark, freshPaths))
       .withColumn("date", to_date(col("date_time")))
 
-    fresh
+    // cross-batch PK scope derived from the FILENAMES (metadata, no data
+    // scan): every surviving row's date is its file's date
+    val batchDates = freshPaths
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(_.matches(Schemas.filenameRegex))
+      .flatMap(n => scala.util.Try(java.sql.Date.valueOf(n.substring(7, 17))).toOption)
+
+    antiJoinSinkDates(spark, fresh, sinkPath, batchDates)
       .select((Schemas.sinkCols :+ "date").map(col): _*)
       // cluster by the partition column: one writer task per date instead
       // of tasks × dates small files
       .repartition(col("date"))
       .write.mode("append").partitionBy("date").parquet(sinkPath)
 
+    // swap: the NEW ledger is fully written before the old one is touched,
+    // and both steps throw on failure — a silently-lost ledger would make
+    // the next backfill reprocess everything
+    val tmpP = new Path(ledgerPath + ".tmp")
     Ops.ledgerAppend(ledger, freshPaths.toDF("path"))
-      .write.mode("overwrite").parquet(ledgerPath + ".tmp")
-    // atomic-ish swap so a crash mid-write never truncates the ledger
-    val tmp = new java.io.File(ledgerPath + ".tmp")
-    val dst = new java.io.File(ledgerPath)
-    if (dst.exists()) { org.apache.commons.io.FileUtils.deleteDirectory(dst) }
-    tmp.renameTo(dst)
+      .write.mode("overwrite").parquet(tmpP.toString)
+    if (ledgerFs.exists(ledgerP) && !ledgerFs.delete(ledgerP, true))
+      throw new java.io.IOException(s"failed to delete old ledger at $ledgerP")
+    if (!ledgerFs.rename(tmpP, ledgerP))
+      throw new java.io.IOException(s"failed to move new ledger $tmpP -> $ledgerP")
   }
 }

@@ -182,6 +182,70 @@ object GraftHash {
   }
 }
 
+/** Driver-built IVF centroid index: K cell ids + quantised centroid vectors
+  * + centroid norms. Shipped to executors ONCE per stage inside the task
+  * binary (codegen references it via addReferenceObj), so plan size,
+  * analysis time and generated code are all independent of K — unlike
+  * inlining K struct literals into the expression tree, which collapses at
+  * the K≈10⁴⁺ a 100 TB corpus needs. */
+final class IvfIndex(
+    val cids: Array[Long],
+    val cqvs: Array[Array[Long]],
+    val cnrms: Array[Long]) extends Serializable {
+  require(cids.length == cqvs.length && cids.length == cnrms.length)
+
+  /** Top-n cell ids by (cosine desc, cid asc) — the same double dag as
+    * CrossFns.qcosine (dot / (sqrt(nrm) * sqrt(cnrm))) on int64-exact
+    * operands, so ordering is bit-identical to the SQL oracle's
+    * row_number() OVER (ORDER BY ccos DESC, cid). */
+  def topCells(qv: ArrayData, nrm: Long, n: Int): ArrayData = {
+    val k = cids.length
+    val cos = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val cq = cqvs(i)
+      val m = math.min(cq.length, qv.numElements())
+      var dot = 0L
+      var j = 0
+      while (j < m) {
+        if (!qv.isNullAt(j)) dot += qv.getLong(j) * cq(j)
+        j += 1
+      }
+      cos(i) = dot.toDouble / (math.sqrt(nrm.toDouble) * math.sqrt(cnrms(i).toDouble))
+      i += 1
+    }
+    val idx = Array.range(0, k).sortWith { (a, b) =>
+      if (cos(a) != cos(b)) cos(a) > cos(b) else cids(a) < cids(b)
+    }
+    val out = new Array[Long](math.min(n, k))
+    i = 0
+    while (i < out.length) { out(i) = cids(idx(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** (qv, nrm) -> array of the index's top-`topn` cell ids for that vector.
+  * One codegen'd static call per row; the index rides the task binary, not
+  * the expression tree. */
+case class IvfCellsExpr(left: Expression, right: Expression, index: IvfIndex, topn: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf_cells needs (array<bigint>, bigint), got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(qv: Any, nrm: Any): Any =
+    index.topCells(qv.asInstanceOf[ArrayData], nrm.asInstanceOf[Long], topn)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftIvfIndex", index, classOf[IvfIndex].getName)
+    defineCodeGen(ctx, ev, (q, m) => s"$ref.topCells($q, $m, $topn)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_ivf_cells"
+}
+
 case class CharHashExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

@@ -2,6 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Session registration for the native expressions (exposed to the Column
   * API through `functions.call_function`, and to SQL by name). Idempotent;
@@ -12,6 +14,17 @@ object GraftFunctions {
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private def litLongArray(e: Expression, what: String): Array[Long] = e match {
+    case Literal(v: ArrayData, ArrayType(LongType, _)) => v.toLongArray()
+    case other => throw new IllegalArgumentException(s"$what must be an array<bigint> literal, got $other")
+  }
+
+  private def litLongMatrix(e: Expression, what: String): Array[Array[Long]] = e match {
+    case Literal(v: ArrayData, ArrayType(ArrayType(LongType, _), _)) =>
+      Array.tabulate(v.numElements())(i => v.getArray(i).toLongArray())
+    case other => throw new IllegalArgumentException(s"$what must be an array<array<bigint>> literal, got $other")
   }
 
   def register(spark: SparkSession): Unit = {
@@ -28,6 +41,17 @@ object GraftFunctions {
       exprs => QuantizeExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash60",
       exprs => SimHash60Expr(exprs.head), "built-in")
+    // graft_ivf_cells(qv, nrm, cids_lit, cqvs_lit, cnrms_lit, n_lit): the
+    // three centroid literals are unpacked ONCE here into a driver-side
+    // IvfIndex; the expression tree keeps only (qv, nrm) children.
+    reg.createOrReplaceTempFunction("graft_ivf_cells",
+      exprs => IvfCellsExpr(
+        exprs(0), exprs(1),
+        new IvfIndex(
+          litLongArray(exprs(2), "cids"),
+          litLongMatrix(exprs(3), "cqvs"),
+          litLongArray(exprs(4), "cnrms")),
+        litInt(exprs(5), "n")), "built-in")
     reg.createOrReplaceTempFunction("graft_kmv_distinct",
       exprs => KMVDistinctAgg(exprs(0), litInt(exprs(1), "k")).toAggregateExpression(),
       "built-in")

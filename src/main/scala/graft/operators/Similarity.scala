@@ -67,31 +67,35 @@ object Similarity {
       probePred: org.apache.spark.sql.Column): DataFrame = {
     val q = quantized(emb)
 
-    // "Training": centroids live on the driver (8 × dim longs — the same
-    // place a trained IVF index keeps them). Assignment is then a pure
-    // per-row expression: NO join, NO aggregation, NO shuffle — the plan
-    // audit showed the previous collect_list formulation exchanged the
-    // whole corpus.
+    // "Training": centroids live on the driver (K × dim longs — the same
+    // place a trained IVF index keeps them), then ride the task binary to
+    // executors as ONE referenced object (expressions.IvfIndex). The plan
+    // holds three array literals and a single native expression, so
+    // analysis/codegen cost is independent of K — the previous
+    // K-struct-literal formulation blew up the expression tree and
+    // generated code at the K≈10⁴⁺ a 100 TB index needs. Assignment stays
+    // a pure per-row map: NO join, NO aggregation, NO shuffle.
     val cents: Array[(Long, Seq[Long], Long)] = q.filter(col("vec_id") < numCentroids)
       .select(col("vec_id"), col("qv"), col("nrm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
 
-    val cells = array(cents.map { case (cid, cqv, cnrm) =>
-      struct(
-        qcosine(qdot(col("qv"), typedLit(cqv)), col("nrm"), lit(cnrm)).as("ccos"),
-        lit(-cid).as("ncid"))
-    }: _*)
-    val withCos = q.withColumn("sorted", reverse(array_sort(cells)))
+    val cidsL = typedLit(cents.map(_._1).toSeq)
+    val cqvsL = typedLit(cents.map(_._2).toSeq)
+    val cnrmsL = typedLit(cents.map(_._3).toSeq)
+    // top-n nearest cell ids for a vector, by (cosine desc, cid asc)
+    def cells(n: Int) =
+      call_function("graft_ivf_cells", col("qv"), col("nrm"), cidsL, cqvsL, cnrmsL, lit(n))
 
-    val assigned = withCos
-      .withColumn("cid", -col("sorted")(0).getField("ncid"))
+    val assigned = q
+      .withColumn("cid", element_at(cells(1), 1))
       .select(col("vec_id"), col("qv"), col("nrm"), col("cid"))
 
-    val probes = withCos.filter(probePred)
+    val probes = q.filter(probePred)
       .select(
         col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nrm").as("pnrm"),
-        explode(transform(slice(col("sorted"), 1, nprobe), s => -s.getField("ncid"))).as("cid"))
+        explode(cells(nprobe)).as("cid"))
 
     broadcast(probes).join(assigned, Seq("cid"))
       .filter(col("probe_id") =!= col("vec_id"))

@@ -114,40 +114,55 @@ object StreamQueries {
     spark.table(qname).orderBy("event_type")
   }
 
-  /** Streaming dedup for a document firehose: minhash signature computed
-    * map-side per micro-batch (native expression), clusters maintained as
-    * a running groupBy state — the streaming form of
-    * dedup_minhash_clusters. min(doc_id) aggregation (not dropDuplicates)
-    * keeps the surviving representative deterministic regardless of
-    * micro-batch boundaries. */
-  def streamDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** Start the scale-safe streaming dedup query over a parquet document
+    * directory: minhash signature computed map-side per micro-batch
+    * (native expression, no shuffle before the merge), per-batch clusters
+    * merged into [[ClusterStateSink]] via foreachBatch. NO complete output
+    * mode, NO memory sink: state lives in the keyed store, each trigger
+    * does batch-delta work only, and nothing is collected to the driver —
+    * the formulation that survives an unbounded firehose. min(rep)/
+    * sum(n_docs) merging keeps the representative deterministic regardless
+    * of micro-batch boundaries. */
+  private[graft] def startDedupClusterQuery(
+      spark: SparkSession,
+      src: String,
+      schema: StructType,
+      checkpoint: String,
+      stateRoot: String,
+      maxFilesPerTrigger: Int = 2): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.CrossFns._
+    val sigs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        array_join(transform(
+          minhashSig(col("hs"), graft.operators.Dedup.NumHashes),
+          v => v.cast("string")), ",").as("sig"))
+    sigs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(ClusterStateSink.merge(stateRoot) _)
+      .start()
+  }
+
+  /** Streaming dedup for a document firehose — the streaming form of
+    * dedup_minhash_clusters, through the foreachBatch keyed-state merge
+    * ([[startDedupClusterQuery]]/[[ClusterStateSink]]). The staged corpus
+    * is split across several real micro-batches; the drained state must
+    * (and does — same oracle) equal the batch groupBy. */
+  def streamDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val src = tmpDir("streamdedup")
     val docs = tbl(spark, dir, "documents")
-    docs.write.mode("overwrite").parquet(src)
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    val stateRoot = tmpDir("streamdedupstate")
 
-    val agg = spark.readStream.schema(docs.schema).parquet(src)
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        shingleHashes(org.apache.spark.sql.functions.col("text"), 3).as("hs"))
-      .filter(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("hs")) > 0)
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.array_join(
-          org.apache.spark.sql.functions.transform(
-            minhashSig(org.apache.spark.sql.functions.col("hs"), graft.operators.Dedup.NumHashes),
-            v => v.cast("string")), ",").as("sig"))
-      .groupBy("sig")
-      .agg(
-        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("doc_id")).as("rep"),
-        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_docs"))
-
-    val qname = s"graft_sdc_${nameSeq.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory").queryName(qname).outputMode("complete")
-      .option("checkpointLocation", tmpDir("streamdedupckpt"))
-      .start()
+    val q = startDedupClusterQuery(
+      spark, src, docs.schema, tmpDir("streamdedupckpt"), stateRoot)
     q.processAllAvailable()
     q.stop()
-    spark.table(qname).select("rep", "n_docs").orderBy("rep")
+    ClusterStateSink.read(spark, stateRoot).select("rep", "n_docs").orderBy("rep")
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(

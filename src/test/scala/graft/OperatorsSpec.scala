@@ -50,6 +50,27 @@ class OperatorsSpec extends SparkSpec {
     assert(!j.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("lshClusters: band-overlap docs collapse to one representative, others singleton") {
+    val c = Dedup.lshClusters(spark, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(0L) === 3L, "docs 0,1 (all bands) and 2 (>=1 shared band) form one cluster")
+    assert(c(3L) === 1L && c(4L) === 1L, "unrelated docs stay singletons")
+    assert(c.values.sum === 5L, "every doc lands in exactly one cluster")
+  }
+
+  test("ivfTopK: plan expression count independent of K; K=256 executes") {
+    val emb = graft.queries.Staging.tbl(spark, sf, "embeddings")
+    def exprNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed
+        .map(p => p.expressions.map(e => e.collect { case x => x }.size).sum).sum
+    val p8 = Similarity.ivfTopK(emb, 5, 8, 2, col("vec_id") < 5)
+    val p64 = Similarity.ivfTopK(emb, 5, 64, 2, col("vec_id") < 5)
+    assert(exprNodes(p8) === exprNodes(p64),
+      "centroids ride the IvfIndex object, not the expression tree")
+    val r = Similarity.ivfTopK(emb, 5, 256, 2, col("vec_id") < 5)
+    assert(r.count() > 0)
+  }
+
   test("minhashSigClusters collapses identical docs into one representative") {
     val c = Dedup.minhashSigClusters(spark, docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

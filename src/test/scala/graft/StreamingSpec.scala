@@ -159,6 +159,37 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.toSeq === Seq(Sess(1L, 10L, 50L, 2L)))
   }
 
+  test("foreachBatch cluster-state merge: restart resumes mid-stream, equals batch dedup") {
+    val docs = graft.queries.Staging.tbl(spark, sf, "documents")
+    val src = Files.createTempDirectory("graft-sdc-src-").toString
+    val ckpt = Files.createTempDirectory("graft-sdc-ckpt-").toString
+    val state = Files.createTempDirectory("graft-sdc-state-").toString
+
+    // phase 1: half the corpus arrives, query drains and is STOPPED
+    docs.filter(col("doc_id") < 250).repartition(2)
+      .write.mode("overwrite").parquet(s"$src/drop1")
+    val q1 = graft.streaming.StreamQueries.startDedupClusterQuery(
+      spark, s"$src/*", docs.schema, ckpt, state)
+    q1.processAllAvailable(); q1.stop()
+
+    // phase 2: the rest lands while the query is down; restart from the
+    // same checkpoint + state root
+    docs.filter(col("doc_id") >= 250).repartition(2)
+      .write.mode("overwrite").parquet(s"$src/drop2")
+    val q2 = graft.streaming.StreamQueries.startDedupClusterQuery(
+      spark, s"$src/*", docs.schema, ckpt, state)
+    q2.processAllAvailable(); q2.stop()
+
+    val streamed = graft.streaming.ClusterStateSink.read(spark, state)
+      .select("rep", "n_docs").orderBy("rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = graft.operators.Dedup.minhashSigClusters(spark, docs)
+      .orderBy("rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed === batch,
+      "state drained across a restart must equal the batch groupBy")
+  }
+
   test("maxFilesPerTrigger bounds each micro-batch") {
     val src = Files.createTempDirectory("graft-mft-src-").toString
     val ckpt = Files.createTempDirectory("graft-mft-ckpt-").toString
