@@ -431,6 +431,75 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Quartile assignment per priority class (ntile window): equal-size
+    * rank buckets over a deterministic total order. */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+    tbl(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  /** PIVOT: daily exact-decimal value sums, one column per event type.
+    * Explicit pivot values skip the extra distinct-scan job and keep the
+    * plan one partial-aggregatable hash agg. */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(decSum2(col("value")))
+      .orderBy("day")
+
+  /** Deterministic 10% hash sample (charHash(event_id) % 10 = 0) with
+    * per-type aggregates. Reproducible sampling for pipeline debugging at
+    * scale: pure row-local predicate (pushes past the scan, retry-safe,
+    * engine-independent) — never rand(), which breaks under task retries
+    * and differs per engine. */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .filter(charHash(col("event_id").cast("string")) % 10 === 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
+      .orderBy("event_type")
+
+  /** Corpus vocabulary: top-30 tokens by collection frequency with doc
+    * frequency — the vocab builder a tokenizer-training pipeline runs.
+    * One explode + one hash agg; only 30 rows pass the rank filter. */
+  def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    toks.groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("tf").desc, col("tok"))).cast("long"))
+      .filter(col("rk") <= 30)
+      .select("rk", "tok", "tf", "df")
+      .orderBy("rk")
+  }
+
+  /** PII-style scrubbing: digit runs replaced by a placeholder (the shape
+    * of email/phone redaction) — narrow per-doc regex work, no shuffle;
+    * emits the redaction count and the scrubbed-text hash. */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_redacted"),
+        charHash(regexp_replace(col("text"), "[0-9]+", "<NUM>")).as("scrub_hash"))
+      .orderBy("doc_id")
+
+  /** Semi-structured projection: extract a JSON field from the props
+    * column (get_json_object — codegen'd, no UDF) and aggregate it. */
+  def projectJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
   /** KMV distinct sketch vs exact count: bounded-memory mergeable sketch
     * (TypedImperativeAggregate over the cross-engine hash, k=64) — the
     * estimate itself oracle-matches because the sketch is deterministic. */
@@ -580,5 +649,11 @@ object ExtQueries {
     "sketch_kmv_distinct" -> (sketchKmvDistinct _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),
+    "window_ntile" -> (windowNtile _),
+    "agg_pivot" -> (aggPivot _),
+    "sample_hash" -> (sampleHash _),
+    "text_vocab" -> (textVocab _),
+    "text_pii_scrub" -> (textPiiScrub _),
+    "project_json_extract" -> (projectJsonExtract _),
   )
 }

@@ -636,6 +636,47 @@ object Oracles {
         | strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') FROM events
         |ORDER BY "column"""".stripMargin,
 
+    "window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_pivot" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view").map { t =>
+        s" CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS $t"
+      }.mkString(",\n")
+      s"""SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+         |$cols
+         |FROM events GROUP BY day ORDER BY day""".stripMargin
+    },
+
+    "sample_hash" -> {
+      val h = ch("CAST(event_id AS VARCHAR)")
+      s"""SELECT event_type, count(*) AS n, ${decSum2("value")} AS sum_value
+         |FROM events WHERE ($h) % 10 = 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+
+    "text_vocab" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |t AS (SELECT doc_id, unnest(w) AS tok FROM w),
+         |c AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+         |r AS (SELECT *, row_number() OVER (ORDER BY tf DESC, tok) AS rk FROM c)
+         |SELECT rk, tok, tf, df FROM r WHERE rk <= 30 ORDER BY rk""".stripMargin,
+
+    "text_pii_scrub" -> {
+      val h = ch("regexp_replace(text, '[0-9]+', '<NUM>', 'g')")
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redacted,
+         | $h AS scrub_hash
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "project_json_extract" ->
+      """SELECT event_type, count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
