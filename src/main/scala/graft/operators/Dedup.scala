@@ -94,7 +94,11 @@ object Dedup {
     * iterate the doc->rep contraction, but one hop already merges every
     * bucket overlap the pair form reports. */
   def lshClusters(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // two consumers (group-rep side + join probe side): persist so the
+    // tokenize+minhash pass runs once, not twice (same policy as
+    // jaccardVerified; released by the catalog runners' clearCache)
     val bands = bandedSignatures(spark, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grpRep = bands.groupBy("band", "sig").agg(min(col("doc_id")).as("grp_rep"))
     val docRep = bands.join(grpRep, Seq("band", "sig"))
       .groupBy("doc_id").agg(min(col("grp_rep")).as("rep"))
