@@ -4,20 +4,22 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Keyed merge target for streaming dedup state — the scale-safe
-  * replacement for `complete`-mode aggregation into a memory sink (which
-  * holds every signature ever seen in executor state AND collects all of
-  * it to the driver every trigger).
+/** Generic keyed merge target for streaming aggregation state — the
+  * scale-safe replacement for `complete`-output-mode aggregation into a
+  * memory sink (which re-emits ALL state every trigger and collects it to
+  * the driver).
   *
-  * Model: signature-cluster state lives in a distributed keyed store,
-  * versioned by micro-batch id. Each foreachBatch merges the batch's
-  * clusters into the previous version and writes `state_v<batchId>`:
+  * Model: aggregate state lives in a distributed keyed store, versioned by
+  * micro-batch id. Each foreachBatch computes a PARTIAL aggregate of just
+  * its micro-batch (map-side-combine across time), then merges it into the
+  * previous version and writes `state_v<batchId>`:
   *
-  *   - per-batch work = batch delta + one keyed merge (shuffle on `sig`),
-  *     never a full re-aggregation of history on the driver;
-  *   - min(rep)/sum(n_docs) are associative-commutative, so the running
-  *     merge equals the batch groupBy over all data regardless of
-  *     micro-batch boundaries;
+  *   - per-batch work = batch delta + one keyed merge (shuffle on the
+  *     keys), never a full re-aggregation of history on the driver;
+  *   - merge functions must be associative-commutative (min / sum — exact
+  *     DECIMAL for money so cross-batch merging equals the one-shot batch
+  *     aggregate bit-for-bit; callers cast decimal partials to
+  *     decimal(38,2) so the state schema is stable across versions);
   *   - idempotent under foreachBatch's at-least-once replay: a batch
   *     replayed after a crash re-reads the SAME previous version (ids
   *     below its own) and overwrites its own output dir — the
@@ -27,7 +29,7 @@ import org.apache.spark.sql.functions._
   * (Delta/Hudi MERGE, or the reference's Postgres upsert); versioned
   * parquet is the dependency-free equivalent with the same plan shape.
   */
-object ClusterStateSink {
+object KeyedStateSink {
 
   private def versionDir(root: String, v: Long) = s"$root/state_v$v"
 
@@ -40,18 +42,23 @@ object ClusterStateSink {
       .toSeq
   }
 
-  /** foreachBatch hook: batch rows are (doc_id, sig). */
-  def merge(root: String)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val cur = batch.groupBy("sig")
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+  /** Merge a micro-batch's partial aggregate into the state. `minCols` are
+    * combined with min, `sumCols` with sum; all other columns must be
+    * keys. */
+  def merge(root: String, keys: Seq[String], minCols: Seq[String], sumCols: Seq[String])(
+      partial: DataFrame, batchId: Long): Unit = {
+    val spark = partial.sparkSession
     val prior = versions(spark, root).filter(_ < batchId)
     val merged = prior.maxOption match {
       case Some(pv) =>
-        spark.read.parquet(versionDir(root, pv)).unionByName(cur)
-          .groupBy("sig")
-          .agg(min(col("rep")).as("rep"), sum(col("n_docs")).as("n_docs"))
-      case None => cur
+        val aggs = minCols.map(c => min(col(c)).as(c)) ++ sumCols.map(c => sum(col(c)).as(c))
+        spark.read.parquet(versionDir(root, pv)).unionByName(partial)
+          .groupBy(keys.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          // sum() widens decimals / preserves longs; reselect in partial's
+          // column order and types so every version has one stable schema
+          .select(partial.columns.map(c => col(c).cast(partial.schema(c).dataType)): _*)
+      case None => partial
     }
     merged.write.mode("overwrite").parquet(versionDir(root, batchId))
     // prune: only the newest prior version can ever be replayed against
@@ -60,12 +67,27 @@ object ClusterStateSink {
       .foreach(v => fs.delete(new Path(versionDir(root, v)), true))
   }
 
+  /** Latest merged state, if any batch committed. */
+  def read(spark: SparkSession, root: String): Option[DataFrame] =
+    versions(spark, root).maxOption.map(v => spark.read.parquet(versionDir(root, v)))
+}
+
+/** The minhash-cluster dedup instance of [[KeyedStateSink]]: batch rows are
+  * (doc_id, sig); state is (sig, rep=min doc_id, n_docs=count). */
+object ClusterStateSink {
+
+  /** foreachBatch hook: batch rows are (doc_id, sig). */
+  def merge(root: String)(batch: DataFrame, batchId: Long): Unit = {
+    val partial = batch.groupBy("sig")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+    KeyedStateSink.merge(root, Seq("sig"), minCols = Seq("rep"), sumCols = Seq("n_docs"))(
+      partial, batchId)
+  }
+
   /** Latest merged state: (sig, rep, n_docs). */
   def read(spark: SparkSession, root: String): DataFrame =
-    versions(spark, root).maxOption match {
-      case Some(v) => spark.read.parquet(versionDir(root, v))
-      case None =>
-        import spark.implicits._
-        Seq.empty[(String, Long, Long)].toDF("sig", "rep", "n_docs")
+    KeyedStateSink.read(spark, root).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long, Long)].toDF("sig", "rep", "n_docs")
     }
 }

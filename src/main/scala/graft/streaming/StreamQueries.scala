@@ -5,8 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.queries.Staging._
 
-import java.util.concurrent.atomic.AtomicLong
-
 /** Structured Streaming re-expression of the reference's watchdog tail
   * (btc_etl.py:185-228). The file stream source subsumes watchdog + the
   * Redis processed-set + the backfill pass: it lists existing files on the
@@ -16,12 +14,11 @@ import java.util.concurrent.atomic.AtomicLong
   */
 object StreamQueries {
 
-  private val nameSeq = new AtomicLong(0)
-
   /** #16 stream_file_source: stage events as an 8-file CSV directory, drain
     * it through a real micro-batch streaming query (maxFilesPerTrigger=2 ->
-    * 4 micro-batches), transform rows exactly like the batch path, collect
-    * through a memory sink. */
+    * 4 micro-batches), transform rows exactly like the batch path, append
+    * into a parquet sink (NOT a memory sink — nothing is collected to the
+    * driver; the sink's file manifest gives exactly-once within the run). */
   def streamFileSource(spark: SparkSession, dir: String): DataFrame = {
     val src = tmpDir("streamsrc")
     tbl(spark, dir, "events")
@@ -36,6 +33,7 @@ object StreamQueries {
       StructField("event_id", LongType), StructField("ts_s", StringType),
       StructField("event_type", StringType), StructField("value", DoubleType)))
 
+    val out = tmpDir("streamsink")
     val stream = spark.readStream
       .option("header", "true").option("maxFilesPerTrigger", 2)
       .schema(schema)
@@ -47,71 +45,99 @@ object StreamQueries {
           .as("date_time"),
         col("event_type"), col("value"))
 
-    val qname = s"graft_sfs_${nameSeq.incrementAndGet()}"
     val q = stream.writeStream
-      .format("memory").queryName(qname).outputMode("append")
+      .format("parquet").option("path", out).outputMode("append")
       .option("checkpointLocation", tmpDir("streamckpt"))
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(qname).orderBy("event_id")
+    spark.read.parquet(out).orderBy("event_id")
   }
 
-  /** #17 stream_window_agg: event-time tumbling windows over the stream —
-    * the stateful aggregation the reference lacks (SURVEY §2.2 "Streaming").
-    * Complete output mode so every window is emitted deterministically once
-    * the bounded stream drains. */
+  /** #17 stream_window_agg: event-time tumbling-hour aggregation over the
+    * stream — the stateful aggregation the reference lacks (SURVEY §2.2
+    * "Streaming"), in the scale-safe shape: each micro-batch computes a
+    * PARTIAL (window, type) aggregate — exact DECIMAL sums — and
+    * foreachBatch merges it into the keyed versioned state
+    * ([[KeyedStateSink]]). No complete output mode: per-trigger cost is the
+    * batch delta + one keyed merge, state never transits the driver, and
+    * the cross-batch DECIMAL merge equals the one-shot batch aggregate
+    * bit-for-bit (sum is associative on exact decimals). */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     val src = tmpDir("streamwin")
-    tbl(spark, dir, "events").write.mode("overwrite").parquet(src)
-    val schema = tbl(spark, dir, "events").schema
+    val events = tbl(spark, dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    val stateRoot = tmpDir("streamwinstate")
 
-    val agg = spark.readStream.schema(schema).parquet(src)
-      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .select(
-        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
-        col("event_type"), col("n"), col("sum_value"))
-
-    val qname = s"graft_swa_${nameSeq.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory").queryName(qname).outputMode("complete")
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
       .option("checkpointLocation", tmpDir("streamwinckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_dec"))
+        KeyedStateSink.merge(stateRoot, Seq("win_start", "event_type"),
+          minCols = Nil, sumCols = Seq("n", "sum_dec"))(partial, batchId)
+      }
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(qname).orderBy("win_start", "event_type")
+
+    KeyedStateSink.read(spark, stateRoot)
+      .getOrElse { import spark.implicits._
+        Seq.empty[(String, String, Long, java.math.BigDecimal)]
+          .toDF("win_start", "event_type", "n", "sum_dec") }
+      .select(col("win_start"), col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy("win_start", "event_type")
   }
 
   /** Stream-static join: the micro-batched stream enriches each event with
     * a broadcastable static dimension (per-user profile), then aggregates —
     * the standard pattern for joining a firehose against reference data
-    * without shuffling the stream. */
+    * without shuffling the stream. Same partial-agg + keyed-merge shape as
+    * [[streamWindowAgg]]: no complete mode, no driver-side state. */
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     val src = tmpDir("streamjoin")
     val events = tbl(spark, dir, "events")
-    events.write.mode("overwrite").parquet(src)
+    events.repartition(4).write.mode("overwrite").parquet(src)
     val dim = events.groupBy("user_id")
       .agg(count(lit(1)).as("n_user_events"))
+    val stateRoot = tmpDir("streamjoinstate")
 
-    val agg = spark.readStream.schema(events.schema).parquet(src)
-      .join(broadcast(dim), Seq("user_id"))
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
-        sum(col("n_user_events")).as("sum_dim"))
-
-    val qname = s"graft_ssj_${nameSeq.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory").queryName(qname).outputMode("complete")
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
       .option("checkpointLocation", tmpDir("streamjoinckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch
+          .join(broadcast(dim), Seq("user_id"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_dec"),
+            sum(col("n_user_events")).as("sum_dim"))
+        KeyedStateSink.merge(stateRoot, Seq("event_type"),
+          minCols = Nil, sumCols = Seq("n", "sum_dec", "sum_dim"))(partial, batchId)
+      }
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(qname).orderBy("event_type")
+
+    KeyedStateSink.read(spark, stateRoot)
+      .getOrElse { import spark.implicits._
+        Seq.empty[(String, Long, java.math.BigDecimal, Long)]
+          .toDF("event_type", "n", "sum_dec", "sum_dim") }
+      .select(col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("sum_value"), col("sum_dim"))
+      .orderBy("event_type")
   }
 
   /** Start the scale-safe streaming dedup query over a parquet document
