@@ -500,6 +500,33 @@ object ExtQueries {
       .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"))
       .orderBy("event_type")
 
+  /** Per-label embedding centroids — the class-prototype computation a
+    * training-data pipeline runs (diversity balancing, nearest-class-mean
+    * filtering). posexplode the quantised vector, one hash agg on
+    * (label, pos): element-wise exact integer sums + counts; the caller
+    * divides for the mean. Scale: shuffle keys = labels × dim regardless
+    * of corpus size, with the heavy reduction done map-side by partial
+    * aggregation. */
+  def aggEmbeddingCentroid(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "embeddings")
+      .select(col("label"), posexplode(quantize(col("embedding"))).as(Seq("pos", "v")))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("v"))
+      .groupBy("label", "pos")
+      .agg(sum(col("v")).as("sum_q"), count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+
+  /** Scalar subquery through the SQL door: orders above the exact global
+    * mean price. Uncorrelated subquery → Catalyst evaluates it once and
+    * broadcasts the scalar into the filter. */
+  def sqlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.open(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** KMV distinct sketch vs exact count: bounded-memory mergeable sketch
     * (TypedImperativeAggregate over the cross-engine hash, k=64) — the
     * estimate itself oracle-matches because the sketch is deterministic. */
@@ -655,5 +682,7 @@ object ExtQueries {
     "text_vocab" -> (textVocab _),
     "text_pii_scrub" -> (textPiiScrub _),
     "project_json_extract" -> (projectJsonExtract _),
+    "agg_embedding_centroid" -> (aggEmbeddingCentroid _),
+    "sql_subquery" -> (sqlSubquery _),
   )
 }

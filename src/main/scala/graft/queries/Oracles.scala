@@ -677,6 +677,19 @@ object Oracles {
         |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "agg_embedding_centroid" ->
+      s"""WITH q AS (SELECT label, ${quant("embedding")} AS qv FROM embeddings),
+         |e AS (SELECT label, i_ - 1 AS pos, qv[i_] AS v
+         |      FROM q, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i_))
+         |SELECT label, pos, CAST(sum(v) AS BIGINT) AS sum_q, count(*) AS n
+         |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "sql_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
