@@ -63,6 +63,9 @@ object ScaleCheck {
       time("dedup_embedding_lsh", f) {
         Similarity.lshCosinePairs(v, 4, 0.4).count()
       }
+      time("dedup_embedding_clusters", f) {
+        Similarity.lshCosineClusters(v, 4, 0.4).count()
+      }
       if (f <= 4) // all-pairs baseline: deliberately quadratic
         time("dedup_embedding_allpairs", f) { Similarity.cosinePairs(v, 0.5).count() }
 

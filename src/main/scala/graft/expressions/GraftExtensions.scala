@@ -38,5 +38,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_simhash60"),
       info("graft_simhash60", "60-bit simhash of a token array"),
       (exprs: Seq[Expression]) => SimHash60Expr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_kmv_distinct"),
+      info("graft_kmv_distinct", "KMV distinct-count sketch (k minimum values)"),
+      (exprs: Seq[Expression]) => KMVDistinctAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("graft_ivf_cells"),
+      info("graft_ivf_cells", "top-n IVF cell ids for a quantised vector (centroid literals unpacked once)"),
+      (exprs: Seq[Expression]) => IvfCellsExpr(
+        exprs(0), exprs(1),
+        new IvfIndex(litLongArray(exprs(2)), litLongMatrix(exprs(3)), litLongArray(exprs(4))),
+        litInt(exprs(5)))))
+  }
+
+  private def litLongArray(e: Expression): Array[Long] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+      v.toLongArray()
+    case other => throw new IllegalArgumentException(s"expected array<bigint> literal, got $other")
+  }
+
+  private def litLongMatrix(e: Expression): Array[Array[Long]] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _), _)) =>
+      Array.tabulate(v.numElements())(i => v.getArray(i).toLongArray())
+    case other => throw new IllegalArgumentException(s"expected array<array<bigint>> literal, got $other")
   }
 }

@@ -93,17 +93,22 @@ object Dedup {
     * transitive-closure refinement (full connected components) would
     * iterate the doc->rep contraction, but one hop already merges every
     * bucket overlap the pair form reports. */
-  def lshClusters(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** Per-document cluster representative: (doc_id, rep). Docs with an
+    * empty shingle set never enter a band and are absent — callers treat
+    * them as their own representative. */
+  def lshDocReps(spark: SparkSession, docs: DataFrame): DataFrame = {
     // two consumers (group-rep side + join probe side): persist so the
     // tokenize+minhash pass runs once, not twice (same policy as
     // jaccardVerified; released by the catalog runners' clearCache)
     val bands = bandedSignatures(spark, docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grpRep = bands.groupBy("band", "sig").agg(min(col("doc_id")).as("grp_rep"))
-    val docRep = bands.join(grpRep, Seq("band", "sig"))
+    bands.join(grpRep, Seq("band", "sig"))
       .groupBy("doc_id").agg(min(col("grp_rep")).as("rep"))
-    docRep.groupBy("rep").agg(count(lit(1)).as("n_docs"))
   }
+
+  def lshClusters(spark: SparkSession, docs: DataFrame): DataFrame =
+    lshDocReps(spark, docs).groupBy("rep").agg(count(lit(1)).as("n_docs"))
 
   private def pairsFromBands(bands: DataFrame): DataFrame = {
     val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))

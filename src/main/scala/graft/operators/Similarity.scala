@@ -111,8 +111,12 @@ object Similarity {
     * from the cross-engine char hash, so buckets reproduce anywhere).
     * Vectors sharing a bucket are near-duplicate candidates — an O(n)
     * shuffle on the bucket id replaces the O(n^2) pair space. */
-  def lshBuckets(emb: DataFrame, numPlanes: Int): DataFrame = {
-    val q = quantized(emb)
+  def lshBuckets(emb: DataFrame, numPlanes: Int): DataFrame =
+    bucketsOf(quantized(emb), numPlanes)
+
+  /** Bucket id for an already-quantised frame (any extra columns pass
+    * through). */
+  private def bucketsOf(q: DataFrame, numPlanes: Int): DataFrame = {
     // plane p component i = charHash("p:i") mod 2001 - 1000 (range [-1000,1000])
     val planeComponent = (p: Int, i: org.apache.spark.sql.Column) =>
       (charHash(concat(lit(s"$p:"), i.cast("string"))) % 2001L) - 1000L
@@ -142,6 +146,44 @@ object Similarity {
         Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
+  /** Cluster-emitting embedding near-dup dedup — the scale-safe output
+    * shape for heavy duplication (the pair form below grows quadratically
+    * with duplicate multiplicity; see docs/SCALING.md). Two levels,
+    * both O(n):
+    *
+    *  1. EXACT duplicates collapse first: group by the quantised vector
+    *     itself (cluster-first, the same move simhashPairs makes) — an
+    *     f-way-replicated corpus shrinks back to its distinct vectors
+    *     before any further work, so compute AND rows-out stay flat under
+    *     duplication.
+    *  2. Star verification among distinct vectors: each is cosine-checked
+    *     against its LSH bucket's single REPRESENTATIVE (min vec_id) —
+    *     ONE exact cosine per distinct vector, never all bucket pairs.
+    *     Verified members merge into the representative's cluster
+    *     (member counts carry the exact-dup multiplicities); unverified
+    *     vectors stay singletons. Recall vs the pair form is partial for
+    *     chains a ~ b ~ c with a !~ c — the standard star-clustering
+    *     tradeoff. */
+  def lshCosineClusters(emb: DataFrame, numPlanes: Int, threshold: Double): DataFrame = {
+    val q = quantized(emb)
+      .groupBy("qv")
+      .agg(min(col("vec_id")).as("vec_id"), min(col("nrm")).as("nrm"),
+        count(lit(1)).as("n_copies"))
+    val b = bucketsOf(q, numPlanes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = b.groupBy("bucket").agg(min(col("vec_id")).as("rep"))
+    val repVecs = reps.join(
+      b.select(col("vec_id").as("rep"), col("qv").as("rqv"), col("nrm").as("rnrm")),
+      Seq("rep"))
+    b.join(repVecs, Seq("bucket"))
+      .withColumn("cosine", qcosine(qdot(col("qv"), col("rqv")), col("nrm"), col("rnrm")))
+      .withColumn("cluster",
+        when(col("vec_id") === col("rep") || col("cosine") >= threshold, col("rep"))
+          .otherwise(col("vec_id")))
+      .groupBy("cluster").agg(sum(col("n_copies")).as("n_members"))
+      .select(col("cluster").as("rep"), col("n_members"))
   }
 
   /** LSH-bucketed embedding near-dup pairs: hyperplane-sign buckets first,

@@ -56,6 +56,13 @@ object ExtQueries {
     Similarity.lshCosinePairs(tbl(spark, dir, "embeddings"), numPlanes = 4, threshold = 0.4)
       .orderBy("vec_a", "vec_b")
 
+  /** Cluster-emitting embedding dedup: one exact cosine per vector (vs its
+    * bucket representative) — rows-out flat under duplication, unlike the
+    * pair form above (see Similarity.lshCosineClusters). */
+  def dedupEmbeddingClusters(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshCosineClusters(tbl(spark, dir, "embeddings"), numPlanes = 4, threshold = 0.4)
+      .orderBy("rep")
+
   // ---- similarity search -------------------------------------------------
 
   def simsearchBruteforce(spark: SparkSession, dir: String): DataFrame =
@@ -153,6 +160,32 @@ object ExtQueries {
       .join(qualOk, Seq("doc_id"), "left_semi")
       .join(exactKeep, Seq("doc_id"), "left_semi")
       .join(nearDrop, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** The cleaning pipeline with CLUSTER-based near-dup removal — the
+    * scale-safe variant of [[pipelineTextClean]]: instead of dropping the
+    * higher doc_id of every verified Jaccard pair (pair output is
+    * quadratic under duplication), keep exactly the documents that are
+    * their own LSH cluster representative (docs with no shingles have no
+    * cluster and keep themselves). Same language/quality/exact-dedup
+    * gates; every step remains a semi/anti join or groupBy — no pair
+    * blow-up anywhere at 100 TB. */
+  def pipelineTextCleanLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val langOk = TextOps.langId(docs)
+      .filter(col("lang_guess") === "en").select("doc_id")
+    val qualOk = TextOps.qualityScore(docs)
+      .filter(col("quality") >= 0.3).select("doc_id")
+    val exactKeep = Dedup.exactGroups(docs).select("doc_id")
+    val clusterRep = Dedup.lshDocReps(spark, docs)
+    docs.select("doc_id", "n_chars")
+      .join(langOk, Seq("doc_id"), "left_semi")
+      .join(qualOk, Seq("doc_id"), "left_semi")
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(clusterRep, Seq("doc_id"), "left_outer")
+      .filter(col("rep").isNull || col("rep") === col("doc_id"))
+      .select("doc_id", "n_chars")
       .orderBy("doc_id")
   }
 
@@ -636,6 +669,8 @@ object ExtQueries {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "dedup_embedding_clusters" -> (dedupEmbeddingClusters _),
+    "pipeline_text_clean_lsh" -> (pipelineTextCleanLsh _),
     "simsearch_bruteforce" -> (simsearchBruteforce _),
     "simsearch_ivf" -> (simsearchIvf _),
     "simsearch_lsh" -> (simsearchLsh _),

@@ -316,6 +316,64 @@ object Oracles {
          |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
     },
 
+    "dedup_embedding_clusters" -> {
+      val planeComp = ch("(CAST(p AS VARCHAR) || ':' || CAST(i_ - 1 AS VARCHAR))")
+      s"""$embCtes,
+         |f2 AS (SELECT qv, min(vec_id) AS vec_id, min(nrm) AS nrm, count(*) AS n_copies
+         |       FROM f GROUP BY qv),
+         |planes AS (SELECT unnest(generate_series(0, 3)) AS p),
+         |dots AS (SELECT f2.vec_id, p,
+         |   CAST(list_sum(list_transform(generate_series(1, len(qv)),
+         |     i_ -> qv[i_] * (($planeComp) % 2001 - 1000))) AS BIGINT) AS dot
+         | FROM f2, planes),
+         |buckets AS (SELECT vec_id,
+         |   CAST(sum(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM dots GROUP BY vec_id),
+         |b AS (SELECT f2.vec_id, f2.qv, f2.nrm, f2.n_copies, buckets.bucket
+         |      FROM f2 JOIN buckets USING (vec_id)),
+         |reps AS (SELECT bucket, min(vec_id) AS rep FROM b GROUP BY bucket),
+         |rv AS (SELECT r.bucket, r.rep, rb.qv AS rqv, rb.nrm AS rnrm
+         |       FROM reps r JOIN b rb ON rb.vec_id = r.rep),
+         |m AS (SELECT x.vec_id, x.n_copies,
+         |        CASE WHEN x.vec_id = rv.rep THEN rv.rep
+         |             WHEN CAST(${qdotPair("x.qv", "rv.rqv")} AS DOUBLE) /
+         |                   (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(rv.rnrm AS DOUBLE))) >= 0.4
+         |               THEN rv.rep
+         |             ELSE x.vec_id END AS cluster
+         |      FROM b x JOIN rv ON x.bucket = rv.bucket)
+         |SELECT cluster AS rep, CAST(sum(n_copies) AS BIGINT) AS n_members
+         |FROM m GROUP BY cluster ORDER BY rep""".stripMargin
+    },
+
+    "pipeline_text_clean_lsh" ->
+      s"""$minhashCtes,
+         |grp AS (SELECT band, sig, min(doc_id) AS grp_rep FROM bands GROUP BY band, sig),
+         |docrep AS (SELECT b.doc_id, min(g.grp_rep) AS rep
+         |           FROM bands b JOIN grp g ON b.band = g.band AND b.sig = g.sig
+         |           GROUP BY b.doc_id),
+         |langok AS (SELECT doc_id FROM (
+         |    SELECT doc_id, lang, score,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+         |    FROM (SELECT doc_id, lang,
+         |            CAST(len(list_filter(w, t_ -> list_contains(lex, t_))) AS BIGINT) AS score
+         |          FROM w, $langLexSql))
+         |  WHERE rk = 1 AND score > 0 AND lang = 'en'),
+         |qualok AS (SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      (CASE WHEN len(w) = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(len(list_filter(w, t_ -> list_contains($enLex, t_))) AS DOUBLE) / CAST(len(w) AS BIGINT) END)
+         |        * CAST(0.5 AS DOUBLE)
+         |      + least(CAST(1 AS DOUBLE), CAST(CAST(len(w) AS BIGINT) AS DOUBLE) / CAST(100 AS DOUBLE)) * CAST(0.5 AS DOUBLE) AS quality
+         |    FROM w) WHERE quality >= 0.3),
+         |exactkeep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |LEFT JOIN docrep dr ON dr.doc_id = d.doc_id
+         |WHERE d.doc_id IN (SELECT doc_id FROM langok)
+         |  AND d.doc_id IN (SELECT doc_id FROM qualok)
+         |  AND d.doc_id IN (SELECT doc_id FROM exactkeep)
+         |  AND (dr.rep IS NULL OR dr.rep = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "join_range" ->
       s"""SELECT band, count(*) AS n, ${decSum2("o_totalprice")} AS revenue
          |FROM orders

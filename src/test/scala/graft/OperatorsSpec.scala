@@ -71,6 +71,19 @@ class OperatorsSpec extends SparkSpec {
     assert(r.count() > 0)
   }
 
+  test("lshCosineClusters: duplicate vectors collapse, output covers the corpus once") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),  // exact dup of 0: same bucket, cosine 1
+      (2L, Array(0.99f, 0.1f, 0.0f)), // near dup of 0
+      (3L, Array(-1.0f, 0.5f, 0.2f)), // far: singleton (or fails the rep check)
+    ).toDF("vec_id", "embedding")
+    val c = Similarity.lshCosineClusters(emb, 2, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(0L) >= 2L, "exact dup must join vec 0's cluster")
+    assert(c.values.sum === 4L, "every vector lands in exactly one cluster")
+  }
+
   test("minhashSigClusters collapses identical docs into one representative") {
     val c = Dedup.minhashSigClusters(spark, docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
