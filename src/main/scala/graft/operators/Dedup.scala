@@ -110,7 +110,12 @@ object Dedup {
   def lshClusters(spark: SparkSession, docs: DataFrame): DataFrame =
     lshDocReps(spark, docs).groupBy("rep").agg(count(lit(1)).as("n_docs"))
 
-  private def pairsFromBands(bands: DataFrame): DataFrame = {
+  private def pairsFromBands(bands0: DataFrame): DataFrame = {
+    // both self-join sides consume the banded-signature frame: persist so
+    // the tokenize+minhash pass runs once (the aliased subtrees differ, so
+    // Catalyst's ReusedExchange cannot dedupe them); released by the
+    // catalog runners' clearCache
+    val bands = bands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "sig"))
