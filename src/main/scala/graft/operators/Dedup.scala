@@ -96,19 +96,52 @@ object Dedup {
   /** Per-document cluster representative: (doc_id, rep). Docs with an
     * empty shingle set never enter a band and are absent — callers treat
     * them as their own representative. */
-  def lshDocReps(spark: SparkSession, docs: DataFrame): DataFrame = {
-    // two consumers (group-rep side + join probe side): persist so the
-    // tokenize+minhash pass runs once, not twice (same policy as
-    // jaccardVerified; released by the catalog runners' clearCache)
-    val bands = bandedSignatures(spark, docs)
+  def lshDocReps(spark: SparkSession, docs: DataFrame): DataFrame =
+    lshDocRepsFromSets(shingleSets(docs))
+
+  def lshClusters(spark: SparkSession, docs: DataFrame): DataFrame =
+    lshDocReps(spark, docs).groupBy("rep").agg(count(lit(1)).as("n_docs"))
+
+  /** VERIFIED cluster dedup — the exactness tier of [[lshClusters]], still
+    * O(total shingles) with no pair blow-up: each doc's n-gram Jaccard is
+    * computed against its cluster REPRESENTATIVE only (star verification,
+    * one intersection per doc via a co-partitioned shingle join — never
+    * all bucket pairs). Docs failing the threshold fall back to singleton
+    * clusters. The text analog of Similarity.lshCosineClusters. */
+  def jaccardClusters(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
+    val hsDf = shingleSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docRep = lshDocRepsFromSets(hsDf)
+    val sh = hsDf.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sizes = hsDf.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    val inter = docRep.filter(col("doc_id") =!= col("rep"))
+      .join(sh, Seq("doc_id"))
+      .join(sh.select(col("doc_id").as("rep"), col("h")), Seq("rep", "h"))
+      .groupBy("doc_id", "rep").agg(count(lit(1)).as("inter"))
+    val verified = docRep
+      .join(inter, Seq("doc_id", "rep"), "left_outer")
+      .join(sizes, Seq("doc_id"))
+      .join(sizes.select(col("doc_id").as("rep"), col("n").as("rn")), Seq("rep"))
+      .withColumn("jaccard",
+        coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n") + col("rn") - coalesce(col("inter"), lit(0L))))
+      .withColumn("cluster",
+        when(col("doc_id") === col("rep") || col("jaccard") >= threshold, col("rep"))
+          .otherwise(col("doc_id")))
+    verified.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+      .select(col("cluster").as("rep"), col("n_docs"))
+  }
+
+  /** [[lshDocReps]] over pre-computed shingle sets. The banded frame feeds
+    * the group-rep side and the join probe side: persist so the minhash
+    * pass runs once (released by the catalog runners' clearCache). */
+  def lshDocRepsFromSets(hsDf: DataFrame): DataFrame = {
+    val bands = bandedSignaturesFromSets(hsDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grpRep = bands.groupBy("band", "sig").agg(min(col("doc_id")).as("grp_rep"))
     bands.join(grpRep, Seq("band", "sig"))
       .groupBy("doc_id").agg(min(col("grp_rep")).as("rep"))
   }
-
-  def lshClusters(spark: SparkSession, docs: DataFrame): DataFrame =
-    lshDocReps(spark, docs).groupBy("rep").agg(count(lit(1)).as("n_docs"))
 
   private def pairsFromBands(bands0: DataFrame): DataFrame = {
     // both self-join sides consume the banded-signature frame: persist so

@@ -31,6 +31,12 @@ object ExtQueries {
   def dedupLshClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshClusters(spark, tbl(spark, dir, "documents")).orderBy("rep")
 
+  /** Verified-cluster tier: n-gram Jaccard star-verification against each
+    * doc's cluster representative — O(total shingles), no pairs (see
+    * Dedup.jaccardClusters). */
+  def dedupJaccardClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardClusters(spark, tbl(spark, dir, "documents"), 0.5).orderBy("rep")
+
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardVerified(spark, tbl(spark, dir, "documents"), 0.5)
       .orderBy("doc_a", "doc_b")
@@ -663,6 +669,7 @@ object ExtQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_lsh_clusters" -> (dedupLshClusters _),
+    "dedup_jaccard_clusters" -> (dedupJaccardClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_simhash" -> (dedupSimhash _),

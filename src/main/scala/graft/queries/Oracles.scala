@@ -216,6 +216,30 @@ object Oracles {
          |           GROUP BY b.doc_id)
          |SELECT rep, count(*) AS n_docs FROM docrep GROUP BY rep ORDER BY rep""".stripMargin,
 
+    "dedup_jaccard_clusters" ->
+      s"""$minhashCtes,
+         |grp AS (SELECT band, sig, min(doc_id) AS grp_rep FROM bands GROUP BY band, sig),
+         |docrep AS (SELECT b.doc_id, min(g.grp_rep) AS rep
+         |           FROM bands b JOIN grp g ON b.band = g.band AND b.sig = g.sig
+         |           GROUP BY b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT d.doc_id, d.rep, count(*) AS inter
+         |          FROM docrep d
+         |          JOIN sh x ON x.doc_id = d.doc_id
+         |          JOIN sh y ON y.doc_id = d.rep AND y.h = x.h
+         |          WHERE d.doc_id <> d.rep
+         |          GROUP BY d.doc_id, d.rep),
+         |v AS (SELECT d.doc_id, d.rep,
+         |        coalesce(i.inter, 0) / (sa.n + sr.n - coalesce(i.inter, 0)) AS jaccard
+         |      FROM docrep d
+         |      LEFT JOIN inter i ON i.doc_id = d.doc_id AND i.rep = d.rep
+         |      JOIN sizes sa ON sa.doc_id = d.doc_id
+         |      JOIN sizes sr ON sr.doc_id = d.rep),
+         |m AS (SELECT doc_id,
+         |        CASE WHEN doc_id = rep OR jaccard >= 0.5 THEN rep ELSE doc_id END AS cluster
+         |      FROM v)
+         |SELECT cluster AS rep, count(*) AS n_docs FROM m GROUP BY cluster ORDER BY rep""".stripMargin,
+
     "stream_dedup_clusters" ->
       s"""$minhashCtes,
          |sigs AS (SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
