@@ -138,6 +138,33 @@ object ExtQueries {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Multimodal ingestion through Spark's binaryFile source: one opaque
+    * payload file per document (staged executor-side through the Hadoop
+    * FS API — the shape of a real object-store landing zone), read back
+    * as (path, length, content binary). Only metadata and digests leave
+    * the scan; at 100 TB the content column feeds the decode batch UDFs
+    * (Multimodal) without ever being parsed by the engine. */
+  def scanBinaryfile(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("binsrc")
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    docs.repartition(8).foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      it.foreach { r =>
+        val f = new org.apache.hadoop.fs.Path(p, f"doc_${r.getLong(0)}%06d.bin")
+        val os = fs.create(f, true)
+        try os.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+      }
+    }
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("digest"))
+      .orderBy("doc_id")
+  }
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     TextOps.binaryMeta(tbl(spark, dir, "documents")).orderBy("doc_id")
 
@@ -690,6 +717,7 @@ object ExtQueries {
     "text_ngram_freq" -> (textNgramFreq _),
     "sql_api" -> (sqlApi _),
     "multimodal_meta" -> (multimodalMeta _),
+    "scan_binaryfile" -> (scanBinaryfile _),
     "pipeline_text_clean" -> (pipelineTextClean _),
     "profile_table" -> (profileTable _),
     "multimodal_decode" -> (multimodalDecode _),

@@ -57,7 +57,7 @@ object KeyedStateSink {
           .agg(aggs.head, aggs.tail: _*)
           // sum() widens decimals / preserves longs; reselect in partial's
           // column order and types so every version has one stable schema
-          .select(partial.columns.map(c => col(c).cast(partial.schema(c).dataType)): _*)
+          .select(partial.columns.toIndexedSeq.map(c => col(c).cast(partial.schema(c).dataType)): _*)
       case None => partial
     }
     merged.write.mode("overwrite").parquet(versionDir(root, batchId))
