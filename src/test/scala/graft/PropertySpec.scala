@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.CrossFns
+
+/** Property-based differential tests: seeded random inputs (reproducible)
+  * across the full unicode range and float domain, native expression vs
+  * HOF reference — plus the defined null-element semantics of the native
+  * loops (skip for set ops, zero for vector ops). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(42L))
+
+  // codepoints across ASCII, Latin-1 supplement, CJK, emoji — excluding
+  // surrogates by construction
+  private val cpGen: Gen[Int] = Gen.frequency(
+    (6, Gen.choose(0x20, 0x7e)),
+    (2, Gen.choose(0xa0, 0x2ff)),
+    (1, Gen.choose(0x4e00, 0x4fff)),
+    (1, Gen.choose(0x1f600, 0x1f64f)))
+  private val strGen: Gen[String] =
+    Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, cpGen))
+      .map(cps => cps.map(Character.toChars(_).mkString).mkString)
+
+  test("charHash: native == HOF on 300 seeded random unicode strings") {
+    val df = samples(strGen, 300).toDF("s")
+    val diff = df
+      .select(CrossFns.charHash(col("s")).as("a"), CrossFns.charHashHof(col("s")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("shingleHashes: native == HOF on random multi-word texts") {
+    val texts = samples(Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, strGen.map(_.replaceAll("\\s", "")))), 200)
+      .map(_.mkString(" "))
+    val df = texts.toDF("text")
+    val diff = df
+      .select(
+        CrossFns.shingleHashes(col("text"), 3).as("a"),
+        CrossFns.shingleHashesHof(col("text"), 3).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("quantize/qdot: native == HOF on random float vectors") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f))
+    val df = samples(Gen.zip(vecGen, vecGen), 200)
+      .map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+    val diff = df
+      .select(
+        CrossFns.qdot(CrossFns.quantize(col("a")), CrossFns.quantize(col("b"))).as("x"),
+        CrossFns.qdotHof(CrossFns.quantizeHof(col("a")), CrossFns.quantizeHof(col("b"))).as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(diff === 0)
+  }
+
+  test("null elements: set ops skip them, vector ops zero them (documented semantics)") {
+    val toks = Seq(Seq(Some("a"), None, Some("b"), Some("c"), None))
+      .toDF("arr").select(col("arr").cast("array<string>").as("arr"))
+    val skipped = toks.select(
+      call_function("graft_shingle_hashes", col("arr"), lit(2)).as("withNulls"),
+      call_function("graft_shingle_hashes",
+        filter(col("arr"), x => x.isNotNull), lit(2)).as("filtered"))
+      .head()
+    assert(skipped.getSeq[Long](0) === skipped.getSeq[Long](1),
+      "shingle hashing must equal hashing the null-filtered array")
+
+    val vec = Seq(Seq(Some(0.5f), None, Some(-0.25f)))
+      .toDF("v").select(col("v").cast("array<float>").as("v"))
+    val quantized = vec.select(
+      call_function("graft_quantize", col("v")).as("withNulls"),
+      call_function("graft_quantize",
+        transform(col("v"), x => coalesce(x, lit(0.0f)))).as("zeroed"))
+      .head()
+    assert(quantized.getSeq[Long](0) === quantized.getSeq[Long](1),
+      "quantize must treat null elements as 0 and preserve length")
+  }
+}
