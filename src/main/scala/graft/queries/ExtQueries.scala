@@ -226,6 +226,43 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the training-data staple: drop every
+    * corpus document sharing ANY word n-gram with a held-out benchmark
+    * set (stand-in here: every 100th document). Both sides reduce to
+    * shingle-hash tables; contamination is one distinct semi-join on the
+    * hash — no pairwise comparison, no text re-reads. At 100 TB the
+    * benchmark side is tiny and broadcasts; the corpus side is the same
+    * map-side shingle pass the dedup family shares. */
+  def pipelineDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val sh = Dedup.shingleTable(docs)
+    val benchShingles = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("h")).distinct()
+    val contaminated = sh
+      .join(broadcast(benchShingles), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    docs.select("doc_id", "source", "n_chars")
+      .filter(col("doc_id") % 100 =!= 0) // the benchmark docs themselves
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** Per-source stratified sampling — domain reweighting for a training
+    * mix: each source keeps a deterministic hash-fraction of its docs
+    * (src0..src9 -> 100%, src10..src14 -> 50%, rest -> 10%). Pure
+    * row-local predicate (charHash mod 100 vs the source's weight): pushes
+    * to the scan, retry-safe, engine-reproducible — never rand(). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val weight = when(regexp_extract(col("source"), "^src(\\d+)$", 1).cast("int") < 10, lit(100))
+      .when(regexp_extract(col("source"), "^src(\\d+)$", 1).cast("int") < 15, lit(50))
+      .otherwise(lit(10))
+    tbl(spark, dir, "documents")
+      .filter(charHash(col("doc_id").cast("string")) % 100 < weight)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** Column-level profile of the events table: null/distinct counts and
     * formatted min/max — the data-quality sweep run before any training
     * job. ONE scan: all 20 aggregates (4 per column) computed in a single
@@ -549,6 +586,25 @@ object ExtQueries {
       .orderBy("rk")
   }
 
+  /** The first BPE merge iteration of tokenizer training: corpus-wide
+    * adjacent-symbol (character-pair) frequencies within words, top-20 —
+    * the argmax of this table IS the first merge rule a BPE trainer
+    * learns. Explode + one hash-partitioned count; rank passes 20 rows. */
+  def textBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = tbl(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+    val pairs = words.filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => substr(col("w"), i, lit(2)))).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("pair"))).cast("long"))
+      .filter(col("rk") <= 20)
+      .select("rk", "pair", "n")
+      .orderBy("rk")
+  }
+
   /** PII-style scrubbing: digit runs replaced by a placeholder (the shape
     * of email/phone redaction) — narrow per-doc regex work, no shuffle;
     * emits the redaction count and the scrubbed-text hash. */
@@ -709,6 +765,8 @@ object ExtQueries {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_embedding_clusters" -> (dedupEmbeddingClusters _),
     "pipeline_text_clean_lsh" -> (pipelineTextCleanLsh _),
+    "pipeline_decontaminate" -> (pipelineDecontaminate _),
+    "sample_stratified" -> (sampleStratified _),
     "simsearch_bruteforce" -> (simsearchBruteforce _),
     "simsearch_ivf" -> (simsearchIvf _),
     "simsearch_lsh" -> (simsearchLsh _),
@@ -755,6 +813,7 @@ object ExtQueries {
     "sample_hash" -> (sampleHash _),
     "text_vocab" -> (textVocab _),
     "text_pii_scrub" -> (textPiiScrub _),
+    "text_bpe_pairs" -> (textBpePairs _),
     "project_json_extract" -> (projectJsonExtract _),
     "agg_embedding_centroid" -> (aggEmbeddingCentroid _),
     "sql_subquery" -> (sqlSubquery _),

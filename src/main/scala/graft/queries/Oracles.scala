@@ -647,6 +647,16 @@ object Oracles {
          |   (a2_, h2_) -> (a2_*1000003 + h2_) % 1000000007) AS fp
          |FROM (SELECT doc_id, ${tok("text")} AS w FROM documents) ORDER BY doc_id""".stripMargin,
 
+    "text_bpe_pairs" ->
+      s"""WITH w AS (SELECT ${tok("text")} AS w FROM documents),
+         |wd AS (SELECT unnest(w) AS word FROM w),
+         |p AS (SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+         |        i_ -> substring(word, i_, 2))) AS pair
+         |      FROM wd WHERE length(word) >= 2),
+         |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair),
+         |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, pair) AS rk FROM c)
+         |SELECT rk, pair, n FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
     "text_ngram_freq" ->
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
          |bg AS (SELECT unnest(CASE WHEN len(w) >= 2
@@ -697,6 +707,26 @@ object Oracles {
          |  AND d.doc_id IN (SELECT doc_id FROM exactkeep)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM neardrop)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "pipeline_decontaminate" ->
+      s"""$minhashCtes,
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 100 = 0),
+         |cont AS (SELECT DISTINCT doc_id FROM sh WHERE h IN (SELECT h FROM bench))
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id % 100 <> 0
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "sample_stratified" -> {
+      val h = ch("CAST(doc_id AS VARCHAR)")
+      s"""SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE ($h) % 100 <
+         |  CASE WHEN CAST(regexp_extract(source, '^src(\\d+)$$', 1) AS INTEGER) < 10 THEN 100
+         |       WHEN CAST(regexp_extract(source, '^src(\\d+)$$', 1) AS INTEGER) < 15 THEN 50
+         |       ELSE 10 END
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "profile_table" ->
       """SELECT 'event_id' AS "column", count(CASE WHEN event_id IS NULL THEN 1 END) AS n_null,
