@@ -511,6 +511,19 @@ object ExtQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Typed custom aggregation (Dataset Aggregator API): exact-decimal mean
+    * per event type through a type-safe buffer — see
+    * operators.ExactMeanAgg for the determinism contract. */
+  def typedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tbl(spark, dir, "events")
+      .select(col("event_type"), col("value")).as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(graft.operators.ExactMeanAgg.toColumn.name("mean_value"))
+      .toDF("event_type", "mean_value")
+      .orderBy("event_type")
+  }
+
   /** Explicit GROUPING SETS: the two marginals without the full cube. */
   def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "events")
@@ -526,6 +539,48 @@ object ExtQueries {
         coalesce(col("user_id").cast("string"), lit("(all)")).as("user_id"),
         col("g_t"), col("g_u"), col("n"), col("sum_value"))
       .orderBy("event_type", "user_id")
+
+  /** RANGE window frame: per-user sum of the last 30 event-time minutes —
+    * a time-based sliding frame (rangeBetween on the µs epoch), vs the
+    * row-count frames elsewhere in the catalog. Peers with equal order
+    * values are included together in both engines, so ties stay
+    * deterministic. */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-1800L * 1000000L, 0)
+    tbl(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_30m"))
+      .orderBy("event_id")
+  }
+
+  /** Pearson correlation from EXACT sums: Spark's corr() accumulates
+    * doubles (partition-order-dependent), so the moments are computed as
+    * exact decimal sums instead and the correlation is one deterministic
+    * double dag over identical operands in both engines. */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame = {
+    val qd = col("l_quantity").cast("decimal(18,2)")
+    val pd = col("l_extendedprice").cast("decimal(18,2)")
+    tbl(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(qd).cast("double").as("sx"),
+        sum(pd).cast("double").as("sy"),
+        sum(qd * pd).cast("double").as("sxy"),
+        sum(qd * qd).cast("double").as("sxx"),
+        sum(pd * pd).cast("double").as("syy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        // the moment sums exceed 2^53, so their decimal->double conversion
+        // can differ by one ULP between engines; rounding to 9 decimals
+        // absorbs that (far beyond any statistical meaning of corr)
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9).as("corr"))
+      .orderBy("l_returnflag")
+  }
 
   /** lead/lag analytics: per-user deltas between consecutive events. */
   def windowLeadLag(spark: SparkSession, dir: String): DataFrame = {
@@ -817,5 +872,9 @@ object ExtQueries {
     "project_json_extract" -> (projectJsonExtract _),
     "agg_embedding_centroid" -> (aggEmbeddingCentroid _),
     "sql_subquery" -> (sqlSubquery _),
+    "window_range_frame" -> (windowRangeFrame _),
+    "agg_corr" -> (aggCorr _),
+    "typed_agg" -> (typedAgg _),
+    "stream_sessionize" -> (graft.streaming.SessionizeStream.run _),
   )
 }

@@ -473,6 +473,44 @@ object Oracles {
         | strftime(max(tsu), '%Y-%m-%d %H:%M:%S') AS end_s
         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
+    "window_range_frame" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |   RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30m
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "agg_corr" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "typed_agg" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_sessionize" ->
+      """WITH b AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |l AS (SELECT *, lag(epoch_us(tsu)) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_us FROM b),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(tsu) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s FROM l),
+        |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s),
+        |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+        |    strftime(min(tsu), '%Y-%m-%d %H:%M:%S') AS start_s,
+        |    strftime(max(tsu), '%Y-%m-%d %H:%M:%S') AS end_s
+        |  FROM g GROUP BY user_id, session_id)
+        |SELECT user_id, session_id, n_events, start_s, end_s FROM sess x
+        |WHERE session_id < (SELECT max(session_id) FROM sess y WHERE y.user_id = x.user_id)
+        |ORDER BY user_id, session_id""".stripMargin,
+
     "agg_rollup" ->
       s"""SELECT coalesce(o_orderpriority, '(all)') AS priority,
          | coalesce(o_orderstatus, '(all)') AS status,
