@@ -472,6 +472,15 @@ object ExtQueries {
       .orderBy("user_id")
   }
 
+  /** UNION (distinct): users who clicked or purchased. */
+  def setopUnion(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+    e.filter(col("event_type") === "click").select("user_id")
+      .union(e.filter(col("event_type") === "purchase").select("user_id"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
   /** CUBE over two dimensions: all 4 grouping combinations in one pass. */
   def aggCube(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "events")
@@ -854,6 +863,7 @@ object ExtQueries {
     "topk_orders" -> (topkOrders _),
     "setop_except" -> (setopExcept _),
     "setop_intersect" -> (setopIntersect _),
+    "setop_union" -> (setopUnion _),
     "agg_rollup" -> (aggRollup _),
     "agg_cube" -> (aggCube _),
     "agg_grouping_sets" -> (aggGroupingSets _),

@@ -511,6 +511,12 @@ object Oracles {
         |WHERE session_id < (SELECT max(session_id) FROM sess y WHERE y.user_id = x.user_id)
         |ORDER BY user_id, session_id""".stripMargin,
 
+    "setop_union" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
     "agg_rollup" ->
       s"""SELECT coalesce(o_orderpriority, '(all)') AS priority,
          | coalesce(o_orderstatus, '(all)') AS status,

@@ -55,19 +55,19 @@ object SessionizeStream {
     val src = tmpDir("streamsess")
     val events = tbl(spark, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
-    // stage four chronological chunks (ntile over the global time order —
+    // stage two chronological chunks (ntile over the global time order —
     // staging harness only) and PIN ascending modification times: the file
     // source orders new files by (modTime, path), so pickup = event-time
     // order, which is the operator's ordered-log assumption
     val bucketed = events.withColumn("b",
-      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("us"), col("event_id"))))
-    for (i <- 1 to 4)
+      ntile(2).over(org.apache.spark.sql.expressions.Window.orderBy(col("us"), col("event_id"))))
+    for (i <- 1 to 2)
       bucketed.filter(col("b") === i).drop("b")
         .coalesce(1).write.mode("overwrite").parquet(s"$src/b$i")
     val fs = new org.apache.hadoop.fs.Path(src)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val t0 = System.currentTimeMillis() - 3600000L
-    for (i <- 1 to 4) {
+    for (i <- 1 to 2) {
       val d = new org.apache.hadoop.fs.Path(s"$src/b$i")
       fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
         .foreach(st => fs.setTimes(st.getPath, t0 + i * 60000L, -1))
