@@ -43,6 +43,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("profile_table reads the events table exactly once (single-pass profiler)") {
+    val plan = formatted(graft.queries.ExtQueries.profileTable(spark, sf))
+    // formatted mode prints each node twice (tree + detail) -> 2 per scan
+    val scans = "Scan parquet".r.findAllIn(plan).length / 2
+    assert(scans === 1, s"profiler must be one scan, found $scans in:\n$plan")
+  }
+
+  test("agg_pivot is a single scan (explicit pivot values, no distinct pre-pass)") {
+    val plan = formatted(graft.queries.ExtQueries.aggPivot(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(plan).length / 2
+    assert(scans === 1, s"pivot must not rescan for values, found $scans in:\n$plan")
+  }
+
+  test("decontamination broadcasts the benchmark shingle set") {
+    val plan = formatted(graft.queries.ExtQueries.pipelineDecontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark-shingle semi-join should broadcast:\n$plan")
+  }
+
   test("date-partitioned sink read prunes partitions") {
     val out = java.nio.file.Files.createTempDirectory("graft-prune-").toString
     graft.queries.Staging.tbl(spark, sf, "events")
