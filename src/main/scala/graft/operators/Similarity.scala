@@ -106,6 +106,64 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
   }
 
+  /** IVF with DETERMINISTIC k-means training: Lloyd iterations on exact
+    * integer arithmetic. Initial centroids = the first K corpus vectors;
+    * each iteration assigns every vector to its nearest centroid (the same
+    * native top-cells expression the probe path uses — one map-side pass)
+    * and recomputes each centroid as the TRUNCATED integer mean per
+    * dimension (int64 `s/n`, identical to DuckDB's `//` — float means
+    * would be accumulation-order-dependent and engine-specific). Empty
+    * cells keep their previous centroid. The driver holds K×dim longs per
+    * iteration — the footprint of any k-means trainer; cluster-side work
+    * per iteration is one assignment pass + one (cid, pos) hash agg, both
+    * linear in the corpus. */
+  def ivfTrainedTopK(emb: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
+      iterations: Int, probePred: org.apache.spark.sql.Column): DataFrame = {
+    val q = quantized(emb)
+    var cents: Array[(Long, Array[Long], Long)] = q.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id"), col("qv"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, qv, nrm), i) => (i.toLong, qv, nrm) }
+
+    def cellsExpr(n: Int) = call_function("graft_ivf_cells", col("qv"), col("nrm"),
+      typedLit(cents.map(_._1).toSeq), typedLit(cents.map(_._2.toSeq).toSeq),
+      typedLit(cents.map(_._3).toSeq), lit(n))
+
+    for (_ <- 1 to iterations) {
+      val sums = q.withColumn("cid", element_at(cellsExpr(1), 1))
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val byCid = sums.groupBy(_._1)
+      cents = cents.map { case (cid, prev, prevNrm) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val c = prev.clone()
+            rows.foreach { case (_, pos, s, n) => c(pos) = s / n }
+            (cid, c, c.map(x => x * x).sum)
+          case None => (cid, prev, prevNrm) // empty cell: centroid unchanged
+        }
+      }
+    }
+
+    val assigned = q
+      .withColumn("cid", element_at(cellsExpr(1), 1))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cid"))
+    val probes = q.filter(probePred)
+      .select(
+        col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nrm").as("pnrm"),
+        explode(cellsExpr(nprobe)).as("cid"))
+    broadcast(probes).join(assigned, Seq("cid"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of dot products with
     * NumPlanes deterministic pseudo-random hyperplanes (components derived
     * from the cross-engine char hash, so buckets reproduce anywhere).

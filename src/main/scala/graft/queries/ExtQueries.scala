@@ -81,6 +81,13 @@ object ExtQueries {
       nprobe = 2, probePred = col("vec_id") < 5)
       .orderBy("probe_id", "rk")
 
+  /** IVF after one deterministic k-means iteration (Lloyd on exact integer
+    * means) — the full train -> index -> probe pipeline. */
+  def simsearchIvfTrained(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTrainedTopK(tbl(spark, dir, "embeddings"), k = 5, numCentroids = 8,
+      nprobe = 2, iterations = 1, probePred = col("vec_id") < 5)
+      .orderBy("probe_id", "rk")
+
   /** LSH-bucket ANN: probes scan only their hyperplane bucket (4 planes). */
   def simsearchLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(tbl(spark, dir, "embeddings"), numPlanes = 4, k = 5,
@@ -833,6 +840,7 @@ object ExtQueries {
     "sample_stratified" -> (sampleStratified _),
     "simsearch_bruteforce" -> (simsearchBruteforce _),
     "simsearch_ivf" -> (simsearchIvf _),
+    "simsearch_ivf_trained" -> (simsearchIvfTrained _),
     "simsearch_lsh" -> (simsearchLsh _),
     "text_lang_id" -> (textLangId _),
     "text_lang_id_ngram" -> (textLangIdNgram _),

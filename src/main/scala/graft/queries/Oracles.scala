@@ -462,6 +462,39 @@ object Oracles {
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM scored)
          |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
 
+    "simsearch_ivf_trained" ->
+      s"""$embCtes,
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv, nrm AS cnrm
+         |       FROM f WHERE vec_id < 8),
+         |cc0 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         |  FROM f v, c0 c),
+         |a0 AS (SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc0)
+         |  WHERE crk = 1),
+         |sums AS (SELECT cid, i_ - 1 AS pos, CAST(sum(qv[i_]) AS BIGINT) AS s, count(*) AS n
+         |         FROM a0, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i_)
+         |         GROUP BY cid, i_),
+         |cm AS (SELECT cid, list(s // n ORDER BY pos) AS cqv FROM sums GROUP BY cid),
+         |c1 AS (SELECT c0.cid, coalesce(cm.cqv, c0.cqv) AS cqv FROM c0 LEFT JOIN cm USING (cid)),
+         |c1n AS (SELECT cid, cqv,
+         |          CAST(list_sum(list_transform(cqv, x_ -> x_*x_)) AS BIGINT) AS cnrm FROM c1),
+         |cc1 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         |  FROM f v, c1n c),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc1),
+         |assigned AS (SELECT vec_id, qv, nrm, cid FROM ranked WHERE crk = 1),
+         |probecells AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm, cid
+         |               FROM ranked WHERE vec_id < 5 AND crk <= 2),
+         |scored AS (SELECT p.probe_id, a.vec_id,
+         |   CAST(${qdotPair("p.pqv", "a.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.pnrm AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cosine
+         | FROM probecells p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+         |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
     "window_sessionize" ->
       """WITH b AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
         |l AS (SELECT *, lag(epoch_us(tsu)) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_us FROM b),
