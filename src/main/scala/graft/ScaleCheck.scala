@@ -61,6 +61,9 @@ object ScaleCheck {
       time("simsearch_ivf_top5", f) {
         Similarity.ivfTopK(v, 5, 8, 2, col("vec_id") < 5).count()
       }
+      time("simsearch_ivf_trained", f) {
+        Similarity.ivfTrainedTopK(v, 5, 8, 2, 1, col("vec_id") < 5).count()
+      }
       time("dedup_embedding_lsh", f) {
         Similarity.lshCosinePairs(v, 4, 0.4).count()
       }
