@@ -688,6 +688,22 @@ object ExtQueries {
         charHash(regexp_replace(col("text"), "[0-9]+", "<NUM>")).as("scrub_hash"))
       .orderBy("doc_id")
 
+  /** MapType round trip: parse the JSON props column into a typed
+    * map<string,bigint> (from_json) and project map operations — key
+    * cardinality and a keyed lookup. Row-local, codegen'd, no UDF. */
+  def projectMapProps(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .filter(col("props").isNotNull)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType)).as("m"))
+      .select(
+        col("event_id"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"),
+        element_at(col("m"), "k").as("k_val"))
+      .orderBy("event_id")
+
   /** Semi-structured projection: extract a JSON field from the props
     * column (get_json_object — codegen'd, no UDF) and aggregate it. */
   def projectJsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -888,6 +904,7 @@ object ExtQueries {
     "text_pii_scrub" -> (textPiiScrub _),
     "text_bpe_pairs" -> (textBpePairs _),
     "project_json_extract" -> (projectJsonExtract _),
+    "project_map_props" -> (projectMapProps _),
     "agg_embedding_centroid" -> (aggEmbeddingCentroid _),
     "sql_subquery" -> (sqlSubquery _),
     "window_range_frame" -> (windowRangeFrame _),

@@ -861,6 +861,12 @@ object Oracles {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    "project_map_props" ->
+      """SELECT event_id,
+        | CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        | CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+        |FROM events WHERE props IS NOT NULL ORDER BY event_id""".stripMargin,
+
     "project_json_extract" ->
       """SELECT event_type, count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
