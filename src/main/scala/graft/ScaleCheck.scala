@@ -53,6 +53,7 @@ object ScaleCheck {
       time("dedup_minhash_candidates", f) { Dedup.minhashCandidates(spark, d).count() }
       time("dedup_lsh_clusters", f) { Dedup.lshClusters(spark, d).count() }
       time("dedup_jaccard_clusters", f) { Dedup.jaccardClusters(spark, d, 0.5).count() }
+      time("dedup_cc_clusters", f) { Dedup.ccClusters(spark, d, 3).count() }
       time("dedup_jaccard_verified", f) { Dedup.jaccardVerified(spark, d, 0.5).count() }
       time("dedup_simhash_pairs", f) { Dedup.simhashPairs(spark, d, 6).count() }
       time("dedup_exact", f) { Dedup.exactGroups(d).count() }

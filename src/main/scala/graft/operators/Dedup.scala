@@ -102,6 +102,25 @@ object Dedup {
   def lshClusters(spark: SparkSession, docs: DataFrame): DataFrame =
     lshDocReps(spark, docs).groupBy("rep").agg(count(lit(1)).as("n_docs"))
 
+  /** Connected-components dedup clusters: the [[lshClusters]] one-hop
+    * contraction followed by `rounds` POINTER-JUMPING steps
+    * (rep <- rep(rep)) — each round doubles the resolved chain length, so
+    * r rounds merge transitive near-dup chains up to 2^r hops (a-b share
+    * band 1, b-c share band 2, ... — the case the one-hop form splits).
+    * Exact CC for any corpus whose chains are shorter; bounded-iteration
+    * label contraction is the standard big-data CC scheme. Every round is
+    * a join on the tiny (doc, rep) mapping — document payloads are never
+    * touched after the first shingle pass. */
+  def ccClusters(spark: SparkSession, docs: DataFrame, rounds: Int = 3): DataFrame = {
+    var m = lshDocReps(spark, docs)
+    for (_ <- 1 to rounds) {
+      val parent = m.select(col("doc_id").as("rep"), col("rep").as("rep2"))
+      m = m.join(parent, Seq("rep"), "left")
+        .select(col("doc_id"), coalesce(col("rep2"), col("rep")).as("rep"))
+    }
+    m.groupBy("rep").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** VERIFIED cluster dedup — the exactness tier of [[lshClusters]], still
     * O(total shingles) with no pair blow-up: each doc's n-gram Jaccard is
     * computed against its cluster REPRESENTATIVE only (star verification,

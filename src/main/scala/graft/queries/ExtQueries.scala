@@ -31,6 +31,12 @@ object ExtQueries {
   def dedupLshClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshClusters(spark, tbl(spark, dir, "documents")).orderBy("rep")
 
+  /** Connected-components clusters: 3 pointer-jumping rounds on top of the
+    * band contraction — merges transitive near-dup chains up to 8 hops
+    * (see Dedup.ccClusters). */
+  def dedupCcClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ccClusters(spark, tbl(spark, dir, "documents"), rounds = 3).orderBy("rep")
+
   /** Verified-cluster tier: n-gram Jaccard star-verification against each
     * doc's cluster representative — O(total shingles), no pairs (see
     * Dedup.jaccardClusters). */
@@ -844,6 +850,7 @@ object ExtQueries {
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_lsh_clusters" -> (dedupLshClusters _),
     "dedup_jaccard_clusters" -> (dedupJaccardClusters _),
+    "dedup_cc_clusters" -> (dedupCcClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_simhash" -> (dedupSimhash _),

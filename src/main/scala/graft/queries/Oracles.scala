@@ -216,6 +216,20 @@ object Oracles {
          |           GROUP BY b.doc_id)
          |SELECT rep, count(*) AS n_docs FROM docrep GROUP BY rep ORDER BY rep""".stripMargin,
 
+    "dedup_cc_clusters" ->
+      s"""$minhashCtes,
+         |grp AS (SELECT band, sig, min(doc_id) AS grp_rep FROM bands GROUP BY band, sig),
+         |d0 AS (SELECT b.doc_id, min(g.grp_rep) AS rep
+         |       FROM bands b JOIN grp g ON b.band = g.band AND b.sig = g.sig
+         |       GROUP BY b.doc_id),
+         |d1 AS (SELECT d.doc_id, coalesce(p.rep2, d.rep) AS rep FROM d0 d
+         |       LEFT JOIN (SELECT doc_id AS rep, rep AS rep2 FROM d0) p ON p.rep = d.rep),
+         |d2 AS (SELECT d.doc_id, coalesce(p.rep2, d.rep) AS rep FROM d1 d
+         |       LEFT JOIN (SELECT doc_id AS rep, rep AS rep2 FROM d1) p ON p.rep = d.rep),
+         |d3 AS (SELECT d.doc_id, coalesce(p.rep2, d.rep) AS rep FROM d2 d
+         |       LEFT JOIN (SELECT doc_id AS rep, rep AS rep2 FROM d2) p ON p.rep = d.rep)
+         |SELECT rep, count(*) AS n_docs FROM d3 GROUP BY rep ORDER BY rep""".stripMargin,
+
     "dedup_jaccard_clusters" ->
       s"""$minhashCtes,
          |grp AS (SELECT band, sig, min(doc_id) AS grp_rep FROM bands GROUP BY band, sig),

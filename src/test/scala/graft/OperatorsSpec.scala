@@ -71,6 +71,15 @@ class OperatorsSpec extends SparkSpec {
     assert(r.count() > 0)
   }
 
+  test("ccClusters coarsens lshClusters and still covers every doc once") {
+    val cc = Dedup.ccClusters(spark, docs, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.sum === 5L, "every doc in exactly one component")
+    assert(cc(0L) >= 3L, "docs 0,1,2 stay merged")
+    val oneHop = Dedup.lshClusters(spark, docs).collect().length
+    assert(cc.size <= oneHop, "pointer jumping can only merge clusters, never split")
+  }
+
   test("lshCosineClusters: duplicate vectors collapse, output covers the corpus once") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
