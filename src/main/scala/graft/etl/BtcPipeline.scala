@@ -20,7 +20,30 @@ import org.apache.spark.sql.functions._
   *   - the sink partitions by date, so downstream reads prune by time like
   *     the reference's TimescaleDB hypertable (btc_etl.py:99-101).
   */
+/** Where a batch of sink-shaped rows lands: the date-partitioned parquet
+  * lake (oracle-verified default) or the reference's actual target, a JDBC
+  * table (btc_etl.py:179-180) — selected per call, mirroring the
+  * reference's DB_URI-driven configuration (EtlConfig.jdbcOptions builds
+  * the JDBC form from the same env vars). */
+sealed trait SinkTarget
+final case class ParquetSink(path: String) extends SinkTarget
+final case class JdbcTarget(options: graft.sources.JdbcSink.JdbcOptions) extends SinkTarget
+
 object BtcPipeline {
+
+  /** Sink dispatch for a transformed batch. Parquet: clustered
+    * date-partitioned append (one writer per date). JDBC: batched inserts
+    * through the pooled writer; PK enforcement is the database's
+    * (btc_etl.py:74), so no anti-join is needed on that path. */
+  def appendBatch(df: DataFrame, target: SinkTarget): Unit = target match {
+    case ParquetSink(path) =>
+      df.withColumn("date", to_date(col("date_time")))
+        .select((Schemas.sinkCols :+ "date").map(col): _*)
+        .repartition(col("date"))
+        .write.mode("append").partitionBy("date").parquet(path)
+    case JdbcTarget(o) =>
+      graft.sources.JdbcSink.append(df, o)
+  }
 
   /** Scan + validate + transform: the per-file ETL (btc_etl.py:150-176).
     * Returns the sink-shaped frame (date_time + 7 renamed metric columns).

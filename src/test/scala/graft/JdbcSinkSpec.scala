@@ -66,6 +66,24 @@ class JdbcSinkSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch dispatches on the sink target (parquet writes; jdbc reaches the writer)") {
+    val rows = graft.etl.BtcPipeline.transform(spark, "/root/reference/dataset-test")
+      .filter(to_date(col("date_time")) === lit("2012-01-01"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sinktgt-").toString
+    graft.etl.BtcPipeline.appendBatch(rows, graft.etl.ParquetSink(s"$tmp/sink"))
+    assert(spark.read.parquet(s"$tmp/sink").count() === rows.count())
+    assert(new java.io.File(s"$tmp/sink").listFiles().exists(_.getName.startsWith("date=")))
+    // no database/driver in the sandbox: the dispatch must still reach the
+    // jdbc writer and fail there (driver resolution), not earlier
+    val e = intercept[Exception] {
+      graft.etl.BtcPipeline.appendBatch(rows.limit(1),
+        graft.etl.JdbcTarget(EtlConfig.jdbcOptions))
+    }
+    val msg = (e.getMessage + e.getClass.getName).toLowerCase
+    assert(msg.contains("driver") || msg.contains("jdbc") || msg.contains("connection"),
+      s"expected a jdbc-layer failure, got: $e")
+  }
+
   test("ParquetMigrate: unpartitioned sink rows land date-partitioned, none lost") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-migrate-").toString
     val flat = graft.etl.BtcPipeline.transform(spark, "/root/reference/dataset-test")
