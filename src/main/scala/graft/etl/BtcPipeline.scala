@@ -32,9 +32,12 @@ final case class JdbcTarget(options: graft.sources.JdbcSink.JdbcOptions) extends
 object BtcPipeline {
 
   /** Sink dispatch for a transformed batch. Parquet: clustered
-    * date-partitioned append (one writer per date). JDBC: batched inserts
-    * through the pooled writer; PK enforcement is the database's
-    * (btc_etl.py:74), so no anti-join is needed on that path. */
+    * date-partitioned append — rows repartition on the partition column so
+    * one writer task serves each date instead of tasks × dates small
+    * files. JDBC: batched inserts through the pooled writer; PK
+    * enforcement is the database's (btc_etl.py:74), so no anti-join is
+    * needed on that path. Both backfill and the watch foreachBatch write
+    * through here. */
   def appendBatch(df: DataFrame, target: SinkTarget): Unit = target match {
     case ParquetSink(path) =>
       df.withColumn("date", to_date(col("date_time")))
@@ -118,8 +121,8 @@ object BtcPipeline {
         try {
           val dates = b.select(col("date")).distinct().collect()
             .map(_.getDate(0)).toSeq
-          antiJoinSinkDates(sess, b, sinkPath, dates)
-            .write.mode("append").partitionBy("date").parquet(sinkPath)
+          appendBatch(antiJoinSinkDates(sess, b, sinkPath, dates).drop("date"),
+            ParquetSink(sinkPath))
         } finally { b.unpersist(); () }
       }
       .start()
@@ -211,12 +214,8 @@ object BtcPipeline {
       .filter(_.matches(Schemas.filenameRegex))
       .flatMap(n => scala.util.Try(java.sql.Date.valueOf(n.substring(7, 17))).toOption)
 
-    antiJoinSinkDates(spark, fresh, sinkPath, batchDates)
-      .select((Schemas.sinkCols :+ "date").map(col): _*)
-      // cluster by the partition column: one writer task per date instead
-      // of tasks × dates small files
-      .repartition(col("date"))
-      .write.mode("append").partitionBy("date").parquet(sinkPath)
+    appendBatch(antiJoinSinkDates(spark, fresh, sinkPath, batchDates).drop("date"),
+      ParquetSink(sinkPath))
 
     // swap: the NEW ledger is fully written before the old one is touched,
     // and both steps throw on failure — a silently-lost ledger would make
