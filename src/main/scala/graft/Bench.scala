@@ -21,18 +21,27 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
       // intra-query persist()s (jaccard/simhash reuse) must not leak into
       // the next query's timing or memory
       spark.catalog.clearCache()
-      name -> secs
+      (name, secs, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    regressionDiff(sfDir, results)
+    val timed = results.collect { case (n, s, true) => n -> s }
+    val failed = results.collect { case (n, _, false) => n }
+    regressionDiff(sfDir, timed, failed)
+    // The driver keeps only the last ~2000 chars of output and parses the
+    // JSON line out of it, so: (a) this line is the FINAL thing printed,
+    // after the stderr regression diff; (b) the queries map carries the
+    // slowest subset so the line stays well under the tail window. The
+    // full per-query record is the committed docs/bench/<sf>.json.
+    System.err.flush()
+    val top = timed.sortBy(-_._2).take(20).sortBy(_._1)
+    val qs = top.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = timed.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries":$qs,"full":"docs/bench/${new java.io.File(sfDir).getName}.json","sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -42,7 +51,8 @@ object Bench {
     * the repo maintains its own full per-query record.) stderr only —
     * stdout stays the single JSON line the driver parses. Flags queries
     * that moved by >20% AND >0.3s in either direction. */
-  private def regressionDiff(sfDir: String, results: Seq[(String, Double)]): Unit = try {
+  private def regressionDiff(sfDir: String, timed: Seq[(String, Double)],
+                             failed: Seq[String]): Unit = try {
     val sfName = new java.io.File(sfDir).getName
     val hist = new java.io.File(s"docs/bench/$sfName.json")
     if (hist.exists()) {
@@ -51,7 +61,7 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
       System.err.println(s"[bench] regression diff vs ${hist.getPath}:")
       var flagged = 0
-      results.foreach { case (name, secs) =>
+      timed.foreach { case (name, secs) =>
         prev.get(name).foreach { p =>
           val delta = secs - p
           if (math.abs(delta) > 0.3 && math.abs(delta) > 0.2 * p) {
@@ -61,12 +71,17 @@ object Bench {
           }
         }
       }
-      val newQ = results.map(_._1).filterNot(prev.contains)
+      val newQ = timed.map(_._1).filterNot(prev.contains)
       if (newQ.nonEmpty) System.err.println(s"[bench]   new queries: ${newQ.mkString(", ")}")
       if (flagged == 0) System.err.println("[bench]   no query moved >20% and >0.3s")
     }
-    hist.getParentFile.mkdirs()
-    val json = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(hist.toPath, json + "\n")
+    if (failed.nonEmpty) {
+      // A broken run must not become the next round's regression baseline.
+      System.err.println(s"[bench] ${failed.size} queries FAILED (${failed.mkString(", ")}); history NOT rewritten")
+    } else {
+      hist.getParentFile.mkdirs()
+      val json = timed.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(hist.toPath, json + "\n")
+    }
   } catch { case e: Throwable => System.err.println(s"[bench] diff skipped: $e") }
 }

@@ -72,7 +72,12 @@ object BtcPipeline {
     val stamped = kept
       .withColumn("date_time", Ops.makeTimestamp(col("file_date"), col("Time")))
 
-    Ops.renameAndSelect(stamped)
+    // NOT NULL PK semantics (btc_etl.py:74): a null/unparseable Time yields
+    // a null date_time, which the reference's PRIMARY KEY would reject
+    // outright — and which would defeat the PK dedup + sink anti-join
+    // downstream (null keys never match a left_anti join, so every replay
+    // would append another null-PK row).
+    Ops.renameAndSelect(stamped).filter(col("date_time").isNotNull)
   }
 
   /** The unbounded "watch" phase (btc_etl.py:185-228): a Structured
@@ -104,6 +109,7 @@ object BtcPipeline {
       val kept = Ops.dropAllNull(valid, Schemas.metricCols)
       Ops.renameAndSelect(
         kept.withColumn("date_time", Ops.makeTimestamp(col("file_date"), col("Time"))))
+        .filter(col("date_time").isNotNull) // NOT NULL PK, as in transformPaths
         .withColumn("date", to_date(col("date_time")))
     }
 

@@ -41,11 +41,16 @@ object Ops {
     df.na.drop("all", cols)
 
   /** #8 project_make_timestamp (btc_etl.py:163): filename-date + HH:mm:ss
-    * -> event timestamp. Pure Catalyst expressions, codegen'd. */
+    * -> event timestamp. Pure Catalyst expressions, codegen'd.
+    * `try_to_timestamp`, not `to_timestamp`: a null or malformed Time cell
+    * must reject THAT ROW (null key, filtered by the NOT NULL PK stage in
+    * BtcPipeline), not throw ANSI CANNOT_PARSE_TIMESTAMP and kill the whole
+    * job — concat_ws skips a null Time, so under ANSI a single empty cell
+    * in one file would otherwise abort a 1000-executor backfill. */
   def makeTimestamp(fileDate: Column, timeStr: Column): Column =
-    to_timestamp(
+    try_to_timestamp(
       concat_ws(" ", date_format(fileDate, "yyyy-MM-dd"), timeStr),
-      "yyyy-MM-dd HH:mm:ss")
+      lit("yyyy-MM-dd HH:mm:ss"))
 
   /** #9/#10 project_rename + project_select (btc_etl.py:166-176). */
   def renameAndSelect(df: DataFrame): DataFrame =

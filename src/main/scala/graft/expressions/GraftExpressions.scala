@@ -211,11 +211,18 @@ final class IvfIndex(
         if (!qv.isNullAt(j)) dot += qv.getLong(j) * cq(j)
         j += 1
       }
-      cos(i) = dot.toDouble / (math.sqrt(nrm.toDouble) * math.sqrt(cnrms(i).toDouble))
+      // zero-norm query or centroid (all-zero embedding, or truncated
+      // integer means collapsing a cell) -> define cosine as 0, not 0/0=NaN
+      cos(i) =
+        if (nrm == 0L || cnrms(i) == 0L) 0.0
+        else dot.toDouble / (math.sqrt(nrm.toDouble) * math.sqrt(cnrms(i).toDouble))
       i += 1
     }
+    // total order (Double.compare, cid tiebreak): a `!=`/`>` comparator is
+    // inconsistent under NaN and TimSort may throw or order nondeterministically
     val idx = Array.range(0, k).sortWith { (a, b) =>
-      if (cos(a) != cos(b)) cos(a) > cos(b) else cids(a) < cids(b)
+      val c = java.lang.Double.compare(cos(b), cos(a))
+      if (c != 0) c < 0 else cids(a) < cids(b)
     }
     val out = new Array[Long](math.min(n, k))
     i = 0

@@ -49,7 +49,8 @@ object KeyedStateSink {
       partial: DataFrame, batchId: Long): Unit = {
     val spark = partial.sparkSession
     val prior = versions(spark, root).filter(_ < batchId)
-    val merged = prior.maxOption match {
+    val readVersion = prior.maxOption
+    val merged = readVersion match {
       case Some(pv) =>
         val aggs = minCols.map(c => min(col(c)).as(c)) ++ sumCols.map(c => sum(col(c)).as(c))
         spark.read.parquet(versionDir(root, pv)).unionByName(partial)
@@ -61,10 +62,13 @@ object KeyedStateSink {
       case None => partial
     }
     merged.write.mode("overwrite").parquet(versionDir(root, batchId))
-    // prune: only the newest prior version can ever be replayed against
+    // prune relative to what was actually READ (keep pv, delete older):
+    // a crash between this write and the checkpoint commit replays batchId,
+    // which re-reads pv — pruning `< batchId - 1` instead would delete pv
+    // whenever batch ids have gaps, silently resetting state to the partial
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
-    prior.filter(_ < batchId - 1)
-      .foreach(v => fs.delete(new Path(versionDir(root, v)), true))
+    readVersion.foreach(pv =>
+      prior.filter(_ < pv).foreach(v => fs.delete(new Path(versionDir(root, v)), true)))
   }
 
   /** Latest merged state, if any batch committed. */

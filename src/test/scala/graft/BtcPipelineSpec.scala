@@ -111,6 +111,30 @@ class BtcPipelineSpec extends SparkSpec {
       "replayed rows must be rejected by the cross-batch PK anti-join")
   }
 
+  test("NOT NULL PK: null-Time rows are dropped and cannot multiply on replay") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nullpk-").toString
+    val src = s"$tmp/src"; new java.io.File(src).mkdirs()
+    // a null Time with non-null metrics survives dropna(how='all') but
+    // yields a null date_time — the reference's PRIMARY KEY would reject it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/btcusd-2013-02-01.csv"),
+      """Time,Open,High,Low,Close,Volume_(BTC),Volume_(Currency),Weighted_Price
+        |,1,2,3,4,5,6,7
+        |00:01:00,1,2,3,4,5,6,7
+        |""".stripMargin)
+    val sink = s"$tmp/sink"
+    BtcPipeline.backfill(spark, src, sink, s"$tmp/ledger")
+    val rows1 = spark.read.parquet(sink)
+    assert(rows1.count() === 1L, "null date_time row must not reach the sink")
+    assert(rows1.filter(col("date_time").isNull).count() === 0L)
+    // ledger loss + replay: null keys never match a left_anti join, so
+    // without the NOT NULL filter every replay would append another null row
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/ledger"))
+    BtcPipeline.backfill(spark, src, sink, s"$tmp/ledger")
+    assert(spark.read.parquet(sink).count() === 1L,
+      "replay after ledger loss must add zero rows, including null-PK rows")
+  }
+
   test("dedupPk keeps the lexicographically-smallest metric row per key") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2013-01-01 00:00:00")
