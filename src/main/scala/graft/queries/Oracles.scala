@@ -192,6 +192,30 @@ object Oracles {
          |  ON e.user_id = d.user_id
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Append-mode emission is a *when*, not a *what*: once the watermark
+    // passes every real window (the staged sentinel guarantees it), the
+    // emitted set equals the batch group-by. The sentinel row's own window
+    // never closes, so it is absent from both sides.
+    "stream_window_append" ->
+      s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
+         | event_type, count(*) AS n, ${decSum2("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Watermarks bound stream-stream join STATE, never the match set (rows
+    // are evicted only when provably unmatchable), so the drained stream
+    // equals the batch interval join.
+    "stream_stream_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, p.purchase_id,
+        | strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_s,
+        | strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS purchase_s
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, c.click_id, p.purchase_id""".stripMargin,
+
     // ---- extensions ------------------------------------------------------
 
     "dedup_exact" ->

@@ -191,10 +191,146 @@ object StreamQueries {
     ClusterStateSink.read(spark, stateRoot).select("rep", "n_docs").orderBy("rep")
   }
 
+  /** Stage a frame as `chunks` chronological parquet files (ordered by
+    * `orderCols`) with PINNED ascending modification times, so the file
+    * source picks them up in event-time order — the ordered-log assumption
+    * a time-partitioned feed gives a streaming job in production. Returns
+    * the glob the stream should read. */
+  private def stageChronological(
+      spark: SparkSession, df: DataFrame, chunks: Int,
+      orderCols: Seq[org.apache.spark.sql.Column], tag: String): String = {
+    val src = tmpDir(tag)
+    // persist: the global ntile sort would otherwise recompute per chunk
+    val bucketed = df.withColumn("_b",
+      ntile(chunks).over(org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)))
+      .persist()
+    for (i <- 1 to chunks)
+      bucketed.filter(col("_b") === i).drop("_b")
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/b$i")
+    bucketed.unpersist()
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val t0 = System.currentTimeMillis() - 3600000L
+    for (i <- 1 to chunks) {
+      val d = new org.apache.hadoop.fs.Path(s"$src/b$i")
+      fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach(st => fs.setTimes(st.getPath, t0 + i * 60000L, -1))
+    }
+    s"$src/*"
+  }
+
+  /** Run `body` with a reduced shuffle-partition count, restoring the old
+    * value after. Stateful streaming cost is dominated by per-partition
+    * state-store checkpoint files (partitions × state stores × batches), so
+    * a small staged stream wants few, fat state partitions; on a real
+    * cluster this is the `spark.sql.shuffle.partitions` the job submits
+    * with. Result values are partitioning-independent. */
+  private def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
+  /** Watermarked APPEND-mode windowed aggregation — Spark's own stateful
+    * streaming aggregation (vs the foreachBatch keyed-merge form of
+    * [[streamWindowAgg]]): each hour window is held in the state store and
+    * EMITTED EXACTLY ONCE when the event-time watermark passes its end, so
+    * the sink is append-only (no upserts needed — the shape for writing
+    * windows straight into an immutable lake). State is bounded by the
+    * watermark horizon, not the stream length. The staged corpus is
+    * chronological; a far-future sentinel row closes every real window
+    * (its own window stays in state, as in any unbounded run). */
+  def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = {
+    val events = tbl(spark, dir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = events.sparkSession.range(1).select(
+      timestamp_micros(lit(java.time.Instant.ofEpochMilli(maxTs.getTime)
+        .plusSeconds(7200).toEpochMilli * 1000L)).as("ts"),
+      lit("sentinel").as("event_type"), lit(0.0).as("value"))
+    val glob = stageChronological(spark, events.unionByName(sentinel), 5,
+      Seq(col("ts")), "streamwinapp")
+
+    val out = tmpDir("streamwinappsink")
+    withShufflePartitions(spark, 8) {
+      val q = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+        .parquet(glob)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_dec"))
+        .writeStream
+        .format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", tmpDir("streamwinappckpt"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    spark.read.parquet(out)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_dec").cast("double").as("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Watermarked stream-stream inner join: clicks and purchases arrive on
+    * two independent streams; each purchase matches clicks by the same user
+    * within the preceding 30 minutes. The time-range condition + watermarks
+    * let Spark BOUND the join state (a side's row is dropped once the other
+    * side's watermark passes its join horizon) — without them a
+    * stream-stream join buffers both streams forever. Matches emit in
+    * append mode as soon as both sides have arrived. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = tbl(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    def side(tpe: String, tag: String) = stageChronological(
+      spark, events.filter(col("event_type") === tpe).drop("event_type"), 2,
+      Seq(col("ts"), col("event_id")), tag)
+    val schema = events.drop("event_type").schema
+    def read(glob: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+      .parquet(glob)
+
+    val clicks = read(side("click", "ssjclick"))
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"), col("user_id"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = read(side("purchase", "ssjpurchase"))
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("p_user_id"))
+      .withWatermark("purchase_ts", "30 minutes")
+
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+
+    val out = tmpDir("ssjsink")
+    withShufflePartitions(spark, 8) {
+      val q = joined.writeStream
+        .format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", tmpDir("ssjckpt"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    spark.read.parquet(out)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_s"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_s"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_file_source" -> (streamFileSource _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_dedup_clusters" -> (streamDedupClusters _),
+    "stream_window_append" -> (streamWindowAppend _),
+    "stream_stream_join" -> (streamStreamJoin _),
   )
 }

@@ -190,6 +190,43 @@ class StreamingSpec extends SparkSpec {
       "state drained across a restart must equal the batch groupBy")
   }
 
+  test("stream_window_append: each closed window emitted exactly once, sentinel stays open") {
+    val out = graft.streaming.StreamQueries.streamWindowAppend(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // append mode = one immutable row per (window, type); an upserting sink
+    // would show duplicates here
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.length === keys.distinct.length, "window emitted more than once")
+    assert(!rows.exists(_.getString(1) == "sentinel"),
+      "the sentinel's own (never-closed) window must not be emitted")
+    // the drained append stream equals the batch group-by over real events
+    val batch = graft.queries.Staging.tbl(spark, sf, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap === batch)
+  }
+
+  test("stream_stream_join: drained stream equals the batch interval join") {
+    val out = graft.streaming.StreamQueries.streamStreamJoin(spark, sf).collect()
+    val ev = graft.queries.Staging.tbl(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"), col("user_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id").as("p_user_id"))
+    val batch = c.join(p, col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val streamed = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(streamed === batch, "watermarks must bound state, never drop matches")
+  }
+
   test("maxFilesPerTrigger bounds each micro-batch") {
     val src = Files.createTempDirectory("graft-mft-src-").toString
     val ckpt = Files.createTempDirectory("graft-mft-ckpt-").toString
