@@ -253,6 +253,49 @@ case class IvfCellsExpr(left: Expression, right: Expression, index: IvfIndex, to
   override def prettyName: String = "graft_ivf_cells"
 }
 
+/** Driver-built bloom filter over a join key set, held SERIALIZED so the
+  * object ships to executors once per stage inside the task binary (same
+  * addReferenceObj pattern as [[IvfIndex]] — plan size independent of the
+  * filter's bit width). Deserialization is per-JVM lazy. The underlying
+  * sketch is Spark's own `org.apache.spark.util.sketch.BloomFilter`
+  * (bit-OR merge is order-independent, so the built filter is
+  * deterministic for a given key set regardless of partitioning). */
+final class GraftBloom(val bytes: Array[Byte]) extends Serializable {
+  @transient private lazy val bf =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  def mightContainLong(v: Long): Boolean = bf.mightContainLong(v)
+}
+
+object GraftBloom {
+  def apply(bf: org.apache.spark.util.sketch.BloomFilter): GraftBloom = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    new GraftBloom(bos.toByteArray)
+  }
+}
+
+/** key -> bloom.mightContainLong(key): the probe side of a runtime join
+  * filter. False positives possible (the exact join after removes them),
+  * false negatives never — so prefiltering with it preserves join results
+  * while cutting the probe side's shuffle volume to ~|matching keys|. */
+case class BloomMightContainExpr(child: Expression, bloom: GraftBloom)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_might_contain needs bigint key, got ${child.dataType.sql}")
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", bloom, classOf[GraftBloom].getName)
+    defineCodeGen(ctx, ev, k => s"$ref.mightContainLong($k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_bloom_might_contain"
+}
+
 case class CharHashExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

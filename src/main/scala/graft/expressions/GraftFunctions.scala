@@ -27,6 +27,11 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an array<array<bigint>> literal, got $other")
   }
 
+  private def litBinary(e: Expression, what: String): Array[Byte] = e match {
+    case Literal(v: Array[Byte], org.apache.spark.sql.types.BinaryType) => v
+    case other => throw new IllegalArgumentException(s"$what must be a binary literal, got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_char_hash",
@@ -52,6 +57,12 @@ object GraftFunctions {
           litLongMatrix(exprs(3), "cqvs"),
           litLongArray(exprs(4), "cnrms")),
         litInt(exprs(5), "n")), "built-in")
+    // graft_bloom_might_contain(key, bloom_bytes_lit): the serialized
+    // bloom literal is unpacked ONCE here; the expression tree keeps only
+    // the key child (plan + codegen independent of filter width).
+    reg.createOrReplaceTempFunction("graft_bloom_might_contain",
+      exprs => BloomMightContainExpr(exprs(0), new GraftBloom(litBinary(exprs(1), "bloom"))),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_kmv_distinct",
       exprs => KMVDistinctAgg(exprs(0), litInt(exprs(1), "k")).toAggregateExpression(),
       "built-in")

@@ -427,6 +427,27 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Bloom runtime-filtered join: the urgent-orders key set is compacted
+    * into a ~1 MB bloom filter (distributed build, only bits reach the
+    * driver) and applied to lineitem BEFORE the join — the probe side's
+    * shuffle carries only rows whose key might match (fpp noise removed by
+    * the exact join after). At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the qualifying ~20%
+    * when the build side is too big to broadcast as rows (see
+    * operators.RuntimeFilter). Results identical to the plain join by
+    * construction — the oracle is the unfiltered SQL join. */
+  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = tbl(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val pre = graft.operators.RuntimeFilter.bloomPrefilter(
+      tbl(spark, dir, "lineitem"), "l_orderkey",
+      urgent.select("o_orderkey"), expectedItems = 1L << 20, fpp = 0.03)
+    pre.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"), decSum2(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_linestatus")
+  }
+
   /** Gap-based sessionization (30-min inactivity splits a session) via
     * lag + running sum — the batch form of the stateful stream operator;
     * per-user work, one shuffle on user_id. */
@@ -889,6 +910,7 @@ object ExtQueries {
     "join_agg_revenue" -> (joinAggRevenue _),
     "join_outer_agg" -> (joinOuterAgg _),
     "join_asof" -> (joinAsof _),
+    "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),

@@ -984,6 +984,12 @@ object Oracles {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
+    "join_bloom_prefilter" ->
+      s"""SELECT l_linestatus, count(*) AS n, ${decSum2("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
     "join_asof" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
         |u AS (

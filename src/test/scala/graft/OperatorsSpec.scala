@@ -181,6 +181,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got(203L) === None)
   }
 
+  test("bloomPrefilter preserves join results exactly and actually filters") {
+    val li = graft.queries.Staging.tbl(spark, sf, "lineitem")
+    val urgent = graft.queries.Staging.tbl(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val keys = urgent.select("o_orderkey")
+
+    val pre = graft.operators.RuntimeFilter.bloomPrefilter(
+      li, "l_orderkey", keys, expectedItems = 1L << 16, fpp = 0.03)
+
+    // no false negatives: the prefiltered join equals the plain join
+    val plainRows = li.join(urgent, col("l_orderkey") === col("o_orderkey")).count()
+    val preRows = pre.join(urgent, col("l_orderkey") === col("o_orderkey")).count()
+    assert(preRows === plainRows)
+
+    // the bloom really cuts the probe side (urgent is ~20% of orders; at
+    // 3% fpp the survivor set must be well under the full table)
+    val total = li.count()
+    val kept = pre.count()
+    assert(kept < total, "bloom must reject some rows")
+    assert(kept.toDouble / total < 0.5, s"expected <50% survivors, got $kept/$total")
+
+    // the filter expression runs where it should: above the scan, inside
+    // codegen, BEFORE any exchange — not after the join
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"))
+    assert(!plan.contains("Exchange"), s"prefilter alone must be exchange-free:\n$plan")
+  }
+
   test("qualityScore components are exact ratios") {
     val d = Seq((0L, "the fox and the dog")).toDF("doc_id", "text") // 5 toks, 3 stopword hits
     val r = TextOps.qualityScore(d).head()
