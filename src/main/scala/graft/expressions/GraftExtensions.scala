@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator extension: native as-of join (logical node ->
+    // strategy -> sort-merge exec) + the pruning rule Catalyst can't
+    // apply through a node it doesn't know
+    e.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PruneAsOfJoin)
     e.injectFunction((FunctionIdentifier("graft_char_hash"),
       info("graft_char_hash", "polynomial codepoint hash mod 1e9+7"),
       (exprs: Seq[Expression]) => CharHashExpr(exprs.head)))

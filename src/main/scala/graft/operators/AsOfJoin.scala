@@ -31,6 +31,56 @@ object AsOfJoin {
     * @param tieCol unique per-row tiebreak column on both sides
     * @param payload extra right-side columns to carry
     */
+  /** Native form of [[asOf]]: plans a first-class
+    * [[graft.plans.AsOfJoinPlan]] node that a dedicated sort-merge
+    * physical operator executes (preference (c) of the ladder — logical
+    * node + planner strategy + exec, registered through
+    * `SparkSessionExtensions` or, as a fallback here, the session's
+    * experimental methods). Same semantics, tie rule and output schema as
+    * [[asOf]]; the win is the plan — each side shuffles once by key and
+    * right rows never surface as output rows, where the composed form
+    * pushes the whole union through a window. */
+  def asOfNative(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val spark = left.sparkSession
+    // idempotent registration for sessions built without withExtensions
+    // (the catalog queries run under the driver's plain session)
+    val exp = GraftBridge.experimental(spark)
+    if (!GraftBridge.plannerStrategies(spark)
+        .exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))
+      exp.extraStrategies = exp.extraStrategies :+ new graft.plans.AsOfJoinStrategy
+    if (!GraftBridge.operatorOptimizationRules(spark).contains(graft.plans.PruneAsOfJoin) &&
+        !exp.extraOptimizations.contains(graft.plans.PruneAsOfJoin))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.PruneAsOfJoin
+
+    val lplan = GraftBridge.analyzed(left)
+    // Re-alias the right side with fresh exprIds: left and right often
+    // derive from the same scan (a self as-of join), and the analyzer's
+    // DeduplicateRelations rewrites the conflicting subtree's ids without
+    // knowing how to rewrite this node's own attribute fields. Anchoring
+    // those fields to fresh alias outputs keeps them valid through the
+    // rewrite; the alias Project collapses into the scan projection.
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val rBase = GraftBridge.analyzed(right)
+    val rAliases = rBase.output.map(a => Alias(a, a.name)())
+    val rplan = Project(rAliases, rBase)
+    val rAttrs = rAliases.map(_.toAttribute)
+    def lattr(n: String) = lplan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not in ${lplan.output.map(_.name)}"))
+    def rattr(n: String) = rAttrs.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not in ${rAttrs.map(_.name)}"))
+    val matched = (tsCol +: tieCol +: payload).map(rattr)
+    val matchedOut = matched.map(a =>
+      AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    GraftBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lplan, rplan, lattr(keyCol), lattr(tsCol),
+      rattr(keyCol), rattr(tsCol), rattr(tieCol),
+      matched, matchedOut))
+  }
+
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, payload: Seq[String]): DataFrame = {
     val r = right.select(

@@ -427,6 +427,24 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Native-plan as-of join: same query as join_asof but through the
+    * first-class AsOfJoinPlan/AsOfJoinExec operator (see
+    * AsOfJoin.asOfNative) — one shuffle per side, single merge pass,
+    * column pruning restored by PruneAsOfJoin. Same oracle SQL. */
+  def joinAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+    val purchases = e.filter(col("event_type") === "purchase")
+    AsOfJoin.asOfNative(purchases, clicks, "user_id", "ts", "event_id", Seq("value"))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("ts_str"),
+        col("asof_event_id").as("click_id"),
+        date_format(col("asof_ts"), tsFmt).as("click_ts"),
+        col("asof_value").as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Bloom runtime-filtered join: the urgent-orders key set is compacted
     * into a ~1 MB bloom filter (distributed build, only bits reach the
     * driver) and applied to lineitem BEFORE the join — the probe side's
@@ -911,6 +929,7 @@ object ExtQueries {
     "join_outer_agg" -> (joinOuterAgg _),
     "join_asof" -> (joinAsof _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
+    "join_asof_native" -> (joinAsofNative _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),

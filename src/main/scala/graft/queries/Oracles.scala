@@ -85,7 +85,12 @@ object Oracles {
 
   private val enLex = "['the','and','of','to','a','in','is']"
 
-  val all: Map[String, String] = Map(
+  lazy val all: Map[String, String] = base +
+    // the native-plan as-of join answers the identical question — one
+    // oracle, two formulations under test
+    ("join_asof_native" -> base("join_asof"))
+
+  private val base: Map[String, String] = Map(
     "scan_csv" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
 
