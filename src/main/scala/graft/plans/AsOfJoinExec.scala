@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BoundReference, GenericInternalRow, InterpretedOrdering, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BoundReference, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -66,10 +67,12 @@ case class AsOfJoinExec(
       val lKeyProj = UnsafeProjection.create(Seq(lKey), lOut)
       val rKeyProj = UnsafeProjection.create(Seq(rKey), rOut)
       val rMatchProj = UnsafeProjection.create(m, rOut)
-      val pairOrd = new InterpretedOrdering(Seq(
+      // codegen'd comparators (same null-first ascending semantics the
+      // required child ordering sorts by)
+      val pairOrd = GenerateOrdering.generate(Seq(
         SortOrder(BoundReference(0, lKey.dataType, nullable = true), Ascending),
         SortOrder(BoundReference(1, lTs.dataType, nullable = true), Ascending)))
-      val keyOrd = new InterpretedOrdering(Seq(
+      val keyOrd = GenerateOrdering.generate(Seq(
         SortOrder(BoundReference(0, lKey.dataType, nullable = true), Ascending)))
       val resultProj = UnsafeProjection.create(out, lOut ++ mOut)
       val joined = new JoinedRow
