@@ -296,6 +296,26 @@ case class BloomMightContainExpr(child: Expression, bloom: GraftBloom)
   override def prettyName: String = "graft_bloom_might_contain"
 }
 
+/** key -> Count-Min estimate of the key's count (always >= the true
+  * count; see [[GraftCmsHash]]). The probe side of the sketch-prefiltered
+  * heavy-hitters aggregation. */
+case class CmsLookupExpr(child: Expression, cms: GraftCms)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cms_lookup needs bigint key, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    cms.estimate(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCms", cms, classOf[GraftCms].getName)
+    defineCodeGen(ctx, ev, k => s"$ref.estimate($k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_cms_lookup"
+}
+
 case class CharHashExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

@@ -14,6 +14,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.expressions", null, name, usage, "", "", "", "", "", "", "built-in")
 
+  private def litBinary(e: Expression): Array[Byte] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: Array[Byte], org.apache.spark.sql.types.BinaryType) => v
+    case other => throw new IllegalArgumentException(s"expected binary literal, got $other")
+  }
+
   private def litInt(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"expected int literal, got $other")
@@ -43,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_simhash60"),
       info("graft_simhash60", "60-bit simhash of a token array"),
       (exprs: Seq[Expression]) => SimHash60Expr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_cms_sketch"),
+      info("graft_cms_sketch", "Count-Min sketch of a bigint key column"),
+      (exprs: Seq[Expression]) => CountMinAgg(exprs(0), litInt(exprs(1)), litInt(exprs(2)))
+        .toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("graft_cms_lookup"),
+      info("graft_cms_lookup", "Count-Min estimate for a key (sketch literal unpacked once)"),
+      (exprs: Seq[Expression]) => CmsLookupExpr(exprs(0), new GraftCms(litBinary(exprs(1))))))
     e.injectFunction((FunctionIdentifier("graft_kmv_distinct"),
       info("graft_kmv_distinct", "KMV distinct-count sketch (k minimum values)"),
       (exprs: Seq[Expression]) => KMVDistinctAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()))

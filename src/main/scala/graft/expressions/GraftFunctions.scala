@@ -63,6 +63,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_bloom_might_contain",
       exprs => BloomMightContainExpr(exprs(0), new GraftBloom(litBinary(exprs(1), "bloom"))),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_cms_sketch",
+      exprs => CountMinAgg(exprs(0), litInt(exprs(1), "depth"), litInt(exprs(2), "width"))
+        .toAggregateExpression(), "built-in")
+    // like graft_bloom_might_contain, the serialized sketch literal is
+    // unpacked once at resolution; the tree keeps only the key child
+    reg.createOrReplaceTempFunction("graft_cms_lookup",
+      exprs => CmsLookupExpr(exprs(0), new GraftCms(litBinary(exprs(1), "cms"))),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_kmv_distinct",
       exprs => KMVDistinctAgg(exprs(0), litInt(exprs(1), "k")).toAggregateExpression(),
       "built-in")

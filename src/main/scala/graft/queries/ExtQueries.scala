@@ -427,6 +427,15 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Exact heavy hitters through a Count-Min prefilter (see
+    * Sketches.heavyHitters): one mergeable sketch pass, then an exact
+    * groupBy that shuffles only candidate-key rows. Oracle is the plain
+    * GROUP BY ... HAVING — exactness is the point. */
+  def sketchHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.heavyHitters(
+      tbl(spark, dir, "events"), "user_id", threshold = 80L)
+      .orderBy("user_id")
+
   /** Native-plan as-of join: same query as join_asof but through the
     * first-class AsOfJoinPlan/AsOfJoinExec operator (see
     * AsOfJoin.asOfNative) — one shuffle per side, single merge pass,
@@ -930,6 +939,7 @@ object ExtQueries {
     "join_asof" -> (joinAsof _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_asof_native" -> (joinAsofNative _),
+    "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),

@@ -989,6 +989,10 @@ object Oracles {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
+    "sketch_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id HAVING count(*) >= 80 ORDER BY user_id""".stripMargin,
+
     "join_bloom_prefilter" ->
       s"""SELECT l_linestatus, count(*) AS n, ${decSum2("l_quantity")} AS sum_qty
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.{GraftCms, GraftCmsHash}
+import graft.operators.Sketches
+
+/** Count-Min sketch aggregate + the sketch-prefiltered exact heavy
+  * hitters built on it. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed toy corpus: key 1 x 50, key 2 x 20, keys 100..139 x 1
+  private lazy val skewed =
+    (Seq.fill(50)(1L) ++ Seq.fill(20)(2L) ++ (100L until 140L)).toDF("k")
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame, depth: Int, width: Int): GraftCms =
+    new GraftCms(df
+      .agg(call_function("graft_cms_sketch", col("k"), lit(depth), lit(width)))
+      .head().getAs[Array[Byte]](0))
+
+  test("cms estimates: exact on a wide sketch, never undercounts on a narrow one") {
+    val wide = sketchOf(skewed, 4, 1 << 12)
+    assert(wide.estimate(1L) === 50L)
+    assert(wide.estimate(2L) === 20L)
+    assert(wide.estimate(100L) === 1L)
+    assert(wide.estimate(999L) === 0L) // unseen key, no collision at this width
+    // width 16 forces collisions among 42 keys: estimates may inflate
+    // but can never fall below the true count
+    val narrow = sketchOf(skewed, 2, 16)
+    assert(narrow.estimate(1L) >= 50L)
+    assert(narrow.estimate(2L) >= 20L)
+    (100L until 140L).foreach(k => assert(narrow.estimate(k) >= 1L))
+  }
+
+  test("sketch is partition-invariant (merge is a vector add)") {
+    val a = sketchOf(skewed.repartition(1), 4, 256)
+    val b = sketchOf(skewed.repartition(7, col("k")), 4, 256)
+    val c = sketchOf(skewed.repartition(13), 4, 256)
+    assert(a.bytes.sameElements(b.bytes) && b.bytes.sameElements(c.bytes))
+  }
+
+  test("heavyHitters is exact even when the sketch itself collides") {
+    // narrow sketch -> candidate set may include false positives; the
+    // exact tier must still produce precisely the true heavy hitters
+    val got = Sketches.heavyHitters(skewed, "k", threshold = 20L, depth = 2, width = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 50L, 2L -> 20L))
+  }
+
+  test("heavyHitters equals plain groupBy/having on events") {
+    val e = graft.queries.Staging.tbl(spark, sf, "events")
+    val expected = e.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 80).orderBy("user_id").collect()
+    val got = Sketches.heavyHitters(e, "user_id", 80L).orderBy("user_id").collect()
+    assert(got.length === expected.length && got.sameElements(expected))
+    assert(expected.nonEmpty, "threshold should catch some keys at sf0.001")
+  }
+}
