@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.CrossFns._
 
 /** Text-analysis operators over the `documents` table: language-ID
@@ -139,6 +140,32 @@ object TextOps {
       col("doc_id"),
       aggregate(transform(toks, t => charHash(t)), lit(0L),
         (acc, h) => (acc * 1000003L + h) % HashP).as("fp"))
+  }
+
+  /** Training-sequence packing (offset chunking): lay each shard's
+    * documents end to end in deterministic (doc_id) order and cut the
+    * token stream into fixed `seqLen` windows — every doc gets the
+    * sequence id and in-sequence offset where it starts, plus a flag for
+    * docs that span a window boundary (they'd be split or truncated by
+    * the loader). Packing runs PER SHARD (`source`), one window pass per
+    * partition key: shards pack in parallel and the operator scales with
+    * shard count — a single global stream would serialize the whole
+    * corpus through one task, which is why cross-shard packing is
+    * deliberately not offered. */
+  def packSequences(docs: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen >= 1)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("start_off") / seqLen).as("seq_id"),
+        (col("start_off") % seqLen).as("seq_off"),
+        (col("start_off") % seqLen + col("n_tokens") > seqLen).as("spans"))
   }
 
   /** Multimodal plumbing: treat content as an opaque binary column with

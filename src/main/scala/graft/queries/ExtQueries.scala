@@ -427,6 +427,13 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Per-shard training-sequence packing at a 512-token context length
+    * (see TextOps.packSequences): shards pack in parallel, each doc gets
+    * its sequence id / offset / boundary-span flag. */
+  def pipelinePackSequences(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(tbl(spark, dir, "documents"), seqLen = 512)
+      .orderBy("doc_id")
+
   /** Exact heavy hitters through a Count-Min prefilter (see
     * Sketches.heavyHitters): one mergeable sketch pass, then an exact
     * groupBy that shuffles only candidate-key rows. Oracle is the plain
@@ -940,6 +947,7 @@ object ExtQueries {
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_asof_native" -> (joinAsofNative _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
+    "pipeline_pack_sequences" -> (pipelinePackSequences _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),

@@ -989,6 +989,17 @@ object Oracles {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
+    "pipeline_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(${tok("text")}) AS BIGINT) AS n_tokens FROM documents),
+         |o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM d)
+         |SELECT doc_id, source, n_tokens,
+         | start_off // 512 AS seq_id,
+         | start_off % 512 AS seq_off,
+         | (start_off % 512 + n_tokens > 512) AS spans
+         |FROM o ORDER BY doc_id""".stripMargin,
+
     "sketch_heavy_hitters" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id HAVING count(*) >= 80 ORDER BY user_id""".stripMargin,

@@ -209,6 +209,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"prefilter alone must be exchange-free:\n$plan")
   }
 
+  test("packSequences: offsets, boundary spans, shard independence") {
+    // shard A: 3+4+5 tokens at seqLen=8 -> doc 1 starts seq0 off3,
+    // doc 2 starts seq0 off7 and SPANS into seq1
+    val docs = Seq(
+      (0L, "a b c", "A"),
+      (1L, "a b c d", "A"),
+      (2L, "a b c d e", "A"),
+      (3L, "x y z w v u t s q p", "B"), // 10 tokens: own shard, spans
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextOps.packSequences(docs, seqLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(0L) === ((0L, 0L, false)))
+    assert(got(1L) === ((0L, 3L, false)))
+    assert(got(2L) === ((0L, 7L, true)))
+    assert(got(3L) === ((0L, 0L, true))) // shard B packs from zero
+  }
+
   test("qualityScore components are exact ratios") {
     val d = Seq((0L, "the fox and the dog")).toDF("doc_id", "text") // 5 toks, 3 stopword hits
     val r = TextOps.qualityScore(d).head()
