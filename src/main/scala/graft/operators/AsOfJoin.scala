@@ -41,7 +41,15 @@ object AsOfJoin {
     * right rows never surface as output rows, where the composed form
     * pushes the whole union through a window. */
   def asOfNative(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      tieCol: String, payload: Seq[String]): DataFrame = {
+      tieCol: String, payload: Seq[String]): DataFrame =
+    asOfNative(left, right, keyCol, tsCol, tieCol, payload, toleranceUs = None)
+
+  /** As [[asOfNative]] with a lookback bound: a right row more than
+    * `toleranceUs` microseconds older than the probe is no match (and no
+    * older row could be closer, so the result is null) — pandas
+    * merge_asof's `tolerance`. */
+  def asOfNative(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, payload: Seq[String], toleranceUs: Option[Long]): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val spark = left.sparkSession
@@ -78,7 +86,7 @@ object AsOfJoin {
     GraftBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
       lplan, rplan, lattr(keyCol), lattr(tsCol),
       rattr(keyCol), rattr(tsCol), rattr(tieCol),
-      matched, matchedOut))
+      matched, matchedOut, toleranceUs))
   }
 
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,

@@ -29,9 +29,15 @@ case class AsOfJoinExec(
     rightTie: Attribute,
     matched: Seq[Attribute],
     matchedOut: Seq[Attribute],
+    toleranceUs: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
+
+  // the tolerance gap is computed on raw microsecond values
+  require(toleranceUs.isEmpty ||
+    leftTs.dataType == org.apache.spark.sql.types.TimestampType,
+    "as-of tolerance requires timestamp event-time columns")
 
   override def output: Seq[Attribute] = left.output ++ matchedOut
 
@@ -61,6 +67,7 @@ case class AsOfJoinExec(
     val rKey = rightKey; val rTs = rightTs
     val m = matched; val mOut = matchedOut
     val out = output
+    val tol = toleranceUs.getOrElse(-1L) // -1 = unbounded lookback
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lPairProj = UnsafeProjection.create(Seq(lKey, lTs), lOut)
       val rPairProj = UnsafeProjection.create(Seq(rKey, rTs), rOut)
@@ -77,19 +84,29 @@ case class AsOfJoinExec(
       val resultProj = UnsafeProjection.create(out, lOut ++ mOut)
       val joined = new JoinedRow
       val nullMatch = new GenericInternalRow(m.size)
+      val tolUs = tol
       val rBuf = rIter.buffered
       // latest right row consumed, valid only while its key equals the
       // current left key; copied because unsafe rows are reused
       var lastKey: UnsafeRow = null
       var lastMatch: UnsafeRow = null
+      var lastTs = 0L
+      var lastTsSet = false
       lIter.map { l =>
         val lp = lPairProj(l)
         while (rBuf.hasNext && pairOrd.compare(rPairProj(rBuf.head), lp) <= 0) {
           val r = rBuf.next()
+          val rp = rPairProj(r)
+          lastTsSet = !rp.isNullAt(1)
+          if (lastTsSet) lastTs = rp.getLong(1)
           lastKey = rKeyProj(r).copy()
           lastMatch = rMatchProj(r).copy()
         }
-        val useMatch = lastKey != null && keyOrd.compare(lastKey, lKeyProj(l)) == 0
+        var useMatch = lastKey != null && keyOrd.compare(lastKey, lKeyProj(l)) == 0
+        if (useMatch && tolUs >= 0L)
+          // a match farther back than the tolerance is no match — and no
+          // older right row could be closer, so null is correct
+          useMatch = lastTsSet && !lp.isNullAt(1) && lp.getLong(1) - lastTs <= tolUs
         resultProj(joined(l, if (useMatch) lastMatch else nullMatch))
       }
     }
@@ -106,7 +123,8 @@ class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(j.leftKey, j.leftTs, j.rightKey, j.rightTs, j.rightTie,
-        j.matched, j.matchedOut, planLater(j.left), planLater(j.right)) :: Nil
+        j.matched, j.matchedOut, j.toleranceUs,
+        planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }

@@ -34,7 +34,8 @@ case class AsOfJoinPlan(
     rightTs: Attribute,
     rightTie: Attribute,
     matched: Seq[Attribute],
-    matchedOut: Seq[Attribute])
+    matchedOut: Seq[Attribute],
+    toleranceUs: Option[Long] = None)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ matchedOut

@@ -461,6 +461,24 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** As-of join with a 30-minute lookback tolerance: clicks older than
+    * the bound don't count as context for a purchase. Native operator;
+    * oracle derives from the join_asof SQL with a gap CASE. */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+    val purchases = e.filter(col("event_type") === "purchase")
+    AsOfJoin.asOfNative(purchases, clicks, "user_id", "ts", "event_id", Seq("value"),
+      toleranceUs = Some(30L * 60 * 1000000))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("ts_str"),
+        col("asof_event_id").as("click_id"),
+        date_format(col("asof_ts"), tsFmt).as("click_ts"),
+        col("asof_value").as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Bloom runtime-filtered join: the urgent-orders key set is compacted
     * into a ~1 MB bloom filter (distributed build, only bits reach the
     * driver) and applied to lineitem BEFORE the join — the probe side's
@@ -948,6 +966,7 @@ object ExtQueries {
     "join_asof_native" -> (joinAsofNative _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "pipeline_pack_sequences" -> (pipelinePackSequences _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),

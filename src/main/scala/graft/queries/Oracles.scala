@@ -1010,6 +1010,31 @@ object Oracles {
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
+    "join_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
+        |u AS (
+        | SELECT user_id AS k, tsu AS ts, event_id AS tie, 0 AS tag,
+        |        tsu AS r_ts, event_id AS r_tie, value AS r_value
+        | FROM e WHERE event_type = 'click'
+        | UNION ALL
+        | SELECT user_id, tsu, event_id, 1, NULL, NULL, NULL
+        | FROM e WHERE event_type = 'purchase'),
+        |win AS (SELECT *,
+        |  last_value(r_ts IGNORE NULLS) OVER w AS a_ts,
+        |  last_value(r_tie IGNORE NULLS) OVER w AS a_tie,
+        |  last_value(r_value IGNORE NULLS) OVER w AS a_value
+        | FROM u WINDOW w AS (PARTITION BY k ORDER BY ts, tag, tie
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tol AS (SELECT *,
+        |  (a_ts IS NOT NULL AND ts - a_ts <= INTERVAL 30 MINUTE) AS ok
+        | FROM win WHERE tag = 1)
+        |SELECT tie AS event_id, k AS user_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        | CASE WHEN ok THEN a_tie END AS click_id,
+        | CASE WHEN ok THEN strftime(a_ts, '%Y-%m-%d %H:%M:%S') END AS click_ts,
+        | CASE WHEN ok THEN a_value END AS click_value
+        |FROM tol ORDER BY event_id""".stripMargin,
+
     "join_asof" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
         |u AS (

@@ -48,6 +48,22 @@ class AsOfNativeSpec extends SparkSpec {
     assert(native.sameElements(composed))
   }
 
+  test("tolerance bounds the lookback") {
+    // doc purchases: 200 at 11:00 (click at 11:00, gap 0), 201 at 10:30
+    // (latest click 10:00, gap 30min)
+    def run(tolMin: Long) =
+      AsOfJoin.asOfNative(purchases, clicks, "user_id", "ts", "event_id", Seq("value"),
+        toleranceUs = Some(tolMin * 60L * 1000000))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("asof_event_id")).map(_.toLong)).toMap
+    val g30 = run(30)
+    assert(g30(200L) === Some(101L)) // gap 0 within 30min
+    assert(g30(201L) === Some(100L)) // gap exactly 30min: inclusive
+    val g29 = run(29)
+    assert(g29(200L) === Some(101L))
+    assert(g29(201L) === None) // 30min gap exceeds 29min tolerance
+  }
+
   test("native plan: AsOfJoinExec with one exchange per side") {
     val e = graft.queries.Staging.tbl(spark, sf, "events")
     val c = e.filter(col("event_type") === "click")
