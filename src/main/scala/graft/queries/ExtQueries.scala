@@ -100,6 +100,27 @@ object ExtQueries {
       probePred = col("vec_id") < 5)
       .orderBy("probe_id", "rk")
 
+  /** ANN quality harness: recall@5 of the LSH index against the exact
+    * brute-force ranking, per probe. The eval every approximate index
+    * needs next to it — and the same join shape scores IVF or any other
+    * candidate generator. Exact-arithmetic cosines on both sides make
+    * the recall itself oracle-checkable. */
+  def simsearchRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 5)
+      .select("probe_id", "vec_id")
+    val approx = Similarity.lshTopK(emb, numPlanes = 4, k = 5,
+      probePred = col("vec_id") < 5)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      .orderBy("probe_id")
+  }
+
   // ---- text analysis -----------------------------------------------------
 
   def textLangId(spark: SparkSession, dir: String): DataFrame =
@@ -967,6 +988,7 @@ object ExtQueries {
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "pipeline_pack_sequences" -> (pipelinePackSequences _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
+    "simsearch_recall" -> (simsearchRecall _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),
