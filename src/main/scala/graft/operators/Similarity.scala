@@ -206,6 +206,33 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
   }
 
+  /** Multi-probe LSH top-k: each probe scans its own bucket PLUS every
+    * bucket at Hamming distance 1 (flip one hyperplane bit) — the
+    * standard recall knob for hyperplane LSH. Crucially this stays an
+    * EQUI-join: the probe side explodes into its 1+numPlanes candidate
+    * bucket ids and joins on bucket equality, so the corpus is still
+    * touched only in the probed buckets ((numPlanes+1)/2^numPlanes of
+    * it) — a bit_count(xor) join predicate would instead degrade to a
+    * corpus-wide nested loop. simsearch_recall vs simsearch_recall_multiprobe
+    * measures what the extra buckets buy. */
+  def lshMultiProbeTopK(emb: DataFrame, numPlanes: Int, k: Int,
+      probePred: org.apache.spark.sql.Column): DataFrame = {
+    val b = lshBuckets(emb, numPlanes)
+    val neighborBuckets = array(
+      (col("bucket") +: (0 until numPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+    val probes = b.filter(probePred)
+      .select(explode(neighborBuckets).as("bucket"),
+        col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nrm").as("pnrm"))
+    broadcast(probes).join(b, Seq("bucket"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
   /** Cluster-emitting embedding near-dup dedup — the scale-safe output
     * shape for heavy duplication (the pair form below grows quadratically
     * with duplicate multiplicity; see docs/SCALING.md). Two levels,

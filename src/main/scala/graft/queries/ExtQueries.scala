@@ -100,6 +100,32 @@ object ExtQueries {
       probePred = col("vec_id") < 5)
       .orderBy("probe_id", "rk")
 
+  /** Multi-probe LSH ANN: probes also scan the Hamming-1 neighbor
+    * buckets via an exploded equi-join — 5 of 16 buckets instead of 1
+    * (see Similarity.lshMultiProbeTopK). */
+  def simsearchLshMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshMultiProbeTopK(tbl(spark, dir, "embeddings"), numPlanes = 4,
+      k = 5, probePred = col("vec_id") < 5)
+      .orderBy("probe_id", "rk")
+
+  /** Recall@5 of multi-probe LSH — paired with simsearch_recall to
+    * measure what the extra buckets buy. */
+  def simsearchRecallMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 5)
+      .select("probe_id", "vec_id")
+    val approx = Similarity.lshMultiProbeTopK(emb, numPlanes = 4, k = 5,
+      probePred = col("vec_id") < 5)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      .orderBy("probe_id")
+  }
+
   /** ANN quality harness: recall@5 of the LSH index against the exact
     * brute-force ranking, per probe. The eval every approximate index
     * needs next to it — and the same join shape scores IVF or any other
@@ -989,6 +1015,8 @@ object ExtQueries {
     "pipeline_pack_sequences" -> (pipelinePackSequences _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "simsearch_recall" -> (simsearchRecall _),
+    "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
+    "simsearch_recall_multiprobe" -> (simsearchRecallMultiprobe _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),

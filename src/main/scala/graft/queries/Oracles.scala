@@ -478,6 +478,66 @@ object Oracles {
          |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
     },
 
+    "simsearch_lsh_multiprobe" -> {
+      val planeComp = ch("(CAST(p AS VARCHAR) || ':' || CAST(i_ - 1 AS VARCHAR))")
+      s"""$embCtes,
+         |planes AS (SELECT unnest(generate_series(0, 3)) AS p),
+         |dots AS (SELECT f.vec_id, p,
+         |   CAST(list_sum(list_transform(generate_series(1, len(qv)),
+         |     i_ -> qv[i_] * (($planeComp) % 2001 - 1000))) AS BIGINT) AS dot
+         | FROM f, planes),
+         |buckets AS (SELECT vec_id,
+         |   CAST(sum(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM dots GROUP BY vec_id),
+         |b AS (SELECT f.vec_id, f.qv, f.nrm, buckets.bucket FROM f JOIN buckets USING (vec_id)),
+         |pb AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm,
+         |   unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         | FROM b WHERE vec_id < 5),
+         |scored AS (SELECT pb.probe_id, c.vec_id,
+         |   CAST(${qdotPair("pb.pqv", "c.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(pb.pnrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+         | FROM pb JOIN b c ON c.bucket = pb.bucket AND c.vec_id <> pb.probe_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+         |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
+    },
+
+    "simsearch_recall_multiprobe" -> {
+      val planeComp = ch("(CAST(p AS VARCHAR) || ':' || CAST(i_ - 1 AS VARCHAR))")
+      s"""$embCtes,
+         |planes AS (SELECT unnest(generate_series(0, 3)) AS p),
+         |dots AS (SELECT f.vec_id, p,
+         |   CAST(list_sum(list_transform(generate_series(1, len(qv)),
+         |     i_ -> qv[i_] * (($planeComp) % 2001 - 1000))) AS BIGINT) AS dot
+         | FROM f, planes),
+         |buckets AS (SELECT vec_id,
+         |   CAST(sum(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM dots GROUP BY vec_id),
+         |b AS (SELECT f.vec_id, f.qv, f.nrm, buckets.bucket FROM f JOIN buckets USING (vec_id)),
+         |pb AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm,
+         |   unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         | FROM b WHERE vec_id < 5),
+         |lscored AS (SELECT pb.probe_id, c.vec_id,
+         |   CAST(${qdotPair("pb.pqv", "c.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(pb.pnrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+         | FROM pb JOIN b c ON c.bucket = pb.bucket AND c.vec_id <> pb.probe_id),
+         |ltop AS (SELECT probe_id, vec_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+         |   FROM lscored) WHERE rk <= 5),
+         |bscored AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |   CAST(${qdotPair("p.qv", "c.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+         | FROM (SELECT * FROM f WHERE vec_id < 5) p JOIN f c ON c.vec_id <> p.vec_id),
+         |btop AS (SELECT probe_id, vec_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+         |   FROM bscored) WHERE rk <= 5)
+         |SELECT t.probe_id, CAST(count(*) AS BIGINT) AS n_true,
+         | CAST(count(l.vec_id) AS BIGINT) AS n_hit,
+         | CAST(count(l.vec_id) AS DOUBLE) / count(*) AS recall
+         |FROM btop t LEFT JOIN ltop l
+         |  ON l.probe_id = t.probe_id AND l.vec_id = t.vec_id
+         |GROUP BY t.probe_id ORDER BY t.probe_id""".stripMargin
+    },
+
     "simsearch_recall" -> {
       val planeComp = ch("(CAST(p AS VARCHAR) || ':' || CAST(i_ - 1 AS VARCHAR))")
       s"""$embCtes,
