@@ -768,6 +768,26 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
       .orderBy("event_type")
 
+  /** Training-mixture sampling: each source is down-sampled to its
+    * configured mixture rate (high-quality sources kept whole, the tail
+    * thinned) with a DETERMINISTIC per-doc coin — hash(doc_id) % 100
+    * against the source's rate — so the mixture is reproducible run to
+    * run and survives retries/backfills unchanged. The weights ride a
+    * broadcast dim table: the fact side never shuffles, rows drop at the
+    * scan. The data-mixing step every pretraining pipeline runs. */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = (0 until 20)
+      .map(i => (s"src$i", if (i < 5) 100L else if (i < 10) 50L else 10L))
+      .toDF("source", "rate")
+    tbl(spark, dir, "documents")
+      .join(broadcast(weights), Seq("source"))
+      .filter(charHash(col("doc_id").cast("string")) % 100 < col("rate"))
+      .groupBy("source", "rate")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** Corpus vocabulary: top-30 tokens by collection frequency with doc
     * frequency — the vocab builder a tokenizer-training pipeline runs.
     * One explode + one hash agg; only 30 rows pass the rank filter. */
@@ -1017,6 +1037,7 @@ object ExtQueries {
     "simsearch_recall" -> (simsearchRecall _),
     "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
     "simsearch_recall_multiprobe" -> (simsearchRecallMultiprobe _),
+    "sample_mixture" -> (sampleMixture _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),

@@ -977,6 +977,21 @@ object Oracles {
          |FROM events GROUP BY day ORDER BY day""".stripMargin
     },
 
+    "sample_mixture" -> {
+      val h = ch("CAST(doc_id AS VARCHAR)")
+      s"""WITH w AS (SELECT source, CASE
+         |   WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 100
+         |   WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 50
+         |   ELSE 10 END AS rate
+         | FROM (SELECT DISTINCT source FROM documents))
+         |SELECT d.source, CAST(w.rate AS BIGINT) AS rate,
+         | count(*) AS n_sampled,
+         | CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+         |FROM documents d JOIN w ON d.source = w.source
+         |WHERE ($h) % 100 < w.rate
+         |GROUP BY d.source, w.rate ORDER BY d.source""".stripMargin
+    },
+
     "sample_hash" -> {
       val h = ch("CAST(event_id AS VARCHAR)")
       s"""SELECT event_type, count(*) AS n, ${decSum2("value")} AS sum_value
