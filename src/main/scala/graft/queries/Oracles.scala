@@ -977,6 +977,12 @@ object Oracles {
          |FROM events GROUP BY day ORDER BY day""".stripMargin
     },
 
+    "stream_dropdup_watermark" ->
+      s"""SELECT event_type, count(*) AS n,
+         | CAST(sum(event_id) AS BIGINT) AS sum_id,
+         | ${decSum2("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "sample_mixture" -> {
       val h = ch("CAST(doc_id AS VARCHAR)")
       s"""WITH w AS (SELECT source, CASE

@@ -325,6 +325,47 @@ object StreamQueries {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Watermark-bounded streaming deduplication: the staged feed REPLAYS
+    * 10% of events (exact copies interleaved at their original event
+    * time, the way an at-least-once upstream re-delivers), and
+    * `dropDuplicatesWithinWatermark` restores exactly-once on event_id
+    * while keeping ONLY a watermark horizon of keys in state — unlike
+    * plain dropDuplicates, whose streaming state grows with every key
+    * ever seen. Duplicates arriving inside the horizon are dropped by
+    * the state store; copies arriving after the watermark passed are
+    * dropped as late — either way each event_id is emitted exactly once,
+    * which is what the batch oracle checks. */
+  def streamDropdupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val events = tbl(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val replayed = events.filter(col("event_id") % 10 === 0)
+    val glob = stageChronological(spark, events.unionByName(replayed), 5,
+      Seq(col("ts"), col("event_id")), "dropdup")
+
+    val out = tmpDir("dropdupsink")
+    withShufflePartitions(spark, 8) {
+      val q = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+        .parquet(glob)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", tmpDir("dropdupckpt"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_id"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_file_source" -> (streamFileSource _),
     "stream_window_agg" -> (streamWindowAgg _),
@@ -332,5 +373,6 @@ object StreamQueries {
     "stream_dedup_clusters" -> (streamDedupClusters _),
     "stream_window_append" -> (streamWindowAppend _),
     "stream_stream_join" -> (streamStreamJoin _),
+    "stream_dropdup_watermark" -> (streamDropdupWatermark _),
   )
 }
