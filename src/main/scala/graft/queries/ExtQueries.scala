@@ -768,6 +768,34 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
       .orderBy("event_type")
 
+  /** Lake MERGE (upsert) into a date-partitioned parquet table: base =
+    * events without the id%5 rows; the update batch inserts those and
+    * doubles the value of id%7 rows. LakeOps.mergeInto rewrites only
+    * affected partitions via pruned read + anti-join + dynamic
+    * partition overwrite. The aggregate over the merged table must equal
+    * the arithmetic reconstruction the oracle computes — any lost,
+    * doubled, or stale row breaks count, id-sum, or value-sum. */
+  def sinkUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("upsert")
+    val e = tbl(spark, dir, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "event_date", "event_type", "value")
+    e.filter(col("event_id") % 5 =!= 0)
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val updates = e.filter(col("event_id") % 5 === 0)
+      .unionByName(e.filter(col("event_id") % 5 =!= 0 && col("event_id") % 7 === 0)
+        .withColumn("value", col("value") * 2))
+    graft.etl.LakeOps.mergeInto(spark, out, updates, "event_id", "event_date")
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_id"),
+        decSum2(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Training-mixture sampling: each source is down-sampled to its
     * configured mixture rate (high-quality sources kept whole, the tail
     * thinned) with a DETERMINISTIC per-doc coin — hash(doc_id) % 100
@@ -1038,6 +1066,7 @@ object ExtQueries {
     "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
     "simsearch_recall_multiprobe" -> (simsearchRecallMultiprobe _),
     "sample_mixture" -> (sampleMixture _),
+    "sink_upsert" -> (sinkUpsert _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),

@@ -977,6 +977,13 @@ object Oracles {
          |FROM events GROUP BY day ORDER BY day""".stripMargin
     },
 
+    "sink_upsert" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS sum_id,
+        | CAST(sum(CAST(CASE WHEN event_id % 5 <> 0 AND event_id % 7 = 0
+        |   THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "stream_dropdup_watermark" ->
       s"""SELECT event_type, count(*) AS n,
          | CAST(sum(event_id) AS BIGINT) AS sum_id,
