@@ -768,6 +768,66 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
       .orderBy("event_type")
 
+  /** Z-order layout demo: interleave the bits of two query dimensions
+    * (customer, order day) into a Morton key, lay the table out in that
+    * order, and measure data-skipping — how many of 64 equal "files"
+    * (ntile buckets standing in for file assignment; production =
+    * repartitionByRange(z) before the write) a 2-D rectangle predicate
+    * has to touch. The z layout clusters both dimensions at once, so the
+    * rectangle lands in a handful of buckets where the linear
+    * (custkey-then-date) sort smears it across every custkey stripe —
+    * the locality argument for z-ordering a 100 TB lake, measured. */
+  def ddlZorder(spark: SparkSession, dir: String): DataFrame = {
+    val o = tbl(spark, dir, "orders").select(
+      col("o_orderkey"),
+      (col("o_custkey") % 256).cast("int").as("x"),
+      (datediff(col("o_orderdate"), lit("1992-01-01").cast("date")) % 256)
+        .cast("int").as("y"))
+    val z = (0 until 8).map(i =>
+      shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1)), 2 * i + 1))
+      .reduce(_ + _)
+    def touched(keyed: DataFrame, ord: Seq[org.apache.spark.sql.Column], label: String) =
+      keyed
+        .withColumn("bucket", ntile(64).over(Window.orderBy(ord :+ col("o_orderkey"): _*)))
+        .filter(col("x") < 32 && col("y") < 32)
+        .agg(countDistinct(col("bucket")).as("buckets_touched"),
+          count(lit(1)).as("n_rows"))
+        .select(lit(label).as("layout"), col("buckets_touched"), col("n_rows"))
+    touched(o.withColumn("z", z), Seq(col("z")), "zorder")
+      .unionByName(touched(o, Seq(col("x"), col("y")), "linear"))
+      .orderBy("layout")
+  }
+
+  /** SCD2 dimension history: treat each user's event_type as a changing
+    * dimension attribute and collapse consecutive equal states into
+    * validity intervals [valid_from, valid_to) — the slowly-changing-
+    * dimension build every warehouse runs. One window pass per user
+    * (change flag via lag -> running version number -> interval bounds
+    * via min/lead); all work is partitioned by user_id, one shuffle. */
+  def ddlScd2(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val byVer = Window.partitionBy("user_id").orderBy("version")
+    tbl(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTs).isNull ||
+          lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        byTs.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "version")
+      .agg(
+        first(col("event_type")).as("state"),
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+      .select(
+        col("user_id"), col("version"), col("state"), col("n_events"),
+        date_format(col("valid_from"), tsFmt).as("valid_from_s"),
+        date_format(col("valid_to"), tsFmt).as("valid_to_s"))
+      .orderBy("user_id", "version")
+  }
+
   /** Lake MERGE (upsert) into a date-partitioned parquet table: base =
     * events without the id%5 rows; the update batch inserts those and
     * doubles the value of id%7 rows. LakeOps.mergeInto rewrites only
@@ -1067,6 +1127,8 @@ object ExtQueries {
     "simsearch_recall_multiprobe" -> (simsearchRecallMultiprobe _),
     "sample_mixture" -> (sampleMixture _),
     "sink_upsert" -> (sinkUpsert _),
+    "ddl_scd2" -> (ddlScd2 _),
+    "ddl_zorder" -> (ddlZorder _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),

@@ -977,6 +977,42 @@ object Oracles {
          |FROM events GROUP BY day ORDER BY day""".stripMargin
     },
 
+    "ddl_zorder" -> {
+      val zExpr = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT o_orderkey,
+         |  CAST(o_custkey % 256 AS INTEGER) AS x,
+         |  CAST((CAST(o_orderdate AS DATE) - DATE '1992-01-01') % 256 AS INTEGER) AS y
+         | FROM orders),
+         |k AS (SELECT *, $zExpr AS z FROM d),
+         |zb AS (SELECT x, y, ntile(64) OVER (ORDER BY z, o_orderkey) AS bucket FROM k),
+         |lb AS (SELECT x, y, ntile(64) OVER (ORDER BY x, y, o_orderkey) AS bucket FROM k),
+         |za AS (SELECT 'zorder' AS layout,
+         |   CAST(count(DISTINCT bucket) AS BIGINT) AS buckets_touched, count(*) AS n_rows
+         | FROM zb WHERE x < 32 AND y < 32),
+         |la AS (SELECT 'linear' AS layout,
+         |   CAST(count(DISTINCT bucket) AS BIGINT) AS buckets_touched, count(*) AS n_rows
+         | FROM lb WHERE x < 32 AND y < 32)
+         |SELECT * FROM za UNION ALL SELECT * FROM la ORDER BY layout""".stripMargin
+    },
+
+    "ddl_scd2" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, event_type FROM events),
+        |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |v AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version FROM c),
+        |g AS (SELECT user_id, version, min(event_type) AS state,
+        |    count(*) AS n_events, min(tsu) AS valid_from
+        |  FROM v GROUP BY user_id, version)
+        |SELECT user_id, version, state, n_events,
+        | strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+        | strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+        |   '%Y-%m-%d %H:%M:%S') AS valid_to_s
+        |FROM g ORDER BY user_id, version""".stripMargin,
+
     "sink_upsert" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(event_id) AS BIGINT) AS sum_id,
