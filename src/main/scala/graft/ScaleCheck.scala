@@ -84,11 +84,34 @@ object ScaleCheck {
           .count()
       }
 
+      // replicated users repeat per copy -> per-key counts grow f-fold;
+      // threshold scales with f so selectivity stays comparable
+      time("sketch_heavy_hitters", f) {
+        graft.operators.Sketches.heavyHitters(e, "user_id", 80L * f).count()
+      }
+      time("pipeline_pack_sequences", f) {
+        graft.operators.TextOps.packSequences(d, 512).count()
+      }
+      time("join_asof_native", f) {
+        graft.operators.AsOfJoin.asOfNative(
+          e.filter(col("event_type") === "purchase"),
+          e.filter(col("event_type") === "click"),
+          "user_id", "ts", "event_id", Seq("value"))
+          .agg(count(col("asof_event_id"))).count()
+      }
+
       val li = replicate(lineitem, "l_orderkey", f)
       time("agg_pricing_summary", f) {
         li.groupBy("l_returnflag", "l_linestatus")
           .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"), count(lit(1)).as("n"))
           .count()
+      }
+      time("join_bloom_prefilter", f) {
+        val urgent = replicate(tbl(spark, sfDir, "orders"), "o_orderkey", f)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        graft.operators.RuntimeFilter.bloomPrefilter(
+          li, "l_orderkey", urgent.select("o_orderkey"), 1L << 22, 0.03)
+          .groupBy("l_linestatus").agg(count(lit(1))).count()
       }
     }
     spark.stop()
