@@ -876,6 +876,48 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** Schema evolution across lake batches: an early batch written before
+    * the `value` column existed sits beside a later batch that has it;
+    * mergeSchema reconciles the footers and the missing column reads as
+    * null — the additive-evolution contract a long-lived lake relies on
+    * (at 100 TB you set mergeSchema only on the evolving prefix, or
+    * carry the unified schema in a catalog). */
+  def scanSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("evolve")
+    val e = tbl(spark, dir, "events")
+    e.filter(col("event_id") % 2 === 0)
+      .select("event_id", "event_type")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=1")
+    e.filter(col("event_id") % 2 === 1)
+      .select("event_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("value")).as("n_with_value"),
+        decSum2(coalesce(col("value"), lit(0.0))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Deterministic train/val/test split (80/10/10) on a hash of the doc
+    * id: membership is a pure function of the key, so the split is
+    * stable across runs, retries, and cluster sizes, and a doc can never
+    * leak between splits when the corpus is re-processed — the property
+    * random() splits lose the moment anything is recomputed. */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = charHash(col("doc_id").cast("string")) % 100
+    tbl(spark, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy("split")
+  }
+
   /** Corpus vocabulary: top-30 tokens by collection frequency with doc
     * frequency — the vocab builder a tokenizer-training pipeline runs.
     * One explode + one hash agg; only 30 rows pass the rank filter. */
@@ -1129,6 +1171,8 @@ object ExtQueries {
     "sink_upsert" -> (sinkUpsert _),
     "ddl_scd2" -> (ddlScd2 _),
     "ddl_zorder" -> (ddlZorder _),
+    "sample_split" -> (sampleSplit _),
+    "scan_schema_evolution" -> (scanSchemaEvolution _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),

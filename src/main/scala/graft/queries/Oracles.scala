@@ -977,6 +977,23 @@ object Oracles {
          |FROM events GROUP BY day ORDER BY day""".stripMargin
     },
 
+    "sample_split" -> {
+      val h = ch("CAST(doc_id AS VARCHAR)")
+      s"""SELECT CASE WHEN ($h) % 100 < 80 THEN 'train'
+         |            WHEN ($h) % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+         | count(*) AS n_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         | CAST(sum(doc_id) AS BIGINT) AS sum_id
+         |FROM documents GROUP BY split ORDER BY split""".stripMargin
+    },
+
+    "scan_schema_evolution" ->
+      s"""SELECT event_type, count(*) AS n,
+         | CAST(count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_with_value,
+         | CAST(sum(CAST(CASE WHEN event_id % 2 = 1 THEN value ELSE 0.0 END
+         |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "ddl_zorder" -> {
       val zExpr = (0 until 8).map(i =>
         s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
