@@ -64,6 +64,45 @@ class AsOfNativeSpec extends SparkSpec {
     assert(g29(201L) === None) // 30min gap exceeds 29min tolerance
   }
 
+  test("edge: empty right side, null keys, null timestamps") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    def df(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+
+    // empty right: every left row emits with null match
+    val emptyR = df(Seq.empty)
+    val left = df(Seq(Row(1L, ts("2024-01-01 10:00:00"), 1L, 1.0)))
+    val r1 = AsOfJoin.asOfNative(left, emptyR, "user_id", "ts", "event_id", Seq("value")).collect()
+    assert(r1.length === 1 && r1(0).isNullAt(r1(0).fieldIndex("asof_event_id")))
+
+    // null keys cluster together (window PARTITION BY semantics): a
+    // null-key left row matches the null-key right row, not user 1's
+    val nullKeyR = df(Seq(
+      Row(null, ts("2024-01-01 09:00:00"), 10L, 5.0),
+      Row(1L, ts("2024-01-01 09:30:00"), 11L, 6.0)))
+    val nullKeyL = df(Seq(
+      Row(null, ts("2024-01-01 10:00:00"), 20L, 0.0),
+      Row(1L, ts("2024-01-01 10:00:00"), 21L, 0.0)))
+    val r2 = AsOfJoin.asOfNative(nullKeyL, nullKeyR, "user_id", "ts", "event_id", Seq("value"))
+      .collect().map(r => r.getLong(r.fieldIndex("event_id")) ->
+        Option(r.getAs[java.lang.Long]("asof_event_id")).map(_.toLong)).toMap
+    assert(r2(20L) === Some(10L))
+    assert(r2(21L) === Some(11L))
+
+    // null right ts sorts first and under a tolerance can never match
+    val nullTsR = df(Seq(Row(1L, null, 30L, 7.0)))
+    val r3 = AsOfJoin.asOfNative(left, nullTsR, "user_id", "ts", "event_id", Seq("value"),
+      toleranceUs = Some(3600L * 1000000)).collect()
+    assert(r3(0).isNullAt(r3(0).fieldIndex("asof_event_id")))
+    // without tolerance the null-ts row is still "earliest" -> it matches
+    val r4 = AsOfJoin.asOfNative(left, nullTsR, "user_id", "ts", "event_id", Seq("value")).collect()
+    assert(r4(0).getAs[java.lang.Long]("asof_event_id") === 30L)
+  }
+
   test("native plan: AsOfJoinExec with one exchange per side") {
     val e = graft.queries.Staging.tbl(spark, sf, "events")
     val c = e.filter(col("event_type") === "click")
