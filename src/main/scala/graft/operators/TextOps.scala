@@ -142,6 +142,50 @@ object TextOps {
         (acc, h) => (acc * 1000003L + h) % HashP).as("fp"))
   }
 
+  /** Iterative BPE training (the first `iterations` merges): each round
+    * counts adjacent symbol pairs corpus-wide, picks the most frequent
+    * (deterministic count-desc/lexicographic tiebreak), and applies the
+    * merge everywhere before recounting — the actual tokenizer-training
+    * loop, not just one round. Returns one row per merge:
+    * (iter, tok_a, tok_b, n).
+    *
+    * The corpus rides between rounds as a STRING encoding — tokens
+    * joined with two spaces, one space at each end — so applying a merge
+    * is a single built-in `replace` of " a  b " with " a<J>b ": plain
+    * left-to-right non-overlapping replacement is exactly BPE's greedy
+    * application order (for pair (a,a) on "a a a" it merges once, like
+    * BPE), the double-space gaps keep token boundaries exact, and the
+    * whole round stays codegen'd with no UDF. Merged symbols join with
+    * a \u0001 joiner <J> (so "a"+"b" never collides with a literal token
+    * "ab") and participate in later rounds as single tokens.
+    * Per round: one explode + one partial-agg shuffle + a 1-row
+    * collect (the vocab lives on the driver in real tokenizer training);
+    * corpus work is scan-linear per round. */
+  def bpeTrain(docs: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var repr = docs
+      .select(concat(lit(" "), concat_ws("  ", tokens(col("text"))), lit(" ")).as("s"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (i <- 1 to iterations) {
+      val top = repr
+        .select(split(trim(col("s")), "  ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((i.toLong, a, b, n))
+      repr = repr.withColumn("s", call_function("replace",
+        col("s"), lit(s" $a  $b "), lit(s" $a\u0001$b ")))
+    }
+    merges.toSeq.toDF("iter", "tok_a", "tok_b", "n")
+  }
+
   /** Training-sequence packing (offset chunking): lay each shard's
     * documents end to end in deterministic (doc_id) order and cut the
     * token stream into fixed `seqLen` windows — every doc gets the

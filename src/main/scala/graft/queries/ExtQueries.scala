@@ -900,6 +900,14 @@ object ExtQueries {
       .orderBy("event_type")
   }
 
+  /** Iterative BPE training — the first 3 merges over the corpus (see
+    * TextOps.bpeTrain): pair counts -> top merge -> apply -> recount,
+    * each round scan-linear, vocab on the driver as in any tokenizer
+    * trainer. The oracle unrolls all 3 rounds in SQL. */
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrain(tbl(spark, dir, "documents"), iterations = 3)
+      .orderBy("iter")
+
   /** Deterministic train/val/test split (80/10/10) on a hash of the doc
     * id: membership is a pure function of the key, so the split is
     * stable across runs, retries, and cluster sizes, and a doc can never
@@ -1173,6 +1181,7 @@ object ExtQueries {
     "ddl_zorder" -> (ddlZorder _),
     "sample_split" -> (sampleSplit _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
+    "text_bpe_train" -> (textBpeTrain _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),

@@ -977,6 +977,31 @@ object Oracles {
          |FROM events GROUP BY day ORDER BY day""".stripMargin
     },
 
+    "text_bpe_train" ->
+      s"""WITH r0 AS (SELECT ' ' || array_to_string(${tok("text")}, '  ') || ' ' AS s FROM documents),
+         |t1 AS (SELECT string_split(trim(s), '  ') AS l FROM r0 WHERE len(string_split(trim(s), '  ')) >= 2),
+         |u1 AS (SELECT l, unnest(generate_series(2, len(l))) AS i FROM t1),
+         |p1 AS (SELECT l[i-1] AS a, l[i] AS b FROM u1),
+         |m1 AS (SELECT a, b, count(*) AS n FROM p1 GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+         |r1 AS (SELECT replace(s,
+         |   ' ' || (SELECT a FROM m1) || '  ' || (SELECT b FROM m1) || ' ',
+         |   ' ' || (SELECT a FROM m1) || chr(1) || (SELECT b FROM m1) || ' ') AS s FROM r0),
+         |t2 AS (SELECT string_split(trim(s), '  ') AS l FROM r1 WHERE len(string_split(trim(s), '  ')) >= 2),
+         |u2 AS (SELECT l, unnest(generate_series(2, len(l))) AS i FROM t2),
+         |p2 AS (SELECT l[i-1] AS a, l[i] AS b FROM u2),
+         |m2 AS (SELECT a, b, count(*) AS n FROM p2 GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+         |r2 AS (SELECT replace(s,
+         |   ' ' || (SELECT a FROM m2) || '  ' || (SELECT b FROM m2) || ' ',
+         |   ' ' || (SELECT a FROM m2) || chr(1) || (SELECT b FROM m2) || ' ') AS s FROM r1),
+         |t3 AS (SELECT string_split(trim(s), '  ') AS l FROM r2 WHERE len(string_split(trim(s), '  ')) >= 2),
+         |u3 AS (SELECT l, unnest(generate_series(2, len(l))) AS i FROM t3),
+         |p3 AS (SELECT l[i-1] AS a, l[i] AS b FROM u3),
+         |m3 AS (SELECT a, b, count(*) AS n FROM p3 GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS iter, a AS tok_a, b AS tok_b, n FROM m1
+         |UNION ALL SELECT CAST(2 AS BIGINT), a, b, n FROM m2
+         |UNION ALL SELECT CAST(3 AS BIGINT), a, b, n FROM m3
+         |ORDER BY iter""".stripMargin,
+
     "sample_split" -> {
       val h = ch("CAST(doc_id AS VARCHAR)")
       s"""SELECT CASE WHEN ($h) % 100 < 80 THEN 'train'

@@ -209,6 +209,17 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"prefilter alone must be exchange-free:\n$plan")
   }
 
+  test("bpeTrain: greedy left-to-right merges, merged symbols recurse") {
+    val corpus = Seq((0L, "x y x y x y"), (1L, "a a")).toDF("doc_id", "text")
+    val merges = graft.operators.TextOps.bpeTrain(corpus, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    // round 1: x-y adjacent 3 times beats y-x (2) and a-a (1)
+    assert(merges(1L) === (("x", "y", 3L)))
+    // round 2: the merged x\u0001y symbol pairs with ITSELF — greedy
+    // left-to-right application turned all three (x,y) into one token
+    assert(merges(2L) === (("x\u0001y", "x\u0001y", 2L)))
+  }
+
   test("packSequences: offsets, boundary spans, shard independence") {
     // shard A: 3+4+5 tokens at seqLen=8 -> doc 1 starts seq0 off3,
     // doc 2 starts seq0 off7 and SPANS into seq1
