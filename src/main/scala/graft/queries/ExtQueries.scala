@@ -126,6 +126,24 @@ object ExtQueries {
       .orderBy("probe_id")
   }
 
+  /** Recall@5 of the IVF index (8 cells, nprobe=2) — completes the eval
+    * pair: both index families measured against the same exact truth. */
+  def simsearchRecallIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 5)
+      .select("probe_id", "vec_id")
+    val approx = Similarity.ivfTopK(emb, k = 5, numCentroids = 8, nprobe = 2,
+      probePred = col("vec_id") < 5)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      .orderBy("probe_id")
+  }
+
   /** ANN quality harness: recall@5 of the LSH index against the exact
     * brute-force ranking, per probe. The eval every approximate index
     * needs next to it — and the same join shape scores IVF or any other
@@ -1182,6 +1200,7 @@ object ExtQueries {
     "sample_split" -> (sampleSplit _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
     "text_bpe_train" -> (textBpeTrain _),
+    "simsearch_recall_ivf" -> (simsearchRecallIvf _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),

@@ -478,6 +478,38 @@ object Oracles {
          |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin
     },
 
+    "simsearch_recall_ivf" ->
+      s"""$embCtes,
+         |cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM f WHERE vec_id < 8),
+         |ccos AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+         |   CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |    (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         | FROM f v, cents c),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM ccos),
+         |assigned AS (SELECT vec_id, qv, nrm, cid FROM ranked WHERE crk = 1),
+         |probecells AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm, cid
+         |               FROM ranked WHERE vec_id < 5 AND crk <= 2),
+         |iscored AS (SELECT p.probe_id, a.vec_id,
+         |   CAST(${qdotPair("p.pqv", "a.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.pnrm AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cosine
+         | FROM probecells p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+         |itop AS (SELECT probe_id, vec_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+         |   FROM iscored) WHERE rk <= 5),
+         |bscored AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |   CAST(${qdotPair("p.qv", "c.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+         | FROM (SELECT * FROM f WHERE vec_id < 5) p JOIN f c ON c.vec_id <> p.vec_id),
+         |btop AS (SELECT probe_id, vec_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+         |   FROM bscored) WHERE rk <= 5)
+         |SELECT t.probe_id, CAST(count(*) AS BIGINT) AS n_true,
+         | CAST(count(l.vec_id) AS BIGINT) AS n_hit,
+         | CAST(count(l.vec_id) AS DOUBLE) / count(*) AS recall
+         |FROM btop t LEFT JOIN itop l
+         |  ON l.probe_id = t.probe_id AND l.vec_id = t.vec_id
+         |GROUP BY t.probe_id ORDER BY t.probe_id""".stripMargin,
+
     "simsearch_lsh_multiprobe" -> {
       val planeComp = ch("(CAST(p AS VARCHAR) || ':' || CAST(i_ - 1 AS VARCHAR))")
       s"""$embCtes,
