@@ -786,34 +786,38 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
       .orderBy("event_type")
 
-  /** Z-order layout demo: interleave the bits of two query dimensions
-    * (customer, order day) into a Morton key, lay the table out in that
-    * order, and measure data-skipping — how many of 64 equal "files"
-    * (ntile buckets standing in for file assignment; production =
-    * repartitionByRange(z) before the write) a 2-D rectangle predicate
-    * has to touch. The z layout clusters both dimensions at once, so the
-    * rectangle lands in a handful of buckets where the linear
-    * (custkey-then-date) sort smears it across every custkey stripe —
-    * the locality argument for z-ordering a 100 TB lake, measured. */
+  /** Z-order layout with REAL file-level data skipping: interleave the
+    * bits of two query dimensions (customer, order day) into a Morton key,
+    * write an actual multi-file parquet layout (one file per contiguous
+    * key range — see [[graft.operators.ZOrder.writeLayout]]), then measure
+    * how many FILES a 2-D rectangle predicate must open, decided purely
+    * from parquet footer min/max statistics. The z layout clusters both
+    * dimensions at once, so the rectangle lands in one file where the
+    * linear (custkey-major) sort smears it across every custkey stripe —
+    * the locality argument for z-ordering a 100 TB lake, measured from the
+    * bytes a real reader would use. No global window anywhere: the layout
+    * write is one parallel hash exchange, pruning is footer metadata. */
   def ddlZorder(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
     val o = tbl(spark, dir, "orders").select(
       col("o_orderkey"),
       (col("o_custkey") % 256).cast("int").as("x"),
       (datediff(col("o_orderdate"), lit("1992-01-01").cast("date")) % 256)
         .cast("int").as("y"))
-    val z = (0 until 8).map(i =>
-      shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1)), 2 * i) +
-        shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1)), 2 * i + 1))
-      .reduce(_ + _)
-    def touched(keyed: DataFrame, ord: Seq[org.apache.spark.sql.Column], label: String) =
-      keyed
-        .withColumn("bucket", ntile(64).over(Window.orderBy(ord :+ col("o_orderkey"): _*)))
-        .filter(col("x") < 32 && col("y") < 32)
-        .agg(countDistinct(col("bucket")).as("buckets_touched"),
-          count(lit(1)).as("n_rows"))
-        .select(lit(label).as("layout"), col("buckets_touched"), col("n_rows"))
-    touched(o.withColumn("z", z), Seq(col("z")), "zorder")
-      .unionByName(touched(o, Seq(col("x"), col("y")), "linear"))
+    val rect = Map("x" -> 32L, "y" -> 32L)
+    def measure(key: org.apache.spark.sql.Column, label: String) = {
+      val out = tmpDir(s"zorder-$label")
+      ZOrder.writeLayout(o, key, shift = 10, out) // 16-bit keys -> 64 files
+      val stats = ZOrder.fileStats(spark, out, Seq("x", "y"))
+      val touched = ZOrder.touchedFiles(stats, rect)
+      (label, stats.size.toLong, touched.size.toLong)
+    }
+    val zRes = measure(ZOrder.mortonKey(col("x"), col("y"), 8), "zorder")
+    val linRes = measure(col("x") * 256 + col("y"), "linear")
+    val nRows = o.filter(col("x") < 32 && col("y") < 32).count()
+    import spark.implicits._
+    Seq(zRes, linRes).map { case (l, t, f) => (l, t, f, nRows) }
+      .toDF("layout", "files_total", "files_touched", "n_rows")
       .orderBy("layout")
   }
 

@@ -1059,16 +1059,21 @@ object Oracles {
          |  CAST(o_custkey % 256 AS INTEGER) AS x,
          |  CAST((CAST(o_orderdate AS DATE) - DATE '1992-01-01') % 256 AS INTEGER) AS y
          | FROM orders),
-         |k AS (SELECT *, $zExpr AS z FROM d),
-         |zb AS (SELECT x, y, ntile(64) OVER (ORDER BY z, o_orderkey) AS bucket FROM k),
-         |lb AS (SELECT x, y, ntile(64) OVER (ORDER BY x, y, o_orderkey) AS bucket FROM k),
-         |za AS (SELECT 'zorder' AS layout,
-         |   CAST(count(DISTINCT bucket) AS BIGINT) AS buckets_touched, count(*) AS n_rows
-         | FROM zb WHERE x < 32 AND y < 32),
-         |la AS (SELECT 'linear' AS layout,
-         |   CAST(count(DISTINCT bucket) AS BIGINT) AS buckets_touched, count(*) AS n_rows
-         | FROM lb WHERE x < 32 AND y < 32)
-         |SELECT * FROM za UNION ALL SELECT * FROM la ORDER BY layout""".stripMargin
+         |k AS (SELECT *, $zExpr AS z, x * 256 + y AS lin FROM d),
+         |nr AS (SELECT count(*) AS n_rows FROM k WHERE x < 32 AND y < 32),
+         |zf AS (SELECT z >> 10 AS f, min(x) AS mnx, min(y) AS mny FROM k GROUP BY 1),
+         |lf AS (SELECT lin >> 10 AS f, min(x) AS mnx, min(y) AS mny FROM k GROUP BY 1),
+         |za AS (SELECT 'zorder' AS layout, count(*) AS files_total,
+         |   CAST(count(CASE WHEN mnx < 32 AND mny < 32 THEN 1 END) AS BIGINT)
+         |     AS files_touched
+         | FROM zf),
+         |la AS (SELECT 'linear' AS layout, count(*) AS files_total,
+         |   CAST(count(CASE WHEN mnx < 32 AND mny < 32 THEN 1 END) AS BIGINT)
+         |     AS files_touched
+         | FROM lf)
+         |SELECT layout, files_total, files_touched, n_rows
+         |FROM (SELECT * FROM za UNION ALL SELECT * FROM la) CROSS JOIN nr
+         |ORDER BY layout""".stripMargin
     },
 
     "ddl_scd2" ->

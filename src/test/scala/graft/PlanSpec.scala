@@ -133,6 +133,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), plan)
   }
 
+  test("z-order layout write is fully parallel (no global window, no single-partition exchange)") {
+    import graft.operators.ZOrder
+    val o = graft.queries.Staging.tbl(spark, sf, "orders").select(
+      col("o_orderkey"),
+      (col("o_custkey") % 256).cast("int").as("x"),
+      (datediff(col("o_orderdate"), lit("1992-01-01").cast("date")) % 256)
+        .cast("int").as("y"))
+    val layout = o
+      .withColumn("bucket", shiftright(ZOrder.mortonKey(col("x"), col("y"), 8), 10))
+      .repartition(col("bucket"))
+    val plan = formatted(layout)
+    assert(!plan.contains("Window"), s"layout must not use a window:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"layout must stay parallel:\n$plan")
+    assert(plan.contains("hashpartitioning(bucket"), plan)
+  }
+
+  test("z-order footer stats prune the rectangle to fewer files than linear layout") {
+    val rows = graft.queries.ExtQueries.ddlZorder(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (zTotal, zTouched) = rows("zorder")
+    val (lTotal, lTouched) = rows("linear")
+    // totals = non-empty key buckets; they differ slightly between layouts
+    // at tiny SF but both are bounded by the 64 bucket ranges
+    assert(zTotal <= 64 && lTotal <= 64 && zTotal > 8 && lTotal > 8, s"$rows")
+    assert(zTouched < lTouched, s"z-order must touch fewer files: $rows")
+    assert(zTouched <= 2, s"rectangle is one aligned z-range, expected ~1 file: $rows")
+  }
+
   test("minhash signature pipeline has no shuffle before the bucket join") {
     val bands = graft.operators.Dedup.bandedSignatures(spark,
       graft.queries.Staging.tbl(spark, sf, "documents"))
