@@ -186,23 +186,22 @@ object ExtQueries {
     TextOps.fingerprint(tbl(spark, dir, "documents")).orderBy("doc_id")
 
   /** Corpus-level bigram frequencies, top-20 (text-analysis staple): the
-    * heavy part is a map-side explode + one hash-partitioned count; only
-    * 20 rows pass the final global sort. */
-  def textNgramFreq(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = tbl(spark, dir, "documents")
+    * heavy part is a map-side explode + one hash-partitioned count; the
+    * top-k is `orderBy(...).limit(k)` — TakeOrderedAndProject, a
+    * distributed per-partition partial top-k merged on the driver, never
+    * a single-partition global window (a 100 TB n-gram vocab is billions
+    * of keys). (n desc, bigram) is a total order, so the row set is
+    * deterministic without a rank column. */
+  def textNgramFreq(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
       // materialise tokens once per row: inlining tokens(text) into the
       // shingle lambda makes element_at re-tokenise the doc per bigram
       // (O(tokens^2) — showed up as the slowest bench query)
       .select(tokens(col("text")).as("toks"))
       .select(explode(shingles(col("toks"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
-    bigrams
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("n").desc, col("bigram"))).cast("long"))
-      .filter(col("rk") <= 20)
-      .select(col("rk"), col("bigram"), col("n"))
-      .orderBy("rk")
-  }
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
 
   /** The same engine through the SQL door: GraftSession views + spark.sql
     * (with a graft native function in the predicate). */
@@ -950,36 +949,32 @@ object ExtQueries {
 
   /** Corpus vocabulary: top-30 tokens by collection frequency with doc
     * frequency — the vocab builder a tokenizer-training pipeline runs.
-    * One explode + one hash agg; only 30 rows pass the rank filter. */
-  def textVocab(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tbl(spark, dir, "documents")
+    * One explode + one hash agg; top-k via TakeOrdered (distributed
+    * partial top-k), no global window — see [[textNgramFreq]]. */
+  def textVocab(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    toks.groupBy("tok")
+      .groupBy("tok")
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("tf").desc, col("tok"))).cast("long"))
-      .filter(col("rk") <= 30)
-      .select("rk", "tok", "tf", "df")
-      .orderBy("rk")
-  }
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(30)
 
   /** The first BPE merge iteration of tokenizer training: corpus-wide
     * adjacent-symbol (character-pair) frequencies within words, top-20 —
     * the argmax of this table IS the first merge rule a BPE trainer
-    * learns. Explode + one hash-partitioned count; rank passes 20 rows. */
+    * learns. Explode + one hash-partitioned count; top-k via TakeOrdered
+    * (distributed partial top-k), no global window — see
+    * [[textNgramFreq]]. */
   def textBpePairs(spark: SparkSession, dir: String): DataFrame = {
     val words = tbl(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("w"))
-    val pairs = words.filter(length(col("w")) >= 2)
+    words.filter(length(col("w")) >= 2)
       .select(explode(transform(
         sequence(lit(1), length(col("w")) - 1),
         i => substr(col("w"), i, lit(2)))).as("pair"))
-    pairs.groupBy("pair").agg(count(lit(1)).as("n"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("n").desc, col("pair"))).cast("long"))
-      .filter(col("rk") <= 20)
-      .select("rk", "pair", "n")
-      .orderBy("rk")
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
   }
 
   /** PII-style scrubbing: digit runs replaced by a placeholder (the shape

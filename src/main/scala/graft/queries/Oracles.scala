@@ -900,18 +900,16 @@ object Oracles {
          |p AS (SELECT unnest(list_transform(generate_series(1, length(word) - 1),
          |        i_ -> substring(word, i_, 2))) AS pair
          |      FROM wd WHERE length(word) >= 2),
-         |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair),
-         |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, pair) AS rk FROM c)
-         |SELECT rk, pair, n FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+         |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+         |SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "text_ngram_freq" ->
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
          |bg AS (SELECT unnest(CASE WHEN len(w) >= 2
          |         THEN list_transform(generate_series(1, len(w) - 1), i_ -> w[i_] || ' ' || w[i_+1])
          |         ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM w),
-         |c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram),
-         |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, bigram) AS rk FROM c)
-         |SELECT rk, bigram, n FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+         |c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+         |SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
 
     "sql_api" -> {
       val h = ch("o_orderpriority")
@@ -1130,9 +1128,8 @@ object Oracles {
     "text_vocab" ->
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
          |t AS (SELECT doc_id, unnest(w) AS tok FROM w),
-         |c AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
-         |r AS (SELECT *, row_number() OVER (ORDER BY tf DESC, tok) AS rk FROM c)
-         |SELECT rk, tok, tf, df FROM r WHERE rk <= 30 ORDER BY rk""".stripMargin,
+         |c AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t GROUP BY tok)
+         |SELECT tok, tf, df FROM c ORDER BY tf DESC, tok LIMIT 30""".stripMargin,
 
     "text_pii_scrub" -> {
       val h = ch("regexp_replace(text, '[0-9]+', '<NUM>', 'g')")

@@ -161,6 +161,20 @@ class PlanSpec extends SparkSpec {
     assert(zTouched <= 2, s"rectangle is one aligned z-range, expected ~1 file: $rows")
   }
 
+  test("text rankings use distributed TakeOrdered top-k, not a global window") {
+    val qs = Map(
+      "text_ngram_freq" -> graft.queries.ExtQueries.textNgramFreq _,
+      "text_vocab" -> graft.queries.ExtQueries.textVocab _,
+      "text_bpe_pairs" -> graft.queries.ExtQueries.textBpePairs _)
+    for ((name, q) <- qs) {
+      val plan = formatted(q(spark, sf))
+      assert(plan.contains("TakeOrderedAndProject"), s"$name should TakeOrdered:\n$plan")
+      assert(!plan.contains("Window"), s"$name must not use a window:\n$plan")
+      assert(!plan.contains("SinglePartition"),
+        s"$name must not funnel the vocab through one task:\n$plan")
+    }
+  }
+
   test("minhash signature pipeline has no shuffle before the bucket join") {
     val bands = graft.operators.Dedup.bandedSignatures(spark,
       graft.queries.Staging.tbl(spark, sf, "documents"))
