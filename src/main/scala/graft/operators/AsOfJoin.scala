@@ -49,7 +49,18 @@ object AsOfJoin {
     * older row could be closer, so the result is null) — pandas
     * merge_asof's `tolerance`. */
   def asOfNative(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      tieCol: String, payload: Seq[String], toleranceUs: Option[Long]): DataFrame = {
+      tieCol: String, payload: Seq[String], toleranceUs: Option[Long]): DataFrame =
+    asOfNative(left, right, keyCol, tsCol, tieCol, payload, toleranceUs, "backward")
+
+  /** Full pandas `merge_asof` surface: `direction` is `backward` (most
+    * recent right at/before the probe), `forward` (earliest right
+    * at/after it; equal-ts ties take the smallest tie key) or `nearest`
+    * (closer of the two, exact ties preferring backward). `toleranceUs`
+    * bounds the gap in whichever direction(s) apply; event-time columns
+    * may be timestamps (µs tolerance) or raw longs. */
+  def asOfNative(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, payload: Seq[String], toleranceUs: Option[Long],
+      direction: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val spark = left.sparkSession
@@ -86,7 +97,7 @@ object AsOfJoin {
     GraftBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
       lplan, rplan, lattr(keyCol), lattr(tsCol),
       rattr(keyCol), rattr(tsCol), rattr(tieCol),
-      matched, matchedOut, toleranceUs))
+      matched, matchedOut, toleranceUs, direction))
   }
 
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,

@@ -12,15 +12,19 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * shuffle each — EnsureRequirements inserts the exchanges and sorts from
   * the declared requirements, and AQE still re-plans those exchanges) and
   * sorted by (key, ts[, tie]); a single forward merge pass per partition
-  * then carries the latest right row per key. Compared to the composed
-  * union+window form this never widens left rows to the union schema,
-  * never emits right rows through the window, and needs no
-  * filter-back-to-left step — the merge is O(|L| + |R|) with two small
-  * row copies per right row as the only allocation.
+  * then carries the latest right row per key (`backward` candidate) and
+  * peeks the buffered head for the earliest not-yet-consumed right row
+  * (`forward` candidate) — `nearest` picks whichever is closer, exact
+  * ties preferring backward. All three directions stay O(|L| + |R|) with
+  * two small row copies per right row as the only allocation; compared
+  * to the composed union+window form this never widens left rows to the
+  * union schema, never emits right rows through the window, and needs no
+  * filter-back-to-left step.
   *
   * Null grouping matches the window formulation: null keys cluster
   * together, null ts sorts first (so a null-ts left row can only match a
-  * null-ts right row of the same key). */
+  * null-ts right row of the same key; under `nearest` a null-ts
+  * candidate loses to a timestamped one). */
 case class AsOfJoinExec(
     leftKey: Attribute,
     leftTs: Attribute,
@@ -30,14 +34,18 @@ case class AsOfJoinExec(
     matched: Seq[Attribute],
     matchedOut: Seq[Attribute],
     toleranceUs: Option[Long],
+    direction: String,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
 
-  // the tolerance gap is computed on raw microsecond values
-  require(toleranceUs.isEmpty ||
-    leftTs.dataType == org.apache.spark.sql.types.TimestampType,
-    "as-of tolerance requires timestamp event-time columns")
+  // the tolerance gap is computed on raw long values (µs for timestamps);
+  // both sides checked — the merge reads getLong on each
+  require(toleranceUs.isEmpty || (
+    Seq(leftTs.dataType, rightTs.dataType).forall(t =>
+      t == org.apache.spark.sql.types.TimestampType ||
+        t == org.apache.spark.sql.types.LongType)),
+    "as-of tolerance requires timestamp or long event-time columns on both sides")
 
   override def output: Seq[Attribute] = left.output ++ matchedOut
 
@@ -68,6 +76,7 @@ case class AsOfJoinExec(
     val m = matched; val mOut = matchedOut
     val out = output
     val tol = toleranceUs.getOrElse(-1L) // -1 = unbounded lookback
+    val dir = direction
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lPairProj = UnsafeProjection.create(Seq(lKey, lTs), lOut)
       val rPairProj = UnsafeProjection.create(Seq(rKey, rTs), rOut)
@@ -85,6 +94,10 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val nullMatch = new GenericInternalRow(m.size)
       val tolUs = tol
+      // backward/nearest consume right rows AT the probe ts (<=); forward
+      // leaves them at the head so they can match as forward candidates
+      val wantBack = dir != "forward"
+      val wantFwd = dir != "backward"
       val rBuf = rIter.buffered
       // latest right row consumed, valid only while its key equals the
       // current left key; copied because unsafe rows are reused
@@ -94,20 +107,56 @@ case class AsOfJoinExec(
       var lastTsSet = false
       lIter.map { l =>
         val lp = lPairProj(l)
-        while (rBuf.hasNext && pairOrd.compare(rPairProj(rBuf.head), lp) <= 0) {
+        while (rBuf.hasNext && {
+          val c = pairOrd.compare(rPairProj(rBuf.head), lp)
+          c < 0 || (wantBack && c == 0)
+        }) {
           val r = rBuf.next()
-          val rp = rPairProj(r)
-          lastTsSet = !rp.isNullAt(1)
-          if (lastTsSet) lastTs = rp.getLong(1)
-          lastKey = rKeyProj(r).copy()
-          lastMatch = rMatchProj(r).copy()
+          if (wantBack) {
+            val rp = rPairProj(r)
+            lastTsSet = !rp.isNullAt(1)
+            if (lastTsSet) lastTs = rp.getLong(1)
+            lastKey = rKeyProj(r).copy()
+            lastMatch = rMatchProj(r).copy()
+          }
         }
-        var useMatch = lastKey != null && keyOrd.compare(lastKey, lKeyProj(l)) == 0
-        if (useMatch && tolUs >= 0L)
+        val lk = lKeyProj(l)
+        val lTsNull = lp.isNullAt(1)
+        val lTsVal = if (lTsNull) 0L else lp.getLong(1)
+        // backward candidate: last consumed right row of the same key
+        var backOk = wantBack && lastKey != null && keyOrd.compare(lastKey, lk) == 0
+        if (backOk && tolUs >= 0L)
           // a match farther back than the tolerance is no match — and no
           // older right row could be closer, so null is correct
-          useMatch = lastTsSet && !lp.isNullAt(1) && lp.getLong(1) - lastTs <= tolUs
-        resultProj(joined(l, if (useMatch) lastMatch else nullMatch))
+          backOk = lastTsSet && !lTsNull && lTsVal - lastTs <= tolUs
+        // forward candidate: buffered head (NOT consumed — later left rows
+        // probe at later ts and may still match it) of the same key
+        var fwdOk = false
+        var fwdTsSet = false
+        var fwdTs = 0L
+        if (wantFwd && rBuf.hasNext &&
+            keyOrd.compare(rKeyProj(rBuf.head), lk) == 0) {
+          val hp = rPairProj(rBuf.head)
+          fwdTsSet = !hp.isNullAt(1)
+          if (fwdTsSet) fwdTs = hp.getLong(1)
+          fwdOk = true
+          if (tolUs >= 0L) fwdOk = fwdTsSet && !lTsNull && fwdTs - lTsVal <= tolUs
+        }
+        val chosen =
+          if (backOk && fwdOk) {
+            // |delta| per side; both-null ties count as exact (-1 so they
+            // also beat a real 0-delta forward), one-sided nulls lose to
+            // any timestamped candidate
+            val db = if (!lTsNull && lastTsSet) lTsVal - lastTs
+              else if (lTsNull && !lastTsSet) -1L else Long.MaxValue
+            val df = if (!lTsNull && fwdTsSet) fwdTs - lTsVal
+              else if (lTsNull && !fwdTsSet) -1L else Long.MaxValue
+            if (db <= df) lastMatch else rMatchProj(rBuf.head)
+          }
+          else if (backOk) lastMatch
+          else if (fwdOk) rMatchProj(rBuf.head)
+          else nullMatch
+        resultProj(joined(l, chosen))
       }
     }
   }
@@ -123,7 +172,7 @@ class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(j.leftKey, j.leftTs, j.rightKey, j.rightTs, j.rightTie,
-        j.matched, j.matchedOut, j.toleranceUs,
+        j.matched, j.matchedOut, j.toleranceUs, j.direction,
         planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }

@@ -4,11 +4,19 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Logical as-of join: for each left row, the most recent right row with
-  * `right.ts <= left.ts` within the same key (right rows AT the probe
-  * time match; among equal-ts right rows the largest `rightTie` wins —
-  * the same tie rule as the composed
-  * [[graft.operators.AsOfJoin]] and its DuckDB oracle).
+/** Logical as-of join: for each left row, the closest right row within
+  * the same key, where "closest" depends on `direction`:
+  *
+  *  - `backward` (default): most recent right with `right.ts <= left.ts`
+  *    (right rows AT the probe time match; among equal-ts right rows the
+  *    largest `rightTie` wins — the same tie rule as the composed
+  *    [[graft.operators.AsOfJoin]] and its DuckDB oracle).
+  *  - `forward`: earliest right with `right.ts >= left.ts`; among
+  *    equal-ts right rows the smallest `rightTie` wins.
+  *  - `nearest`: whichever of the backward/forward candidates has the
+  *    smaller |right.ts - left.ts|; an exact tie prefers backward (the
+  *    pandas `merge_asof` rule). A candidate with a null ts loses to a
+  *    timestamped one.
   *
   * This is the whole-operator tier of the custom-operator ladder — a
   * first-class plan node instead of the union+window composition — so the
@@ -35,8 +43,23 @@ case class AsOfJoinPlan(
     rightTie: Attribute,
     matched: Seq[Attribute],
     matchedOut: Seq[Attribute],
-    toleranceUs: Option[Long] = None)
+    toleranceUs: Option[Long] = None,
+    direction: String = "backward")
   extends BinaryNode {
+
+  // mismatched types would silently mis-compare in the merge's codegen'd
+  // pair comparator (bound to the LEFT side's types) — fail loudly instead
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of event-time types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
+  require(Set("backward", "forward", "nearest")(direction),
+    s"as-of direction must be backward|forward|nearest, got $direction")
+  require(toleranceUs.isEmpty || {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    leftTs.dataType == TimestampType || leftTs.dataType == LongType
+  }, "as-of tolerance requires timestamp or long event-time columns " +
+    s"(both sides), got ${leftTs.dataType}")
 
   override def output: Seq[Attribute] = left.output ++ matchedOut
 

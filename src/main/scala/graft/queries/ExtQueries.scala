@@ -543,6 +543,42 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Forward as-of join: for each purchase, the EARLIEST click at/after
+    * it — "what did the user do next" attribution. Native operator with
+    * direction=forward; equal-ts ties take the smallest click id. */
+  def joinAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+    val purchases = e.filter(col("event_type") === "purchase")
+    AsOfJoin.asOfNative(purchases, clicks, "user_id", "ts", "event_id", Seq("value"),
+      toleranceUs = None, direction = "forward")
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("ts_str"),
+        col("asof_event_id").as("click_id"),
+        date_format(col("asof_ts"), tsFmt).as("click_ts"),
+        col("asof_value").as("click_value"))
+      .orderBy("event_id")
+  }
+
+  /** Nearest as-of join: the click closest in time to each purchase in
+    * either direction, exact ties preferring the preceding click — the
+    * pandas merge_asof direction="nearest" surface. */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+    val purchases = e.filter(col("event_type") === "purchase")
+    AsOfJoin.asOfNative(purchases, clicks, "user_id", "ts", "event_id", Seq("value"),
+      toleranceUs = None, direction = "nearest")
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("ts_str"),
+        col("asof_event_id").as("click_id"),
+        date_format(col("asof_ts"), tsFmt).as("click_ts"),
+        col("asof_value").as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Bloom runtime-filtered join: the urgent-orders key set is compacted
     * into a ~1 MB bloom filter (distributed build, only bits reach the
     * driver) and applied to lineitem BEFORE the join — the probe side's
@@ -1189,6 +1225,8 @@ object ExtQueries {
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "pipeline_pack_sequences" -> (pipelinePackSequences _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
+    "join_asof_forward" -> (joinAsofForward _),
+    "join_asof_nearest" -> (joinAsofNearest _),
     "simsearch_recall" -> (simsearchRecall _),
     "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
     "simsearch_recall_multiprobe" -> (simsearchRecallMultiprobe _),

@@ -1292,6 +1292,71 @@ object Oracles {
         | a_value AS click_value
         |FROM win WHERE tag = 1 ORDER BY event_id""".stripMargin,
 
+    // forward: earliest click at/after each purchase. Purchases sort
+    // BEFORE equal-ts clicks (tag 0 vs 1) so an at-probe-time click is in
+    // the CURRENT..FOLLOWING window; first_value = smallest tie among
+    // equal ts — the native operator's forward tie rule.
+    "join_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
+        |u AS (
+        | SELECT user_id AS k, tsu AS ts, event_id AS tie, 1 AS tag,
+        |        tsu AS r_ts, event_id AS r_tie, value AS r_value
+        | FROM e WHERE event_type = 'click'
+        | UNION ALL
+        | SELECT user_id, tsu, event_id, 0, NULL, NULL, NULL
+        | FROM e WHERE event_type = 'purchase'),
+        |win AS (SELECT *,
+        |  first_value(r_ts IGNORE NULLS) OVER w AS a_ts,
+        |  first_value(r_tie IGNORE NULLS) OVER w AS a_tie,
+        |  first_value(r_value IGNORE NULLS) OVER w AS a_value
+        | FROM u WINDOW w AS (PARTITION BY k ORDER BY ts, tag, tie
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT tie AS event_id, k AS user_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        | a_tie AS click_id,
+        | strftime(a_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        | a_value AS click_value
+        |FROM win WHERE tag = 0 ORDER BY event_id""".stripMargin,
+
+    // nearest: run the backward window (clicks before equal-ts purchases,
+    // last_value = largest tie) AND the forward window (purchases before
+    // equal-ts clicks, first_value = smallest tie), then pick the smaller
+    // timestamp gap; an exact tie prefers backward — pandas' rule and the
+    // native exec's.
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
+        |u AS (
+        | SELECT user_id AS k, tsu AS ts, event_id AS tie, 0 AS tagb, 1 AS tagf,
+        |        tsu AS r_ts, event_id AS r_tie, value AS r_value
+        | FROM e WHERE event_type = 'click'
+        | UNION ALL
+        | SELECT user_id, tsu, event_id, 1, 0, NULL, NULL, NULL
+        | FROM e WHERE event_type = 'purchase'),
+        |win AS (SELECT *,
+        |  last_value(r_ts IGNORE NULLS) OVER wb AS b_ts,
+        |  last_value(r_tie IGNORE NULLS) OVER wb AS b_tie,
+        |  last_value(r_value IGNORE NULLS) OVER wb AS b_value,
+        |  first_value(r_ts IGNORE NULLS) OVER wf AS f_ts,
+        |  first_value(r_tie IGNORE NULLS) OVER wf AS f_tie,
+        |  first_value(r_value IGNORE NULLS) OVER wf AS f_value
+        | FROM u WINDOW
+        |  wb AS (PARTITION BY k ORDER BY ts, tagb, tie
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY k ORDER BY ts, tagf, tie
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |sel AS (SELECT *, CASE
+        |   WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+        |   WHEN f_ts IS NULL THEN 'b' WHEN b_ts IS NULL THEN 'f'
+        |   WHEN ts - b_ts <= f_ts - ts THEN 'b' ELSE 'f' END AS side
+        | FROM win WHERE tagb = 1)
+        |SELECT tie AS event_id, k AS user_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        | CASE side WHEN 'b' THEN b_tie WHEN 'f' THEN f_tie END AS click_id,
+        | strftime(CASE side WHEN 'b' THEN b_ts WHEN 'f' THEN f_ts END,
+        |   '%Y-%m-%d %H:%M:%S') AS click_ts,
+        | CASE side WHEN 'b' THEN b_value WHEN 'f' THEN f_value END AS click_value
+        |FROM sel ORDER BY event_id""".stripMargin,
+
     "topk_orders" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -103,6 +103,111 @@ class AsOfNativeSpec extends SparkSpec {
     assert(r4(0).getAs[java.lang.Long]("asof_event_id") === 30L)
   }
 
+  private def asOfDir(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+      dir: String, tolUs: Option[Long] = None) =
+    AsOfJoin.asOfNative(l, r, "user_id", "ts", "event_id", Seq("value"), tolUs, dir)
+      .collect().map(row => row.getAs[Long]("event_id") ->
+        Option(row.getAs[java.lang.Long]("asof_event_id")).map(_.toLong)).toMap
+
+  test("forward direction: earliest click at/after the probe, smallest-tie rule") {
+    val got = asOfDir(purchases, clicks, "forward")
+    assert(got(200L) === Some(101L)) // click AT 11:00 matches forward too
+    assert(got(201L) === Some(101L)) // next click after 10:30 is 11:00
+    assert(got(202L) === Some(102L)) // user 2's click is ahead of the probe
+    assert(got(203L) === None)       // no clicks at all
+    // equal-ts forward tie: two clicks at the same instant -> smallest id
+    val tieR = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 301L, 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 300L, 2.0)).toDF("user_id", "ts", "event_id", "value")
+    val tieL = Seq((1L, ts("2024-01-01 11:59:00"), 400L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    assert(asOfDir(tieL, tieR, "forward")(400L) === Some(300L))
+    // and the backward tie rule on the same data stays largest-id
+    val tieLAfter = Seq((1L, ts("2024-01-01 12:01:00"), 401L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    assert(asOfDir(tieLAfter, tieR, "backward")(401L) === Some(301L))
+  }
+
+  test("forward tolerance bounds the lookahead") {
+    val g29 = asOfDir(purchases, clicks, "forward", Some(29L * 60 * 1000000))
+    assert(g29(200L) === Some(101L)) // gap 0
+    assert(g29(201L) === None)       // 30min ahead exceeds 29min
+    assert(g29(202L) === None)       // 60min ahead
+    val g60 = asOfDir(purchases, clicks, "forward", Some(60L * 60 * 1000000))
+    assert(g60(201L) === Some(101L))
+    assert(g60(202L) === Some(102L)) // exactly 60min: inclusive
+  }
+
+  test("nearest direction: closer side wins, exact ties prefer backward") {
+    val got = asOfDir(purchases, clicks, "nearest")
+    assert(got(200L) === Some(101L)) // exact hit
+    assert(got(201L) === Some(100L)) // 30min back vs 30min fwd -> backward
+    assert(got(202L) === Some(102L)) // only a forward candidate exists
+    assert(got(203L) === None)
+    // asymmetric gaps: 10min fwd beats 50min back
+    val l = Seq((1L, ts("2024-01-01 10:50:00"), 500L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    assert(asOfDir(l, clicks, "nearest")(500L) === Some(101L))
+    // nearest tolerance applies to both directions
+    assert(asOfDir(purchases, clicks, "nearest", Some(20L * 60 * 1000000))(201L) === None)
+    assert(asOfDir(purchases, clicks, "nearest", Some(30L * 60 * 1000000))(201L) === Some(100L))
+  }
+
+  test("long event-time columns support tolerance in raw units") {
+    val r = Seq((1L, 100L, 10L, 1.0), (1L, 200L, 11L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val l = Seq((1L, 205L, 20L, 0.0), (1L, 350L, 21L, 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = AsOfJoin.asOfNative(l, r, "user_id", "ts", "event_id", Seq("value"),
+      toleranceUs = Some(50L), direction = "backward")
+      .collect().map(row => row.getAs[Long]("event_id") ->
+        Option(row.getAs[java.lang.Long]("asof_event_id")).map(_.toLong)).toMap
+    assert(got(20L) === Some(11L)) // gap 5 <= 50
+    assert(got(21L) === None)      // gap 150 > 50
+  }
+
+  test("mismatched key/ts types fail loudly instead of mis-comparing") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), 1L, 1.0)).toDF("user_id", "ts", "event_id", "value")
+    val rIntKey = l.withColumn("user_id", col("user_id").cast("int"))
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(l, rIntKey, "user_id", "ts", "event_id", Seq("value"))
+    }
+    assert(e1.getMessage.contains("key types differ"))
+    val rLongTs = l.withColumn("ts", col("ts").cast("long"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(l, rLongTs, "user_id", "ts", "event_id", Seq("value"))
+    }
+    assert(e2.getMessage.contains("event-time types differ"))
+    val e3 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(l, l, "user_id", "ts", "event_id", Seq("value"),
+        toleranceUs = None, direction = "sideways")
+    }
+    assert(e3.getMessage.contains("direction"))
+  }
+
+  test("forward/nearest edge: empty right side and null timestamps") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    def df(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val left = df(Seq(Row(1L, ts("2024-01-01 10:00:00"), 1L, 1.0)))
+    for (d <- Seq("forward", "nearest")) {
+      val r = AsOfJoin.asOfNative(left, df(Seq.empty), "user_id", "ts", "event_id",
+        Seq("value"), None, d).collect()
+      assert(r.length === 1 && r(0).isNullAt(r(0).fieldIndex("asof_event_id")), d)
+    }
+    // nearest: a null-ts candidate loses to a timestamped one
+    val mixed = df(Seq(
+      Row(1L, null, 30L, 7.0),
+      Row(1L, ts("2024-01-01 18:00:00"), 31L, 8.0)))
+    val r = AsOfJoin.asOfNative(left, mixed, "user_id", "ts", "event_id",
+      Seq("value"), None, "nearest").collect()
+    assert(r(0).getAs[java.lang.Long]("asof_event_id") === 31L)
+  }
+
   test("native plan: AsOfJoinExec with one exchange per side") {
     val e = graft.queries.Staging.tbl(spark, sf, "events")
     val c = e.filter(col("event_type") === "click")
