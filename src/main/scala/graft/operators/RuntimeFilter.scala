@@ -24,15 +24,25 @@ object RuntimeFilter {
 
   /** Build a bloom over `keys`' single (bigint) column — a distributed
     * treeAggregate; only the filter's bits come back to the driver — and
-    * return `fact` filtered to rows whose `factKey` might be in it. The
-    * filter rides the task binary via a reference object (see
-    * [[graft.expressions.BloomMightContainExpr]]): plan size and codegen
-    * are independent of the filter's bit width. */
+    * return `fact` filtered to rows whose `factKey` might be in it.
+    *
+    * The filter is handed to [[graft.expressions.BloomMightContainExpr]]
+    * as a driver-held reference object, NOT as a `lit(bytes)`: a
+    * production-sized bloom (100M keys ≈ 70 MB) embedded as a Literal
+    * would be re-hashed/compared/stringified by every analyzer and
+    * optimizer pass and bloat every explain. With the reference object
+    * the logical plan, codegen, and explain output are all independent
+    * of the filter's bit width; the bits ride to executors once via the
+    * task binary's referenced objects. (The `graft_bloom_might_contain`
+    * SQL function keeps the literal doorway for SQL callers with small
+    * sketches.) */
   def bloomPrefilter(fact: DataFrame, factKey: String, keys: DataFrame,
                      expectedItems: Long, fpp: Double): DataFrame = {
     val bf = keys.stat.bloomFilter(keys.columns.head, expectedItems, fpp)
     val bloom = GraftBloom(bf)
-    graft.expressions.GraftFunctions.register(fact.sparkSession)
-    fact.filter(call_function("graft_bloom_might_contain", col(factKey), lit(bloom.bytes)))
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    fact.filter(GraftBridge.column(
+      graft.expressions.BloomMightContainExpr(UnresolvedAttribute(factKey), bloom)))
   }
 }

@@ -27,4 +27,12 @@ object GraftBridge {
   def operatorOptimizationRules(spark: SparkSession): Seq[AnyRef] =
     spark.asInstanceOf[classic.SparkSession].sessionState.optimizer
       .extendedOperatorOptimizationRules
+
+  /** Wrap a raw Catalyst expression as a Column — the doorway that lets
+    * an operator hand a driver-held reference object (bloom filter, CMS,
+    * IVF index) straight to its expression instead of smuggling
+    * serialized bytes through a `lit()` the analyzer re-hashes on every
+    * pass. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

@@ -47,6 +47,35 @@ class SketchesSpec extends SparkSpec {
     assert(got === Map(1L -> 50L, 2L -> 20L))
   }
 
+  test("plan size is independent of sketch bytes (reference object, not lit)") {
+    // a production-sized bloom: 8M expected keys at 3% fpp ~ 7 MB of bits
+    val keys = Seq(1L, 2L, 3L).toDF("o_orderkey")
+    val fact = (1L to 100L).toDF("l_orderkey")
+    val filtered = graft.operators.RuntimeFilter.bloomPrefilter(
+      fact, "l_orderkey", keys, expectedItems = 8_000_000L, fpp = 0.03)
+    // correctness: all true keys survive (no false negatives by construction)
+    val got = filtered.collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 3L).subsetOf(got))
+    // the 7 MB of filter bits must NOT appear in the logical plan as a
+    // Literal the analyzer re-hashes each pass
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val binLits = filtered.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case l @ Literal(_, BinaryType) => l
+    })
+    assert(binLits.isEmpty, s"binary literal leaked into the plan: ${binLits.size}")
+    val explain = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+    assert(explain.length < 20000,
+      s"explain output should be sketch-size independent, got ${explain.length} chars")
+    // same property for the CMS lookup path
+    val hh = Sketches.heavyHitters(skewed, "k", threshold = 20L, depth = 4, width = 1 << 16)
+    val hhLits = hh.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case l @ Literal(_, BinaryType) => l
+    })
+    assert(hhLits.isEmpty, "cms bytes leaked into the plan as a literal")
+  }
+
   test("heavyHitters equals plain groupBy/having on events") {
     val e = graft.queries.Staging.tbl(spark, sf, "events")
     val expected = e.groupBy("user_id").agg(count(lit(1)).as("n"))
