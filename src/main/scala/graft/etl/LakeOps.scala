@@ -1,5 +1,6 @@
 package graft.etl
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,7 +9,7 @@ object LakeOps {
 
   /** MERGE INTO emulation: upsert `updates` (new keys insert, existing
     * keys replace) into a `partCol`-partitioned parquet table, rewriting
-    * ONLY the partitions the batch touches:
+    * ONLY the partitions the batch touches, with a staged-commit write:
     *
     *  1. the affected partition VALUES are collected (metadata-scale —
     *     one row per touched partition, same move as the pipeline's
@@ -16,29 +17,69 @@ object LakeOps {
     *  2. the base read is filtered to those values, so partition pruning
     *     keeps every untouched partition unread;
     *  3. matched keys drop via a left-anti join, the update batch unions
-    *     in, and DYNAMIC partition overwrite rewrites exactly the
-    *     partitions present in the merged frame — untouched partition
-    *     directories are never listed, read, or written.
+    *     in, and the merged partitions are written to a STAGING directory
+    *     ([[stageMerge]]) — a dot-prefixed child of the table dir, which
+    *     parquet listing ignores, so readers never see it. The base table
+    *     is untouched while the expensive, failure-prone data write runs:
+    *     a crash anywhere in it leaves the table byte-identical.
+    *  4. [[promoteStaged]] swaps each staged partition directory in with
+    *     two metadata-only renames (old dir aside, staged dir in). Each
+    *     partition's swap is atomic on HDFS/POSIX semantics; a crash
+    *     mid-promote leaves every partition either fully old or fully new
+    *     (never partial files), and the displaced originals are kept
+    *     under the staging dir until the final cleanup, so recovery is
+    *     "rename back or re-promote". Table-level atomicity across
+    *     partitions is the province of a log-based table format
+    *     (Delta/Iceberg) and out of scope; what this removes is the
+    *     window where a crash mid-WRITE corrupts served data.
     *
     * At 100 TB this is the difference between a full-table rewrite and
     * touching the day's partitions. Clustering by `partCol` before the
     * write keeps one writer per partition (no tasks x partitions file
-    * spray). */
+    * spray). Concurrent readers can see a mix of pre/post-merge
+    * partitions during the (brief, metadata-only) promote loop.
+    */
   def mergeInto(spark: SparkSession, sinkDir: String, updates: DataFrame,
                 keyCol: String, partCol: String): Unit = {
+    val staging = stageMerge(spark, sinkDir, updates, keyCol, partCol)
+    promoteStaged(spark, sinkDir, staging)
+  }
+
+  /** Phase 1: materialize the merged touched partitions under
+    * `sinkDir/.graft_staging_<nanos>` and return that path. The base
+    * table is only READ; nothing under `sinkDir` visible to a reader is
+    * created, changed, or deleted. */
+  def stageMerge(spark: SparkSession, sinkDir: String, updates: DataFrame,
+                 keyCol: String, partCol: String): String = {
     val affected = updates.select(partCol).distinct().collect().map(_.get(0))
     val base = spark.read.parquet(sinkDir)
       .filter(col(partCol).isin(affected: _*))
     val merged = base.join(updates.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(updates.select(base.columns.map(col): _*))
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try merged.repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(sinkDir)
-    finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    val staging = s"$sinkDir/.graft_staging_${System.nanoTime()}"
+    merged.repartition(col(partCol))
+      .write.mode("error").partitionBy(partCol).parquet(staging)
+    staging
+  }
+
+  /** Phase 2: swap every `part=value` directory under `staging` into
+    * `sinkDir` — displaced originals go under `staging/.replaced/` until
+    * the staging dir is dropped at the end. Pure metadata renames, no
+    * data I/O. Idempotent per partition: re-running after a mid-loop
+    * crash re-promotes the remaining staged partitions. */
+  def promoteStaged(spark: SparkSession, sinkDir: String, staging: String): Unit = {
+    val fs = new Path(sinkDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingPath = new Path(staging)
+    val trash = new Path(stagingPath, ".replaced")
+    fs.mkdirs(trash)
+    val parts = fs.listStatus(stagingPath)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    for (p <- parts) {
+      val dest = new Path(sinkDir, p.getPath.getName)
+      if (fs.exists(dest)) fs.rename(dest, new Path(trash, p.getPath.getName))
+      if (!fs.rename(p.getPath, dest))
+        throw new java.io.IOException(s"promote failed for ${p.getPath} -> $dest")
     }
+    fs.delete(stagingPath, true)
   }
 }

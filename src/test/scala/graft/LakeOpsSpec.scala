@@ -49,4 +49,88 @@ class LakeOpsSpec extends SparkSpec {
     assert(partFiles("2024-01-02") === before02)
     assert(partFiles("2024-01-03") === before03)
   }
+
+  private def writeBase(out: String): Unit =
+    Seq(
+      (1L, "2024-01-01", 10.0),
+      (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0),
+    ).toDF("id", "d", "v")
+      .repartition(col("d"))
+      .write.mode("overwrite").partitionBy("d").parquet(out)
+
+  private def readTable(out: String) =
+    spark.read.parquet(out)
+      .select(col("id"), col("d").cast("string").as("d"), col("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+
+  private val baseContent = Map(
+    1L -> (("2024-01-01", 10.0)),
+    2L -> (("2024-01-01", 20.0)),
+    3L -> (("2024-01-02", 30.0)))
+
+  test("crash between stage and promote leaves the table byte-identical") {
+    val out = graft.queries.Staging.tmpDir("lakeops-crash")
+    writeBase(out)
+    def allDataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out))
+        .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains(".graft_staging"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val filesBefore = allDataFiles()
+
+    val updates = Seq((2L, "2024-01-01", 99.0), (9L, "2024-01-04", 90.0)).toDF("id", "d", "v")
+    // the crash: the full (expensive) data write runs, the promote never does
+    val staging = LakeOps.stageMerge(spark, out, updates, "id", "d")
+    assert(new java.io.File(staging).exists())
+
+    // the table is untouched — same files, sizes, mtimes, same rows; the
+    // dot-prefixed staging dir is invisible to parquet listing
+    assert(allDataFiles() === filesBefore)
+    assert(readTable(out) === baseContent)
+
+    // recovery: promote the staged merge later -> merged content
+    LakeOps.promoteStaged(spark, out, staging)
+    assert(readTable(out) === Map(
+      1L -> (("2024-01-01", 10.0)),
+      2L -> (("2024-01-01", 99.0)),
+      3L -> (("2024-01-02", 30.0)),
+      9L -> (("2024-01-04", 90.0))))
+    assert(!new java.io.File(staging).exists(), "staging dir cleaned up after promote")
+  }
+
+  test("crash mid-promote: partitions are fully old or fully new; re-promote finishes") {
+    val out = graft.queries.Staging.tmpDir("lakeops-midcrash")
+    writeBase(out)
+    val updates = Seq((1L, "2024-01-01", 77.0), (3L, "2024-01-02", 88.0)).toDF("id", "d", "v")
+    val staging = LakeOps.stageMerge(spark, out, updates, "id", "d")
+
+    // simulate a crash after the first partition's swap: do one rename
+    // pair by hand, exactly as promoteStaged would, then "die"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val one = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=")).head
+    val dest = new org.apache.hadoop.fs.Path(out, one.getPath.getName)
+    val trash = new org.apache.hadoop.fs.Path(s"$staging/.replaced")
+    fs.mkdirs(trash)
+    fs.rename(dest, new org.apache.hadoop.fs.Path(trash, one.getPath.getName))
+    fs.rename(one.getPath, dest)
+
+    // mid-crash state: every partition is a complete directory (one new,
+    // one old) — the table still reads consistently, no partial files
+    val mid = readTable(out)
+    val promoted = one.getPath.getName.stripPrefix("d=")
+    assert(mid.values.map(_._1).toSet.contains(promoted))
+    assert(mid.size === 3, s"consistent row count mid-promote: $mid")
+
+    // recovery = run the promote again; it swaps what's left
+    LakeOps.promoteStaged(spark, out, staging)
+    assert(readTable(out) === Map(
+      1L -> (("2024-01-01", 77.0)),
+      2L -> (("2024-01-01", 20.0)),
+      3L -> (("2024-01-02", 88.0))))
+  }
 }
