@@ -277,6 +277,52 @@ object StreamQueries {
       .orderBy("win_start", "event_type")
   }
 
+  /** Native `session_window` streaming aggregation — Spark's built-in
+    * gap-based session operator (vs the custom
+    * `flatMapGroupsWithState` sessionizer in [[SessionizeStream]]): the
+    * state store merges overlapping per-event windows `[ts, ts+gap)`
+    * itself, and append mode emits each session EXACTLY ONCE when the
+    * event-time watermark passes its end — no user state machine, AQE-
+    * and codegen-friendly, state bounded by the watermark horizon. A
+    * far-future sentinel row (user -1) closes every real session; its
+    * own session stays in state, as in any unbounded run. Session end is
+    * last-event-ts + gap (the built-in's definition), which the batch
+    * oracle mirrors. */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val events = tbl(spark, dir, "events")
+      .select(col("user_id"), col("ts"))
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = events.sparkSession.range(1).select(
+      lit(-1L).as("user_id"),
+      timestamp_micros(lit(java.time.Instant.ofEpochMilli(maxTs.getTime)
+        .plusSeconds(7200).toEpochMilli * 1000L)).as("ts"))
+    val glob = stageChronological(spark, events.unionByName(sentinel), 5,
+      Seq(col("ts"), col("user_id")), "sesswin")
+
+    val out = tmpDir("sesswinsink")
+    withShufflePartitions(spark, 8) {
+      val q = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+        .parquet(glob)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream
+        .format("parquet").option("path", out).outputMode("append")
+        .option("checkpointLocation", tmpDir("sesswinckpt"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    spark.read.parquet(out)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("n_events"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("end_s"))
+      .orderBy("user_id", "start_s")
+  }
+
   /** Watermarked stream-stream inner join: clicks and purchases arrive on
     * two independent streams; each purchase matches clicks by the same user
     * within the preceding 30 minutes. The time-range condition + watermarks
@@ -374,5 +420,6 @@ object StreamQueries {
     "stream_window_append" -> (streamWindowAppend _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_dropdup_watermark" -> (streamDropdupWatermark _),
+    "stream_session_window" -> (streamSessionWindow _),
   )
 }
