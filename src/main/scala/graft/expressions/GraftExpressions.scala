@@ -253,6 +253,100 @@ case class IvfCellsExpr(left: Expression, right: Expression, index: IvfIndex, to
   override def prettyName: String = "graft_ivf_cells"
 }
 
+/** Product-quantization codebooks: `numSub` subspaces of `subDim` dims,
+  * each with `codebooks(m)` = array of codewords (quantised-int
+  * subvectors). Rides to executors as ONE referenced object, same
+  * [[IvfIndex]] pattern — plan and codegen independent of codebook size.
+  * All arithmetic is exact int64 so encode/decode reproduce bit-identically
+  * in the DuckDB oracle. */
+final class PqCodebooks(
+    val numSub: Int,
+    val subDim: Int,
+    val codebooks: Array[Array[Array[Long]]]) extends Serializable {
+  require(codebooks.length == numSub)
+
+  /** Per-subspace argmin-L2 code of a residual vector; ties take the
+    * smaller code index (mirrors the oracle's row_number ORDER BY dist,
+    * code). Null elements read as 0. */
+  def encode(rv: ArrayData): ArrayData = {
+    val codes = new Array[Int](numSub)
+    var m = 0
+    while (m < numSub) {
+      val cb = codebooks(m)
+      var best = 0
+      var bestDist = Long.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var dist = 0L
+        var i = 0
+        while (i < subDim) {
+          val idx = m * subDim + i
+          val v = if (idx < rv.numElements() && !rv.isNullAt(idx)) rv.getLong(idx) else 0L
+          val d = v - cw(i)
+          dist += d * d
+          i += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      codes(m) = best
+      m += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Concatenated codewords for a code vector — the reconstructed
+    * residual. */
+  def decode(codes: ArrayData): ArrayData = {
+    val out = new Array[Long](numSub * subDim)
+    var m = 0
+    while (m < numSub) {
+      val cw = codebooks(m)(codes.getInt(m))
+      var i = 0
+      while (i < subDim) { out(m * subDim + i) = cw(i); i += 1 }
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** residual array<bigint> -> array<int> PQ codes (see [[PqCodebooks]]). */
+case class PqEncodeExpr(child: Expression, cb: PqCodebooks)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode needs array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = cb.encode(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqCb", cb, classOf[PqCodebooks].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.encode($v)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_pq_encode"
+}
+
+/** array<int> PQ codes -> reconstructed residual array<bigint>. */
+case class PqDecodeExpr(child: Expression, cb: PqCodebooks)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_decode needs array<int>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = cb.decode(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqCb", cb, classOf[PqCodebooks].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.decode($v)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_pq_decode"
+}
+
 /** Driver-built bloom filter over a join key set, held SERIALIZED so the
   * object ships to executors once per stage inside the task binary (same
   * addReferenceObj pattern as [[IvfIndex]] — plan size independent of the

@@ -164,6 +164,104 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
   }
 
+  /** IVF-PQ approximate top-k: IVF cells bound WHICH vectors a probe
+    * scans (nprobe/K of the corpus); product quantization bounds HOW MANY
+    * BYTES each scanned candidate costs. Every vector's residual against
+    * its cell centroid is split into `numSub` subspaces and each subspace
+    * encoded as the index of its nearest codeword (argmin L2, exact int64
+    * arithmetic) — the candidate frame carries (cid, numSub codes,
+    * reconstructed norm) instead of the full vector: at dim=64/int64
+    * that's 512 B -> ~24 B per row, the ~16-21× probe-bandwidth cut an
+    * IVF-PQ index exists for. Scoring is asymmetric: approx_dot =
+    * dot(probe, centroid) + dot(probe, decode(codes)) with the centroid
+    * from an 8-row broadcast and decode a codebook lookup (the
+    * [[graft.expressions.PqCodebooks]] object rides the task binary once
+    * — no bytes in the plan). Codebook "training" is deterministic (the
+    * first `cbSize` residuals are the codewords), mirroring the IVF
+    * centroid rule, so the DuckDB oracle reproduces every code
+    * bit-identically.
+    *
+    * PQ scores are lossy, so the final step REFINES: the top `refine`
+    * candidates by approximate score are re-ranked with exact cosines —
+    * only those `refine` full vectors per probe are ever fetched (the
+    * Faiss `IVFPQR`/refine pattern). Probe bandwidth is thus
+    * codes-per-candidate + vectors-per-shortlist; recall loss reduces to
+    * cell misses plus true neighbors the distorted scores push out of
+    * the shortlist — simsearch_recall_ivfpq grades it against exact
+    * truth next to the uncompressed IVF. */
+  def ivfPqTopK(emb: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
+      numSub: Int, cbSize: Int, refine: Int,
+      probePred: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val spark = emb.sparkSession
+    val q = quantized(emb)
+    val cents: Array[(Long, Seq[Long], Long)] = q.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id"), col("qv"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    val cidsL = typedLit(cents.map(_._1).toSeq)
+    val cqvsL = typedLit(cents.map(_._2).toSeq)
+    val cnrmsL = typedLit(cents.map(_._3).toSeq)
+    def cells(n: Int) =
+      call_function("graft_ivf_cells", col("qv"), col("nrm"), cidsL, cqvsL, cnrmsL, lit(n))
+
+    val dim = cents.head._2.length
+    require(dim % numSub == 0, s"dim $dim not divisible into $numSub subspaces")
+    val subDim = dim / numSub
+
+    import spark.implicits._
+    val centDf = cents.map { case (cid, cqv, _) => (cid, cqv) }.toSeq.toDF("cid", "cqv")
+    val assigned = q.withColumn("cid", element_at(cells(1), 1))
+    val resid = assigned.join(broadcast(centDf), Seq("cid"))
+      .withColumn("rv", zip_with(col("qv"), col("cqv"), (a, b) => a - b))
+
+    // deterministic codebooks: the first cbSize residuals, code = vec_id rank
+    val train: Array[Array[Long]] = resid.filter(col("vec_id") < cbSize)
+      .select(col("vec_id"), col("rv")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Long](1).toArray)
+    val cb = new graft.expressions.PqCodebooks(numSub, subDim,
+      Array.tabulate(numSub)(m => train.map(_.slice(m * subDim, (m + 1) * subDim))))
+    def pqEncode(colName: String) =
+      GraftBridge.column(graft.expressions.PqEncodeExpr(UnresolvedAttribute(colName), cb))
+    def pqDecode(colName: String) =
+      GraftBridge.column(graft.expressions.PqDecodeExpr(UnresolvedAttribute(colName), cb))
+
+    // the compact candidate frame: codes + reconstructed norm, no vectors
+    val encoded = resid
+      .withColumn("codes", pqEncode("rv"))
+      .withColumn("recon", zip_with(col("cqv"), pqDecode("codes"), (a, b) => a + b))
+      .withColumn("recon_nrm", qdot(col("recon"), col("recon")))
+      .filter(col("recon_nrm") > 0)
+      .select("vec_id", "cid", "codes", "recon_nrm")
+
+    val probes = q.filter(probePred)
+      .select(
+        col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nrm").as("pnrm"),
+        explode(cells(nprobe)).as("cid"))
+
+    val shortlist = broadcast(probes).join(encoded, Seq("cid"))
+      .join(broadcast(centDf), Seq("cid"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("adot", qdot(col("pqv"), col("cqv")) + qdot(col("pqv"), pqDecode("codes")))
+      .withColumn("approx_cos", qcosine(col("adot"), col("pnrm"), col("recon_nrm")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("approx_cos").desc, col("vec_id"))))
+      .filter(col("ark") <= refine)
+      .select(col("probe_id"), col("pqv"), col("pnrm"), col("vec_id"))
+
+    // exact re-rank of the shortlist: the only point full vectors are read
+    broadcast(shortlist)
+      .join(q.select(col("vec_id"), col("qv"), col("nrm")), Seq("vec_id"))
+      .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"),
+        col("cosine"))
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of dot products with
     * NumPlanes deterministic pseudo-random hyperplanes (components derived
     * from the cross-engine char hash, so buckets reproduce anywhere).

@@ -144,6 +144,27 @@ object ExtQueries {
       .orderBy("probe_id")
   }
 
+  /** Recall@5 of the IVF-PQ index (8 cells, nprobe=2, 8 subspaces × 64
+    * codes, exact refine of the PQ top-20): same eval harness, measuring
+    * what the ~16-21× candidate-scan compression costs in recall next to
+    * uncompressed IVF — full vectors are fetched only for the 20-deep
+    * shortlist per probe. */
+  def simsearchRecallIvfpq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 5)
+      .select("probe_id", "vec_id")
+    val approx = Similarity.ivfPqTopK(emb, k = 5, numCentroids = 8, nprobe = 2,
+      numSub = 8, cbSize = 64, refine = 20, probePred = col("vec_id") < 5)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      .orderBy("probe_id")
+  }
+
   /** ANN quality harness: recall@5 of the LSH index against the exact
     * brute-force ranking, per probe. The eval every approximate index
     * needs next to it — and the same join shape scores IVF or any other
@@ -1238,6 +1259,7 @@ object ExtQueries {
     "scan_schema_evolution" -> (scanSchemaEvolution _),
     "text_bpe_train" -> (textBpeTrain _),
     "simsearch_recall_ivf" -> (simsearchRecallIvf _),
+    "simsearch_recall_ivfpq" -> (simsearchRecallIvfpq _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "topk_orders" -> (topkOrders _),

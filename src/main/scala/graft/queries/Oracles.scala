@@ -510,6 +510,79 @@ object Oracles {
          |  ON l.probe_id = t.probe_id AND l.vec_id = t.vec_id
          |GROUP BY t.probe_id ORDER BY t.probe_id""".stripMargin,
 
+    // IVF-PQ recall: replicate the whole index — centroid assignment,
+    // residuals, deterministic codebooks (first 16 residuals), per-
+    // subspace argmin-L2 encode (ties -> smaller code), decode, recon
+    // norms, asymmetric scoring dot(p,c)+dot(p,decode) — then recall@5
+    // vs exact truth, mirroring Similarity.ivfPqTopK bit for bit.
+    "simsearch_recall_ivfpq" ->
+      s"""$embCtes,
+         |cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM f WHERE vec_id < 8),
+         |ccos AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+         |   CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |    (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         | FROM f v, cents c),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM ccos),
+         |assigned AS (SELECT vec_id, qv, nrm, cid FROM ranked WHERE crk = 1),
+         |r AS (SELECT a.vec_id, a.cid, a.qv, a.nrm, c.cqv,
+         |   list_transform(generate_series(1, len(a.qv)), i_ -> a.qv[i_] - c.cqv[i_]) AS rv
+         | FROM assigned a JOIN cents c ON c.cid = a.cid),
+         |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+         |tr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv
+         |       FROM r WHERE vec_id < 64),
+         |cbk AS (SELECT m, code, list_slice(rv, m*8+1, m*8+8) AS cw FROM tr, ms),
+         |dists AS (SELECT r.vec_id, cbk.m, cbk.code,
+         |   list_sum(list_transform(generate_series(1, 8),
+         |     i_ -> (list_slice(r.rv, cbk.m*8+1, cbk.m*8+8)[i_] - cbk.cw[i_])
+         |         * (list_slice(r.rv, cbk.m*8+1, cbk.m*8+8)[i_] - cbk.cw[i_]))) AS dist
+         | FROM r, cbk),
+         |enc AS (SELECT vec_id, m, code FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk
+         |   FROM dists) WHERE rk = 1),
+         |decfull AS (SELECT e.vec_id, flatten(list(cbk.cw ORDER BY e.m)) AS dec
+         | FROM enc e JOIN cbk ON cbk.m = e.m AND cbk.code = e.code
+         | GROUP BY e.vec_id),
+         |recon AS (SELECT r.vec_id,
+         |   list_transform(generate_series(1, len(r.cqv)), i_ -> r.cqv[i_] + d.dec[i_]) AS rec
+         | FROM r JOIN decfull d ON d.vec_id = r.vec_id),
+         |rn AS (SELECT vec_id, ${qdotPair("rec", "rec")} AS recon_nrm FROM recon),
+         |probecells AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm, cid
+         |               FROM ranked WHERE vec_id < 5 AND crk <= 2),
+         |scored AS (SELECT p.probe_id, c.vec_id,
+         |   CAST(${qdotPair("p.pqv", "ce.cqv")} + ${qdotPair("p.pqv", "d.dec")} AS DOUBLE) /
+         |    (sqrt(CAST(p.pnrm AS DOUBLE)) * sqrt(CAST(rn.recon_nrm AS DOUBLE))) AS acos_
+         | FROM probecells p
+         |   JOIN r c ON c.cid = p.cid AND c.vec_id <> p.probe_id
+         |   JOIN cents ce ON ce.cid = c.cid
+         |   JOIN decfull d ON d.vec_id = c.vec_id
+         |   JOIN rn ON rn.vec_id = c.vec_id
+         | WHERE rn.recon_nrm > 0),
+         |short AS (SELECT probe_id, pqv, pnrm, vec_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY acos_ DESC, vec_id) AS ark
+         |   FROM (SELECT s.*, p2.pqv, p2.pnrm FROM scored s
+         |         JOIN (SELECT DISTINCT probe_id, pqv, pnrm FROM probecells) p2
+         |           ON p2.probe_id = s.probe_id)) WHERE ark <= 20),
+         |ptop AS (SELECT probe_id, vec_id FROM (
+         |   SELECT s.probe_id, s.vec_id,
+         |     row_number() OVER (PARTITION BY s.probe_id ORDER BY
+         |       CAST(${qdotPair("s.pqv", "c.qv")} AS DOUBLE) /
+         |        (sqrt(CAST(s.pnrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) DESC,
+         |       s.vec_id) AS rk
+         |   FROM short s JOIN f c ON c.vec_id = s.vec_id) WHERE rk <= 5),
+         |bscored AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |   CAST(${qdotPair("p.qv", "c.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+         | FROM (SELECT * FROM f WHERE vec_id < 5) p JOIN f c ON c.vec_id <> p.vec_id),
+         |btop AS (SELECT probe_id, vec_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+         |   FROM bscored) WHERE rk <= 5)
+         |SELECT t.probe_id, CAST(count(*) AS BIGINT) AS n_true,
+         | CAST(count(l.vec_id) AS BIGINT) AS n_hit,
+         | CAST(count(l.vec_id) AS DOUBLE) / count(*) AS recall
+         |FROM btop t LEFT JOIN ptop l
+         |  ON l.probe_id = t.probe_id AND l.vec_id = t.vec_id
+         |GROUP BY t.probe_id ORDER BY t.probe_id""".stripMargin,
+
     "simsearch_lsh_multiprobe" -> {
       val planeComp = ch("(CAST(p AS VARCHAR) || ':' || CAST(i_ - 1 AS VARCHAR))")
       s"""$embCtes,

@@ -245,4 +245,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(2) === (3 + 3 + 3 + 3 + 3) / 5.0)
     assert(r.getDouble(3) === 3 / 5.0)
   }
+
+  test("PQ codebooks: training vectors encode to themselves; ties take the smaller code") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cb = new graft.expressions.PqCodebooks(2, 3, Array(
+      Array(Array(0L, 0L, 0L), Array(10L, 10L, 10L)),
+      Array(Array(5L, 5L, 5L), Array(-5L, -5L, -5L))))
+    // a vector equal to (codeword 1 of sub 0) ++ (codeword 0 of sub 1)
+    val v = new GenericArrayData(Array(10L, 10L, 10L, 5L, 5L, 5L))
+    val codes = cb.encode(v)
+    assert(codes.getInt(0) === 1 && codes.getInt(1) === 0)
+    val dec = cb.decode(codes)
+    assert((0 until 6).map(dec.getLong) === Seq(10L, 10L, 10L, 5L, 5L, 5L))
+    // equidistant from both codewords of sub 0 -> smaller code wins
+    val tie = new GenericArrayData(Array(5L, 5L, 5L, 0L, 0L, 0L))
+    assert(cb.encode(tie).getInt(0) === 0)
+    // short/padded input reads missing dims as 0
+    val shortV = new GenericArrayData(Array(9L))
+    assert(cb.encode(shortV).numElements() === 2)
+  }
 }
