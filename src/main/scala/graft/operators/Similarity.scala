@@ -354,14 +354,17 @@ object Similarity {
       .groupBy("qv")
       .agg(min(col("vec_id")).as("vec_id"), min(col("nrm")).as("nrm"),
         count(lit(1)).as("n_copies"))
-    val b = bucketsOf(q, numPlanes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = b.groupBy("bucket").agg(min(col("vec_id")).as("rep"))
-    val repVecs = reps.join(
-      b.select(col("vec_id").as("rep"), col("qv").as("rqv"), col("nrm").as("rnrm")),
-      Seq("rep"))
-    b.join(repVecs, Seq("bucket"))
-      .withColumn("cosine", qcosine(qdot(col("qv"), col("rqv")), col("nrm"), col("rnrm")))
+    // the bucket REPRESENTATIVE (min vec_id, with its vector) comes from
+    // ONE min-struct window over the bucket — vec_ids are distinct, so
+    // struct ordering picks exactly the min-id row. A single shuffle by
+    // bucket, no self-joins, no persist (the previous groupBy+2-join form
+    // had to cache the bucketed frame and leaked it to library callers).
+    val w = Window.partitionBy("bucket")
+    bucketsOf(q, numPlanes)
+      .withColumn("repS", min(struct(col("vec_id"), col("qv"), col("nrm"))).over(w))
+      .withColumn("rep", col("repS.vec_id"))
+      .withColumn("cosine",
+        qcosine(qdot(col("qv"), col("repS.qv")), col("nrm"), col("repS.nrm")))
       .withColumn("cluster",
         when(col("vec_id") === col("rep") || col("cosine") >= threshold, col("rep"))
           .otherwise(col("vec_id")))
