@@ -642,6 +642,42 @@ object ExtQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Gap sessionization through Spark's BUILT-IN `session_window`
+    * aggregation in batch mode — one hash agg with in-operator window
+    * merging, vs [[windowSessionize]]'s lag/sum window cascade (two
+    * passes over a per-user sort). Same session boundaries; the
+    * built-in's session end is last-event-ts + gap, which the oracle
+    * mirrors. The streaming twin is stream_session_window. */
+  def windowSessionBuiltin(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        date_format(col("session_window.start"), tsFmt).as("start_s"),
+        date_format(col("session_window.end"), tsFmt).as("end_s"))
+      .orderBy("user_id", "start_s")
+
+  /** Corpus-typicality scoring: each document scored by how common its
+    * bigrams are in the whole corpus — the exact-arithmetic stand-in for
+    * LM-perplexity filtering (rare-bigram docs ≈ high perplexity ≈
+    * gibberish or off-distribution; frequent-bigram docs ≈ fluent boiler-
+    * plate). All integer until one final division: sum of corpus-wide
+    * bigram counts over the doc's bigrams / its bigram count — no
+    * accumulation-order-dependent float sums, so the score is
+    * bit-reproducible in DuckDB. Two shuffles: the corpus bigram count
+    * agg and the per-doc re-agg after the count join. */
+  def textTypicality(spark: SparkSession, dir: String): DataFrame = {
+    val docBigrams = tbl(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bigram"))
+    val counts = docBigrams.groupBy("bigram").agg(count(lit(1)).as("c"))
+    docBigrams.join(counts, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_c"))
+      .withColumn("typicality", col("sum_c").cast("double") / col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** ROLLUP over order priority/status: hierarchical totals in one pass. */
   def aggRollup(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -1220,6 +1256,7 @@ object ExtQueries {
     "text_lang_id" -> (textLangId _),
     "text_lang_id_ngram" -> (textLangIdNgram _),
     "text_quality_score" -> (textQualityScore _),
+    "text_typicality" -> (textTypicality _),
     "text_token_count" -> (textTokenCount _),
     "text_token_bpe" -> (textTokenBpe _),
     "text_fingerprint" -> (textFingerprint _),
@@ -1233,6 +1270,7 @@ object ExtQueries {
     "window_ohlc" -> (windowOhlc _),
     "window_moving_avg" -> (windowMovingAvg _),
     "window_sessionize" -> (windowSessionize _),
+    "window_session_builtin" -> (windowSessionBuiltin _),
     "window_cume" -> (windowCume _),
     "join_semi" -> (joinSemi _),
     "multimodal_frames" -> (multimodalFrames _),

@@ -787,6 +787,31 @@ object Oracles {
         |WHERE session_id < (SELECT max(session_id) FROM sess y WHERE y.user_id = x.user_id)
         |ORDER BY user_id, session_id""".stripMargin,
 
+    // batch session_window: identical session semantics to the streaming
+    // form, same last-event+gap end definition
+    "window_session_builtin" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |l AS (SELECT *, lag(epoch_us(tsu)) OVER (PARTITION BY user_id ORDER BY tsu) AS prev_us FROM b),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(tsu) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s FROM l),
+        |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, count(*) AS n_events,
+        | strftime(min(tsu), '%Y-%m-%d %H:%M:%S') AS start_s,
+        | strftime(max(tsu) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS end_s
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, start_s""".stripMargin,
+
+    "text_typicality" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+         |         THEN list_transform(generate_series(1, len(w) - 1), i_ -> w[i_] || ' ' || w[i_+1])
+         |         ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM w),
+         |c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         | CAST(sum(n) AS BIGINT) AS sum_c,
+         | CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / count(*) AS typicality
+         |FROM bg JOIN c USING (bigram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // batch mirror of the native session_window aggregation: gap
     // sessionization per user; session end is last-event-ts + gap (the
     // built-in operator's definition). Every real session emits (the
