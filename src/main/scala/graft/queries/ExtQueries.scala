@@ -324,6 +324,52 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** The END-TO-END corpus build — every stage of a training-data
+    * pipeline composed into ONE declarative plan: language gate, quality
+    * gate, exact dedup, LSH-cluster near-dedup (the scale-safe
+    * cluster-rep form, no pair blow-up), benchmark decontamination
+    * (shingle semi-join against the held-out set, bench docs dropped),
+    * then deterministic hash split into train/val/test and the corpus
+    * MANIFEST a data team ships: per split, document count, token count,
+    * char count, id checksum. Every stage is a semi/anti join, groupBy,
+    * or map — no driver loops, no pair-quadratic step, each gate's
+    * shuffle keyed on doc_id or a hash. Catalyst sees the whole
+    * composition at once, so scans are shared/pruned across gates. */
+  def pipelineCorpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val langOk = TextOps.langId(docs)
+      .filter(col("lang_guess") === "en").select("doc_id")
+    val qualOk = TextOps.qualityScore(docs)
+      .filter(col("quality") >= 0.3).select("doc_id")
+    val exactKeep = Dedup.exactGroups(docs).select("doc_id")
+    val clusterRep = Dedup.lshDocReps(spark, docs)
+    val sh = Dedup.shingleTable(docs)
+    val benchShingles = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("h")).distinct()
+    val contaminated = sh
+      .join(broadcast(benchShingles), Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    val kept = docs
+      .join(langOk, Seq("doc_id"), "left_semi")
+      .join(qualOk, Seq("doc_id"), "left_semi")
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(clusterRep, Seq("doc_id"), "left_outer")
+      .filter(col("rep").isNull || col("rep") === col("doc_id"))
+      .filter(col("doc_id") % 100 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val bucket = charHash(col("doc_id").cast("string")) % 100
+    kept
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy("split")
+  }
+
   /** Benchmark decontamination — the training-data staple: drop every
     * corpus document sharing ANY word n-gram with a held-out benchmark
     * set (stand-in here: every 100th document). Both sides reduce to
@@ -1247,6 +1293,7 @@ object ExtQueries {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_embedding_clusters" -> (dedupEmbeddingClusters _),
     "pipeline_text_clean_lsh" -> (pipelineTextCleanLsh _),
+    "pipeline_corpus_build" -> (pipelineCorpusBuild _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
     "sample_stratified" -> (sampleStratified _),
     "simsearch_bruteforce" -> (simsearchBruteforce _),

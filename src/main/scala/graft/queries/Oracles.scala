@@ -1067,6 +1067,52 @@ object Oracles {
          |  AND d.doc_id NOT IN (SELECT doc_id FROM neardrop)
          |ORDER BY d.doc_id""".stripMargin,
 
+    // the end-to-end corpus build: language gate ∧ quality gate ∧ exact
+    // dedup ∧ LSH-cluster rep ∧ not-benchmark ∧ not-contaminated, then
+    // the per-split manifest — every CTE reused from the single-stage
+    // oracles above, composed exactly as the Spark plan composes them
+    "pipeline_corpus_build" -> {
+      val h = ch("CAST(doc_id AS VARCHAR)")
+      s"""$minhashCtes,
+         |grp AS (SELECT band, sig, min(doc_id) AS grp_rep FROM bands GROUP BY band, sig),
+         |docrep AS (SELECT b.doc_id, min(g.grp_rep) AS rep
+         |           FROM bands b JOIN grp g ON b.band = g.band AND b.sig = g.sig
+         |           GROUP BY b.doc_id),
+         |langok AS (SELECT doc_id FROM (
+         |    SELECT doc_id, lang, score,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+         |    FROM (SELECT doc_id, lang,
+         |            CAST(len(list_filter(w, t_ -> list_contains(lex, t_))) AS BIGINT) AS score
+         |          FROM w, $langLexSql))
+         |  WHERE rk = 1 AND score > 0 AND lang = 'en'),
+         |qualok AS (SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      (CASE WHEN len(w) = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE CAST(len(list_filter(w, t_ -> list_contains($enLex, t_))) AS DOUBLE) / CAST(len(w) AS BIGINT) END)
+         |        * CAST(0.5 AS DOUBLE)
+         |      + least(CAST(1 AS DOUBLE), CAST(CAST(len(w) AS BIGINT) AS DOUBLE) / CAST(100 AS DOUBLE)) * CAST(0.5 AS DOUBLE) AS quality
+         |    FROM w) WHERE quality >= 0.3),
+         |exactkeep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 100 = 0),
+         |cont AS (SELECT DISTINCT doc_id FROM sh WHERE h IN (SELECT h FROM bench)),
+         |kept AS (SELECT d.doc_id, d.n_chars, ww.w FROM documents d
+         | JOIN w ww ON ww.doc_id = d.doc_id
+         | LEFT JOIN docrep dr ON dr.doc_id = d.doc_id
+         | WHERE d.doc_id IN (SELECT doc_id FROM langok)
+         |   AND d.doc_id IN (SELECT doc_id FROM qualok)
+         |   AND d.doc_id IN (SELECT doc_id FROM exactkeep)
+         |   AND (dr.rep IS NULL OR dr.rep = d.doc_id)
+         |   AND d.doc_id % 100 <> 0
+         |   AND d.doc_id NOT IN (SELECT doc_id FROM cont))
+         |SELECT CASE WHEN ($h) % 100 < 80 THEN 'train'
+         |            WHEN ($h) % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+         | count(*) AS n_docs,
+         | CAST(sum(len(w)) AS BIGINT) AS sum_tokens,
+         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         | CAST(sum(doc_id) AS BIGINT) AS sum_id
+         |FROM kept GROUP BY split ORDER BY split""".stripMargin
+    },
+
     "pipeline_decontaminate" ->
       s"""$minhashCtes,
          |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 100 = 0),
