@@ -88,7 +88,10 @@ object Oracles {
   lazy val all: Map[String, String] = base +
     // the native-plan as-of join answers the identical question — one
     // oracle, two formulations under test
-    ("join_asof_native" -> base("join_asof"))
+    ("join_asof_native" -> base("join_asof")) +
+    // per-micro-batch as-of against a static right side unions to the
+    // batch join exactly (each left row's match is independent)
+    ("stream_asof_join" -> base("join_asof"))
 
   private val base: Map[String, String] = Map(
     "scan_csv" ->

@@ -277,6 +277,51 @@ object StreamQueries {
       .orderBy("win_start", "event_type")
   }
 
+  /** Streaming AS-OF enrichment: a purchase stream joined as-of against a
+    * static click dimension with the custom native operator
+    * ([[graft.operators.AsOfJoin.asOfNative]]) inside foreachBatch — the
+    * production shape for "enrich each incoming event with the latest
+    * reference row at its event time" (quotes for trades, prices for
+    * fills). Correctness composes exactly: an as-of match is a pure
+    * per-left-row function of the static right side, so the union of
+    * per-micro-batch results equals the one-shot batch join row for row —
+    * the oracle IS the batch join_asof SQL. Per trigger, cost is the
+    * batch's rows merged against the (cluster-side, pre-sorted) right
+    * side; nothing accumulates, no state store needed. */
+  def streamAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = tbl(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val clicks = events.filter(col("event_type") === "click").drop("event_type")
+    val purchases = events.filter(col("event_type") === "purchase").drop("event_type")
+    val glob = stageChronological(spark, purchases, 3, Seq(col("ts"), col("event_id")), "strasof")
+
+    val out = tmpDir("strasofsink")
+    withShufflePartitions(spark, 8) {
+      val q = spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+        .parquet(glob)
+        .writeStream
+        .option("checkpointLocation", tmpDir("strasofckpt"))
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.AsOfJoin
+            .asOfNative(batch, clicks, "user_id", "ts", "event_id", Seq("value"))
+            .write.mode("append").parquet(out)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    spark.read.parquet(out)
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("asof_event_id").as("click_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        col("asof_value").as("click_value"))
+      .orderBy("event_id")
+  }
+
   /** Native `session_window` streaming aggregation — Spark's built-in
     * gap-based session operator (vs the custom
     * `flatMapGroupsWithState` sessionizer in [[SessionizeStream]]): the
@@ -421,5 +466,6 @@ object StreamQueries {
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_dropdup_watermark" -> (streamDropdupWatermark _),
     "stream_session_window" -> (streamSessionWindow _),
+    "stream_asof_join" -> (streamAsofJoin _),
   )
 }
