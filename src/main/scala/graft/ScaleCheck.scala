@@ -100,6 +100,30 @@ object ScaleCheck {
           .agg(count(col("asof_event_id"))).count()
       }
 
+      time("join_asof_nearest", f) {
+        graft.operators.AsOfJoin.asOfNative(
+          e.filter(col("event_type") === "purchase"),
+          e.filter(col("event_type") === "click"),
+          "user_id", "ts", "event_id", Seq("value"), None, "nearest")
+          .agg(count(col("asof_event_id"))).count()
+      }
+      time("simsearch_ivfpq_refine", f) {
+        Similarity.ivfPqTopK(v, 5, 8, 2, 8, 64, 20, col("vec_id") < 5).count()
+      }
+      // real multi-file z-order layout + footer pruning, corpus scaled f×
+      time("zorder_layout_skip", f) {
+        val o = replicate(tbl(spark, sfDir, "orders"), "o_orderkey", f).select(
+          col("o_orderkey"),
+          (col("o_custkey") % 256).cast("int").as("x"),
+          (datediff(col("o_orderdate"), lit("1992-01-01").cast("date")) % 256)
+            .cast("int").as("y"))
+        val out = graft.queries.Staging.tmpDir(s"zscale$f")
+        graft.operators.ZOrder.writeLayout(
+          o, graft.operators.ZOrder.mortonKey(col("x"), col("y"), 8), 10, out)
+        val stats = graft.operators.ZOrder.fileStats(spark, out, Seq("x", "y"))
+        graft.operators.ZOrder.touchedFiles(stats, Map("x" -> 32L, "y" -> 32L)).size.toLong
+      }
+
       val li = replicate(lineitem, "l_orderkey", f)
       time("agg_pricing_summary", f) {
         li.groupBy("l_returnflag", "l_linestatus")

@@ -527,6 +527,35 @@ object ExtQueries {
       .orderBy("band")
   }
 
+  /** Interval join via GRID BUCKETING — the shape that survives when the
+    * interval side is too big to broadcast: each interval explodes into
+    * the fixed-width grid cells it overlaps, each point maps to its one
+    * cell, and the match becomes an EQUI-join on the cell id (hash
+    * shuffle, AQE-able) with a residual BETWEEN filter — no
+    * broadcast-nested-loop anywhere. Cost is |points| + Σ cells-per-
+    * interval, vs |points|×|intervals| for the BNL. [[joinRange]] keeps
+    * the broadcast-BNL form for the tiny-interval-side case. Bands here
+    * are quadratically-widening price intervals (deterministic), so
+    * intervals genuinely span multiple cells. */
+  def joinRangeGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cellW = 10000.0
+    // band i covers [i^2*100, (i+1)^2*100): widths grow, cells-per-band 1..~13
+    val bands = (0 until 64).map { i =>
+      (f"band$i%02d", i.toDouble * i * 100, (i + 1.0) * (i + 1) * 100)
+    }.toDF("band", "lo", "hi")
+    val bandCells = bands.withColumn("cell",
+      explode(sequence(floor(col("lo") / cellW).cast("long"),
+        floor((col("hi") - lit(0.01)) / cellW).cast("long"))))
+    val orders = tbl(spark, dir, "orders")
+      .withColumn("cell", floor(col("o_totalprice") / cellW).cast("long"))
+    orders.join(bandCells, Seq("cell"))
+      .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), decSum2(col("o_totalprice")).as("revenue"))
+      .orderBy("band")
+  }
+
   /** Salted skew join: events (fact, salt from event_id) ⋈ per-user dim
     * replicated across 8 salts — identical results to the plain join, hot
     * user keys spread over 8 reducers. */
@@ -1204,6 +1233,41 @@ object ExtQueries {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** EXACT quantiles WITHOUT a global sort — the two-pass
+    * histogram-prune scheme a 100 TB column needs: pass 1 is one
+    * map-side histogram aggregation (fixed-width buckets; ~100 counter
+    * rows to the driver — metadata scale); the driver's cumulative scan
+    * finds the bucket holding the k-th value; pass 2 TakeOrders only
+    * THAT bucket's rows (pushed filter, per-partition top-m, no global
+    * exchange of data). Spark's own exact `percentile` buffers every
+    * value per group and a sort-based exact quantile is a full range
+    * exchange — this touches each row twice and sorts ~1/buckets of the
+    * data. k = ceil(q*n), the k-th smallest (discrete quantile), so the
+    * answer is an actual data value both engines agree on exactly. */
+  def aggQuantile2pass(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem").select(col("l_extendedprice").as("x"))
+    val width = 1000.0
+    val hist = li.groupBy(floor(col("x") / width).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = hist.map(_._2).sum
+    def kth(k: Long): Double = {
+      var cum = 0L
+      val (bucket, before) = hist.iterator
+        .map { case (b, c) => val r = (b, cum); cum += c; (r, cum) }
+        .collectFirst { case ((b, bef), c) if c >= k => (b, bef) }.get
+      li.filter(floor(col("x") / width).cast("long") === bucket)
+        .orderBy(col("x")).limit((k - before).toInt)
+        .orderBy(col("x").desc).limit(1)
+        .head().getDouble(0)
+    }
+    import spark.implicits._
+    Seq(0.5, 0.9).map { q =>
+      val k = math.ceil(q * total).toLong
+      (q, k, kth(k))
+    }.toDF("q", "k", "value").orderBy("q")
+  }
+
   /** EXCEPT: customers who placed orders but none above 200k. */
   def setopExcept(spark: SparkSession, dir: String): DataFrame = {
     val o = tbl(spark, dir, "orders")
@@ -1347,6 +1411,7 @@ object ExtQueries {
     "simsearch_recall_ivfpq" -> (simsearchRecallIvfpq _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
+    "join_range_grid" -> (joinRangeGrid _),
     "topk_orders" -> (topkOrders _),
     "setop_except" -> (setopExcept _),
     "setop_intersect" -> (setopIntersect _),
@@ -1357,6 +1422,7 @@ object ExtQueries {
     "window_lead_lag" -> (windowLeadLag _),
     "agg_distinct" -> (aggDistinct _),
     "agg_percentile" -> (aggPercentile _),
+    "agg_quantile_2pass" -> (aggQuantile2pass _),
     "sketch_kmv_distinct" -> (sketchKmvDistinct _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),

@@ -1116,6 +1116,29 @@ object Oracles {
          |FROM kept GROUP BY split ORDER BY split""".stripMargin
     },
 
+    // the grid-join answers the plain BETWEEN join question — the oracle
+    // needs no grid, just the interval predicate over the same bands
+    "join_range_grid" -> {
+      val bands = (0 until 64).map { i =>
+        f"('band$i%02d', ${i.toDouble * i * 100}, ${(i + 1.0) * (i + 1) * 100})"
+      }.mkString(", ")
+      s"""WITH bands(band, lo, hi) AS (VALUES $bands)
+         |SELECT band, count(*) AS n, ${decSum2("o_totalprice")} AS revenue
+         |FROM orders JOIN bands
+         |  ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin
+    },
+
+    // exact discrete quantiles: k = ceil(q*n), value = k-th smallest
+    "agg_quantile_2pass" ->
+      """WITH t AS (SELECT l_extendedprice AS x FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM t),
+        |ks AS (SELECT q, CAST(ceil(q * n.n) AS BIGINT) AS k
+        |       FROM (VALUES (0.5), (0.9)) AS qs(q) CROSS JOIN n),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rk FROM t)
+        |SELECT ks.q, ks.k, r.x AS value
+        |FROM ks JOIN r ON r.rk = ks.k ORDER BY ks.q""".stripMargin,
+
     "pipeline_decontaminate" ->
       s"""$minhashCtes,
          |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 100 = 0),
