@@ -175,6 +175,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("z-order production path: repartitionByRange layout skips like the bucketed form") {
+    import graft.operators.ZOrder
+    val o = graft.queries.Staging.tbl(spark, sf, "orders").select(
+      col("o_orderkey"),
+      (col("o_custkey") % 256).cast("int").as("x"),
+      (datediff(col("o_orderdate"), lit("1992-01-01").cast("date")) % 256)
+        .cast("int").as("y"))
+    val out = java.nio.file.Files.createTempDirectory("graft-zrange-").toString
+    // the sampled-boundary form the scaladoc promises works at 100 TB:
+    // range-partition directly on the Morton key, one file per range
+    o.withColumn("z", ZOrder.mortonKey(col("x"), col("y"), 8))
+      .repartitionByRange(32, col("z"), col("o_orderkey"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(out)
+    val stats = ZOrder.fileStats(spark, out, Seq("x", "y"))
+    assert(stats.size >= 16 && stats.size <= 33, s"${stats.size} files")
+    val touched = ZOrder.touchedFiles(stats, Map("x" -> 32L, "y" -> 32L))
+    // sampled boundaries aren't bit-deterministic, but the locality
+    // property is: the aligned rectangle lands in a handful of z-ranges
+    assert(touched.size <= 4,
+      s"rectangle should touch few range files: ${touched.size} of ${stats.size}")
+  }
+
   test("minhash signature pipeline has no shuffle before the bucket join") {
     val bands = graft.operators.Dedup.bandedSignatures(spark,
       graft.queries.Staging.tbl(spark, sf, "documents"))
