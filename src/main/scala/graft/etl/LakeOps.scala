@@ -62,6 +62,25 @@ object LakeOps {
     staging
   }
 
+  /** Small-file COMPACTION — the other standing lake-maintenance job: a
+    * streaming sink or per-task writers leave each partition as many
+    * small files (here: whatever the table accumulated); rewrite every
+    * partition's data clustered to ONE writer per partition so each
+    * partition becomes a single right-sized file, using the same
+    * staged-write + rename-promote machinery as [[mergeInto]] (crash
+    * mid-compact leaves the table untouched; promote is metadata-only).
+    * Row content is byte-for-byte preserved — compaction only changes
+    * the file layout. At 100 TB this runs per-partition incrementally;
+    * the single parallel `repartition(partCol)` here is that same job
+    * fanned over all partitions at once. */
+  def compact(spark: SparkSession, sinkDir: String, partCol: String): Unit = {
+    val staging = s"$sinkDir/.graft_staging_${System.nanoTime()}"
+    spark.read.parquet(sinkDir)
+      .repartition(col(partCol))
+      .write.mode("error").partitionBy(partCol).parquet(staging)
+    promoteStaged(spark, sinkDir, staging)
+  }
+
   /** Phase 2: swap every `part=value` directory under `staging` into
     * `sinkDir` — displaced originals go under `staging/.replaced/` until
     * the staging dir is dropped at the end. Pure metadata renames, no

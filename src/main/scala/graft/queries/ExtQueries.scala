@@ -1268,6 +1268,40 @@ object ExtQueries {
     }.toDF("q", "k", "value").orderBy("q")
   }
 
+  /** Lake small-file compaction: stage the events table as a
+    * date-partitioned sink fragmented into ~6 files per partition (the
+    * state a streaming sink leaves behind), run
+    * [[graft.etl.LakeOps.compact]] (staged rewrite + rename promote,
+    * one writer per partition), and emit the per-partition manifest:
+    * row count, id checksum, and the measured post-compaction file
+    * count — 1 per partition, read from the real filesystem. Row
+    * content is untouched by construction; the oracle checks counts,
+    * checksums, and the file-count invariant. */
+  def ddlCompact(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("compact")
+    tbl(spark, dir, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "event_type", "value", "event_date")
+      .repartition(6, col("event_id"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    graft.etl.LakeOps.compact(spark, out, "event_date")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesPerPart = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+      .map(d => d.getPath.getName.stripPrefix("event_date=") ->
+        fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")).toLong)
+      .toMap
+    import spark.implicits._
+    val counts = spark.read.parquet(out)
+      .groupBy(col("event_date").cast("string").as("event_date"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_id"))
+    val filesDf = filesPerPart.toSeq.toDF("event_date", "files_after")
+    counts.join(filesDf, Seq("event_date"))
+      .select("event_date", "n_rows", "sum_id", "files_after")
+      .orderBy("event_date")
+  }
+
   /** EXCEPT: customers who placed orders but none above 200k. */
   def setopExcept(spark: SparkSession, dir: String): DataFrame = {
     val o = tbl(spark, dir, "orders")
@@ -1403,6 +1437,7 @@ object ExtQueries {
     "sample_mixture" -> (sampleMixture _),
     "sink_upsert" -> (sinkUpsert _),
     "ddl_scd2" -> (ddlScd2 _),
+    "ddl_compact" -> (ddlCompact _),
     "ddl_zorder" -> (ddlZorder _),
     "sample_split" -> (sampleSplit _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),

@@ -1129,6 +1129,15 @@ object Oracles {
          |GROUP BY band ORDER BY band""".stripMargin
     },
 
+    // compaction preserves content; one writer per partition makes the
+    // post-compaction file count exactly 1 — the invariant the oracle pins
+    "ddl_compact" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+        | count(*) AS n_rows,
+        | CAST(sum(event_id) AS BIGINT) AS sum_id,
+        | CAST(1 AS BIGINT) AS files_after
+        |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin,
+
     // exact discrete quantiles: k = ceil(q*n), value = k-th smallest
     "agg_quantile_2pass" ->
       """WITH t AS (SELECT l_extendedprice AS x FROM lineitem),

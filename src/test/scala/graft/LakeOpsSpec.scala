@@ -101,6 +101,29 @@ class LakeOpsSpec extends SparkSpec {
     assert(!new java.io.File(staging).exists(), "staging dir cleaned up after promote")
   }
 
+  test("compact: rows preserved exactly, files per partition collapse to one") {
+    val out = graft.queries.Staging.tmpDir("lakeops-compact")
+    // fragment: 5 writer tasks x 2 partitions -> up to 5 files per partition
+    (1L to 200L).map(i => (i, if (i % 2 == 0) "2024-01-01" else "2024-01-02", i * 1.5))
+      .toDF("id", "d", "v")
+      .repartition(5, col("id"))
+      .write.mode("overwrite").partitionBy("d").parquet(out)
+    def files(d: String) =
+      new java.io.File(s"$out/d=$d").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("2024-01-01") > 1, "staging should fragment the partition")
+    val before = spark.read.parquet(out)
+      .select(col("id"), col("v")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    LakeOps.compact(spark, out, "d")
+
+    assert(files("2024-01-01") === 1 && files("2024-01-02") === 1)
+    val after = spark.read.parquet(out)
+      .select(col("id"), col("v")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after === before)
+    // staging dir cleaned
+    assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith(".graft_staging")))
+  }
+
   test("crash mid-promote: partitions are fully old or fully new; re-promote finishes") {
     val out = graft.queries.Staging.tmpDir("lakeops-midcrash")
     writeBase(out)
