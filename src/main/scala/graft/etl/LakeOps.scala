@@ -52,7 +52,10 @@ object LakeOps {
   def stageMerge(spark: SparkSession, sinkDir: String, updates: DataFrame,
                  keyCol: String, partCol: String): String = {
     val affected = updates.select(partCol).distinct().collect().map(_.get(0))
-    val base = spark.read.parquet(sinkDir)
+    // bootstrap: a missing or empty table (no data files — e.g. a freshly
+    // created sink) merges against an empty base with the updates' schema
+    val base = scala.util.Try(spark.read.parquet(sinkDir))
+      .getOrElse(updates.limit(0))
       .filter(col(partCol).isin(affected: _*))
     val merged = base.join(updates.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(updates.select(base.columns.map(col): _*))
@@ -88,6 +91,7 @@ object LakeOps {
     * crash re-promotes the remaining staged partitions. */
   def promoteStaged(spark: SparkSession, sinkDir: String, staging: String): Unit = {
     val fs = new Path(sinkDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(sinkDir)) // first merge may be creating the table
     val stagingPath = new Path(staging)
     val trash = new Path(stagingPath, ".replaced")
     fs.mkdirs(trash)

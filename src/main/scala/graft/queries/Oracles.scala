@@ -790,6 +790,17 @@ object Oracles {
         |WHERE session_id < (SELECT max(session_id) FROM sess y WHERE y.user_id = x.user_id)
         |ORDER BY user_id, session_id""".stripMargin,
 
+    // streaming upsert: chronological batches of latest-per-key merges
+    // compose to the globally-latest event per user
+    "stream_upsert_sink" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY tsu DESC, event_id DESC) AS rk FROM e)
+        |SELECT user_id, event_id,
+        | strftime(tsu, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        | event_type, value
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
     // batch session_window: identical session semantics to the streaming
     // form, same last-event+gap end definition
     "window_session_builtin" ->

@@ -322,6 +322,53 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  /** Streaming UPSERT into the staged-commit lake table — the CDC sink
+    * shape: each micro-batch reduces to its latest row per key (MERGE
+    * semantics need one row per key per batch) and
+    * [[graft.etl.LakeOps.mergeInto]] upserts it with the staged-write +
+    * rename-promote machinery, so a crash mid-batch never corrupts the
+    * served table and only touched partitions rewrite. The partition
+    * column is a pure function of the key (user_id % 8), so a key always
+    * lands in the same partition and cross-batch replacement is exact.
+    * Batches arrive chronologically (staged feed), so the final table is
+    * the globally-latest event per user — which is precisely the batch
+    * oracle. */
+  def streamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
+    val events = tbl(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    val glob = stageChronological(spark, events, 4, Seq(col("ts"), col("event_id")), "strupsert")
+
+    // no seed needed: mergeInto bootstraps a missing table on first merge
+    val sink = tmpDir("strupsertsink") + "/table"
+
+    withShufflePartitions(spark, 8) {
+      val q = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+        .parquet(glob)
+        .writeStream
+        .option("checkpointLocation", tmpDir("strupsertckpt"))
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          import org.apache.spark.sql.expressions.Window
+          val latest = batch
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("user_id")
+                .orderBy(col("ts").desc, col("event_id").desc)))
+            .filter(col("rk") === 1).drop("rk")
+            .withColumn("part", col("user_id") % 8)
+          graft.etl.LakeOps.mergeInto(batch.sparkSession, sink, latest, "user_id", "part")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    spark.read.parquet(sink)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
   /** Native `session_window` streaming aggregation — Spark's built-in
     * gap-based session operator (vs the custom
     * `flatMapGroupsWithState` sessionizer in [[SessionizeStream]]): the
@@ -467,5 +514,6 @@ object StreamQueries {
     "stream_dropdup_watermark" -> (streamDropdupWatermark _),
     "stream_session_window" -> (streamSessionWindow _),
     "stream_asof_join" -> (streamAsofJoin _),
+    "stream_upsert_sink" -> (streamUpsertSink _),
   )
 }

@@ -101,6 +101,19 @@ class LakeOpsSpec extends SparkSpec {
     assert(!new java.io.File(staging).exists(), "staging dir cleaned up after promote")
   }
 
+  test("mergeInto bootstraps a missing table on first merge") {
+    val out = graft.queries.Staging.tmpDir("lakeops-boot") + "/table"
+    val updates = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0)).toDF("id", "d", "v")
+    LakeOps.mergeInto(spark, out, updates, "id", "d")
+    assert(readTable(out) === Map(
+      1L -> (("2024-01-01", 10.0)), 2L -> (("2024-01-02", 20.0))))
+    // and a second merge behaves as a normal upsert
+    LakeOps.mergeInto(spark, out,
+      Seq((2L, "2024-01-02", 99.0)).toDF("id", "d", "v"), "id", "d")
+    assert(readTable(out) === Map(
+      1L -> (("2024-01-01", 10.0)), 2L -> (("2024-01-02", 99.0))))
+  }
+
   test("compact: rows preserved exactly, files per partition collapse to one") {
     val out = graft.queries.Staging.tmpDir("lakeops-compact")
     // fragment: 5 writer tasks x 2 partitions -> up to 5 files per partition
