@@ -204,6 +204,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** CONTAINMENT-verified pairs: the asymmetric cousin of
+    * [[jaccardVerified]] — C(A,B) = |A∩B| / |A| — which catches
+    * SUB-document duplication Jaccard misses: a quote, a boilerplate
+    * block, or a full document embedded in a larger one scores near 1.0
+    * on the contained side while Jaccard stays low (the union is
+    * dominated by the big doc). Same plan shape: LSH candidates, one
+    * exploded shingle equi-join for the intersection, sizes joined back;
+    * emits both directions' containments and keeps pairs where either
+    * reaches the threshold. Candidate recall is LSH-bounded as for the
+    * Jaccard tier (a tiny snippet inside a huge doc may not share a
+    * band); the deliberate tradeoff that keeps the pair space O(bucket). */
+  def containmentVerified(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
+    val hsDf = shingleSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = pairsFromBands(bandedSignaturesFromSets(hsDf))
+    val sh = hsDf.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sizes = hsDf.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("c_a_in_b", col("inter") / col("na"))
+      .withColumn("c_b_in_a", col("inter") / col("nb"))
+      .filter(col("c_a_in_b") >= threshold || col("c_b_in_a") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("c_a_in_b"), col("c_b_in_a"))
+  }
+
   /** SimHash near-dup CLUSTER pairs: docs collapse to their exact
     * fingerprint cluster first (identical fingerprints = one cluster), then
     * clusters sharing a 16-bit fingerprint half (pigeonhole blocking;

@@ -24,7 +24,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Null grouping matches the window formulation: null keys cluster
   * together, null ts sorts first (so a null-ts left row can only match a
   * null-ts right row of the same key; under `nearest` a null-ts
-  * candidate loses to a timestamped one). */
+  * candidate loses to a timestamped one).
+  *
+  * Skew: distribution is hash-by-key, so one pathological key lands in
+  * one task — the same exposure as any keyed window/SMJ. The merge is a
+  * streaming two-pointer pass (no per-key buffering beyond one row), so
+  * a hot key costs linear time, not memory; for extreme cases, pre-split
+  * the hot key by time range and union, as with salted joins. */
 case class AsOfJoinExec(
     leftKey: Attribute,
     leftTs: Attribute,

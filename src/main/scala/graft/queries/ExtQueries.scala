@@ -47,6 +47,13 @@ object ExtQueries {
     Dedup.jaccardVerified(spark, tbl(spark, dir, "documents"), 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** Sub-document duplication: containment-verified LSH candidate pairs
+    * (see Dedup.containmentVerified) — the quote/boilerplate detector
+    * the symmetric Jaccard tier can't express. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentVerified(spark, tbl(spark, dir, "documents"), 0.5)
+      .orderBy("doc_a", "doc_b")
+
   def dedupEditDistance(spark: SparkSession, dir: String): DataFrame =
     Dedup.editDistanceVerified(spark, tbl(spark, dir, "documents"), 0.4)
       .orderBy("doc_a", "doc_b")
@@ -1384,6 +1391,7 @@ object ExtQueries {
     "dedup_jaccard_clusters" -> (dedupJaccardClusters _),
     "dedup_cc_clusters" -> (dedupCcClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),

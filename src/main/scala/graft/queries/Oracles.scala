@@ -293,6 +293,23 @@ object Oracles {
          |SELECT min(doc_id) AS rep, count(*) AS n_docs
          |FROM sigs GROUP BY sig ORDER BY rep""".stripMargin,
 
+    "dedup_containment" ->
+      s"""$minhashCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+         |          FROM pairs p
+         |          JOIN sh x ON x.doc_id = p.doc_a
+         |          JOIN sh y ON y.doc_id = p.doc_b AND y.h = x.h
+         |          GROUP BY p.doc_a, p.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         | i.inter / sa.n AS c_a_in_b,
+         | i.inter / sb.n AS c_b_in_a
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.doc_a
+         |JOIN sizes sb ON sb.doc_id = i.doc_b
+         |WHERE i.inter / sa.n >= 0.5 OR i.inter / sb.n >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""$minhashCtes,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
