@@ -59,6 +59,26 @@ final class GraftCms(val bytes: Array[Byte]) extends Serializable {
   }
 }
 
+object GraftCms {
+  /** Merge two serialized sketches of identical shape: a pure vector add,
+    * so CMS(A ⊎ B) = merge(CMS(A), CMS(B)) bit for bit — the property
+    * that lets per-micro-batch (or per-day, per-source) sketches combine
+    * into the stream-lifetime sketch with no rescan. */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val ba = java.nio.ByteBuffer.wrap(a)
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val (da, wa) = (ba.getInt, ba.getInt)
+    val (db, wb) = (bb.getInt, bb.getInt)
+    require(da == db && wa == wb, s"sketch shapes differ: ${da}x$wa vs ${db}x$wb")
+    val out = java.nio.ByteBuffer.allocate(a.length)
+    out.putInt(da); out.putInt(wa)
+    var i = 0
+    val n = da * wa
+    while (i < n) { out.putLong(ba.getLong + bb.getLong); i += 1 }
+    out.array()
+  }
+}
+
 /** `graft_cms_sketch(key, depth, width)`: one-pass mergeable Count-Min
   * sketch over a bigint key column. Partial aggregation applies — each
   * task builds a local sketch, merge is a vector add — so the full pass

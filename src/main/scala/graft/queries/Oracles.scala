@@ -1462,6 +1462,12 @@ object Oracles {
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id HAVING count(*) >= 80 ORDER BY user_id""".stripMargin,
 
+    // merged per-batch sketches == one-shot sketch (vector-add identity),
+    // so the streaming form answers the same exact question
+    "stream_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id HAVING count(*) >= 80 ORDER BY user_id""".stripMargin,
+
     "join_bloom_prefilter" ->
       s"""SELECT l_linestatus, count(*) AS n, ${decSum2("l_quantity")} AS sum_qty
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

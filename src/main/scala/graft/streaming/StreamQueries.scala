@@ -322,6 +322,62 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  /** Streaming HEAVY HITTERS through mergeable sketches: each micro-batch
+    * computes its own Count-Min sketch (one partial-agg pass, KBs to the
+    * driver) and appends it to a sketch log; because a CMS merge is a
+    * pure vector add, the merged log equals the one-shot sketch of the
+    * whole stream BIT FOR BIT ([[graft.expressions.GraftCms.merge]],
+    * spec-pinned) — so after the stream drains, the exact
+    * sketch-prefiltered pass of [[graft.operators.Sketches]] runs
+    * against the merged sketch and returns EXACT stream-lifetime heavy
+    * hitters. No per-key streaming state anywhere: state is the constant
+    * `depth*width` counters, regardless of key cardinality — the
+    * streaming form every per-key-state approach can't match at 100 TB
+    * key spaces. */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val events = tbl(spark, dir, "events").select(col("user_id"), col("event_id"))
+    val glob = stageChronological(spark, events, 4, Seq(col("event_id")), "strhh")
+    val sketchDir = java.nio.file.Paths.get(tmpDir("strhhsketches"))
+
+    withShufflePartitions(spark, 8) {
+      val q = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+        .parquet(glob)
+        .writeStream
+        .option("checkpointLocation", tmpDir("strhhckpt"))
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.expressions.GraftFunctions.register(batch.sparkSession)
+          val sketch = batch
+            .agg(call_function("graft_cms_sketch", col("user_id"), lit(4), lit(1 << 14)))
+            .head().getAs[Array[Byte]](0)
+          java.nio.file.Files.write(sketchDir.resolve(f"batch-$id%05d.cms"), sketch)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    import scala.jdk.CollectionConverters._
+    val sketchFiles = java.nio.file.Files.list(sketchDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".cms")).toSeq.sortBy(_.toString)
+    val merged = sketchFiles.map(java.nio.file.Files.readAllBytes)
+      .reduce(graft.expressions.GraftCms.merge)
+
+    // exact pass over the staged corpus with the stream-lifetime sketch
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val threshold = 80L
+    val estimate = GraftBridge.column(graft.expressions.CmsLookupExpr(
+      UnresolvedAttribute("user_id"), new graft.expressions.GraftCms(merged)))
+    spark.read.option("pathGlobFilter", "*.parquet").parquet(glob)
+      .filter(estimate >= threshold)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy("user_id")
+  }
+
   /** Streaming UPSERT into the staged-commit lake table — the CDC sink
     * shape: each micro-batch reduces to its latest row per key (MERGE
     * semantics need one row per key per batch) and
@@ -515,5 +571,6 @@ object StreamQueries {
     "stream_session_window" -> (streamSessionWindow _),
     "stream_asof_join" -> (streamAsofJoin _),
     "stream_upsert_sink" -> (streamUpsertSink _),
+    "stream_heavy_hitters" -> (streamHeavyHitters _),
   )
 }

@@ -76,6 +76,21 @@ class SketchesSpec extends SparkSpec {
     assert(hhLits.isEmpty, "cms bytes leaked into the plan as a literal")
   }
 
+  test("CMS merge is the vector-add identity: merged batch sketches == one-shot sketch") {
+    val parts = Seq(
+      skewed.filter(col("k") < 2),
+      skewed.filter(col("k") >= 2 && col("k") < 110),
+      skewed.filter(col("k") >= 110))
+    val merged = parts.map(p => sketchOf(p, 4, 256).bytes)
+      .reduce(graft.expressions.GraftCms.merge)
+    val oneShot = sketchOf(skewed, 4, 256).bytes
+    assert(merged.sameElements(oneShot))
+    // shape mismatch fails loudly instead of mis-merging
+    intercept[IllegalArgumentException] {
+      graft.expressions.GraftCms.merge(oneShot, sketchOf(skewed, 2, 256).bytes)
+    }
+  }
+
   test("heavyHitters equals plain groupBy/having on events") {
     val e = graft.queries.Staging.tbl(spark, sf, "events")
     val expected = e.groupBy("user_id").agg(count(lit(1)).as("n"))
