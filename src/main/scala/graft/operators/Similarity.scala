@@ -191,6 +191,22 @@ object Similarity {
     * truth next to the uncompressed IVF. */
   def ivfPqTopK(emb: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
       numSub: Int, cbSize: Int, refine: Int,
+      probePred: org.apache.spark.sql.Column): DataFrame =
+    ivfPqTopK(emb, k, numCentroids, nprobe, numSub, cbSize, refine, pqIters = 0, probePred)
+
+  /** As [[ivfPqTopK]], with `pqIters` deterministic Lloyd iterations
+    * refining each subspace codebook: assign every residual subvector to
+    * its nearest codeword (the same encode expression the probe path
+    * uses — one map-side pass), recompute each codeword as the TRUNCATED
+    * integer mean of its assignees (int64 `s/n`, the cross-engine form;
+    * empty codewords keep their previous value), repeat. The driver
+    * holds numSub × cbSize × subDim longs per iteration — a k-means
+    * trainer's footprint; cluster-side work per iteration is one encode
+    * pass + one (m, code, dim) hash agg, linear in the corpus. `refine
+    * <= 0` ranks purely by PQ scores (isolates codebook quality — the
+    * form the recall ladder compares). */
+  def ivfPqTopK(emb: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
+      numSub: Int, cbSize: Int, refine: Int, pqIters: Int,
       probePred: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -217,16 +233,36 @@ object Similarity {
     val resid = assigned.join(broadcast(centDf), Seq("cid"))
       .withColumn("rv", zip_with(col("qv"), col("cqv"), (a, b) => a - b))
 
-    // deterministic codebooks: the first cbSize residuals, code = vec_id rank
+    // seed codebooks: the first cbSize residuals, code = vec_id rank
     val train: Array[Array[Long]] = resid.filter(col("vec_id") < cbSize)
       .select(col("vec_id"), col("rv")).collect()
       .sortBy(_.getLong(0)).map(_.getSeq[Long](1).toArray)
-    val cb = new graft.expressions.PqCodebooks(numSub, subDim,
+    var cb = new graft.expressions.PqCodebooks(numSub, subDim,
       Array.tabulate(numSub)(m => train.map(_.slice(m * subDim, (m + 1) * subDim))))
     def pqEncode(colName: String) =
       GraftBridge.column(graft.expressions.PqEncodeExpr(UnresolvedAttribute(colName), cb))
     def pqDecode(colName: String) =
       GraftBridge.column(graft.expressions.PqDecodeExpr(UnresolvedAttribute(colName), cb))
+
+    for (_ <- 1 to pqIters) {
+      val sums = resid.withColumn("codes", pqEncode("rv"))
+        .select(posexplode(col("rv")).as(Seq("pos", "v")), col("codes"))
+        .withColumn("m", (col("pos") / subDim).cast("int"))
+        .withColumn("i", (col("pos") % subDim).cast("int"))
+        .withColumn("code", element_at(col("codes"), col("m") + 1))
+        .groupBy("m", "code", "i")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), (r.getLong(3), r.getLong(4))))
+        .toMap
+      cb = new graft.expressions.PqCodebooks(numSub, subDim,
+        Array.tabulate(numSub, cb.codebooks.head.length) { (m, c) =>
+          val prev = cb.codebooks(m)(c)
+          Array.tabulate(subDim) { i =>
+            sums.get((m, c, i)).map { case (s, n) => s / n }.getOrElse(prev(i))
+          }
+        })
+    }
 
     // the compact candidate frame: codes + reconstructed norm, no vectors
     val encoded = resid
@@ -241,25 +277,36 @@ object Similarity {
         col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nrm").as("pnrm"),
         explode(cells(nprobe)).as("cid"))
 
-    val shortlist = broadcast(probes).join(encoded, Seq("cid"))
+    val scored = broadcast(probes).join(encoded, Seq("cid"))
       .join(broadcast(centDf), Seq("cid"))
       .filter(col("probe_id") =!= col("vec_id"))
       .withColumn("adot", qdot(col("pqv"), col("cqv")) + qdot(col("pqv"), pqDecode("codes")))
       .withColumn("approx_cos", qcosine(col("adot"), col("pnrm"), col("recon_nrm")))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("approx_cos").desc, col("vec_id"))))
-      .filter(col("ark") <= refine)
-      .select(col("probe_id"), col("pqv"), col("pnrm"), col("vec_id"))
 
-    // exact re-rank of the shortlist: the only point full vectors are read
-    broadcast(shortlist)
-      .join(q.select(col("vec_id"), col("qv"), col("nrm")), Seq("vec_id"))
-      .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rk") <= k)
-      .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"),
-        col("cosine"))
+    if (refine <= 0)
+      // pure PQ ranking: no full vector is ever read for candidates
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("approx_cos").desc, col("vec_id"))))
+        .filter(col("rk") <= k)
+        .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"),
+          col("approx_cos"))
+    else {
+      val shortlist = scored
+        .withColumn("ark", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("approx_cos").desc, col("vec_id"))))
+        .filter(col("ark") <= refine)
+        .select(col("probe_id"), col("pqv"), col("pnrm"), col("vec_id"))
+      // exact re-rank of the shortlist: the only point full vectors are read
+      broadcast(shortlist)
+        .join(q.select(col("vec_id"), col("qv"), col("nrm")), Seq("vec_id"))
+        .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rk") <= k)
+        .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"),
+          col("cosine"))
+    }
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of dot products with

@@ -172,6 +172,32 @@ object ExtQueries {
       .orderBy("probe_id")
   }
 
+  /** Recall@5 of PQ ranking with k-means-TRAINED codebooks (2 Lloyd
+    * iterations per subspace, deterministic integer arithmetic), no
+    * exact refine — isolates what codebook training does at identical
+    * probe bandwidth. Measured answer on these embeddings: it HURTS
+    * (0.28 vs 0.36 seeded): the vectors are uniform random, so Lloyd
+    * pulls codewords toward the subspace mean, shrinking reconstruction
+    * norms — which biases inner-product/cosine ranking even as L2
+    * distortion drops. The standard finding that IP/cosine PQ needs
+    * norm-aware quantization, measured by the same harness that grades
+    * every index here; the refine tier recovers either way. */
+  def simsearchRecallIvfpqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 5)
+      .select("probe_id", "vec_id")
+    val approx = Similarity.ivfPqTopK(emb, k = 5, numCentroids = 8, nprobe = 2,
+      numSub = 8, cbSize = 64, refine = 0, pqIters = 2, probePred = col("vec_id") < 5)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      .orderBy("probe_id")
+  }
+
   /** ANN quality harness: recall@5 of the LSH index against the exact
     * brute-force ranking, per probe. The eval every approximate index
     * needs next to it — and the same join shape scores IVF or any other
@@ -1452,6 +1478,7 @@ object ExtQueries {
     "text_bpe_train" -> (textBpeTrain _),
     "simsearch_recall_ivf" -> (simsearchRecallIvf _),
     "simsearch_recall_ivfpq" -> (simsearchRecallIvfpq _),
+    "simsearch_recall_ivfpq_trained" -> (simsearchRecallIvfpqTrained _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_range" -> (joinRange _),
     "join_range_grid" -> (joinRangeGrid _),

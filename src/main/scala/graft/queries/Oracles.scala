@@ -603,6 +603,91 @@ object Oracles {
          |  ON l.probe_id = t.probe_id AND l.vec_id = t.vec_id
          |GROUP BY t.probe_id ORDER BY t.probe_id""".stripMargin,
 
+    // trained-PQ recall: the ivfpq pipeline with 2 deterministic Lloyd
+    // iterations per subspace codebook (assign by argmin-L2, recompute
+    // codewords as truncated integer means — DuckDB's // truncates toward
+    // zero exactly like int64 division in the operator), then PURE PQ
+    // ranking (no refine). Iteration CTEs generated by the loop below.
+    "simsearch_recall_ivfpq_trained" -> {
+      def lloyd(it: Int): String =
+        s"""dists$it AS (SELECT sv.vec_id, sv.m, cb$it.code,
+           |   list_sum(list_transform(generate_series(1, 8),
+           |     i_ -> (sv.sub[i_] - cb$it.cw[i_]) * (sv.sub[i_] - cb$it.cw[i_]))) AS dist
+           | FROM sv JOIN cbk$it cb$it ON cb$it.m = sv.m),
+           |enc$it AS (SELECT vec_id, m, code FROM (
+           |   SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk
+           |   FROM dists$it) WHERE rk = 1),
+           |agg$it AS (SELECT e.m, e.code, i_ AS i,
+           |   CAST(sum(sv.sub[i_]) AS BIGINT) AS s, count(*) AS n
+           | FROM enc$it e JOIN sv ON sv.vec_id = e.vec_id AND sv.m = e.m,
+           |   LATERAL (SELECT unnest(generate_series(1, 8)) AS i_)
+           | GROUP BY e.m, e.code, i_),
+           |cbpos$it AS (SELECT m, code, unnest(generate_series(1, 8)) AS i, cw FROM cbk$it),
+           |cbk${it + 1} AS (SELECT p.m, p.code,
+           |   list(CASE WHEN a.s IS NULL THEN p.cw[p.i] ELSE a.s // a.n END ORDER BY p.i) AS cw
+           | FROM cbpos$it p LEFT JOIN agg$it a ON a.m = p.m AND a.code = p.code AND a.i = p.i
+           | GROUP BY p.m, p.code),""".stripMargin
+      s"""$embCtes,
+         |cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM f WHERE vec_id < 8),
+         |ccos AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+         |   CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |    (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         | FROM f v, cents c),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM ccos),
+         |assigned AS (SELECT vec_id, qv, nrm, cid FROM ranked WHERE crk = 1),
+         |r AS (SELECT a.vec_id, a.cid, a.qv, a.nrm, c.cqv,
+         |   list_transform(generate_series(1, len(a.qv)), i_ -> a.qv[i_] - c.cqv[i_]) AS rv
+         | FROM assigned a JOIN cents c ON c.cid = a.cid),
+         |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+         |sv AS (SELECT vec_id, m, list_slice(rv, m*8+1, m*8+8) AS sub FROM r, ms),
+         |tr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv
+         |       FROM r WHERE vec_id < 64),
+         |cbk0 AS (SELECT m, code, list_slice(rv, m*8+1, m*8+8) AS cw FROM tr, ms),
+         |${lloyd(0)}
+         |${lloyd(1)}
+         |distsF AS (SELECT sv.vec_id, sv.m, cb2.code,
+         |   list_sum(list_transform(generate_series(1, 8),
+         |     i_ -> (sv.sub[i_] - cb2.cw[i_]) * (sv.sub[i_] - cb2.cw[i_]))) AS dist
+         | FROM sv JOIN cbk2 cb2 ON cb2.m = sv.m),
+         |encF AS (SELECT vec_id, m, code FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk
+         |   FROM distsF) WHERE rk = 1),
+         |decfull AS (SELECT e.vec_id, flatten(list(c2.cw ORDER BY e.m)) AS dec
+         | FROM encF e JOIN cbk2 c2 ON c2.m = e.m AND c2.code = e.code
+         | GROUP BY e.vec_id),
+         |recon AS (SELECT r.vec_id,
+         |   list_transform(generate_series(1, len(r.cqv)), i_ -> r.cqv[i_] + d.dec[i_]) AS rec
+         | FROM r JOIN decfull d ON d.vec_id = r.vec_id),
+         |rn AS (SELECT vec_id, ${qdotPair("rec", "rec")} AS recon_nrm FROM recon),
+         |probecells AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm, cid
+         |               FROM ranked WHERE vec_id < 5 AND crk <= 2),
+         |scored AS (SELECT p.probe_id, c.vec_id,
+         |   CAST(${qdotPair("p.pqv", "ce.cqv")} + ${qdotPair("p.pqv", "d.dec")} AS DOUBLE) /
+         |    (sqrt(CAST(p.pnrm AS DOUBLE)) * sqrt(CAST(rn.recon_nrm AS DOUBLE))) AS acos_
+         | FROM probecells p
+         |   JOIN r c ON c.cid = p.cid AND c.vec_id <> p.probe_id
+         |   JOIN cents ce ON ce.cid = c.cid
+         |   JOIN decfull d ON d.vec_id = c.vec_id
+         |   JOIN rn ON rn.vec_id = c.vec_id
+         | WHERE rn.recon_nrm > 0),
+         |ptop AS (SELECT probe_id, vec_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY acos_ DESC, vec_id) AS rk
+         |   FROM scored) WHERE rk <= 5),
+         |bscored AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |   CAST(${qdotPair("p.qv", "c.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+         | FROM (SELECT * FROM f WHERE vec_id < 5) p JOIN f c ON c.vec_id <> p.vec_id),
+         |btop AS (SELECT probe_id, vec_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+         |   FROM bscored) WHERE rk <= 5)
+         |SELECT t.probe_id, CAST(count(*) AS BIGINT) AS n_true,
+         | CAST(count(l.vec_id) AS BIGINT) AS n_hit,
+         | CAST(count(l.vec_id) AS DOUBLE) / count(*) AS recall
+         |FROM btop t LEFT JOIN ptop l
+         |  ON l.probe_id = t.probe_id AND l.vec_id = t.vec_id
+         |GROUP BY t.probe_id ORDER BY t.probe_id""".stripMargin
+    },
+
     "simsearch_lsh_multiprobe" -> {
       val planeComp = ch("(CAST(p AS VARCHAR) || ':' || CAST(i_ - 1 AS VARCHAR))")
       s"""$embCtes,
