@@ -275,6 +275,26 @@ object ExtQueries {
     * as (path, length, content binary). Only metadata and digests leave
     * the scan; at 100 TB the content column feeds the decode batch UDFs
     * (Multimodal) without ever being parsed by the engine. */
+  /** Line-oriented text source (`spark.read.text`) — the log-file
+    * ingestion format: stage events as delimited lines, read them back
+    * as raw `value` strings, parse with engine expressions (split /
+    * element_at — codegen'd, no UDF). The parse-after-scan shape every
+    * raw-log pipeline starts with. */
+  def scanText(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("scantext")
+    tbl(spark, dir, "events")
+      .select(concat_ws("|",
+        col("event_id"), col("event_type"), col("user_id")).as("value"))
+      .coalesce(4).write.mode("overwrite").text(src)
+    spark.read.text(src)
+      .select(split(col("value"), "\\|").as("p"))
+      .select(
+        element_at(col("p"), 1).cast("long").as("event_id"),
+        element_at(col("p"), 2).as("event_type"),
+        element_at(col("p"), 3).cast("long").as("user_id"))
+      .orderBy("event_id")
+  }
+
   def scanBinaryfile(spark: SparkSession, dir: String): DataFrame = {
     val out = tmpDir("binsrc")
     // bounded staging subset: the query verifies the ingestion SHAPE
@@ -1443,6 +1463,7 @@ object ExtQueries {
     "sql_api" -> (sqlApi _),
     "multimodal_meta" -> (multimodalMeta _),
     "scan_binaryfile" -> (scanBinaryfile _),
+    "scan_text" -> (scanText _),
     "pipeline_text_clean" -> (pipelineTextClean _),
     "profile_table" -> (profileTable _),
     "multimodal_decode" -> (multimodalDecode _),

@@ -1476,6 +1476,9 @@ object Oracles {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // staged per-doc payload files must round-trip bytes exactly
+    "scan_text" ->
+      "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
+
     "scan_binaryfile" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest
         |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin,
