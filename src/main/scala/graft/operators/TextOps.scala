@@ -186,6 +186,27 @@ object TextOps {
     merges.toSeq.toDF("iter", "tok_a", "tok_b", "n")
   }
 
+  /** The OTHER half of the tokenizer loop: train `iterations` BPE merges
+    * ([[bpeTrain]]), then APPLY the learned merge table to every document
+    * and report its token count before and after — the compression
+    * measurement a tokenizer pipeline tracks per corpus slice. The merge
+    * table is driver-held (as in any real tokenizer); application is the
+    * same codegen'd `replace` chain as training, one pass per merge,
+    * map-side only — no shuffle at all after training. */
+  def bpeApplyCounts(docs: DataFrame, iterations: Int): DataFrame = {
+    val merges = bpeTrain(docs, iterations).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    var df = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("s", concat(lit(" "), concat_ws("  ", col("toks")), lit(" ")))
+    for ((a, b) <- merges)
+      df = df.withColumn("s", call_function("replace",
+        col("s"), lit(s" $a  $b "), lit(s" $a\u0001$b ")))
+    df.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens_raw"),
+      when(length(trim(col("s"))) === 0, 0L)
+        .otherwise(size(split(trim(col("s")), "  ")).cast("long")).as("n_tokens_bpe"))
+  }
+
   /** Training-sequence packing (offset chunking): lay each shard's
     * documents end to end in deterministic (doc_id) order and cut the
     * token stream into fixed `seqLen` windows — every doc gets the

@@ -1150,6 +1150,14 @@ object ExtQueries {
     TextOps.bpeTrain(tbl(spark, dir, "documents"), iterations = 3)
       .orderBy("iter")
 
+  /** Tokenizer loop closed: train 3 BPE merges, apply the merge table to
+    * every document, report per-doc token counts before/after (see
+    * TextOps.bpeApplyCounts). Application is a map-side replace chain —
+    * no shuffle after training. */
+  def textBpeApply(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeApplyCounts(tbl(spark, dir, "documents"), iterations = 3)
+      .orderBy("doc_id")
+
   /** Deterministic train/val/test split (80/10/10) on a hash of the doc
     * id: membership is a pure function of the key, so the split is
     * stable across runs, retries, and cluster sizes, and a doc can never
@@ -1497,6 +1505,7 @@ object ExtQueries {
     "sample_split" -> (sampleSplit _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
     "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_apply" -> (textBpeApply _),
     "simsearch_recall_ivf" -> (simsearchRecallIvf _),
     "simsearch_recall_ivfpq" -> (simsearchRecallIvfpq _),
     "simsearch_recall_ivfpq_trained" -> (simsearchRecallIvfpqTrained _),

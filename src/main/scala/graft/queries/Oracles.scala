@@ -1340,6 +1340,41 @@ object Oracles {
          |UNION ALL SELECT CAST(3 AS BIGINT), a, b, n FROM m3
          |ORDER BY iter""".stripMargin,
 
+    // the train chain with doc_id carried through and merges applied back
+    // to every doc: same 3 unrolled rounds, counts before/after at the end
+    "text_bpe_apply" ->
+      s"""WITH d0 AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |r0 AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS raw,
+         |        ' ' || array_to_string(w, '  ') || ' ' AS s FROM d0),
+         |t1 AS (SELECT string_split(trim(s), '  ') AS l FROM r0 WHERE len(string_split(trim(s), '  ')) >= 2),
+         |u1 AS (SELECT l, unnest(generate_series(2, len(l))) AS i FROM t1),
+         |p1 AS (SELECT l[i-1] AS a, l[i] AS b FROM u1),
+         |m1 AS (SELECT a, b FROM (SELECT a, b, count(*) AS n FROM p1 GROUP BY a, b
+         |        ORDER BY n DESC, a, b LIMIT 1)),
+         |r1 AS (SELECT doc_id, raw, replace(s,
+         |   ' ' || (SELECT a FROM m1) || '  ' || (SELECT b FROM m1) || ' ',
+         |   ' ' || (SELECT a FROM m1) || chr(1) || (SELECT b FROM m1) || ' ') AS s FROM r0),
+         |t2 AS (SELECT string_split(trim(s), '  ') AS l FROM r1 WHERE len(string_split(trim(s), '  ')) >= 2),
+         |u2 AS (SELECT l, unnest(generate_series(2, len(l))) AS i FROM t2),
+         |p2 AS (SELECT l[i-1] AS a, l[i] AS b FROM u2),
+         |m2 AS (SELECT a, b FROM (SELECT a, b, count(*) AS n FROM p2 GROUP BY a, b
+         |        ORDER BY n DESC, a, b LIMIT 1)),
+         |r2 AS (SELECT doc_id, raw, replace(s,
+         |   ' ' || (SELECT a FROM m2) || '  ' || (SELECT b FROM m2) || ' ',
+         |   ' ' || (SELECT a FROM m2) || chr(1) || (SELECT b FROM m2) || ' ') AS s FROM r1),
+         |t3 AS (SELECT string_split(trim(s), '  ') AS l FROM r2 WHERE len(string_split(trim(s), '  ')) >= 2),
+         |u3 AS (SELECT l, unnest(generate_series(2, len(l))) AS i FROM t3),
+         |p3 AS (SELECT l[i-1] AS a, l[i] AS b FROM u3),
+         |m3 AS (SELECT a, b FROM (SELECT a, b, count(*) AS n FROM p3 GROUP BY a, b
+         |        ORDER BY n DESC, a, b LIMIT 1)),
+         |r3 AS (SELECT doc_id, raw, replace(s,
+         |   ' ' || (SELECT a FROM m3) || '  ' || (SELECT b FROM m3) || ' ',
+         |   ' ' || (SELECT a FROM m3) || chr(1) || (SELECT b FROM m3) || ' ') AS s FROM r2)
+         |SELECT doc_id, raw AS n_tokens_raw,
+         | CAST(CASE WHEN trim(s) = '' THEN 0
+         |      ELSE len(string_split(trim(s), '  ')) END AS BIGINT) AS n_tokens_bpe
+         |FROM r3 ORDER BY doc_id""".stripMargin,
+
     "sample_split" -> {
       val h = ch("CAST(doc_id AS VARCHAR)")
       s"""SELECT CASE WHEN ($h) % 100 < 80 THEN 'train'
