@@ -257,6 +257,25 @@ object ExtQueries {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop): transitive
+    * ancestor closure over a synthetic hierarchy derived from real user
+    * ids (parent = id/2, a binary tree) — the org-chart/BOM-explosion
+    * query shape, iterated by the engine itself rather than a driver
+    * loop (contrast dedup_cc_clusters' bounded pointer-jumping, where
+    * the loop lives in the operator). */
+  def sqlRecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    tbl(spark, dir, "events").select(col("user_id")).distinct()
+      .createOrReplaceTempView("rc_users")
+    spark.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT user_id AS u, user_id DIV 2 AS a FROM rc_users WHERE user_id DIV 2 >= 1
+        |  UNION ALL
+        |  SELECT u, a DIV 2 FROM anc WHERE a DIV 2 >= 1
+        |)
+        |SELECT u AS user_id, count(*) AS n_ancestors, sum(a) AS sum_anc
+        |FROM anc GROUP BY u ORDER BY user_id""".stripMargin)
+  }
+
   /** The same engine through the SQL door: GraftSession views + spark.sql
     * (with a graft native function in the predicate). */
   def sqlApi(spark: SparkSession, dir: String): DataFrame = {
@@ -1536,6 +1555,7 @@ object ExtQueries {
     "project_map_props" -> (projectMapProps _),
     "agg_embedding_centroid" -> (aggEmbeddingCentroid _),
     "sql_subquery" -> (sqlSubquery _),
+    "sql_recursive_cte" -> (sqlRecursiveCte _),
     "window_range_frame" -> (windowRangeFrame _),
     "agg_corr" -> (aggCorr _),
     "typed_agg" -> (typedAgg _),

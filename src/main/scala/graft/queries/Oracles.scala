@@ -1511,6 +1511,16 @@ object Oracles {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // staged per-doc payload files must round-trip bytes exactly
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE u0 AS (SELECT DISTINCT user_id FROM events),
+        |anc AS (
+        |  SELECT user_id AS u, user_id // 2 AS a FROM u0 WHERE user_id // 2 >= 1
+        |  UNION ALL
+        |  SELECT u, a // 2 FROM anc WHERE a // 2 >= 1
+        |)
+        |SELECT u AS user_id, count(*) AS n_ancestors, CAST(sum(a) AS BIGINT) AS sum_anc
+        |FROM anc GROUP BY u ORDER BY user_id""".stripMargin,
+
     "scan_text" ->
       "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
 
