@@ -199,6 +199,39 @@ class PlanSpec extends SparkSpec {
       s"rectangle should touch few range files: ${touched.size} of ${stats.size}")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val old = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of fact rows share one key -> one reducer partition dwarfs the
+      // rest. The consumer is a PARTIAL-aggregatable global agg with no
+      // distribution requirement on the join key — a groupBy(k) parent
+      // would (correctly) veto the split, since splitting breaks its
+      // co-partitioning.
+      val fact = spark.range(200000)
+        .select(when(col("id") % 20 =!= 0, 7L).otherwise(col("id") % 97).as("k"),
+          concat(lit("payload-"), col("id"), lit("-"), col("id") * 31).as("p"))
+      val dim = spark.range(97).select(col("id").as("k"), col("id").cast("string").as("d"))
+      val joined = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(length(col("p"))).as("bytes"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // OptimizeSkewedJoin marks the split join; without AQE the hot key
+      // would hit ONE task — the runtime re-plan is the 100 TB safety net
+      assert(plan.contains("skew=true"), s"expected a skew-split join in:\n$plan")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("minhash signature pipeline has no shuffle before the bucket join") {
     val bands = graft.operators.Dedup.bandedSignatures(spark,
       graft.queries.Staging.tbl(spark, sf, "documents"))
