@@ -100,6 +100,23 @@ object AsOfJoin {
       matched, matchedOut, toleranceUs, direction))
   }
 
+  /** Multi-key as-of join: equi-match on SEVERAL key columns (the
+    * (symbol, venue) case) by packing them into one struct column on
+    * both sides — struct equality, hashing, and ordering are all native
+    * Catalyst, so the single-key plan/exec runs unchanged: one hash
+    * exchange per side on the packed key, same merge. The packed column
+    * is dropped from the output. */
+  def asOfNativeMultiKey(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String, payload: Seq[String],
+      toleranceUs: Option[Long] = None, direction: String = "backward"): DataFrame = {
+    require(keyCols.nonEmpty)
+    val packed = "_asof_key"
+    val l = left.withColumn(packed, struct(keyCols.map(col): _*))
+    val r = right.withColumn(packed, struct(keyCols.map(col): _*))
+    asOfNative(l, r, packed, tsCol, tieCol, payload, toleranceUs, direction)
+      .drop(packed)
+  }
+
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, payload: Seq[String]): DataFrame = {
     val r = right.select(

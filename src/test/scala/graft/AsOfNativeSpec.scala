@@ -208,6 +208,33 @@ class AsOfNativeSpec extends SparkSpec {
     assert(r(0).getAs[java.lang.Long]("asof_event_id") === 31L)
   }
 
+  test("multi-key as-of: struct-packed keys match per (user, group) independently") {
+    val r = Seq(
+      (1L, "x", ts("2024-01-01 10:00:00"), 10L, 1.0),
+      (1L, "y", ts("2024-01-01 10:30:00"), 11L, 2.0),
+      (2L, "x", ts("2024-01-01 09:00:00"), 12L, 3.0),
+    ).toDF("user_id", "grp", "ts", "event_id", "value")
+    val l = Seq(
+      (1L, "x", ts("2024-01-01 11:00:00"), 20L, 0.0), // -> 10 (not 11: grp differs)
+      (1L, "y", ts("2024-01-01 11:00:00"), 21L, 0.0), // -> 11
+      (2L, "y", ts("2024-01-01 11:00:00"), 22L, 0.0), // -> none (no (2,y) right)
+    ).toDF("user_id", "grp", "ts", "event_id", "value")
+    val got = AsOfJoin.asOfNativeMultiKey(l, r, Seq("user_id", "grp"),
+      "ts", "event_id", Seq("value"))
+      .collect().map(row => row.getAs[Long]("event_id") ->
+        Option(row.getAs[java.lang.Long]("asof_event_id")).map(_.toLong)).toMap
+    assert(got(20L) === Some(10L))
+    assert(got(21L) === Some(11L))
+    assert(got(22L) === None)
+    // equals the single-key form on a concatenated key
+    val lk = l.withColumn("ck", concat_ws("|", col("user_id"), col("grp")))
+    val rk = r.withColumn("ck", concat_ws("|", col("user_id"), col("grp")))
+    val single = AsOfJoin.asOfNative(lk, rk, "ck", "ts", "event_id", Seq("value"))
+      .collect().map(row => row.getAs[Long]("event_id") ->
+        Option(row.getAs[java.lang.Long]("asof_event_id")).map(_.toLong)).toMap
+    assert((20L to 22L).forall(id => got(id) === single(id)))
+  }
+
   test("native plan: AsOfJoinExec with one exchange per side") {
     val e = graft.queries.Staging.tbl(spark, sf, "events")
     val c = e.filter(col("event_type") === "click")
