@@ -100,6 +100,34 @@ object ScaleCheck {
           .agg(count(col("asof_event_id"))).count()
       }
 
+      // the full corpus-build gate stack (lang ∧ qual ∧ exact ∧ LSH-rep ∧
+      // decontam + split manifest) — every stage cluster-emitting, so
+      // rows-out stays 3 manifest rows at any duplication factor
+      time("pipeline_corpus_build", f) {
+        import graft.operators.{Dedup, TextOps}
+        val langOk = TextOps.langId(d).filter(col("lang_guess") === "en").select("doc_id")
+        val qualOk = TextOps.qualityScore(d).filter(col("quality") >= 0.3).select("doc_id")
+        val exactKeep = Dedup.exactGroups(d).select("doc_id")
+        val clusterRep = Dedup.lshDocReps(spark, d)
+        val sh = Dedup.shingleTable(d)
+        val benchShingles = sh.filter(col("doc_id") % 100 === 0).select(col("h")).distinct()
+        val contaminated = sh.join(broadcast(benchShingles), Seq("h"), "left_semi")
+          .select("doc_id").distinct()
+        d.join(langOk, Seq("doc_id"), "left_semi")
+          .join(qualOk, Seq("doc_id"), "left_semi")
+          .join(exactKeep, Seq("doc_id"), "left_semi")
+          .join(clusterRep, Seq("doc_id"), "left_outer")
+          .filter(col("rep").isNull || col("rep") === col("doc_id"))
+          .filter(col("doc_id") % 100 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .groupBy(graft.functions.CrossFns.charHash(col("doc_id").cast("string")) % 100 < 80)
+          .agg(count(lit(1))).count()
+      }
+      if (f <= 4) // pair-emitting verify tier: quadratic under duplication
+        time("dedup_containment", f) {
+          Dedup.containmentVerified(spark, d, 0.5).count()
+        }
+
       time("join_asof_nearest", f) {
         graft.operators.AsOfJoin.asOfNative(
           e.filter(col("event_type") === "purchase"),
