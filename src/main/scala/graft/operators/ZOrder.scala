@@ -42,10 +42,18 @@ object ZOrder {
   /** Bit-interleaved Morton key of two `bits`-bit dimensions; `x` occupies
     * even bits, `y` odd bits. Pure column arithmetic — codegen'd, no UDF. */
   def mortonKey(x: Column, y: Column, bits: Int): Column =
-    (0 until bits).map(i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1))
-      .reduce(_ + _)
+    mortonKey(Seq(x, y), bits)
+
+  /** N-dimensional Morton key: bit i of dimension j lands at position
+    * `dims.size * i + j`, so any number of query dimensions interleave
+    * (a lake commonly z-orders 3-4 columns). Total key width is
+    * `dims.size * bits` bits — keep it ≤ 62. */
+  def mortonKey(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty && dims.size * bits <= 62, s"${dims.size} dims x $bits bits")
+    (0 until bits).flatMap(i => dims.zipWithIndex.map { case (d, j) =>
+      shiftleft(shiftright(d, i).bitwiseAND(lit(1)), dims.size * i + j)
+    }).reduce(_ + _)
+  }
 
   /** Per-file column statistics harvested from a parquet footer. */
   final case class FileStat(file: String, mins: Map[String, Long], maxs: Map[String, Long])

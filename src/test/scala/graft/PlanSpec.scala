@@ -232,6 +232,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("3-D Morton layout: a cube predicate touches far fewer files than linear sort") {
+    import graft.operators.ZOrder
+    val o = graft.queries.Staging.tbl(spark, sf, "orders").select(
+      (col("o_custkey") % 64).cast("int").as("x"),
+      (datediff(col("o_orderdate"), lit("1992-01-01").cast("date")) % 64).cast("int").as("y"),
+      (floor(col("o_totalprice") / 5000) % 64).cast("int").as("w"))
+    def touched(key: org.apache.spark.sql.Column, label: String) = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft-z3-$label-").toString
+      // 18-bit key >> 12 -> 64 contiguous ranges
+      ZOrder.writeLayout(o, key, shift = 12, out)
+      val stats = ZOrder.fileStats(spark, out, Seq("x", "y", "w"))
+      (ZOrder.touchedFiles(stats,
+        Map("x" -> 16L, "y" -> 16L, "w" -> 16L)).size, stats.size)
+    }
+    val (zT, zN) = touched(ZOrder.mortonKey(Seq(col("x"), col("y"), col("w")), 6), "z")
+    val (lT, lN) = touched(col("x") * 4096 + col("y") * 64 + col("w"), "lin")
+    // the aligned 16^3 cube is 1/64 of the key space: a handful of
+    // z-ranges, but smeared across most x-major stripes linearly
+    assert(zT * 2 < lT, s"3-D z-order should halve touched files at least: z $zT/$zN vs linear $lT/$lN")
+  }
+
   test("minhash signature pipeline has no shuffle before the bucket join") {
     val bands = graft.operators.Dedup.bandedSignatures(spark,
       graft.queries.Staging.tbl(spark, sf, "documents"))
