@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over a co-occurrence graph — the link-graph toolkit a
+  * web-corpus curation pipeline runs (host ranking for crawl prioritisation,
+  * community/triangle density for spam detection).
+  *
+  * The graph: parts are linked when they appear in the same order
+  * (reference's data model, SURVEY §2.3). Pair expansion per order is
+  * bounded by the items-per-order cap, so the edge build is O(orders) with
+  * one equi-join shuffle on the order key — no quadratic blow-up.
+  *
+  * Everything is join/agg relational dataflow: at cluster scale each step
+  * is an equi-join or partial aggregation on the node key, so AQE/bucketing
+  * apply and no step funnels through a single task. PageRank uses pure
+  * integer arithmetic (micro-rank units, floor division) so results are
+  * bit-identical regardless of partitioning, summation order, or engine.
+  */
+object Graph {
+
+  /** Undirected co-part edges (src < dst), deduplicated. One shuffle on
+    * the order key for the self-join, one on the edge pair for distinct. */
+  def coPartEdges(lineitem: DataFrame): DataFrame = {
+    val os = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("s")).distinct()
+    os.as("a").join(os.as("b"), col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("src"), col("b.s").as("dst"))
+      .distinct()
+  }
+
+  /** Both directions of the undirected edge set. */
+  private def bidir(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Degree distribution: (degree, n_nodes). Two partial-aggregatable
+    * shuffles (node key, then degree key) — the standard two-level
+    * histogram, scale-free. */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    bidir(edges)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+
+  /** Global triangle count via degree-ordered edge orientation
+    * (the MapReduce-era trick: orienting each edge from its lower-degree
+    * endpoint to its higher-degree endpoint bounds per-node wedge fan-out
+    * by O(sqrt(|E|)) even on skewed graphs, vs O(max-degree^2) for naive
+    * id-orientation). Wedge join + closing join are both equi-joins.
+    * The count is orientation-invariant, so the oracle can use the simple
+    * id-ordered form and still agree exactly. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val deg = bidir(edges).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): lower-ranked endpoint -> higher-ranked endpoint.
+    // The oriented frame feeds three plan branches (wedge left/right +
+    // closing edges) — persist it so the edge derivation runs once (cache
+    // contract: see pageRank).
+    val oriented = edges
+      .join(deg.select(col("node").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("dd")), "dst")
+      .select(
+        when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
+          struct(col("src").as("u"), col("dst").as("v")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Edge-iterator with adjacency intersection: for each oriented edge
+    // (u,v), triangles based at it = |outNbrs(u) ∩ outNbrs(v)| — each
+    // triangle u→v, u→w, v→w counted exactly once at its double-source u.
+    // This never materialises the wedge set (sum-of-outdeg² rows, the
+    // dominant cost of the join formulation): per-edge work is one bounded
+    // array intersection, with out-neighbour lists capped at O(sqrt|E|) by
+    // the degree orientation. 72M wedge-rows → 2×|E| adjacency lookups.
+    val adj = oriented.groupBy("u").agg(sort_array(collect_set(col("v"))).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("t"))
+      // coalesce: a triangle-free orientation can leave the joined frame
+      // empty (e.g. a single edge) — report 0, not null
+      .agg(coalesce(sum("t"), lit(0L)).as("n_triangles"))
+    val stats = edges.agg(count(lit(1)).as("n_edges"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    tri.crossJoin(stats).crossJoin(nodes)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** PageRank, `iters` synchronous iterations, damping 0.85, in integer
+    * micro-rank units: r0 = 1_000_000; r' = 150_000 + (850 * S) div 1000
+    * where S = sum over in-neighbours of (r div degree). Floor division and
+    * BIGINT sums make every iteration bit-identical across engines and
+    * partitionings — no float summation-order hazard. Each iteration is one
+    * equi-join (edges x ranks, both keyed on the node) + one partial
+    * aggregation; the rank frame stays O(|V|). */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    // The edge and degree frames are read 2x per iteration; without a
+    // persist each read re-runs the whole edge-derivation lineage (the
+    // co-occurrence self-join at its head). Cache contract matches the
+    // rest of the library: harnesses clear the session cache between
+    // queries (Bench/Verify/AllQueriesSpec); long-lived callers should
+    // catalog.clearCache() when done. At cluster scale these frames are
+    // O(|E|) and O(|V|) — orders smaller than the source table.
+    val e = bidir(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = deg.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg.select(col("node").as("src"), col("d")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("r div d")).as("s"))
+      ranks = deg.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("850 * coalesce(s, 0L) div 1000")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+}

@@ -107,6 +107,50 @@ object TextOps {
         col("stop_ratio") * 0.5 + least(lit(1.0d), col("n_toks").cast("double") / 100.0d) * 0.5)
   }
 
+  /** Gopher-style repetition/quality signals (public heuristics from the
+    * Gopher/MassiveText filtering rules): token count, mean token length,
+    * top-unigram mass fraction, duplicate-bigram fraction, stopword
+    * fraction, and the composite pass/fail gate. The bigram stats are
+    * per-doc array math (narrow plan, no shuffle); the top-unigram count
+    * is explode + two-level partial aggregation keyed by doc — the
+    * scale-safe form vs an O(unique×len) per-doc scan. All ratios derive
+    * from integer counts, and the gate compares the ROUNDED ratios, so
+    * flags are bit-identical across engines. */
+  def gopherSignals(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val uni = base.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max("n").as("top_n"))
+    val stats = base.select(
+      col("doc_id"),
+      size(col("w")).cast("long").as("n_toks"),
+      aggregate(transform(col("w"), t => length(t).cast("long")), lit(0L), _ + _).as("sum_len"),
+      when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat(element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))))
+        .otherwise(array().cast("array<string>")).as("bg"),
+      lexScore(col("w"), enStopwords).as("stop_hits"))
+    stats.join(uni, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_toks"),
+        when(col("n_toks") === 0, lit(0.0d))
+          .otherwise(round(col("sum_len").cast("double") / col("n_toks"), 6)).as("mean_tok_len"),
+        when(col("n_toks") === 0, lit(0.0d))
+          .otherwise(round(coalesce(col("top_n"), lit(0L)).cast("double") / col("n_toks"), 6))
+          .as("top_unigram_frac"),
+        when(size(col("bg")) === 0, lit(0.0d))
+          .otherwise(round(lit(1.0d) -
+            size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 6))
+          .as("dup_bigram_frac"),
+        when(col("n_toks") === 0, lit(0.0d))
+          .otherwise(round(col("stop_hits").cast("double") / col("n_toks"), 6)).as("stop_frac"))
+      .withColumn("passes",
+        col("n_toks") >= 10 && col("n_toks") <= 100000 &&
+          col("mean_tok_len") >= 2.0 && col("mean_tok_len") <= 10.0 &&
+          col("top_unigram_frac") <= 0.2 &&
+          col("dup_bigram_frac") <= 0.3)
+  }
+
   /** (doc_id, n_tokens, n_unique). */
   def tokenCounts(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.CrossFns._
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, SkewJoin, TextOps}
+import graft.operators.{AsOfJoin, Dedup, Graph, Multimodal, Similarity, SkewJoin, TextOps, TimeSeries}
 import Staging._
 
 /** Extension operators beyond the reference surface (SURVEY §2.3 /
@@ -1456,7 +1456,55 @@ object ExtQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  // ---- graph analytics (co-part link graph) --------------------------
+
+  /** Degree distribution of the co-part graph (see Graph scaladoc). */
+  def graphDegree(spark: SparkSession, dir: String): DataFrame =
+    Graph.degreeHistogram(Graph.coPartEdges(tbl(spark, dir, "lineitem")))
+      .orderBy("degree")
+
+  /** Global triangle count via degree-ordered orientation — the skew-proof
+    * distributed form; the oracle uses plain id-orientation (the count is
+    * orientation-invariant). */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    Graph.triangleCount(Graph.coPartEdges(tbl(spark, dir, "lineitem")))
+
+  /** 3 PageRank iterations in integer micro-rank units, top 20 nodes.
+    * TakeOrdered limit — no global sort. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(Graph.coPartEdges(tbl(spark, dir, "lineitem")), iters = 3)
+      .orderBy(col("rank").desc, col("node")).limit(20)
+
+  // ---- time series -------------------------------------------------------
+
+  /** Dense hourly spine + forward fill for a user subset (see
+    * TimeSeries.gapFillHourly). Hour emitted as a formatted string —
+    * timestamp columns compare as strings in the gate. */
+  def timeseriesGapfill(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.gapFillHourly(
+      tbl(spark, dir, "events").filter(col("user_id") % 10 === 0))
+      .select(
+        col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+        col("gap"), col("n_events"), col("v_fill"))
+      .orderBy("user_id", "hour_s")
+
+  /** Median/MAD robust outlier screen per event_type. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.madAnomalies(tbl(spark, dir, "events"), k = 3.0)
+      .orderBy("event_type", "event_id")
+
+  /** Gopher-rule quality signals per document (see TextOps.gopherSignals). */
+  def textGopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextOps.gopherSignals(tbl(spark, dir, "documents")).orderBy("doc_id")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree" -> (graphDegree _),
+    "graph_triangles" -> (graphTriangles _),
+    "graph_pagerank" -> (graphPagerank _),
+    "timeseries_gapfill" -> (timeseriesGapfill _),
+    "anomaly_mad" -> (anomalyMad _),
+    "text_gopher_rules" -> (textGopherRules _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),

@@ -1740,5 +1740,99 @@ object Oracles {
          | ${decSum2("l_quantity")} / count(*) AS avg_qty,
          | count(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "graph_degree" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |e AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s GROUP BY 1, 2),
+        |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |deg AS (SELECT src AS node, count(*) AS degree FROM bi GROUP BY 1)
+        |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |e AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s GROUP BY 1, 2),
+        |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |w AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM e e1 JOIN e e2 ON e1.dst = e2.src)
+        |SELECT
+        | (SELECT count(*) FROM (SELECT DISTINCT src FROM bi)) AS n_nodes,
+        | (SELECT count(*) FROM e) AS n_edges,
+        | (SELECT count(*) FROM w JOIN e e3 ON w.a = e3.src AND w.c = e3.dst) AS n_triangles""".stripMargin,
+
+    "graph_pagerank" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s GROUP BY 1, 2),
+        |bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS d FROM bi GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |c1 AS (SELECT bi.dst AS node, sum(r0.r // deg.d) AS s FROM bi
+        |       JOIN r0 ON bi.src = r0.node JOIN deg ON bi.src = deg.node GROUP BY 1),
+        |r1 AS (SELECT deg.node, 150000 + (850 * COALESCE(c1.s, 0)) // 1000 AS r
+        |       FROM deg LEFT JOIN c1 ON deg.node = c1.node),
+        |c2 AS (SELECT bi.dst AS node, sum(r1.r // deg.d) AS s FROM bi
+        |       JOIN r1 ON bi.src = r1.node JOIN deg ON bi.src = deg.node GROUP BY 1),
+        |r2 AS (SELECT deg.node, 150000 + (850 * COALESCE(c2.s, 0)) // 1000 AS r
+        |       FROM deg LEFT JOIN c2 ON deg.node = c2.node),
+        |c3 AS (SELECT bi.dst AS node, sum(r2.r // deg.d) AS s FROM bi
+        |       JOIN r2 ON bi.src = r2.node JOIN deg ON bi.src = deg.node GROUP BY 1),
+        |r3 AS (SELECT deg.node, 150000 + (850 * COALESCE(c3.s, 0)) // 1000 AS r
+        |       FROM deg LEFT JOIN c3 ON deg.node = c3.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    "timeseries_gapfill" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, value FROM events
+        |            WHERE user_id % 10 = 0),
+        |hourly AS (SELECT user_id, date_trunc('hour', tsu) AS h,
+        |             sum(CAST(value AS DECIMAL(18,2))) AS v, count(*) AS n_events
+        |           FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span),
+        |j AS (SELECT s.user_id, s.h, hourly.v, hourly.n_events
+        |      FROM spine s LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h)
+        |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+        | v IS NULL AS gap, COALESCE(n_events, 0) AS n_events,
+        | CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_fill
+        |FROM j ORDER BY user_id, hour_s""".stripMargin,
+
+    "anomaly_mad" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        |        FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT d.event_id, d.event_type, d.value,
+        | round(d.med, 6) AS med, round(m2.mad, 6) AS mad
+        |FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+        |WHERE d.adev > 3.0 * m2.mad
+        |ORDER BY d.event_type, d.event_id""".stripMargin,
+
+    "text_gopher_rules" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |uni AS (SELECT doc_id, max(n) AS top_n FROM
+         |         (SELECT doc_id, t, count(*) AS n FROM
+         |           (SELECT doc_id, unnest(w) AS t FROM w) GROUP BY 1, 2) GROUP BY 1),
+         |st AS (SELECT doc_id,
+         |   CAST(len(w) AS BIGINT) AS n_toks,
+         |   CAST(COALESCE(list_sum(list_transform(w, t_ -> length(t_))), 0) AS BIGINT) AS sum_len,
+         |   CASE WHEN len(w) >= 2
+         |     THEN list_transform(generate_series(1, len(w) - 1), i_ -> w[i_] || ' ' || w[i_+1])
+         |     ELSE CAST([] AS VARCHAR[]) END AS bg,
+         |   CAST(len(list_filter(w, t_ -> t_ IN ('the','and','of','to','a','in','is'))) AS BIGINT) AS stop_hits
+         | FROM w),
+         |r AS (SELECT st.doc_id, st.n_toks,
+         |   CASE WHEN st.n_toks = 0 THEN 0.0
+         |     ELSE round(CAST(st.sum_len AS DOUBLE) / st.n_toks, 6) END AS mean_tok_len,
+         |   CASE WHEN st.n_toks = 0 THEN 0.0
+         |     ELSE round(CAST(COALESCE(uni.top_n, 0) AS DOUBLE) / st.n_toks, 6) END AS top_unigram_frac,
+         |   CASE WHEN len(st.bg) = 0 THEN 0.0
+         |     ELSE round(1.0 - CAST(len(list_distinct(st.bg)) AS DOUBLE) / len(st.bg), 6) END AS dup_bigram_frac,
+         |   CASE WHEN st.n_toks = 0 THEN 0.0
+         |     ELSE round(CAST(st.stop_hits AS DOUBLE) / st.n_toks, 6) END AS stop_frac
+         | FROM st LEFT JOIN uni ON st.doc_id = uni.doc_id)
+         |SELECT doc_id, n_toks, mean_tok_len, top_unigram_frac, dup_bigram_frac, stop_frac,
+         | (n_toks >= 10 AND n_toks <= 100000
+         |  AND mean_tok_len >= 2.0 AND mean_tok_len <= 10.0
+         |  AND top_unigram_frac <= 0.2
+         |  AND dup_bigram_frac <= 0.3) AS passes
+         |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, TimeSeries, TextOps}
+
+/** Semantic checks for the graph / time-series / gopher-rule operators —
+  * known-answer fixtures, invariants the oracle can't express (orientation
+  * invariance, fill monotonicity), and edge cases. */
+class GraphTimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesDf(pairs: (Long, Long)*) =
+    pairs.toDF("src", "dst")
+
+  test("triangleCount: known graph (K4 has 4 triangles)") {
+    // K4 on nodes 1..4: 6 edges, 4 triangles
+    val e = edgesDf((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    val r = Graph.triangleCount(e).head()
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+  }
+
+  test("triangleCount: path graph has none; orientation-invariant on a skewed star+triangle") {
+    val path = edgesDf((1L,2L),(2L,3L),(3L,4L))
+    assert(Graph.triangleCount(path).head().getAs[Long]("n_triangles") === 0L)
+    // hub node 1 with high degree + one triangle (1,2,3): degree orientation
+    // must still count exactly 1
+    val star = edgesDf((1L,2L),(1L,3L),(1L,4L),(1L,5L),(1L,6L),(2L,3L))
+    assert(Graph.triangleCount(star).head().getAs[Long]("n_triangles") === 1L)
+  }
+
+  test("pageRank: ranks conserve mass bounds and favor the hub") {
+    // star: hub 1 <-> leaves 2..5
+    val star = edgesDf((1L,2L),(1L,3L),(1L,4L),(1L,5L))
+    val r = Graph.pageRank(star, iters = 3).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L), "hub must outrank leaves")
+    assert(r(2L) === r(3L) && r(3L) === r(4L) && r(4L) === r(5L), "leaves symmetric")
+    // every rank >= the teleport floor
+    assert(r.values.forall(_ >= 150000L))
+  }
+
+  test("pageRank: regular graph stays uniform (integer math, no drift)") {
+    // 4-cycle: all degrees 2 — ranks identical at every iteration
+    val cyc = edgesDf((1L,2L),(2L,3L),(3L,4L),(1L,4L))
+    val ranks = Graph.pageRank(cyc, iters = 3).select("rank").distinct().collect()
+    assert(ranks.length === 1)
+  }
+
+  test("degreeHistogram on a star") {
+    val star = edgesDf((1L,2L),(1L,3L),(1L,4L))
+    val h = Graph.degreeHistogram(star).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h === Map(1L -> 3L, 3L -> 1L))
+  }
+
+  test("gapFillHourly: fills interior gaps, keeps observed hours, no fill before first") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 10.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 03:20:00"), 20.0)
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.gapFillHourly(ev).orderBy("h").collect()
+    assert(out.length === 4) // hours 00..03
+    val gaps = out.map(_.getAs[Boolean]("gap")).toSeq
+    assert(gaps === Seq(false, true, true, false))
+    val fills = out.map(_.getAs[Double]("v_fill")).toSeq
+    assert(fills === Seq(10.0, 10.0, 10.0, 20.0))
+    assert(out.map(_.getAs[Long]("n_events")).toSeq === Seq(1L, 0L, 0L, 1L))
+  }
+
+  test("madAnomalies flags only genuine outliers") {
+    val base = (1 to 20).map(i => (i.toLong, "a", 10.0 + (i % 3))) // tight cluster
+    val ev = (base :+ ((99L, "a", 500.0))).toDF("event_id", "event_type", "value")
+    val out = TimeSeries.madAnomalies(ev, 3.0).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(99L))
+  }
+
+  test("gopherSignals: repetitive doc fails the gate, normal doc passes") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog while birds sing in morning light"),
+      (2L, ("spam spam " * 30).trim), // top-unigram frac 1.0, dup bigrams
+      (3L, "short")                    // under the token floor
+    ).toDF("doc_id", "text")
+    val m = TextOps.gopherSignals(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("passes")).toMap
+    assert(m(1L) === true)
+    assert(m(2L) === false)
+    assert(m(3L) === false)
+    val dup = TextOps.gopherSignals(docs).filter($"doc_id" === 2L)
+      .head().getAs[Double]("dup_bigram_frac")
+    // 59 bigrams, 2 distinct ("spam spam", "spam spam" reversed is same pair here)
+    assert(dup > 0.9)
+  }
+}
