@@ -39,5 +39,8 @@ object BucketedTables {
     * ShuffleExchange under the join (asserted in PlanSpec). */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    key: String): DataFrame =
-    spark.table(left).join(spark.table(right), Seq(key))
+    // merge hint: the recurring fact×fact join this layout exists for is
+    // sort-merge over co-located buckets; without it AQE broadcasts small
+    // test tables and the bucket scheme never gets exercised
+    spark.table(left).join(spark.table(right).hint("merge"), Seq(key))
 }

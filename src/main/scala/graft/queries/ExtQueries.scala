@@ -1498,6 +1498,66 @@ object ExtQueries {
   def textGopherRules(spark: SparkSession, dir: String): DataFrame =
     TextOps.gopherSignals(tbl(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Corpus quality gate: Gopher-rule pass ∩ exact-duplicate canonical
+    * (min doc_id per identical text) → per-source/lang survivor stats.
+    * The end-to-end "what survives filtering" report a data curator runs
+    * before committing a corpus build. */
+  def pipelineQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val passed = TextOps.gopherSignals(docs).filter(col("passes")).select("doc_id")
+    val canon = docs.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+    docs
+      .join(passed, Seq("doc_id"), "left_semi")
+      .join(canon, Seq("doc_id"), "left_semi")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source", "lang")
+  }
+
+  /** Co-located join via bucketed table layout: both sides pre-hashed into
+    * the same bucket scheme at WRITE time (BucketedTables), so the join
+    * itself plans with zero Exchange on either side — the shuffle is paid
+    * once when the table lands, not on every recurring join. PlanSpec
+    * asserts the exchange-free plan. */
+  def ddlBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.etl.BucketedTables
+    val cust = tbl(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val ords = tbl(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    BucketedTables.writeBucketed(cust, "graft_bj_customer", tmpDir("bj-cust"), "custkey", 8)
+    BucketedTables.writeBucketed(ords, "graft_bj_orders", tmpDir("bj-ord"), "custkey", 8)
+    BucketedTables.bucketedJoin(spark, "graft_bj_customer", "graft_bj_orders", "custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), decSum2(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** EWMA (α=1/2) over each user's trailing 8 events. Halving is an
+    * exponent shift, and both engines left-fold the same frame-ordered
+    * list, so the doubles are bit-identical — no rounding needed. */
+  def windowEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-7, Window.currentRow)
+    tbl(spark, dir, "events")
+      .withColumn("arr", collect_list(col("value")).over(w))
+      .select(col("event_id"), col("user_id"), col("value"),
+        aggregate(slice(col("arr"), 2, 7), element_at(col("arr"), 1),
+          (acc, x) => acc / lit(2) + x / lit(2)).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Modal l_quantity per return flag — two partial-aggregatable shuffles
+    * plus a per-flag top-1 (window over the tiny counts frame). */
+  def aggMode(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy(col("n").desc, col("l_quantity").asc)))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+      .orderBy("l_returnflag")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degree" -> (graphDegree _),
     "graph_triangles" -> (graphTriangles _),
@@ -1505,6 +1565,10 @@ object ExtQueries {
     "timeseries_gapfill" -> (timeseriesGapfill _),
     "anomaly_mad" -> (anomalyMad _),
     "text_gopher_rules" -> (textGopherRules _),
+    "pipeline_quality_gate" -> (pipelineQualityGate _),
+    "ddl_bucket_join" -> (ddlBucketJoin _),
+    "window_ewma" -> (windowEwma _),
+    "agg_mode" -> (aggMode _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),

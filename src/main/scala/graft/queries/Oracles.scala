@@ -53,6 +53,32 @@ object Oracles {
       | AND regexp_matches(fname, '^btcusd-\d{4}-\d{2}-\d{2}\.csv$')
       | AND try_strptime(substring(fname, 8, 10), '%Y-%m-%d') IS NOT NULL""".stripMargin
 
+  /** Shared CTE prefix for the Gopher-rule family (text_gopher_rules /
+    * pipeline_quality_gate): per-doc token stats -> rounded ratio frame `r`. */
+  private lazy val gopherCtes: String =
+    s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+       |uni AS (SELECT doc_id, max(n) AS top_n FROM
+       |         (SELECT doc_id, t, count(*) AS n FROM
+       |           (SELECT doc_id, unnest(w) AS t FROM w) GROUP BY 1, 2) GROUP BY 1),
+       |st AS (SELECT doc_id,
+       |   CAST(len(w) AS BIGINT) AS n_toks,
+       |   CAST(COALESCE(list_sum(list_transform(w, t_ -> length(t_))), 0) AS BIGINT) AS sum_len,
+       |   CASE WHEN len(w) >= 2
+       |     THEN list_transform(generate_series(1, len(w) - 1), i_ -> w[i_] || ' ' || w[i_+1])
+       |     ELSE CAST([] AS VARCHAR[]) END AS bg,
+       |   CAST(len(list_filter(w, t_ -> t_ IN ('the','and','of','to','a','in','is'))) AS BIGINT) AS stop_hits
+       | FROM w),
+       |r AS (SELECT st.doc_id, st.n_toks,
+       |   CASE WHEN st.n_toks = 0 THEN 0.0
+       |     ELSE round(CAST(st.sum_len AS DOUBLE) / st.n_toks, 6) END AS mean_tok_len,
+       |   CASE WHEN st.n_toks = 0 THEN 0.0
+       |     ELSE round(CAST(COALESCE(uni.top_n, 0) AS DOUBLE) / st.n_toks, 6) END AS top_unigram_frac,
+       |   CASE WHEN len(st.bg) = 0 THEN 0.0
+       |     ELSE round(1.0 - CAST(len(list_distinct(st.bg)) AS DOUBLE) / len(st.bg), 6) END AS dup_bigram_frac,
+       |   CASE WHEN st.n_toks = 0 THEN 0.0
+       |     ELSE round(CAST(st.stop_hits AS DOUBLE) / st.n_toks, 6) END AS stop_frac
+       | FROM st LEFT JOIN uni ON st.doc_id = uni.doc_id)""".stripMargin
+
   /** Shared CTE prefix for the minhash family. */
   private val minhashCtes: String =
     s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
@@ -1806,33 +1832,58 @@ object Oracles {
         |ORDER BY d.event_type, d.event_id""".stripMargin,
 
     "text_gopher_rules" ->
-      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
-         |uni AS (SELECT doc_id, max(n) AS top_n FROM
-         |         (SELECT doc_id, t, count(*) AS n FROM
-         |           (SELECT doc_id, unnest(w) AS t FROM w) GROUP BY 1, 2) GROUP BY 1),
-         |st AS (SELECT doc_id,
-         |   CAST(len(w) AS BIGINT) AS n_toks,
-         |   CAST(COALESCE(list_sum(list_transform(w, t_ -> length(t_))), 0) AS BIGINT) AS sum_len,
-         |   CASE WHEN len(w) >= 2
-         |     THEN list_transform(generate_series(1, len(w) - 1), i_ -> w[i_] || ' ' || w[i_+1])
-         |     ELSE CAST([] AS VARCHAR[]) END AS bg,
-         |   CAST(len(list_filter(w, t_ -> t_ IN ('the','and','of','to','a','in','is'))) AS BIGINT) AS stop_hits
-         | FROM w),
-         |r AS (SELECT st.doc_id, st.n_toks,
-         |   CASE WHEN st.n_toks = 0 THEN 0.0
-         |     ELSE round(CAST(st.sum_len AS DOUBLE) / st.n_toks, 6) END AS mean_tok_len,
-         |   CASE WHEN st.n_toks = 0 THEN 0.0
-         |     ELSE round(CAST(COALESCE(uni.top_n, 0) AS DOUBLE) / st.n_toks, 6) END AS top_unigram_frac,
-         |   CASE WHEN len(st.bg) = 0 THEN 0.0
-         |     ELSE round(1.0 - CAST(len(list_distinct(st.bg)) AS DOUBLE) / len(st.bg), 6) END AS dup_bigram_frac,
-         |   CASE WHEN st.n_toks = 0 THEN 0.0
-         |     ELSE round(CAST(st.stop_hits AS DOUBLE) / st.n_toks, 6) END AS stop_frac
-         | FROM st LEFT JOIN uni ON st.doc_id = uni.doc_id)
+      s"""$gopherCtes
          |SELECT doc_id, n_toks, mean_tok_len, top_unigram_frac, dup_bigram_frac, stop_frac,
          | (n_toks >= 10 AND n_toks <= 100000
          |  AND mean_tok_len >= 2.0 AND mean_tok_len <= 10.0
          |  AND top_unigram_frac <= 0.2
          |  AND dup_bigram_frac <= 0.3) AS passes
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "pipeline_quality_gate" ->
+      s"""$gopherCtes,
+         |keep AS (SELECT doc_id FROM r
+         |  WHERE n_toks >= 10 AND n_toks <= 100000
+         |    AND mean_tok_len >= 2.0 AND mean_tok_len <= 10.0
+         |    AND top_unigram_frac <= 0.2
+         |    AND dup_bigram_frac <= 0.3),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+         |SELECT d.source, d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+         |FROM documents d
+         |JOIN keep ON d.doc_id = keep.doc_id
+         |JOIN canon ON d.doc_id = canon.doc_id
+         |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin,
+
+    "ddl_bucket_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "window_ewma" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu, value FROM events),
+        |w AS (SELECT event_id, user_id, value,
+        |  list(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+        | FROM e)
+        |SELECT event_id, user_id, value,
+        | list_reduce(arr, (acc_, x_) -> acc_ / 2 + x_ / 2) AS ewma
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
+
+    "stream_ewma" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, value FROM events),
+        |o AS (SELECT user_id, list(value ORDER BY tsu, event_id) AS vs FROM e GROUP BY 1)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+        | list_reduce(vs, (a_, x_) -> a_ / 2 + x_ / 2) AS ewma
+        |FROM o ORDER BY user_id""".stripMargin,
+
+    "agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY n DESC, l_quantity) AS rk FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n FROM r WHERE rk = 1
+        |ORDER BY l_returnflag""".stripMargin,
+
+
   )
 }

@@ -572,5 +572,6 @@ object StreamQueries {
     "stream_asof_join" -> (streamAsofJoin _),
     "stream_upsert_sink" -> (streamUpsertSink _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
+    "stream_ewma" -> (EwmaStream.run _),
   )
 }

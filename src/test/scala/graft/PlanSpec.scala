@@ -133,6 +133,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), plan)
   }
 
+  test("ddl_bucket_join catalog query joins exchange-free below the SortMergeJoin") {
+    val df = graft.queries.ExtQueries.ddlBucketJoin(spark, sf)
+    df.collect()
+    val plan = formatted(df)
+    val tree = plan.linesIterator.toSeq
+    val joinIdx = tree.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinIdx > 0, plan)
+    val below = tree.drop(joinIdx + 1)
+      .takeWhile(l => l.trim.nonEmpty && !l.contains("== Initial Plan =="))
+    assert(!below.exists(_.contains("Exchange")),
+      s"bucketed join must not shuffle either side:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan)
+  }
+
   test("z-order layout write is fully parallel (no global window, no single-partition exchange)") {
     import graft.operators.ZOrder
     val o = graft.queries.Staging.tbl(spark, sf, "orders").select(
