@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.all ++
       graft.streaming.StreamQueries.all ++
-      graft.queries.ExtQueries.all
+      graft.queries.ExtQueries.all ++
+      graft.queries.AnalyticsQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */

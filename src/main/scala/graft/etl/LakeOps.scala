@@ -65,6 +65,48 @@ object LakeOps {
     staging
   }
 
+  /** Right-to-be-forgotten DELETE: remove every row whose `keyCol` is in
+    * `keys` (a one-column frame), rewriting ONLY the partitions that
+    * contain at least one matching row — found with a column-pruned
+    * (partCol, keyCol) scan semi-joined against the broadcast key set, so
+    * untouched partitions are never read past their footers. The rewrite
+    * rides the same staged-write + rename-promote machinery as
+    * [[mergeInto]] (crash mid-delete leaves the table byte-identical;
+    * promote is metadata-only renames).
+    *
+    * A partition whose every row is deleted produces NO staged directory
+    * — [[promoteStaged]] alone would leave the stale original in place —
+    * so affected-but-unstaged partition dirs are dropped explicitly after
+    * the promote. At 100 TB the cost profile is the GDPR job's ideal:
+    * scan (2 columns) + rewrite only the partitions the subjects appear
+    * in. */
+  def deleteKeys(spark: SparkSession, sinkDir: String, keys: DataFrame,
+                 keyCol: String, partCol: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val base = spark.read.parquet(sinkDir)
+    val affected = base.select(partCol, keyCol)
+      .join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select(partCol).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return
+    val kept = base.filter(col(partCol).isin(affected: _*))
+      .join(broadcast(keys), Seq(keyCol), "left_anti")
+      .select(base.columns.map(col): _*)
+    val staging = s"$sinkDir/.graft_staging_${System.nanoTime()}"
+    kept.repartition(col(partCol))
+      .write.mode("error").partitionBy(partCol).parquet(staging)
+    val fs = new Path(sinkDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = {
+      val p = new Path(staging)
+      if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSet
+      else Set.empty[String]
+    }
+    promoteStaged(spark, sinkDir, staging)
+    for (v <- affected) {
+      val dirName = s"$partCol=$v"
+      if (!staged.contains(dirName)) fs.delete(new Path(sinkDir, dirName), true)
+    }
+  }
+
   /** Small-file COMPACTION — the other standing lake-maintenance job: a
     * streaming sink or per-task writers leave each partition as many
     * small files (here: whatever the table accumulated); rewrite every

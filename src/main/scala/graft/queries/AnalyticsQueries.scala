@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Staging._
+
+/** Product-analytics and sketch operators over the `events` stream table —
+  * the query family a training-data platform's companion analytics tier
+  * runs (funnel conversion, cohort retention, cardinality estimation).
+  * Each is oracle-checked against DuckDB (see [[Oracles]]).
+  */
+object AnalyticsQueries {
+
+  /** Strict-sequence conversion funnel signup → view → click → purchase:
+    * a user counts for step N only with an event strictly after their
+    * step-N-1 entry time. Four conditional aggregations over `events`,
+    * every one keyed on `user_id`: after the first shuffle the join and
+    * every later aggregation reuse that hash partitioning (AQE exchange
+    * reuse), so the plan costs ONE wide shuffle of the events table plus
+    * three co-partitioned map-side passes — no pair blowup, no windows.
+    * Each stage's scan filter-pushes its `event_type` to the parquet scan.
+    * At 100 TB the same shape holds: stage frames are |users| rows, far
+    * smaller than events, and every join key is already clustered. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events").select(col("user_id"), col("ts"), col("event_type"))
+    def stage(t: String, prev: Option[DataFrame]): DataFrame = prev match {
+      case None =>
+        e.filter(col("event_type") === t)
+          .groupBy("user_id").agg(min("ts").as("entry_ts"))
+      case Some(p) =>
+        e.filter(col("event_type") === t)
+          .join(p.select(col("user_id"), col("entry_ts").as("prev_ts")), "user_id")
+          .filter(col("ts") > col("prev_ts"))
+          .groupBy("user_id").agg(min("ts").as("entry_ts"))
+    }
+    val s1 = stage("signup", None)
+    val s2 = stage("view", Some(s1))
+    val s3 = stage("click", Some(s2))
+    val s4 = stage("purchase", Some(s3))
+    val steps = Seq("signup" -> s1, "view" -> s2, "click" -> s3, "purchase" -> s4)
+    steps.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count("*").as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy("step")
+  }
+
+  /** Weekly cohort retention: cohort = Monday week of a user's first
+    * event; for each (cohort, week offset) count the users active that
+    * week. Two aggregations on `user_id`/(user, week) + one broadcast-able
+    * join of the per-user cohort frame (|users| rows) back onto the
+    * distinct activity frame. Cohort tables are the canonical "is our data
+    * flywheel retaining contributors" question; the output is
+    * |weeks| x |weeks| — tiny at any corpus scale. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val active = e.distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), expr("datediff(wk, cohort_wk) div 7").as("week_no"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_no"), col("n_users"))
+      .orderBy("cohort_week", "week_no")
+  }
+
+  /** HyperLogLog distinct-count per event_type, declared entirely in
+    * DataFrame ops so Catalyst keeps partial aggregation — the sketch IS
+    * the (bucket → max rho) frame, and `max` is HLL's merge, so map-side
+    * combine builds per-partition registers and the shuffle carries at
+    * most 64 rows per group: the exact property that makes HLL the
+    * 100 TB cardinality sketch. m=64 registers; key = event_id % 997
+    * (mirrors sketch_kmv_distinct so the two sketches are comparable on
+    * the same ground truth).
+    *
+    * Cross-engine determinism: the scrambled polynomial hash (CrossFns),
+    * rho from the binary-string length (`conv(w,10,2)` here ≡ DuckDB
+    * `bin(w)` — no float log2), 2^-rho as exact 1.0/(1L<<rho), and the
+    * harmonic sum over ≤64 exact powers of two is itself exact, so the
+    * one alpha*m²/S division is the single rounding step in both engines.
+    * Raw HLL estimate (no small-range correction — documented bias below
+    * ~2.5m; the exact count rides alongside for the eval). */
+  def sketchHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+      .select(col("event_type"),
+        graft.functions.CrossFns.scrambledHash(expr("cast(event_id % 997 as string)")).as("hv"))
+      .distinct()
+    val regs = e
+      .withColumn("bucket", col("hv") % 64)
+      .withColumn("w", expr("hv div 64"))
+      .withColumn("rho", when(col("w") === 0, lit(25))
+        .otherwise(lit(25) - length(conv(col("w"), 10, 2))))
+      .groupBy("event_type", "bucket").agg(max("rho").as("m"))
+    val est = regs.groupBy("event_type")
+      .agg(sum(lit(1.0) / expr("shiftleft(1L, cast(m as int))")).as("s_present"),
+        count("*").as("n_present"))
+      .select(col("event_type"),
+        (lit(0.709) * lit(4096.0) /
+          (col("s_present") + (lit(64) - col("n_present")))).as("hll_est"))
+    val exact = tbl(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(expr("event_id % 997")).as("exact"))
+    est.join(exact, "event_type").orderBy("event_type")
+  }
+
+  /** GDPR right-to-be-forgotten on the lake table: delete every event of
+    * the subject users (user_id % 50 == 0) from a date-partitioned
+    * parquet sink via [[graft.etl.LakeOps.deleteKeys]] — column-pruned
+    * affected-partition discovery, staged rewrite of ONLY those
+    * partitions, rename-promote commit, stale-dir cleanup for
+    * deleted-to-empty partitions. The readback aggregation proves the
+    * delete's exact semantics against the oracle. */
+  def sinkDeleteKeys(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("gdpr")
+    val e = tbl(spark, dir, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "user_id", "event_date", "event_type", "value")
+    e.repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val subjects = e.filter(col("user_id") % 50 === 0).select("user_id").distinct()
+    graft.etl.LakeOps.deleteKeys(spark, out, subjects, "user_id", "event_date")
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Incremental aggregate maintenance: the (event_type, event_date)
+    * rollup is a commutative monoid (count + DECIMAL sum), so the stored
+    * aggregate of the first 19 days merges with the delta batch's
+    * aggregate by union + re-sum — no rescan of history, the move that
+    * keeps a 100 TB corpus's statistics table maintainable per-ingest.
+    * Derived columns (avg) are computed AFTER the merge from the monoid
+    * state, never merged themselves. Oracle = the one-shot aggregation
+    * over the full table, which the merged result must equal exactly
+    * (DECIMAL accumulation, one cast to double at the end). */
+  def pipelineIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("value").cast("decimal(18,2)").as("v"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("event_type", "event_date")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+    val stored = partial(e.filter(col("event_date") < "2024-01-20"))
+    val delta = partial(e.filter(col("event_date") >= "2024-01-20"))
+    stored.unionByName(delta)
+      .groupBy("event_type", "event_date")
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
+      .select(col("event_type"), col("event_date"), col("n"),
+        col("sum_v").cast("double").as("sum_value"),
+        (col("sum_v").cast("double") / col("n")).as("avg_value"))
+      .orderBy("event_type", "event_date")
+  }
+
+  /** Point lookup through the file-level bloom index
+    * ([[graft.operators.BloomIndex]]): the orders table laid out in 64
+    * hash-bucket partition dirs (clustered by NOTHING the probe key
+    * correlates with — footer min/max can't skip here), a 4096-bit bloom
+    * per dir built in one narrow scan, and three customer-key probes that
+    * read only the candidate dirs (static partition pruning via the
+    * collected candidate values — `PartitionFilters` in the plan, dirs
+    * never listed past their names). False positives fall to the exact
+    * IN-filter; false negatives are impossible, so rows equal a full
+    * scan's. BloomIndexSpec asserts the pruning ratio; at 100 TB this is
+    * the "find one user's rows without scanning the corpus" primitive. */
+  def ddlBloomIndex(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("bloomidx")
+    val o = tbl(spark, dir, "orders")
+      .withColumn("bkt", (col("o_orderkey") % 64).cast("int"))
+    o.repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(out)
+    val base = spark.read.parquet(out)
+    val index = graft.operators.BloomIndex.build(base, "o_custkey", "bkt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = Seq(7L, 42L, 101L)
+    val cands = probes.flatMap(k => graft.operators.BloomIndex.candidates(index, k)).distinct
+    index.unpersist()
+    base.filter(col("bkt").isin(cands: _*) && col("o_custkey").isin(probes: _*))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_steps" -> (funnelSteps _),
+    "cohort_retention" -> (cohortRetention _),
+    "sketch_hll_distinct" -> (sketchHllDistinct _),
+    "sink_delete_keys" -> (sinkDeleteKeys _),
+    "pipeline_incremental_agg" -> (pipelineIncrementalAgg _),
+    "ddl_bloom_index" -> (ddlBloomIndex _),
+  )
+}

@@ -1884,6 +1884,68 @@ object Oracles {
         |SELECT l_returnflag, l_quantity AS mode_qty, n FROM r WHERE rk = 1
         |ORDER BY l_returnflag""".stripMargin,
 
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s3 ON e.user_id = s3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id)
+        |SELECT 1 AS step, 'signup' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+        |ORDER BY step""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id)
+        |SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+        | datediff('day', cohort_wk, wk) // 7 AS week_no,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY cohort_wk, week_no ORDER BY cohort_week, week_no""".stripMargin,
+
+    "sketch_hll_distinct" -> {
+      val hv = s"((${ch("CAST(event_id % 997 AS VARCHAR)")}) * 2654435761) % 1000000007"
+      s"""WITH h AS (SELECT DISTINCT event_type, $hv AS hv FROM events),
+         |b AS (SELECT event_type, hv % 64 AS bucket, hv // 64 AS w FROM h),
+         |r AS (SELECT event_type, bucket,
+         |        CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END AS rho
+         |      FROM b),
+         |regs AS (SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY event_type, bucket),
+         |est AS (SELECT event_type,
+         |          sum(1.0 / (CAST(1 AS BIGINT) << m)) AS s_present,
+         |          count(*) AS n_present
+         |        FROM regs GROUP BY event_type),
+         |ex AS (SELECT event_type, count(DISTINCT event_id % 997) AS exact FROM events GROUP BY event_type)
+         |SELECT est.event_type,
+         | CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) / (s_present + (64 - n_present)) AS hll_est,
+         | ex.exact
+         |FROM est JOIN ex ON ex.event_type = est.event_type
+         |ORDER BY est.event_type""".stripMargin
+    },
+
+    "sink_delete_keys" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id % 50 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "pipeline_incremental_agg" ->
+      """SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY event_type, event_date
+        |ORDER BY event_type, event_date""".stripMargin,
+
+    "ddl_bloom_index" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (7, 42, 101) ORDER BY o_orderkey""".stripMargin,
 
   )
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BloomIndex
+import graft.queries.{AnalyticsQueries, Staging}
+
+/** Specs for the analytics/lake-index batch: bloom-index pruning and
+  * exactness, GDPR deleteKeys partition handling, HLL estimate quality,
+  * funnel strictness. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom index: no false negatives, real pruning, exact rows") {
+    val out = Staging.tmpDir("bloomspec")
+    val o = Staging.tbl(spark, sf, "orders")
+      .withColumn("bkt", (col("o_orderkey") % 64).cast("int"))
+    o.repartition(col("bkt")).write.mode("overwrite").partitionBy("bkt").parquet(out)
+    val base = spark.read.parquet(out)
+    val index = BloomIndex.build(base, "o_custkey", "bkt")
+
+    // ground truth: buckets actually containing each probe key
+    for (k <- Seq(7L, 42L, 101L)) {
+      val truth = base.filter(col("o_custkey") === k)
+        .select("bkt").distinct().as[Int].collect().toSet
+      val cands = BloomIndex.candidates(index, k).map(_.toString.toInt).toSet
+      assert(truth.subsetOf(cands), s"false negative for key $k")
+      // 4096-bit bloom over ~hundreds of keys/bucket: pruning must bite
+      assert(cands.size < 64, s"no pruning for key $k (${cands.size}/64)")
+      val viaIndex = base.filter(col("bkt").isin(cands.toSeq: _*) && col("o_custkey") === k)
+        .select("o_orderkey").as[Long].collect().sorted
+      val full = base.filter(col("o_custkey") === k)
+        .select("o_orderkey").as[Long].collect().sorted
+      assert(viaIndex.sameElements(full))
+    }
+  }
+
+  test("bloom index plan prunes partition dirs statically") {
+    val out = Staging.tmpDir("bloomplan")
+    val o = Staging.tbl(spark, sf, "orders")
+      .withColumn("bkt", (col("o_orderkey") % 64).cast("int"))
+    o.repartition(col("bkt")).write.mode("overwrite").partitionBy("bkt").parquet(out)
+    val base = spark.read.parquet(out)
+    val pruned = base.filter(col("bkt").isin(1, 2, 3) && col("o_custkey") === 7L)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+    // the scan's selected partition count is visible via the file index
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString
+    assert(scanned.contains("bkt"), "partition column not in scan filters")
+  }
+
+  test("deleteKeys removes subjects, keeps others, drops emptied partitions") {
+    val out = Staging.tmpDir("gdprspec")
+    Seq(
+      (1L, 100L, "2024-01-01", 10.0),
+      (2L, 200L, "2024-01-01", 20.0),
+      (3L, 100L, "2024-01-02", 30.0), // partition 01-02 becomes empty
+      (4L, 300L, "2024-01-03", 40.0),
+    ).toDF("id", "uid", "d", "v")
+      .repartition(col("d"))
+      .write.mode("overwrite").partitionBy("d").parquet(out)
+
+    graft.etl.LakeOps.deleteKeys(spark, out, Seq(100L).toDF("uid"), "uid", "d")
+
+    val left = spark.read.parquet(out).select("id", "uid", "d")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(left.toSeq == Seq((2L, 200L, "2024-01-01"), (4L, 300L, "2024-01-03")))
+    assert(!new java.io.File(s"$out/d=2024-01-02").exists(),
+      "deleted-to-empty partition dir must be dropped")
+    // untouched partition keeps its original files (no rewrite)
+    assert(new java.io.File(s"$out/d=2024-01-03").exists())
+    // no staging residue
+    assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith(".graft_staging")))
+  }
+
+  test("deleteKeys with no matching subjects is a no-op") {
+    val out = Staging.tmpDir("gdprnoop")
+    Seq((1L, 100L, "2024-01-01", 1.0)).toDF("id", "uid", "d", "v")
+      .write.mode("overwrite").partitionBy("d").parquet(out)
+    val before = new java.io.File(s"$out/d=2024-01-01").listFiles().map(_.getName).toSet
+    graft.etl.LakeOps.deleteKeys(spark, out, Seq(999L).toDF("uid"), "uid", "d")
+    val after = new java.io.File(s"$out/d=2024-01-01").listFiles().map(_.getName).toSet
+    assert(before == after)
+  }
+
+  test("hll estimate lands within 3 sigma of exact at sf0.001") {
+    // m=64 -> relative standard error 1.04/sqrt(64) ~ 13%; sf0.001 has
+    // n ~ 200 per type, just above the 2.5m small-range threshold where
+    // the RAW estimator (deliberately uncorrected — the linear-counting
+    // correction needs ln(), which is not bit-stable across engines) is
+    // at its noisiest. 3 sigma ~ 40%.
+    val rows = AnalyticsQueries.sketchHllDistinct(spark, sf).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val est = r.getAs[Double]("hll_est")
+      val exact = r.getAs[Long]("exact").toDouble
+      assert(math.abs(est - exact) / exact < 0.40,
+        s"${r.getString(0)}: est=$est exact=$exact")
+    }
+  }
+
+  test("funnel steps are monotonically non-increasing and strict") {
+    val rows = AnalyticsQueries.funnelSteps(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("step")).toSeq == Seq(1, 2, 3, 4))
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.sliding(2).forall(w => w(0) >= w(1)), counts.mkString(","))
+  }
+
+  test("incremental agg merge equals one-shot aggregation") {
+    val merged = AnalyticsQueries.pipelineIncrementalAgg(spark, sf)
+    val oneShot = Staging.tbl(spark, sf, "events")
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy("event_type", "event_date")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .select(col("event_type"), col("event_date"), col("n"),
+        col("sum_v").cast("double").as("sum_value"),
+        (col("sum_v").cast("double") / col("n")).as("avg_value"))
+    assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty)
+  }
+}
