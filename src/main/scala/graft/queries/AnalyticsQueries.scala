@@ -181,7 +181,90 @@ object AnalyticsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Per-document top-5 terms by tf-idf — the relevance-weighting layer a
+    * corpus search / keyword-extraction pass runs. Integer-scaled idf
+    * (`(N * 1e6) div df` — pure int64 arithmetic, bit-identical in any
+    * engine; the ln() form trades that determinism for ~nothing at
+    * ranking granularity). Plan shape: one explode + (doc,term) count,
+    * a term-keyed df aggregate joined back on term — the join is
+    * vocabulary x corpus-terms and Zipf-skewed, exactly the place AQE
+    * skew-split or a broadcast of the head vocabulary goes at 100 TB —
+    * then a PER-DOC window top-k (partitioned by doc_id: parallel, never
+    * a global sort). Scoped to doc_id < 20 for output size; df/N stay
+    * corpus-wide. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(graft.functions.CrossFns.tokens(col("text"))).as("term"))
+    val n = docs.count()
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score", col("tf") * expr(s"(${n}L * 1000000L) div df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.filter(col("doc_id") < 20)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("doc_id", "rk", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** BM25-lite ranked retrieval for a 3-term query over the documents
+    * corpus: the standard Robertson tf saturation (k1=1.2, b=0.75 length
+    * normalisation) with a rational idf (`(N-df+1)*1e6 div (df+1)` in
+    * place of the ln form — same monotonicity, integer-exact). All
+    * inputs (tf, df, dl, total tokens T, N) are exact integers; each
+    * per-(doc,term) score is ONE double multiply + divide
+    * (idf * 22*T*tf / (10*T*tf + 3*T + 9*dl*N), the k1/b constants
+    * cleared to integers), floored to micro-units so the per-doc sum is
+    * integer — no float accumulation order anywhere. Top-10 via
+    * orderBy+limit = distributed TakeOrdered. */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(graft.functions.CrossFns.tokens(col("text"))).as("term"))
+    val n = docs.count()
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val t = dl.agg(sum("dl")).head().getLong(0)
+    val query = Seq("the", "data", "model")
+    val tf = terms.filter(col("term").isin(query: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.filter(col("term").isin(query: _*))
+      .groupBy("term").agg(countDistinct("doc_id").as("df"))
+    tf.join(df, "term").join(dl, "doc_id")
+      .withColumn("idf", expr(s"((${n}L - df + 1) * 1000000L) div (df + 1)"))
+      .withColumn("score_micro", floor(
+        col("idf").cast("double") * (lit(22.0 * t) * col("tf").cast("double")) /
+          (lit(10.0 * t) * col("tf").cast("double") + lit(3.0 * t) +
+            lit(9.0 * n) * col("dl").cast("double"))).cast("long"))
+      .groupBy("doc_id").agg(sum("score_micro").as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** Semi-structured projection through the VARIANT type (Spark 4):
+    * `parse_json` once into the binary-encoded variant, then typed
+    * `variant_get` path extraction — the open-schema ingestion shape
+    * that replaces per-query string re-parsing (`get_json_object`, cf.
+    * project_json_extract) with a parse-once / extract-many encoding.
+    * At scale the variant column is the right storage for ragged
+    * event payloads: one decode per row at ingest, columnar-friendly
+    * binary afterwards. Distinct event_ids with k present are counted
+    * per type alongside min/max typed extractions. */
+  def projectVariant(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "project_variant" -> (projectVariant _),
+    "text_tfidf" -> (textTfidf _),
+    "text_bm25" -> (textBm25 _),
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),

@@ -1947,5 +1947,50 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_custkey IN (7, 42, 101) ORDER BY o_orderkey""".stripMargin,
 
+    "text_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |        tf.tf * ((n.n * 1000000) // df.df) AS score
+         |      FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+         |      FROM s WHERE doc_id < 20)
+         |SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 5
+         |ORDER BY doc_id, rk""".stripMargin,
+
+    "text_bm25" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM dl),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |       WHERE term IN ('the', 'data', 'model') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
+         |       WHERE term IN ('the', 'data', 'model') GROUP BY term),
+         |s AS (SELECT tf.doc_id,
+         |        CAST(floor(CAST(((n.n - df.df + 1) * 1000000) // (df.df + 1) AS DOUBLE)
+         |          * CAST(22 * tot.t * tf.tf AS DOUBLE)
+         |          / CAST(10 * tot.t * tf.tf + 3 * tot.t + 9 * dl.dl * n.n AS DOUBLE)) AS BIGINT) AS sm
+         |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot CROSS JOIN n)
+         |SELECT doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro FROM s GROUP BY doc_id
+         |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin,
+
+    "project_variant" ->
+      """SELECT event_type, count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // batch-split-invariant running totals: the stream's final state per
+    // user equals the one-shot aggregation
+    "stream_transform_state" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
   )
 }

@@ -573,5 +573,6 @@ object StreamQueries {
     "stream_upsert_sink" -> (streamUpsertSink _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_ewma" -> (EwmaStream.run _),
+    "stream_transform_state" -> (TransformStateStream.run _),
   )
 }

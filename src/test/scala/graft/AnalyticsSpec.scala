@@ -106,6 +106,13 @@ class AnalyticsSpec extends SparkSpec {
     assert(counts.sliding(2).forall(w => w(0) >= w(1)), counts.mkString(","))
   }
 
+  test("transformWithState restores the state-store provider conf") {
+    val before = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val out = graft.streaming.TransformStateStream.run(spark, sf)
+    assert(out.count() > 0)
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass") == before)
+  }
+
   test("incremental agg merge equals one-shot aggregation") {
     val merged = AnalyticsQueries.pipelineIncrementalAgg(spark, sf)
     val oneShot = Staging.tbl(spark, sf, "events")
