@@ -110,40 +110,57 @@ object TextOps {
   /** Gopher-style repetition/quality signals (public heuristics from the
     * Gopher/MassiveText filtering rules): token count, mean token length,
     * top-unigram mass fraction, duplicate-bigram fraction, stopword
-    * fraction, and the composite pass/fail gate. The bigram stats are
-    * per-doc array math (narrow plan, no shuffle); the top-unigram count
-    * is explode + two-level partial aggregation keyed by doc — the
-    * scale-safe form vs an O(unique×len) per-doc scan. All ratios derive
-    * from integer counts, and the gate compares the ROUNDED ratios, so
-    * flags are bit-identical across engines. */
+    * fraction, and the composite pass/fail gate.
+    *
+    * Every signal is an explode → partial-aggregate reduction, not per-row
+    * array math, for two reasons. Scale: map-side combine does the heavy
+    * counting before any shuffle, and no giant per-doc arrays are
+    * materialised. Optimizer safety: a downstream `filter($"passes")`
+    * (pipeline_quality_gate) is rewritten by predicate pushdown, which
+    * INLINES referenced projection aliases into the pushed filter — with
+    * per-row array expressions that re-evaluated the bigram construction
+    * several times per row (measured 2.5s → 18.5s at sf0.1); pushdown
+    * stops at an Aggregate, so aggregated signals can only be inlined as
+    * cheap arithmetic over the agg's outputs.
+    *
+    * The (doc, token) frequency frame yields ALL unigram signals in one
+    * pass: n_toks = Σn, weighted length Σ(n·len), top_n = max n, stopword
+    * hits = Σ(n · 1[t ∈ lexicon]) — lexicon membership tested once per
+    * DISTINCT token, not per occurrence. All ratios derive from integer
+    * counts, and the gate compares the ROUNDED ratios, so flags are
+    * bit-identical across engines. */
   def gopherSignals(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), tokens(col("text")).as("w"))
     val uni = base.select(col("doc_id"), explode(col("w")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id").agg(max("n").as("top_n"))
-    val stats = base.select(
-      col("doc_id"),
-      size(col("w")).cast("long").as("n_toks"),
-      aggregate(transform(col("w"), t => length(t).cast("long")), lit(0L), _ + _).as("sum_len"),
-      when(size(col("w")) >= 2,
-        transform(sequence(lit(1), size(col("w")) - 1),
-          i => concat(element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))))
-        .otherwise(array().cast("array<string>")).as("bg"),
-      lexScore(col("w"), enStopwords).as("stop_hits"))
-    stats.join(uni, Seq("doc_id"), "left")
+      .groupBy("doc_id").agg(
+        max("n").as("top_n"),
+        sum(col("n") * length(col("t"))).as("sum_len"),
+        sum(when(col("t").isInCollection(enStopwords), col("n")).otherwise(0L))
+          .as("stop_hits"))
+    val bg = base.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat(element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1)))).as("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"), countDistinct("b").as("n_bg_d"))
+    base.select(col("doc_id"), size(col("w")).cast("long").as("n_toks"))
+      .join(uni, Seq("doc_id"), "left")
+      .join(bg, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_toks"),
         when(col("n_toks") === 0, lit(0.0d))
-          .otherwise(round(col("sum_len").cast("double") / col("n_toks"), 6)).as("mean_tok_len"),
+          .otherwise(round(coalesce(col("sum_len"), lit(0L)).cast("double") / col("n_toks"), 6))
+          .as("mean_tok_len"),
         when(col("n_toks") === 0, lit(0.0d))
           .otherwise(round(coalesce(col("top_n"), lit(0L)).cast("double") / col("n_toks"), 6))
           .as("top_unigram_frac"),
-        when(size(col("bg")) === 0, lit(0.0d))
+        when(coalesce(col("n_bg"), lit(0L)) === 0, lit(0.0d))
           .otherwise(round(lit(1.0d) -
-            size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 6))
+            col("n_bg_d").cast("double") / col("n_bg"), 6))
           .as("dup_bigram_frac"),
         when(col("n_toks") === 0, lit(0.0d))
-          .otherwise(round(col("stop_hits").cast("double") / col("n_toks"), 6)).as("stop_frac"))
+          .otherwise(round(coalesce(col("stop_hits"), lit(0L)).cast("double") / col("n_toks"), 6))
+          .as("stop_frac"))
       .withColumn("passes",
         col("n_toks") >= 10 && col("n_toks") <= 100000 &&
           col("mean_tok_len") >= 2.0 && col("mean_tok_len") <= 10.0 &&

@@ -198,7 +198,9 @@ object AnalyticsQueries {
       explode(graft.functions.CrossFns.tokens(col("text"))).as("term"))
     val n = docs.count()
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // df derived from the (doc,term) frame — one row per (doc,term), so a
+    // plain count IS the document frequency; saves re-exploding the corpus
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("score", col("tf") * expr(s"(${n}L * 1000000L) div df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -230,8 +232,7 @@ object AnalyticsQueries {
     val query = Seq("the", "data", "model")
     val tf = terms.filter(col("term").isin(query: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.filter(col("term").isin(query: _*))
-      .groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, "term").join(dl, "doc_id")
       .withColumn("idf", expr(s"((${n}L - df + 1) * 1000000L) div (df + 1)"))
       .withColumn("score_micro", floor(
@@ -261,7 +262,33 @@ object AnalyticsQueries {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Dynamic partition pruning: the fact table is stored partitioned by
+    * day; the join's dim side carries the selective filter (first 5 days
+    * of the month), and Catalyst injects the dim's surviving keys as a
+    * runtime `dynamicpruning` subquery into the fact scan's
+    * PartitionFilters — the fact side never lists, opens, or reads the
+    * other 25 days (AnalyticsSpec pins the injected filter). This is the
+    * date-dim star-join shape that makes "join a year of 100 TB fact to
+    * this quarter's dim slice" read a quarter, not a year — without the
+    * query author naming partitions anywhere. */
+  def joinPartitionPruned(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("dpp")
+    val e = tbl(spark, dir, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "event_date", "event_type", "value")
+    e.repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val dim = e.select("event_date").distinct()
+      .withColumn("dom", substring(col("event_date"), 9, 2).cast("int"))
+    val fact = spark.read.parquet(out)
+    fact.join(dim.filter(col("dom") <= 5), "event_date")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_partition_pruned" -> (joinPartitionPruned _),
     "project_variant" -> (projectVariant _),
     "text_tfidf" -> (textTfidf _),
     "text_bm25" -> (textBm25 _),

@@ -1992,5 +1992,12 @@ object Oracles {
         | CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "join_partition_pruned" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(substring(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'), 9, 2) AS INTEGER) <= 5
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
   )
 }

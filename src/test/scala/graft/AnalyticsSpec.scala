@@ -113,6 +113,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass") == before)
   }
 
+  test("join_partition_pruned plan carries a dynamicpruning subquery") {
+    val out = Staging.tmpDir("dppspec")
+    val e = Staging.tbl(spark, sf, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "event_date", "event_type", "value")
+    e.repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val dim = e.select("event_date").distinct()
+      .withColumn("dom", substring(col("event_date"), 9, 2).cast("int"))
+    val joined = spark.read.parquet(out).join(dim.filter(col("dom") <= 5), "event_date")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "fact scan must carry a runtime partition-pruning subquery:\n" + plan.take(800))
+  }
+
   test("incremental agg merge equals one-shot aggregation") {
     val merged = AnalyticsQueries.pipelineIncrementalAgg(spark, sf)
     val oneShot = Staging.tbl(spark, sf, "events")
