@@ -69,6 +69,43 @@ object CoreQueries {
     spark.read.orc(out).orderBy("event_id")
   }
 
+  /** #1d scan_xml — Spark 4's built-in XML source (merged from spark-xml):
+    * element-per-row round trip with an explicit schema. XML is the one
+    * text format where a field is an *element*, not a position — absent
+    * elements read back as null, which the nullable events columns
+    * exercise. No inference (`rowTag` + schema), same rule as CSV/JSON. */
+  def scanXml(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("scanxml")
+    tbl(spark, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+      .repartition(4, col("event_id"))
+      .write.mode("overwrite").option("rowTag", "event").xml(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.read.option("rowTag", "event").schema(schema).xml(out)
+      .orderBy("event_id")
+  }
+
+  /** #1e scan_avro — row-oriented Avro round trip (the wire format of
+    * Kafka/CDC feeds). Schema travels in the file; reading projects a
+    * column subset so pruning still applies (Avro decodes per-record, so
+    * pruning saves decode, not IO — the columnar formats stay the
+    * analytics default; Avro is the ingest edge). This distribution
+    * bundles AvroFileFormat in spark-sql but omits it from the
+    * DataSourceRegister service list, so the short name "avro" doesn't
+    * resolve — the fully-qualified format class does. */
+  private val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def scanAvro(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("scanavro")
+    tbl(spark, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+      .repartition(4, col("event_id"))
+      .write.mode("overwrite").format(AvroFmt).save(out)
+    spark.read.format(AvroFmt).load(out)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** Synthesised filename column over orders: 1-in-5 valid, four distinct
     * invalid shapes including the regex-passing-but-impossible date
     * (utils_test.py:20's day-32 case). Shared by #3/#4. */
@@ -280,6 +317,8 @@ object CoreQueries {
     "scan_csv" -> (scanCsv _),
     "scan_json" -> (scanJson _),
     "scan_orc" -> (scanOrc _),
+    "scan_xml" -> (scanXml _),
+    "scan_avro" -> (scanAvro _),
     "scan_directory" -> (scanDirectory _),
     "filter_filename_valid" -> (filterFilenameValid _),
     "project_extract_date" -> (projectExtractDate _),

@@ -1066,7 +1066,7 @@ object ExtQueries {
     * dimension build every warehouse runs. One window pass per user
     * (change flag via lag -> running version number -> interval bounds
     * via min/lead); all work is partitioned by user_id, one shuffle. */
-  def ddlScd2(spark: SparkSession, dir: String): DataFrame = {
+  private def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
     val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val byVer = Window.partitionBy("user_id").orderBy("version")
     tbl(spark, dir, "events")
@@ -1082,11 +1082,44 @@ object ExtQueries {
         count(lit(1)).as("n_events"),
         min(col("ts")).as("valid_from"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+  }
+
+  def ddlScd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Intervals(spark, dir)
       .select(
         col("user_id"), col("version"), col("state"), col("n_events"),
         date_format(col("valid_from"), tsFmt).as("valid_from_s"),
         date_format(col("valid_to"), tsFmt).as("valid_to_s"))
       .orderBy("user_id", "version")
+
+  /** Point-in-time (temporal) join: enrich a probe stream with the SCD2
+    * dimension state that was valid at each probe's timestamp — the
+    * consumer side of [[ddlScd2]]'s producer. Probes are the events
+    * shifted +30 min (so the answer is non-trivial: a probe can land in a
+    * LATER version than the event that raised it). The join is equi on
+    * user_id with the interval test [valid_from, valid_to) as a residual
+    * predicate — one shuffle per side on the equi key, per-key interval
+    * probe inside the sort-merge join, no range explosion. At warehouse
+    * scale the dimension is orders of magnitude smaller than the facts
+    * and Catalyst broadcasts it, eliminating the fact-side shuffle
+    * entirely; intervals partition each key's time axis, so exactly one
+    * row matches per probe (row count preserved — the invariant the
+    * oracle pins). */
+  def joinTemporal(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Intervals(spark, dir)
+      .select(col("user_id").as("d_user"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"))
+    val probes = tbl(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("pts"))
+    probes.join(dim,
+        col("user_id") === col("d_user") &&
+          col("pts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("pts") < col("valid_to")))
+      .select(
+        col("event_id"), col("user_id"), col("version"), col("state"),
+        date_format(col("pts"), tsFmt).as("pts_s"))
+      .orderBy("event_id")
   }
 
   /** Lake MERGE (upsert) into a date-partitioned parquet table: base =
@@ -1135,6 +1168,117 @@ object ExtQueries {
       .groupBy("source", "rate")
       .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("source")
+  }
+
+  /** Epoch-weighted mixture: the other half of [[sampleMixture]] — a
+    * source's weight may EXCEED 1.0 (up-sampling: the doc repeats across
+    * training epochs), so each doc emits floor(w) full copies plus one
+    * more with probability frac(w), decided by the same deterministic
+    * per-doc hash coin (all integer math: weights carried in tenths).
+    * Materialisation is a per-row `explode(sequence(1, n_copies))` — a
+    * narrow generate, no shuffle until the report agg — and an epoch
+    * column tags each copy so downstream shuffling/packing can keep
+    * copies apart. This is how token-budget mixtures are built when the
+    * budget needs more than one pass over a high-quality source. */
+  def sampleEpochs(spark: SparkSession, dir: String): DataFrame = {
+    // weight in tenths by source id: 0.5 / 1.1 / 1.7 / 2.3
+    val wt = lit(5L) + (regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4L) * 6L
+    val coin = charHash(concat(lit("ep:"), col("doc_id").cast("string"))) % 10L
+    val nCopies = floor(wt / 10L).cast("long") +
+      when(coin < wt % 10L, 1L).otherwise(0L)
+    tbl(spark, dir, "documents")
+      .withColumn("n_copies", nCopies)
+      .select(col("source"), col("n_chars"),
+        explode(when(col("n_copies") >= 1L, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<long>"))).as("epoch"))
+      .groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source", "epoch")
+  }
+
+  /** In-flight data-quality metrics via `Dataset.observe` (Catalyst
+    * CollectMetricsExec): corpus totals are accumulated ON the rows as
+    * they stream through the write — zero extra scans, zero shuffles,
+    * exact (unlike sampled profilers). The write itself goes to the
+    * no-op sink; production would observe on the real sink write. The
+    * returned one-row frame is the metric record a pipeline would ship
+    * to its monitoring store, oracle-checked against a full rescan. */
+  def pipelineObserveMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    tbl(spark, dir, "documents")
+      .observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        count(when(col("lang") === "en", 1)).as("n_en"),
+        min(length(col("text"))).as("min_len"),
+        max(length(col("text"))).as("max_len"))
+      .write.mode("overwrite").format("noop").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_docs").asInstanceOf[Long], m("sum_chars").asInstanceOf[Long],
+      m("n_en").asInstanceOf[Long], m("min_len").asInstanceOf[Int].toLong,
+      m("max_len").asInstanceOf[Int].toLong))
+      .toDF("n_docs", "sum_chars", "n_en", "min_len", "max_len")
+  }
+
+  /** Cost-based optimization surface: `ANALYZE TABLE ... COMPUTE STATISTICS
+    * FOR ALL COLUMNS` collects table rowCount/size and per-column
+    * ndv/min/max/null-count into the catalog, and with `spark.sql.cbo`
+    * Catalyst estimates JOIN output cardinalities from those stats
+    * (ndv-based equi-join estimation) instead of raw file sizes — what
+    * decides broadcast-vs-shuffle and join order on a warehouse where
+    * file size is a terrible proxy for post-filter cardinality. The
+    * stats-driven plan runs INSIDE the CBO conf window (collected to a
+    * literal frame, metric-scale rows) so the session confs are restored
+    * whatever happens; StatsSpec pins catalog stats reaching the
+    * optimized plan. */
+  def ddlAnalyzeStats(spark: SparkSession, dir: String): DataFrame = {
+    val cboWas = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val reorderWas = spark.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_customer")
+      tbl(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.format("parquet").option("path", tmpDir("cbo-ord"))
+        .mode("overwrite").saveAsTable("graft_cbo_orders")
+      tbl(spark, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.format("parquet").option("path", tmpDir("cbo-cust"))
+        .mode("overwrite").saveAsTable("graft_cbo_customer")
+      spark.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+      spark.sql("ANALYZE TABLE graft_cbo_customer COMPUTE STATISTICS FOR ALL COLUMNS")
+      val q = spark.table("graft_cbo_customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(spark.table("graft_cbo_orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), decSum2(col("o_totalprice")).as("revenue"))
+        .orderBy("o_orderstatus")
+      val rows = q.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), q.schema)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cboWas)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", reorderWas)
+    }
+  }
+
+  /** Parameterized SQL (Spark 4 named parameters + `IDENTIFIER()`): the
+    * identifier-safe answer to the reference's `TABLE_NAME` f-string
+    * interpolation (btc_etl.py:73, flagged in SURVEY §2.1's config
+    * note) — the table name binds through IDENTIFIER(:tbl) and values
+    * through typed placeholders, so neither can smuggle SQL. */
+  def sqlParameterized(spark: SparkSession, dir: String): DataFrame = {
+    tbl(spark, dir, "orders").createOrReplaceTempView("graft_param_orders")
+    spark.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM IDENTIFIER(:tbl)
+        |WHERE o_orderdate >= :d0 AND o_totalprice > :minp
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      Map("tbl" -> "graft_param_orders", "d0" -> "1995-01-01", "minp" -> 1000))
   }
 
   /** Schema evolution across lake batches: an early batch written before
@@ -1629,6 +1773,11 @@ object ExtQueries {
     "simsearch_lsh_multiprobe" -> (simsearchLshMultiprobe _),
     "simsearch_recall_multiprobe" -> (simsearchRecallMultiprobe _),
     "sample_mixture" -> (sampleMixture _),
+    "sample_epochs" -> (sampleEpochs _),
+    "join_temporal" -> (joinTemporal _),
+    "pipeline_observe_metrics" -> (pipelineObserveMetrics _),
+    "ddl_analyze_stats" -> (ddlAnalyzeStats _),
+    "sql_parameterized" -> (sqlParameterized _),
     "sink_upsert" -> (sinkUpsert _),
     "ddl_scd2" -> (ddlScd2 _),
     "ddl_compact" -> (ddlCompact _),

@@ -129,6 +129,12 @@ object Oracles {
     "scan_orc" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
 
+    "scan_xml" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+
+    "scan_avro" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+
     "scan_directory" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
 
@@ -1853,6 +1859,71 @@ object Oracles {
          |JOIN keep ON d.doc_id = keep.doc_id
          |JOIN canon ON d.doc_id = canon.doc_id
          |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin,
+
+    "stream_quality_gate" ->
+      s"""$gopherCtes,
+         |keep AS (SELECT doc_id FROM r
+         |  WHERE n_toks >= 10 AND n_toks <= 100000
+         |    AND mean_tok_len >= 2.0 AND mean_tok_len <= 10.0
+         |    AND top_unigram_frac <= 0.2
+         |    AND dup_bigram_frac <= 0.3)
+         |SELECT d.source, d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+         |FROM documents d
+         |JOIN keep ON d.doc_id = keep.doc_id
+         |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin,
+
+    "join_temporal" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, event_type FROM events),
+        |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |v AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version FROM c),
+        |g AS (SELECT user_id, version, min(event_type) AS state, min(tsu) AS valid_from
+        |  FROM v GROUP BY user_id, version),
+        |d AS (SELECT user_id, version, state, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to FROM g),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS pts FROM events)
+        |SELECT p.event_id, p.user_id, d.version, d.state,
+        | strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS pts_s
+        |FROM p JOIN d ON p.user_id = d.user_id AND p.pts >= d.valid_from
+        | AND (d.valid_to IS NULL OR p.pts < d.valid_to)
+        |ORDER BY p.event_id""".stripMargin,
+
+    "sample_epochs" -> {
+      val coin = ch("'ep:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT source, n_chars,
+         |  5 + (CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4) * 6 AS wt,
+         |  ($coin) % 10 AS coin
+         | FROM documents),
+         |n AS (SELECT source, n_chars,
+         |  wt // 10 + CASE WHEN coin < wt % 10 THEN 1 ELSE 0 END AS n_copies FROM d),
+         |x AS (SELECT source, n_chars, unnest(generate_series(1, n_copies)) AS epoch FROM n)
+         |SELECT source, CAST(epoch AS BIGINT) AS epoch, count(*) AS n_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM x GROUP BY source, epoch ORDER BY source, epoch""".stripMargin
+    },
+
+    "pipeline_observe_metrics" ->
+      """SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+        | CAST(min(length(text)) AS BIGINT) AS min_len,
+        | CAST(max(length(text)) AS BIGINT) AS max_len
+        |FROM documents""".stripMargin,
+
+    "ddl_analyze_stats" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "sql_parameterized" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= '1995-01-01' AND o_totalprice > 1000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "ddl_bucket_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

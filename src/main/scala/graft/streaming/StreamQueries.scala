@@ -560,6 +560,41 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming corpus quality gate: documents arrive as files and each
+    * micro-batch is filtered through the SAME Gopher-rule signals as the
+    * batch gate ([[graft.operators.TextOps.gopherSignals]]) — rules are
+    * per-document, so batch/stream parity is exact with no cross-batch
+    * state at all (unlike dedup, which needs [[ClusterStateSink]]).
+    * Survivors append straight to the curated parquet sink; the report
+    * agg runs over the sink at the end. This is the shape of a live
+    * ingest gate: unbounded input, bounded per-trigger work, zero
+    * driver-side state. */
+  def streamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("sqgsrc")
+    val docs = tbl(spark, dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    val out = tmpDir("sqgout")
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sqgckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val passed = graft.operators.TextOps.gopherSignals(batch)
+          .filter(col("passes")).select("doc_id")
+        batch.join(passed, Seq("doc_id"), "left_semi")
+          .select("doc_id", "source", "lang", "n_chars")
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(out)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source", "lang")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_file_source" -> (streamFileSource _),
     "stream_window_agg" -> (streamWindowAgg _),
@@ -572,6 +607,7 @@ object StreamQueries {
     "stream_asof_join" -> (streamAsofJoin _),
     "stream_upsert_sink" -> (streamUpsertSink _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
+    "stream_quality_gate" -> (streamQualityGate _),
     "stream_ewma" -> (EwmaStream.run _),
     "stream_transform_state" -> (TransformStateStream.run _),
   )

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{CoreQueries, ExtQueries}
+import graft.streaming.StreamQueries
+
+/** Semantic invariants for the round-4 additions: temporal (point-in-time)
+  * join, epoch-weighted mixture, XML/Avro round trips, observe-metrics,
+  * and the streaming quality gate's batch parity. */
+class TemporalMixtureSpec extends SparkSpec {
+
+  test("join_temporal preserves probe cardinality (exactly one interval per probe)") {
+    val probes = queries.Staging.tbl(spark, sf, "events").count()
+    val joined = ExtQueries.all("join_temporal")(spark, sf)
+    assert(joined.count() === probes)
+    // and no probe matched two intervals
+    val dup = joined.groupBy("event_id").count().filter(col("count") > 1).count()
+    assert(dup === 0L)
+  }
+
+  test("join_temporal probe state can differ from the probe event's own state") {
+    // the +30min shift must move at least one probe into a later version —
+    // otherwise the query degenerates to a self-lookup and tests nothing
+    val joined = ExtQueries.all("join_temporal")(spark, sf)
+    val events = queries.Staging.tbl(spark, sf, "events")
+      .select(col("event_id"), col("event_type"))
+    val moved = joined.join(events, "event_id")
+      .filter(not(col("state") <=> col("event_type"))).count()
+    assert(moved > 0L)
+  }
+
+  test("sample_epochs: epoch-1 rows cover every doc of sources with weight >= 1") {
+    val out = ExtQueries.all("sample_epochs")(spark, sf)
+    val docs = queries.Staging.tbl(spark, sf, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_total"))
+    // sources with weight >= 1.0 (src num % 4 != 0) emit ALL docs at epoch 1
+    val full = out.filter(col("epoch") === 1)
+      .join(docs, "source")
+      .withColumn("num", regexp_extract(col("source"), "(\\d+)", 1).cast("int"))
+      .filter(col("num") % 4 =!= 0)
+    assert(full.filter(col("n_docs") =!= col("n_total")).count() === 0L)
+    // no source emits beyond its ceil(weight) epochs (max weight 2.3 -> 3)
+    assert(out.filter(col("epoch") > 3).count() === 0L)
+    // deterministic: same plan twice -> identical rows
+    val again = ExtQueries.all("sample_epochs")(spark, sf)
+    assert(out.exceptAll(again).count() === 0L)
+  }
+
+  test("xml and avro round trips preserve nulls and row count") {
+    val events = queries.Staging.tbl(spark, sf, "events")
+    val nNullValue = events.filter(col("value").isNull).count()
+    for (key <- Seq("scan_xml", "scan_avro")) {
+      val back = CoreQueries.all(key)(spark, sf)
+      assert(back.count() === events.count(), s"$key row count")
+      assert(back.filter(col("value").isNull).count() === nNullValue, s"$key nulls")
+    }
+  }
+
+  test("pipeline_observe_metrics matches a direct aggregation (zero extra scan)") {
+    val m = ExtQueries.all("pipeline_observe_metrics")(spark, sf).head()
+    val d = queries.Staging.tbl(spark, sf, "documents")
+      .agg(count(lit(1)), sum("n_chars"), count(when(col("lang") === "en", 1)))
+      .head()
+    assert(m.getAs[Long]("n_docs") === d.getLong(0))
+    assert(m.getAs[Long]("sum_chars") === d.getLong(1))
+    assert(m.getAs[Long]("n_en") === d.getLong(2))
+  }
+
+  test("stream_quality_gate equals the batch gopher gate (per-doc rules, exact parity)") {
+    val streamed = StreamQueries.all("stream_quality_gate")(spark, sf)
+    val docs = queries.Staging.tbl(spark, sf, "documents")
+    val keep = graft.operators.TextOps.gopherSignals(docs)
+      .filter(col("passes")).select("doc_id")
+    val batch = docs.join(keep, Seq("doc_id"), "left_semi")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+}
