@@ -224,6 +224,40 @@ object CoreQueries {
     spark.read.parquet(out).orderBy("event_id")
   }
 
+  /** #13b sink_jdbc_roundtrip — the reference's sink is a real SQL
+    * database (pooled batched inserts into Postgres/Timescale,
+    * btc_etl.py:49,179-180); this distribution ships embedded Derby, so
+    * the JDBC path runs END-TO-END against a live database rather than
+    * only through unit-tested option builders: two append batches stream
+    * through `df.write.format("jdbc")` with [[graft.sources.JdbcSink]]'s
+    * options (one connection per task, `batchsize`d addBatch inserts,
+    * table auto-created by the Derby dialect), then the table is read
+    * back as a PARTITIONED jdbc scan — 4 range-predicate tasks on
+    * event_id, the parallel-extract shape that keeps a warehouse pull
+    * from serialising through one connection. Derby quirk: REAL/DOUBLE
+    * NaN is rejected by the dialect, but events has no NaN. */
+  def sinkJdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:${tmpDir("jdbcdb")}/graftdb;create=true"
+    val opts = graft.sources.JdbcSink.writerOptions(
+      graft.sources.JdbcSink.JdbcOptions(url, "GRAFT_SINK", numPartitions = 4))
+    val shaped = tbl(spark, dir, "events").select(
+      col("event_id"),
+      date_format(col("ts"), tsFmt).as("date_time"),
+      col("event_type"), col("value"))
+    shaped.filter(col("event_id") % 2 === 0)
+      .write.format("jdbc").options(opts).mode("append").save()
+    shaped.filter(col("event_id") % 2 === 1)
+      .write.format("jdbc").options(opts).mode("append").save()
+    val b = shaped.agg(min("event_id"), max("event_id")).head()
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "GRAFT_SINK")
+      .option("partitionColumn", "event_id")
+      .option("lowerBound", b.getLong(0)).option("upperBound", b.getLong(1) + 1)
+      .option("numPartitions", 4)
+      .load()
+      .orderBy("event_id")
+  }
+
   /** #14 ddl_create_table (btc_etl.py:70-86): idempotent CREATE TABLE in the
     * session catalog; result = resulting schema. */
   def ddlCreateTable(spark: SparkSession, dir: String): DataFrame = {
@@ -331,6 +365,7 @@ object CoreQueries {
     "antijoin_processed" -> (antijoinProcessed _),
     "ledger_append" -> (ledgerAppend _),
     "sink_append_db" -> (sinkAppendDb _),
+    "sink_jdbc_roundtrip" -> (sinkJdbcRoundtrip _),
     "ddl_create_table" -> (ddlCreateTable _),
     "ddl_partition_time" -> (ddlPartitionTime _),
     "parallel_files" -> (parallelFiles _),

@@ -1066,7 +1066,7 @@ object ExtQueries {
     * dimension build every warehouse runs. One window pass per user
     * (change flag via lag -> running version number -> interval bounds
     * via min/lead); all work is partitioned by user_id, one shuffle. */
-  private def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
     val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val byVer = Window.partitionBy("user_id").orderBy("version")
     tbl(spark, dir, "events")

@@ -117,7 +117,9 @@ object Oracles {
     ("join_asof_native" -> base("join_asof")) +
     // per-micro-batch as-of against a static right side unions to the
     // batch join exactly (each left row's match is independent)
-    ("stream_asof_join" -> base("join_asof"))
+    ("stream_asof_join" -> base("join_asof")) +
+    // same independence argument for the point-in-time dimension probe
+    ("stream_temporal_join" -> base("join_temporal"))
 
   private val base: Map[String, String] = Map(
     "scan_csv" ->
@@ -187,6 +189,10 @@ object Oracles {
         |ORDER BY o_orderkey""".stripMargin,
 
     "sink_append_db" ->
+      s"""SELECT event_id, $tsS AS date_time, event_type, value
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "sink_jdbc_roundtrip" ->
       s"""SELECT event_id, $tsS AS date_time, event_type, value
          |FROM events ORDER BY event_id""".stripMargin,
 

@@ -19,9 +19,12 @@ import graft.etl.Schemas
   *   - `isolationLevel` READ_COMMITTED matches the Postgres default the
   *     reference runs under.
   *
-  * The sandbox ships no database or JDBC driver, so `append` is exercised
-  * through the unit-tested option/DDL builders (JdbcSinkSpec); the parquet
-  * sink stays the oracle-verified path (CoreQueries.sinkAppendDb,
+  * No Postgres is reachable from the sandbox, but embedded Derby ships in
+  * the Spark distribution — `CoreQueries.sinkJdbcRoundtrip` runs the
+  * writer options END-TO-END against a live Derby database (write, then
+  * partitioned parallel read back, oracle-verified). The Postgres-
+  * specific DDL builders below stay unit-tested (JdbcSinkSpec); the
+  * parquet sink remains the production-path analog (sinkAppendDb,
   * BtcPipeline.backfill).
   */
 object JdbcSink {

@@ -595,6 +595,43 @@ object StreamQueries {
       .orderBy("source", "lang")
   }
 
+  /** Streaming point-in-time enrichment: probes arrive as a stream and
+    * each micro-batch joins the STATIC SCD2 dimension (broadcast-class at
+    * warehouse scale) on key + validity interval — the CDC-consumer shape
+    * of [[graft.queries.ExtQueries.joinTemporal]]. Each probe's match is
+    * independent of every other probe, so per-batch joins union to the
+    * batch answer exactly (same oracle); no cross-batch state. */
+  def streamTemporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("stjsrc")
+    val events = tbl(spark, dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    val dim = graft.queries.ExtQueries.scd2Intervals(spark, dir)
+      .select(col("user_id").as("d_user"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"))
+    val out = tmpDir("stjout")
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("stjckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .select(col("event_id"), col("user_id"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("pts"))
+          .join(broadcast(dim),
+            col("user_id") === col("d_user") &&
+              col("pts") >= col("valid_from") &&
+              (col("valid_to").isNull || col("pts") < col("valid_to")))
+          .select(col("event_id"), col("user_id"), col("version"), col("state"),
+            date_format(col("pts"), "yyyy-MM-dd HH:mm:ss").as("pts_s"))
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(out).orderBy("event_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_file_source" -> (streamFileSource _),
     "stream_window_agg" -> (streamWindowAgg _),
@@ -608,6 +645,7 @@ object StreamQueries {
     "stream_upsert_sink" -> (streamUpsertSink _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_quality_gate" -> (streamQualityGate _),
+    "stream_temporal_join" -> (streamTemporalJoin _),
     "stream_ewma" -> (EwmaStream.run _),
     "stream_transform_state" -> (TransformStateStream.run _),
   )

@@ -66,6 +66,36 @@ class TemporalMixtureSpec extends SparkSpec {
     assert(m.getAs[Long]("n_en") === d.getLong(2))
   }
 
+  test("sink_jdbc_roundtrip: live embedded-Derby write/read, partitioned extract") {
+    val back = CoreQueries.all("sink_jdbc_roundtrip")(spark, sf)
+    val events = queries.Staging.tbl(spark, sf, "events")
+    assert(back.count() === events.count())
+    assert(back.filter(col("value").isNull).count() ===
+      events.filter(col("value").isNull).count())
+  }
+
+  test("jdbc partitioned read plans one task per range split") {
+    import spark.implicits._
+    val url = s"jdbc:derby:${queries.Staging.tmpDir("jdbcspec")}/specdb;create=true"
+    (1L to 100L).toDF("id").withColumn("v", col("id") * 2)
+      .write.format("jdbc").option("url", url).option("dbtable", "T").save()
+    val unsorted = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "T")
+      .option("partitionColumn", "id").option("numPartitions", 4)
+      .option("lowerBound", 1L).option("upperBound", 101L)
+      .load()
+    // before any sort/AQE coalesce, the scan is 4 range-predicate tasks
+    assert(unsorted.rdd.getNumPartitions === 4)
+    assert(unsorted.count() === 100L)
+  }
+
+  test("stream_temporal_join unions to the batch temporal join exactly") {
+    val streamed = StreamQueries.all("stream_temporal_join")(spark, sf)
+    val batch = ExtQueries.all("join_temporal")(spark, sf)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("stream_quality_gate equals the batch gopher gate (per-doc rules, exact parity)") {
     val streamed = StreamQueries.all("stream_quality_gate")(spark, sf)
     val docs = queries.Staging.tbl(spark, sf, "documents")
