@@ -74,5 +74,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_kmv_distinct",
       exprs => KMVDistinctAgg(exprs(0), litInt(exprs(1), "k")).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_kmv_values",
+      exprs => KMVValuesAgg(exprs(0), litInt(exprs(1), "k")).toAggregateExpression(),
+      "built-in")
   }
 }

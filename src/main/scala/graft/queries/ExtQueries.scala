@@ -1447,6 +1447,63 @@ object ExtQueries {
       .orderBy("event_type")
   }
 
+  /** KMV/theta-sketch SET ALGEBRA: per-event-type KMV sketches of the
+    * user population (bounded k=64-long buffers, mergeable map-side),
+    * then pairwise union/intersection ESTIMATES between sketches —
+    * |A∪B| from the k-th smallest hash of the combined sketch, |A∩B|
+    * from the fraction of that combined sketch present in both — next
+    * to the exact intersection for self-evaluation. This is how
+    * cross-source audience/vocabulary overlap is estimated at 100 TB:
+    * each source ships 64 longs, never its members; only the pairwise
+    * step (|sources|² rows, metadata-scale) multiplies. Deterministic
+    * hash → the estimates themselves oracle-match bit-for-bit. */
+  def sketchKmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val K = 64
+    val e = tbl(spark, dir, "events").filter(col("user_id").isNotNull)
+      .withColumn("hv", scrambledHash(concat(lit("u:"), col("user_id").cast("string"))))
+    val sk = e.groupBy("event_type")
+      .agg(call_function("graft_kmv_values", col("hv"), lit(K)).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sa"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sb"))
+    val du = e.select(col("event_type"), col("user_id")).distinct()
+    val exact = du.select(col("event_type").as("type_a"), col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("exact_inter"))
+    val estU = when(col("theta_n") < K, col("theta_n").cast("double"))
+      .otherwise(lit(((K - 1).toLong * HashP).toDouble) /
+        element_at(col("u"), size(col("u"))).cast("double"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("u", slice(array_sort(array_union(col("sa"), col("sb"))), 1, K))
+      .withColumn("theta_n", size(col("u")).cast("long"))
+      .withColumn("inter_k", size(filter(col("u"),
+        h => array_contains(col("sa"), h) && array_contains(col("sb"), h))).cast("long"))
+      .withColumn("est_union", estU)
+      .withColumn("est_inter",
+        (col("inter_k").cast("double") / col("theta_n").cast("double")) * col("est_union"))
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("theta_n"), col("inter_k"),
+        col("est_union"), col("est_inter"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Unpivot (melt): the wide metric columns fold into (metric, value)
+    * rows — Spark's built-in `unpivot` generator, a narrow per-row
+    * expand with no shuffle until the caller aggregates. The long shape
+    * is what metric stores and plotting layers ingest; the reference's
+    * 7-metric OHLCV row is exactly this wide shape. */
+  def projectUnpivot(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
   /** Exact interpolated percentiles (median/p90) per order status. */
   def aggPercentile(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -1804,6 +1861,8 @@ object ExtQueries {
     "agg_percentile" -> (aggPercentile _),
     "agg_quantile_2pass" -> (aggQuantile2pass _),
     "sketch_kmv_distinct" -> (sketchKmvDistinct _),
+    "sketch_kmv_overlap" -> (sketchKmvOverlap _),
+    "project_unpivot" -> (projectUnpivot _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),
     "window_ntile" -> (windowNtile _),

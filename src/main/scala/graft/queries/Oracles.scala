@@ -1054,6 +1054,45 @@ object Oracles {
          |ORDER BY a.event_type""".stripMargin
     },
 
+    "sketch_kmv_overlap" -> {
+      val hv = s"((${ch("'u:' || CAST(user_id AS VARCHAR)")}) * 2654435761) % 1000000007"
+      s"""WITH hs AS (SELECT DISTINCT event_type, $hv AS hv
+         |            FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk FROM hs),
+         |sk AS (SELECT event_type, list(hv ORDER BY hv) AS sk FROM r WHERE rk <= 64 GROUP BY event_type),
+         |du AS (SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+         |ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS exact_inter
+         |       FROM du x JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
+         |       GROUP BY 1, 2),
+         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.sk AS sa, b.sk AS sb
+         |      FROM sk a JOIN sk b ON a.event_type < b.event_type),
+         |c AS (SELECT type_a, type_b, sa, sb, list_sort(list_distinct(sa || sb))[1:64] AS u FROM p),
+         |d AS (SELECT type_a, type_b,
+         |        CAST(len(u) AS BIGINT) AS theta_n,
+         |        CAST(len(list_filter(u, h_ -> list_contains(sa, h_) AND list_contains(sb, h_))) AS BIGINT) AS inter_k,
+         |        u[len(u)] AS kth FROM c),
+         |f AS (SELECT *,
+         |        CASE WHEN theta_n < 64 THEN CAST(theta_n AS DOUBLE)
+         |             ELSE CAST(63 * CAST(1000000007 AS BIGINT) AS DOUBLE) / CAST(kth AS DOUBLE)
+         |        END AS est_union FROM d)
+         |SELECT f.type_a, f.type_b, f.theta_n, f.inter_k, f.est_union,
+         | (CAST(f.inter_k AS DOUBLE) / CAST(f.theta_n AS DOUBLE)) * f.est_union AS est_inter,
+         | CAST(coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_inter
+         |FROM f LEFT JOIN ex ON ex.type_a = f.type_a AND ex.type_b = f.type_b
+         |ORDER BY f.type_a, f.type_b""".stripMargin
+    },
+
+    "project_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        | SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        | UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        | UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "stream_available_now" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+
     "agg_percentile" ->
       """SELECT o_orderstatus,
         | quantile_cont(o_totalprice, 0.5) AS p50,

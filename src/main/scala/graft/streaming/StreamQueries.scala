@@ -632,6 +632,29 @@ object StreamQueries {
     spark.read.parquet(out).orderBy("event_id")
   }
 
+  /** Trigger.AvailableNow: drain everything that exists in bounded
+    * micro-batches, then TERMINATE — the catch-up/backfill mode that
+    * runs a streaming query as a finite job (same checkpoint, same
+    * exactly-once file tracking, so the nightly catch-up and the 24/7
+    * tail are one codepath — the reference's backfill-then-watch split
+    * collapses into a trigger choice). maxFilesPerTrigger still bounds
+    * per-batch work; awaitTermination returns by itself. */
+  def streamAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("avnsrc")
+    val shaped = tbl(spark, dir, "events").select("event_id", "event_type", "value")
+    shaped.repartition(8, col("event_id")).write.mode("overwrite").parquet(src)
+    val out = tmpDir("avnout")
+    val q = spark.readStream.schema(shaped.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmpDir("avnckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("event_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_file_source" -> (streamFileSource _),
     "stream_window_agg" -> (streamWindowAgg _),
@@ -646,6 +669,7 @@ object StreamQueries {
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_quality_gate" -> (streamQualityGate _),
     "stream_temporal_join" -> (streamTemporalJoin _),
+    "stream_available_now" -> (streamAvailableNow _),
     "stream_ewma" -> (EwmaStream.run _),
     "stream_transform_state" -> (TransformStateStream.run _),
   )

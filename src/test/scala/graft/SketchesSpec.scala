@@ -99,4 +99,34 @@ class SketchesSpec extends SparkSpec {
     assert(got.length === expected.length && got.sameElements(expected))
     assert(expected.nonEmpty, "threshold should catch some keys at sf0.001")
   }
+
+  test("kmv values sketch is partition-invariant and bounded by k") {
+    graft.expressions.GraftFunctions.register(spark)
+    val df = (1L to 5000L).toDF("id")
+      .withColumn("hv", graft.functions.CrossFns.scrambledHash(col("id").cast("string")))
+    def sketch(parts: Int): Seq[Long] = df.repartition(parts)
+      .agg(call_function("graft_kmv_values", col("hv"), lit(64)))
+      .head().getSeq[Long](0)
+    val s1 = sketch(1)
+    assert(s1.length === 64)
+    assert(s1 === s1.sorted)
+    assert(sketch(7) === s1, "merge order must not change the sketch")
+    // and it really is the 64 smallest distinct hashes
+    val truth = df.select("hv").distinct().orderBy("hv").limit(64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 === truth)
+  }
+
+  test("kmv overlap estimates land near the exact intersections") {
+    val out = graft.queries.ExtQueries.all("sketch_kmv_overlap")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getAs[Double]("est_inter")
+      val exact = r.getAs[Long]("exact_inter").toDouble
+      // k=64 theta sketch: expect the estimate within a factor ~2 of
+      // truth for populations of this size (hundreds of users per type)
+      assert(est >= exact * 0.5 && est <= exact * 2.0,
+        s"${r.getAs[String]("type_a")}x${r.getAs[String]("type_b")}: est $est vs exact $exact")
+    }
+  }
 }

@@ -96,6 +96,21 @@ class TemporalMixtureSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("project_unpivot emits one row per (row, metric) with no loss") {
+    val li = queries.Staging.tbl(spark, sf, "lineitem")
+    val long = ExtQueries.all("project_unpivot")(spark, sf)
+    assert(long.count() === li.count() * 4)
+    assert(long.select("metric").distinct().count() === 4)
+  }
+
+  test("stream_available_now drains in bounded batches then self-terminates") {
+    // the query inside calls awaitTermination() with no stop(): reaching
+    // this assertion at all proves AvailableNow terminated the stream
+    val out = StreamQueries.all("stream_available_now")(spark, sf)
+    val events = queries.Staging.tbl(spark, sf, "events")
+    assert(out.count() === events.count())
+  }
+
   test("stream_quality_gate equals the batch gopher gate (per-doc rules, exact parity)") {
     val streamed = StreamQueries.all("stream_quality_gate")(spark, sf)
     val docs = queries.Staging.tbl(spark, sf, "documents")
