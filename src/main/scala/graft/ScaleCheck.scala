@@ -128,6 +128,35 @@ object ScaleCheck {
           Dedup.containmentVerified(spark, d, 0.5).count()
         }
 
+      // temporal (point-in-time) probe against the SCD2 dimension built
+      // from the same replicated feed: per-user versions grow f-fold, the
+      // join stays one equi-shuffle per side + per-key interval residual
+      time("join_temporal", f) {
+        val dim = graft.queries.ExtQueries.scd2IntervalsOf(e)
+          .select(col("user_id").as("d_user"), col("version"), col("state"),
+            col("valid_from"), col("valid_to"))
+        e.select(col("event_id"), col("user_id"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("pts"))
+          .join(dim,
+            col("user_id") === col("d_user") &&
+              col("pts") >= col("valid_from") &&
+              (col("valid_to").isNull || col("pts") < col("valid_to")))
+          .count()
+      }
+      // KMV overlap: sketches stay 64 longs per type regardless of f;
+      // cost is the one linear scan feeding the bounded agg
+      time("sketch_kmv_overlap", f) {
+        import graft.functions.CrossFns._
+        val h = e.filter(col("user_id").isNotNull)
+          .withColumn("hv", scrambledHash(concat(lit("u:"), col("user_id").cast("string"))))
+        val sk = h.groupBy("event_type")
+          .agg(call_function("graft_kmv_values", col("hv"), lit(64)).as("sk"))
+        sk.select(col("event_type").as("ta"), col("sk").as("sa"))
+          .join(sk.select(col("event_type").as("tb"), col("sk").as("sb")),
+            col("ta") < col("tb"))
+          .select(size(array_intersect(col("sa"), col("sb"))).as("n"))
+          .count()
+      }
       time("join_asof_nearest", f) {
         graft.operators.AsOfJoin.asOfNative(
           e.filter(col("event_type") === "purchase"),

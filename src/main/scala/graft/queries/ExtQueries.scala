@@ -1066,10 +1066,13 @@ object ExtQueries {
     * dimension build every warehouse runs. One window pass per user
     * (change flag via lag -> running version number -> interval bounds
     * via min/lead); all work is partitioned by user_id, one shuffle. */
-  private[graft] def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2IntervalsOf(tbl(spark, dir, "events"))
+
+  private[graft] def scd2IntervalsOf(events: DataFrame): DataFrame = {
     val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val byVer = Window.partitionBy("user_id").orderBy("version")
-    tbl(spark, dir, "events")
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(byTs).isNull ||
@@ -1504,6 +1507,26 @@ object ExtQueries {
         "metric", "value")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL is a
+    * legitimate dimension key (the "unknown" bucket every warehouse
+    * has) — a plain equi-join silently drops the NULL group; the
+    * null-safe comparator keeps it, and Catalyst still plans it as a
+    * HASH-key join (EqualNullSafe is an equi-key, not a residual), so
+    * the scale shape is identical to a normal join. Nulls synthesized
+    * on 1-in-7 rows; the join is agg-side vs a distinct-key dim. */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+      .withColumn("etype",
+        when(col("event_id") % 7 === 0, lit(null: String)).otherwise(col("event_type")))
+    val agg = e.groupBy("etype")
+      .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
+    val dim = e.select(col("etype").as("d_etype")).distinct()
+      .withColumn("label", coalesce(col("d_etype"), lit("(unknown)")))
+    agg.join(dim, col("etype") <=> col("d_etype"))
+      .select(col("label"), col("n"), col("sum_value"))
+      .orderBy("label")
+  }
+
   /** Exact interpolated percentiles (median/p90) per order status. */
   def aggPercentile(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -1863,6 +1886,7 @@ object ExtQueries {
     "sketch_kmv_distinct" -> (sketchKmvDistinct _),
     "sketch_kmv_overlap" -> (sketchKmvOverlap _),
     "project_unpivot" -> (projectUnpivot _),
+    "join_null_safe" -> (joinNullSafe _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),
     "window_ntile" -> (windowNtile _),

@@ -1082,6 +1082,17 @@ object Oracles {
          |ORDER BY f.type_a, f.type_b""".stripMargin
     },
 
+    "join_null_safe" ->
+      """WITH e AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS etype, value
+        |           FROM events),
+        |agg AS (SELECT etype, count(*) AS n,
+        |          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |        FROM e GROUP BY etype),
+        |dim AS (SELECT DISTINCT etype AS d_etype, coalesce(etype, '(unknown)') AS label FROM e)
+        |SELECT dim.label, agg.n, agg.sum_value
+        |FROM agg JOIN dim ON agg.etype IS NOT DISTINCT FROM dim.d_etype
+        |ORDER BY dim.label""".stripMargin,
+
     "project_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
         | SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem

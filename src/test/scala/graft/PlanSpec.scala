@@ -274,4 +274,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"signature computation must be map-side only:\n$plan")
   }
+
+  test("null-safe join plans as a hash-key join, never a nested loop") {
+    val plan = formatted(graft.queries.ExtQueries.all("join_null_safe")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"EqualNullSafe must stay an equi-join key:\n$plan")
+    assert(plan.contains("Join"), plan)
+  }
 }
