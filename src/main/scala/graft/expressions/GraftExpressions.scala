@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -78,6 +79,38 @@ object GraftHash {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Positional shingle rows for [[ShingleGen]]: (pos, hash) per n-gram
+    * window over the null-filtered token sequence, 1-based positions —
+    * the same rolling fold as [[shingleHashes]], emitted as rows instead
+    * of one array. */
+  def shinglePositionRows(tokens: ArrayData, n: Int): Iterator[InternalRow] = {
+    val mAll = tokens.numElements()
+    val strs = new Array[String](mAll)
+    var m = 0
+    var j = 0
+    while (j < mAll) {
+      if (!tokens.isNullAt(j)) { strs(m) = tokens.getUTF8String(j).toString; m += 1 }
+      j += 1
+    }
+    if (m < n) return Iterator.empty
+    val cnt = m - n + 1
+    new Iterator[InternalRow] {
+      private var i = 0
+      override def hasNext: Boolean = i < cnt
+      override def next(): InternalRow = {
+        var h = 0L
+        var k = 0
+        while (k < n) {
+          h = foldToken(h, strs(i + k))
+          if (k < n - 1) h = (h * 31 + 32) % P
+          k += 1
+        }
+        i += 1
+        new GenericInternalRow(Array[Any](i, h))
+      }
+    }
   }
 
   /** MinHash signature: numHashes mins of (a_s*h + b_s) mod P over the hash
@@ -435,6 +468,38 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
     defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.shingleHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** Native UDTF tier — a Catalyst GENERATOR (the extension point behind
+  * explode/inline): one (pos, sh) row per word n-gram, streamed straight
+  * off the token array with no per-document hash array materialised
+  * first. The array expression [[ShingleHashesExpr]] + explode remains
+  * the codegen'd hot path (custom generators run in GenerateExec's row
+  * pipeline, outside whole-stage codegen); the generator exists for the
+  * positional decomposition (containment/winnowing want window offsets)
+  * and to complete the extension-point matrix: scalar Expression,
+  * TypedImperativeAggregate, Aggregator, LogicalPlan/SparkPlan, and now
+  * Generator. Rows match the HOF form bit-for-bit (CrossFnsSpec). */
+case class ShingleGen(child: Expression, n: Int) extends Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1, "shingle width must be >= 1")
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_gen needs array<string>, got ${other.sql}")
+  }
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("sh", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) Iterator.empty
+    else GraftHash.shinglePositionRows(arr, n)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
+  override def prettyName: String = "graft_shingle_gen"
 }
 
 case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpression {

@@ -77,5 +77,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_kmv_values",
       exprs => KMVValuesAgg(exprs(0), litInt(exprs(1), "k")).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_gen",
+      exprs => ShingleGen(exprs(0), litInt(exprs(1), "n")), "built-in")
   }
 }

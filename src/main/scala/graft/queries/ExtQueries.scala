@@ -1507,6 +1507,27 @@ object ExtQueries {
         "metric", "value")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** Native Generator (UDTF tier): positional shingle decomposition —
+    * one (pos, sh) row per word 3-gram, streamed by the custom Catalyst
+    * [[graft.expressions.ShingleGen]] generator with no per-doc hash
+    * array in between. The positions are what containment/winnowing
+    * fingerprinting consume; aggregated here to (doc_id, n_shingles,
+    * first/last window hash) so the output stays doc-scale while every
+    * generated row still feeds the result. */
+  def textShingleGen(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(3)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        min_by(col("sh"), col("pos")).as("first_sh"),
+        max_by(col("sh"), col("pos")).as("last_sh"),
+        sum(col("sh")).as("sum_sh"))
+      .orderBy("doc_id")
+  }
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL is a
     * legitimate dimension key (the "unknown" bucket every warehouse
     * has) — a plain equi-join silently drops the NULL group; the
@@ -1887,6 +1908,7 @@ object ExtQueries {
     "sketch_kmv_overlap" -> (sketchKmvOverlap _),
     "project_unpivot" -> (projectUnpivot _),
     "join_null_safe" -> (joinNullSafe _),
+    "text_shingle_gen" -> (textShingleGen _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),
     "window_ntile" -> (windowNtile _),

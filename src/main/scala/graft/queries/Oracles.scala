@@ -1082,6 +1082,17 @@ object Oracles {
          |ORDER BY f.type_a, f.type_b""".stripMargin
     },
 
+    "text_shingle_gen" -> {
+      val sh = ch("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]")
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |t AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS pos FROM w),
+         |h AS (SELECT doc_id, pos, $sh AS sh FROM t)
+         |SELECT doc_id, count(*) AS n_shingles,
+         | arg_min(sh, pos) AS first_sh, arg_max(sh, pos) AS last_sh,
+         | CAST(sum(sh) AS BIGINT) AS sum_sh
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "join_null_safe" ->
       """WITH e AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS etype, value
         |           FROM events),

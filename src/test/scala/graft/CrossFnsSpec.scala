@@ -45,6 +45,23 @@ class CrossFnsSpec extends SparkSpec {
     }
   }
 
+  test("shingle generator rows == posexplode of the HOF shingle hashes") {
+    graft.expressions.GraftFunctions.register(spark)
+    val gen = corpus
+      .select(col("doc_id"), CrossFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(3)))
+    // the generator emits RAW positional windows (shingleHashesHof
+    // dedups via array_distinct, so compare against the non-distinct form)
+    val hofRaw = corpus
+      .select(col("doc_id"), CrossFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(CrossFns.shingles(col("w"), 3), s => CrossFns.charHashHof(s))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"), col("col").as("sh"))
+    assert(gen.exceptAll(hofRaw).count() === 0L)
+    assert(hofRaw.exceptAll(gen).count() === 0L)
+    assert(gen.count() > 0L)
+  }
+
   test("quantize + qdot native == HOF on embeddings") {
     val emb = graft.queries.Staging.tbl(spark, sf, "embeddings")
     val diff = emb
