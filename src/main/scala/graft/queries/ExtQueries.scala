@@ -1507,6 +1507,39 @@ object ExtQueries {
         "metric", "value")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** Dataset card: the one-query corpus report a curator publishes with
+    * a release — per source×lang plus per-source and grand-total ROLLUP
+    * rows of doc/char/token counts, quality-pass counts (Gopher rules)
+    * and canonical (exact-dedup representative) counts. Everything is
+    * computed in one pass over the enriched frame: three doc-scale
+    * joins feed a single rollup aggregation — no per-metric rescans. */
+  def pipelineDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    // quality signals need per-doc aggs (a join); token count and the
+    // exact-dedup canonical flag are plain column work on the base frame
+    // (is_canon via one min-over-text window, no self-join)
+    val qual = TextOps.gopherSignals(docs).select(col("doc_id").as("q_doc"), col("passes"))
+    docs.as("d")
+      .join(qual.as("q"), col("d.doc_id") === col("q.q_doc"))
+      .withColumn("n_tokens", size(tokens(col("d.text"))).cast("long"))
+      .withColumn("is_canon",
+        when(min(col("d.doc_id")).over(Window.partitionBy(col("d.text"))) === col("d.doc_id"),
+          1L).otherwise(0L))
+      .rollup(col("d.source").as("source"), col("d.lang").as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("d.n_chars")).as("sum_chars"),
+        sum("n_tokens").as("sum_tokens"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_quality"),
+        sum(col("is_canon")).as("n_canonical"))
+      .select(
+        coalesce(col("source"), lit("(all)")).as("source"),
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        col("n_docs"), col("sum_chars"), col("sum_tokens"),
+        col("n_quality"), col("n_canonical"))
+      .orderBy("source", "lang")
+  }
+
   /** Native Generator (UDTF tier): positional shingle decomposition —
     * one (pos, sh) row per word 3-gram, streamed by the custom Catalyst
     * [[graft.expressions.ShingleGen]] generator with no per-doc hash
@@ -1909,6 +1942,7 @@ object ExtQueries {
     "project_unpivot" -> (projectUnpivot _),
     "join_null_safe" -> (joinNullSafe _),
     "text_shingle_gen" -> (textShingleGen _),
+    "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),
     "window_ntile" -> (windowNtile _),

@@ -1082,6 +1082,29 @@ object Oracles {
          |ORDER BY f.type_a, f.type_b""".stripMargin
     },
 
+    "pipeline_dataset_card" ->
+      s"""$gopherCtes,
+         |q AS (SELECT doc_id,
+         |        (n_toks >= 10 AND n_toks <= 100000
+         |         AND mean_tok_len >= 2.0 AND mean_tok_len <= 10.0
+         |         AND top_unigram_frac <= 0.2
+         |         AND dup_bigram_frac <= 0.3) AS passes
+         |      FROM r),
+         |tk AS (SELECT doc_id, CAST(len(${tok("text")}) AS BIGINT) AS n_tokens FROM documents),
+         |cn AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |e AS (SELECT d.source, d.lang, d.n_chars, tk.n_tokens,
+         |        CASE WHEN q.passes THEN 1 ELSE 0 END AS pq,
+         |        CASE WHEN cn.doc_id IS NOT NULL THEN 1 ELSE 0 END AS pc
+         |      FROM documents d
+         |      JOIN tk ON tk.doc_id = d.doc_id
+         |      JOIN q ON q.doc_id = d.doc_id
+         |      LEFT JOIN cn ON cn.doc_id = d.doc_id)
+         |SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         | CAST(sum(pq) AS BIGINT) AS n_quality, CAST(sum(pc) AS BIGINT) AS n_canonical
+         |FROM e GROUP BY ROLLUP(source, lang) ORDER BY 1, 2""".stripMargin,
+
     "text_shingle_gen" -> {
       val sh = ch("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]")
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
