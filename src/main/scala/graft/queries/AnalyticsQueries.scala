@@ -103,6 +103,46 @@ object AnalyticsQueries {
     est.join(exact, "event_type").orderBy("event_type")
   }
 
+  /** HLL register ROLLUP — the re-aggregation property in action: daily
+    * (event_type, day, bucket → max rho) register tables roll up to the
+    * all-time sketch with another max per bucket, and because max is
+    * associative the rolled-up estimate is BIT-IDENTICAL to the estimate
+    * computed directly from raw data (both emitted; oracle pins both).
+    * This is the warehouse sketch-rollup-table pattern: persist tiny
+    * per-day register frames (≤64 rows per group), answer any coarser
+    * distinct-count later without rescanning events — at 100 TB the
+    * rollup reads register rows, not data. */
+  def sketchHllRollup(spark: SparkSession, dir: String): DataFrame = {
+    def hv(e: DataFrame) = e.select(col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      graft.functions.CrossFns.scrambledHash(expr("cast(event_id % 997 as string)")).as("hv"))
+    def regs(df: DataFrame, keys: Seq[String]): DataFrame = df
+      .withColumn("bucket", col("hv") % 64)
+      .withColumn("w", expr("hv div 64"))
+      .withColumn("rho", when(col("w") === 0, lit(25))
+        .otherwise(lit(25) - length(conv(col("w"), 10, 2))))
+      .groupBy((keys :+ "bucket").map(col): _*).agg(max("rho").as("m"))
+    def estimate(r: DataFrame, alias: String): DataFrame = r
+      .groupBy("event_type")
+      .agg(sum(lit(1.0) / expr("shiftleft(1L, cast(m as int))")).as("s_present"),
+        count("*").as("n_present"))
+      .select(col("event_type"),
+        (lit(0.709) * lit(4096.0) /
+          (col("s_present") + (lit(64) - col("n_present")))).as(alias))
+    // fine-grained daily registers, max-merged up to event_type
+    val daily = regs(hv(tbl(spark, dir, "events")).distinct(), Seq("event_type", "day"))
+    val rolled = daily.groupBy("event_type", "bucket").agg(max("m").as("m"))
+    val estRollup = estimate(rolled, "hll_est_rollup")
+    // direct path from a fresh scan (separate lineage)
+    val direct = regs(hv(tbl(spark, dir, "events"))
+      .select("event_type", "hv").distinct(), Seq("event_type"))
+    val estDirect = estimate(direct, "hll_est_direct")
+    val exact = tbl(spark, dir, "events").groupBy("event_type")
+      .agg(countDistinct(expr("event_id % 997")).as("exact"))
+    estRollup.join(estDirect, "event_type").join(exact, "event_type")
+      .orderBy("event_type")
+  }
+
   /** GDPR right-to-be-forgotten on the lake table: delete every event of
     * the subject users (user_id % 50 == 0) from a date-partitioned
     * parquet sink via [[graft.etl.LakeOps.deleteKeys]] — column-pruned
@@ -295,6 +335,7 @@ object AnalyticsQueries {
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),
+    "sketch_hll_rollup" -> (sketchHllRollup _),
     "sink_delete_keys" -> (sinkDeleteKeys _),
     "pipeline_incremental_agg" -> (pipelineIncrementalAgg _),
     "ddl_bloom_index" -> (ddlBloomIndex _),

@@ -954,6 +954,22 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** first_value / last_value / nth_value over a full-partition frame:
+    * each event annotated with its user's first, latest and second
+    * event value — the baseline/current/onboarding comparison columns
+    * of behavioral analytics, one window sort per user. */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tbl(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        first(col("value")).over(w).as("first_v"),
+        last(col("value")).over(w).as("last_v"),
+        nth_value(col("value"), 2).over(w).as("second_v"))
+      .orderBy("event_id")
+  }
+
   /** Pearson correlation from EXACT sums: Spark's corr() accumulates
     * doubles (partition-order-dependent), so the moments are computed as
     * exact decimal sums instead and the correlation is one deterministic
@@ -1934,6 +1950,7 @@ object ExtQueries {
     "agg_cube" -> (aggCube _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "window_lead_lag" -> (windowLeadLag _),
+    "window_first_last" -> (windowFirstLast _),
     "agg_distinct" -> (aggDistinct _),
     "agg_percentile" -> (aggPercentile _),
     "agg_quantile_2pass" -> (aggQuantile2pass _),

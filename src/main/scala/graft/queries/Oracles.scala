@@ -2090,6 +2090,47 @@ object Oracles {
          |ORDER BY est.event_type""".stripMargin
     },
 
+    "window_first_last" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu, value FROM events)
+        |SELECT event_id, user_id, value,
+        | first_value(value) OVER w AS first_v,
+        | last_value(value) OVER w AS last_v,
+        | nth_value(value, 2) OVER w AS second_v
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "sketch_hll_rollup" -> {
+      val hv = s"((${ch("CAST(event_id % 997 AS VARCHAR)")}) * 2654435761) % 1000000007"
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, $hv AS hv
+         |           FROM events),
+         |bd AS (SELECT event_type, day, hv % 64 AS bucket, hv // 64 AS w FROM h),
+         |rd AS (SELECT event_type, day, bucket,
+         |         CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END AS rho FROM bd),
+         |daily AS (SELECT event_type, day, bucket, max(rho) AS m FROM rd GROUP BY 1, 2, 3),
+         |rolled AS (SELECT event_type, bucket, max(m) AS m FROM daily GROUP BY 1, 2),
+         |estR AS (SELECT event_type, sum(1.0 / (CAST(1 AS BIGINT) << m)) AS s, count(*) AS n
+         |         FROM rolled GROUP BY 1),
+         |h2 AS (SELECT DISTINCT event_type, $hv AS hv FROM events),
+         |b2 AS (SELECT event_type, hv % 64 AS bucket, hv // 64 AS w FROM h2),
+         |r2 AS (SELECT event_type, bucket,
+         |         CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END AS rho FROM b2),
+         |regs2 AS (SELECT event_type, bucket, max(rho) AS m FROM r2 GROUP BY 1, 2),
+         |estD AS (SELECT event_type, sum(1.0 / (CAST(1 AS BIGINT) << m)) AS s, count(*) AS n
+         |         FROM regs2 GROUP BY 1),
+         |ex AS (SELECT event_type, count(DISTINCT event_id % 997) AS exact FROM events GROUP BY event_type)
+         |SELECT estR.event_type,
+         | CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) / (estR.s + (64 - estR.n)) AS hll_est_rollup,
+         | CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) / (estD.s + (64 - estD.n)) AS hll_est_direct,
+         | ex.exact
+         |FROM estR
+         |JOIN estD ON estD.event_type = estR.event_type
+         |JOIN ex ON ex.event_type = estR.event_type
+         |ORDER BY estR.event_type""".stripMargin
+    },
+
     "sink_delete_keys" ->
       """SELECT event_type, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS sum_id,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -140,4 +140,14 @@ class AnalyticsSpec extends SparkSpec {
         (col("sum_v").cast("double") / col("n")).as("avg_value"))
     assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty)
   }
+
+  test("HLL register rollup is lossless: rolled-up estimate bit-equals the direct estimate") {
+    val out = graft.queries.AnalyticsQueries.all("sketch_hll_rollup")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val a = r.getAs[Double]("hll_est_rollup")
+      val b = r.getAs[Double]("hll_est_direct")
+      assert(a == b, s"${r.getAs[String]("event_type")}: rollup $a != direct $b")
+    }
+  }
 }
