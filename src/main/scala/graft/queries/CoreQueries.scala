@@ -258,6 +258,41 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** #13c sink_jdbc_idempotent — the reference is at-least-once into its
+    * DB (Redis-down or crash between to_sql and SADD replays a whole
+    * file, btc_etl.py:144,180; the PK collision then FAILS the batch,
+    * utils_test-documented). Here the replay is made a NO-OP instead:
+    * each append anti-joins the incoming batch against the sink's
+    * current keys (one pruned key-column JDBC read) so only missing
+    * rows insert — a full double-append leaves exactly one copy of
+    * every row, which is precisely what the oracle checks. The same
+    * anti-join-before-append idiom as the parquet sink's cross-batch
+    * PK guard (BtcPipeline), now live on a real database. */
+  def sinkJdbcIdempotent(spark: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:${tmpDir("jdbcidem")}/idemdb;create=true"
+    val opts = graft.sources.JdbcSink.writerOptions(
+      graft.sources.JdbcSink.JdbcOptions(url, "GRAFT_IDEM", numPartitions = 4))
+    val shaped = tbl(spark, dir, "events").select(
+      col("event_id"),
+      date_format(col("ts"), tsFmt).as("date_time"),
+      col("event_type"), col("value"))
+    def appendOnce(batch: org.apache.spark.sql.DataFrame): Unit = {
+      val existing =
+        try spark.read.format("jdbc")
+          .option("url", url).option("dbtable", "GRAFT_IDEM")
+          .load().select("event_id")
+        catch { case _: Throwable => // first write: table not created yet
+          spark.emptyDataFrame.select(lit(0L).as("event_id")).limit(0) }
+      batch.join(existing, Seq("event_id"), "left_anti")
+        .write.format("jdbc").options(opts).mode("append").save()
+    }
+    appendOnce(shaped)
+    appendOnce(shaped) // full replay — must insert zero rows
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "GRAFT_IDEM")
+      .load().orderBy("event_id")
+  }
+
   /** #14 ddl_create_table (btc_etl.py:70-86): idempotent CREATE TABLE in the
     * session catalog; result = resulting schema. */
   def ddlCreateTable(spark: SparkSession, dir: String): DataFrame = {
@@ -366,6 +401,7 @@ object CoreQueries {
     "ledger_append" -> (ledgerAppend _),
     "sink_append_db" -> (sinkAppendDb _),
     "sink_jdbc_roundtrip" -> (sinkJdbcRoundtrip _),
+    "sink_jdbc_idempotent" -> (sinkJdbcIdempotent _),
     "ddl_create_table" -> (ddlCreateTable _),
     "ddl_partition_time" -> (ddlPartitionTime _),
     "parallel_files" -> (parallelFiles _),

@@ -196,6 +196,15 @@ object Oracles {
       s"""SELECT event_id, $tsS AS date_time, event_type, value
          |FROM events ORDER BY event_id""".stripMargin,
 
+    // replay-safe append: a full double-append leaves exactly one copy
+    "sink_jdbc_idempotent" ->
+      s"""SELECT event_id, $tsS AS date_time, event_type, value
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_jdbc_sink" ->
+      s"""SELECT event_id, $tsS AS date_time, event_type, value
+         |FROM events ORDER BY event_id""".stripMargin,
+
     "ddl_create_table" ->
       """SELECT * FROM (VALUES ('date_time', 'timestamp'), ('event_id', 'bigint'),
         | ('event_type', 'string'), ('value', 'double')) AS t(col_name, data_type)

@@ -655,6 +655,47 @@ object StreamQueries {
     spark.read.parquet(out).orderBy("event_id")
   }
 
+  /** Streaming tail into a REAL SQL database (embedded Derby) with
+    * replay-safe appends: each micro-batch anti-joins against the
+    * sink's current keys before inserting (one pruned key-column read
+    * per trigger), so a restarted/replayed batch inserts nothing —
+    * foreachBatch-level idempotence on top of the checkpoint's
+    * exactly-once file tracking. This is the reference's
+    * watchdog→Postgres tail (btc_etl.py:185-228) with its PK-collision
+    * failure mode engineered away. */
+  def streamJdbcSink(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("sjdbcsrc")
+    val shaped = tbl(spark, dir, "events").select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("date_time"),
+      col("event_type"), col("value"))
+    shaped.repartition(4, col("event_id")).write.mode("overwrite").parquet(src)
+    val url = s"jdbc:derby:${tmpDir("sjdbcdb")}/streamdb;create=true"
+    val opts = graft.sources.JdbcSink.writerOptions(
+      graft.sources.JdbcSink.JdbcOptions(url, "GRAFT_STREAM_SINK", numPartitions = 2))
+    val q = spark.readStream.schema(shaped.schema)
+      .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sjdbcckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          try spark.read.format("jdbc")
+            .option("url", url).option("dbtable", "GRAFT_STREAM_SINK")
+            .load().select("event_id")
+          catch { case _: Throwable =>
+            spark.emptyDataFrame.select(lit(0L).as("event_id")).limit(0) }
+        batch.join(existing, Seq("event_id"), "left_anti")
+          .write.format("jdbc").options(opts).mode("append").save()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "GRAFT_STREAM_SINK")
+      .load().orderBy("event_id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_file_source" -> (streamFileSource _),
     "stream_window_agg" -> (streamWindowAgg _),
@@ -670,6 +711,7 @@ object StreamQueries {
     "stream_quality_gate" -> (streamQualityGate _),
     "stream_temporal_join" -> (streamTemporalJoin _),
     "stream_available_now" -> (streamAvailableNow _),
+    "stream_jdbc_sink" -> (streamJdbcSink _),
     "stream_ewma" -> (EwmaStream.run _),
     "stream_transform_state" -> (TransformStateStream.run _),
   )
