@@ -1189,6 +1189,34 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** Token-budget cutoff — the third mixture primitive beside rate
+    * sampling ([[sampleMixture]]) and up-sampling ([[sampleEpochs]]):
+    * each source gets a token budget and fills it best-first — docs
+    * ranked by quality (stopword-hit count here, any score works),
+    * running token total per source via one cumulative window, keep
+    * while the PRE-doc total is under budget (so the doc that crosses
+    * the line still ships — budgets are floors of intent, not hard
+    * ceilings, matching how mixture specs are written). One window
+    * pass per source partition, no joins, no driver loops. */
+  def pipelineTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 800L // tokens per source
+    val toks = tokens(col("text"))
+    val quality = size(filter(toks, t =>
+      t.isInCollection(Seq("the", "and", "of", "to", "a", "in", "is")))).cast("long")
+    val w = Window.partitionBy("source")
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"), quality.as("q"))
+      .withColumn("taken_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("taken_before") < budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("q")).as("min_q"))
+      .orderBy("source")
+  }
+
   /** Epoch-weighted mixture: the other half of [[sampleMixture]] — a
     * source's weight may EXCEED 1.0 (up-sampling: the doc repeats across
     * training epochs), so each doc emits floor(w) full copies plus one
@@ -1924,6 +1952,7 @@ object ExtQueries {
     "simsearch_recall_multiprobe" -> (simsearchRecallMultiprobe _),
     "sample_mixture" -> (sampleMixture _),
     "sample_epochs" -> (sampleEpochs _),
+    "pipeline_token_budget" -> (pipelineTokenBudget _),
     "join_temporal" -> (joinTemporal _),
     "pipeline_observe_metrics" -> (pipelineObserveMetrics _),
     "ddl_analyze_stats" -> (ddlAnalyzeStats _),

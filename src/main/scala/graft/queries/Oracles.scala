@@ -1125,6 +1125,17 @@ object Oracles {
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    "pipeline_token_budget" ->
+      s"""WITH w AS (SELECT doc_id, source, ${tok("text")} AS w FROM documents),
+         |c AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_filter(w, t_ -> list_contains(['the','and','of','to','a','in','is'], t_))) AS BIGINT) AS q
+         |      FROM w),
+         |r AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS taken_before FROM c)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         | min(q) AS min_q
+         |FROM r WHERE taken_before < 800 GROUP BY source ORDER BY source""".stripMargin,
+
     "join_null_safe" ->
       """WITH e AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS etype, value
         |           FROM events),
