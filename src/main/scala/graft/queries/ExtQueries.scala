@@ -1189,6 +1189,41 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** Interleaved multimodal sequence packing — the VLM training-data
+    * shape: a document is text plus N image references, each image
+    * costing a fixed patch-token budget (64 here). Refs are synthesized
+    * deterministically (doc d carries d%4 images, ref ids a stride walk
+    * over the image table) and RESOLVED by an actual join against
+    * `embeddings` — count(vec_id) per doc must equal the arithmetic
+    * image count for the oracle to match, which proves every reference
+    * resolved. Packing = the same per-source offset-chunk windows as
+    * [[pipelinePackSequences]], budget 2048 combined tokens per shard.
+    * At 100 TB the join is the doc→asset resolution every multimodal
+    * pipeline pays; it shuffles on the asset key and the packing window
+    * stays per-source. */
+  def multimodalPackInterleaved(spark: SparkSession, dir: String): DataFrame = {
+    val refs = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("k", explode_outer(
+        when(col("doc_id") % 4 >= 1, sequence(lit(0L), col("doc_id") % 4 - 1))
+          .otherwise(array().cast("array<long>"))))
+      .withColumn("vec_ref", (col("doc_id") + lit(131L) * col("k") + 17L) % 500L)
+    val emb = tbl(spark, dir, "embeddings").select(col("vec_id"))
+    val perDoc = refs.join(emb, refs("vec_ref") === emb("vec_id"), "left")
+      .groupBy("doc_id", "source", "n_toks")
+      .agg(count(col("vec_id")).as("n_images"))
+      .withColumn("cost", col("n_toks") + col("n_images") * 64L)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDoc
+      .withColumn("cum", sum(col("cost")).over(w))
+      .withColumn("shard", expr("(cum - cost) div 2048"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("cost")).as("sum_cost"),
+        sum(col("n_images")).as("sum_images"))
+      .orderBy("source", "shard")
+  }
+
   /** Token-budget cutoff — the third mixture primitive beside rate
     * sampling ([[sampleMixture]]) and up-sampling ([[sampleEpochs]]):
     * each source gets a token budget and fills it best-first — docs
@@ -1953,6 +1988,7 @@ object ExtQueries {
     "sample_mixture" -> (sampleMixture _),
     "sample_epochs" -> (sampleEpochs _),
     "pipeline_token_budget" -> (pipelineTokenBudget _),
+    "multimodal_pack_interleaved" -> (multimodalPackInterleaved _),
     "join_temporal" -> (joinTemporal _),
     "pipeline_observe_metrics" -> (pipelineObserveMetrics _),
     "ddl_analyze_stats" -> (ddlAnalyzeStats _),

@@ -1125,6 +1125,21 @@ object Oracles {
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    // n_images is arithmetic in the oracle (doc_id % 4) because every
+    // synthesized ref lands in the complete 0..499 image table — the
+    // Spark side must RESOLVE them via the embeddings join to match
+    "multimodal_pack_interleaved" ->
+      s"""WITH c AS (SELECT doc_id, source, CAST(len(${tok("text")}) AS BIGINT) AS n_toks,
+         |             doc_id % 4 AS n_images
+         |           FROM documents),
+         |x AS (SELECT *, n_toks + n_images * 64 AS cost FROM c),
+         |s AS (SELECT *, sum(cost) OVER (PARTITION BY source ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM x)
+         |SELECT source, CAST((cum - cost) // 2048 AS BIGINT) AS shard,
+         | count(*) AS n_docs, CAST(sum(cost) AS BIGINT) AS sum_cost,
+         | CAST(sum(n_images) AS BIGINT) AS sum_images
+         |FROM s GROUP BY source, shard ORDER BY source, shard""".stripMargin,
+
     "pipeline_token_budget" ->
       s"""WITH w AS (SELECT doc_id, source, ${tok("text")} AS w FROM documents),
          |c AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
