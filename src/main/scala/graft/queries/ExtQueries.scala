@@ -1640,6 +1640,34 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprint selection (the MOSS algorithm): over the
+    * positional shingle stream ([[textShingleGen]]'s generator), every
+    * sliding window of 4 consecutive positions selects its minimum
+    * (hash, pos) — encoded as one ordered long so a single built-in
+    * window min does the lexicographic selection identically in both
+    * engines — and the distinct selections are the document's
+    * fingerprint set. Winnowing guarantees any shared substring of
+    * (n+3) tokens yields at least one shared fingerprint, with ~1/4
+    * the density of full shingling — THE sub-document dedup
+    * fingerprint at corpus scale (one window per doc partition, no
+    * joins). */
+  def textWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(3)))
+      .withColumn("c", col("sh") * 100000L + col("pos"))
+      .withColumn("sel", min(col("c")).over(w))
+      .filter(col("pos") >= 4) // full windows only
+      .select(col("doc_id"), expr("sel div 100000").as("fp_sh"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min(col("fp_sh")).as("min_fp"),
+        sum(col("fp_sh")).as("sum_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL is a
     * legitimate dimension key (the "unknown" bucket every warehouse
     * has) — a plain equi-join silently drops the NULL group; the
@@ -2024,6 +2052,7 @@ object ExtQueries {
     "project_unpivot" -> (projectUnpivot _),
     "join_null_safe" -> (joinNullSafe _),
     "text_shingle_gen" -> (textShingleGen _),
+    "text_winnowing" -> (textWinnowing _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),

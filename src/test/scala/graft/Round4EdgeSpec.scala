@@ -70,6 +70,28 @@ class Round4EdgeSpec extends SparkSpec {
     assert(joined.filter(col("version") =!= 1L).count() === 0L)
   }
 
+  test("winnowing guarantee: docs sharing a long substring share a fingerprint") {
+    graft.expressions.GraftFunctions.register(spark)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"red green blue $shared yellow purple"))
+      .toDF("doc_id", "text")
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    val fp = docs
+      .select(col("doc_id"), graft.functions.CrossFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(3)))
+      .withColumn("c", col("sh") * 100000L + col("pos"))
+      .withColumn("sel", min(col("c")).over(w))
+      .filter(col("pos") >= 4)
+      .select(col("doc_id"), expr("sel div 100000").as("fp_sh"))
+      .distinct()
+    val a = fp.filter(col("doc_id") === 1L).select("fp_sh")
+    val b = fp.filter(col("doc_id") === 2L).select("fp_sh")
+    assert(a.intersect(b).count() > 0L,
+      "a 10-token shared run must yield at least one shared winnowing fingerprint")
+  }
+
   test("token budget: a single doc larger than the budget still ships") {
     // pre-doc running total is 0 < budget, so the first doc always passes
     val docs = Seq(("d1", "s1", 10000L)).toDF("doc_id", "source", "n_tokens")
