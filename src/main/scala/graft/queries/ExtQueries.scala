@@ -1651,7 +1651,9 @@ object ExtQueries {
     * the density of full shingling — THE sub-document dedup
     * fingerprint at corpus scale (one window per doc partition, no
     * joins). */
-  def textWinnowing(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, fp_sh) winnowing fingerprint set — fresh lineage per call
+    * so self-join consumers stay unambiguous. */
+  private def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
     tbl(spark, dir, "documents")
@@ -1662,10 +1664,34 @@ object ExtQueries {
       .filter(col("pos") >= 4) // full windows only
       .select(col("doc_id"), expr("sel div 100000").as("fp_sh"))
       .distinct()
+  }
+
+  def textWinnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(spark, dir)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fp"), min(col("fp_sh")).as("min_fp"),
         sum(col("fp_sh")).as("sum_fp"))
       .orderBy("doc_id")
+
+  /** Winnowing-based near-dup candidate pairs: the fingerprint sets act
+    * as their own inverted index — an equi-join on fp_sh pairs only
+    * docs that SHARE a fingerprint (bucket-bounded work, like LSH
+    * bands), and the shared-count threshold screens incidental
+    * collisions. Pair-emitting (quadratic under heavy duplication, the
+    * same verify-tier caveat as the other pair forms); the cluster
+    * tiers remain the 100 TB path, but winnowing pairs localize WHERE
+    * the overlap is via far fewer keys than full shingling. */
+  def dedupWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    val a = winnowFingerprints(spark, dir)
+      .select(col("doc_id").as("doc_a"), col("fp_sh"))
+    val b = winnowFingerprints(spark, dir)
+      .select(col("doc_id").as("doc_b"), col("fp_sh"))
+    a.join(b, Seq("fp_sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL is a
@@ -2053,6 +2079,7 @@ object ExtQueries {
     "join_null_safe" -> (joinNullSafe _),
     "text_shingle_gen" -> (textShingleGen _),
     "text_winnowing" -> (textWinnowing _),
+    "dedup_winnowing" -> (dedupWinnowing _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),

@@ -1164,6 +1164,20 @@ object Oracles {
          |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    "dedup_winnowing" -> {
+      val sh = ch("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]")
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |t AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS pos FROM w),
+         |h AS (SELECT doc_id, pos, ($sh) * 100000 + pos AS c FROM t),
+         |sel AS (SELECT doc_id, pos, min(c) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM h),
+         |fp AS (SELECT DISTINCT doc_id, sel // 100000 AS fp_sh FROM sel WHERE pos >= 4)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.fp_sh = b.fp_sh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
     "join_null_safe" ->
       """WITH e AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS etype, value
         |           FROM events),
