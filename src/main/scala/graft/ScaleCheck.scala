@@ -128,6 +128,25 @@ object ScaleCheck {
           Dedup.containmentVerified(spark, d, 0.5).count()
         }
 
+      // winnowing: fingerprints per doc are ~1/4 of full shingles; the
+      // cluster tier stays flat rows-out under f-way exact duplication
+      time("dedup_winnowing_clusters", f) {
+        import org.apache.spark.sql.expressions.Window
+        val ww = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+        val fp = d
+          .select(col("doc_id"), graft.functions.CrossFns.tokens(col("text")).as("w"))
+          .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(3)))
+          .withColumn("c", col("sh") * 100000L + col("pos"))
+          .withColumn("sel", min(col("c")).over(ww))
+          .filter(col("pos") >= 4)
+          .select(col("doc_id"), expr("sel div 100000").as("fp_sh"))
+          .distinct()
+        val grp = fp.groupBy("fp_sh").agg(min("doc_id").as("grp_rep"))
+        fp.join(grp, Seq("fp_sh"))
+          .groupBy("doc_id").agg(min("grp_rep").as("rep"))
+          .groupBy("rep").agg(count(lit(1)))
+          .count()
+      }
       // temporal (point-in-time) probe against the SCD2 dimension built
       // from the same replicated feed: per-user versions grow f-fold, the
       // join stays one equi-shuffle per side + per-key interval residual

@@ -1694,6 +1694,28 @@ object ExtQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cluster-emitting winnowing tier — the scale path beside
+    * [[dedupWinnowing]]'s pair form (same pair/cluster symmetry as the
+    * minhash/LSH family): each fingerprint bucket elects min(doc_id)
+    * as its representative, each doc contracts to the min
+    * representative over its fingerprints, and output is one row per
+    * representative — rows-out linear in distinct content under ANY
+    * duplicate multiplicity. NOTE: a single shared fingerprint is a
+    * weak edge (one common 6-token window links two docs), so this is
+    * the RECALL-MAXIMAL contraction — clusters are supersets of the
+    * true near-dup groups (135 reps here vs ~476 verified content
+    * groups) and feed a verify tier ([[dedupWinnowing]]'s ≥5-shared
+    * screen, or Jaccard-vs-rep as in the LSH family) when precision
+    * matters. One-hop contraction; the cc tier adds transitivity. */
+  def dedupWinnowingClusters(spark: SparkSession, dir: String): DataFrame = {
+    val fp = winnowFingerprints(spark, dir)
+    val bucketRep = fp.groupBy("fp_sh").agg(min("doc_id").as("grp_rep"))
+    fp.join(bucketRep, Seq("fp_sh"))
+      .groupBy("doc_id").agg(min("grp_rep").as("rep"))
+      .groupBy("rep").agg(count(lit(1)).as("n_docs"))
+      .orderBy("rep")
+  }
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL is a
     * legitimate dimension key (the "unknown" bucket every warehouse
     * has) — a plain equi-join silently drops the NULL group; the
@@ -2080,6 +2102,7 @@ object ExtQueries {
     "text_shingle_gen" -> (textShingleGen _),
     "text_winnowing" -> (textWinnowing _),
     "dedup_winnowing" -> (dedupWinnowing _),
+    "dedup_winnowing_clusters" -> (dedupWinnowingClusters _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),

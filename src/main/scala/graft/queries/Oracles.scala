@@ -1178,6 +1178,20 @@ object Oracles {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    "dedup_winnowing_clusters" -> {
+      val sh = ch("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]")
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |t AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS pos FROM w),
+         |h AS (SELECT doc_id, pos, ($sh) * 100000 + pos AS c FROM t),
+         |sel AS (SELECT doc_id, pos, min(c) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM h),
+         |fp AS (SELECT DISTINCT doc_id, sel // 100000 AS fp_sh FROM sel WHERE pos >= 4),
+         |grp AS (SELECT fp_sh, min(doc_id) AS grp_rep FROM fp GROUP BY fp_sh),
+         |docrep AS (SELECT f.doc_id, min(g.grp_rep) AS rep
+         |           FROM fp f JOIN grp g ON f.fp_sh = g.fp_sh GROUP BY f.doc_id)
+         |SELECT rep, count(*) AS n_docs FROM docrep GROUP BY rep ORDER BY rep""".stripMargin
+    },
+
     "join_null_safe" ->
       """WITH e AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS etype, value
         |           FROM events),
