@@ -80,4 +80,38 @@ class PropertySpec extends SparkSpec {
     assert(quantized.getSeq[Long](0) === quantized.getSeq[Long](1),
       "quantize must treat null elements as 0 and preserve length")
   }
+
+  test("winnowing density on random token streams is ~2/(w+1) of positions") {
+    graft.expressions.GraftFunctions.register(spark)
+    // 40 docs of 200 random short tokens -> 198 shingle positions each
+    val tokGen = Gen.listOfN(200, Gen.choose('a', 'z').map(_.toString))
+    val docs = samples(tokGen, 40).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    val fp = docs
+      .select(col("doc_id"), CrossFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(3)))
+      .withColumn("c", col("sh") * 100000L + col("pos"))
+      .withColumn("sel", min(col("c")).over(w))
+      .filter(col("pos") >= 4)
+      .select(col("doc_id"), expr("sel div 100000").as("fp_sh"))
+      .distinct()
+    val density = fp.count().toDouble / (40.0 * 195)
+    // theory: expected selection density for window w=4 is 2/(w+1) = 0.4
+    // (distinct-ing repeated hashes pulls it slightly below)
+    assert(density > 0.25 && density < 0.5, s"winnowing density $density")
+  }
+
+  test("KMV estimate within 50% of truth on 2000 seeded random keys (k=64)") {
+    graft.expressions.GraftFunctions.register(spark)
+    val keys = samples(Gen.choose(0L, Long.MaxValue / 2), 2000).distinct
+    val est = keys.toDF("k")
+      .withColumn("hv", CrossFns.scrambledHash(col("k").cast("string")))
+      .agg(call_function("graft_kmv_distinct", col("hv"), lit(64)))
+      .head().getDouble(0)
+    val n = keys.size.toDouble
+    assert(est > n * 0.5 && est < n * 1.5, s"KMV est $est vs truth $n")
+  }
 }
