@@ -277,10 +277,17 @@ object CoreQueries {
       date_format(col("ts"), tsFmt).as("date_time"),
       col("event_type"), col("value"))
     def appendOnce(batch: org.apache.spark.sql.DataFrame): Unit = {
+      // bound the existing-keys read to the batch's key RANGE — the
+      // between-filter pushes down into the database's WHERE clause, so
+      // at warehouse scale the anti-join reads a batch-sized key slice,
+      // never the whole sink key column
+      val r = batch.agg(min("event_id"), max("event_id")).head()
+      if (r.isNullAt(0)) return // empty batch: nothing to append
       val existing =
         try spark.read.format("jdbc")
           .option("url", url).option("dbtable", "GRAFT_IDEM")
           .load().select("event_id")
+          .filter(col("event_id").between(r.getLong(0), r.getLong(1)))
         catch { case _: Throwable => // first write: table not created yet
           spark.emptyDataFrame.select(lit(0L).as("event_id")).limit(0) }
       batch.join(existing, Seq("event_id"), "left_anti")

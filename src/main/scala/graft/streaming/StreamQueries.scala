@@ -679,14 +679,20 @@ object StreamQueries {
       .writeStream
       .option("checkpointLocation", tmpDir("sjdbcckpt"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // key-range filter pushes into the DB's WHERE clause: the
+        // replay check reads a batch-sized slice, not the whole sink
+        val r = batch.agg(min("event_id"), max("event_id")).head()
+        if (r.isNullAt(0)) () else {
         val existing =
           try spark.read.format("jdbc")
             .option("url", url).option("dbtable", "GRAFT_STREAM_SINK")
             .load().select("event_id")
+            .filter(col("event_id").between(r.getLong(0), r.getLong(1)))
           catch { case _: Throwable =>
             spark.emptyDataFrame.select(lit(0L).as("event_id")).limit(0) }
         batch.join(existing, Seq("event_id"), "left_anti")
           .write.format("jdbc").options(opts).mode("append").save()
+        }
       }
       .start()
     q.processAllAvailable()
