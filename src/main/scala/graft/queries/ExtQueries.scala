@@ -1736,6 +1736,22 @@ object ExtQueries {
       .orderBy("label")
   }
 
+  /** String aggregation (Spark 4's `listagg` / SQL LISTAGG ... WITHIN
+    * GROUP): per-region roster of nation names in a deterministic
+    * within-group order — the report/export shape string_agg serves in
+    * every warehouse. Group sizes are dimension-scale (a roster), so
+    * the concatenated payload stays bounded; unbounded-group listagg is
+    * the anti-pattern the scaladoc warns against. */
+  def aggListagg(spark: SparkSession, dir: String): DataFrame = {
+    tbl(spark, dir, "nation").createOrReplaceTempView("graft_la_nation")
+    tbl(spark, dir, "region").createOrReplaceTempView("graft_la_region")
+    spark.sql(
+      """SELECT r_name, count(*) AS n_nations,
+        | listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        |FROM graft_la_nation JOIN graft_la_region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
   /** Exact interpolated percentiles (median/p90) per order status. */
   def aggPercentile(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "orders")
@@ -2002,6 +2018,7 @@ object ExtQueries {
     "ddl_bucket_join" -> (ddlBucketJoin _),
     "window_ewma" -> (windowEwma _),
     "agg_mode" -> (aggMode _),
+    "agg_listagg" -> (aggListagg _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),

@@ -1214,6 +1214,12 @@ object Oracles {
     "stream_available_now" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
 
+    "agg_listagg" ->
+      """SELECT r_name, count(*) AS n_nations,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
     "agg_percentile" ->
       """SELECT o_orderstatus,
         | quantile_cont(o_totalprice, 0.5) AS p50,
