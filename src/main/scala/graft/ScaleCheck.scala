@@ -136,10 +136,10 @@ object ScaleCheck {
         val fp = d
           .select(col("doc_id"), graft.functions.CrossFns.tokens(col("text")).as("w"))
           .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(3)))
-          .withColumn("c", col("sh") * 100000L + col("pos"))
+          .withColumn("c", col("sh") * 16777216L + col("pos"))
           .withColumn("sel", min(col("c")).over(ww))
           .filter(col("pos") >= 4)
-          .select(col("doc_id"), expr("sel div 100000").as("fp_sh"))
+          .select(col("doc_id"), expr("sel div 16777216").as("fp_sh"))
           .distinct()
         val grp = fp.groupBy("fp_sh").agg(min("doc_id").as("grp_rep"))
         fp.join(grp, Seq("fp_sh"))

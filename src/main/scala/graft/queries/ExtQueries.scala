@@ -1652,17 +1652,20 @@ object ExtQueries {
     * fingerprint at corpus scale (one window per doc partition, no
     * joins). */
   /** (doc_id, fp_sh) winnowing fingerprint set — fresh lineage per call
-    * so self-join consumers stay unambiguous. */
+    * so self-join consumers stay unambiguous. Encoding bound: the
+    * (hash, pos) pair packs as sh*2^24 + pos, so positions are valid up
+    * to 16.7M shingles per document (hash < 2^30 keeps the product well
+    * under 2^63 in both engines). */
   private def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
     tbl(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(3)))
-      .withColumn("c", col("sh") * 100000L + col("pos"))
+      .withColumn("c", col("sh") * 16777216L + col("pos"))
       .withColumn("sel", min(col("c")).over(w))
       .filter(col("pos") >= 4) // full windows only
-      .select(col("doc_id"), expr("sel div 100000").as("fp_sh"))
+      .select(col("doc_id"), expr("sel div 16777216").as("fp_sh"))
       .distinct()
   }
 

@@ -1155,10 +1155,10 @@ object Oracles {
       val sh = ch("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]")
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
          |t AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS pos FROM w),
-         |h AS (SELECT doc_id, pos, ($sh) * 100000 + pos AS c FROM t),
+         |h AS (SELECT doc_id, pos, ($sh) * 16777216 + pos AS c FROM t),
          |sel AS (SELECT doc_id, pos, min(c) OVER (PARTITION BY doc_id ORDER BY pos
          |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM h),
-         |fp AS (SELECT DISTINCT doc_id, sel // 100000 AS fp_sh FROM sel WHERE pos >= 4)
+         |fp AS (SELECT DISTINCT doc_id, sel // 16777216 AS fp_sh FROM sel WHERE pos >= 4)
          |SELECT doc_id, count(*) AS n_fp, min(fp_sh) AS min_fp,
          | CAST(sum(fp_sh) AS BIGINT) AS sum_fp
          |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -1168,10 +1168,10 @@ object Oracles {
       val sh = ch("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]")
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
          |t AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS pos FROM w),
-         |h AS (SELECT doc_id, pos, ($sh) * 100000 + pos AS c FROM t),
+         |h AS (SELECT doc_id, pos, ($sh) * 16777216 + pos AS c FROM t),
          |sel AS (SELECT doc_id, pos, min(c) OVER (PARTITION BY doc_id ORDER BY pos
          |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM h),
-         |fp AS (SELECT DISTINCT doc_id, sel // 100000 AS fp_sh FROM sel WHERE pos >= 4)
+         |fp AS (SELECT DISTINCT doc_id, sel // 16777216 AS fp_sh FROM sel WHERE pos >= 4)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
          |FROM fp a JOIN fp b ON a.fp_sh = b.fp_sh AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 5
@@ -1182,10 +1182,10 @@ object Oracles {
       val sh = ch("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]")
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
          |t AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS pos FROM w),
-         |h AS (SELECT doc_id, pos, ($sh) * 100000 + pos AS c FROM t),
+         |h AS (SELECT doc_id, pos, ($sh) * 16777216 + pos AS c FROM t),
          |sel AS (SELECT doc_id, pos, min(c) OVER (PARTITION BY doc_id ORDER BY pos
          |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM h),
-         |fp AS (SELECT DISTINCT doc_id, sel // 100000 AS fp_sh FROM sel WHERE pos >= 4),
+         |fp AS (SELECT DISTINCT doc_id, sel // 16777216 AS fp_sh FROM sel WHERE pos >= 4),
          |grp AS (SELECT fp_sh, min(doc_id) AS grp_rep FROM fp GROUP BY fp_sh),
          |docrep AS (SELECT f.doc_id, min(g.grp_rep) AS rep
          |           FROM fp f JOIN grp g ON f.fp_sh = g.fp_sh GROUP BY f.doc_id)

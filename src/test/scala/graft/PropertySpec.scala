@@ -93,10 +93,10 @@ class PropertySpec extends SparkSpec {
     val fp = docs
       .select(col("doc_id"), CrossFns.tokens(col("text")).as("w"))
       .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(3)))
-      .withColumn("c", col("sh") * 100000L + col("pos"))
+      .withColumn("c", col("sh") * 16777216L + col("pos"))
       .withColumn("sel", min(col("c")).over(w))
       .filter(col("pos") >= 4)
-      .select(col("doc_id"), expr("sel div 100000").as("fp_sh"))
+      .select(col("doc_id"), expr("sel div 16777216").as("fp_sh"))
       .distinct()
     val density = fp.count().toDouble / (40.0 * 195)
     // theory: expected selection density for window w=4 is 2/(w+1) = 0.4

@@ -81,10 +81,10 @@ class Round4EdgeSpec extends SparkSpec {
     val fp = docs
       .select(col("doc_id"), graft.functions.CrossFns.tokens(col("text")).as("w"))
       .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(3)))
-      .withColumn("c", col("sh") * 100000L + col("pos"))
+      .withColumn("c", col("sh") * 16777216L + col("pos"))
       .withColumn("sel", min(col("c")).over(w))
       .filter(col("pos") >= 4)
-      .select(col("doc_id"), expr("sel div 100000").as("fp_sh"))
+      .select(col("doc_id"), expr("sel div 16777216").as("fp_sh"))
       .distinct()
     val a = fp.filter(col("doc_id") === 1L).select("fp_sh")
     val b = fp.filter(col("doc_id") === 2L).select("fp_sh")
