@@ -278,18 +278,25 @@ object CoreQueries {
       col("event_type"), col("value"))
     def appendOnce(batch: org.apache.spark.sql.DataFrame): Unit = {
       // bound the existing-keys read to the batch's key RANGE — the
-      // between-filter pushes down into the database's WHERE clause, so
-      // at warehouse scale the anti-join reads a batch-sized key slice,
-      // never the whole sink key column
+      // between-filter pushes down into the database's WHERE clause.
+      // NOTE: the bound shrinks the read only when arriving batches are
+      // key-clustered (time/sequence-ordered ingest); a batch whose keys
+      // span the whole domain (as here, where the batch IS the full
+      // table) still scans ~the whole key column. Correctness never
+      // depends on the bound — it is purely a pushdown optimisation.
       val r = batch.agg(min("event_id"), max("event_id")).head()
       if (r.isNullAt(0)) return // empty batch: nothing to append
+      // branch on an explicit metadata probe, NOT a catch-all: any
+      // failure of the existing-keys read other than "no table yet"
+      // (lock timeout, connection loss) must fail the batch rather than
+      // silently disable the dedup guard (see JdbcSink.tableExists)
       val existing =
-        try spark.read.format("jdbc")
+        if (!graft.sources.JdbcSink.tableExists(url, "GRAFT_IDEM"))
+          spark.emptyDataFrame.select(lit(0L).as("event_id")).limit(0)
+        else spark.read.format("jdbc")
           .option("url", url).option("dbtable", "GRAFT_IDEM")
           .load().select("event_id")
           .filter(col("event_id").between(r.getLong(0), r.getLong(1)))
-        catch { case _: Throwable => // first write: table not created yet
-          spark.emptyDataFrame.select(lit(0L).as("event_id")).limit(0) }
       batch.join(existing, Seq("event_id"), "left_anti")
         .write.format("jdbc").options(opts).mode("append").save()
     }

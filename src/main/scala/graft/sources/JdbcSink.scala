@@ -85,4 +85,32 @@ object JdbcSink {
   def append(df: DataFrame, o: JdbcOptions): Unit =
     df.select(Schemas.sinkCols.map(org.apache.spark.sql.functions.col): _*)
       .write.format("jdbc").options(writerOptions(o)).mode("append").save()
+
+  /** Does `table` exist at `url`? Probed through `DatabaseMetaData
+    * .getTables` on a short-lived connection — the precise
+    * "first append has no sink table yet" test. The replay-safe append
+    * sites branch on THIS instead of catching `Throwable` around the
+    * existing-keys read: a transient read failure (lock timeout, network
+    * blip) must PROPAGATE and fail the batch, because treating it as
+    * "no existing rows" would silently disable the anti-join dedup guard
+    * and re-insert a replayed batch — the exact at-least-once
+    * duplication this sink exists to prevent. */
+  def tableExists(url: String, table: String,
+                  user: Option[String] = None,
+                  password: Option[String] = None): Boolean = {
+    val props = new java.util.Properties()
+    user.foreach(props.setProperty("user", _))
+    password.foreach(props.setProperty("password", _))
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val md = conn.getMetaData
+      // probe both stored-case variants: Derby/Postgres fold unquoted
+      // identifiers to upper/lower case respectively
+      def probe(n: String) = {
+        val rs = md.getTables(null, null, n, null)
+        try rs.next() finally rs.close()
+      }
+      probe(table) || probe(table.toUpperCase) || probe(table.toLowerCase)
+    } finally conn.close()
+  }
 }

@@ -679,17 +679,25 @@ object StreamQueries {
       .writeStream
       .option("checkpointLocation", tmpDir("sjdbcckpt"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // key-range filter pushes into the DB's WHERE clause: the
-        // replay check reads a batch-sized slice, not the whole sink
+        // key-range filter pushes into the DB's WHERE clause. The bound
+        // shrinks the read only when batches arrive key-clustered; this
+        // harness hash-partitions the staged source by event_id, so each
+        // micro-batch's [min,max] spans ~the whole domain and the check
+        // reads ~the full key column. Correctness never depends on the
+        // bound — it is purely a pushdown optimisation that pays off
+        // under time/sequence-ordered arrival (the production case).
         val r = batch.agg(min("event_id"), max("event_id")).head()
         if (r.isNullAt(0)) () else {
+        // explicit metadata probe, not catch-Throwable: a transient read
+        // failure must fail the micro-batch (checkpoint replays it), not
+        // silently bypass the dedup guard (see JdbcSink.tableExists)
         val existing =
-          try spark.read.format("jdbc")
+          if (!graft.sources.JdbcSink.tableExists(url, "GRAFT_STREAM_SINK"))
+            spark.emptyDataFrame.select(lit(0L).as("event_id")).limit(0)
+          else spark.read.format("jdbc")
             .option("url", url).option("dbtable", "GRAFT_STREAM_SINK")
             .load().select("event_id")
             .filter(col("event_id").between(r.getLong(0), r.getLong(1)))
-          catch { case _: Throwable =>
-            spark.emptyDataFrame.select(lit(0L).as("event_id")).limit(0) }
         batch.join(existing, Seq("event_id"), "left_anti")
           .write.format("jdbc").options(opts).mode("append").save()
         }
