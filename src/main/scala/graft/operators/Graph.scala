@@ -89,33 +89,68 @@ object Graph {
     * micro-rank units: r0 = 1_000_000; r' = 150_000 + (850 * S) div 1000
     * where S = sum over in-neighbours of (r div degree). Floor division and
     * BIGINT sums make every iteration bit-identical across engines and
-    * partitionings — no float summation-order hazard. Each iteration is one
-    * equi-join (edges x ranks, both keyed on the node) + one partial
-    * aggregation; the rank frame stays O(|V|). */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    // The edge and degree frames are read 2x per iteration; without a
-    // persist each read re-runs the whole edge-derivation lineage (the
-    // co-occurrence self-join at its head). Cache contract matches the
-    // rest of the library: harnesses clear the session cache between
-    // queries (Bench/Verify/AllQueriesSpec); long-lived callers should
-    // catalog.clearCache() when done. At cluster scale these frames are
-    // O(|E|) and O(|V|) — orders smaller than the source table.
-    val e = bidir(edges)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * partitionings — no float summation-order hazard. Each iteration is
+    * ONE equi-join (degree-annotated edges x ranks, both keyed on the
+    * node) + one partial aggregation; the rank frame stays O(|V|). */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame =
+    pageRankRun(edges, iters, withDeltas = false)._1
+
+  /** PageRank plus its convergence signal: a second frame of
+    * (iter, max_delta) rows, max_delta = max over nodes of
+    * |r_i - r_{i-1}| in micro-rank units — the number a user tunes
+    * `iters` against (stop when max_delta drops below tolerance).
+    * Integer arithmetic end-to-end, so the delta ladder is bit-exact
+    * and oracle-mirrorable. */
+  def pageRankWithDelta(edges: DataFrame, iters: Int): (DataFrame, DataFrame) =
+    pageRankRun(edges, iters, withDeltas = true)
+
+  /** Shared iteration core. Plan hygiene at scale:
+    *   - the edges×degree join is loop-INVARIANT, so it runs once up
+    *     front (`ed`) and each iteration pays a single join — half the
+    *     per-iteration shuffle of joining `deg` inside the loop;
+    *   - `e`/`deg`/`ed` persist because the iteration re-reads them every
+    *     pass; without a persist each read re-runs the edge-derivation
+    *     lineage (the co-occurrence self-join at its head). Cache
+    *     contract matches the rest of the library: harnesses clear the
+    *     session cache between queries; long-lived callers
+    *     `catalog.clearCache()` when done. All three are O(|E|)/O(|V|) —
+    *     orders smaller than the source table;
+    *   - `ranks`' logical plan otherwise grows linearly with iterations,
+    *     so it is truncated with an (eager) `localCheckpoint` every
+    *     [[checkpointEvery]] passes — fine at 4 iterations, load-bearing
+    *     at 50. The delta variant checkpoints EVERY pass: each delta
+    *     row re-reads two consecutive rank frames, and flat lineage
+    *     keeps the end-of-loop delta union O(iters), not O(iters²). */
+  private def pageRankRun(edges: DataFrame, iters: Int, withDeltas: Boolean,
+                          checkpointEvery: Int = 8): (DataFrame, DataFrame) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = bidir(edges).persist(lvl)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+    val ed = e.join(deg.withColumnRenamed("node", "src"), "src")
+      .persist(lvl)
     var ranks = deg.select(col("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = e
+    val deltas = Seq.newBuilder[DataFrame]
+    for (i <- 1 to iters) {
+      val contrib = ed
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg.select(col("node").as("src"), col("d")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("r div d")).as("s"))
-      ranks = deg.select(col("node"))
+      val next = deg.select(col("node"))
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("850 * coalesce(s, 0L) div 1000")).as("r"))
+      val cut = if (withDeltas || i % checkpointEvery == 0) next.localCheckpoint() else next
+      if (withDeltas)
+        deltas += cut.join(ranks.select(col("node"), col("r").as("rp")), "node")
+          .agg(max(abs(col("r") - col("rp"))).as("max_delta"))
+          .select(lit(i.toLong).as("iter"), col("max_delta"))
+      ranks = cut
     }
-    ranks.select(col("node"), col("r").as("rank"))
+    val rankOut = ranks.select(col("node"), col("r").as("rank"))
+    val deltaOut =
+      if (withDeltas) deltas.result().reduce(_ unionByName _)
+      else ranks.sparkSession.emptyDataFrame
+    (rankOut, deltaOut)
   }
 }

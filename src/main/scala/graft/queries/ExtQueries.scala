@@ -342,8 +342,10 @@ object ExtQueries {
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     TextOps.binaryMeta(tbl(spark, dir, "documents")).orderBy("doc_id")
 
-  /** Batch decode through the typed mapPartitions plumbing (stubbed codec,
-    * real schema/batch shape — see graft.operators.Multimodal). */
+  /** Batch decode through the typed mapPartitions plumbing — REAL ImageIO
+    * codec on deterministically synthesized PNGs, so the oracle can check
+    * the decoded raster measurements arithmetically (see
+    * graft.operators.Multimodal). */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAll(spark, tbl(spark, dir, "documents")).toDF().orderBy("doc_id")
 
@@ -1604,16 +1606,25 @@ object ExtQueries {
       .withColumn("is_canon",
         when(min(col("d.doc_id")).over(Window.partitionBy(col("d.text"))) === col("d.doc_id"),
           1L).otherwise(0L))
-      .rollup(col("d.source").as("source"), col("d.lang").as("lang"))
+      .select(col("d.source").as("source"), col("d.lang").as("lang"),
+        col("d.n_chars").as("n_chars"), col("n_tokens"), col("passes"),
+        col("is_canon"))
+      .rollup(col("source"), col("lang"))
       .agg(
+        // grouping() (not coalesce-on-NULL) labels the subtotal rows, so
+        // a data-level NULL source/lang stays distinguishable from a
+        // rollup subtotal — the indicator only exists inside the
+        // Aggregate, hence computed here and consumed in the select
+        grouping(col("source")).as("g_source"),
+        grouping(col("lang")).as("g_lang"),
         count(lit(1)).as("n_docs"),
-        sum(col("d.n_chars")).as("sum_chars"),
+        sum(col("n_chars")).as("sum_chars"),
         sum("n_tokens").as("sum_tokens"),
         sum(when(col("passes"), 1L).otherwise(0L)).as("n_quality"),
         sum(col("is_canon")).as("n_canonical"))
       .select(
-        coalesce(col("source"), lit("(all)")).as("source"),
-        coalesce(col("lang"), lit("(all)")).as("lang"),
+        when(col("g_source") === 1, lit("(all)")).otherwise(col("source")).as("source"),
+        when(col("g_lang") === 1, lit("(all)")).otherwise(col("lang")).as("lang"),
         col("n_docs"), col("sum_chars"), col("sum_tokens"),
         col("n_quality"), col("n_canonical"))
       .orderBy("source", "lang")
@@ -1655,14 +1666,22 @@ object ExtQueries {
     * so self-join consumers stay unambiguous. Encoding bound: the
     * (hash, pos) pair packs as sh*2^24 + pos, so positions are valid up
     * to 16.7M shingles per document (hash < 2^30 keeps the product well
-    * under 2^63 in both engines). */
+    * under 2^63 in both engines). The bound is ENFORCED, not just
+    * documented: a document beyond 2^24 shingle positions would bleed
+    * pos into the hash bits and silently corrupt fingerprints, so the
+    * pack raises a loud per-row error instead (codegen'd branch — one
+    * compare per row, free next to the window min). */
   private def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
     tbl(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(3)))
-      .withColumn("c", col("sh") * 16777216L + col("pos"))
+      .withColumn("c",
+        when(col("pos") < 16777216L, col("sh") * 16777216L + col("pos"))
+          .otherwise(raise_error(concat(
+            lit("winnowing position overflow (>=2^24 shingles) in doc_id="),
+            col("doc_id").cast("string")))))
       .withColumn("sel", min(col("c")).over(w))
       .filter(col("pos") >= 4) // full windows only
       .select(col("doc_id"), expr("sel div 16777216").as("fp_sh"))
@@ -1871,10 +1890,17 @@ object ExtQueries {
     Multimodal.frameSample(spark, tbl(spark, dir, "documents"), 7)
       .orderBy("doc_id", "frame_idx")
 
-  /** Aspect-preserving resize through the typed batch plumbing (stub dims;
-    * box = 32 so both branches of the fit logic fire on this corpus). */
+  /** Aspect-preserving resize through the REAL codec path (decode +
+    * Graphics2D resample — see Multimodal.resizeTo; box = 32 so both
+    * branches of the fit logic fire on this corpus). */
   def multimodalResize(spark: SparkSession, dir: String): DataFrame =
     Multimodal.resizeTo(spark, tbl(spark, dir, "documents"), 32).orderBy("doc_id")
+
+  /** Banded luma histogram off the decoded raster (8 luma bands, long
+    * form) — per-image pixel statistics through the real ImageIO decode. */
+  def multimodalLumaHist(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.lumaHistogram(spark, tbl(spark, dir, "documents"))
+      .orderBy("doc_id", "bucket")
 
   /** Fixed-width histogram of the value column (bin = floor(value/50)). */
   def aggHistogram(spark: SparkSession, dir: String): DataFrame =
@@ -1926,6 +1952,14 @@ object ExtQueries {
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
     Graph.pageRank(Graph.coPartEdges(tbl(spark, dir, "lineitem")), iters = 3)
       .orderBy(col("rank").desc, col("node")).limit(20)
+
+  /** PageRank convergence ladder: max |Δrank| per iteration in integer
+    * micro-rank units — the signal a user tunes the iteration count
+    * against. Bit-exact (integer arithmetic), oracle-mirrored by the
+    * unrolled SQL form. */
+  def graphPagerankDelta(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRankWithDelta(Graph.coPartEdges(tbl(spark, dir, "lineitem")), iters = 3)
+      ._2.orderBy("iter")
 
   // ---- time series -------------------------------------------------------
 
@@ -2014,6 +2048,7 @@ object ExtQueries {
     "graph_degree" -> (graphDegree _),
     "graph_triangles" -> (graphTriangles _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_pagerank_delta" -> (graphPagerankDelta _),
     "timeseries_gapfill" -> (timeseriesGapfill _),
     "anomaly_mad" -> (anomalyMad _),
     "text_gopher_rules" -> (textGopherRules _),
@@ -2054,6 +2089,7 @@ object ExtQueries {
     "text_ngram_freq" -> (textNgramFreq _),
     "sql_api" -> (sqlApi _),
     "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_luma_hist" -> (multimodalLumaHist _),
     "scan_binaryfile" -> (scanBinaryfile _),
     "scan_text" -> (scanText _),
     "pipeline_text_clean" -> (pipelineTextClean _),

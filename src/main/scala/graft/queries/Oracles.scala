@@ -1108,7 +1108,8 @@ object Oracles {
          |      JOIN tk ON tk.doc_id = d.doc_id
          |      JOIN q ON q.doc_id = d.doc_id
          |      LEFT JOIN cn ON cn.doc_id = d.doc_id)
-         |SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+         |SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source,
+         | CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
          | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          | CAST(sum(pq) AS BIGINT) AS n_quality, CAST(sum(pc) AS BIGINT) AS n_canonical
@@ -1239,15 +1240,35 @@ object Oracles {
         |SELECT o_custkey FROM orders WHERE o_totalprice > 200000
         |ORDER BY o_custkey""".stripMargin,
 
+    // The Spark side renders a deterministic gradient PNG per doc (width
+    // 16+n%32, height 16+7n%32, pixel luma base+x+y with base =
+    // (first+last byte)%160) and decodes it through the REAL ImageIO
+    // codec; the oracle predicts what the codec must read back in closed
+    // form. brightness = mean luma = floor(sum(base+x+y) / (w*h)).
     "multimodal_decode" ->
-      """SELECT doc_id,
-        | CAST(16 + octet_length(encode(text)) % 32 AS BIGINT) AS width,
-        | CAST(16 + (octet_length(encode(text)) * 7) % 32 AS BIGINT) AS height,
-        | CAST(3 AS BIGINT) AS channels,
-        | CAST((CASE WHEN length(text) > 0
-        |   THEN ascii(substring(text, 1, 1)) + ascii(substring(text, length(text), 1))
-        |   ELSE 0 END) % 256 AS BIGINT) AS brightness
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH f AS (SELECT doc_id,
+        |   CAST(16 + octet_length(encode(text)) % 32 AS BIGINT) AS w,
+        |   CAST(16 + (octet_length(encode(text)) * 7) % 32 AS BIGINT) AS h,
+        |   CAST(CASE WHEN length(text) > 0
+        |     THEN (ascii(substring(text, 1, 1)) + ascii(substring(text, length(text), 1))) % 160
+        |     ELSE 0 END AS BIGINT) AS base
+        | FROM documents)
+        |SELECT doc_id, w AS width, h AS height, CAST(3 AS BIGINT) AS channels,
+        | (w*h*base + h*(w*(w-1)//2) + w*(h*(h-1)//2)) // (w*h) AS brightness
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "multimodal_luma_hist" ->
+      """WITH f AS (SELECT doc_id,
+        |   CAST(16 + octet_length(encode(text)) % 32 AS BIGINT) AS w,
+        |   CAST(16 + (octet_length(encode(text)) * 7) % 32 AS BIGINT) AS h,
+        |   CAST(CASE WHEN length(text) > 0
+        |     THEN (ascii(substring(text, 1, 1)) + ascii(substring(text, length(text), 1))) % 160
+        |     ELSE 0 END AS BIGINT) AS base
+        | FROM documents),
+        |fx AS (SELECT doc_id, h, base, unnest(generate_series(0, w - 1)) AS x FROM f),
+        |fxy AS (SELECT doc_id, base, x, unnest(generate_series(0, h - 1)) AS y FROM fx)
+        |SELECT doc_id, CAST((base + x + y) // 32 AS BIGINT) AS bucket, count(*) AS n_px
+        |FROM fxy GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
 
     "multimodal_resize" ->
       """WITH f AS (SELECT doc_id,
@@ -1257,9 +1278,9 @@ object Oracles {
         |SELECT doc_id, width, height,
         | CASE WHEN width <= 32 AND height <= 32 THEN width
         |      WHEN width >= height THEN 32
-        |      ELSE (width * 32) // height END AS rw,
+        |      ELSE GREATEST(1, (width * 32) // height) END AS rw,
         | CASE WHEN width <= 32 AND height <= 32 THEN height
-        |      WHEN width >= height THEN (height * 32) // width
+        |      WHEN width >= height THEN GREATEST(1, (height * 32) // width)
         |      ELSE 32 END AS rh
         |FROM f ORDER BY doc_id""".stripMargin,
 
@@ -1981,6 +2002,33 @@ object Oracles {
         |r3 AS (SELECT deg.node, 150000 + (850 * COALESCE(c3.s, 0)) // 1000 AS r
         |       FROM deg LEFT JOIN c3 ON deg.node = c3.node)
         |SELECT node, CAST(r AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    "graph_pagerank_delta" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s GROUP BY 1, 2),
+        |bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS d FROM bi GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |c1 AS (SELECT bi.dst AS node, sum(r0.r // deg.d) AS s FROM bi
+        |       JOIN r0 ON bi.src = r0.node JOIN deg ON bi.src = deg.node GROUP BY 1),
+        |r1 AS (SELECT deg.node, 150000 + (850 * COALESCE(c1.s, 0)) // 1000 AS r
+        |       FROM deg LEFT JOIN c1 ON deg.node = c1.node),
+        |c2 AS (SELECT bi.dst AS node, sum(r1.r // deg.d) AS s FROM bi
+        |       JOIN r1 ON bi.src = r1.node JOIN deg ON bi.src = deg.node GROUP BY 1),
+        |r2 AS (SELECT deg.node, 150000 + (850 * COALESCE(c2.s, 0)) // 1000 AS r
+        |       FROM deg LEFT JOIN c2 ON deg.node = c2.node),
+        |c3 AS (SELECT bi.dst AS node, sum(r2.r // deg.d) AS s FROM bi
+        |       JOIN r2 ON bi.src = r2.node JOIN deg ON bi.src = deg.node GROUP BY 1),
+        |r3 AS (SELECT deg.node, 150000 + (850 * COALESCE(c3.s, 0)) // 1000 AS r
+        |       FROM deg LEFT JOIN c3 ON deg.node = c3.node),
+        |d AS (
+        | SELECT 1 AS iter, max(abs(r1.r - r0.r)) AS md FROM r1 JOIN r0 ON r1.node = r0.node
+        | UNION ALL
+        | SELECT 2, max(abs(r2.r - r1.r)) FROM r2 JOIN r1 ON r2.node = r1.node
+        | UNION ALL
+        | SELECT 3, max(abs(r3.r - r2.r)) FROM r3 JOIN r2 ON r3.node = r2.node)
+        |SELECT CAST(iter AS BIGINT) AS iter, CAST(md AS BIGINT) AS max_delta
+        |FROM d ORDER BY iter""".stripMargin,
 
     "timeseries_gapfill" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, value FROM events

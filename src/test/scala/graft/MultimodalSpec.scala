@@ -15,12 +15,45 @@ class MultimodalSpec extends SparkSpec {
     assert(p.head().getAs[Long]("n_bytes") === 5L)
   }
 
-  test("decode stub: deterministic features, empty payload safe") {
+  test("real decode: ImageIO raster measurements land on the closed form") {
     val d = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
     val f = Multimodal.decodeAll(spark, d).collect().map(x => x.doc_id -> x).toMap
-    assert(f(1L).width === 16L + 3 % 32)
-    assert(f(1L).brightness === ('a'.toLong + 'c'.toLong) % 256)
-    assert(f(2L).width === 16L && f(2L).brightness === 0L, "empty payload must not throw")
+    // "abc": n=3 -> w=19, h=37, base=(97+99)%160=36
+    // mean luma = floor((w*h*base + h*w(w-1)/2 + w*h(h-1)/2) / (w*h)) = 63
+    assert(f(1L).width === 19L && f(1L).height === 37L)
+    assert(f(1L).channels === 3L)
+    assert(f(1L).brightness === 63L)
+    // empty payload: 16x16, base 0 -> mean luma = 3840/256 = 15
+    assert(f(2L).width === 16L && f(2L).height === 16L && f(2L).brightness === 15L,
+      "empty payload must decode a minimal image, not throw")
+  }
+
+  test("encodePng -> decodeImage round-trips through the real PNG codec") {
+    val bytes = Multimodal.encodePng("hello world".getBytes("UTF-8"))
+    // PNG magic: the synthetic image really is a PNG container
+    assert((bytes(0) & 0xff) === 0x89 && bytes(1) === 'P'.toByte)
+    val dec = Multimodal.decodeImage(bytes)
+    val n = 11L
+    assert(dec.width === (16 + n % 32) && dec.height === (16 + (n * 7) % 32))
+    assert(dec.channels === 3)
+    assert(dec.hist.sum === dec.width.toLong * dec.height, "histogram covers every pixel")
+    // gradient floor: min luma = base = ('h'+'d')%160, at pixel (0,0)
+    val base = ('h'.toInt + 'd'.toInt) % 160
+    assert(dec.hist.take(base / 32).forall(_ === 0L), "no pixel darker than base")
+  }
+
+  test("decodeImage rejects non-image bytes loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("resize really resamples: reported dims are the resampled raster's") {
+    // 300-char doc: n=300 -> w=16+300%32=28, h=16+2100%32=16+20=36 (>32: portrait branch)
+    val d = Seq((1L, "x" * 300)).toDF("doc_id", "text")
+    val r = Multimodal.resizeTo(spark, d, 32).head()
+    assert(r.getLong(1) === 28L && r.getLong(2) === 36L)
+    assert(r.getLong(3) === (28L * 32L) / 36L && r.getLong(4) === 32L)
   }
 
   test("decode batches per partition, preserving row count and ids") {
@@ -36,10 +69,6 @@ class MultimodalSpec extends SparkSpec {
     val rows = Multimodal.frameSample(spark, d, 3).orderBy("frame_idx")
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(rows.toSeq === Seq((0L, 'a'.toLong), (3L, 'd'.toLong), (6L, 'g'.toLong)))
-  }
-
-  test("real decode is an explicit stub") {
-    intercept[NotImplementedError] { Multimodal.decodeImage(Array[Byte](1, 2)) }
   }
 
   test("IVF finds the same top result as brute force when recall allows") {
