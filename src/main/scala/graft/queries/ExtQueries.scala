@@ -1738,6 +1738,44 @@ object ExtQueries {
       .orderBy("rep")
   }
 
+  /** PRECISION-GATED winnowing clusters — [[dedupWinnowingClusters]]'s
+    * recall-maximal contraction composed with the Jaccard-vs-
+    * representative verify hop its scaladoc prescribes (the same star
+    * verification as Dedup.jaccardClusters): each doc's winnowing-
+    * fingerprint Jaccard is computed against its candidate representative
+    * ONLY (one co-partitioned fp equi-join — never all bucket pairs), and
+    * docs below the threshold fall back to singleton clusters. Rows-out
+    * stays linear in distinct content and the verify cost is one bounded
+    * intersection per doc, so the 100 TB posture of the cluster tier is
+    * kept while its precision becomes measured, not asserted: the
+    * over-merged one-hop contraction (~135 reps) must re-expand to the
+    * verified content groups (~476 on this corpus). */
+  def dedupWinnowingVerified(spark: SparkSession, dir: String): DataFrame = {
+    val fp = winnowFingerprints(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketRep = fp.groupBy("fp_sh").agg(min("doc_id").as("grp_rep"))
+    val docRep = fp.join(bucketRep, Seq("fp_sh"))
+      .groupBy("doc_id").agg(min("grp_rep").as("rep"))
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = docRep.filter(col("doc_id") =!= col("rep"))
+      .join(fp, Seq("doc_id"))
+      .join(fp.select(col("doc_id").as("rep"), col("fp_sh")), Seq("rep", "fp_sh"))
+      .groupBy("doc_id", "rep").agg(count(lit(1)).as("inter"))
+    docRep
+      .join(inter, Seq("doc_id", "rep"), "left_outer")
+      .join(sizes, Seq("doc_id"))
+      .join(sizes.select(col("doc_id").as("rep"), col("n").as("rn")), Seq("rep"))
+      .withColumn("jaccard",
+        coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n") + col("rn") - coalesce(col("inter"), lit(0L))))
+      .withColumn("cluster",
+        when(col("doc_id") === col("rep") || col("jaccard") >= 0.5, col("rep"))
+          .otherwise(col("doc_id")))
+      .groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+      .select(col("cluster").as("rep"), col("n_docs"))
+      .orderBy("rep")
+  }
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL is a
     * legitimate dimension key (the "unknown" bucket every warehouse
     * has) — a plain equi-join silently drops the NULL group; the
@@ -2159,6 +2197,7 @@ object ExtQueries {
     "text_winnowing" -> (textWinnowing _),
     "dedup_winnowing" -> (dedupWinnowing _),
     "dedup_winnowing_clusters" -> (dedupWinnowingClusters _),
+    "dedup_winnowing_verified" -> (dedupWinnowingVerified _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),

@@ -1193,6 +1193,35 @@ object Oracles {
          |SELECT rep, count(*) AS n_docs FROM docrep GROUP BY rep ORDER BY rep""".stripMargin
     },
 
+    "dedup_winnowing_verified" -> {
+      val sh = ch("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]")
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |t AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS pos FROM w),
+         |h AS (SELECT doc_id, pos, ($sh) * 16777216 + pos AS c FROM t),
+         |sel AS (SELECT doc_id, pos, min(c) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM h),
+         |fp AS (SELECT DISTINCT doc_id, sel // 16777216 AS fp_sh FROM sel WHERE pos >= 4),
+         |grp AS (SELECT fp_sh, min(doc_id) AS grp_rep FROM fp GROUP BY fp_sh),
+         |docrep AS (SELECT f.doc_id, min(g.grp_rep) AS rep
+         |           FROM fp f JOIN grp g ON f.fp_sh = g.fp_sh GROUP BY f.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+         |inter AS (SELECT dr.doc_id, dr.rep, count(*) AS i
+         |          FROM docrep dr
+         |          JOIN fp a ON a.doc_id = dr.doc_id
+         |          JOIN fp b ON b.doc_id = dr.rep AND b.fp_sh = a.fp_sh
+         |          WHERE dr.doc_id <> dr.rep GROUP BY 1, 2),
+         |v AS (SELECT dr.doc_id, dr.rep,
+         |        CAST(coalesce(i.i, 0) AS DOUBLE) /
+         |          (sa.n + sr.n - coalesce(i.i, 0)) AS jac
+         |      FROM docrep dr
+         |      LEFT JOIN inter i ON i.doc_id = dr.doc_id AND i.rep = dr.rep
+         |      JOIN sz sa ON sa.doc_id = dr.doc_id
+         |      JOIN sz sr ON sr.doc_id = dr.rep),
+         |cl AS (SELECT CASE WHEN doc_id = rep OR jac >= 0.5 THEN rep ELSE doc_id END AS rep
+         |       FROM v)
+         |SELECT rep, count(*) AS n_docs FROM cl GROUP BY rep ORDER BY rep""".stripMargin
+    },
+
     "join_null_safe" ->
       """WITH e AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS etype, value
         |           FROM events),
