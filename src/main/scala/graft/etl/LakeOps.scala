@@ -1,44 +1,67 @@
 package graft.etl
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Lake-table maintenance on plain partitioned parquet. */
+/** Lake-table maintenance on plain partitioned parquet, with a
+  * MANIFEST-COMMITTED promote: every mutation (merge / delete / compact)
+  * stages its rewritten partitions out of readers' sight, moves the new
+  * files in ADDITIVELY (old files untouched), and then switches the
+  * table's live-file set with ONE atomic rename of a manifest file — so a
+  * reader that resolves through the manifest ([[readTable]]) observes the
+  * table either fully pre-mutation or fully post-mutation, across ALL
+  * partitions, no matter where a crash lands. This is the single-file
+  * essence of what a log-based table format (Delta/Iceberg) provides,
+  * without the format dependency:
+  *
+  *   - manifest = `_graft_manifest_v<N>` at the table root (underscore
+  *     prefix: invisible to plain parquet listing), one relative data-file
+  *     path per line; highest N wins. Written to a dot-prefixed temp file
+  *     and renamed into place — rename-to-fresh-name is atomic on
+  *     HDFS/POSIX semantics, and readers take max(N), so a half-written
+  *     manifest (temp name) is never resolvable.
+  *   - single writer assumed (the reference pipeline's model); concurrent
+  *     READERS get snapshot isolation from the manifest switch.
+  *   - one manifest file scales to ~10^6 files (≈100 MB of paths); beyond
+  *     that, sharded manifests — true table-format territory.
+  *
+  * Crash matrix (recovery = re-run the mutation, or re-run
+  * [[promoteStaged]] with the same staging dir — both safe, both
+  * idempotent via the staging-id file prefix):
+  *   - crash mid-STAGE: table + manifest untouched, staging dir is
+  *     invisible garbage ([[vacuum]] collects it).
+  *   - crash mid-MOVE: manifest still lists only pre-state files; the
+  *     moved-in files are unreferenced orphans (manifest readers never
+  *     see them; vacuum or the next promote's cleanup collects them).
+  *   - crash between MANIFEST COMMIT and CLEANUP: readers see the full
+  *     post-state; displaced old files linger unreferenced until vacuum.
+  */
 object LakeOps {
+
+  private val ManifestPrefix = "_graft_manifest_v"
 
   /** MERGE INTO emulation: upsert `updates` (new keys insert, existing
     * keys replace) into a `partCol`-partitioned parquet table, rewriting
-    * ONLY the partitions the batch touches, with a staged-commit write:
+    * ONLY the partitions the batch touches:
     *
     *  1. the affected partition VALUES are collected (metadata-scale —
-    *     one row per touched partition, same move as the pipeline's
-    *     literal-date sink anti-join);
+    *     one row per touched partition);
     *  2. the base read is filtered to those values, so partition pruning
     *     keeps every untouched partition unread;
     *  3. matched keys drop via a left-anti join, the update batch unions
     *     in, and the merged partitions are written to a STAGING directory
     *     ([[stageMerge]]) — a dot-prefixed child of the table dir, which
-    *     parquet listing ignores, so readers never see it. The base table
-    *     is untouched while the expensive, failure-prone data write runs:
-    *     a crash anywhere in it leaves the table byte-identical.
-    *  4. [[promoteStaged]] swaps each staged partition directory in with
-    *     two metadata-only renames (old dir aside, staged dir in). Each
-    *     partition's swap is atomic on HDFS/POSIX semantics; a crash
-    *     mid-promote leaves every partition either fully old or fully new
-    *     (never partial files), and the displaced originals are kept
-    *     under the staging dir until the final cleanup, so recovery is
-    *     "rename back or re-promote". Table-level atomicity across
-    *     partitions is the province of a log-based table format
-    *     (Delta/Iceberg) and out of scope; what this removes is the
-    *     window where a crash mid-WRITE corrupts served data.
+    *     parquet listing ignores, so readers never see it. A crash
+    *     anywhere in the expensive data write leaves the table
+    *     byte-identical;
+    *  4. [[promoteStaged]] moves the staged files in and commits the new
+    *     live-file set with one atomic manifest rename (see object doc).
     *
     * At 100 TB this is the difference between a full-table rewrite and
     * touching the day's partitions. Clustering by `partCol` before the
     * write keeps one writer per partition (no tasks x partitions file
-    * spray). Concurrent readers can see a mix of pre/post-merge
-    * partitions during the (brief, metadata-only) promote loop.
-    */
+    * spray). */
   def mergeInto(spark: SparkSession, sinkDir: String, updates: DataFrame,
                 keyCol: String, partCol: String): Unit = {
     val staging = stageMerge(spark, sinkDir, updates, keyCol, partCol)
@@ -47,14 +70,15 @@ object LakeOps {
 
   /** Phase 1: materialize the merged touched partitions under
     * `sinkDir/.graft_staging_<nanos>` and return that path. The base
-    * table is only READ; nothing under `sinkDir` visible to a reader is
-    * created, changed, or deleted. */
+    * table is only READ (through the manifest, so orphans from a crashed
+    * earlier promote are never double-counted); nothing under `sinkDir`
+    * visible to a reader is created, changed, or deleted. */
   def stageMerge(spark: SparkSession, sinkDir: String, updates: DataFrame,
                  keyCol: String, partCol: String): String = {
     val affected = updates.select(partCol).distinct().collect().map(_.get(0))
     // bootstrap: a missing or empty table (no data files — e.g. a freshly
     // created sink) merges against an empty base with the updates' schema
-    val base = scala.util.Try(spark.read.parquet(sinkDir))
+    val base = scala.util.Try(readTable(spark, sinkDir))
       .getOrElse(updates.limit(0))
       .filter(col(partCol).isin(affected: _*))
     val merged = base.join(updates.select(keyCol), Seq(keyCol), "left_anti")
@@ -69,21 +93,16 @@ object LakeOps {
     * `keys` (a one-column frame), rewriting ONLY the partitions that
     * contain at least one matching row — found with a column-pruned
     * (partCol, keyCol) scan semi-joined against the broadcast key set, so
-    * untouched partitions are never read past their footers. The rewrite
-    * rides the same staged-write + rename-promote machinery as
-    * [[mergeInto]] (crash mid-delete leaves the table byte-identical;
-    * promote is metadata-only renames).
-    *
-    * A partition whose every row is deleted produces NO staged directory
-    * — [[promoteStaged]] alone would leave the stale original in place —
-    * so affected-but-unstaged partition dirs are dropped explicitly after
-    * the promote. At 100 TB the cost profile is the GDPR job's ideal:
-    * scan (2 columns) + rewrite only the partitions the subjects appear
-    * in. */
+    * untouched partitions are never read past their footers. A partition
+    * whose every row is deleted produces NO staged directory; it is
+    * passed to the promote as an explicit drop, so its files leave the
+    * manifest in the same atomic switch. At 100 TB the cost profile is
+    * the GDPR job's ideal: scan (2 columns) + rewrite only the
+    * partitions the subjects appear in. */
   def deleteKeys(spark: SparkSession, sinkDir: String, keys: DataFrame,
                  keyCol: String, partCol: String): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val base = spark.read.parquet(sinkDir)
+    val base = readTable(spark, sinkDir)
     val affected = base.select(partCol, keyCol)
       .join(broadcast(keys), Seq(keyCol), "left_semi")
       .select(partCol).distinct().collect().map(_.get(0))
@@ -94,57 +113,222 @@ object LakeOps {
     val staging = s"$sinkDir/.graft_staging_${System.nanoTime()}"
     kept.repartition(col(partCol))
       .write.mode("error").partitionBy(partCol).parquet(staging)
-    val fs = new Path(sinkDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = {
-      val p = new Path(staging)
-      if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSet
-      else Set.empty[String]
-    }
-    promoteStaged(spark, sinkDir, staging)
-    for (v <- affected) {
-      val dirName = s"$partCol=$v"
-      if (!staged.contains(dirName)) fs.delete(new Path(sinkDir, dirName), true)
-    }
+    promoteStaged(spark, sinkDir, staging,
+      dropParts = affected.map(v => s"$partCol=$v").toSet)
   }
 
-  /** Small-file COMPACTION — the other standing lake-maintenance job: a
-    * streaming sink or per-task writers leave each partition as many
-    * small files (here: whatever the table accumulated); rewrite every
-    * partition's data clustered to ONE writer per partition so each
-    * partition becomes a single right-sized file, using the same
-    * staged-write + rename-promote machinery as [[mergeInto]] (crash
-    * mid-compact leaves the table untouched; promote is metadata-only).
-    * Row content is byte-for-byte preserved — compaction only changes
-    * the file layout. At 100 TB this runs per-partition incrementally;
-    * the single parallel `repartition(partCol)` here is that same job
-    * fanned over all partitions at once. */
+  /** Small-file COMPACTION — the other standing lake-maintenance job:
+    * rewrite every partition's data clustered to ONE writer per
+    * partition so each partition becomes a single right-sized file,
+    * through the same stage + manifest-commit machinery. Row content is
+    * byte-for-byte preserved — compaction only changes the file
+    * layout. At 100 TB this runs per-partition incrementally; the single
+    * parallel `repartition(partCol)` here is that same job fanned over
+    * all partitions at once. */
   def compact(spark: SparkSession, sinkDir: String, partCol: String): Unit = {
     val staging = s"$sinkDir/.graft_staging_${System.nanoTime()}"
-    spark.read.parquet(sinkDir)
+    readTable(spark, sinkDir)
       .repartition(col(partCol))
       .write.mode("error").partitionBy(partCol).parquet(staging)
     promoteStaged(spark, sinkDir, staging)
   }
 
-  /** Phase 2: swap every `part=value` directory under `staging` into
-    * `sinkDir` — displaced originals go under `staging/.replaced/` until
-    * the staging dir is dropped at the end. Pure metadata renames, no
-    * data I/O. Idempotent per partition: re-running after a mid-loop
-    * crash re-promotes the remaining staged partitions. */
-  def promoteStaged(spark: SparkSession, sinkDir: String, staging: String): Unit = {
-    val fs = new Path(sinkDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(sinkDir)) // first merge may be creating the table
-    val stagingPath = new Path(staging)
-    val trash = new Path(stagingPath, ".replaced")
-    fs.mkdirs(trash)
-    val parts = fs.listStatus(stagingPath)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-    for (p <- parts) {
-      val dest = new Path(sinkDir, p.getPath.getName)
-      if (fs.exists(dest)) fs.rename(dest, new Path(trash, p.getPath.getName))
-      if (!fs.rename(p.getPath, dest))
-        throw new java.io.IOException(s"promote failed for ${p.getPath} -> $dest")
+  /** Phase 2: commit the staged mutation. Sub-phases (each individually
+    * crash-safe — see the object doc's crash matrix):
+    * freeze pre-state → move staged files in (additive) → atomic
+    * manifest switch → cleanup. `dropParts` names partition directories
+    * whose rows were deleted entirely (no staged replacement) — they
+    * leave the manifest in the same switch. */
+  def promoteStaged(spark: SparkSession, sinkDir: String, staging: String,
+                    dropParts: Set[String] = Set.empty): Unit = {
+    val root = new Path(sinkDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root) // first merge may be creating the table
+    val pre = freezePreState(fs, root)
+    val moved = moveStagedIn(fs, root, new Path(staging))
+    commitManifest(fs, root, pre, moved, dropParts)
+    cleanup(fs, root, new Path(staging), pre, moved, dropParts)
+  }
+
+  /** Read a lake table through its manifest when one exists — the reader
+    * contract that makes the promote atomic table-wide: the file set is
+    * whatever the highest-version manifest lists, so a mid-promote crash
+    * is invisible (orphaned moved-in files are not listed; displaced
+    * not-yet-cleaned files still are). Falls back to plain directory
+    * listing for never-promoted tables. */
+  def readTable(spark: SparkSession, sinkDir: String): DataFrame = {
+    val root = new Path(sinkDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentManifest(fs, root) match {
+      case Some((_, mp)) =>
+        val files = readManifest(fs, mp)
+        require(files.nonEmpty, s"manifest lists no live files for $sinkDir")
+        spark.read.option("basePath", sinkDir)
+          .parquet(files.map(f => s"$sinkDir/$f"): _*)
+      case None => spark.read.parquet(sinkDir)
     }
-    fs.delete(stagingPath, true)
+  }
+
+  /** Garbage collection: delete every data file not referenced by the
+    * current manifest, every stale staging directory, and every
+    * superseded manifest version. Safe to run any time under the
+    * single-writer assumption — live data is exactly the manifest's
+    * list. No-op on never-promoted tables (no manifest = no orphan
+    * provenance to reason from). */
+  def vacuum(spark: SparkSession, sinkDir: String): Unit = {
+    val root = new Path(sinkDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentManifest(fs, root).foreach { case (ver, mp) =>
+      val live = readManifest(fs, mp).toSet
+      for (f <- listDataFiles(fs, root) if !live.contains(f))
+        fs.delete(new Path(root, f), false)
+      for (s <- fs.listStatus(root)
+           if s.getPath.getName.startsWith(".graft_staging_"))
+        fs.delete(s.getPath, true)
+      for ((v, p) <- allManifests(fs, root) if v < ver) fs.delete(p, false)
+      // partition dirs emptied by deletes/vacuum
+      for (s <- fs.listStatus(root)
+           if s.isDirectory && s.getPath.getName.contains("=")
+             && fs.listStatus(s.getPath).isEmpty)
+        fs.delete(s.getPath, true)
+    }
+  }
+
+  // ---- promote sub-phases (package-visible for crash-injection specs) --
+
+  /** The pre-mutation live state: (manifest version, relative file
+    * paths). A never-promoted table gets a bootstrap manifest v1 written
+    * from the directory listing FIRST, so even the first promote's
+    * switch is protected. */
+  private[graft] def freezePreState(fs: FileSystem, root: Path): (Long, Seq[String]) =
+    currentManifest(fs, root) match {
+      case Some((v, p)) => (v, readManifest(fs, p))
+      case None =>
+        val files = listDataFiles(fs, root)
+        writeManifest(fs, root, 1L, files)
+        (1L, files)
+    }
+
+  /** Additive move: every staged partition's data files rename into the
+    * live partition directory under a staging-id-prefixed name (old
+    * files untouched — a manifest reader cannot observe the move).
+    * Returns partitionDirName -> relative moved paths. Idempotent for a
+    * given staging dir: files already moved by a crashed earlier attempt
+    * are recognised by their prefix and folded into the result, so a
+    * re-promote commits the complete file set. */
+  private[graft] def moveStagedIn(fs: FileSystem, root: Path,
+                                  staging: Path): Map[String, Seq[String]] = {
+    val stagingId = staging.getName.stripPrefix(".graft_staging_")
+    val parts = fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    parts.map { p =>
+      val destDir = new Path(root, p.getPath.getName)
+      fs.mkdirs(destDir)
+      val fresh = fs.listStatus(p.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val destName = s"graft-$stagingId-${f.getPath.getName}"
+          if (!fs.rename(f.getPath, new Path(destDir, destName)))
+            throw new java.io.IOException(
+              s"move failed: ${f.getPath} -> $destDir/$destName")
+          s"${p.getPath.getName}/$destName"
+        }.toSeq
+      val earlier = fs.listStatus(destDir)
+        .filter(s => s.isFile && s.getPath.getName.startsWith(s"graft-$stagingId-"))
+        .map(s => s"${p.getPath.getName}/${s.getPath.getName}").toSeq
+      p.getPath.getName -> (fresh ++ earlier).distinct
+    }.toMap
+  }
+
+  /** THE commit point: one rename makes version pre+1 the table. Live
+    * set = untouched partitions' previous files + touched partitions'
+    * moved-in files (drop-partitions contribute nothing). */
+  private[graft] def commitManifest(fs: FileSystem, root: Path,
+                                    pre: (Long, Seq[String]),
+                                    moved: Map[String, Seq[String]],
+                                    dropParts: Set[String]): Unit = {
+    val touched = moved.keySet ++ dropParts
+    val kept = pre._2.filterNot(f => touched.contains(partOf(f)))
+    writeManifest(fs, root, pre._1 + 1, (kept ++ moved.values.flatten).sorted)
+  }
+
+  /** Post-commit housekeeping (readers already switched): displaced and
+    * orphaned files of touched partitions, emptied partition dirs,
+    * superseded manifests, the staging dir. */
+  private[graft] def cleanup(fs: FileSystem, root: Path, staging: Path,
+                             pre: (Long, Seq[String]),
+                             moved: Map[String, Seq[String]],
+                             dropParts: Set[String]): Unit = {
+    val touched = moved.keySet ++ dropParts
+    for (part <- touched) {
+      val dir = new Path(root, part)
+      if (fs.exists(dir)) {
+        val keep = moved.getOrElse(part, Seq.empty).map(_.split('/').last).toSet
+        for (s <- fs.listStatus(dir)
+             if s.isFile && s.getPath.getName.endsWith(".parquet")
+               && !keep.contains(s.getPath.getName))
+          fs.delete(s.getPath, false)
+        if (keep.isEmpty) fs.delete(dir, true)
+      }
+    }
+    for ((v, p) <- allManifests(fs, root) if v <= pre._1) fs.delete(p, false)
+    fs.delete(staging, true)
+  }
+
+  // ---- manifest primitives --------------------------------------------
+
+  private def partOf(relPath: String): String = relPath.split('/').head
+
+  private def allManifests(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(ManifestPrefix))
+      .flatMap { s =>
+        scala.util.Try(s.getPath.getName.stripPrefix(ManifestPrefix).toLong)
+          .toOption.map(_ -> s.getPath)
+      }
+
+  private[graft] def currentManifest(fs: FileSystem, root: Path): Option[(Long, Path)] = {
+    val all = allManifests(fs, root)
+    if (all.isEmpty) None else Some(all.maxBy(_._1))
+  }
+
+  private def readManifest(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+  }
+
+  /** Write manifest version `v`: dot-prefixed temp file (invisible to
+    * both parquet listing and manifest resolution), then the atomic
+    * rename that IS the commit. */
+  private def writeManifest(fs: FileSystem, root: Path, v: Long,
+                            files: Seq[String]): Unit = {
+    val tmp = new Path(root, s".graft_manifest_tmp_${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try out.write(
+      (s"# graft manifest v$v\n" + files.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(root, s"$ManifestPrefix$v")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"manifest commit failed: $tmp -> $dest")
+  }
+
+  /** Relative paths of all data files under `root` (recursive), skipping
+    * hidden (dot/underscore-prefixed) entries — the plain-listing view of
+    * a never-promoted table. */
+  private[graft] def listDataFiles(fs: FileSystem, root: Path): Seq[String] = {
+    def walk(p: Path, rel: String): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        val name = s.getPath.getName
+        if (name.startsWith(".") || name.startsWith("_")) Seq.empty
+        else if (s.isDirectory) walk(s.getPath, s"$rel$name/")
+        else if (name.endsWith(".parquet")) Seq(s"$rel$name")
+        else Seq.empty
+      }
+    if (fs.exists(root)) walk(root, "") else Seq.empty
   }
 }

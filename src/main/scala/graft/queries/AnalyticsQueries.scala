@@ -159,7 +159,7 @@ object AnalyticsQueries {
       .write.mode("overwrite").partitionBy("event_date").parquet(out)
     val subjects = e.filter(col("user_id") % 50 === 0).select("user_id").distinct()
     graft.etl.LakeOps.deleteKeys(spark, out, subjects, "user_id", "event_date")
-    spark.read.parquet(out)
+    graft.etl.LakeOps.readTable(spark, out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))

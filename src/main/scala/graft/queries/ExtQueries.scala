@@ -1162,7 +1162,9 @@ object ExtQueries {
       .unionByName(e.filter(col("event_id") % 5 =!= 0 && col("event_id") % 7 === 0)
         .withColumn("value", col("value") * 2))
     graft.etl.LakeOps.mergeInto(spark, out, updates, "event_id", "event_date")
-    spark.read.parquet(out)
+    // read back through the manifest — the snapshot-isolated reader
+    // contract the promote's atomicity is defined against
+    graft.etl.LakeOps.readTable(spark, out)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -1882,7 +1884,7 @@ object ExtQueries {
         fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")).toLong)
       .toMap
     import spark.implicits._
-    val counts = spark.read.parquet(out)
+    val counts = graft.etl.LakeOps.readTable(spark, out)
       .groupBy(col("event_date").cast("string").as("event_date"))
       .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_id"))
     val filesDf = filesPerPart.toSeq.toDF("event_date", "files_after")

@@ -137,36 +137,105 @@ class LakeOpsSpec extends SparkSpec {
     assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith(".graft_staging")))
   }
 
-  test("crash mid-promote: partitions are fully old or fully new; re-promote finishes") {
+  private def manifestRead(out: String) =
+    LakeOps.readTable(spark, out)
+      .select(col("id"), col("d").cast("string").as("d"), col("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+
+  private val mergedContent = Map(
+    1L -> (("2024-01-01", 77.0)),
+    2L -> (("2024-01-01", 20.0)),
+    3L -> (("2024-01-02", 88.0)))
+
+  test("crash mid-promote: manifest readers see fully-old until the commit rename, fully-new after") {
     val out = graft.queries.Staging.tmpDir("lakeops-midcrash")
     writeBase(out)
     val updates = Seq((1L, "2024-01-01", 77.0), (3L, "2024-01-02", 88.0)).toDF("id", "d", "v")
     val staging = LakeOps.stageMerge(spark, out, updates, "id", "d")
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // simulate a crash after the first partition's swap: do one rename
-    // pair by hand, exactly as promoteStaged would, then "die"
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val one = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+    // drive the promote phase by phase, "dying" between each
+    val pre = LakeOps.freezePreState(fs, root)
+    assert(manifestRead(out) === baseContent, "bootstrap manifest freezes pre-state")
+
+    val moved = LakeOps.moveStagedIn(fs, root, new org.apache.hadoop.fs.Path(staging))
+    // crash point: new files are IN the live partition dirs of BOTH
+    // touched partitions, manifest not yet switched — a manifest reader
+    // still sees the complete pre-merge table, never a partition-wise mix
+    assert(manifestRead(out) === baseContent,
+      "mid-move: reader must observe the fully-old table")
+
+    LakeOps.commitManifest(fs, root, pre, moved, Set.empty)
+    // crash point: manifest switched, displaced files not yet cleaned —
+    // reader sees the complete post-merge table across ALL partitions
+    assert(manifestRead(out) === mergedContent,
+      "post-commit: reader must observe the fully-new table")
+
+    LakeOps.cleanup(fs, root, new org.apache.hadoop.fs.Path(staging), pre, moved, Set.empty)
+    // settled: plain listing agrees with the manifest again
+    assert(readTable(out) === mergedContent)
+    assert(manifestRead(out) === mergedContent)
+    assert(!new java.io.File(staging).exists(), "staging dir cleaned up")
+  }
+
+  test("re-promote after a crash mid-move folds already-moved files in (no loss, no dupes)") {
+    val out = graft.queries.Staging.tmpDir("lakeops-remote")
+    writeBase(out)
+    val updates = Seq((1L, "2024-01-01", 77.0), (3L, "2024-01-02", 88.0)).toDF("id", "d", "v")
+    val staging = LakeOps.stageMerge(spark, out, updates, "id", "d")
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // simulate the crash: ONE staged file made it in (with the exact
+    // staging-id prefix moveStagedIn uses), then the process died
+    val stagingId = new org.apache.hadoop.fs.Path(staging).getName
+      .stripPrefix(".graft_staging_")
+    val onePart = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=")).head
-    val dest = new org.apache.hadoop.fs.Path(out, one.getPath.getName)
-    val trash = new org.apache.hadoop.fs.Path(s"$staging/.replaced")
-    fs.mkdirs(trash)
-    fs.rename(dest, new org.apache.hadoop.fs.Path(trash, one.getPath.getName))
-    fs.rename(one.getPath, dest)
+    val oneFile = fs.listStatus(onePart.getPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head
+    val dest = new org.apache.hadoop.fs.Path(root, onePart.getPath.getName)
+    fs.mkdirs(dest)
+    assert(fs.rename(oneFile.getPath,
+      new org.apache.hadoop.fs.Path(dest, s"graft-$stagingId-${oneFile.getPath.getName}")))
 
-    // mid-crash state: every partition is a complete directory (one new,
-    // one old) — the table still reads consistently, no partial files
-    val mid = readTable(out)
-    val promoted = one.getPath.getName.stripPrefix("d=")
-    assert(mid.values.map(_._1).toSet.contains(promoted))
-    assert(mid.size === 3, s"consistent row count mid-promote: $mid")
-
-    // recovery = run the promote again; it swaps what's left
+    // recovery = run the promote again with the same staging dir: the
+    // orphaned file is recognised by its prefix and committed alongside
+    // the rest — nothing lost, nothing double-counted
     LakeOps.promoteStaged(spark, out, staging)
-    assert(readTable(out) === Map(
-      1L -> (("2024-01-01", 77.0)),
-      2L -> (("2024-01-01", 20.0)),
-      3L -> (("2024-01-02", 88.0))))
+    assert(manifestRead(out) === mergedContent)
+    assert(readTable(out) === mergedContent)
+  }
+
+  test("vacuum collects orphans from an abandoned promote; table reads unchanged") {
+    val out = graft.queries.Staging.tmpDir("lakeops-vacuum")
+    writeBase(out)
+    val updates = Seq((1L, "2024-01-01", 77.0)).toDF("id", "d", "v")
+    val staging = LakeOps.stageMerge(spark, out, updates, "id", "d")
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // abandoned attempt: files moved in, manifest never switched
+    LakeOps.freezePreState(fs, root)
+    LakeOps.moveStagedIn(fs, root, new org.apache.hadoop.fs.Path(staging))
+    assert(manifestRead(out) === baseContent)
+
+    LakeOps.vacuum(spark, out)
+    // orphans + staging gone; live data exactly the manifest's list
+    assert(manifestRead(out) === baseContent)
+    assert(readTable(out) === baseContent, "plain listing clean after vacuum")
+    assert(!new java.io.File(staging).exists())
+  }
+
+  test("deleteKeys drops fully-deleted partitions atomically with the manifest switch") {
+    val out = graft.queries.Staging.tmpDir("lakeops-dropall")
+    writeBase(out)
+    // delete every row of partition 2024-01-02 (id=3) and one row elsewhere
+    val victims = Seq(2L, 3L).toDF("id")
+    LakeOps.deleteKeys(spark, out, victims, "id", "d")
+    assert(manifestRead(out) === Map(1L -> (("2024-01-01", 10.0))))
+    assert(!new java.io.File(s"$out/d=2024-01-02").exists(),
+      "emptied partition dir removed in cleanup")
   }
 }
