@@ -171,6 +171,82 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "rw", "rh")
   }
 
+  /** Decoded per-clip audio measurements, all integer: real container
+    * parse (sample rate, channels, bit depth, frame count) plus waveform
+    * statistics accumulated from the decoded PCM samples. */
+  case class AudioFeatures(doc_id: Long, sample_rate: Long, channels: Long,
+                           bits: Long, n_samples: Long, sum_amp: Long, energy: Long)
+
+  /** Deterministic synthetic WAV for a payload — the audio analog of
+    * [[encodePng]]: 16-bit signed little-endian mono PCM at 8 kHz, with
+    * n = 1000 + n_bytes % 4000 samples on the ramp a(t) = base + t,
+    * base = (first+last byte) % 1000. Values stay within 0..5998 (no
+    * 16-bit wrap), so sum and energy have closed forms the oracle
+    * mirrors. */
+  def encodeWav(payload: Array[Byte]): Array[Byte] = {
+    val nb = payload.length
+    val n = 1000 + nb % 4000
+    val base =
+      if (nb > 0) ((payload(0) & 0xff) + (payload(nb - 1) & 0xff)) % 1000 else 0
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val a = base + t
+      pcm(2 * t) = (a & 0xff).toByte
+      pcm(2 * t + 1) = ((a >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode through the JDK's sampled-audio codec: parse the
+    * WAV container, stream the PCM frames, accumulate integer waveform
+    * statistics (sum of amplitudes, sum of squares). Throws on
+    * undecodable bytes, same loud-failure contract as [[decodeImage]]. */
+  def decodeAudio(docId: Long, bytes: Array[Byte]): AudioFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"unsupported PCM shape: $fmt")
+      val frameBytes = fmt.getFrameSize
+      val buf = new Array[Byte](frameBytes * 1024)
+      var sum = 0L
+      var energy = 0L
+      var nSamples = 0L
+      var read = ais.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i + 1 < read) {
+          val a = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toLong
+          sum += a
+          energy += a * a
+          nSamples += 1
+          i += 2
+        }
+        read = ais.read(buf)
+      }
+      AudioFeatures(docId, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+        fmt.getSampleSizeInBits.toLong, nSamples, sum, energy)
+    } finally ais.close()
+  }
+
+  /** Partition-wise batch audio decode — encode→decode per row, so every
+    * statistic passed through the real sampled-audio codec. */
+  def decodeAllAudio(spark: SparkSession, docs: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    withPayload(docs).as[Payload].mapPartitions { it =>
+      it.map(p => decodeAudio(p.doc_id, encodeWav(p.payload)))
+    }
+  }
+
   /** Frame-sampling stub for video-like payloads: every k-th byte stands in
     * for every k-th frame; keeps the explode/array plumbing honest (a real
     * video demuxer needs codecs the JDK does not ship — the one remaining

@@ -1942,6 +1942,14 @@ object ExtQueries {
     Multimodal.lumaHistogram(spark, tbl(spark, dir, "documents"))
       .orderBy("doc_id", "bucket")
 
+  /** Audio modality through the REAL JDK sampled-audio codec: synthesized
+    * deterministic WAV per doc, parsed + PCM-decoded back; container
+    * metadata and integer waveform statistics oracle-predicted in closed
+    * form (see Multimodal.encodeWav/decodeAudio). */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAllAudio(spark, tbl(spark, dir, "documents"))
+      .toDF().orderBy("doc_id")
+
   /** Fixed-width histogram of the value column (bin = floor(value/50)). */
   def aggHistogram(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "events")
@@ -2145,6 +2153,7 @@ object ExtQueries {
     "sql_api" -> (sqlApi _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_luma_hist" -> (multimodalLumaHist _),
+    "multimodal_audio" -> (multimodalAudio _),
     "scan_binaryfile" -> (scanBinaryfile _),
     "scan_text" -> (scanText _),
     "pipeline_text_clean" -> (pipelineTextClean _),

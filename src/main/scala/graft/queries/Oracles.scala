@@ -1299,6 +1299,24 @@ object Oracles {
         |SELECT doc_id, CAST((base + x + y) // 32 AS BIGINT) AS bucket, count(*) AS n_px
         |FROM fxy GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
 
+    // WAV analog of multimodal_decode: ramp waveform a(t) = base + t over
+    // n = 1000 + n_bytes % 4000 samples, base = (first+last byte) % 1000 —
+    // the real codec must read back sum = n*base + n(n-1)/2 and
+    // energy = n*base^2 + 2*base*n(n-1)/2 + (n-1)n(2n-1)/6.
+    "multimodal_audio" ->
+      """WITH f AS (SELECT doc_id,
+        |   CAST(1000 + octet_length(encode(text)) % 4000 AS BIGINT) AS n,
+        |   CAST(CASE WHEN length(text) > 0
+        |     THEN (ascii(substring(text, 1, 1)) + ascii(substring(text, length(text), 1))) % 1000
+        |     ELSE 0 END AS BIGINT) AS base
+        | FROM documents)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+        | n AS n_samples,
+        | n*base + n*(n-1)//2 AS sum_amp,
+        | n*base*base + 2*base*(n*(n-1)//2) + (n-1)*n*(2*n-1)//6 AS energy
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     "multimodal_resize" ->
       """WITH f AS (SELECT doc_id,
         |   CAST(16 + octet_length(encode(text)) % 32 AS BIGINT) AS width,

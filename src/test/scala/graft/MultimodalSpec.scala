@@ -42,6 +42,27 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.hist.take(base / 32).forall(_ === 0L), "no pixel darker than base")
   }
 
+  test("real audio decode: WAV codec round-trip lands on the closed form") {
+    val d = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val f = Multimodal.decodeAllAudio(spark, d).collect().map(x => x.doc_id -> x).toMap
+    // "abc": nb=3 -> n=1003 samples, base=(97+99)%1000=196
+    val n = 1003L
+    val base = 196L
+    assert(f(1L).sample_rate === 8000L && f(1L).channels === 1L && f(1L).bits === 16L)
+    assert(f(1L).n_samples === n)
+    assert(f(1L).sum_amp === n * base + n * (n - 1) / 2)
+    assert(f(1L).energy ===
+      n * base * base + 2 * base * (n * (n - 1) / 2) + (n - 1) * n * (2 * n - 1) / 6)
+    // empty payload: n=1000, base=0 -> pure ramp
+    assert(f(2L).n_samples === 1000L && f(2L).sum_amp === 1000L * 999L / 2)
+  }
+
+  test("encodeWav really is a WAV container (RIFF magic)") {
+    val bytes = Multimodal.encodeWav("xyz".getBytes("UTF-8"))
+    assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+  }
+
   test("decodeImage rejects non-image bytes loudly") {
     intercept[IllegalArgumentException] {
       Multimodal.decodeImage(Array[Byte](1, 2, 3))
