@@ -106,20 +106,15 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
   }
 
-  /** IVF with DETERMINISTIC k-means training: Lloyd iterations on exact
-    * integer arithmetic. Initial centroids = the first K corpus vectors;
-    * each iteration assigns every vector to its nearest centroid (the same
-    * native top-cells expression the probe path uses — one map-side pass)
-    * and recomputes each centroid as the TRUNCATED integer mean per
-    * dimension (int64 `s/n`, identical to DuckDB's `//` — float means
-    * would be accumulation-order-dependent and engine-specific). Empty
-    * cells keep their previous centroid. The driver holds K×dim longs per
-    * iteration — the footprint of any k-means trainer; cluster-side work
-    * per iteration is one assignment pass + one (cid, pos) hash agg, both
-    * linear in the corpus. */
-  def ivfTrainedTopK(emb: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
-      iterations: Int, probePred: org.apache.spark.sql.Column): DataFrame = {
-    val q = quantized(emb)
+  /** Deterministic Lloyd trainer shared by the trained-IVF probe path and
+    * SemDeDup: initial centroids = the first K corpus vectors (renumbered
+    * 0..K-1); each iteration is one map-side assignment pass + one
+    * (cid, pos) hash agg, centroids recomputed as TRUNCATED integer means
+    * (int64 `s/n` — identical to DuckDB `//`; float means would be
+    * accumulation-order-dependent). Empty cells keep their previous
+    * centroid. Driver holds K×dim longs — index-training footprint only. */
+  private def lloydCentroids(q: DataFrame, numCentroids: Int,
+      iterations: Int): Array[(Long, Array[Long], Long)] = {
     var cents: Array[(Long, Array[Long], Long)] = q.filter(col("vec_id") < numCentroids)
       .select(col("vec_id"), col("qv"), col("nrm"))
       .collect()
@@ -147,6 +142,71 @@ object Similarity {
         }
       }
     }
+    cents
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * embedding-space near-duplicate PRUNING, not pair reporting — cluster
+    * the corpus with k-means, compare only within a cluster, and drop all
+    * but one of each semantic-duplicate set. Re-expressed relationally:
+    * deterministic Lloyd cells ([[lloydCentroids]]), a within-cell pairwise
+    * cosine (join keyed on cid — never corpus×corpus), and a one-pass keep
+    * rule: a vector is pruned iff an EARLIER (smaller vec_id) vector in
+    * its cell scores >= threshold against it. One-pass chaining caveat is
+    * inherent and documented: in a chain a~b, b~c with cos(a,c) below
+    * threshold, both b and c are pruned where a sequential greedy would
+    * keep c — the stricter of the two standard SemDeDup resolutions.
+    *
+    * Scale shape (the paper's own cost model): pairwise work is
+    * sum(cell²), controlled by K — at 100 TB, K grows with the corpus so
+    * cells stay ~constant-sized; the join shuffles on cid only, and a
+    * skewed giant cell is a K-tuning signal, not a plan hazard. Output is
+    * one row per vector (keep + evidence), so rows-out never exceeds
+    * rows-in. */
+  def semanticDedup(emb: DataFrame, numCentroids: Int, iterations: Int,
+      threshold: Double): DataFrame = {
+    val q = quantized(emb)
+    val cents = lloydCentroids(q, numCentroids, iterations)
+    val assigned = q
+      .withColumn("cid", element_at(call_function("graft_ivf_cells",
+        col("qv"), col("nrm"),
+        typedLit(cents.map(_._1).toSeq), typedLit(cents.map(_._2.toSeq).toSeq),
+        typedLit(cents.map(_._3).toSeq), lit(1)), 1))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cid"))
+    val earlier = assigned.select(col("cid").as("cid_a"), col("vec_id").as("vec_a"),
+      col("qv").as("qa"), col("nrm").as("na"))
+    val dupCnt = assigned.join(earlier,
+        col("cid") === col("cid_a") && col("vec_a") < col("vec_id"))
+      .withColumn("cosine", qcosine(qdot(col("qa"), col("qv")), col("na"), col("nrm")))
+      .filter(col("cosine") >= threshold)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_dup_earlier"))
+    assigned.join(dupCnt, Seq("vec_id"), "left_outer")
+      .withColumn("n_dup_earlier", coalesce(col("n_dup_earlier"), lit(0L)))
+      .select(col("vec_id"), col("cid"), col("n_dup_earlier"),
+        when(col("n_dup_earlier") === 0L, 1L).otherwise(0L).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF with DETERMINISTIC k-means training: Lloyd iterations on exact
+    * integer arithmetic. Initial centroids = the first K corpus vectors;
+    * each iteration assigns every vector to its nearest centroid (the same
+    * native top-cells expression the probe path uses — one map-side pass)
+    * and recomputes each centroid as the TRUNCATED integer mean per
+    * dimension (int64 `s/n`, identical to DuckDB's `//` — float means
+    * would be accumulation-order-dependent and engine-specific). Empty
+    * cells keep their previous centroid. The driver holds K×dim longs per
+    * iteration — the footprint of any k-means trainer; cluster-side work
+    * per iteration is one assignment pass + one (cid, pos) hash agg, both
+    * linear in the corpus. */
+  def ivfTrainedTopK(emb: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
+      iterations: Int, probePred: org.apache.spark.sql.Column): DataFrame = {
+    val q = quantized(emb)
+    val cents = lloydCentroids(q, numCentroids, iterations)
+
+    def cellsExpr(n: Int) = call_function("graft_ivf_cells", col("qv"), col("nrm"),
+      typedLit(cents.map(_._1).toSeq), typedLit(cents.map(_._2.toSeq).toSeq),
+      typedLit(cents.map(_._3).toSeq), lit(n))
 
     val assigned = q
       .withColumn("cid", element_at(cellsExpr(1), 1))

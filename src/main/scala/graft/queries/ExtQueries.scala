@@ -82,6 +82,13 @@ object ExtQueries {
     Similarity.lshCosineClusters(tbl(spark, dir, "embeddings"), numPlanes = 4, threshold = 0.4)
       .orderBy("rep")
 
+  /** SemDeDup semantic pruning: trained k-means cells bound the pairwise
+    * comparison space; one keep/prune verdict per vector (see
+    * Similarity.semanticDedup). */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(tbl(spark, dir, "embeddings"), numCentroids = 8,
+      iterations = 1, threshold = 0.3)
+
   // ---- similarity search -------------------------------------------------
 
   def simsearchBruteforce(spark: SparkSession, dir: String): DataFrame =
@@ -1778,6 +1785,77 @@ object ExtQueries {
       .orderBy("rep")
   }
 
+  /** Duplicate k-token windows merged to maximal per-document spans —
+    * the relational re-expression of suffix-array exact-substring dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): any 8-token window whose hash
+    * occurs >= 2 times ANYWHERE in the corpus (across documents or
+    * repeated within one) marks its positions as duplicated text, and
+    * overlapping/adjacent marked windows coalesce into the maximal
+    * spans a substring-level scrubber would cut — sub-document
+    * resolution the document-level minhash verdicts can't give.
+    *
+    * Scale shape (a suffix array itself doesn't distribute; this
+    * does): one generator pass streams (pos, hash) rows; the
+    * duplicated-hash dictionary is a hash-partitioned `count >= 2` —
+    * partial-aggregatable map-side, the only corpus-wide shuffle; the
+    * semi-join back is bucketed on the same hash; span merging is one
+    * per-document window (gaps-and-islands: a window opens a new span
+    * iff its start clears every earlier window's end). No stage is
+    * pairwise in documents. Returns (doc_id, span_start,
+    * span_end-exclusive) in 1-based token positions. */
+  private def substringDupSpans(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    def grams = tbl(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(k)))
+    val dup = grams.groupBy("sh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("sh")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(dup, Seq("sh"), "left_semi")
+      .withColumn("prev_end",
+        max(col("pos") + lit(k)).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl",
+        sum(when(col("prev_end").isNull || col("pos") > col("prev_end"), 1).otherwise(0))
+          .over(byPos))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("span_start"), (max(col("pos")) + lit(k)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Per-document exact-substring duplication report over
+    * [[substringDupSpans]]: span count, duplicated-token total, and the
+    * first/last span bounds. Only documents containing at least one
+    * duplicated window appear — doc-scale output. */
+  def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    substringDupSpans(spark, dir, k = 8)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("dup_tokens"),
+        min(col("span_start")).cast("long").as("first_start"),
+        max(col("span_end")).cast("long").as("last_end"))
+      .orderBy("doc_id")
+
+  /** Corpus-level scrub report: what substring-level dedup would remove,
+    * per source — the before/after accounting a curator reads before
+    * committing a scrubbed corpus build. One left join of the per-doc
+    * span totals back to the (doc-scale) corpus, then a source rollup. */
+  def pipelineSubstringScrub(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = substringDupSpans(spark, dir, k = 8)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("sum_tokens"),
+        sum(col("dup_tokens")).as("sum_dup_tokens"),
+        sum(when(col("dup_tokens") > 0, 1).otherwise(0)).cast("long").as("n_docs_affected"))
+      .orderBy("source")
+  }
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL is a
     * legitimate dimension key (the "unknown" bucket every warehouse
     * has) — a plain equi-join silently drops the NULL group; the
@@ -2134,6 +2212,7 @@ object ExtQueries {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_embedding_clusters" -> (dedupEmbeddingClusters _),
+    "dedup_semantic" -> (dedupSemantic _),
     "pipeline_text_clean_lsh" -> (pipelineTextCleanLsh _),
     "pipeline_corpus_build" -> (pipelineCorpusBuild _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
@@ -2224,6 +2303,8 @@ object ExtQueries {
     "dedup_winnowing" -> (dedupWinnowing _),
     "dedup_winnowing_clusters" -> (dedupWinnowingClusters _),
     "dedup_winnowing_verified" -> (dedupWinnowingVerified _),
+    "dedup_substring_spans" -> (dedupSubstringSpans _),
+    "pipeline_substring_scrub" -> (pipelineSubstringScrub _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),

@@ -79,6 +79,27 @@ object Oracles {
        |     ELSE round(CAST(st.stop_hits AS DOUBLE) / st.n_toks, 6) END AS stop_frac
        | FROM st LEFT JOIN uni ON st.doc_id = uni.doc_id)""".stripMargin
 
+  /** Shared CTE prefix for the exact-substring dedup family (8-token
+    * windows): positional 8-gram hashes -> globally duplicated hashes
+    * (count >= 2 anywhere in the corpus) -> per-document merged spans
+    * `sp` (gaps-and-islands over [pos, pos+8)). */
+  private lazy val substringSpanCtes: String = {
+    val sh = ch("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2] || ' ' || w[pos+3]" +
+      " || ' ' || w[pos+4] || ' ' || w[pos+5] || ' ' || w[pos+6] || ' ' || w[pos+7]")
+    s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+       |t AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS pos FROM w),
+       |h AS (SELECT doc_id, pos, $sh AS sh FROM t),
+       |d AS (SELECT sh FROM h GROUP BY sh HAVING count(*) >= 2),
+       |m AS (SELECT h.doc_id, h.pos FROM h JOIN d ON h.sh = d.sh),
+       |g AS (SELECT doc_id, pos, max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM m),
+       |i AS (SELECT doc_id, pos,
+       |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM g),
+       |sp AS (SELECT doc_id, isl, min(pos) AS span_start, max(pos) + 8 AS span_end
+       |       FROM i GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Shared CTE prefix for the minhash family. */
   private val minhashCtes: String =
     s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
@@ -478,6 +499,41 @@ object Oracles {
          |SELECT cluster AS rep, CAST(sum(n_copies) AS BIGINT) AS n_members
          |FROM m GROUP BY cluster ORDER BY rep""".stripMargin
     },
+
+    "dedup_semantic" ->
+      s"""$embCtes,
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv, nrm AS cnrm
+         |       FROM f WHERE vec_id < 8),
+         |cc0 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         |  FROM f v, c0 c),
+         |a0 AS (SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc0)
+         |  WHERE crk = 1),
+         |sums AS (SELECT cid, i_ - 1 AS pos, CAST(sum(qv[i_]) AS BIGINT) AS s, count(*) AS n
+         |         FROM a0, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i_)
+         |         GROUP BY cid, i_),
+         |cm AS (SELECT cid, list(s // n ORDER BY pos) AS cqv FROM sums GROUP BY cid),
+         |c1 AS (SELECT c0.cid, coalesce(cm.cqv, c0.cqv) AS cqv FROM c0 LEFT JOIN cm USING (cid)),
+         |c1n AS (SELECT cid, cqv,
+         |          CAST(list_sum(list_transform(cqv, x_ -> x_*x_)) AS BIGINT) AS cnrm FROM c1),
+         |cc1 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         |  FROM f v, c1n c),
+         |assigned AS (SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc1)
+         |  WHERE crk = 1),
+         |dups AS (SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_dup_earlier
+         |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE CAST(${qdotPair("a.qv", "b.qv")} AS DOUBLE) /
+         |         (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.3
+         |  GROUP BY b.vec_id)
+         |SELECT a.vec_id, a.cid, coalesce(d.n_dup_earlier, 0) AS n_dup_earlier,
+         | CAST(CASE WHEN coalesce(d.n_dup_earlier, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     "pipeline_text_clean_lsh" ->
       s"""$minhashCtes,
@@ -1221,6 +1277,26 @@ object Oracles {
          |       FROM v)
          |SELECT rep, count(*) AS n_docs FROM cl GROUP BY rep ORDER BY rep""".stripMargin
     },
+
+    "dedup_substring_spans" ->
+      s"""$substringSpanCtes
+         |SELECT doc_id, count(*) AS n_spans,
+         | CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens,
+         | CAST(min(span_start) AS BIGINT) AS first_start,
+         | CAST(max(span_end) AS BIGINT) AS last_end
+         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipeline_substring_scrub" ->
+      s"""$substringSpanCtes,
+         |per AS (SELECT doc_id, CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
+         |        FROM sp GROUP BY doc_id),
+         |c AS (SELECT d.doc_id, d.source, CAST(len(${tok("d.text")}) AS BIGINT) AS n_toks,
+         |        coalesce(p.dup_tokens, 0) AS dup_tokens
+         |      FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+         | CAST(sum(dup_tokens) AS BIGINT) AS sum_dup_tokens,
+         | CAST(sum(CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "join_null_safe" ->
       """WITH e AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS etype, value
