@@ -81,11 +81,18 @@ object ScaleCheck {
     time("synth_dedup_cc_clusters", 1) { Dedup.ccClusters(spark, d, 3).count() }
     time("synth_dedup_jaccard_clusters", 1) { Dedup.jaccardClusters(spark, d, 0.5).count() }
     time("synth_dedup_winnowing_clusters", 1) { winnowingClusters(spark, d).count() }
+    // exact-substring spans: the r=0/r=1 family pairs share nearly their
+    // whole token stream, so expect ~2n/5 span-bearing docs
+    time("synth_dedup_substring_spans", 1) { Dedup.substringSpans(spark, d, 8).count() }
   }
 
   def main(args: Array[String]): Unit = {
     val synthMode = args.headOption.contains("synth")
     val sfDir = if (args.nonEmpty && !synthMode) args(0) else "/root/testdata/sf0.1"
+    // optional op-name filter: `ScaleCheck <sfDir> op1 op2...` /
+    // `ScaleCheck synth <n> op1...` times only the named ops
+    val opFilter: Set[String] =
+      (if (synthMode) args.drop(2) else args.drop(1)).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -102,6 +109,7 @@ object ScaleCheck {
     tbl(spark, sfDir, "documents").count()
 
     def time(op: String, f: Int)(body: => Long): Unit = {
+      if (opFilter.nonEmpty && !opFilter.contains(op)) return
       val t0 = System.nanoTime()
       val rows = body
       val secs = (System.nanoTime() - t0) / 1e9
@@ -143,6 +151,11 @@ object ScaleCheck {
       }
       time("dedup_embedding_clusters", f) {
         Similarity.lshCosineClusters(v, 4, 0.4).count()
+      }
+      // SemDeDup's own scale rule: K grows with the corpus so cells stay
+      // ~constant-sized and the within-cell pairwise stays ~linear overall
+      time("dedup_semantic", f) {
+        Similarity.semanticDedup(v, 8 * f, 1, 0.3).count()
       }
       if (f <= 4) // all-pairs baseline: deliberately quadratic
         time("dedup_embedding_allpairs", f) { Similarity.cosinePairs(v, 0.5).count() }

@@ -27,6 +27,40 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
       .select(col("doc_id"), col("n_dups"), col("digest"))
 
+  /** Duplicate k-token windows merged to maximal per-document spans —
+    * the relational re-expression of suffix-array exact-substring dedup
+    * (Lee et al. 2022, arXiv:2107.06499): any k-token window whose hash
+    * occurs >= 2 times ANYWHERE in the corpus marks its positions as
+    * duplicated text; overlapping/adjacent marked windows coalesce into
+    * the maximal spans a substring-level scrubber would cut.
+    *
+    * Scale shape (a suffix array itself doesn't distribute; this does):
+    * one generator pass streams (pos, hash) rows; the duplicated-hash
+    * dictionary is a hash-partitioned `count >= 2` — partial-aggregatable
+    * map-side, the only corpus-wide shuffle; the semi-join back keys on
+    * the same hash; span merging is one per-document window
+    * (gaps-and-islands). No stage is pairwise in documents. Returns
+    * (doc_id, span_start, span_end-exclusive) in 1-based token positions. */
+  def substringSpans(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.GraftFunctions.register(spark)
+    def grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(k)))
+    val dup = grams.groupBy("sh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("sh")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(dup, Seq("sh"), "left_semi")
+      .withColumn("prev_end",
+        max(col("pos") + lit(k)).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl",
+        sum(when(col("prev_end").isNull || col("pos") > col("prev_end"), 1).otherwise(0))
+          .over(byPos))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("span_start"), (max(col("pos")) + lit(k)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   /** doc_id -> distinct word-3-gram shingle hash SET (array form). */
   def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))

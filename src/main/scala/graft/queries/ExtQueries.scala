@@ -1785,43 +1785,11 @@ object ExtQueries {
       .orderBy("rep")
   }
 
-  /** Duplicate k-token windows merged to maximal per-document spans —
-    * the relational re-expression of suffix-array exact-substring dedup
-    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
-    * Models Better", arXiv:2107.06499): any 8-token window whose hash
-    * occurs >= 2 times ANYWHERE in the corpus (across documents or
-    * repeated within one) marks its positions as duplicated text, and
-    * overlapping/adjacent marked windows coalesce into the maximal
-    * spans a substring-level scrubber would cut — sub-document
-    * resolution the document-level minhash verdicts can't give.
-    *
-    * Scale shape (a suffix array itself doesn't distribute; this
-    * does): one generator pass streams (pos, hash) rows; the
-    * duplicated-hash dictionary is a hash-partitioned `count >= 2` —
-    * partial-aggregatable map-side, the only corpus-wide shuffle; the
-    * semi-join back is bucketed on the same hash; span merging is one
-    * per-document window (gaps-and-islands: a window opens a new span
-    * iff its start clears every earlier window's end). No stage is
-    * pairwise in documents. Returns (doc_id, span_start,
-    * span_end-exclusive) in 1-based token positions. */
-  private def substringDupSpans(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    graft.expressions.GraftFunctions.register(spark)
-    def grams = tbl(spark, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(k)))
-    val dup = grams.groupBy("sh").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("sh")
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    grams.join(dup, Seq("sh"), "left_semi")
-      .withColumn("prev_end",
-        max(col("pos") + lit(k)).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("isl",
-        sum(when(col("prev_end").isNull || col("pos") > col("prev_end"), 1).otherwise(0))
-          .over(byPos))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(min("pos").as("span_start"), (max(col("pos")) + lit(k)).as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"))
-  }
+  /** Catalog binding of [[Dedup.substringSpans]] (Lee et al. 2022
+    * exact-substring dedup — see the operator's scaladoc for the scale
+    * shape) over the documents table at 8-token windows. */
+  private def substringDupSpans(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Dedup.substringSpans(spark, tbl(spark, dir, "documents"), k)
 
   /** Per-document exact-substring duplication report over
     * [[substringDupSpans]]: span count, duplicated-token total, and the
