@@ -1200,6 +1200,39 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** Temperature-rebalanced mixture (the multilingual/multi-source
+    * rebalancing rule every pretraining mix uses — e.g. the T=2 sampling
+    * of mBERT/XLM-R lineage, alpha = 1/T = 0.5 here): target share of
+    * source s is n_s^alpha / sum n_t^alpha, reached by down-sampling each
+    * source at rate r_s ∝ n_s^(alpha-1) with the smallest source kept
+    * whole. Arithmetic stays INTEGER-exact cross-engine: w = floor(sqrt(n))
+    * (IEEE sqrt of an int64 is correctly rounded in both engines, floor
+    * removes the last bit of doubt), rate_ppm = w_min*1e6/w_s by integer
+    * division, and the per-doc coin is the usual deterministic
+    * charHash % 1e6 — reproducible across runs, retries, and engines.
+    * The rate table is source-cardinality rows on the driver-free
+    * broadcast path; the corpus never shuffles, rows drop at the scan. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val w = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val wMin = w.agg(min("w").as("w_min"))
+    val rates = w.crossJoin(broadcast(wMin)) // 1-row scalar: rate normalisation
+      .withColumn("rate_ppm", expr("w_min * 1000000L div w")) // integer div = DuckDB //
+      .select(col("lang"), col("n_docs"), col("rate_ppm"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(rates), Seq("lang"))
+      // scrambled, not plain charHash: short doc_id strings hash below 1e6,
+      // so an unscrambled % 1e6 coin would keep everything (CrossFns.scrambledHash)
+      .withColumn("kept",
+        when(scrambledHash(col("doc_id").cast("string")) % 1000000L < col("rate_ppm"), 1L)
+          .otherwise(0L))
+      .groupBy("lang", "n_docs", "rate_ppm")
+      .agg(sum(col("kept")).as("n_sampled"),
+        sum(when(col("kept") === 1L, col("n_chars")).otherwise(0L)).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Interleaved multimodal sequence packing — the VLM training-data
     * shape: a document is text plus N image references, each image
     * costing a fixed patch-token budget (64 here). Refs are synthesized
@@ -1824,6 +1857,40 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** The APPLY stage of the substring family: reconstruct each document
+    * with every duplicated span's tokens removed — detect
+    * ([[Dedup.substringSpans]]) -> account ([[pipelineSubstringScrub]]) ->
+    * apply. This is the aggressive curator setting (duplicated text cut
+    * EVERYWHERE, not keep-one-occurrence; the keep-one variant needs a
+    * corpus-wide canonical-occurrence election and is a composition away).
+    * Tokens anti-join the span table on (doc_id equi + position-range
+    * residual) — spans per doc are few, so the residual is cheap and the
+    * join shuffles on doc_id only; reassembly is one per-doc sort of the
+    * kept positions. Docs with no spans pass through verbatim; a fully
+    * duplicated doc comes out empty, not dropped — the curator decides
+    * what to do with empties downstream. */
+  def pipelineScrubApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val spans = Dedup.substringSpans(spark, docs, k = 8)
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("t"))
+    val kept = toks.join(spans.withColumnRenamed("doc_id", "s_doc"),
+        col("doc_id") === col("s_doc") &&
+          col("pos") >= col("span_start") && col("pos") < col("span_end"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks_after"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+          s => s.getField("t")), " ").as("scrubbed"))
+    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks_before"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_toks_before"),
+        coalesce(col("n_toks_after"), lit(0L)).as("n_toks_after"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL is a
     * legitimate dimension key (the "unknown" bucket every warehouse
     * has) — a plain equi-join silently drops the NULL group; the
@@ -2273,6 +2340,8 @@ object ExtQueries {
     "dedup_winnowing_verified" -> (dedupWinnowingVerified _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "pipeline_substring_scrub" -> (pipelineSubstringScrub _),
+    "pipeline_scrub_apply" -> (pipelineScrubApply _),
+    "sample_temperature" -> (sampleTemperature _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),

@@ -1298,6 +1298,21 @@ object Oracles {
          | CAST(sum(CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
+    "pipeline_scrub_apply" ->
+      s"""$substringSpanCtes,
+         |tok2 AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM w),
+         |tk AS (SELECT doc_id, pos, w[pos] AS t FROM tok2),
+         |keep AS (SELECT tk.doc_id, tk.pos, tk.t FROM tk WHERE NOT EXISTS
+         |   (SELECT 1 FROM sp WHERE sp.doc_id = tk.doc_id
+         |      AND tk.pos >= sp.span_start AND tk.pos < sp.span_end)),
+         |ag AS (SELECT doc_id, count(*) AS n_toks_after,
+         |         string_agg(t, ' ' ORDER BY pos) AS scrubbed
+         |       FROM keep GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_toks_before,
+         | coalesce(ag.n_toks_after, 0) AS n_toks_after,
+         | coalesce(ag.scrubbed, '') AS scrubbed
+         |FROM w LEFT JOIN ag ON w.doc_id = ag.doc_id ORDER BY w.doc_id""".stripMargin,
+
     "join_null_safe" ->
       """WITH e AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS etype, value
         |           FROM events),
@@ -1793,6 +1808,22 @@ object Oracles {
          | CAST(sum(event_id) AS BIGINT) AS sum_id,
          | ${decSum2("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sample_temperature" -> {
+      val h = s"((${ch("CAST(d.doc_id AS VARCHAR)")}) * 2654435761) % 1000000007"
+      s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_docs,
+         |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w FROM c),
+         |mn AS (SELECT min(w) AS w_min FROM w),
+         |r AS (SELECT lang, n_docs, w_min * 1000000 // w AS rate_ppm FROM w, mn),
+         |k AS (SELECT d.lang, r.n_docs, r.rate_ppm, d.n_chars,
+         |        CASE WHEN ($h) % 1000000 < r.rate_ppm THEN 1 ELSE 0 END AS kept
+         |      FROM documents d JOIN r ON d.lang = r.lang)
+         |SELECT lang, n_docs, rate_ppm,
+         | CAST(sum(kept) AS BIGINT) AS n_sampled,
+         | CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars
+         |FROM k GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin
+    },
 
     "sample_mixture" -> {
       val h = ch("CAST(doc_id AS VARCHAR)")

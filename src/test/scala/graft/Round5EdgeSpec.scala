@@ -12,6 +12,8 @@ class Round5EdgeSpec extends SparkSpec {
   private def stage(docs: Seq[(Long, String, String)]): String = {
     val dir = graft.queries.Staging.tmpDir("sub")
     docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", col("source")) // lang-keyed ops group identically
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
   }
@@ -54,6 +56,42 @@ class Round5EdgeSpec extends SparkSpec {
       (1L, uniq.slice(0, 12).mkString(" "), "a"),
       (2L, uniq.slice(12, 24).mkString(" "), "a")))
     assert(graft.queries.ExtQueries.dedupSubstringSpans(spark, dir).count() === 0L)
+  }
+
+  test("scrub apply: duplicated spans cut, clean docs verbatim, full dups come out empty") {
+    val run = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val dir = stage(Seq(
+      (1L, s"$run ${uniq.slice(0, 2).mkString(" ")}", "a"), // partial: tail survives
+      (2L, run, "a"),                                       // fully duplicated -> empty
+      (3L, uniq.slice(2, 12).mkString(" "), "a")))          // clean -> verbatim
+    val rows = graft.queries.ExtQueries.pipelineScrubApply(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSet === Set(
+      (1L, 10L, 2L, "u1 u2"),
+      (2L, 8L, 0L, ""),
+      (3L, 10L, 10L, uniq.slice(2, 12).mkString(" "))))
+  }
+
+  test("temperature sampling: equal-sized groups all keep rate 1e6 (nothing dropped)") {
+    val dir = stage(Seq(
+      (1L, "a b", "s1"), (2L, "c d", "s1"),
+      (3L, "e f", "s2"), (4L, "g h", "s2")))
+    val rows = graft.queries.ExtQueries.sampleTemperature(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet === Set(("s1", 2L, 1000000L, 2L), ("s2", 2L, 1000000L, 2L)))
+  }
+
+  test("temperature sampling: a 16x-larger group is down-sampled at w_min/w of the rate") {
+    // 64 docs vs 4 docs: w = 8 vs 2, so big keeps 250000 ppm, small keeps all
+    val docs = (0L until 64L).map(i => (i, s"d$i x", "big")) ++
+      (100L until 104L).map(i => (i, s"d$i y", "small"))
+    val rows = graft.queries.ExtQueries.sampleTemperature(spark, stage(docs))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val byLang = rows.map(r => r._1 -> r).toMap
+    assert(byLang("big")._2 === 250000L)
+    assert(byLang("small") === (("small", 1000000L, 4L)))
+    // the deterministic coin keeps roughly rate*n of the big group
+    assert(byLang("big")._3 > 4L && byLang("big")._3 < 32L)
   }
 
   test("substring scrub rollup: per-source totals account clean docs as zero") {
