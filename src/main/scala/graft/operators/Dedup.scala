@@ -41,16 +41,50 @@ object Dedup {
     * the same hash; span merging is one per-document window
     * (gaps-and-islands). No stage is pairwise in documents. Returns
     * (doc_id, span_start, span_end-exclusive) in 1-based token positions. */
-  def substringSpans(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def substringSpans(spark: SparkSession, docs: DataFrame, k: Int): DataFrame =
+    mergeSpans(dupWindows(spark, docs, k, keepOne = false), k)
+
+  /** [[substringSpans]] under Lee et al.'s keep-one rule: for every
+    * duplicated window hash the corpus-wide CANONICAL occurrence — the
+    * (doc_id, pos)-minimal one — is NOT marked, so exactly one copy of
+    * each duplicated substring survives a scrub. Canonical election is
+    * one more agg on the same hash key (min struct — still
+    * partial-aggregatable); everything else is shared. A canonical
+    * window's tokens can still fall to a DIFFERENT overlapping duplicated
+    * window's span — span semantics, documented. */
+  def substringSpansKeepOne(spark: SparkSession, docs: DataFrame, k: Int): DataFrame =
+    mergeSpans(dupWindows(spark, docs, k, keepOne = true), k)
+
+  /** Duplicated k-token windows as (doc_id, pos) rows. keepOne excludes
+    * each hash's canonical (minimal) occurrence from the marking. */
+  private def dupWindows(spark: SparkSession, docs: DataFrame, k: Int,
+      keepOne: Boolean): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     def grams = docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(k)))
-    val dup = grams.groupBy("sh").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("sh")
+    if (!keepOne) {
+      val dup = grams.groupBy("sh").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select("sh")
+      grams.join(dup, Seq("sh"), "left_semi").select("doc_id", "pos")
+    } else {
+      val dup = grams.groupBy("sh").agg(count(lit(1)).as("n"),
+          min(struct(col("doc_id"), col("pos"))).as("canon"))
+        .filter(col("n") >= 2)
+        .select(col("sh"), col("canon.doc_id").as("c_doc"), col("canon.pos").as("c_pos"))
+      grams.join(dup, Seq("sh"))
+        .filter(col("doc_id") =!= col("c_doc") || col("pos") =!= col("c_pos"))
+        .select("doc_id", "pos")
+    }
+  }
+
+  /** Gaps-and-islands merge of marked k-windows into maximal per-doc
+    * spans: a window opens a new span iff its start clears every earlier
+    * window's end. One per-document window function, no joins. */
+  private def mergeSpans(marked: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    grams.join(dup, Seq("sh"), "left_semi")
+    marked
       .withColumn("prev_end",
         max(col("pos") + lit(k)).over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("isl",

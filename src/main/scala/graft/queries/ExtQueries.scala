@@ -1861,8 +1861,8 @@ object ExtQueries {
     * with every duplicated span's tokens removed — detect
     * ([[Dedup.substringSpans]]) -> account ([[pipelineSubstringScrub]]) ->
     * apply. This is the aggressive curator setting (duplicated text cut
-    * EVERYWHERE, not keep-one-occurrence; the keep-one variant needs a
-    * corpus-wide canonical-occurrence election and is a composition away).
+    * EVERYWHERE); [[pipelineScrubKeepOne]] is the keep-one-occurrence
+    * variant via a corpus-wide canonical-occurrence election.
     * Tokens anti-join the span table on (doc_id equi + position-range
     * residual) — spans per doc are few, so the residual is cheap and the
     * join shuffles on doc_id only; reassembly is one per-doc sort of the
@@ -1871,7 +1871,23 @@ object ExtQueries {
     * what to do with empties downstream. */
   def pipelineScrubApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
-    val spans = Dedup.substringSpans(spark, docs, k = 8)
+    scrubBySpans(docs, Dedup.substringSpans(spark, docs, k = 8))
+  }
+
+  /** [[pipelineScrubApply]] under Lee et al.'s keep-one rule
+    * ([[Dedup.substringSpansKeepOne]]): each duplicated substring's
+    * corpus-wide canonical occurrence survives the scrub, so no content
+    * is lost from the corpus — only its repeats. The difference from the
+    * aggressive form is exactly one extra min-struct per window hash. */
+  def pipelineScrubKeepOne(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    scrubBySpans(docs, Dedup.substringSpansKeepOne(spark, docs, k = 8))
+  }
+
+  /** Token-level scrub assembly shared by the scrub-apply forms: tokens
+    * anti-join the span table (doc_id equi + position-range residual),
+    * kept positions reassemble per doc. */
+  private def scrubBySpans(docs: DataFrame, spans: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p0", "t")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("t"))
@@ -2341,6 +2357,7 @@ object ExtQueries {
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "pipeline_substring_scrub" -> (pipelineSubstringScrub _),
     "pipeline_scrub_apply" -> (pipelineScrubApply _),
+    "pipeline_scrub_keep_one" -> (pipelineScrubKeepOne _),
     "sample_temperature" -> (sampleTemperature _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "typed_cogroup" -> (typedCogroup _),

@@ -100,6 +100,28 @@ object Oracles {
        |       FROM i GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Keep-one variant of [[substringSpanCtes]]: each duplicated hash's
+    * (doc_id, pos)-minimal occurrence is excluded from the marking, so
+    * one copy of every duplicated substring survives. */
+  private lazy val substringKeepOneCtes: String = {
+    val sh = ch("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2] || ' ' || w[pos+3]" +
+      " || ' ' || w[pos+4] || ' ' || w[pos+5] || ' ' || w[pos+6] || ' ' || w[pos+7]")
+    s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+       |t AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS pos FROM w),
+       |h AS (SELECT doc_id, pos, $sh AS sh FROM t),
+       |r AS (SELECT doc_id, pos,
+       |        row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk,
+       |        count(*) OVER (PARTITION BY sh) AS n FROM h),
+       |m AS (SELECT doc_id, pos FROM r WHERE n >= 2 AND rk > 1),
+       |g AS (SELECT doc_id, pos, max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM m),
+       |i AS (SELECT doc_id, pos,
+       |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM g),
+       |sp AS (SELECT doc_id, isl, min(pos) AS span_start, max(pos) + 8 AS span_end
+       |       FROM i GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Shared CTE prefix for the minhash family. */
   private val minhashCtes: String =
     s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
@@ -1300,6 +1322,21 @@ object Oracles {
 
     "pipeline_scrub_apply" ->
       s"""$substringSpanCtes,
+         |tok2 AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM w),
+         |tk AS (SELECT doc_id, pos, w[pos] AS t FROM tok2),
+         |keep AS (SELECT tk.doc_id, tk.pos, tk.t FROM tk WHERE NOT EXISTS
+         |   (SELECT 1 FROM sp WHERE sp.doc_id = tk.doc_id
+         |      AND tk.pos >= sp.span_start AND tk.pos < sp.span_end)),
+         |ag AS (SELECT doc_id, count(*) AS n_toks_after,
+         |         string_agg(t, ' ' ORDER BY pos) AS scrubbed
+         |       FROM keep GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_toks_before,
+         | coalesce(ag.n_toks_after, 0) AS n_toks_after,
+         | coalesce(ag.scrubbed, '') AS scrubbed
+         |FROM w LEFT JOIN ag ON w.doc_id = ag.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    "pipeline_scrub_keep_one" ->
+      s"""$substringKeepOneCtes,
          |tok2 AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM w),
          |tk AS (SELECT doc_id, pos, w[pos] AS t FROM tok2),
          |keep AS (SELECT tk.doc_id, tk.pos, tk.t FROM tk WHERE NOT EXISTS

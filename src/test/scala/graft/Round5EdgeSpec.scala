@@ -72,6 +72,20 @@ class Round5EdgeSpec extends SparkSpec {
       (3L, 10L, 10L, uniq.slice(2, 12).mkString(" "))))
   }
 
+  test("keep-one scrub: the canonical (lowest doc_id, pos) occurrence survives, repeats are cut") {
+    val run = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val dir = stage(Seq(
+      (1L, run, "a"),                                       // canonical copy: untouched
+      (2L, s"$run ${uniq.slice(0, 2).mkString(" ")}", "a"), // repeat: run cut, tail stays
+      (3L, run, "a")))                                      // repeat: emptied
+    val rows = graft.queries.ExtQueries.pipelineScrubKeepOne(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(rows.toSet === Set(
+      (1L, 8L, run),
+      (2L, 2L, "u1 u2"),
+      (3L, 0L, "")))
+  }
+
   test("temperature sampling: equal-sized groups all keep rate 1e6 (nothing dropped)") {
     val dir = stage(Seq(
       (1L, "a b", "s1"), (2L, "c d", "s1"),
