@@ -164,8 +164,11 @@ object Similarity {
     * skewed giant cell is a K-tuning signal, not a plan hazard. Output is
     * one row per vector (keep + evidence), so rows-out never exceeds
     * rows-in. */
-  def semanticDedup(emb: DataFrame, numCentroids: Int, iterations: Int,
-      threshold: Double): DataFrame = {
+  /** Cell assignment + within-cell earlier-neighbor cosines shared by the
+    * SemDeDup forms: (assigned vectors, the pairwise frame with a
+    * `cosine` column over pairs vec_a < vec_id in the same cell). */
+  private def semanticPairs(emb: DataFrame, numCentroids: Int,
+      iterations: Int): (DataFrame, DataFrame) = {
     val q = quantized(emb)
     val cents = lloydCentroids(q, numCentroids, iterations)
     val assigned = q
@@ -176,9 +179,16 @@ object Similarity {
       .select(col("vec_id"), col("qv"), col("nrm"), col("cid"))
     val earlier = assigned.select(col("cid").as("cid_a"), col("vec_id").as("vec_a"),
       col("qv").as("qa"), col("nrm").as("na"))
-    val dupCnt = assigned.join(earlier,
+    val pairs = assigned.join(earlier,
         col("cid") === col("cid_a") && col("vec_a") < col("vec_id"))
       .withColumn("cosine", qcosine(qdot(col("qa"), col("qv")), col("na"), col("nrm")))
+    (assigned, pairs)
+  }
+
+  def semanticDedup(emb: DataFrame, numCentroids: Int, iterations: Int,
+      threshold: Double): DataFrame = {
+    val (assigned, pairs) = semanticPairs(emb, numCentroids, iterations)
+    val dupCnt = pairs
       .filter(col("cosine") >= threshold)
       .groupBy("vec_id").agg(count(lit(1)).as("n_dup_earlier"))
     assigned.join(dupCnt, Seq("vec_id"), "left_outer")
@@ -186,6 +196,31 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("n_dup_earlier"),
         when(col("n_dup_earlier") === 0L, 1L).otherwise(0L).as("keep"))
       .orderBy("vec_id")
+  }
+
+  /** SemDeDup threshold sweep — the tuning signal the paper reads before
+    * committing a prune rate: for each candidate threshold, how many
+    * vectors would be pruned (= have an earlier same-cell neighbor at or
+    * above it) and what fraction of the corpus that is. One pairwise pass
+    * computes each vector's max earlier-neighbor cosine (doc-scale rows);
+    * the sweep is then a 4-row broadcast against that summary — choosing
+    * a different threshold costs nothing beyond this query. prune_ppm is
+    * integer arithmetic (n*1e6/total) so the curve is engine-exact. */
+  def semanticDedupSweep(emb: DataFrame, numCentroids: Int, iterations: Int,
+      thresholds: Seq[Double]): DataFrame = {
+    val (assigned, pairs) = semanticPairs(emb, numCentroids, iterations)
+    val maxCos = pairs.groupBy("vec_id").agg(max(col("cosine")).as("max_cos"))
+    val total = assigned.agg(count(lit(1)).as("n_total"))
+    val th = thresholds.foldLeft(Seq.empty[org.apache.spark.sql.Column])(
+      (acc, t) => acc :+ lit(t))
+    maxCos
+      .select(explode(array(th: _*)).as("threshold"), col("max_cos"))
+      .groupBy("threshold")
+      .agg(sum(when(col("max_cos") >= col("threshold"), 1L).otherwise(0L)).as("n_pruned"))
+      .crossJoin(broadcast(total)) // 1-row scalar: corpus size
+      .select(col("threshold"), col("n_pruned"), col("n_total"),
+        expr("n_pruned * 1000000L div n_total").as("prune_ppm"))
+      .orderBy("threshold")
   }
 
   /** IVF with DETERMINISTIC k-means training: Lloyd iterations on exact

@@ -89,6 +89,13 @@ object ExtQueries {
     Similarity.semanticDedup(tbl(spark, dir, "embeddings"), numCentroids = 8,
       iterations = 1, threshold = 0.3)
 
+  /** SemDeDup threshold sweep: prune-fraction curve over candidate
+    * thresholds — the tuning signal read before committing a prune rate
+    * (see Similarity.semanticDedupSweep). */
+  def dedupSemanticSweep(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupSweep(tbl(spark, dir, "embeddings"), numCentroids = 8,
+      iterations = 1, thresholds = Seq(0.25, 0.30, 0.35, 0.40))
+
   // ---- similarity search -------------------------------------------------
 
   def simsearchBruteforce(spark: SparkSession, dir: String): DataFrame =
@@ -2264,6 +2271,7 @@ object ExtQueries {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_embedding_clusters" -> (dedupEmbeddingClusters _),
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_semantic_sweep" -> (dedupSemanticSweep _),
     "pipeline_text_clean_lsh" -> (pipelineTextCleanLsh _),
     "pipeline_corpus_build" -> (pipelineCorpusBuild _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),

@@ -100,6 +100,35 @@ object Oracles {
        |       FROM i GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Shared CTE prefix for the SemDeDup family: quantised embeddings ->
+    * one deterministic Lloyd iteration (first-8 seed, truncated integer
+    * means) -> final cell assignment `assigned` (vec_id, qv, nrm, cid). */
+  private lazy val semanticCellCtes: String =
+    s"""$embCtes,
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv, nrm AS cnrm
+       |       FROM f WHERE vec_id < 8),
+       |cc0 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+       |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+       |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+       |  FROM f v, c0 c),
+       |a0 AS (SELECT vec_id, qv, nrm, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc0)
+       |  WHERE crk = 1),
+       |sums AS (SELECT cid, i_ - 1 AS pos, CAST(sum(qv[i_]) AS BIGINT) AS s, count(*) AS n
+       |         FROM a0, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i_)
+       |         GROUP BY cid, i_),
+       |cm AS (SELECT cid, list(s // n ORDER BY pos) AS cqv FROM sums GROUP BY cid),
+       |c1 AS (SELECT c0.cid, coalesce(cm.cqv, c0.cqv) AS cqv FROM c0 LEFT JOIN cm USING (cid)),
+       |c1n AS (SELECT cid, cqv,
+       |          CAST(list_sum(list_transform(cqv, x_ -> x_*x_)) AS BIGINT) AS cnrm FROM c1),
+       |cc1 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+       |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+       |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+       |  FROM f v, c1n c),
+       |assigned AS (SELECT vec_id, qv, nrm, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc1)
+       |  WHERE crk = 1)""".stripMargin
+
   /** Keep-one variant of [[substringSpanCtes]]: each duplicated hash's
     * (doc_id, pos)-minimal occurrence is excluded from the marking, so
     * one copy of every duplicated substring survives. */
@@ -523,30 +552,7 @@ object Oracles {
     },
 
     "dedup_semantic" ->
-      s"""$embCtes,
-         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv, nrm AS cnrm
-         |       FROM f WHERE vec_id < 8),
-         |cc0 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
-         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
-         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
-         |  FROM f v, c0 c),
-         |a0 AS (SELECT vec_id, qv, nrm, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc0)
-         |  WHERE crk = 1),
-         |sums AS (SELECT cid, i_ - 1 AS pos, CAST(sum(qv[i_]) AS BIGINT) AS s, count(*) AS n
-         |         FROM a0, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i_)
-         |         GROUP BY cid, i_),
-         |cm AS (SELECT cid, list(s // n ORDER BY pos) AS cqv FROM sums GROUP BY cid),
-         |c1 AS (SELECT c0.cid, coalesce(cm.cqv, c0.cqv) AS cqv FROM c0 LEFT JOIN cm USING (cid)),
-         |c1n AS (SELECT cid, cqv,
-         |          CAST(list_sum(list_transform(cqv, x_ -> x_*x_)) AS BIGINT) AS cnrm FROM c1),
-         |cc1 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
-         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
-         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
-         |  FROM f v, c1n c),
-         |assigned AS (SELECT vec_id, qv, nrm, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc1)
-         |  WHERE crk = 1),
+      s"""$semanticCellCtes,
          |dups AS (SELECT b.vec_id, CAST(count(*) AS BIGINT) AS n_dup_earlier
          |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
          |  WHERE CAST(${qdotPair("a.qv", "b.qv")} AS DOUBLE) /
@@ -556,6 +562,24 @@ object Oracles {
          | CAST(CASE WHEN coalesce(d.n_dup_earlier, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    "dedup_semantic_sweep" ->
+      s"""$semanticCellCtes,
+         |mx AS (SELECT b.vec_id,
+         |         max(CAST(${qdotPair("a.qv", "b.qv")} AS DOUBLE) /
+         |              (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))) AS max_cos
+         |       FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |       GROUP BY b.vec_id),
+         |tot AS (SELECT count(*) AS n_total FROM assigned),
+         |th AS (SELECT CAST(t AS DOUBLE) AS threshold
+         |       FROM (VALUES (0.25), (0.30), (0.35), (0.40)) v(t))
+         |SELECT th.threshold,
+         | CAST(sum(CASE WHEN mx.max_cos >= th.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+         | CAST(tot.n_total AS BIGINT) AS n_total,
+         | CAST(sum(CASE WHEN mx.max_cos >= th.threshold THEN 1 ELSE 0 END) AS BIGINT)
+         |   * 1000000 // tot.n_total AS prune_ppm
+         |FROM th, mx, tot
+         |GROUP BY th.threshold, tot.n_total ORDER BY th.threshold""".stripMargin,
 
     "pipeline_text_clean_lsh" ->
       s"""$minhashCtes,
