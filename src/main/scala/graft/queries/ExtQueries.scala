@@ -1207,6 +1207,44 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** Declarative data-quality expectations over the events feed — the
+    * Deequ/Great-Expectations-shaped constraint gate a pipeline runs
+    * before training on a drop: uniqueness, null, domain-membership, and
+    * range rules evaluated in ONE aggregate pass (every rule a
+    * conditional sum, partial-aggregatable map-side; exact uniqueness is
+    * the one count-distinct shuffle — swap in the HLL sketch when
+    * approximate suffices at 100 TB), then unpivoted to a
+    * rule-per-row report with an integer pass flag. Violations are real
+    * on this feed: the domain rule catches the 'error' event rows and
+    * the range rule the heavy-tail values — a report where every rule
+    * trivially passes tests nothing. */
+  def pipelineExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+    val agg = e.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("event_id")).as("n_eid_d"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v_uid"),
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("v_ts"),
+      sum(when(col("event_type").isin("click", "view", "purchase", "signup"), 0L)
+        .otherwise(1L)).as("v_type"),
+      sum(when(col("value") < 0d || col("value") > 200d, 1L).otherwise(0L)).as("v_range"))
+    agg.select(explode(array(
+        struct(lit("event_id_unique").as("rule"), col("n").as("n_checked"),
+          (col("n") - col("n_eid_d")).as("n_violations")),
+        struct(lit("event_type_in_domain").as("rule"), col("n").as("n_checked"),
+          col("v_type").as("n_violations")),
+        struct(lit("ts_not_null").as("rule"), col("n").as("n_checked"),
+          col("v_ts").as("n_violations")),
+        struct(lit("user_id_not_null").as("rule"), col("n").as("n_checked"),
+          col("v_uid").as("n_violations")),
+        struct(lit("value_in_0_200").as("rule"), col("n").as("n_checked"),
+          col("v_range").as("n_violations")))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_checked").as("n_checked"),
+        col("r.n_violations").as("n_violations"),
+        when(col("r.n_violations") === 0L, 1L).otherwise(0L).as("passed"))
+      .orderBy("rule")
+  }
+
   /** Temperature-rebalanced mixture (the multilingual/multi-source
     * rebalancing rule every pretraining mix uses — e.g. the T=2 sampling
     * of mBERT/XLM-R lineage, alpha = 1/T = 0.5 here): target share of
@@ -2367,6 +2405,7 @@ object ExtQueries {
     "pipeline_scrub_apply" -> (pipelineScrubApply _),
     "pipeline_scrub_keep_one" -> (pipelineScrubKeepOne _),
     "sample_temperature" -> (sampleTemperature _),
+    "pipeline_expectations" -> (pipelineExpectations _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),

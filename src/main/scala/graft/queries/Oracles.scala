@@ -1870,6 +1870,24 @@ object Oracles {
          | ${decSum2("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "pipeline_expectations" ->
+      """WITH a AS (SELECT count(*) AS n, count(DISTINCT event_id) AS n_eid_d,
+        |   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_uid,
+        |   sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v_ts,
+        |   sum(CASE WHEN event_type IN ('click','view','purchase','signup') THEN 0 ELSE 1 END) AS v_type,
+        |   sum(CASE WHEN value < 0 OR value > 200 THEN 1 ELSE 0 END) AS v_range
+        | FROM events),
+        |r AS (
+        | SELECT 'event_id_unique' AS rule, n AS n_checked, n - n_eid_d AS n_violations FROM a
+        | UNION ALL SELECT 'event_type_in_domain', n, v_type FROM a
+        | UNION ALL SELECT 'ts_not_null', n, v_ts FROM a
+        | UNION ALL SELECT 'user_id_not_null', n, v_uid FROM a
+        | UNION ALL SELECT 'value_in_0_200', n, v_range FROM a)
+        |SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+        | CAST(n_violations AS BIGINT) AS n_violations,
+        | CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |FROM r ORDER BY rule""".stripMargin,
+
     "sample_temperature" -> {
       val h = s"((${ch("CAST(d.doc_id AS VARCHAR)")}) * 2654435761) % 1000000007"
       s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
