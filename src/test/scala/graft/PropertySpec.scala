@@ -104,6 +104,30 @@ class PropertySpec extends SparkSpec {
     assert(density > 0.25 && density < 0.5, s"winnowing density $density")
   }
 
+  test("substring spans: disjoint maximal per doc, length >= k, keep-one coverage a subset") {
+    // 3-word vocabulary forces rich 8-gram collisions in short random docs
+    val docGen = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    def spansOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Long)]] =
+      df.collect().map(r => (r.getLong(0),
+        (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    val agg = spansOf(graft.operators.Dedup.substringSpans(spark, docs, 8))
+    val one = spansOf(graft.operators.Dedup.substringSpansKeepOne(spark, docs, 8))
+    assert(agg.nonEmpty, "the collision-rich corpus must produce spans")
+    for ((_, sp) <- agg ++ one; (s, e) <- sp) assert(e - s >= 8L)
+    for ((_, sp) <- agg ++ one; Seq((_, e1), (s2, _)) <- sp.sliding(2) if sp.size > 1)
+      assert(s2 > e1, "maximal merge leaves a strict gap between spans")
+    // keep-one marks a subset of the duplicated windows, so its covered
+    // positions must be a subset of the aggressive form's
+    def cover(m: Map[Long, Seq[(Long, Long)]]): Set[(Long, Long)] =
+      m.toSeq.flatMap { case (d, sp) => sp.flatMap { case (s, e) => (s until e).map((d, _)) } }.toSet
+    assert(cover(one).subsetOf(cover(agg)))
+    assert(cover(one).size < cover(agg).size, "canonical exclusion must spare some text")
+  }
+
   test("KMV estimate within 50% of truth on 2000 seeded random keys (k=64)") {
     graft.expressions.GraftFunctions.register(spark)
     val keys = samples(Gen.choose(0L, Long.MaxValue / 2), 2000).distinct
