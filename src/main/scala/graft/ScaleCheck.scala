@@ -138,6 +138,11 @@ object ScaleCheck {
       time("dedup_jaccard_verified", f) { Dedup.jaccardVerified(spark, d, 0.5).count() }
       time("dedup_simhash_pairs", f) { Dedup.simhashPairs(spark, d, 6).count() }
       time("dedup_exact", f) { Dedup.exactGroups(d).count() }
+      // f-way exact replication makes EVERY window duplicated: rows-out
+      // collapses to ~one span per doc copy, the dictionary stays one
+      // partial-aggregated shuffle — the multiplicity complement of the
+      // 100k-distinct-docs breadth run
+      time("dedup_substring_spans", f) { Dedup.substringSpans(spark, d, 8).count() }
 
       val v = replicate(emb, "vec_id", f)
       time("simsearch_ivf_top5", f) {

@@ -49,4 +49,49 @@ object Sketches {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
   }
+
+  /** Equi-width histogram quantile sketch: the mergeable quantile
+    * estimator (t-digest/KLL's fixed-grid cousin — deterministic, so it
+    * oracle-checks exactly where rank-sketches can't). Values bucket to
+    * `floor(value/width)` clamped to [0, buckets); the per-group
+    * histogram is one partial-aggregatable count — tasks ship at most
+    * `buckets` longs per group, never rows — and the p-th percentile
+    * estimate is the upper edge of the first bucket whose cumulative
+    * count reaches ceil(p·n/100), computed with INTEGER arithmetic
+    * ((n·p + 99) div 100) so estimates are engine-exact. Resolution is
+    * the declared bucket width: the scan-free trade every histogram
+    * sketch makes. Returns (group, pct, n, bucket, est_upper). */
+  def histQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      bucketWidth: Double, numBuckets: Int, pcts: Seq[Int]): DataFrame =
+    quantilesFromHist(
+      bucketize(df, valueCol, bucketWidth, numBuckets)
+        .groupBy(col(groupCol), col("b")).agg(count(lit(1)).as("c")),
+      groupCol, bucketWidth, pcts)
+
+  /** Adds bucket column `b`: floor(value/width) clamped to [0, buckets). */
+  def bucketize(df: DataFrame, valueCol: String,
+      bucketWidth: Double, numBuckets: Int): DataFrame =
+    df.withColumn("b", least(greatest(floor(col(valueCol) / bucketWidth), lit(0d))
+      .cast("long"), lit(numBuckets - 1L)))
+
+  /** Percentile walk over a (group, b, c) histogram frame — shared by the
+    * direct and rolled-up forms, which is the point: histograms merge by
+    * plain count addition, so a quantile computed from merged daily
+    * sketches is IDENTICAL to one computed from raw rows. */
+  def quantilesFromHist(hist: DataFrame, groupCol: String,
+      bucketWidth: Double, pcts: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(groupCol).orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(groupCol)))
+    cum.select(col(groupCol), col("b"), col("cum"), col("n"),
+        explode(typedLit(pcts.map(_.toLong))).as("pct"))
+      .filter(col("cum") >= expr("(n * pct + 99L) div 100L"))
+      .groupBy(col(groupCol), col("pct"), col("n"))
+      .agg(min(col("b")).as("bucket"))
+      .withColumn("est_upper", (col("bucket") + 1L) * bucketWidth)
+      .select(col(groupCol), col("pct"), col("n"), col("bucket"), col("est_upper"))
+  }
 }

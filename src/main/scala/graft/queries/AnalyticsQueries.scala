@@ -143,6 +143,47 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Histogram quantile sketch over the value column, per event type —
+    * the deterministic fixed-grid quantile estimator (see
+    * [[graft.operators.Sketches.histQuantiles]]): p50/p90/p99 upper-edge
+    * estimates at bucket width 5 over [0, 500), each group's sketch at
+    * most 100 longs regardless of row count. */
+  def sketchQuantileHist(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.histQuantiles(
+      tbl(spark, dir, "events"), "event_type", "value",
+      bucketWidth = 5.0, numBuckets = 100, pcts = Seq(50, 90, 99))
+      .orderBy("event_type", "pct")
+
+  /** Histogram quantile ROLLUP — the re-aggregation property for
+    * quantiles, the sibling of [[sketchHllRollup]]: per-day histograms
+    * merge by plain count addition, so percentiles computed from the
+    * merged daily sketches are IDENTICAL to percentiles computed directly
+    * from raw rows (both emitted; equality is itself an output column the
+    * oracle pins). Rank-based quantiles can't do this — the histogram
+    * grid is what buys mergeability. At 100 TB: persist tiny per-day
+    * (group, bucket, count) frames, answer any coarser-period percentile
+    * later from register rows, never rescanning events. */
+  def sketchQuantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val pcts = Seq(50, 90, 99)
+    val daily = Sketches.bucketize(
+        tbl(spark, dir, "events")
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        "value", 5.0, 100)
+      .groupBy(col("event_type"), col("day"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val merged = daily.groupBy("event_type", "b").agg(sum("c").as("c"))
+    val rollup = Sketches.quantilesFromHist(merged, "event_type", 5.0, pcts)
+      .select(col("event_type"), col("pct"), col("est_upper").as("est_rollup"))
+    val direct = Sketches.histQuantiles(
+        tbl(spark, dir, "events"), "event_type", "value", 5.0, 100, pcts)
+      .select(col("event_type"), col("pct"), col("n"), col("est_upper").as("est_direct"))
+    direct.join(rollup, Seq("event_type", "pct"))
+      .withColumn("matches",
+        when(col("est_direct") === col("est_rollup"), 1L).otherwise(0L))
+      .orderBy("event_type", "pct")
+  }
+
   /** GDPR right-to-be-forgotten on the lake table: delete every event of
     * the subject users (user_id % 50 == 0) from a date-partitioned
     * parquet sink via [[graft.etl.LakeOps.deleteKeys]] — column-pruned
@@ -336,6 +377,8 @@ object AnalyticsQueries {
     "cohort_retention" -> (cohortRetention _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),
     "sketch_hll_rollup" -> (sketchHllRollup _),
+    "sketch_quantile_hist" -> (sketchQuantileHist _),
+    "sketch_quantile_rollup" -> (sketchQuantileRollup _),
     "sink_delete_keys" -> (sinkDeleteKeys _),
     "pipeline_incremental_agg" -> (pipelineIncrementalAgg _),
     "ddl_bloom_index" -> (ddlBloomIndex _),

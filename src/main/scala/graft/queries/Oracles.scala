@@ -2464,6 +2464,52 @@ object Oracles {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin,
 
+    "sketch_quantile_hist" ->
+      """WITH h AS (SELECT event_type,
+        |             least(greatest(CAST(floor(value / 5.0) AS BIGINT), 0), 99) AS b,
+        |             count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, b, c,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY b
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          sum(c) OVER (PARTITION BY event_type) AS n
+        |        FROM h),
+        |p AS (SELECT unnest([50, 90, 99]) AS pct),
+        |sel AS (SELECT cum.event_type, p.pct, cum.n, min(cum.b) AS bucket
+        |        FROM cum, p WHERE cum.cum >= (cum.n * p.pct + 99) // 100
+        |        GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(pct AS BIGINT) AS pct, CAST(n AS BIGINT) AS n,
+        | bucket, CAST((bucket + 1) * 5.0 AS DOUBLE) AS est_upper
+        |FROM sel ORDER BY event_type, pct""".stripMargin,
+
+    "sketch_quantile_rollup" ->
+      """WITH base AS (SELECT event_type,
+        |                strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |                least(greatest(CAST(floor(value / 5.0) AS BIGINT), 0), 99) AS b
+        |              FROM events),
+        |daily AS (SELECT event_type, day, b, count(*) AS c FROM base GROUP BY 1, 2, 3),
+        |merged AS (SELECT event_type, b, sum(c) AS c FROM daily GROUP BY 1, 2),
+        |direct AS (SELECT event_type, b, count(*) AS c FROM base GROUP BY 1, 2),
+        |p AS (SELECT unnest([50, 90, 99]) AS pct),
+        |cm AS (SELECT event_type, b,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n FROM merged),
+        |qr AS (SELECT cm.event_type, p.pct, min(cm.b) AS bucket
+        |       FROM cm, p WHERE cm.cum >= (cm.n * p.pct + 99) // 100 GROUP BY 1, 2),
+        |cd AS (SELECT event_type, b,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n FROM direct),
+        |qd AS (SELECT cd.event_type, p.pct, min(cd.n) AS n, min(cd.b) AS bucket
+        |       FROM cd, p WHERE cd.cum >= (cd.n * p.pct + 99) // 100 GROUP BY 1, 2)
+        |SELECT qd.event_type, CAST(qd.pct AS BIGINT) AS pct, CAST(qd.n AS BIGINT) AS n,
+        | CAST((qd.bucket + 1) * 5.0 AS DOUBLE) AS est_direct,
+        | CAST((qr.bucket + 1) * 5.0 AS DOUBLE) AS est_rollup,
+        | CAST(CASE WHEN qd.bucket = qr.bucket THEN 1 ELSE 0 END AS BIGINT) AS matches
+        |FROM qd JOIN qr ON qd.event_type = qr.event_type AND qd.pct = qr.pct
+        |ORDER BY qd.event_type, pct""".stripMargin,
+
     "sketch_hll_rollup" -> {
       val hv = s"((${ch("CAST(event_id % 997 AS VARCHAR)")}) * 2654435761) % 1000000007"
       s"""WITH h AS (SELECT DISTINCT event_type,
