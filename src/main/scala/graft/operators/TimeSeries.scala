@@ -59,4 +59,63 @@ object TimeSeries {
         round(col("med"), 6).as("med"),
         round(col("mad"), 6).as("mad"))
   }
+
+  /** Subsequence motif discovery over the hourly mean-value series — the
+    * Matrix-Profile question ("which two non-overlapping windows of this
+    * series are most alike?") answered with the engine's standard
+    * bucket-then-verify shape instead of an O(n²) profile: windows are
+    * length-`w` hourly subsequences (one per position, assembled with
+    * `lead` — series length is TIME-bounded, so the per-series window
+    * state never scales with row count; the raw-events → hourly-mean agg
+    * is the only data-scale pass and it's partial-aggregatable); each
+    * window's PAA signature (segment-pair sums integer-divided by
+    * `paaDiv`) is its grid bucket, an equi-join on the signature
+    * generates candidates (same-bucket, non-overlapping `pos_a + w <=
+    * pos_b`), and candidates verify with the EXACT integer L1 distance.
+    * Top-1 per series by (l1, pos_a, pos_b) = the motif. Values are
+    * quantised (floor(mean·100)) so every distance is engine-exact; the
+    * PAA grid is the documented recall/cost dial — a coarser `paaDiv`
+    * admits more candidates, the verify stage stays exact either way. */
+  def motifTopK(events: DataFrame, w: Int, paaDiv: Long, k: Int): DataFrame = {
+    require(w % 2 == 0, "window length must be even (PAA segment pairs)")
+    // qv = floor(100·mean) computed INTEGER-only: cent-quantise each value
+    // (round(value·100) — exact for 2-decimal data), integer-sum, integer-
+    // divide. A double sum would be accumulation-order-dependent.
+    val hourly = events
+      .withColumn("cents", round(col("value") * 100d, 0).cast("long"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(expr("sum(cents) div count(1)").as("qv"))
+    val byHr = Window.partitionBy("event_type").orderBy("hr")
+    val series = hourly.withColumn("pos", row_number().over(byHr))
+    val byPos = Window.partitionBy("event_type").orderBy("pos")
+    val withLeads = (1 until w).foldLeft(series.withColumn("v0", col("qv"))) {
+      case (df, i) => df.withColumn(s"v$i", lead(col("qv"), i).over(byPos))
+    }.filter(col(s"v${w - 1}").isNotNull)
+    val sigCols = (0 until w / 2).map(s =>
+      expr(s"(v${2 * s} + v${2 * s + 1}) div ${paaDiv}L").as(s"p$s"))
+    val keyed = withLeads.select(
+      (col("event_type") +: col("pos").as("pos") +:
+        (0 until w).map(i => col(s"v$i"))) ++ sigCols: _*)
+    val a = keyed.select(col("event_type") +: col("pos").as("pos_a") +:
+      (0 until w).map(i => col(s"v$i").as(s"a$i")) ++:
+      (0 until w / 2).map(s => col(s"p$s")): _*)
+    val b = keyed.select(col("event_type").as("et_b") +: col("pos").as("pos_b") +:
+      (0 until w).map(i => col(s"v$i").as(s"b$i")) ++:
+      (0 until w / 2).map(s => col(s"p$s").as(s"q$s")): _*)
+    val sigMatch = (0 until w / 2).map(s => col(s"p$s") === col(s"q$s"))
+      .reduce(_ && _)
+    val l1 = (0 until w).map(i => abs(col(s"a$i") - col(s"b$i")))
+      .reduce(_ + _)
+    a.join(b,
+        col("event_type") === col("et_b") && sigMatch &&
+          col("pos_a") + w <= col("pos_b"))
+      .withColumn("l1", l1)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("l1"), col("pos_a"), col("pos_b"))))
+      .filter(col("rk") <= k)
+      .select(col("event_type"), col("rk").cast("long").as("rk"),
+        col("pos_a").cast("long").as("pos_a"), col("pos_b").cast("long").as("pos_b"),
+        col("l1"))
+  }
 }

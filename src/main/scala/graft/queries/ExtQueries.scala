@@ -2202,6 +2202,13 @@ object ExtQueries {
     TimeSeries.madAnomalies(tbl(spark, dir, "events"), k = 3.0)
       .orderBy("event_type", "event_id")
 
+  /** Top-3 subsequence motifs per event type over the hourly series —
+    * PAA-grid candidates, exact integer-L1 verify (see
+    * TimeSeries.motifTopK). */
+  def timeseriesMotif(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.motifTopK(tbl(spark, dir, "events"), w = 8, paaDiv = 2000L, k = 3)
+      .orderBy("event_type", "rk")
+
   /** Gopher-rule quality signals per document (see TextOps.gopherSignals). */
   def textGopherRules(spark: SparkSession, dir: String): DataFrame =
     TextOps.gopherSignals(tbl(spark, dir, "documents")).orderBy("doc_id")
@@ -2287,6 +2294,7 @@ object ExtQueries {
     "graph_pagerank" -> (graphPagerank _),
     "graph_pagerank_delta" -> (graphPagerankDelta _),
     "timeseries_gapfill" -> (timeseriesGapfill _),
+    "timeseries_motif" -> (timeseriesMotif _),
     "anomaly_mad" -> (anomalyMad _),
     "text_gopher_rules" -> (textGopherRules _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),

@@ -2263,6 +2263,33 @@ object Oracles {
         |SELECT CAST(iter AS BIGINT) AS iter, CAST(md AS BIGINT) AS max_delta
         |FROM d ORDER BY iter""".stripMargin,
 
+    "timeseries_motif" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |             sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, qv,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY hr) AS pos FROM h),
+        |w AS (SELECT event_type, pos, qv AS v0,
+        |        lead(qv,1) OVER tw AS v1, lead(qv,2) OVER tw AS v2,
+        |        lead(qv,3) OVER tw AS v3, lead(qv,4) OVER tw AS v4,
+        |        lead(qv,5) OVER tw AS v5, lead(qv,6) OVER tw AS v6,
+        |        lead(qv,7) OVER tw AS v7
+        |      FROM s WINDOW tw AS (PARTITION BY event_type ORDER BY pos)),
+        |k AS (SELECT *, (v0+v1) // 2000 AS p0, (v2+v3) // 2000 AS p1,
+        |        (v4+v5) // 2000 AS p2, (v6+v7) // 2000 AS p3
+        |      FROM w WHERE v7 IS NOT NULL),
+        |cand AS (SELECT a.event_type, a.pos AS pos_a, b.pos AS pos_b,
+        |           abs(a.v0-b.v0)+abs(a.v1-b.v1)+abs(a.v2-b.v2)+abs(a.v3-b.v3)
+        |          +abs(a.v4-b.v4)+abs(a.v5-b.v5)+abs(a.v6-b.v6)+abs(a.v7-b.v7) AS l1
+        |         FROM k a JOIN k b ON a.event_type = b.event_type
+        |           AND a.p0 = b.p0 AND a.p1 = b.p1 AND a.p2 = b.p2 AND a.p3 = b.p3
+        |           AND a.pos + 8 <= b.pos),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY l1, pos_a, pos_b) AS rk FROM cand)
+        |SELECT event_type, rk, CAST(pos_a AS BIGINT) AS pos_a,
+        | CAST(pos_b AS BIGINT) AS pos_b, CAST(l1 AS BIGINT) AS l1
+        |FROM r WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+
     "timeseries_gapfill" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, value FROM events
         |            WHERE user_id % 10 = 0),
