@@ -34,6 +34,73 @@ object Graph {
     edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
 
+  /** Co-part edges kept only when the pair co-occurs in at least
+    * `minCount` orders — the "frequently bought together" graph. The raw
+    * co-occurrence graph is near-complete (one giant component) on
+    * uniform synthetic data; thresholding recovers real cluster
+    * structure AND bounds the edge count: the same self-join shuffle as
+    * [[coPartEdges]], with the count filter applied in the partial
+    * aggregation (map-side combine), so high-frequency pairs never
+    * dominate a reducer. */
+  def coPartEdgesMin(lineitem: DataFrame, minCount: Long): DataFrame = {
+    val os = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("s")).distinct()
+    os.as("a").join(os.as("b"), col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("src"), col("b.s").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount)
+      .select("src", "dst")
+  }
+
+  /** Connected components by hash-min label propagation with pointer
+    * jumping, run to fixpoint: every node ends labelled with the MINIMUM
+    * node id reachable from it (= a canonical component id).
+    *
+    * Each round is two equi-joins keyed on the node id:
+    *   1. hash-min: pull the minimum label across incident edges
+    *      (partial-aggregatable `min`, so the shuffle carries one row per
+    *      (dst, partition), not per edge);
+    *   2. pointer jump: re-resolve each node's label through its label's
+    *      OWN label (label-doubling), which collapses long chains so
+    *      convergence is O(log diameter) rounds, not O(diameter) — the
+    *      published two-phase MapReduce CC shape (Kiveris et al.,
+    *      "Connected Components in MapReduce and Beyond", SoCC'14).
+    *
+    * Determinism: labels only ever decrease and `min` is order-invariant,
+    * so the fixpoint is unique regardless of partitioning or round
+    * count — exactly the min-reachable-label fixpoint the oracle's
+    * recursive CTE computes. The per-round change count is a driver-side
+    * SCALAR (the loop-termination signal, standard for iterative
+    * dataflow); label frames stay O(|V|) and are lineage-truncated with
+    * an eager localCheckpoint every round (see pageRankRun's measured
+    * rationale). */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = bidir(edges).persist(lvl)
+    var labels = e.groupBy(col("src").as("node")).agg(min(col("dst")).as("nm"))
+      .select(col("node"), least(col("node"), col("nm")).as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min("label").as("nl"))
+      val stepped = labels.join(viaNbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      val jumped = stepped.as("x")
+        .join(stepped.select(col("node").as("label"), col("label").as("ll")).as("p"),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = jumped
+        .join(labels.select(col("node"), col("label").as("prev")), "node")
+        .filter(col("label") < col("prev")).count()
+      labels = jumped
+    }
+    e.unpersist()
+    labels.select(col("node"), col("label").as("comp_id"))
+  }
+
   /** Degree distribution: (degree, n_nodes). Two partial-aggregatable
     * shuffles (node key, then degree key) — the standard two-level
     * histogram, scale-free. */

@@ -76,6 +76,84 @@ object TimeSeries {
     * quantised (floor(mean·100)) so every distance is engine-exact; the
     * PAA grid is the documented recall/cost dial — a coarser `paaDiv`
     * admits more candidates, the verify stage stays exact either way. */
+  /** Hourly quantised-mean series per event_type with a dense position
+    * index: qv = floor(100·mean) computed INTEGER-only (cent-quantise,
+    * integer-sum, integer-divide — a double sum would be
+    * accumulation-order-dependent). The raw-events → hourly agg is the
+    * only data-scale pass and is partial-aggregatable; series length is
+    * TIME-bounded so downstream per-series windows never scale with row
+    * count. */
+  private def hourlyCentSeries(events: DataFrame): DataFrame = {
+    val hourly = events
+      .withColumn("cents", round(col("value") * 100d, 0).cast("long"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(expr("sum(cents) div count(1)").as("qv"))
+    hourly.withColumn("pos",
+      row_number().over(Window.partitionBy("event_type").orderBy("hr")))
+  }
+
+  /** Autocorrelation sufficient statistics per (series, lag), lags
+    * 1..maxLag over the hourly quantised-mean series: for each lag the
+    * paired frame (x_t, x_{t+lag}) reduced to exact integer moments —
+    * n_pairs, num = n·Σxy − Σx·Σy (the autocovariance numerator) and the
+    * two variance denominators den_x/den_y. The ratio r = num/√(den_x·
+    * den_y) is left to the caller: the product of denominators can
+    * overflow int64, and emitting exact integer moments keeps the report
+    * bit-identical across engines and partitionings (the library's
+    * integer-exact scoring rule). One `lead` window per lag on the
+    * TIME-bounded series, then a partial-aggregatable reduce — no
+    * self-join, no data-scale window. */
+  def autocorrStats(events: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 1)
+    val series = hourlyCentSeries(events)
+    val byPos = Window.partitionBy("event_type").orderBy("pos")
+    val withLeads = (1 to maxLag).foldLeft(series) {
+      case (df, l) => df.withColumn(s"y$l", lead(col("qv"), l).over(byPos))
+    }
+    val perLag = (1 to maxLag).map { l =>
+      withLeads.filter(col(s"y$l").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("qv")).as("sx"), sum(col(s"y$l")).as("sy"),
+          sum(col("qv") * col(s"y$l")).as("sxy"),
+          sum(col("qv") * col("qv")).as("sxx"),
+          sum(col(s"y$l") * col(s"y$l")).as("syy"))
+        .select(col("event_type"), lit(l.toLong).as("lag"),
+          col("n_pairs"),
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+          (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("den_y"))
+    }
+    perLag.reduce(_ unionByName _)
+  }
+
+  /** CUSUM changepoint per series over the hourly quantised-mean series:
+    * deviations are scaled integers d_t = n·x_t − S (n = series length,
+    * S = series sum — so Σd = 0 exactly, no float mean), the CUSUM is
+    * their running prefix sum, and the changepoint is the position of the
+    * maximum |CUSUM| (ties → earliest). Emits the exact integer CUSUM
+    * peak so the split-quality signal is engine-exact. Series stats ride
+    * a window over the TIME-bounded series; everything upstream is the
+    * partial-aggregatable hourly reduce. */
+  def changepointCusum(events: DataFrame): DataFrame = {
+    val series = hourlyCentSeries(events)
+    val whole = Window.partitionBy("event_type")
+    val byPos = Window.partitionBy("event_type").orderBy("pos")
+    series
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("s", sum(col("qv")).over(whole))
+      .withColumn("d", col("n") * col("qv") - col("s"))
+      .withColumn("cusum", sum(col("d")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rk", row_number().over(
+        whole.orderBy(abs(col("cusum")).desc, col("pos"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_hours"),
+        col("pos").cast("long").as("cp_pos"), col("hr").as("cp_hr"),
+        col("cusum").as("cusum_peak"))
+  }
+
   def motifTopK(events: DataFrame, w: Int, paaDiv: Long, k: Int): DataFrame = {
     require(w % 2 == 0, "window length must be even (PAA segment pairs)")
     // qv = floor(100·mean) computed INTEGER-only: cent-quantise each value

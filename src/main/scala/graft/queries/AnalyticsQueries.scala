@@ -303,7 +303,14 @@ object AnalyticsQueries {
     * cleared to integers), floored to micro-units so the per-doc sum is
     * integer — no float accumulation order anywhere. Top-10 via
     * orderBy+limit = distributed TakeOrdered. */
-  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(10)
+
+  /** Full integer-micro BM25 scored frame (doc_id, bm25_micro) — shared
+    * by [[textBm25]] (top-10 report) and [[textRrfFusion]] (lexical leg). */
+  private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val terms = docs.select(col("doc_id"),
       explode(graft.functions.CrossFns.tokens(col("text"))).as("term"))
@@ -321,7 +328,47 @@ object AnalyticsQueries {
           (lit(10.0 * t) * col("tf").cast("double") + lit(3.0 * t) +
             lit(9.0 * n) * col("dl").cast("double"))).cast("long"))
       .groupBy("doc_id").agg(sum("score_micro").as("bm25_micro"))
-      .orderBy(col("bm25_micro").desc, col("doc_id"))
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    * fuse a lexical ranking (the integer-micro BM25 of [[textBm25]]) with
+    * a dense ranking (quantised-integer inner product against a probe
+    * embedding, the MIPS form — ranking on the raw int64 dot avoids any
+    * float sqrt) by RRF: score(d) = Σ_rankers 10^9 div (60 + rank_d).
+    *
+    * Scale shape: each ranker independently reduces to its top-50 via
+    * orderBy+limit (TakeOrdered — distributed partial top-k, no global
+    * sort), and ONLY those ≤50-row frames get a rank window (bounded by
+    * the limit, not the corpus) before the full-outer fuse on doc_id. A
+    * document missing from a ranker's top list contributes nothing for
+    * that ranker — the standard RRF treatment. Integer arithmetic
+    * end-to-end. */
+  def textRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossFns.{quantize, qdot}
+    import org.apache.spark.sql.expressions.Window
+    val topN = 50
+    val lex = bm25Scores(spark, dir)
+      .orderBy(col("bm25_micro").desc, col("doc_id")).limit(topN)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25_micro").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    val emb = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("qv").as("pqv"))
+    val dense = emb.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"), qdot(col("qv"), col("pqv")).as("dot"))
+      .orderBy(col("dot").desc, col("doc_id")).limit(topN)
+      .withColumn("r_dense", row_number().over(
+        Window.orderBy(col("dot").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr("1000000000 div (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + r_dense)"), lit(0L))).as("rrf_micro"),
+        col("r_lex"), col("r_dense"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
       .limit(10)
   }
 
@@ -373,6 +420,7 @@ object AnalyticsQueries {
     "project_variant" -> (projectVariant _),
     "text_tfidf" -> (textTfidf _),
     "text_bm25" -> (textBm25 _),
+    "text_rrf_fusion" -> (textRrfFusion _),
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),

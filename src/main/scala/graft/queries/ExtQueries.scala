@@ -1057,6 +1057,48 @@ object ExtQueries {
       .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
       .orderBy("event_type")
 
+  /** Importance-based data selection (DSIR-shaped, Xie et al. 2023
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every non-target document by how much its hashed-unigram
+    * profile leans toward a target domain (source `src18`) versus the
+    * whole corpus, and keep the top 20.
+    *
+    * Integer-exact scoring: DSIR's log-probability-ratio weight is
+    * replaced by the probability-DIFFERENCE numerator
+    * w_f = A_f·T_s − B_f·T_t (A/B = target/corpus counts of hashed
+    * feature f, T_t/T_s their totals — the sign and ordering of the
+    * per-feature lean are preserved, and the score
+    * score_d = Σ_f c_{d,f}·w_f is a pure int64 sum, bit-identical across
+    * engines and partitionings; a float log-ratio would not be).
+    *
+    * Scale shape: tokenise → hash into 4096 feature buckets (bounded
+    * weight table regardless of vocabulary) → two partial-aggregatable
+    * count passes → the per-doc score join is against the ≤4096-row
+    * weight table (broadcast), and top-20 is TakeOrdered. The 1-row
+    * total frames ride crossJoins (audited scalar-assembly pattern). */
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame = {
+    val target = "src18"
+    val terms = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("term"))
+      .withColumn("f", charHash(col("term")) % 4096L)
+    val tgt = terms.filter(col("source") === target)
+    val af = tgt.groupBy("f").agg(count(lit(1)).as("a"))
+    val bf = terms.groupBy("f").agg(count(lit(1)).as("b"))
+    val tt = tgt.agg(count(lit(1)).as("t_t"))
+    val ts = terms.agg(count(lit(1)).as("t_s"))
+    val w = bf.join(af, Seq("f"), "left")
+      .crossJoin(tt).crossJoin(ts)
+      .select(col("f"),
+        (coalesce(col("a"), lit(0L)) * col("t_s") - col("b") * col("t_t")).as("wf"))
+    terms.filter(col("source") =!= target)
+      .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+      .join(broadcast(w), Seq("f"))
+      .groupBy("doc_id").agg(sum(col("c") * col("wf")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Z-order layout with REAL file-level data skipping: interleave the
     * bits of two query dimensions (customer, order day) into a Morton key,
     * write an actual multi-file parquet layout (one file per contiguous
@@ -2183,6 +2225,18 @@ object ExtQueries {
     Graph.pageRankWithDelta(Graph.coPartEdges(tbl(spark, dir, "lineitem")), iters = 3)
       ._2.orderBy("iter")
 
+  /** Connected components of the thresholded (co-occurrence ≥ 2)
+    * co-part graph, reported as a component-size census: hash-min label
+    * propagation with pointer jumping to fixpoint (see
+    * Graph.connectedComponents), then one partial-aggregatable count per
+    * canonical label. The raw co-occurrence graph is near-complete;
+    * the ≥2 threshold recovers real cluster structure. */
+  def graphComponents(spark: SparkSession, dir: String): DataFrame =
+    Graph.connectedComponents(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L))
+      .groupBy("comp_id").agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("comp_id"))
+
   // ---- time series -------------------------------------------------------
 
   /** Dense hourly spine + forward fill for a user subset (see
@@ -2209,6 +2263,26 @@ object ExtQueries {
     TimeSeries.motifTopK(tbl(spark, dir, "events"), w = 8, paaDiv = 2000L, k = 3)
       .orderBy("event_type", "rk")
 
+  /** Autocorrelation report: exact integer ACF sufficient statistics per
+    * (event_type, lag) for lags 1..6 over the hourly series (see
+    * TimeSeries.autocorrStats — the num/den_x/den_y decomposition keeps
+    * the report bit-exact; the float ratio is one local division away for
+    * the caller). */
+  def timeseriesAcf(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.autocorrStats(tbl(spark, dir, "events"), maxLag = 6)
+      .orderBy("event_type", "lag")
+
+  /** CUSUM changepoint per event_type over the hourly series: position
+    * and exact integer peak of the cumulative deviation sum (see
+    * TimeSeries.changepointCusum). Hour emitted as a formatted string —
+    * timestamp columns compare as strings in the gate. */
+  def timeseriesChangepoint(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.changepointCusum(tbl(spark, dir, "events"))
+      .select(col("event_type"), col("n_hours"), col("cp_pos"),
+        date_format(col("cp_hr"), "yyyy-MM-dd HH:mm:ss").as("cp_hr_s"),
+        col("cusum_peak"))
+      .orderBy("event_type")
+
   /** Gopher-rule quality signals per document (see TextOps.gopherSignals). */
   def textGopherRules(spark: SparkSession, dir: String): DataFrame =
     TextOps.gopherSignals(tbl(spark, dir, "documents")).orderBy("doc_id")
@@ -2228,6 +2302,54 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       .orderBy("source", "lang")
   }
+
+  /** Dataset-version diff — the audit a lakehouse runs before promoting a
+    * new table version: classify every primary key as added / removed /
+    * changed / unchanged between two versions and report counts plus the
+    * exact changed-value delta. Versions are derived deterministically
+    * from `orders` with a hash coin (v1 drops keys with coin < 5, v2
+    * drops coin ≥ 95 and bumps the price one dollar for coin 5..14), so
+    * the expected class sizes are pinned. One full-outer equi-join on the
+    * key + a partial-aggregatable rollup — the scale shape of a
+    * snapshot diff; values compare in exact cents (no float equality). */
+  def pipelineDatasetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = tbl(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100d, 0).cast("long").as("cents"),
+        (charHash(col("o_orderkey").cast("string")) % 100L).as("h"))
+    val v1 = base.filter(col("h") >= 5)
+      .select(col("k"), col("cents").as("c1"))
+    val v2 = base.filter(col("h") < 95)
+      .select(col("k"),
+        when(col("h").between(5, 14), col("cents") + 100L)
+          .otherwise(col("cents")).as("c2"))
+    v1.join(v2, Seq("k"), "full_outer")
+      .select(
+        when(col("c1").isNull, "added")
+          .when(col("c2").isNull, "removed")
+          .when(col("c1") =!= col("c2"), "changed")
+          .otherwise("unchanged").as("change_type"),
+        coalesce(abs(col("c2") - col("c1")), lit(0L)).as("delta"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"), sum("delta").as("sum_delta_cents"))
+      .orderBy("change_type")
+  }
+
+  /** k-anonymity audit — the privacy gate run alongside PII scrubbing
+    * before a dataset release: group the table by its quasi-identifier
+    * tuple (nation, market segment, account-balance band) and flag every
+    * equivalence class smaller than k=5, whose members a release would
+    * expose to re-identification. One partial-aggregatable group-by; the
+    * band keeps the QI space coarse (floor(bal/1000) — a single
+    * deterministic IEEE division+floor, no float accumulation). */
+  def profileKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < 5)
+      .orderBy("nation", "segment", "bal_band")
 
   /** Co-located join via bucketed table layout: both sides pre-hashed into
     * the same bucket scheme at WRITE time (BucketedTables), so the join
@@ -2293,8 +2415,13 @@ object ExtQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_pagerank_delta" -> (graphPagerankDelta _),
+    "graph_components" -> (graphComponents _),
     "timeseries_gapfill" -> (timeseriesGapfill _),
     "timeseries_motif" -> (timeseriesMotif _),
+    "timeseries_acf" -> (timeseriesAcf _),
+    "timeseries_changepoint" -> (timeseriesChangepoint _),
+    "pipeline_dataset_diff" -> (pipelineDatasetDiff _),
+    "profile_k_anonymity" -> (profileKAnonymity _),
     "anomaly_mad" -> (anomalyMad _),
     "text_gopher_rules" -> (textGopherRules _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),
@@ -2420,6 +2547,7 @@ object ExtQueries {
     "window_ntile" -> (windowNtile _),
     "agg_pivot" -> (aggPivot _),
     "sample_hash" -> (sampleHash _),
+    "sample_importance" -> (sampleImportance _),
     "text_vocab" -> (textVocab _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_bpe_pairs" -> (textBpePairs _),

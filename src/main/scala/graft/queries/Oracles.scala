@@ -175,6 +175,25 @@ object Oracles {
   private def qdotPair(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i_ -> $a[i_]*$b[i_])) AS BIGINT)"
 
+  /** Shared CTE prefix for the BM25 family (text_bm25 / text_rrf_fusion):
+    * tokenise → tf/df for the fixed query → per-(doc,term) integer-micro
+    * partial scores `s`. */
+  private lazy val bm25Ctes: String =
+    s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+       |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM dl),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       |       WHERE term IN ('the', 'data', 'model') GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
+       |       WHERE term IN ('the', 'data', 'model') GROUP BY term),
+       |s AS (SELECT tf.doc_id,
+       |        CAST(floor(CAST(((n.n - df.df + 1) * 1000000) // (df.df + 1) AS DOUBLE)
+       |          * CAST(22 * tot.t * tf.tf AS DOUBLE)
+       |          / CAST(10 * tot.t * tf.tf + 3 * tot.t + 9 * dl.dl * n.n AS DOUBLE)) AS BIGINT) AS sm
+       |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot CROSS JOIN n)""".stripMargin
+
   private val langLexSql: String =
     """(VALUES ('de', ['der','die','und','das','ein','nicht']),
       |        ('en', ['the','and','of','to','a','in','is']),
@@ -1926,6 +1945,28 @@ object Oracles {
          |GROUP BY event_type ORDER BY event_type""".stripMargin
     },
 
+    // DSIR-shaped importance selection: hashed-unigram counts for the
+    // target source vs whole corpus; integer probability-difference
+    // weights w_f = a·T_s − b·T_t, score = Σ c·w_f (sums widen to
+    // HUGEINT in DuckDB → cast back; values bounded inside int64).
+    "sample_importance" -> {
+      val h = ch("term")
+      s"""WITH w AS (SELECT doc_id, source, ${tok("text")} AS w FROM documents),
+         |t AS (SELECT doc_id, source, unnest(w) AS term FROM w),
+         |ft AS (SELECT doc_id, source, ($h) % 4096 AS f FROM t),
+         |af AS (SELECT f, count(*) AS a FROM ft WHERE source = 'src18' GROUP BY f),
+         |bf AS (SELECT f, count(*) AS b FROM ft GROUP BY f),
+         |tt AS (SELECT count(*) AS t_t FROM ft WHERE source = 'src18'),
+         |ts AS (SELECT count(*) AS t_s FROM ft),
+         |wt AS (SELECT bf.f, COALESCE(af.a, 0) * ts.t_s - bf.b * tt.t_t AS wf
+         |       FROM bf LEFT JOIN af USING (f) CROSS JOIN tt CROSS JOIN ts),
+         |c AS (SELECT doc_id, f, count(*) AS c FROM ft WHERE source <> 'src18'
+         |      GROUP BY doc_id, f)
+         |SELECT c.doc_id, CAST(sum(c.c * wt.wf) AS BIGINT) AS score
+         |FROM c JOIN wt USING (f) GROUP BY c.doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
     "text_vocab" ->
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
          |t AS (SELECT doc_id, unnest(w) AS tok FROM w),
@@ -2263,6 +2304,26 @@ object Oracles {
         |SELECT CAST(iter AS BIGINT) AS iter, CAST(md AS BIGINT) AS max_delta
         |FROM d ORDER BY iter""".stripMargin,
 
+    // Exact fixpoint form of hash-min CC: a node's component id is the
+    // minimum label over every node that can reach it — the recursive
+    // CTE enumerates (node, reachable-label) pairs to saturation (labels
+    // only shrink, pair space is finite, UNION dedups → terminates), then
+    // min-reduces. The Spark side's pointer-jumping iteration converges
+    // to the same unique fixpoint.
+    "graph_components" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |r(node, label) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.label FROM r JOIN e ON r.node = e.src),
+        |comp AS (SELECT node, min(label) AS comp_id FROM r GROUP BY node)
+        |SELECT comp_id, count(*) AS n_nodes FROM comp GROUP BY comp_id
+        |ORDER BY n_nodes DESC, comp_id""".stripMargin,
+
     "timeseries_motif" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
         |             sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
@@ -2289,6 +2350,48 @@ object Oracles {
         |SELECT event_type, rk, CAST(pos_a AS BIGINT) AS pos_a,
         | CAST(pos_b AS BIGINT) AS pos_b, CAST(l1 AS BIGINT) AS l1
         |FROM r WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+
+    // DuckDB sums of BIGINT widen to HUGEINT — every emitted moment casts
+    // back to BIGINT to match Spark's int64 schema (values bounded well
+    // inside int64: cents ≤1e5, ≤1e3 hours per series).
+    "timeseries_acf" -> {
+      val leads = (1 to 6).map(l => s"lead(qv,$l) OVER tw AS y$l").mkString(", ")
+      val perLag = (1 to 6).map(l =>
+        s"""SELECT event_type, $l AS lag, count(*) AS n, sum(qv) AS sx, sum(y$l) AS sy,
+           |  sum(qv*y$l) AS sxy, sum(qv*qv) AS sxx, sum(y$l*y$l) AS syy
+           |FROM w WHERE y$l IS NOT NULL GROUP BY 1""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         |             sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
+         |           FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, qv,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY hr) AS pos FROM h),
+         |w AS (SELECT event_type, qv, $leads
+         |      FROM s WINDOW tw AS (PARTITION BY event_type ORDER BY pos)),
+         |l AS ($perLag)
+         |SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+         |  CAST(n*sxy - sx*sy AS BIGINT) AS num,
+         |  CAST(n*sxx - sx*sx AS BIGINT) AS den_x,
+         |  CAST(n*syy - sy*sy AS BIGINT) AS den_y
+         |FROM l ORDER BY event_type, lag""".stripMargin
+    },
+
+    "timeseries_changepoint" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |             sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, hr, qv,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY hr) AS pos FROM h),
+        |t AS (SELECT event_type, count(*) AS n, sum(qv) AS sm FROM s GROUP BY 1),
+        |d AS (SELECT s.event_type, s.pos, s.hr, t.n,
+        |        CAST(t.n * s.qv - t.sm AS BIGINT) AS dv
+        |      FROM s JOIN t USING (event_type)),
+        |c AS (SELECT event_type, n, pos, hr,
+        |        sum(dv) OVER (PARTITION BY event_type ORDER BY pos) AS cusum FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(cusum) DESC, pos) AS rk FROM c)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_hours, CAST(pos AS BIGINT) AS cp_pos,
+        |  strftime(hr, '%Y-%m-%d %H:%M:%S') AS cp_hr_s, CAST(cusum AS BIGINT) AS cusum_peak
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "timeseries_gapfill" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, value FROM events
@@ -2339,6 +2442,29 @@ object Oracles {
          |JOIN keep ON d.doc_id = keep.doc_id
          |JOIN canon ON d.doc_id = canon.doc_id
          |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin,
+
+    "pipeline_dataset_diff" -> {
+      val h = ch("CAST(o_orderkey AS VARCHAR)")
+      s"""WITH base AS (SELECT o_orderkey AS k,
+         |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         |    ($h) % 100 AS h
+         |  FROM orders),
+         |v1 AS (SELECT k, cents AS c1 FROM base WHERE h >= 5),
+         |v2 AS (SELECT k, CASE WHEN h BETWEEN 5 AND 14 THEN cents + 100 ELSE cents END AS c2
+         |       FROM base WHERE h < 95),
+         |j AS (SELECT c1, c2 FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+         |SELECT CASE WHEN c1 IS NULL THEN 'added' WHEN c2 IS NULL THEN 'removed'
+         |            WHEN c1 <> c2 THEN 'changed' ELSE 'unchanged' END AS change_type,
+         |  count(*) AS n_rows,
+         |  CAST(sum(COALESCE(abs(c2 - c1), 0)) AS BIGINT) AS sum_delta_cents
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "profile_k_anonymity" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |  count(*) AS n, count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "stream_quality_gate" ->
       s"""$gopherCtes,
@@ -2600,22 +2726,31 @@ object Oracles {
          |ORDER BY doc_id, rk""".stripMargin,
 
     "text_bm25" ->
-      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
-         |t AS (SELECT doc_id, unnest(w) AS term FROM w),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
-         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t FROM dl),
-         |n AS (SELECT count(*) AS n FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
-         |       WHERE term IN ('the', 'data', 'model') GROUP BY doc_id, term),
-         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
-         |       WHERE term IN ('the', 'data', 'model') GROUP BY term),
-         |s AS (SELECT tf.doc_id,
-         |        CAST(floor(CAST(((n.n - df.df + 1) * 1000000) // (df.df + 1) AS DOUBLE)
-         |          * CAST(22 * tot.t * tf.tf AS DOUBLE)
-         |          / CAST(10 * tot.t * tf.tf + 3 * tot.t + 9 * dl.dl * n.n AS DOUBLE)) AS BIGINT) AS sm
-         |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot CROSS JOIN n)
+      s"""$bm25Ctes
          |SELECT doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro FROM s GROUP BY doc_id
          |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Hybrid retrieval RRF mirror: same BM25 CTEs, dense leg = quantised
+    // int dot vs the vec_id-0 probe, each leg top-50 → rank → full-outer
+    // fuse, rrf = Σ 1e9 // (60 + rank).
+    "text_rrf_fusion" ->
+      s"""$bm25Ctes,
+         |bm AS (SELECT doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro FROM s GROUP BY doc_id),
+         |ltop AS (SELECT doc_id, bm25_micro FROM bm ORDER BY bm25_micro DESC, doc_id LIMIT 50),
+         |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS r_lex FROM ltop),
+         |pq AS (SELECT ${quant("embedding")} AS pqv FROM embeddings WHERE vec_id = 0),
+         |ce AS (SELECT vec_id, ${quant("embedding")} AS qv FROM embeddings WHERE vec_id <> 0),
+         |dd AS (SELECT ce.vec_id AS doc_id, ${qdotPair("ce.qv", "pq.pqv")} AS dot
+         |       FROM ce CROSS JOIN pq),
+         |dtop AS (SELECT doc_id, dot FROM dd ORDER BY dot DESC, doc_id LIMIT 50),
+         |dr AS (SELECT doc_id, row_number() OVER (ORDER BY dot DESC, doc_id) AS r_dense FROM dtop),
+         |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense
+         |      FROM lexr l FULL OUTER JOIN dr d ON l.doc_id = d.doc_id)
+         |SELECT doc_id,
+         |  CAST(COALESCE(1000000000 // (60 + r_lex), 0)
+         |     + COALESCE(1000000000 // (60 + r_dense), 0) AS BIGINT) AS rrf_micro,
+         |  r_lex, r_dense
+         |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
 
     "project_variant" ->
       """SELECT event_type, count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k,

@@ -99,6 +99,32 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rrf fusion: scores decompose into the two rank legs") {
+    val rows = AnalyticsQueries.textRrfFusion(spark, sf).collect()
+    assert(rows.length === 10)
+    for (r <- rows) {
+      val lex = Option(r.getAs[java.lang.Long]("r_lex")).map(_.toLong)
+      val den = Option(r.getAs[java.lang.Long]("r_dense")).map(_.toLong)
+      assert(lex.isDefined || den.isDefined, "doc must appear in at least one leg")
+      val expect = lex.map(x => 1000000000L / (60 + x)).getOrElse(0L) +
+        den.map(x => 1000000000L / (60 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_micro") === expect)
+    }
+    // descending by fused score (ties broken by doc_id upstream)
+    val scores = rows.map(_.getAs[Long]("rrf_micro"))
+    assert(scores.sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("importance sampling never selects target-source docs") {
+    val sel = graft.queries.ExtQueries.sampleImportance(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel.size === 20)
+    val tgt = Staging.tbl(spark, sf, "documents")
+      .filter(col("source") === "src18")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel.intersect(tgt).isEmpty)
+  }
+
   test("funnel steps are monotonically non-increasing and strict") {
     val rows = AnalyticsQueries.funnelSteps(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("step")).toSeq == Seq(1, 2, 3, 4))

@@ -53,6 +53,52 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(h === Map(1L -> 3L, 3L -> 1L))
   }
 
+  test("connectedComponents: two components get their min-node labels") {
+    val e = edgesDf((2L, 1L), (2L, 3L), (10L, 11L))
+    val m = Graph.connectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: long chain converges to one component (pointer jumping)") {
+    // path 1-2-...-12: naive hash-min needs ~11 rounds; the pointer-jump
+    // halving must still land every node on label 1
+    val chain = edgesDf((1L to 11L).map(i => (i, i + 1)): _*)
+    val labels = Graph.connectedComponents(chain).select("comp_id").distinct().collect()
+    assert(labels.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  private def hourlyEvents(tpe: String, cents: Seq[Long]) =
+    cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"),
+        tpe, c.toDouble / 100.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+
+  test("autocorrStats: trend series has positive lag-1 covariance; constant series zero") {
+    val trend = hourlyEvents("t", Seq(100L, 200L, 300L, 400L, 500L))
+    val r = TimeSeries.autocorrStats(trend, maxLag = 2).orderBy("lag").collect()
+    assert(r.length === 2)
+    val lag1 = r(0)
+    assert(lag1.getAs[Long]("n_pairs") === 4L)
+    // n·Σxy − Σx·Σy = 4·400000 − 1000·1400 = 200000
+    assert(lag1.getAs[Long]("num") === 200000L)
+    assert(lag1.getAs[Long]("den_x") > 0L && lag1.getAs[Long]("den_y") > 0L)
+    val const = hourlyEvents("c", Seq.fill(6)(250L))
+    val c1 = TimeSeries.autocorrStats(const, maxLag = 1).head()
+    assert(c1.getAs[Long]("num") === 0L)
+    assert(c1.getAs[Long]("den_x") === 0L && c1.getAs[Long]("den_y") === 0L)
+  }
+
+  test("changepointCusum: level shift peaks at the last pre-shift hour") {
+    // cents 0,0,0,100,100,100: d = (-300,-300,-300,300,300,300),
+    // cusum = -300,-600,-900,-600,-300,0 → peak |−900| at pos 3
+    val ev = hourlyEvents("s", Seq(0L, 0L, 0L, 100L, 100L, 100L))
+    val r = TimeSeries.changepointCusum(ev).head()
+    assert(r.getAs[Long]("n_hours") === 6L)
+    assert(r.getAs[Long]("cp_pos") === 3L)
+    assert(r.getAs[Long]("cusum_peak") === -900L)
+  }
+
   test("gapFillHourly: fills interior gaps, keeps observed hours, no fill before first") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 10.0),
