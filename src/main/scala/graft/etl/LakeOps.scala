@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   *     see them; vacuum or the next promote's cleanup collects them).
   *   - crash between MANIFEST COMMIT and CLEANUP: readers see the full
   *     post-state; displaced old files linger unreferenced until vacuum.
+  *
+  * TIME TRAVEL: mutations run with `retainHistory = true` keep every
+  * superseded manifest and the files it references; [[readTableAsOf]]
+  * resolves any retained version's exact snapshot (staging-id-prefixed
+  * file names mean versions never collide). [[vacuum]] is the retention
+  * terminator — it collapses history back to the current version.
   */
 object LakeOps {
 
@@ -63,9 +69,10 @@ object LakeOps {
     * write keeps one writer per partition (no tasks x partitions file
     * spray). */
   def mergeInto(spark: SparkSession, sinkDir: String, updates: DataFrame,
-                keyCol: String, partCol: String): Unit = {
+                keyCol: String, partCol: String,
+                retainHistory: Boolean = false): Unit = {
     val staging = stageMerge(spark, sinkDir, updates, keyCol, partCol)
-    promoteStaged(spark, sinkDir, staging)
+    promoteStaged(spark, sinkDir, staging, retainHistory = retainHistory)
   }
 
   /** Phase 1: materialize the merged touched partitions under
@@ -140,14 +147,20 @@ object LakeOps {
     * whose rows were deleted entirely (no staged replacement) — they
     * leave the manifest in the same switch. */
   def promoteStaged(spark: SparkSession, sinkDir: String, staging: String,
-                    dropParts: Set[String] = Set.empty): Unit = {
+                    dropParts: Set[String] = Set.empty,
+                    retainHistory: Boolean = false): Unit = {
     val root = new Path(sinkDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root) // first merge may be creating the table
     val pre = freezePreState(fs, root)
     val moved = moveStagedIn(fs, root, new Path(staging))
     commitManifest(fs, root, pre, moved, dropParts)
-    cleanup(fs, root, new Path(staging), pre, moved, dropParts)
+    if (retainHistory)
+      // time-travel mode: superseded manifests and the data files they
+      // reference stay on disk (readTableAsOf resolves them); only the
+      // now-empty staging dir goes. Reclamation is vacuum()'s job.
+      fs.delete(new Path(staging), true)
+    else cleanup(fs, root, new Path(staging), pre, moved, dropParts)
   }
 
   /** Read a lake table through its manifest when one exists — the reader
@@ -167,6 +180,32 @@ object LakeOps {
           .parquet(files.map(f => s"$sinkDir/$f"): _*)
       case None => spark.read.parquet(sinkDir)
     }
+  }
+
+  /** Time-travel read: resolve the table THROUGH A SPECIFIC manifest
+    * version — available for every version since the last
+    * non-retaining promote/vacuum when mutations ran with
+    * `retainHistory = true`. The snapshot is exactly the file list that
+    * version committed; because moved-in files are staging-id-prefixed,
+    * versions never collide on file names and old snapshots stay
+    * byte-identical while new versions land. */
+  def readTableAsOf(spark: SparkSession, sinkDir: String, version: Long): DataFrame = {
+    val root = new Path(sinkDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = allManifests(fs, root).collectFirst { case (v, p) if v == version => p }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no manifest v$version for $sinkDir (retained: ${listVersions(spark, sinkDir).mkString(",")})"))
+    val files = readManifest(fs, mp)
+    require(files.nonEmpty, s"manifest v$version lists no live files for $sinkDir")
+    spark.read.option("basePath", sinkDir)
+      .parquet(files.map(f => s"$sinkDir/$f"): _*)
+  }
+
+  /** Retained manifest versions, ascending. */
+  def listVersions(spark: SparkSession, sinkDir: String): Seq[Long] = {
+    val root = new Path(sinkDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    allManifests(fs, root).map(_._1).sorted
   }
 
   /** Garbage collection: delete every data file not referenced by the

@@ -1229,6 +1229,37 @@ object ExtQueries {
       .orderBy("event_type")
   }
 
+  /** Time travel over the manifest-committed lake table: v1 = initial
+    * load (every id%3 event), a retaining MERGE doubles the id%6 rows →
+    * v2; both versions then read back AS-OF their manifest and
+    * censused side by side. The per-version census must match the
+    * oracle's arithmetic reconstruction of each snapshot — a reader
+    * observing mixed/lost/stale files at either version breaks its
+    * row count or value sum. Updates replace only existing keys, so the
+    * two versions differ in content but not cardinality — the diff the
+    * version census makes visible is value drift, the subtle one.
+    * History retention is file-level (superseded manifests + their
+    * files), so as-of reads cost one manifest resolve, no log replay. */
+  def ddlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("timetravel")
+    val e = tbl(spark, dir, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "event_date", "event_type", "value")
+      .filter(col("event_id") % 3 === 0)
+    e.repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val updates = e.filter(col("event_id") % 6 === 0)
+      .withColumn("value", col("value") * 2)
+    graft.etl.LakeOps.mergeInto(spark, out, updates, "event_id", "event_date",
+      retainHistory = true)
+    def census(v: Long): DataFrame =
+      graft.etl.LakeOps.readTableAsOf(spark, out, v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
+        .select(lit(v).as("version"), col("event_type"), col("n"), col("sum_value"))
+    census(1L).unionByName(census(2L)).orderBy("version", "event_type")
+  }
+
   /** Training-mixture sampling: each source is down-sampled to its
     * configured mixture rate (high-quality sources kept whole, the tail
     * thinned) with a DETERMINISTIC per-doc coin — hash(doc_id) % 100
@@ -2504,6 +2535,7 @@ object ExtQueries {
     "ddl_scd2" -> (ddlScd2 _),
     "ddl_compact" -> (ddlCompact _),
     "ddl_zorder" -> (ddlZorder _),
+    "ddl_time_travel" -> (ddlTimeTravel _),
     "sample_split" -> (sampleSplit _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
     "text_bpe_train" -> (textBpeTrain _),

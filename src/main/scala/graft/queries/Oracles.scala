@@ -2443,6 +2443,21 @@ object Oracles {
          |JOIN canon ON d.doc_id = canon.doc_id
          |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin,
 
+    // Arithmetic reconstruction of both table versions: v1 = the id%3
+    // initial load, v2 = same keys with id%6 values doubled (the merge
+    // replaces existing keys only, so cardinality is version-invariant).
+    "ddl_time_travel" ->
+      s"""WITH e AS (SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 0),
+         |v1 AS (SELECT CAST(1 AS BIGINT) AS version, event_type, count(*) AS n,
+         |         ${decSum2("value")} AS sum_value
+         |       FROM e GROUP BY event_type),
+         |v2 AS (SELECT CAST(2 AS BIGINT) AS version, event_type, count(*) AS n,
+         |         CAST(sum(CAST(CASE WHEN event_id % 6 = 0 THEN value * 2 ELSE value END
+         |           AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |       FROM e GROUP BY event_type)
+         |SELECT * FROM v1 UNION ALL SELECT * FROM v2
+         |ORDER BY version, event_type""".stripMargin,
+
     "pipeline_dataset_diff" -> {
       val h = ch("CAST(o_orderkey AS VARCHAR)")
       s"""WITH base AS (SELECT o_orderkey AS k,

@@ -238,4 +238,34 @@ class LakeOpsSpec extends SparkSpec {
     assert(!new java.io.File(s"$out/d=2024-01-02").exists(),
       "emptied partition dir removed in cleanup")
   }
+
+  test("retainHistory: old version stays readable as-of; vacuum terminates retention") {
+    val out = graft.queries.Staging.tmpDir("lakeops-travel")
+    writeBase(out)
+    val updates = Seq((2L, "2024-01-01", 99.0), (9L, "2024-01-04", 90.0)).toDF("id", "d", "v")
+    LakeOps.mergeInto(spark, out, updates, "id", "d", retainHistory = true)
+    assert(LakeOps.listVersions(spark, out) === Seq(1L, 2L))
+    def content(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("d").cast("string"), col("v"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    // v1 = the exact pre-merge snapshot; v2 = current
+    assert(content(LakeOps.readTableAsOf(spark, out, 1L)) === baseContent)
+    assert(content(LakeOps.readTableAsOf(spark, out, 2L)) ===
+      content(LakeOps.readTable(spark, out)))
+    assert(content(LakeOps.readTable(spark, out))(2L) === (("2024-01-01", 99.0)))
+    // a second retaining mutation stacks a third version
+    LakeOps.mergeInto(spark, out,
+      Seq((1L, "2024-01-01", 11.0)).toDF("id", "d", "v"), "id", "d",
+      retainHistory = true)
+    assert(LakeOps.listVersions(spark, out) === Seq(1L, 2L, 3L))
+    assert(content(LakeOps.readTableAsOf(spark, out, 1L)) === baseContent,
+      "v1 snapshot byte-stable across later promotes")
+    // vacuum collapses history to the current version only
+    LakeOps.vacuum(spark, out)
+    assert(LakeOps.listVersions(spark, out) === Seq(3L))
+    intercept[IllegalArgumentException] {
+      LakeOps.readTableAsOf(spark, out, 1L)
+    }
+    assert(content(LakeOps.readTable(spark, out))(1L) === (("2024-01-01", 11.0)))
+  }
 }
