@@ -152,6 +152,44 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007), `iters` fixed iterations: every node adopts the label
+    * held by the PLURALITY of its neighbours, ties broken by the
+    * SMALLEST label — both rules order-invariant, so each iteration is
+    * deterministic under any partitioning and the fixed iteration count
+    * makes the whole run oracle-mirrorable (plain LPA has no guaranteed
+    * fixpoint — synchronous runs can oscillate — so "run to
+    * convergence" is not a well-defined contract; a pinned ladder is).
+    *
+    * Per iteration: one edge×labels equi-join keyed on the node, one
+    * partial-aggregatable (node, label) count, one bounded-group
+    * plurality window (group size = node degree — the same bound every
+    * neighbourhood op in this file lives with). Label frames stay
+    * O(|V|) and are lineage-truncated per round. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = bidir(edges).persist(lvl)
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val counted = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val plural = counted
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("node")
+            .orderBy(col("c").desc, col("label"))))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("label").as("nl"))
+      labels = labels.join(plural, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** PageRank, `iters` synchronous iterations, damping 0.85, in integer
     * micro-rank units: r0 = 1_000_000; r' = 150_000 + (850 * S) div 1000
     * where S = sum over in-neighbours of (r div degree). Floor division and

@@ -128,6 +128,28 @@ object TimeSeries {
     perLag.reduce(_ unionByName _)
   }
 
+  /** Hour-of-day seasonal profile per series: for each (event_type,
+    * hour-of-day) bucket, the exact integer seasonal index
+    * idx_ppm = (bucket_sum · N · 10^6) div (bucket_n · S) — the ratio of
+    * bucket mean to series mean kept as ONE integer expression over
+    * exact cent sums (no intermediate float mean, no double division
+    * chain). Bound: bucket_sum·N·10^6 must fit int64 — holds through
+    * sf0.1 (≤1.6e18) and is the documented ceiling; beyond that the
+    * index needs a decimal widening, not a different plan. Two
+    * partial-aggregatable shuffles (cent agg, 1-row-per-series stats
+    * broadcast back). */
+  def seasonalProfile(events: DataFrame): DataFrame = {
+    val cents = events.withColumn("cents", round(col("value") * 100d, 0).cast("long"))
+    val buckets = cents
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val totals = cents.groupBy("event_type")
+      .agg(count(lit(1)).as("nn"), sum("cents").as("s"))
+    buckets.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("hod"), col("n"), col("sum_cents"),
+        expr("(sum_cents * nn * 1000000L) div (n * s)").as("idx_ppm"))
+  }
+
   /** CUSUM changepoint per series over the hourly quantised-mean series:
     * deviations are scaled integers d_t = n·x_t − S (n = series length,
     * S = series sum — so Σd = 0 exactly, no float mean), the CUSUM is

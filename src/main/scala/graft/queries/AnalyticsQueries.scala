@@ -330,6 +330,38 @@ object AnalyticsQueries {
       .groupBy("doc_id").agg(sum("score_micro").as("bm25_micro"))
   }
 
+  /** Collocation extraction: corpus bigrams ranked by exact integer
+    * LIFT — lift_ppm = (c_xy · N · 10^6) div (c_x · c_y), the
+    * independence ratio PMI exponentiates, kept integer so the ranking
+    * is bit-stable (log-PMI would float-drift between engines; the
+    * ordering is the same monotone transform away). Min-count ≥ 5
+    * screens the unstable tail, top-20 by (lift, w1, w2).
+    *
+    * Scale shape: bigrams ride the existing shingle HOF (no
+    * self-join on token position), both count passes are
+    * partial-aggregatable, the unigram joins are plain equi-joins on the
+    * vocabulary (AQE broadcasts when small), and the corpus total rides
+    * a 1-row crossJoin (audited scalar pattern). */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossFns.{tokens, shingles}
+    val docs = tbl(spark, dir, "documents")
+    val toks = docs.select(explode(tokens(col("text"))).as("term"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("cu"))
+    val tot = toks.agg(count(lit(1)).as("nt"))
+    docs.select(explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(uni.select(col("term").as("w1"), col("cu").as("cx")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("cu").as("cy")), Seq("w2"))
+      .crossJoin(tot)
+      .select(col("w1"), col("w2"), col("cxy"),
+        expr("(cxy * nt * 1000000L) div (cx * cy)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
     * fuse a lexical ranking (the integer-micro BM25 of [[textBm25]]) with
     * a dense ranking (quantised-integer inner product against a probe
@@ -421,6 +453,7 @@ object AnalyticsQueries {
     "text_tfidf" -> (textTfidf _),
     "text_bm25" -> (textBm25 _),
     "text_rrf_fusion" -> (textRrfFusion _),
+    "text_collocations" -> (textCollocations _),
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),

@@ -2294,6 +2294,22 @@ object ExtQueries {
     TimeSeries.motifTopK(tbl(spark, dir, "events"), w = 8, paaDiv = 2000L, k = 3)
       .orderBy("event_type", "rk")
 
+  /** Hour-of-day seasonal profile per event_type: exact integer seasonal
+    * index (bucket mean vs series mean, ppm) per (series, hour-of-day)
+    * bucket — see TimeSeries.seasonalProfile. */
+  def timeseriesSeasonal(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.seasonalProfile(tbl(spark, dir, "events"))
+      .orderBy("event_type", "hod")
+
+  /** Community census from synchronous label propagation (3 pinned
+    * iterations, plurality labels with min tie-break) over the
+    * thresholded co-part graph — see Graph.labelPropagation. */
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L), iters = 3)
+      .groupBy("community").agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community"))
+
   /** Autocorrelation report: exact integer ACF sufficient statistics per
     * (event_type, lag) for lags 1..6 over the hourly series (see
     * TimeSeries.autocorrStats — the num/den_x/den_y decomposition keeps
@@ -2447,6 +2463,8 @@ object ExtQueries {
     "graph_pagerank" -> (graphPagerank _),
     "graph_pagerank_delta" -> (graphPagerankDelta _),
     "graph_components" -> (graphComponents _),
+    "graph_label_prop" -> (graphLabelProp _),
+    "timeseries_seasonal" -> (timeseriesSeasonal _),
     "timeseries_gapfill" -> (timeseriesGapfill _),
     "timeseries_motif" -> (timeseriesMotif _),
     "timeseries_acf" -> (timeseriesAcf _),

@@ -2375,6 +2375,40 @@ object Oracles {
          |FROM l ORDER BY event_type, lag""".stripMargin
     },
 
+    "timeseries_seasonal" ->
+      """WITH c AS (SELECT event_type,
+        |             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type, hod, count(*) AS n, sum(cents) AS sum_cents
+        |      FROM c GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS nn, sum(cents) AS s FROM c GROUP BY 1)
+        |SELECT b.event_type, b.hod, b.n, CAST(b.sum_cents AS BIGINT) AS sum_cents,
+        |  CAST((b.sum_cents * t.nn * 1000000) // (b.n * t.s) AS BIGINT) AS idx_ppm
+        |FROM b JOIN t USING (event_type) ORDER BY event_type, hod""".stripMargin,
+
+    // Three unrolled synchronous LPA iterations (plurality label, min
+    // tie-break) — the pinned-ladder mirror of Graph.labelPropagation.
+    "graph_label_prop" -> {
+      def step(i: Int): String =
+        s"""c$i AS (SELECT e.dst AS node, l.label, count(*) AS c
+           |      FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+           |p$i AS (SELECT node, label FROM (SELECT node, label,
+           |        row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+           |        FROM c$i) WHERE rk = 1),
+           |l$i AS (SELECT l.node, COALESCE(p.label, l.label) AS label
+           |      FROM l${i - 1} l LEFT JOIN p$i p ON l.node = p.node)""".stripMargin
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT label AS community, count(*) AS n_nodes FROM l3
+         |GROUP BY label ORDER BY n_nodes DESC, community""".stripMargin
+    },
+
     "timeseries_changepoint" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
         |             sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
@@ -2744,6 +2778,23 @@ object Oracles {
       s"""$bm25Ctes
          |SELECT doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro FROM s GROUP BY doc_id
          |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Bigram lift collocations: integer independence ratio, min-count 5.
+    "text_collocations" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |t AS (SELECT unnest(w) AS term FROM w),
+         |uni AS (SELECT term, count(*) AS cu FROM t GROUP BY 1),
+         |tot AS (SELECT count(*) AS nt FROM t),
+         |bg0 AS (SELECT CASE WHEN len(w) >= 2
+         |          THEN list_transform(generate_series(1, len(w) - 1), i_ -> w[i_] || ' ' || w[i_+1])
+         |          ELSE CAST([] AS VARCHAR[]) END AS bgs FROM w),
+         |bg AS (SELECT unnest(bgs) AS bg FROM bg0),
+         |cb AS (SELECT bg, count(*) AS cxy FROM bg GROUP BY 1 HAVING count(*) >= 5),
+         |sp AS (SELECT cxy, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2 FROM cb)
+         |SELECT w1, w2, cxy,
+         |  CAST((sp.cxy * tot.nt * 1000000) // (u1.cu * u2.cu) AS BIGINT) AS lift_ppm
+         |FROM sp JOIN uni u1 ON sp.w1 = u1.term JOIN uni u2 ON sp.w2 = u2.term CROSS JOIN tot
+         |ORDER BY lift_ppm DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // Hybrid retrieval RRF mirror: same BM25 CTEs, dense leg = quantised
     // int dot vs the vec_id-0 probe, each leg top-50 → rank → full-outer

@@ -68,6 +68,29 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(labels.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("labelPropagation: two cliques bridged by one edge settle into two communities") {
+    // cliques {1,2,3} and {10,11,12} + bridge 3-10: plurality pull keeps
+    // each side on its own min label
+    val e = edgesDf((1L,2L),(1L,3L),(2L,3L),(10L,11L),(10L,12L),(11L,12L),(3L,10L))
+    val m = Graph.labelPropagation(e, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === 1L && m(2L) === 1L && m(3L) === 1L)
+    assert(m(10L) === m(11L) && m(11L) === m(12L))
+    assert(m(10L) !== m(1L), "bridge must not merge the cliques")
+  }
+
+  test("seasonalProfile: uniform series indexes to 1e6 ppm; loaded hour scales exactly") {
+    // type u: same cents every hour -> every bucket idx exactly 1_000_000
+    val u = hourlyEvents("u", Seq(200L, 200L, 200L, 200L))
+    val iu = TimeSeries.seasonalProfile(u).collect().map(_.getAs[Long]("idx_ppm")).toSet
+    assert(iu === Set(1000000L))
+    // type l: hours 0..3 cents (100,100,100,500): mean 200 -> idx 500_000 ×3, 2_500_000 ×1
+    val l = hourlyEvents("l", Seq(100L, 100L, 100L, 500L))
+    val il = TimeSeries.seasonalProfile(l).orderBy("hod").collect()
+      .map(r => r.getAs[Long]("hod") -> r.getAs[Long]("idx_ppm")).toMap
+    assert(il === Map(0L -> 500000L, 1L -> 500000L, 2L -> 500000L, 3L -> 2500000L))
+  }
+
   private def hourlyEvents(tpe: String, cents: Seq[Long]) =
     cents.zipWithIndex.map { case (c, i) =>
       (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"),
