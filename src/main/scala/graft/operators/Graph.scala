@@ -190,6 +190,38 @@ object Graph {
     labels.select(col("node"), col("label").as("community"))
   }
 
+  /** Per-community modularity decomposition for a labelPropagation
+    * partition, in EXACT integers: Newman's Q = Σ_c (e_c/m − (d_c/2m)²)
+    * is emitted as the per-community numerator
+    * q_num = 4·m·e_c − d_c² over the shared denominator q_den = 4·m²
+    * (Q = Σ q_num / q_den — one local division away, never computed in
+    * float here). e_c = intra-community edges, d_c = degree mass.
+    * Bounds: d_c ≤ 2m and e_c ≤ m keep both terms ≤ 4m², int64-safe to
+    * m ~ 1.5e9 edges. One degree agg, one two-sided community equi-join
+    * over the edge list, a 1-row m frame on a crossJoin (audited scalar
+    * pattern) — every data-scale step keyed on node or community. */
+  def modularityByCommunity(edges: DataFrame, iters: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.persist(lvl)
+    val comm = labelPropagation(e, iters)
+    val deg = bidir(e).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val m1 = e.agg(count(lit(1)).as("m"))
+    val dc = deg.join(comm, "node").groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("d_sum"))
+    val ein = e
+      .join(comm.select(col("node").as("src"), col("community").as("cs")), "src")
+      .join(comm.select(col("node").as("dst"), col("community").as("cd")), "dst")
+      .filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("community")).agg(count(lit(1)).as("e_in"))
+    dc.join(ein, Seq("community"), "left")
+      .crossJoin(m1)
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+        (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
+          - col("d_sum") * col("d_sum")).as("q_num"),
+        (lit(4L) * col("m") * col("m")).as("q_den"))
+  }
+
   /** PageRank, `iters` synchronous iterations, damping 0.85, in integer
     * micro-rank units: r0 = 1_000_000; r' = 150_000 + (850 * S) div 1000
     * where S = sum over in-neighbours of (r div degree). Floor division and

@@ -330,6 +330,26 @@ object AnalyticsQueries {
       .groupBy("doc_id").agg(sum("score_micro").as("bm25_micro"))
   }
 
+  /** Event-transition matrix (first-order Markov counts): for every
+    * consecutive event pair within a user's timeline, count
+    * (from_type → to_type) — the navigation-flow census behind funnel
+    * design and anomaly screens. One `lead` over the user-keyed window
+    * (thousands of independent user partitions — no global sort) + a
+    * partial-aggregatable pair count. Ordering ties break on event_id;
+    * timestamps compare at µs in both engines (DuckDB TIMESTAMP is µs,
+    * Staging.tbl truncates Spark's read the same way). */
+  def funnelTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    tbl(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Collocation extraction: corpus bigrams ranked by exact integer
     * LIFT — lift_ppm = (c_xy · N · 10^6) div (c_x · c_y), the
     * independence ratio PMI exponentiates, kept integer so the ranking
@@ -454,6 +474,7 @@ object AnalyticsQueries {
     "text_bm25" -> (textBm25 _),
     "text_rrf_fusion" -> (textRrfFusion _),
     "text_collocations" -> (textCollocations _),
+    "funnel_transitions" -> (funnelTransitions _),
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),

@@ -2310,6 +2310,54 @@ object ExtQueries {
       .groupBy("community").agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("n_nodes").desc, col("community"))
 
+  /** Community quality gate: per-community exact-integer modularity
+    * decomposition (Σ q_num / q_den = Newman's Q) over the LPA
+    * partition — see Graph.modularityByCommunity. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame =
+    Graph.modularityByCommunity(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L), iters = 3)
+      .orderBy(col("n_nodes").desc, col("community"))
+
+  /** Curriculum staging: documents bucketed into 4 difficulty stages by
+    * corpus-typicality quartiles (typical = easy boilerplate, rare
+    * bigrams = hard/off-distribution — the standard curriculum signal),
+    * with the quartile boundaries read off the SAME bounded-histogram
+    * quantile sketch the sketch_quantile family uses: integer
+    * score_milli = (Σ corpus-bigram-count · 1000) div n_bigrams, bucket
+    * width 100 milli clamped to 1000 cells (fine enough that quartile
+    * boundaries of a concentrated distribution stay distinct, still a
+    * bounded sketch), boundary = min bucket with cum ≥ ceil(q·n) —
+    * so staging needs NO global sort or data-scale window, and the
+    * census is bit-exact. Docs under 2 tokens have no bigrams and are
+    * excluded (they carry no typicality signal). */
+  def pipelineCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val docBigrams = tbl(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bigram"))
+    val counts = docBigrams.groupBy("bigram").agg(count(lit(1)).as("c"))
+    val scored = docBigrams.join(counts, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(expr("(sum(c) * 1000L) div count(1)").as("score_milli"))
+    val hist = Sketches.bucketize(
+        scored.withColumn("g", lit("all")), "score_milli",
+        bucketWidth = 100.0, numBuckets = 1000)
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+    val bounds = Sketches.quantilesFromHist(hist, "g", 100.0, Seq(25, 50, 75))
+      .agg(min(when(col("pct") === 25, col("bucket"))).as("b25"),
+        min(when(col("pct") === 50, col("bucket"))).as("b50"),
+        min(when(col("pct") === 75, col("bucket"))).as("b75"))
+    Sketches.bucketize(scored, "score_milli", 100.0, 1000)
+      .crossJoin(bounds)
+      .select(col("doc_id"), col("score_milli"),
+        ((col("b") > col("b25")).cast("long") + (col("b") > col("b50")).cast("long")
+          + (col("b") > col("b75")).cast("long")).as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        min("score_milli").as("min_score"), max("score_milli").as("max_score"))
+      .orderBy("stage")
+  }
+
   /** Autocorrelation report: exact integer ACF sufficient statistics per
     * (event_type, lag) for lags 1..6 over the hourly series (see
     * TimeSeries.autocorrStats — the num/den_x/den_y decomposition keeps
@@ -2464,7 +2512,9 @@ object ExtQueries {
     "graph_pagerank_delta" -> (graphPagerankDelta _),
     "graph_components" -> (graphComponents _),
     "graph_label_prop" -> (graphLabelProp _),
+    "graph_modularity" -> (graphModularity _),
     "timeseries_seasonal" -> (timeseriesSeasonal _),
+    "pipeline_curriculum" -> (pipelineCurriculum _),
     "timeseries_gapfill" -> (timeseriesGapfill _),
     "timeseries_motif" -> (timeseriesMotif _),
     "timeseries_acf" -> (timeseriesAcf _),

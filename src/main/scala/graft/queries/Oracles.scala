@@ -32,6 +32,11 @@ object Oracles {
     s"CASE WHEN len($w) >= 3 THEN list_transform(generate_series(1, len($w) - 2), " +
       s"i_ -> $w[i_] || ' ' || $w[i_+1] || ' ' || $w[i_+2]) ELSE CAST([] AS VARCHAR[]) END"
 
+  /** Word-2-gram shingles (space-joined) from token-list column w. Reserves i_. */
+  private def shinglesN2(w: String): String =
+    s"CASE WHEN len($w) >= 2 THEN list_transform(generate_series(1, len($w) - 1), " +
+      s"i_ -> $w[i_] || ' ' || $w[i_+1]) ELSE CAST([] AS VARCHAR[]) END"
+
   private def quant(x: String): String =
     s"list_transform($x, x_ -> CAST(floor(CAST(x_ AS DOUBLE)*1000000) AS BIGINT))"
 
@@ -174,6 +179,29 @@ object Oracles {
 
   private def qdotPair(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i_ -> $a[i_]*$b[i_])) AS BIGINT)"
+
+  /** Shared CTE prefix for the LPA family (graph_label_prop /
+    * graph_modularity): thresholded co-part edges (e0 oriented, e
+    * bidirectional) → three unrolled synchronous plurality-label
+    * iterations ending in `l3` (node, label). */
+  private lazy val lpaCtes: String = {
+    def step(i: Int): String =
+      s"""c$i AS (SELECT e.dst AS node, l.label, count(*) AS c
+         |      FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |p$i AS (SELECT node, label FROM (SELECT node, label,
+         |        row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+         |        FROM c$i) WHERE rk = 1),
+         |l$i AS (SELECT l.node, COALESCE(p.label, l.label) AS label
+         |      FROM l${i - 1} l LEFT JOIN p$i p ON l.node = p.node)""".stripMargin
+    s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+       |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}""".stripMargin
+  }
 
   /** Shared CTE prefix for the BM25 family (text_bm25 / text_rrf_fusion):
     * tokenise → tf/df for the fixed query → per-(doc,term) integer-micro
@@ -2388,26 +2416,31 @@ object Oracles {
 
     // Three unrolled synchronous LPA iterations (plurality label, min
     // tie-break) — the pinned-ladder mirror of Graph.labelPropagation.
-    "graph_label_prop" -> {
-      def step(i: Int): String =
-        s"""c$i AS (SELECT e.dst AS node, l.label, count(*) AS c
-           |      FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
-           |p$i AS (SELECT node, label FROM (SELECT node, label,
-           |        row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
-           |        FROM c$i) WHERE rk = 1),
-           |l$i AS (SELECT l.node, COALESCE(p.label, l.label) AS label
-           |      FROM l${i - 1} l LEFT JOIN p$i p ON l.node = p.node)""".stripMargin
-      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
-         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
-         |       GROUP BY 1, 2 HAVING count(*) >= 2),
-         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-         |${step(1)},
-         |${step(2)},
-         |${step(3)}
+    "graph_label_prop" ->
+      s"""$lpaCtes
          |SELECT label AS community, count(*) AS n_nodes FROM l3
-         |GROUP BY label ORDER BY n_nodes DESC, community""".stripMargin
-    },
+         |GROUP BY label ORDER BY n_nodes DESC, community""".stripMargin,
+
+    // Per-community modularity decomposition over the same LPA
+    // partition: q_num = 4·m·e_c − d_c², q_den = 4m² (HUGEINT products
+    // cast back; bounds documented in Graph.modularityByCommunity).
+    "graph_modularity" ->
+      s"""$lpaCtes,
+         |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+         |m1 AS (SELECT count(*) AS m FROM e0),
+         |dc AS (SELECT l.label AS community, count(*) AS n_nodes, sum(deg.d) AS d_sum
+         |       FROM l3 l JOIN deg ON l.node = deg.node GROUP BY 1),
+         |ein AS (SELECT ls.label AS community, count(*) AS e_in
+         |        FROM e0 JOIN l3 ls ON e0.src = ls.node
+         |                JOIN l3 ld ON e0.dst = ld.node
+         |        WHERE ls.label = ld.label GROUP BY 1)
+         |SELECT dc.community, dc.n_nodes,
+         |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+         |  CAST(dc.d_sum AS BIGINT) AS d_sum,
+         |  CAST(4 * m1.m * COALESCE(ein.e_in, 0) - dc.d_sum * dc.d_sum AS BIGINT) AS q_num,
+         |  CAST(4 * m1.m * m1.m AS BIGINT) AS q_den
+         |FROM dc LEFT JOIN ein ON dc.community = ein.community CROSS JOIN m1
+         |ORDER BY dc.n_nodes DESC, dc.community""".stripMargin,
 
     "timeseries_changepoint" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
@@ -2491,6 +2524,47 @@ object Oracles {
          |       FROM e GROUP BY event_type)
          |SELECT * FROM v1 UNION ALL SELECT * FROM v2
          |ORDER BY version, event_type""".stripMargin,
+
+    // Curriculum staging by typicality quartiles off the bounded
+    // histogram sketch: boundary b_q = min bucket with cum >= ceil(q·n),
+    // stage = #boundaries strictly below the doc's bucket.
+    "pipeline_curriculum" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |bg AS (SELECT doc_id, unnest(${shinglesN2("w")}) AS bigram FROM w),
+         |cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+         |scored AS (SELECT bg.doc_id,
+         |    (sum(cnt.c) * 1000) // count(*) AS score_milli
+         |  FROM bg JOIN cnt USING (bigram) GROUP BY bg.doc_id),
+         |bk AS (SELECT doc_id, score_milli,
+         |    least(greatest(CAST(floor(CAST(score_milli AS DOUBLE) / 100.0) AS BIGINT), 0), 999) AS b
+         |  FROM scored),
+         |hist AS (SELECT b, count(*) AS c FROM bk GROUP BY 1),
+         |cum AS (SELECT b, sum(c) OVER (ORDER BY b) AS cum,
+         |          sum(c) OVER () AS n FROM hist),
+         |bounds AS (SELECT
+         |    min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN b END) AS b25,
+         |    min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN b END) AS b50,
+         |    min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN b END) AS b75
+         |  FROM cum),
+         |staged AS (SELECT bk.doc_id, bk.score_milli,
+         |    CAST(bk.b > bounds.b25 AS BIGINT) + CAST(bk.b > bounds.b50 AS BIGINT)
+         |      + CAST(bk.b > bounds.b75 AS BIGINT) AS stage
+         |  FROM bk CROSS JOIN bounds)
+         |SELECT stage, count(*) AS n_docs,
+         |  CAST(min(score_milli) AS BIGINT) AS min_score,
+         |  CAST(max(score_milli) AS BIGINT) AS max_score
+         |FROM staged GROUP BY stage ORDER BY stage""".stripMargin,
+
+    // First-order Markov transition counts over per-user timelines;
+    // ordering ties break on event_id at µs timestamp precision.
+    "funnel_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events)
+        |SELECT event_type AS from_type, to_type, count(*) AS n
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "pipeline_dataset_diff" -> {
       val h = ch("CAST(o_orderkey AS VARCHAR)")

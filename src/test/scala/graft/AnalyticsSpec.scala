@@ -125,6 +125,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(sel.intersect(tgt).isEmpty)
   }
 
+  test("transition matrix mass = total events minus one per active user") {
+    val total = Staging.tbl(spark, sf, "events").count()
+    val users = Staging.tbl(spark, sf, "events").select("user_id").distinct().count()
+    val mass = AnalyticsQueries.funnelTransitions(spark, sf)
+      .agg(sum("n")).head().getLong(0)
+    assert(mass === total - users)
+  }
+
+  test("curriculum stages partition the scored corpus into disjoint ascending score ranges") {
+    val rows = graft.queries.ExtQueries.pipelineCurriculum(spark, sf)
+      .orderBy("stage").collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    // stages are bucket-ordered: score ranges never overlap
+    for (Array(a, b) <- rows.sliding(2))
+      assert(a.getAs[Long]("max_score") < b.getAs[Long]("min_score"))
+    // census covers every doc with >= 2 tokens (the bigram-scored set)
+    val scoredDocs = Staging.tbl(spark, sf, "documents")
+      .select(size(graft.functions.CrossFns.tokens(col("text"))).as("nt"))
+      .filter(col("nt") >= 2).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === scoredDocs)
+  }
+
   test("funnel steps are monotonically non-increasing and strict") {
     val rows = AnalyticsQueries.funnelSteps(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("step")).toSeq == Seq(1, 2, 3, 4))

@@ -79,6 +79,21 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(m(10L) !== m(1L), "bridge must not merge the cliques")
   }
 
+  test("modularityByCommunity: bridged cliques decompose to the hand-computed Q terms") {
+    // cliques {1,2,3}, {10,11,12}, bridge 3-10: m=7, each community
+    // d_sum=7, e_in=3 -> q_num = 4·7·3 − 49 = 35 each, q_den = 196
+    val e = edgesDf((1L,2L),(1L,3L),(2L,3L),(10L,11L),(10L,12L),(11L,12L),(3L,10L))
+    val rows = Graph.modularityByCommunity(e, iters = 3).collect()
+    assert(rows.length === 2)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_nodes") === 3L)
+      assert(r.getAs[Long]("e_in") === 3L)
+      assert(r.getAs[Long]("d_sum") === 7L)
+      assert(r.getAs[Long]("q_num") === 35L)
+      assert(r.getAs[Long]("q_den") === 196L)
+    }
+  }
+
   test("seasonalProfile: uniform series indexes to 1e6 ppm; loaded hour scales exactly") {
     // type u: same cents every hour -> every bucket idx exactly 1_000_000
     val u = hourlyEvents("u", Seq(200L, 200L, 200L, 200L))
