@@ -74,6 +74,36 @@ object Sketches {
     df.withColumn("b", least(greatest(floor(col(valueCol) / bucketWidth), lit(0d))
       .cast("long"), lit(numBuckets - 1L)))
 
+  /** Grouped Gini coefficient from the bounded bucket histogram — the
+    * inequality metric without a global per-group rank pass: per bucket
+    * (count c_b, value mass s_b in integer units), the Lorenz-trapezoid
+    * term T = Σ_b c_b·(2·cumS_b − s_b) gives G = 1 − T/(N·S). Returns
+    * the EXACT integers (n, sum_units, lorenz_t) plus the convenience
+    * g_ppm = 1e6 − T div max((N·S) div 1e6, 1) (clamped denominator:
+    * a group with under 1e6 total units would zero it — ANSI division
+    * error). Values within a bucket are treated as equal — the standard
+    * grouped-Gini approximation, bias bounded by the bucket width.
+    * Shuffles: one partial-aggregatable histogram + a per-group
+    * cumulative over ≤`numBuckets` rows. */
+  def histGini(df: DataFrame, groupCol: String, unitsCol: String,
+      bucketWidth: Long, numBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .withColumn("b", least(expr(s"$unitsCol div ${bucketWidth}L"),
+        lit(numBuckets - 1L)))
+      .groupBy(col(groupCol), col("b"))
+      .agg(count(lit(1)).as("c"), sum(col(unitsCol)).as("s"))
+    hist.withColumn("cum_s", sum(col("s")).over(
+        Window.partitionBy(groupCol).orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n"), sum(col("s")).as("sum_units"),
+        sum(col("c") * (lit(2L) * col("cum_s") - col("s"))).as("lorenz_t"))
+      .select(col(groupCol), col("n"), col("sum_units"), col("lorenz_t"),
+        (lit(1000000L) -
+          expr("lorenz_t div greatest((n * sum_units) div 1000000L, 1L)")).as("g_ppm"))
+  }
+
   /** Percentile walk over a (group, b, c) histogram frame — shared by the
     * direct and rolled-up forms, which is the point: histograms merge by
     * plain count addition, so a quantile computed from merged daily

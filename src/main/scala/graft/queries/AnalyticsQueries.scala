@@ -330,6 +330,29 @@ object AnalyticsQueries {
       .groupBy("doc_id").agg(sum("score_micro").as("bm25_micro"))
   }
 
+  /** Gini inequality coefficient from the bounded histogram sketch — the
+    * source-skew / value-concentration metric a curation pipeline reads
+    * per segment, computed WITHOUT any global per-group sort (the exact
+    * Gini needs a full rank pass; the grouped/Lorenz-trapezoid form
+    * needs only the same ≤200-cell histogram the quantile sketch ships):
+    * per bucket (count c_b, cent mass s_b), the trapezoid term
+    * T = Σ_b c_b·(2·cumS_b − s_b) gives G = 1 − T/(N·S). Emitted as the
+    * EXACT integers (n, sum_cents, lorenz_t) plus the convenience
+    * g_ppm = 1e6 − T div ((N·S) div 1e6) — every operation integer, so
+    * the report is engine-exact; resolution is the declared bucket
+    * width (values within a bucket are treated as equal — the standard
+    * grouped-Gini approximation, bias bounded by bucket width).
+    * Shuffles: one partial-aggregatable histogram, a per-group
+    * cumulative over ≤200 bucket rows, a broadcast totals join. */
+  def sketchGini(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.histGini(
+      tbl(spark, dir, "orders").select(
+        col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100d, 0).cast("long").as("cents")),
+      "grp", "cents", bucketWidth = 250000L, numBuckets = 200)
+      .withColumnRenamed("sum_units", "sum_cents")
+      .orderBy("grp")
+
   /** Event-transition matrix (first-order Markov counts): for every
     * consecutive event pair within a user's timeline, count
     * (from_type → to_type) — the navigation-flow census behind funnel
@@ -475,6 +498,7 @@ object AnalyticsQueries {
     "text_rrf_fusion" -> (textRrfFusion _),
     "text_collocations" -> (textCollocations _),
     "funnel_transitions" -> (funnelTransitions _),
+    "sketch_gini" -> (sketchGini _),
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),

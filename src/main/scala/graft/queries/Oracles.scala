@@ -2403,6 +2403,37 @@ object Oracles {
          |FROM l ORDER BY event_type, lag""".stripMargin
     },
 
+    // Streaming twin of timeseries_seasonal — cross-batch long-sum merge
+    // is exact, so the oracle is the same arithmetic as the batch form.
+    "stream_seasonal" ->
+      """WITH c AS (SELECT event_type,
+        |             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type, hod, count(*) AS n, sum(cents) AS sum_cents
+        |      FROM c GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS nn, sum(cents) AS s FROM c GROUP BY 1)
+        |SELECT b.event_type, b.hod, b.n, CAST(b.sum_cents AS BIGINT) AS sum_cents,
+        |  CAST((b.sum_cents * t.nn * 1000000) // (b.n * t.s) AS BIGINT) AS idx_ppm
+        |FROM b JOIN t USING (event_type) ORDER BY event_type, hod""".stripMargin,
+
+    // Grouped-Gini from the bucket histogram: T = Σ c_b·(2·cumS_b − s_b),
+    // G = 1 − T/(N·S); g_ppm via the same scaled integer division.
+    "sketch_gini" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+        |             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+        |h AS (SELECT grp, least(cents // 250000, 199) AS b,
+        |        count(*) AS c, sum(cents) AS s
+        |      FROM o GROUP BY 1, 2),
+        |cu AS (SELECT grp, b, c, s,
+        |         sum(s) OVER (PARTITION BY grp ORDER BY b) AS cum_s FROM h),
+        |t AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(s) AS BIGINT) AS sum_cents,
+        |        CAST(sum(c * (2 * cum_s - s)) AS BIGINT) AS lorenz_t
+        |      FROM cu GROUP BY 1)
+        |SELECT grp, n, sum_cents, lorenz_t,
+        |  CAST(1000000 - lorenz_t // greatest((n * sum_cents) // 1000000, 1) AS BIGINT) AS g_ppm
+        |FROM t ORDER BY grp""".stripMargin,
+
     "timeseries_seasonal" ->
       """WITH c AS (SELECT event_type,
         |             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,

@@ -63,6 +63,47 @@ object StreamQueries {
     * batch delta + one keyed merge, state never transits the driver, and
     * the cross-batch DECIMAL merge equals the one-shot batch aggregate
     * bit-for-bit (sum is associative on exact decimals). */
+  /** Streaming twin of timeseries_seasonal: each micro-batch reduces to
+    * its PARTIAL (event_type, hour-of-day) integer cent counts, merged
+    * into the keyed versioned state (sum is associative on longs, so the
+    * cross-batch merge equals the one-shot batch aggregate bit-for-bit);
+    * the seasonal index is computed once, off the final merged state —
+    * series totals come from re-aggregating the ≤(types×24)-row state,
+    * never a second data scan. Per-trigger cost = batch delta + one
+    * keyed merge; no complete-mode driver-side state. */
+  def streamSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("sseasrc")
+    val events = tbl(spark, dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    val stateRoot = tmpDir("sseastate")
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sseackpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch
+          .withColumn("cents", round(col("value") * 100d, 0).cast("long"))
+          .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        KeyedStateSink.merge(stateRoot, Seq("event_type", "hod"),
+          minCols = Nil, sumCols = Seq("n", "sum_cents"))(partial, batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val state = KeyedStateSink.read(spark, stateRoot).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long, Long, Long)].toDF("event_type", "hod", "n", "sum_cents")
+    }
+    val totals = state.groupBy("event_type")
+      .agg(sum("n").as("nn"), sum("sum_cents").as("s"))
+    state.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("hod"), col("n"), col("sum_cents"),
+        expr("(sum_cents * nn * 1000000L) div (n * s)").as("idx_ppm"))
+      .orderBy("event_type", "hod")
+  }
+
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     val src = tmpDir("streamwin")
     val events = tbl(spark, dir, "events")
@@ -713,6 +754,7 @@ object StreamQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_file_source" -> (streamFileSource _),
     "stream_window_agg" -> (streamWindowAgg _),
+    "stream_seasonal" -> (streamSeasonal _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_dedup_clusters" -> (streamDedupClusters _),
     "stream_window_append" -> (streamWindowAppend _),

@@ -125,6 +125,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(sel.intersect(tgt).isEmpty)
   }
 
+  test("histogram Gini: perfect equality scores 0, single-holder scores (n-1)/n") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    def giniOf(cents: Seq[Long]): Long =
+      Sketches.histGini(cents.map(("g", _)).toDF("grp", "cents"),
+        "grp", "cents", bucketWidth = 250000L, numBuckets = 200)
+        .head().getAs[Long]("g_ppm")
+    // equality: four equal values -> T = N·S -> g_ppm 0
+    assert(giniOf(Seq.fill(4)(1000000L)) === 0L)
+    // one holder of everything (others zero): G = (n-1)/n = 0.75
+    assert(giniOf(Seq(0L, 0L, 0L, 4000000L)) === 750000L)
+  }
+
   test("transition matrix mass = total events minus one per active user") {
     val total = Staging.tbl(spark, sf, "events").count()
     val users = Staging.tbl(spark, sf, "events").select("user_id").distinct().count()
