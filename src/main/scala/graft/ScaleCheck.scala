@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Graph, Similarity}
 import graft.queries.Staging.tbl
 
 /** Scaling experiment: replicate the sf0.1 tables f× (ids offset so keys
@@ -303,6 +303,29 @@ object ScaleCheck {
         graft.operators.RuntimeFilter.bloomPrefilter(
           li, "l_orderkey", urgent.select("o_orderkey"), 1L << 22, 0.03)
           .groupBy("l_linestatus").agg(count(lit(1))).count()
+      }
+
+      // graph family: offset BOTH keys so each copy is a disjoint
+      // subgraph — nodes and edges scale exactly f×, components f×, and
+      // the iterative ops must show per-round cost linear in |E| with a
+      // round count that does NOT grow with f (diameter is unchanged)
+      val lg = (0 until f).map(i => lineitem
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+      time("graph_components", f) {
+        Graph.connectedComponents(Graph.coPartEdgesMin(lg, 2L))
+          .groupBy("comp_id").agg(count(lit(1))).count()
+      }
+      time("graph_label_prop", f) {
+        Graph.labelPropagation(Graph.coPartEdgesMin(lg, 2L), 3)
+          .select("community").distinct().count()
+      }
+      time("graph_modularity", f) {
+        Graph.modularityByCommunity(Graph.coPartEdgesMin(lg, 2L), 3).count()
+      }
+      time("graph_pagerank", f) {
+        Graph.pageRank(Graph.coPartEdges(lg), 3).count()
       }
     }
     spark.stop()

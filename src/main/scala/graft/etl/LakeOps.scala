@@ -176,10 +176,29 @@ object LakeOps {
       case Some((_, mp)) =>
         val files = readManifest(fs, mp)
         require(files.nonEmpty, s"manifest lists no live files for $sinkDir")
-        spark.read.option("basePath", sinkDir)
-          .parquet(files.map(f => s"$sinkDir/$f"): _*)
+        readEntries(spark, sinkDir, files)
       case None => spark.read.parquet(sinkDir)
     }
+  }
+
+  /** Read a manifest's entries: relative entries under the table root
+    * with the root as basePath (partition-column discovery), ABSOLUTE
+    * entries (shallow-clone borrows) grouped by their table root — the
+    * grandparent of each `part=value/file` path — so every group keeps a
+    * consistent basePath and partition inference, then unioned by
+    * name. */
+  private def readEntries(spark: SparkSession, sinkDir: String,
+                          files: Seq[String]): DataFrame = {
+    val (abs, rel) = files.partition(_.startsWith("/"))
+    val frames = Seq.newBuilder[DataFrame]
+    if (rel.nonEmpty)
+      frames += spark.read.option("basePath", sinkDir)
+        .parquet(rel.map(f => s"$sinkDir/$f"): _*)
+    abs.groupBy(f => new Path(f).getParent.getParent.toString).toSeq.sortBy(_._1)
+      .foreach { case (bp, fl) =>
+        frames += spark.read.option("basePath", bp).parquet(fl.sorted: _*)
+      }
+    frames.result().reduce(_ unionByName _)
   }
 
   /** Time-travel read: resolve the table THROUGH A SPECIFIC manifest
@@ -197,8 +216,36 @@ object LakeOps {
         s"no manifest v$version for $sinkDir (retained: ${listVersions(spark, sinkDir).mkString(",")})"))
     val files = readManifest(fs, mp)
     require(files.nonEmpty, s"manifest v$version lists no live files for $sinkDir")
-    spark.read.option("basePath", sinkDir)
-      .parquet(files.map(f => s"$sinkDir/$f"): _*)
+    readEntries(spark, sinkDir, files)
+  }
+
+  /** Zero-copy SHALLOW CLONE (the Delta/Iceberg shallow-clone shape on
+    * plain parquet): the clone is a new table directory containing ONLY
+    * a v1 manifest whose entries are ABSOLUTE paths into the source's
+    * current snapshot — no data bytes move, clone cost is one manifest
+    * write regardless of table size. Mutations on the clone are
+    * copy-on-write: a merge rewrites the touched partitions into
+    * clone-local files and the commit drops the borrowed absolute
+    * references for those partitions from the clone's manifest (see
+    * [[partOf]]); the SOURCE's files are never deleted by the clone's
+    * cleanup or vacuum, which only scan the clone's own root.
+    * Ownership caveat (same as every shallow-clone design): vacuuming
+    * or rewriting the SOURCE can invalidate clones that still borrow
+    * its files — clones are snapshots for experimentation, not
+    * long-lived replicas. */
+  def shallowClone(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    val src = new Path(srcDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcAbs = fs.makeQualified(src).toUri.getPath
+    val files = currentManifest(fs, src) match {
+      case Some((_, mp)) => readManifest(fs, mp)
+        .map(f => if (f.startsWith("/")) f else s"$srcAbs/$f")
+      case None => listDataFiles(fs, src).map(f => s"$srcAbs/$f")
+    }
+    require(files.nonEmpty, s"cannot clone empty table $srcDir")
+    val dst = new Path(dstDir)
+    fs.mkdirs(dst)
+    writeManifest(fs, dst, 1L, files.sorted)
   }
 
   /** Retained manifest versions, ascending. */
@@ -316,7 +363,17 @@ object LakeOps {
 
   // ---- manifest primitives --------------------------------------------
 
-  private def partOf(relPath: String): String = relPath.split('/').head
+  /** Partition-directory name a manifest entry belongs to. Relative
+    * entries are `<part>/<file>`; ABSOLUTE entries (shallow-clone
+    * references into another table) resolve through their parent
+    * directory name, so a mutation touching partition `d=x` correctly
+    * drops the clone's borrowed `/src/.../d=x/...` references from the
+    * manifest (copy-on-write) while never deleting the source files —
+    * cleanup only scans partition dirs under this table's own root. */
+  private def partOf(relPath: String): String =
+    if (relPath.startsWith("/")) new Path(relPath).getParent.getName
+    else relPath.split('/').head
+
 
   private def allManifests(fs: FileSystem, root: Path): Seq[(Long, Path)] =
     if (!fs.exists(root)) Seq.empty

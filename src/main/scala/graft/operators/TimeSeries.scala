@@ -110,22 +110,24 @@ object TimeSeries {
     val withLeads = (1 to maxLag).foldLeft(series) {
       case (df, l) => df.withColumn(s"y$l", lead(col("qv"), l).over(byPos))
     }
-    val perLag = (1 to maxLag).map { l =>
-      withLeads.filter(col(s"y$l").isNotNull)
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(col("qv")).as("sx"), sum(col(s"y$l")).as("sy"),
-          sum(col("qv") * col(s"y$l")).as("sxy"),
-          sum(col("qv") * col("qv")).as("sxx"),
-          sum(col(s"y$l") * col(s"y$l")).as("syy"))
-        .select(col("event_type"), lit(l.toLong).as("lag"),
-          col("n_pairs"),
-          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
-          (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("den_x"),
-          (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("den_y"))
-    }
-    perLag.reduce(_ unionByName _)
+    // unpivot the lag columns into (lag, y) rows so ALL lags reduce in
+    // ONE partial-aggregatable pass (a per-lag union would re-aggregate
+    // the series frame once per lag — maxLag exchanges instead of one)
+    val stacked = withLeads.select(col("event_type"), col("qv"),
+      expr(s"stack($maxLag, " +
+        (1 to maxLag).map(l => s"${l}L, y$l").mkString(", ") + ") AS (lag, y)"))
+      .filter(col("y").isNotNull)
+    stacked.groupBy("event_type", "lag")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("qv")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("qv") * col("y")).as("sxy"),
+        sum(col("qv") * col("qv")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("den_y"))
   }
 
   /** Hour-of-day seasonal profile per series: for each (event_type,

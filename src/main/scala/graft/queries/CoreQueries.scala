@@ -60,6 +60,44 @@ object CoreQueries {
     spark.read.schema(schema).json(out).orderBy("event_id")
   }
 
+  /** #1b' scan_json_corrupt — PERMISSIVE ingestion of a feed with
+    * malformed lines, the robustness contract real JSONL ingest needs
+    * (the reference's analog is its per-file error isolation): every
+    * event_id%10==0 line is written deterministically TRUNCATED, the
+    * read declares `_corrupt_record`, and the report censuses good rows
+    * per type (exact decimal value sums — doubles round-trip Jackson's
+    * shortest representation, so the sum is bit-stable) against the
+    * quarantined corrupt-line count. No inference pass, no job failure
+    * on bad data: corrupt lines land in their column, scan stays one
+    * pass. */
+  def scanJsonCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("scanjsoncorrupt")
+    val e = tbl(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    e.select(
+        when(col("event_id") % 10 === 0,
+          concat(lit("{\"event_id\":"), col("event_id").cast("string"),
+            lit(",\"event_type\":")))
+          .otherwise(to_json(struct(col("event_id"), col("event_type"), col("value"))))
+          .as("value"))
+      .repartition(4)
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .select(
+        when(col("_corrupt_record").isNotNull, lit("(corrupt)"))
+          .otherwise(col("event_type")).as("bucket"),
+        coalesce(col("value"), lit(0.0d)).as("v"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), decSum2(col("v")).as("sum_value"))
+      .orderBy("bucket")
+  }
+
   /** #1c scan_orc — columnar ORC round trip (built-in vectorised reader;
     * predicate pushdown and column pruning work as for parquet). */
   def scanOrc(spark: SparkSession, dir: String): DataFrame = {
@@ -399,6 +437,7 @@ object CoreQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_csv" -> (scanCsv _),
     "scan_json" -> (scanJson _),
+    "scan_json_corrupt" -> (scanJsonCorrupt _),
     "scan_orc" -> (scanOrc _),
     "scan_xml" -> (scanXml _),
     "scan_avro" -> (scanAvro _),

@@ -1260,6 +1260,37 @@ object ExtQueries {
     census(1L).unionByName(census(2L)).orderBy("version", "event_type")
   }
 
+  /** Zero-copy shallow clone + copy-on-write divergence: the clone is
+    * born as ONE manifest of absolute references into the source (no
+    * data bytes copied), a merge into the CLONE doubles a key subset in
+    * the first third of the month (so only those date partitions
+    * rewrite locally — later partitions stay borrowed), and the census
+    * reads both tables side by side: the source must be bit-unchanged,
+    * the clone diverged exactly by the doubled rows. See
+    * LakeOps.shallowClone. */
+  def ddlClone(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("clonesrc")
+    val dst = tmpDir("clonedst")
+    val e = tbl(spark, dir, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "event_date", "event_type", "value")
+      .filter(col("event_id") % 3 === 0)
+    e.repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(src)
+    graft.etl.LakeOps.shallowClone(spark, src, dst)
+    val updates = e
+      .filter(col("event_id") % 6 === 0 && dayofmonth(to_date(col("event_date"))) <= 10)
+      .withColumn("value", col("value") * 2)
+    graft.etl.LakeOps.mergeInto(spark, dst, updates, "event_id", "event_date")
+    def census(table: String, d: String): DataFrame =
+      graft.etl.LakeOps.readTable(spark, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_value"))
+        .select(lit(table).as("table"), col("event_type"), col("n"), col("sum_value"))
+    census("clone", dst).unionByName(census("source", src))
+      .orderBy("table", "event_type")
+  }
+
   /** Training-mixture sampling: each source is down-sampled to its
     * configured mixture rate (high-quality sources kept whole, the tail
     * thinned) with a DETERMINISTIC per-doc coin — hash(doc_id) % 100
@@ -2604,6 +2635,7 @@ object ExtQueries {
     "ddl_compact" -> (ddlCompact _),
     "ddl_zorder" -> (ddlZorder _),
     "ddl_time_travel" -> (ddlTimeTravel _),
+    "ddl_clone" -> (ddlClone _),
     "sample_split" -> (sampleSplit _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
     "text_bpe_train" -> (textBpeTrain _),

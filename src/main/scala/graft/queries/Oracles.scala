@@ -244,6 +244,16 @@ object Oracles {
     "scan_csv" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
 
+    // Arithmetic reconstruction of the PERMISSIVE read: every
+    // event_id%10==0 line was written truncated -> '(corrupt)' bucket
+    // with zero value mass; good rows census per type.
+    "scan_json_corrupt" ->
+      s"""SELECT CASE WHEN event_id % 10 = 0 THEN '(corrupt)' ELSE event_type END AS bucket,
+         | count(*) AS n,
+         | CAST(sum(CAST(CASE WHEN event_id % 10 = 0 THEN 0 ELSE value END
+         |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "scan_json" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
 
@@ -2596,6 +2606,22 @@ object Oracles {
         |SELECT event_type AS from_type, to_type, count(*) AS n
         |FROM s WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Clone census = source rows with the (id%6, day<=10) subset doubled;
+    // source census = untouched id%3 rows. Divergence proves CoW isolation.
+    "ddl_clone" ->
+      s"""WITH e AS (SELECT event_id, event_type, value,
+         |             day(CAST(ts AS TIMESTAMP)) AS dom
+         |           FROM events WHERE event_id % 3 = 0),
+         |cl AS (SELECT 'clone' AS "table", event_type, count(*) AS n,
+         |         CAST(sum(CAST(CASE WHEN event_id % 6 = 0 AND dom <= 10
+         |           THEN value * 2 ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |       FROM e GROUP BY event_type),
+         |sr AS (SELECT 'source' AS "table", event_type, count(*) AS n,
+         |         ${decSum2("value")} AS sum_value
+         |       FROM e GROUP BY event_type)
+         |SELECT * FROM cl UNION ALL SELECT * FROM sr
+         |ORDER BY "table", event_type""".stripMargin,
 
     "pipeline_dataset_diff" -> {
       val h = ch("CAST(o_orderkey AS VARCHAR)")

@@ -239,6 +239,37 @@ class LakeOpsSpec extends SparkSpec {
       "emptied partition dir removed in cleanup")
   }
 
+  test("shallowClone: zero-copy birth, copy-on-write divergence, source untouched") {
+    val src = graft.queries.Staging.tmpDir("clone-src")
+    val dst = graft.queries.Staging.tmpDir("clone-dst")
+    writeBase(src)
+    LakeOps.shallowClone(spark, src, dst)
+    // zero-copy: no data files under the clone, just the manifest
+    def parquetsUnder(d: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(d))
+    }
+    assert(parquetsUnder(dst).isEmpty, "clone must borrow, not copy")
+    def content(d: String) = LakeOps.readTable(spark, d)
+      .select(col("id"), col("d").cast("string"), col("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(content(dst) === baseContent, "clone reads the source snapshot")
+    // CoW: mutate the clone; touched partition rewrites locally, source
+    // partitions stay borrowed and the source itself is bit-unchanged
+    LakeOps.mergeInto(spark, dst,
+      Seq((2L, "2024-01-01", 99.0)).toDF("id", "d", "v"), "id", "d")
+    assert(content(src) === baseContent, "source unchanged by clone mutation")
+    assert(content(dst)(2L) === (("2024-01-01", 99.0)))
+    assert(parquetsUnder(dst).forall(_.getPath.contains("d=2024-01-01")),
+      "only the touched partition materialises locally")
+    // vacuum on the clone must not reach into the source
+    LakeOps.vacuum(spark, dst)
+    assert(content(src) === baseContent, "clone vacuum never deletes source files")
+    assert(content(dst)(2L) === (("2024-01-01", 99.0)))
+  }
+
   test("retainHistory: old version stays readable as-of; vacuum terminates retention") {
     val out = graft.queries.Staging.tmpDir("lakeops-travel")
     writeBase(out)
