@@ -330,6 +330,46 @@ object AnalyticsQueries {
       .groupBy("doc_id").agg(sum("score_micro").as("bm25_micro"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs (gaps-and-islands over the token
+    * position stream — island id = pos − rank-among-content-words, a
+    * doc-bounded window like every positional text op here); word
+    * statistics accumulate over ALL phrase instances corpus-wide
+    * (freq = occurrences, deg = Σ co-phrase length), and a phrase
+    * scores Σ_w (deg_w · 10^6) div freq_w over its word multiset —
+    * integer-exact, so the ranking is bit-stable. Distinct phrases are
+    * scored once (RAKE's candidate-keyword rule); top-20 by
+    * (score, phrase). */
+  def textKeywordsRake(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.CrossFns.tokens
+    val stop = graft.operators.TextOps.enStopwords
+    val toks = tbl(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val phrases = toks
+      .filter(!col("term").isInCollection(stop))
+      .withColumn("isl", col("pos") - row_number().over(byPos))
+      .groupBy("doc_id", "isl")
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("term")))),
+          s => s("term"))).as("phrase"),
+        count(lit(1)).as("len"))
+    val words = phrases
+      .select(col("phrase"), col("len"), explode(split(col("phrase"), " ")).as("term"))
+    val stats = words.groupBy("term")
+      .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+    phrases.select(col("phrase")).distinct()
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("term"))
+      .join(stats, Seq("term"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("(deg * 1000000L) div freq")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(20)
+  }
+
   /** Gini inequality coefficient from the bounded histogram sketch — the
     * source-skew / value-concentration metric a curation pipeline reads
     * per segment, computed WITHOUT any global per-group sort (the exact
@@ -499,6 +539,7 @@ object AnalyticsQueries {
     "text_collocations" -> (textCollocations _),
     "funnel_transitions" -> (funnelTransitions _),
     "sketch_gini" -> (sketchGini _),
+    "text_keywords_rake" -> (textKeywordsRake _),
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),

@@ -1260,6 +1260,32 @@ object ExtQueries {
     census(1L).unionByName(census(2L)).orderBy("version", "event_type")
   }
 
+  /** Mixture-sampling QA gate: Pearson goodness-of-fit of the realized
+    * hash-coin sample against each source's configured rate, in exact
+    * integers — dev = 100·observed − n·rate (signed, zero iff the coin
+    * hit the rate exactly) and chi2_centi = dev² div (n·rate) = 100×
+    * the χ² term, so both the per-source drift and the aggregate
+    * statistic are engine-exact. The gate a pipeline runs after
+    * [[sampleMixture]] to prove the deterministic coin has no
+    * systematic bias before committing a mixture. One broadcast rate
+    * join + two partial-aggregatable counts. */
+  def sampleMixtureChi2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = (0 until 20)
+      .map(i => (s"src$i", if (i < 5) 100L else if (i < 10) 50L else 10L))
+      .toDF("source", "rate")
+    val docs = tbl(spark, dir, "documents")
+      .join(broadcast(weights), Seq("source"))
+      .withColumn("picked",
+        (charHash(col("doc_id").cast("string")) % 100 < col("rate")).cast("long"))
+    docs.groupBy("source", "rate")
+      .agg(count(lit(1)).as("n_total"), sum("picked").as("n_sampled"))
+      .withColumn("dev", lit(100L) * col("n_sampled") - col("n_total") * col("rate"))
+      .withColumn("chi2_centi", expr("(dev * dev) div (n_total * rate)"))
+      .select("source", "rate", "n_total", "n_sampled", "dev", "chi2_centi")
+      .orderBy("source")
+  }
+
   /** Zero-copy shallow clone + copy-on-write divergence: the clone is
     * born as ONE manifest of absolute references into the source (no
     * data bytes copied), a merge into the CLONE doubles a key subset in
@@ -2680,6 +2706,7 @@ object ExtQueries {
     "agg_pivot" -> (aggPivot _),
     "sample_hash" -> (sampleHash _),
     "sample_importance" -> (sampleImportance _),
+    "sample_mixture_chi2" -> (sampleMixtureChi2 _),
     "text_vocab" -> (textVocab _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_bpe_pairs" -> (textBpePairs _),

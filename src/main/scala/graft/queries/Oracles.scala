@@ -1983,6 +1983,26 @@ object Oracles {
          |GROUP BY event_type ORDER BY event_type""".stripMargin
     },
 
+    // Pearson goodness-of-fit of the hash-coin mixture sample:
+    // dev = 100·obs − n·rate, chi2_centi = dev² // (n·rate).
+    "sample_mixture_chi2" -> {
+      val h = ch("CAST(doc_id AS VARCHAR)")
+      s"""WITH wts AS (SELECT 'src' || CAST(i AS VARCHAR) AS source,
+         |    CASE WHEN i < 5 THEN 100 WHEN i < 10 THEN 50 ELSE 10 END AS rate
+         |  FROM unnest(generate_series(0, 19)) AS g(i)),
+         |d AS (SELECT d.source, wts.rate,
+         |        CASE WHEN ($h) % 100 < wts.rate THEN 1 ELSE 0 END AS picked
+         |      FROM documents d JOIN wts USING (source)),
+         |agg AS (SELECT source, rate, count(*) AS n_total,
+         |          CAST(sum(picked) AS BIGINT) AS n_sampled
+         |        FROM d GROUP BY 1, 2)
+         |SELECT source, CAST(rate AS BIGINT) AS rate, n_total, n_sampled,
+         |  CAST(100 * n_sampled - n_total * rate AS BIGINT) AS dev,
+         |  CAST(((100 * n_sampled - n_total * rate) * (100 * n_sampled - n_total * rate))
+         |    // (n_total * rate) AS BIGINT) AS chi2_centi
+         |FROM agg ORDER BY source""".stripMargin
+    },
+
     // DSIR-shaped importance selection: hashed-unigram counts for the
     // target source vs whole corpus; integer probability-difference
     // weights w_f = a·T_s − b·T_t, score = Σ c·w_f (sums widen to
@@ -2909,6 +2929,28 @@ object Oracles {
       s"""$bm25Ctes
          |SELECT doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro FROM s GROUP BY doc_id
          |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin,
+
+    // RAKE: stopword-split phrase islands, corpus-wide word deg/freq,
+    // integer phrase scores over distinct candidates.
+    "text_keywords_rake" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |t AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM w),
+         |tt AS (SELECT doc_id, pos, w[pos] AS term FROM t),
+         |cw AS (SELECT doc_id, pos, term,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+         |       FROM tt WHERE term NOT IN ('the', 'and', 'of', 'to', 'a', 'in', 'is')),
+         |ph AS (SELECT doc_id, pos - rn AS isl,
+         |         string_agg(term, ' ' ORDER BY pos) AS phrase, count(*) AS len
+         |       FROM cw GROUP BY doc_id, pos - rn),
+         |wd AS (SELECT phrase, len, unnest(string_split(phrase, ' ')) AS term FROM ph),
+         |st AS (SELECT term, count(*) AS freq, CAST(sum(len) AS BIGINT) AS deg
+         |       FROM wd GROUP BY 1),
+         |dp AS (SELECT DISTINCT phrase FROM ph),
+         |dw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS term FROM dp)
+         |SELECT dw.phrase, count(*) AS n_words,
+         |  CAST(sum((st.deg * 1000000) // st.freq) AS BIGINT) AS score_micro
+         |FROM dw JOIN st USING (term)
+         |GROUP BY dw.phrase ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin,
 
     // Bigram lift collocations: integer independence ratio, min-count 5.
     "text_collocations" ->
