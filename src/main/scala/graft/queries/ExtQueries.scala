@@ -25,6 +25,33 @@ object ExtQueries {
   def dedupMinhashClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSigClusters(spark, tbl(spark, dir, "documents")).orderBy("rep")
 
+  /** MinHash estimator accuracy harness — the dedup family's analog of
+    * the simsearch recall ladder: for every LSH candidate pair, the
+    * signature-agreement Jaccard ESTIMATE (matching positions ·10^6 div
+    * 16) against the EXACT shingle-set Jaccard and the absolute error,
+    * all integer ppm. This is the number a user consults before
+    * trusting a signature width: 16 hashes ⇒ σ ≈ √(j(1−j)/16) ≈ 12.5
+    * points at j=0.5. Per-pair cost is one zip over the two 16-long
+    * signatures + one set intersect — candidates only, never all
+    * pairs. */
+  def dedupMinhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val withSig = Dedup.shingleSets(docs).select(col("doc_id"), col("hs"),
+      minhashSig(col("hs"), Dedup.NumHashes).as("sig"))
+    Dedup.minhashCandidates(spark, docs)
+      .join(withSig.select(col("doc_id").as("doc_a"),
+        col("hs").as("ha"), col("sig").as("sa")), Seq("doc_a"))
+      .join(withSig.select(col("doc_id").as("doc_b"),
+        col("hs").as("hb"), col("sig").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)" +
+          s" * 1000000L div ${Dedup.NumHashes}").as("est_ppm"),
+        expr("size(array_intersect(ha, hb)) * 1000000L div size(array_union(ha, hb))")
+          .as("exact_ppm"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Scale-safe cluster output: one row per LSH cluster representative —
     * linear rows-out under any duplicate multiplicity (the pair form is
     * quadratic; see Dedup.lshClusters). */
@@ -2588,6 +2615,7 @@ object ExtQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
+    "dedup_minhash_accuracy" -> (dedupMinhashAccuracy _),
     "dedup_lsh_clusters" -> (dedupLshClusters _),
     "dedup_jaccard_clusters" -> (dedupJaccardClusters _),
     "dedup_cc_clusters" -> (dedupCcClusters _),

@@ -409,6 +409,33 @@ object Oracles {
     "dedup_minhash_lsh" ->
       s"$minhashCtes\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b",
 
+    // Per-candidate MinHash accuracy: signature-agreement estimate vs the
+    // exact shingle-set Jaccard, integer ppm.
+    "dedup_minhash_accuracy" ->
+      s"""$minhashCtes,
+         |est AS (SELECT p.doc_a, p.doc_b,
+         |          CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) * 1000000 // 16 AS BIGINT) AS est_ppm
+         |        FROM pairs p
+         |        JOIN mh a ON a.doc_id = p.doc_a
+         |        JOIN mh b ON b.doc_id = p.doc_b AND a.seed = b.seed
+         |        GROUP BY 1, 2),
+         |ex AS (SELECT p.doc_a, p.doc_b,
+         |         CAST(len(list_intersect(x.hs, y.hs)) * 1000000
+         |           // len(list_distinct(x.hs || y.hs)) AS BIGINT) AS exact_ppm
+         |       FROM pairs p
+         |       JOIN sh0 x ON x.doc_id = p.doc_a
+         |       JOIN sh0 y ON y.doc_id = p.doc_b)
+         |SELECT e.doc_a, e.doc_b, e.est_ppm, x.exact_ppm,
+         |  abs(e.est_ppm - x.exact_ppm) AS err_ppm
+         |FROM est e JOIN ex x USING (doc_a, doc_b)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Streaming lake merge converges to exactly-once content: census of
+    // the source feed.
+    "stream_lake_merge" ->
+      s"""SELECT event_type, count(*) AS n, ${decSum2("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "dedup_minhash_clusters" ->
       s"""$minhashCtes,
          |sigs AS (SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig

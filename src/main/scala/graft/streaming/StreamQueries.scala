@@ -63,6 +63,42 @@ object StreamQueries {
     * batch delta + one keyed merge, state never transits the driver, and
     * the cross-batch DECIMAL merge equals the one-shot batch aggregate
     * bit-for-bit (sum is associative on exact decimals). */
+  /** Streaming CDC tail into the manifest-committed lake: each
+    * micro-batch MERGEs into the partitioned table through
+    * LakeOps.mergeInto — per batch, only the touched date partitions
+    * rewrite, and the atomic manifest switch means a concurrent reader
+    * never sees a half-applied batch. foreachBatch's at-least-once
+    * replay is absorbed by the merge's replace-by-key semantics: a
+    * replayed batch upserts the same keys to the same values, so the
+    * table converges to exactly-once CONTENT regardless of retries or
+    * batch slicing. The read-back census goes through the manifest
+    * reader — the same snapshot contract the batch sinks verify. */
+  def streamLakeMerge(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("slmsrc")
+    val events = tbl(spark, dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    val out = tmpDir("slmsink")
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("slmckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val upserts = batch
+          .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+          .select("event_id", "event_date", "event_type", "value")
+        graft.etl.LakeOps.mergeInto(spark, out, upserts, "event_id", "event_date")
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.etl.LakeOps.readTable(spark, out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.CrossFns.decSum2(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Streaming twin of timeseries_seasonal: each micro-batch reduces to
     * its PARTIAL (event_type, hour-of-day) integer cent counts, merged
     * into the keyed versioned state (sum is associative on longs, so the
@@ -755,6 +791,7 @@ object StreamQueries {
     "stream_file_source" -> (streamFileSource _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_seasonal" -> (streamSeasonal _),
+    "stream_lake_merge" -> (streamLakeMerge _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_dedup_clusters" -> (streamDedupClusters _),
     "stream_window_append" -> (streamWindowAppend _),
