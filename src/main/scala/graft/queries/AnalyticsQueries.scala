@@ -330,6 +330,55 @@ object AnalyticsQueries {
       .groupBy("doc_id").agg(sum("score_micro").as("bm25_micro"))
   }
 
+  /** Market-basket association rules over order baskets — the classic
+    * co-occurrence miner (Apriori's 2-itemset tier, which at web scale
+    * is the tier that matters: higher orders prune through it): for
+    * every part pair co-ordered ≥ 3 times, SUPPORT (basket count),
+    * CONFIDENCE x⇒y in exact percent (n_xy·100 div n_x) and LIFT in
+    * exact ppm (n_xy·N·10^6 div (n_x·n_y)). One self-join on the order
+    * key bounded by basket size, two partial-aggregatable count
+    * passes, a 1-row basket total on a crossJoin (audited scalar
+    * pattern). Top-20 by (lift, x, y) via TakeOrdered. */
+  def analyticsMarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = tbl(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
+    val nOrders = baskets.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
+    val itemN = baskets.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairN = baskets.as("a")
+      .join(baskets.as("b"), col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 3)
+    pairN
+      .join(itemN.select(col("item").as("x"), col("n_item").as("n_x")), Seq("x"))
+      .join(itemN.select(col("item").as("y"), col("n_item").as("n_y")), Seq("y"))
+      .crossJoin(nOrders)
+      .select(col("x"), col("y"), col("n_xy"),
+        expr("(n_xy * 100L) div n_x").as("conf_xy_pct"),
+        expr("(n_xy * 100L) div n_y").as("conf_yx_pct"),
+        expr("(n_xy * n_orders * 1000000L) div (n_x * n_y)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("x"), col("y"))
+      .limit(20)
+  }
+
+  /** WEIGHTED histogram quantiles — the quantile sketch with a weight
+    * column (here: quantity-weighted price percentiles per return
+    * flag, i.e. "the price under which half the UNITS ship", not half
+    * the line items). Same bounded grid and integer rank walk as
+    * sketch_quantile_hist; the histogram's per-bucket count is simply
+    * the weight sum, which stays partial-aggregatable and mergeable —
+    * the property that makes the weighted form free at 100 TB. */
+  def sketchQuantileWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val li = tbl(spark, dir, "lineitem").select(
+      col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+      round(col("l_quantity"), 0).cast("long").as("wt"))
+    val hist = Sketches.bucketize(li, "v", bucketWidth = 1000.0, numBuckets = 100)
+      .groupBy("g", "b").agg(sum("wt").as("c"))
+    Sketches.quantilesFromHist(hist, "g", 1000.0, Seq(50, 90, 99))
+      .orderBy("g", "pct")
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
     * maximal stopword-free token runs (gaps-and-islands over the token
     * position stream — island id = pos − rank-among-content-words, a
@@ -540,6 +589,8 @@ object AnalyticsQueries {
     "funnel_transitions" -> (funnelTransitions _),
     "sketch_gini" -> (sketchGini _),
     "text_keywords_rake" -> (textKeywordsRake _),
+    "sketch_quantile_weighted" -> (sketchQuantileWeighted _),
+    "analytics_market_basket" -> (analyticsMarketBasket _),
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),

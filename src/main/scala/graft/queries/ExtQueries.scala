@@ -25,6 +25,45 @@ object ExtQueries {
   def dedupMinhashClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSigClusters(spark, tbl(spark, dir, "documents")).orderBy("rep")
 
+  /** Canonicalisation-first exact dedup — the cheap tier every corpus
+    * pipeline runs before near-dup machinery: normalise (lowercase,
+    * strip non-alphanumerics, collapse whitespace — character classes
+    * chosen to mean the same thing in Java regex and RE2, so the oracle
+    * is bit-identical) and group exact matches of the CANONICAL text.
+    * Catches case/punctuation/spacing mutations that raw exact dedup
+    * misses, at exactly raw-dedup cost: one narrow map + one hash
+    * group-by on the normalised digest. Emits rep + member count +
+    * how many members raw exact dedup would have missed
+    * (n_distinct_raw − 1 extra merges per group). */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .withColumn("canon",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")))
+      .groupBy("canon")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_raw"))
+      .select(col("rep"), col("n_docs"), col("n_distinct_raw"))
+      .orderBy("rep")
+
+  /** Tokenizer fertility census: tokens-per-100-chars per (source,
+    * lang) in exact integer terms — the normalisation-health metric a
+    * tokenizer-training pipeline tracks per domain (fertility spikes
+    * flag boilerplate, code, or mis-identified languages). One
+    * partial-aggregatable pass; the ratio is one integer division over
+    * the group sums. */
+  def pipelineTokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("sum_toks"), sum("n_chars").as("sum_chars"))
+      .withColumn("fertility_c100",
+        expr("(sum_toks * 100L) div greatest(sum_chars, 1L)"))
+      .orderBy("source", "lang")
+
   /** MinHash estimator accuracy harness — the dedup family's analog of
     * the simsearch recall ladder: for every LSH candidate pair, the
     * signature-agreement Jaccard ESTIMATE (matching positions ·10^6 div
@@ -2616,6 +2655,8 @@ object ExtQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_minhash_accuracy" -> (dedupMinhashAccuracy _),
+    "dedup_normalized" -> (dedupNormalized _),
+    "pipeline_tokenizer_fertility" -> (pipelineTokenizerFertility _),
     "dedup_lsh_clusters" -> (dedupLshClusters _),
     "dedup_jaccard_clusters" -> (dedupJaccardClusters _),
     "dedup_cc_clusters" -> (dedupCcClusters _),

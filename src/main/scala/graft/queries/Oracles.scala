@@ -409,6 +409,30 @@ object Oracles {
     "dedup_minhash_lsh" ->
       s"$minhashCtes\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b",
 
+    // Canonicalised exact dedup: lower -> strip non-alnum -> collapse
+    // spaces -> trim; character classes identical in Java regex and RE2.
+    "dedup_normalized" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT min(doc_id) AS rep, count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_distinct_raw
+        |FROM c GROUP BY canon ORDER BY rep""".stripMargin,
+
+    // Tokenizer fertility per (source, lang): tokens per 100 chars off
+    // exact integer group sums.
+    "pipeline_tokenizer_fertility" -> {
+      s"""WITH t AS (SELECT source, lang, n_chars,
+         |    CAST(len(${tok("text")}) AS BIGINT) AS n_toks
+         |  FROM documents)
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST((sum(n_toks) * 100) // greatest(sum(n_chars), 1) AS BIGINT) AS fertility_c100
+         |FROM t GROUP BY source, lang ORDER BY source, lang""".stripMargin
+    },
+
     // Per-candidate MinHash accuracy: signature-agreement estimate vs the
     // exact shingle-set Jaccard, integer ppm.
     "dedup_minhash_accuracy" ->
@@ -2843,6 +2867,42 @@ object Oracles {
         |WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin,
+
+    // 2-itemset association rules: support / confidence (exact pct) /
+    // lift (exact ppm) over distinct order baskets, min-support 5.
+    "analytics_market_basket" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+        |no AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+        |it AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+        |pr AS (SELECT a.item AS x, c.item AS y, count(*) AS n_xy
+        |       FROM b a JOIN b c ON a.ok = c.ok AND a.item < c.item
+        |       GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pr.x, pr.y, pr.n_xy,
+        |  CAST((pr.n_xy * 100) // ix.n_item AS BIGINT) AS conf_xy_pct,
+        |  CAST((pr.n_xy * 100) // iy.n_item AS BIGINT) AS conf_yx_pct,
+        |  CAST((pr.n_xy * no.n_orders * 1000000) // (ix.n_item * iy.n_item) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN it ix ON pr.x = ix.item JOIN it iy ON pr.y = iy.item CROSS JOIN no
+        |ORDER BY lift_ppm DESC, x, y LIMIT 20""".stripMargin,
+
+    // Quantity-weighted price percentiles per return flag: identical
+    // rank walk, per-bucket count = weight sum.
+    "sketch_quantile_weighted" ->
+      """WITH h AS (SELECT l_returnflag AS g,
+        |             least(greatest(CAST(floor(l_extendedprice / 1000.0) AS BIGINT), 0), 99) AS b,
+        |             CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS c
+        |           FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT g, b, c,
+        |          sum(c) OVER (PARTITION BY g ORDER BY b
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          sum(c) OVER (PARTITION BY g) AS n
+        |        FROM h),
+        |p AS (SELECT unnest([50, 90, 99]) AS pct),
+        |sel AS (SELECT cum.g, p.pct, cum.n, min(cum.b) AS bucket
+        |        FROM cum, p WHERE cum.cum >= (cum.n * p.pct + 99) // 100
+        |        GROUP BY 1, 2, 3)
+        |SELECT g, CAST(pct AS BIGINT) AS pct, CAST(n AS BIGINT) AS n,
+        | bucket, CAST((bucket + 1) * 1000.0 AS DOUBLE) AS est_upper
+        |FROM sel ORDER BY g, pct""".stripMargin,
 
     "sketch_quantile_hist" ->
       """WITH h AS (SELECT event_type,
