@@ -145,6 +145,56 @@ object Multimodal {
     }.toDF("doc_id", "bucket", "n_px")
   }
 
+  /** Perceptual average-hash (aHash) off the REAL decoded raster: an
+    * 8×8 nearest-neighbour grid sample (sample point (gx·w div 8,
+    * gy·h div 8) — integer floor arithmetic, so the oracle can predict
+    * every sampled pixel in closed form), bit i set when the sampled
+    * luma beats the 64-sample mean — compared as 64·v > Σv, no
+    * division, engine-exact. The 64-bit hash ships as two non-negative
+    * 32-bit halves (ah_hi, ah_lo) so no sign games are needed in
+    * either engine. This is the image near-dup key: identical visual
+    * structure hashes identically regardless of byte-level encoding. */
+  case class AHash(doc_id: Long, width: Long, height: Long, ah_hi: Long, ah_lo: Long)
+
+  def aHashAll(spark: SparkSession, docs: DataFrame): Dataset[AHash] = {
+    import spark.implicits._
+    withPayload(docs).as[Payload].mapPartitions { it =>
+      it.map { p =>
+        val img = ImageIO.read(new ByteArrayInputStream(encodePng(p.payload)))
+        require(img != null, "payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val vs = new Array[Long](64)
+        var i = 0
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            val rgb = img.getRGB(gx * w / 8, gy * h / 8)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            vs(i) = (299L * r + 587L * g + 114L * b) / 1000L
+            i += 1
+            gx += 1
+          }
+          gy += 1
+        }
+        val sum = vs.sum
+        var hi = 0L
+        var lo = 0L
+        i = 0
+        while (i < 64) {
+          if (64L * vs(i) > sum) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        AHash(p.doc_id, w.toLong, h.toLong, hi, lo)
+      }
+    }
+  }
+
   /** REAL resize: decode, fit into a `box`×`box` bounding region
     * preserving aspect ratio (integer floor arithmetic picks the target
     * dims — exactly mirrorable in SQL), then resample the pixels through

@@ -429,6 +429,16 @@ object ExtQueries {
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeAll(spark, tbl(spark, dir, "documents")).toDF().orderBy("doc_id")
 
+  /** Image near-dup groups by perceptual average-hash over the real
+    * decoded raster (see Multimodal.aHashAll): one mapPartitions decode
+    * + grid sample per image, one hash group-by — the visual-identity
+    * analog of dedup_exact, at the same cost shape. */
+  def multimodalAhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.aHashAll(spark, tbl(spark, dir, "documents")).toDF()
+      .groupBy("ah_hi", "ah_lo")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_docs"))
+      .orderBy("rep")
+
   /** The full training-data cleaning pipeline over documents — the north
     * star composition: language filter (en), quality threshold, exact
     * dedup (keep lowest doc_id per digest), near-dup removal (drop the
@@ -2695,6 +2705,7 @@ object ExtQueries {
     "pipeline_text_clean" -> (pipelineTextClean _),
     "profile_table" -> (profileTable _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_ahash_dedup" -> (multimodalAhashDedup _),
     "window_ohlc" -> (windowOhlc _),
     "window_moving_avg" -> (windowMovingAvg _),
     "window_sessionize" -> (windowSessionize _),

@@ -1534,6 +1534,35 @@ object Oracles {
     // (first+last byte)%160) and decodes it through the REAL ImageIO
     // codec; the oracle predicts what the codec must read back in closed
     // form. brightness = mean luma = floor(sum(base+x+y) / (w*h)).
+    // Closed-form mirror of the aHash grid sample: sampled luma of the
+    // gradient raster is base + (gx·w)//8 + (gy·h)//8; bit set when
+    // 64·v > Σv (base cancels, but the full form is kept). Hash halves
+    // assembled with integer shifts.
+    "multimodal_ahash_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |   CAST(16 + octet_length(encode(text)) % 32 AS BIGINT) AS w,
+        |   CAST(16 + (octet_length(encode(text)) * 7) % 32 AS BIGINT) AS h,
+        |   CAST(CASE WHEN length(text) > 0
+        |     THEN (ascii(substring(text, 1, 1)) + ascii(substring(text, length(text), 1))) % 160
+        |     ELSE 0 END AS BIGINT) AS base
+        | FROM documents),
+        |g AS (SELECT f.doc_id, f.base,
+        |        gy.j * 8 + gx.i AS bit,
+        |        f.base + (gx.i * f.w) // 8 + (gy.j * f.h) // 8 AS v
+        |      FROM f,
+        |        unnest(generate_series(0, 7)) AS gx(i),
+        |        unnest(generate_series(0, 7)) AS gy(j)),
+        |s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sum64 FROM g GROUP BY 1),
+        |bits AS (SELECT g.doc_id, g.bit,
+        |           CASE WHEN 64 * g.v > s.sum64 THEN 1 ELSE 0 END AS b
+        |         FROM g JOIN s USING (doc_id)),
+        |hsh AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN bit >= 32 THEN b * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS ah_hi,
+        |    CAST(sum(CASE WHEN bit < 32 THEN b * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS ah_lo
+        |  FROM bits GROUP BY 1)
+        |SELECT ah_hi, ah_lo, min(doc_id) AS rep, count(*) AS n_docs
+        |FROM hsh GROUP BY ah_hi, ah_lo ORDER BY rep""".stripMargin,
+
     "multimodal_decode" ->
       """WITH f AS (SELECT doc_id,
         |   CAST(16 + octet_length(encode(text)) % 32 AS BIGINT) AS w,
