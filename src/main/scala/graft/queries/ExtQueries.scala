@@ -64,6 +64,28 @@ object ExtQueries {
         expr("(sum_toks * 100L) div greatest(sum_chars, 1L)"))
       .orderBy("source", "lang")
 
+  /** Cross-tier dedup dashboard — the one-screen answer to "how much
+    * does each dedup tier actually collapse on this corpus": for the
+    * ladder exact → normalised → minhash-signature → LSH-band → CC,
+    * one row per tier with docs in, groups out, and docs collapsed.
+    * Each tier is the SAME operator the standalone keys run (no
+    * re-implementation), reduced to its census; the ladder ordering is
+    * encoded in the tier label so the progressive-collapse story reads
+    * straight off the sorted output. */
+  def pipelineDedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    def census(tier: String, g: DataFrame, nCol: String): DataFrame =
+      g.agg(count(lit(1)).as("n_groups"), sum(col(nCol)).as("n_docs_in"))
+        .select(lit(tier).as("tier"), col("n_docs_in"), col("n_groups"),
+          (col("n_docs_in") - col("n_groups")).as("n_collapsed"))
+    census("1_exact", Dedup.exactGroups(docs), "n_dups")
+      .unionByName(census("2_normalized", dedupNormalized(spark, dir), "n_docs"))
+      .unionByName(census("3_minhash_sig", Dedup.minhashSigClusters(spark, docs), "n_docs"))
+      .unionByName(census("4_lsh_band", Dedup.lshClusters(spark, docs), "n_docs"))
+      .unionByName(census("5_cc", Dedup.ccClusters(spark, docs, rounds = 3), "n_docs"))
+      .orderBy("tier")
+  }
+
   /** MinHash estimator accuracy harness — the dedup family's analog of
     * the simsearch recall ladder: for every LSH candidate pair, the
     * signature-agreement Jaccard ESTIMATE (matching positions ·10^6 div
@@ -2491,6 +2513,30 @@ object ExtQueries {
       .orderBy("stage")
   }
 
+  /** Peak-to-trough drawdown per user over the signed running balance
+    * (purchases debit, everything else credits — a deterministic signed
+    * flow over the synthetic feed): cumulative cents → running peak →
+    * drawdown = peak − cum, reduced to each user's maximum. The
+    * classic risk/teleletry window composition: two stacked
+    * unbounded-preceding frames over the SAME user-keyed sort, so the
+    * plan pays one partition-sort, not two. Integer cents end-to-end. */
+  def windowDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(spark, dir, "events")
+      .withColumn("flow",
+        when(col("event_type") === "purchase",
+          -round(col("value") * 100d, 0).cast("long"))
+          .otherwise(round(col("value") * 100d, 0).cast("long")))
+      .withColumn("cum", sum("flow").over(byUser))
+      .withColumn("peak", max("cum").over(byUser))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("peak") - col("cum")).as("max_drawdown_cents"),
+        max("peak").as("peak_cents"))
+      .orderBy("user_id")
+  }
+
   /** Autocorrelation report: exact integer ACF sufficient statistics per
     * (event_type, lag) for lags 1..6 over the hourly series (see
     * TimeSeries.autocorrStats — the num/den_x/den_y decomposition keeps
@@ -2648,6 +2694,7 @@ object ExtQueries {
     "graph_modularity" -> (graphModularity _),
     "timeseries_seasonal" -> (timeseriesSeasonal _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
+    "window_drawdown" -> (windowDrawdown _),
     "timeseries_gapfill" -> (timeseriesGapfill _),
     "timeseries_motif" -> (timeseriesMotif _),
     "timeseries_acf" -> (timeseriesAcf _),
@@ -2666,6 +2713,7 @@ object ExtQueries {
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "dedup_minhash_accuracy" -> (dedupMinhashAccuracy _),
     "dedup_normalized" -> (dedupNormalized _),
+    "pipeline_dedup_report" -> (pipelineDedupReport _),
     "pipeline_tokenizer_fertility" -> (pipelineTokenizerFertility _),
     "dedup_lsh_clusters" -> (dedupLshClusters _),
     "dedup_jaccard_clusters" -> (dedupJaccardClusters _),

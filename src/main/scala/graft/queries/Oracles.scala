@@ -433,6 +433,42 @@ object Oracles {
          |FROM t GROUP BY source, lang ORDER BY source, lang""".stripMargin
     },
 
+    // Cross-tier dedup ladder census: one row per tier, same group
+    // definitions as the standalone tier oracles (shared CTEs).
+    "pipeline_dedup_report" ->
+      s"""$minhashCtes,
+         |ex AS (SELECT count(*) AS n FROM documents GROUP BY text),
+         |nr AS (SELECT count(*) AS n FROM documents
+         |       GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))),
+         |sigs AS (SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+         |         FROM mh GROUP BY doc_id),
+         |sgr AS (SELECT count(*) AS n FROM sigs GROUP BY sig),
+         |grp AS (SELECT band, sig, min(doc_id) AS grp_rep FROM bands GROUP BY band, sig),
+         |d0 AS (SELECT b.doc_id, min(g.grp_rep) AS rep
+         |       FROM bands b JOIN grp g ON b.band = g.band AND b.sig = g.sig
+         |       GROUP BY b.doc_id),
+         |d1 AS (SELECT d.doc_id, coalesce(p.rep2, d.rep) AS rep FROM d0 d
+         |       LEFT JOIN (SELECT doc_id AS rep, rep AS rep2 FROM d0) p ON p.rep = d.rep),
+         |d2 AS (SELECT d.doc_id, coalesce(p.rep2, d.rep) AS rep FROM d1 d
+         |       LEFT JOIN (SELECT doc_id AS rep, rep AS rep2 FROM d1) p ON p.rep = d.rep),
+         |d3 AS (SELECT d.doc_id, coalesce(p.rep2, d.rep) AS rep FROM d2 d
+         |       LEFT JOIN (SELECT doc_id AS rep, rep AS rep2 FROM d2) p ON p.rep = d.rep)
+         |SELECT '1_exact' AS tier, CAST(sum(n) AS BIGINT) AS n_docs_in,
+         |  count(*) AS n_groups, CAST(sum(n) - count(*) AS BIGINT) AS n_collapsed FROM ex
+         |UNION ALL
+         |SELECT '2_normalized', CAST(sum(n) AS BIGINT), count(*),
+         |  CAST(sum(n) - count(*) AS BIGINT) FROM nr
+         |UNION ALL
+         |SELECT '3_minhash_sig', CAST(sum(n) AS BIGINT), count(*),
+         |  CAST(sum(n) - count(*) AS BIGINT) FROM sgr
+         |UNION ALL
+         |SELECT '4_lsh_band', count(*), count(DISTINCT rep),
+         |  count(*) - count(DISTINCT rep) FROM d0
+         |UNION ALL
+         |SELECT '5_cc', count(*), count(DISTINCT rep),
+         |  count(*) - count(DISTINCT rep) FROM d3
+         |ORDER BY tier""".stripMargin,
+
     // Per-candidate MinHash accuracy: signature-agreement estimate vs the
     // exact shingle-set Jaccard, integer ppm.
     "dedup_minhash_accuracy" ->
@@ -2543,6 +2579,27 @@ object Oracles {
         |SELECT grp, n, sum_cents, lorenz_t,
         |  CAST(1000000 - lorenz_t // greatest((n * sum_cents) // 1000000, 1) AS BIGINT) AS g_ppm
         |FROM t ORDER BY grp""".stripMargin,
+
+    // Signed-flow drawdown per user: cum -> running peak -> max(peak-cum).
+    "window_drawdown" ->
+      """WITH f AS (SELECT user_id, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN -CAST(round(value * 100, 0) AS BIGINT)
+        |      ELSE CAST(round(value * 100, 0) AS BIGINT) END AS flow,
+        |    CAST(ts AS TIMESTAMP) AS tsu
+        |  FROM events),
+        |c1 AS (SELECT user_id, event_id, tsu,
+        |         sum(flow) OVER w AS cum
+        |       FROM f WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT user_id, event_id, cum,
+        |        max(cum) OVER w2 AS peak
+        |      FROM c1 WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents,
+        |  CAST(max(peak) AS BIGINT) AS peak_cents
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "timeseries_seasonal" ->
       """WITH c AS (SELECT event_type,
