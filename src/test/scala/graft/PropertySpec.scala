@@ -128,6 +128,69 @@ class PropertySpec extends SparkSpec {
     assert(cover(one).size < cover(agg).size, "canonical exclusion must spare some text")
   }
 
+  test("connectedComponents equals brute-force union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 12 + rnd.nextInt(24)
+      val edges = (1 to n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // brute-force union-find truth
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val truth = nodes.map(v => v -> nodes.filter(u => find(u.toInt) == find(v.toInt)).min).toMap
+        val got = graft.operators.Graph.connectedComponents(edges.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === truth, s"graph edges=$edges")
+      }
+    }
+  }
+
+  test("histGini equals the exact grouped formula when values sit on bucket multiples") {
+    // values as exact bucket multiples -> within-bucket-equality holds,
+    // so the trapezoid approximation is EXACT and must match the
+    // sorted-rank Gini computed brute-force
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 5 + rnd.nextInt(20)
+      val vals = Seq.fill(n)(250000L * rnd.nextInt(40))
+      val got = graft.operators.Sketches.histGini(
+          vals.map(("g", _)).toDF("grp", "units"), "grp", "units", 250000L, 200)
+        .head().getAs[Long]("g_ppm")
+      val sorted = vals.sorted
+      val s = sorted.sum
+      // G = 1 - sum_i (2*cum_i - x_i) / (n*S), grouped over equal values
+      val t = sorted.scanLeft(0L)(_ + _).tail.zip(sorted).map { case (cum, x) => 2 * cum - x }.sum
+      val expect = 1000000L - t / math.max((n.toLong * s) / 1000000L, 1L)
+      assert(got === expect, s"vals=$vals")
+    }
+  }
+
+  test("autocorrStats matches brute-force moments on seeded random hourly series") {
+    val rnd = new scala.util.Random(11)
+    val cents = Seq.fill(20)(rnd.nextInt(100000).toLong)
+    val ev = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 $i%02d:00:00"),
+        "p", c.toDouble / 100.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val got = graft.operators.TimeSeries.autocorrStats(ev, maxLag = 3)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("num"), r.getAs[Long]("den_x")))).toMap
+    for (lag <- 1 to 3) {
+      val pairs = cents.dropRight(lag).zip(cents.drop(lag))
+      val np = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      assert(got(lag.toLong) === ((np, np * sxy - sx * sy, np * sxx - sx * sx)))
+    }
+  }
+
   test("KMV estimate within 50% of truth on 2000 seeded random keys (k=64)") {
     graft.expressions.GraftFunctions.register(spark)
     val keys = samples(Gen.choose(0L, Long.MaxValue / 2), 2000).distinct
