@@ -84,6 +84,23 @@ object ScaleCheck {
     // exact-substring spans: the r=0/r=1 family pairs share nearly their
     // whole token stream, so expect ~2n/5 span-bearing docs
     time("synth_dedup_substring_spans", 1) { Dedup.substringSpans(spark, d, 8).count() }
+    // canonicalisation tier: same cost shape as exact dedup (narrow map
+    // + digest group-by) at 100k distinct docs
+    time("synth_dedup_normalized", 1) {
+      d.withColumn("canon",
+          trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+        .groupBy("canon").agg(min("doc_id")).count()
+    }
+    // minhash accuracy harness: candidate-bounded — pairs only, with one
+    // signature zip + set intersect per candidate
+    time("synth_dedup_minhash_accuracy", 1) {
+      val withSig = Dedup.shingleSets(d).select(col("doc_id"), col("hs"),
+        graft.functions.CrossFns.minhashSig(col("hs"), Dedup.NumHashes).as("sig"))
+      Dedup.minhashCandidates(spark, d)
+        .join(withSig.select(col("doc_id").as("doc_a"), col("hs").as("ha"), col("sig").as("sa")), Seq("doc_a"))
+        .join(withSig.select(col("doc_id").as("doc_b"), col("hs").as("hb"), col("sig").as("sb")), Seq("doc_b"))
+        .count()
+    }
   }
 
   def main(args: Array[String]): Unit = {
