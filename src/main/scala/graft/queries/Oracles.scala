@@ -2549,6 +2549,26 @@ object Oracles {
          |FROM l ORDER BY event_type, lag""".stripMargin
     },
 
+    // Streaming quantile sketch — cross-batch count addition is the
+    // histogram's merge, so the oracle is the batch sketch arithmetic.
+    "stream_quantile" ->
+      """WITH h AS (SELECT event_type,
+        |             least(greatest(CAST(floor(value / 5.0) AS BIGINT), 0), 99) AS b,
+        |             count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, b, c,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY b
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          sum(c) OVER (PARTITION BY event_type) AS n
+        |        FROM h),
+        |p AS (SELECT unnest([50, 90, 99]) AS pct),
+        |sel AS (SELECT cum.event_type, p.pct, cum.n, min(cum.b) AS bucket
+        |        FROM cum, p WHERE cum.cum >= (cum.n * p.pct + 99) // 100
+        |        GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(pct AS BIGINT) AS pct, CAST(n AS BIGINT) AS n,
+        | bucket, CAST((bucket + 1) * 5.0 AS DOUBLE) AS est_upper
+        |FROM sel ORDER BY event_type, pct""".stripMargin,
+
     // Streaming twin of timeseries_seasonal — cross-batch long-sum merge
     // is exact, so the oracle is the same arithmetic as the batch form.
     "stream_seasonal" ->

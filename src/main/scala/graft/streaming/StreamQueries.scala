@@ -99,6 +99,41 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming quantile sketch: each micro-batch reduces to its PARTIAL
+    * (event_type, bucket) histogram counts, merged through the keyed
+    * versioned state by plain count ADDITION — the exact mergeability
+    * property the batch sketch_quantile_rollup pins — and the
+    * p50/p90/p99 walk runs once over the ≤types×100-row final state.
+    * Identical arithmetic to the batch sketch, so the oracle is shared
+    * logic: cross-batch merge ≡ one-shot histogram, bit for bit. */
+  def streamQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val src = tmpDir("squantsrc")
+    val events = tbl(spark, dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    val stateRoot = tmpDir("squantstate")
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("squantckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = Sketches.bucketize(batch, "value", bucketWidth = 5.0, numBuckets = 100)
+          .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c"))
+        KeyedStateSink.merge(stateRoot, Seq("event_type", "b"),
+          minCols = Nil, sumCols = Seq("c"))(partial, batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val state = KeyedStateSink.read(spark, stateRoot).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long, Long)].toDF("event_type", "b", "c")
+    }
+    Sketches.quantilesFromHist(state, "event_type", 5.0, Seq(50, 90, 99))
+      .orderBy("event_type", "pct")
+  }
+
   /** Streaming twin of timeseries_seasonal: each micro-batch reduces to
     * its PARTIAL (event_type, hour-of-day) integer cent counts, merged
     * into the keyed versioned state (sum is associative on longs, so the
@@ -792,6 +827,7 @@ object StreamQueries {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_seasonal" -> (streamSeasonal _),
     "stream_lake_merge" -> (streamLakeMerge _),
+    "stream_quantile" -> (streamQuantile _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_dedup_clusters" -> (streamDedupClusters _),
     "stream_window_append" -> (streamWindowAppend _),
