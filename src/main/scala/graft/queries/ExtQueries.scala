@@ -2609,6 +2609,33 @@ object ExtQueries {
       .orderBy("change_type")
   }
 
+  /** Benford first-digit screen over order totals — the classic
+    * fabricated-data / extraction-bug detector: observed first-digit
+    * shares vs Benford's law, with the expected shares as LITERAL ppm
+    * constants (log10(1+1/d) pre-computed — no float log in either
+    * engine) and the deviation in exact integer ppm. First digit via
+    * floor→string (explicit floor: double→long CAST truncates in Spark
+    * but ROUNDS in DuckDB). One partial-aggregatable digit count + a
+    * broadcast 9-row expectation join. */
+  def profileBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val benford = Seq(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L,
+      8L -> 51153L, 9L -> 45757L).toDF("digit", "exp_ppm")
+    val digits = tbl(spark, dir, "orders")
+      .select(expr("cast(substring(cast(cast(floor(o_totalprice) as long) as string), 1, 1) as long)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("n_total"))
+    digits.crossJoin(total)
+      .join(broadcast(benford), Seq("digit"))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000L) div n_total").as("obs_ppm"),
+        col("exp_ppm"),
+        (expr("(n * 1000000L) div n_total") - col("exp_ppm")).as("dev_ppm"))
+      .orderBy("digit")
+  }
+
   /** k-anonymity audit — the privacy gate run alongside PII scrubbing
     * before a dataset release: group the table by its quasi-identifier
     * tuple (nation, market segment, account-balance band) and flag every
@@ -2701,6 +2728,7 @@ object ExtQueries {
     "timeseries_changepoint" -> (timeseriesChangepoint _),
     "pipeline_dataset_diff" -> (pipelineDatasetDiff _),
     "profile_k_anonymity" -> (profileKAnonymity _),
+    "profile_benford" -> (profileBenford _),
     "anomaly_mad" -> (anomalyMad _),
     "text_gopher_rules" -> (textGopherRules _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),

@@ -2817,6 +2817,22 @@ object Oracles {
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Benford screen: literal log10(1+1/d) ppm constants, explicit
+    // floor before the digit extraction (DuckDB double->BIGINT rounds).
+    "profile_benford" ->
+      """WITH bf(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |      FROM orders),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+        |SELECT c.digit, c.n,
+        |  CAST((c.n * 1000000) // t.n_total AS BIGINT) AS obs_ppm,
+        |  CAST(bf.exp_ppm AS BIGINT) AS exp_ppm,
+        |  CAST((c.n * 1000000) // t.n_total - bf.exp_ppm AS BIGINT) AS dev_ppm
+        |FROM c JOIN bf ON c.digit = bf.digit CROSS JOIN t
+        |ORDER BY c.digit""".stripMargin,
+
     "profile_k_anonymity" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
         |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
@@ -2942,6 +2958,25 @@ object Oracles {
         | count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY cohort_wk, week_no ORDER BY cohort_week, week_no""".stripMargin,
+
+    // Streaming HLL: cross-batch register max-merge == one-shot sketch,
+    // so the oracle is the batch HLL arithmetic (no exact column).
+    "stream_hll" -> {
+      val hv = s"((${ch("CAST(event_id % 997 AS VARCHAR)")}) * 2654435761) % 1000000007"
+      s"""WITH h AS (SELECT DISTINCT event_type, $hv AS hv FROM events),
+         |b AS (SELECT event_type, hv % 64 AS bucket, hv // 64 AS w FROM h),
+         |r AS (SELECT event_type, bucket,
+         |        CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END AS rho
+         |      FROM b),
+         |regs AS (SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY event_type, bucket)
+         |SELECT event_type,
+         | CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) / (s_present + (64 - n_present)) AS hll_est
+         |FROM (SELECT event_type,
+         |        sum(1.0 / (CAST(1 AS BIGINT) << m)) AS s_present,
+         |        count(*) AS n_present
+         |      FROM regs GROUP BY event_type)
+         |ORDER BY event_type""".stripMargin
+    },
 
     "sketch_hll_distinct" -> {
       val hv = s"((${ch("CAST(event_id % 997 AS VARCHAR)")}) * 2654435761) % 1000000007"

@@ -134,6 +134,59 @@ object StreamQueries {
       .orderBy("event_type", "pct")
   }
 
+  /** Streaming HLL distinct-count: per-batch partial registers
+    * (event_type, bucket → max rho) merged through the keyed versioned
+    * state. The sink merges with min/sum only, and HLL's merge is MAX —
+    * so registers ride NEGATED (m_neg = −rho, min-merged, negated back
+    * at read): min(−a, −b) = −max(a, b), exactly the register union.
+    * Same registers, hash, and estimator as the batch
+    * sketch_hll_distinct, so cross-batch merging is bit-identical to
+    * the one-shot sketch and the oracle is shared arithmetic. State is
+    * ≤64 rows per type at any corpus size — the property that makes
+    * HLL the streaming cardinality sketch. */
+  def streamHll(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("shllsrc")
+    val events = tbl(spark, dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    val stateRoot = tmpDir("shllstate")
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("shllckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch
+          .select(col("event_type"),
+            graft.functions.CrossFns.scrambledHash(
+              expr("cast(event_id % 997 as string)")).as("hv"))
+          .distinct()
+          .withColumn("bucket", col("hv") % 64)
+          .withColumn("w", expr("hv div 64"))
+          .withColumn("rho", when(col("w") === 0, lit(25))
+            .otherwise(lit(25) - length(conv(col("w"), 10, 2))))
+          .groupBy("event_type", "bucket")
+          .agg((-max("rho")).cast("long").as("m_neg"))
+        KeyedStateSink.merge(stateRoot, Seq("event_type", "bucket"),
+          minCols = Seq("m_neg"), sumCols = Nil)(partial, batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val state = KeyedStateSink.read(spark, stateRoot).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long, Long)].toDF("event_type", "bucket", "m_neg")
+    }
+    state
+      .withColumn("m", -col("m_neg"))
+      .groupBy("event_type")
+      .agg(sum(lit(1.0) / expr("shiftleft(1L, cast(m as int))")).as("s_present"),
+        count(lit(1)).as("n_present"))
+      .select(col("event_type"),
+        (lit(0.709) * lit(4096.0) /
+          (col("s_present") + (lit(64) - col("n_present")))).as("hll_est"))
+      .orderBy("event_type")
+  }
+
   /** Streaming twin of timeseries_seasonal: each micro-batch reduces to
     * its PARTIAL (event_type, hour-of-day) integer cent counts, merged
     * into the keyed versioned state (sum is associative on longs, so the
@@ -828,6 +881,7 @@ object StreamQueries {
     "stream_seasonal" -> (streamSeasonal _),
     "stream_lake_merge" -> (streamLakeMerge _),
     "stream_quantile" -> (streamQuantile _),
+    "stream_hll" -> (streamHll _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_dedup_clusters" -> (streamDedupClusters _),
     "stream_window_append" -> (streamWindowAppend _),
