@@ -108,6 +108,55 @@ class Round5EdgeSpec extends SparkSpec {
     assert(byLang("big")._3 > 4L && byLang("big")._3 < 32L)
   }
 
+  test("dedup_normalized: case/punct/space mutations collapse, word edits do not") {
+    val dir = stage(Seq(
+      (1L, "Hello, World!", "a"),
+      (2L, "hello   world", "a"),     // same canonical form as 1
+      (3L, "HELLO ... WORLD", "a"),   // same canonical form as 1
+      (4L, "hello there world", "a"), // word inserted -> distinct
+      (5L, "", "a")))                 // empty canonicalises to ""
+    val rows = graft.queries.ExtQueries.dedupNormalized(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet === Set(
+      (1L, 3L, 3L),   // rep 1 absorbs 2,3; all three raw-distinct
+      (4L, 1L, 1L),
+      (5L, 1L, 1L)))
+  }
+
+  test("RAKE: leading/trailing/multiple stopwords split phrases correctly") {
+    val dir = stage(Seq(
+      (1L, "the quick brown fox and the lazy dog", "a"),
+      (2L, "quick brown fox in a lazy dog den", "a")))
+    val phrases = graft.queries.AnalyticsQueries.textKeywordsRake(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    // islands: stopwords {the, and, a, in} never appear inside a phrase
+    assert(phrases.contains("quick brown fox"))
+    assert(phrases.contains("lazy dog") || phrases.contains("lazy dog den"))
+    assert(phrases.forall(p => !p.split(" ").exists(
+      Set("the", "and", "of", "to", "a", "in", "is"))))
+  }
+
+  test("aHash: equal-dimension gradient images hash identically; different dims differ") {
+    // payload length (bytes of text) drives the raster dims: same length
+    // -> same (w,h) -> same gradient pattern -> identical aHash even
+    // with different content bytes; different length -> different dims
+    val dir = stage(Seq(
+      (1L, "aaaa", "x"), (2L, "bbbb", "x"),    // len 4 each
+      (3L, "cccccccccc", "x")))                // len 10
+    val rows = graft.queries.ExtQueries.multimodalAhashDedup(spark, dir)
+      .collect().map(r => (r.getAs[Long]("rep"), r.getAs[Long]("n_docs")))
+    assert(rows.toSet === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("benford digits cover 1..9 and deviations sum to ~0 (shares sum to total)") {
+    val rows = graft.queries.ExtQueries.profileBenford(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq.sorted === (1L to 9L))
+    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    // floor division loses < 9 ppm total
+    assert(obsSum > 999990L && obsSum <= 1000000L)
+  }
+
   test("substring scrub rollup: per-source totals account clean docs as zero") {
     val run = "c1 c2 c3 c4 c5 c6 c7 c8"
     val dir = stage(Seq(
