@@ -1,0 +1,83 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only profiling scratch runner (not part of the driver contract). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    def phase[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[phase] $tag%-30s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+    if (args.headOption.contains("lpa-compare")) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val edges = graft.operators.Graph.coPartEdgesMin(li, 2L)
+      phase("edges-count-once") { edges.count() }
+      phase("lpa-unpersisted") {
+        graft.operators.Graph.labelPropagation(edges, 3)
+          .groupBy("community").count().count()
+      }
+      val p = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      phase("materialize-persist") { p.count() }
+      phase("lpa-persisted") {
+        graft.operators.Graph.labelPropagation(p, 3)
+          .groupBy("community").count().count()
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("lpa-phases")) {
+      import org.apache.spark.sql.functions._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val edges = graft.operators.Graph.coPartEdgesMin(li, 2L)
+      val e = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(lvl)
+      var labels = phase("init-labels") {
+        e.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+          .localCheckpoint()
+      }
+      for (i <- 1 to 3) {
+        labels = phase(s"iter-$i") {
+          val counted = e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"), col("label"))
+            .agg(count(lit(1)).as("c"))
+          val plural = counted
+            .withColumn("rk", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("node")
+                .orderBy(col("c").desc, col("label"))))
+            .filter(col("rk") === 1)
+            .select(col("node"), col("label").as("nl"))
+          labels.join(plural, Seq("node"), "left")
+            .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+            .localCheckpoint()
+        }
+      }
+      phase("final-agg") {
+        labels.groupBy("label").agg(count(lit(1))).count()
+      }
+      spark.stop(); return
+    }
+    args.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] $name%-30s $secs%8.2fs  rows=$n")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

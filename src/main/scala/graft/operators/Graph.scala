@@ -29,10 +29,16 @@ object Graph {
       .distinct()
   }
 
-  /** Both directions of the undirected edge set. */
+  /** Both directions of the undirected edge set. Emitted by exploding a
+    * 2-element array per edge rather than a self-union: a union scans the
+    * upstream plan twice, which doubles the (expensive, usually
+    * unpersisted) co-occurrence self-join feeding every graph op here —
+    * explode evaluates the input ONCE and streams both directions out. */
   private def bidir(edges: DataFrame): DataFrame =
-    edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** Co-part edges kept only when the pair co-occurs in at least
     * `minCount` orders — the "frequently bought together" graph. The raw
@@ -79,8 +85,17 @@ object Graph {
     var labels = e.groupBy(col("src").as("node")).agg(min(col("dst")).as("nm"))
       .select(col("node"), least(col("node"), col("nm")).as("label"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence signal: labels only ever DECREASE (min semilattice), so
+    // the fixpoint is reached exactly when sum(label) stops dropping — one
+    // scan of the checkpointed O(|V|) frame per round, no compare join.
+    // DECIMAL(38,0) sum: exact for arbitrary 63-bit ids at any |V| (a long
+    // sum could wrap and fake convergence).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
+    while (changed) {
       val viaNbr = e.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min("label").as("nl"))
       val stepped = labels.join(viaNbr, Seq("node"), "left")
@@ -92,9 +107,9 @@ object Graph {
         .select(col("node"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = jumped
-        .join(labels.select(col("node"), col("label").as("prev")), "node")
-        .filter(col("label") < col("prev")).count()
+      val s = labelSum(jumped)
+      changed = s.compareTo(prevSum) < 0
+      prevSum = s
       labels = jumped
     }
     e.unpersist()
@@ -117,12 +132,15 @@ object Graph {
     * The count is orientation-invariant, so the oracle can use the simple
     * id-ordered form and still agree exactly. */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val deg = bidir(edges).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    // Three independent plan branches read the edge set (degree, orientation,
+    // edge count) — persist it so the upstream derivation runs once.
+    val base = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = bidir(base).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     // orient by (degree, id): lower-ranked endpoint -> higher-ranked endpoint.
     // The oriented frame feeds three plan branches (wedge left/right +
     // closing edges) — persist it so the edge derivation runs once (cache
     // contract: see pageRank).
-    val oriented = edges
+    val oriented = base
       .join(deg.select(col("node").as("src"), col("d").as("ds")), "src")
       .join(deg.select(col("node").as("dst"), col("d").as("dd")), "dst")
       .select(
@@ -146,10 +164,106 @@ object Graph {
       // coalesce: a triangle-free orientation can leave the joined frame
       // empty (e.g. a single edge) — report 0, not null
       .agg(coalesce(sum("t"), lit(0L)).as("n_triangles"))
-    val stats = edges.agg(count(lit(1)).as("n_edges"))
+    val stats = base.agg(count(lit(1)).as("n_edges"))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"))
     tri.crossJoin(stats).crossJoin(nodes)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** Per-node local clustering coefficient (Watts–Strogatz): for nodes of
+    * degree >= 2, cc = 2·tri(v) / (d(v)·(d(v)−1)), emitted as exact
+    * integers plus `cc_ppm` via floor division — no float in the ranking,
+    * so the top-N is bit-deterministic.
+    *
+    * Shape: the SAME degree-oriented adjacency-intersection build as
+    * [[triangleCount]], but instead of summing intersection SIZES each
+    * closing node is exploded out, so every triangle (u,v,w) contributes
+    * one row to each of its three corners. Rows exploded = 3 × triangle
+    * count — linear in the result being counted, never the wedge set.
+    * Top-N via orderBy+limit = TakeOrdered (distributed partial top-k). */
+  def clusteringCoefficients(edges: DataFrame, topN: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = edges.persist(lvl)
+    val deg = bidir(base).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .persist(lvl)
+    val oriented = base
+      .join(deg.select(col("node").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("dd")), "dst")
+      .select(
+        when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
+          struct(col("src").as("u"), col("dst").as("v")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist(lvl)
+    val adj = oriented.groupBy("u").agg(sort_array(collect_set(col("v"))).as("nbrs"))
+    val triCorners = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("u"), col("v"), explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.filter(col("d") >= 2)
+      .join(triCorners, Seq("node"), "left")
+      .select(col("node"), col("d"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("cc_ppm", expr("(2 * tri * 1000000L) div (d * (d - 1))"))
+      .orderBy(col("cc_ppm").desc, col("node"))
+      .limit(topN)
+  }
+
+  /** k-core peel ladder, `rounds` PINNED synchronous rounds: each round
+    * drops every node whose degree in the REMAINING subgraph is < k, then
+    * drops edges touching a removed node. A fixed round count (like the
+    * LPA ladder) keeps the result oracle-mirrorable by CTE unrolling;
+    * after enough rounds this is exactly the k-core, and intermediate
+    * states are well-defined prefixes of the peel.
+    *
+    * Per round: one partial-aggregatable degree count + two semi-joins
+    * keyed on the endpoints — all equi-shuffles on the node key. The edge
+    * frame only ever SHRINKS; an eager localCheckpoint per round truncates
+    * lineage so the plan stays round-count-independent (the iterative-
+    * dataflow contract pageRankRun measured). Returns (node, core_deg) =
+    * degrees within the surviving subgraph. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = bidir(e).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("node")
+      e = e.join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    bidir(e).groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
+  /** Degree assortativity (Newman 2002): Pearson correlation of endpoint
+    * degrees over the DIRECTED edge list (both directions of every
+    * undirected edge — the standard symmetrisation). All moment sums are
+    * exact BIGINTs (degrees are small integers); only the final ratio is
+    * float, rounded to 9 decimals to absorb engine ULP differences — the
+    * same float policy as the corr aggregate. One degree aggregation +
+    * two equi-joins keyed on the endpoints, one scalar row out. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = edges.persist(lvl)
+    val deg = bidir(base).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .persist(lvl)
+    bidir(base)
+      .join(deg.select(col("node").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("dy")), "dst")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9)
+          .as("assortativity"))
   }
 
   /** Community detection by synchronous label propagation (Raghavan et

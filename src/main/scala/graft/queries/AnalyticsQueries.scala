@@ -44,6 +44,30 @@ object AnalyticsQueries {
     }.reduce(_ unionByName _).orderBy("step")
   }
 
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent click at-or-before it (event-time order, event_id tie-break —
+    * deterministic), reported per attributed-click DAY; purchases with no
+    * preceding click land on a NULL day. ONE pass over events: a per-user
+    * running "last click ts" (last_value IGNORE NULLS over the event-time
+    * frame) — no purchase×click self-join, so the scale cost is a single
+    * shuffle on user_id with bounded per-user window state. Values are
+    * summed as exact DECIMAL cents and emitted as double (typed_agg's
+    * float policy). */
+  def funnelAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("last_click_ts"), "yyyy-MM-dd").as("click_day"))
+      .agg(count(lit(1)).as("n_purchases"), sum("v").cast("double").as("sum_value"))
+      .orderBy("click_day")
+  }
+
   /** Weekly cohort retention: cohort = Monday week of a user's first
     * event; for each (cohort, week offset) count the users active that
     * week. Two aggregations on `user_id`/(user, week) + one broadcast-able
@@ -340,8 +364,11 @@ object AnalyticsQueries {
     * passes, a 1-row basket total on a crossJoin (audited scalar
     * pattern). Top-20 by (lift, x, y) via TakeOrdered. */
   def analyticsMarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    // Four plan branches read the basket set (order count, item counts, both
+    // sides of the pair self-join) — persist so the distinct shuffle runs once.
     val baskets = tbl(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nOrders = baskets.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
     val itemN = baskets.groupBy("item").agg(count(lit(1)).as("n_item"))
     val pairN = baskets.as("a")
@@ -478,8 +505,12 @@ object AnalyticsQueries {
     import graft.functions.CrossFns.{tokens, shingles}
     val docs = tbl(spark, dir, "documents")
     val toks = docs.select(explode(tokens(col("text"))).as("term"))
+    // the vocab-sized unigram frame feeds three branches (both join sides +
+    // the corpus total) — persist it so the corpus is tokenised once, and
+    // derive the total by re-aggregating it rather than a second full pass
     val uni = toks.groupBy("term").agg(count(lit(1)).as("cu"))
-    val tot = toks.agg(count(lit(1)).as("nt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = uni.agg(sum("cu").as("nt"))
     docs.select(explode(shingles(tokens(col("text")), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cxy"))
       .filter(col("cxy") >= 5)
@@ -592,6 +623,7 @@ object AnalyticsQueries {
     "sketch_quantile_weighted" -> (sketchQuantileWeighted _),
     "analytics_market_basket" -> (analyticsMarketBasket _),
     "funnel_steps" -> (funnelSteps _),
+    "funnel_attribution" -> (funnelAttribution _),
     "cohort_retention" -> (cohortRetention _),
     "sketch_hll_distinct" -> (sketchHllDistinct _),
     "sketch_hll_rollup" -> (sketchHllRollup _),

@@ -2423,6 +2423,27 @@ object ExtQueries {
       .groupBy("comp_id").agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("n_nodes").desc, col("comp_id"))
 
+  /** Local clustering coefficients (Watts–Strogatz) on the thresholded
+    * co-part graph, top-20 by integer-ppm coefficient — see
+    * Graph.clusteringCoefficients for the triangle-corner explode shape. */
+  def graphClustering(spark: SparkSession, dir: String): DataFrame =
+    Graph.clusteringCoefficients(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L), topN = 20)
+
+  /** 3-core of the thresholded co-part graph after 4 pinned peel rounds
+    * (node, in-core degree) — see Graph.kCore for the ladder contract. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    Graph.kCore(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+      k = 3, rounds = 4)
+
+  /** Degree assortativity of the thresholded co-part graph (Newman r over
+    * directed endpoint-degree pairs, exact integer moments, float only in
+    * the final rounded ratio) — see Graph.degreeAssortativity. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
+    Graph.degreeAssortativity(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L))
+
   // ---- time series -------------------------------------------------------
 
   /** Dense hourly spine + forward fill for a user subset (see
@@ -2719,6 +2740,9 @@ object ExtQueries {
     "graph_components" -> (graphComponents _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_modularity" -> (graphModularity _),
+    "graph_clustering" -> (graphClustering _),
+    "graph_kcore" -> (graphKcore _),
+    "graph_assortativity" -> (graphAssortativity _),
     "timeseries_seasonal" -> (timeseriesSeasonal _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
     "window_drawdown" -> (windowDrawdown _),

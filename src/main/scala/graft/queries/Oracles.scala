@@ -2498,6 +2498,67 @@ object Oracles {
         |SELECT comp_id, count(*) AS n_nodes FROM comp GROUP BY comp_id
         |ORDER BY n_nodes DESC, comp_id""".stripMargin,
 
+    // Local clustering coefficients: id-oriented triangle enumeration
+    // (a<b<c triple join — the count per corner is orientation-invariant,
+    // so it matches Spark's degree-oriented adjacency-intersect form),
+    // then cc_ppm by exact integer floor division.
+    "graph_clustering" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |d AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+        |t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |      FROM e0 e1 JOIN e0 e2 ON e2.src = e1.dst
+        |      JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |corn AS (SELECT a AS node FROM t UNION ALL SELECT b AS node FROM t
+        |         UNION ALL SELECT c AS node FROM t),
+        |tr AS (SELECT node, count(*) AS tri FROM corn GROUP BY 1)
+        |SELECT d.node, d.d, CAST(COALESCE(tr.tri, 0) AS BIGINT) AS tri,
+        |  CAST((2 * COALESCE(tr.tri, 0) * 1000000) // (d.d * (d.d - 1)) AS BIGINT) AS cc_ppm
+        |FROM d LEFT JOIN tr ON d.node = tr.node WHERE d.d >= 2
+        |ORDER BY cc_ppm DESC, d.node LIMIT 20""".stripMargin,
+
+    // 3-core peel ladder, 4 unrolled rounds — the pinned-iteration mirror
+    // of Graph.kCore (each round: degree over remaining, keep d>=3, keep
+    // edges with both endpoints kept).
+    "graph_kcore" -> {
+      def round(i: Int): String =
+        s"""k${i - 1} AS (SELECT src AS node FROM b${i - 1} GROUP BY 1 HAVING count(*) >= 3),
+           |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+           |      JOIN k${i - 1} a ON e.src = a.node JOIN k${i - 1} b ON e.dst = b.node),
+           |b$i AS (SELECT src, dst FROM e$i UNION ALL SELECT dst AS src, src AS dst FROM e$i)""".stripMargin
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |b0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT src AS node, count(*) AS core_deg FROM b4 GROUP BY 1 ORDER BY node""".stripMargin
+    },
+
+    // Degree assortativity: exact BIGINT moment sums over the directed
+    // endpoint-degree pairs; float only in the final rounded ratio (the
+    // agg_corr float policy).
+    "graph_assortativity" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |d AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+        |p AS (SELECT dx.d AS dx, dy.d AS dy
+        |      FROM e JOIN d dx ON e.src = dx.node JOIN d dy ON e.dst = dy.node),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |        CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        |        CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |        CAST(sum(dy * dy) AS BIGINT) AS syy FROM p)
+        |SELECT n, round((n * sxy - sx * sy) /
+        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS assortativity
+        |FROM s""".stripMargin,
+
     "timeseries_motif" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
         |             sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
@@ -2948,6 +3009,20 @@ object Oracles {
         |UNION ALL SELECT 3, 'click', count(*) FROM s3
         |UNION ALL SELECT 4, 'purchase', count(*) FROM s4
         |ORDER BY step""".stripMargin,
+
+    // Last-touch attribution: per-user running last-click timestamp
+    // (IGNORE NULLS window), purchases grouped by the attributed click's
+    // day. Exact DECIMAL cent sums; double only at the edge.
+    "funnel_attribution" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, event_type,
+        |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |l AS (SELECT *, last_value(CASE WHEN event_type = 'click' THEN tsu END IGNORE NULLS)
+        |        OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lct
+        |      FROM b)
+        |SELECT strftime(lct, '%Y-%m-%d') AS click_day, count(*) AS n_purchases,
+        |  CAST(sum(v) AS DOUBLE) AS sum_value
+        |FROM l WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cohort_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,

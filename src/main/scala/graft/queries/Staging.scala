@@ -15,18 +15,28 @@ import java.nio.file.{Files, Path}
   */
 object Staging {
 
-  /** Load a testdata table. `events.ts` is parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses outright — read it as a long and floor-divide to µs
-    * (`div`, integer division: ns values ~1.7e18 overflow double math).
-    * DuckDB's CAST(ts AS TIMESTAMP) truncates ns->µs the same way. */
+  /** Load a testdata table, normalising `events.ts` to session-zoned
+    * TimestampType whatever the generator wrote it as:
+    *   - TIMESTAMP(NANOS): Spark 4 refuses it natively — read as long
+    *     (`nanosAsLong`) and floor-divide to µs (`div`, integer division:
+    *     ns values ~1.7e18 overflow double math). DuckDB's
+    *     CAST(ts AS TIMESTAMP) truncates ns->µs the same way.
+    *   - TIMESTAMP(MICROS) without tz: arrives as TIMESTAMP_NTZ — cast to
+    *     TimestampType (session tz is pinned UTC, so values are identical).
+    *   - already TimestampType: pass through. */
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    } else df
   }
 
   /** Fresh temp dir under java.io.tmpdir; contents are small derivations of

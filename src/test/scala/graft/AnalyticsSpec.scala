@@ -160,6 +160,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === scoredDocs)
   }
 
+  test("funnel attribution: totals cover every purchase; unattributed land on NULL day") {
+    val rows = AnalyticsQueries.funnelAttribution(spark, sf).collect()
+    val purchases = Staging.tbl(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === purchases,
+      "attribution must partition the purchase set")
+    // click_day is either NULL (no preceding click) or a valid yyyy-MM-dd
+    assert(rows.forall { r =>
+      val d = r.getAs[String]("click_day")
+      d == null || d.matches("\\d{4}-\\d{2}-\\d{2}")
+    })
+  }
+
   test("funnel steps are monotonically non-increasing and strict") {
     val rows = AnalyticsQueries.funnelSteps(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("step")).toSeq == Seq(1, 2, 3, 4))

@@ -174,4 +174,37 @@ class GraphTimeSeriesSpec extends SparkSpec {
     // 59 bigrams, 2 distinct ("spam spam", "spam spam" reversed is same pair here)
     assert(dup > 0.9)
   }
+
+  test("clusteringCoefficients: K4 all 1.0, triangle-plus-tail mixes") {
+    // K4: every node has d=3, tri=3 -> cc = 2*3/(3*2) = 1.0 (1_000_000 ppm)
+    val k4 = edgesDf((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    val r = Graph.clusteringCoefficients(k4, topN = 10).collect()
+    assert(r.length === 4)
+    assert(r.forall(_.getAs[Long]("cc_ppm") === 1000000L))
+    // triangle (1,2,3) + tail 3-4: node 3 has d=3, tri=1 -> 2/6 = 333333 ppm;
+    // node 4 has d=1 -> excluded (d >= 2 filter)
+    val tt = edgesDf((1L,2L),(2L,3L),(1L,3L),(3L,4L))
+    val m = Graph.clusteringCoefficients(tt, topN = 10).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("cc_ppm")).toMap
+    assert(m === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 333333L))
+  }
+
+  test("kCore: 3-core keeps K4, peels the tail chain") {
+    // K4 plus a pendant chain 4-5-6: after peeling, exactly K4 remains with
+    // in-core degree 3 each
+    val g = edgesDf((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(4L,5L),(5L,6L))
+    val core = Graph.kCore(g, k = 3, rounds = 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a graph with no 3-core empties out
+    val path = edgesDf((1L,2L),(2L,3L),(3L,4L))
+    assert(Graph.kCore(path, k = 3, rounds = 4).count() === 0L)
+  }
+
+  test("degreeAssortativity: star is perfectly disassortative (r = -1)") {
+    val star = edgesDf((1L,2L),(1L,3L),(1L,4L),(1L,5L))
+    val r = Graph.degreeAssortativity(star).head()
+    assert(r.getAs[Long]("n") === 8L)
+    assert(math.abs(r.getAs[Double]("assortativity") - (-1.0)) < 1e-9)
+  }
 }
