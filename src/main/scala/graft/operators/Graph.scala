@@ -238,6 +238,42 @@ object Graph {
       .orderBy("node")
   }
 
+  /** BFS hop distances from the graph's MINIMUM node id, `rounds` PINNED
+    * synchronous relaxation rounds (the Bellman-Ford ladder on unit
+    * weights): dist' = min(dist, 1 + min over in-neighbours dist).
+    * Distances only DECREASE (min semilattice, like [[connectedComponents]]'
+    * labels), so each prefix of the ladder is deterministic and the pinned
+    * round count makes it oracle-mirrorable by CTE unrolling; after
+    * `rounds` >= eccentricity(root) it is exact BFS.
+    *
+    * The root is resolved IN-PLAN: a 1-row min-aggregate broadcast onto
+    * the node frame (no driver-side collect). Per round: one equi-join of
+    * the settled frontier onto edges + a partial-aggregatable min — node-
+    * keyed shuffles only, dist frame O(|V|), lineage cut per round. */
+  def bfsDistances(edges: DataFrame, rounds: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = bidir(edges).persist(lvl)
+    val nodes = e.select(col("src").as("node")).distinct()
+    val rootF = nodes.agg(min("node").as("root"))
+    var dist = nodes.crossJoin(broadcast(rootF))
+      .select(col("node"), when(col("node") === col("root"), 0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relax = e
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("node").as("src"), col("dist")), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("dist") + 1L).as("nd"))
+      dist = dist.join(relax, Seq("node"), "left")
+        // least() skips NULLs in both engines (Postgres semantics): an
+        // unreached node takes the newly relaxed distance, a settled node
+        // keeps the min of old and new
+        .select(col("node"), least(col("dist"), col("nd")).as("dist"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    dist.filter(col("dist").isNotNull)
+  }
+
   /** Degree assortativity (Newman 2002): Pearson correlation of endpoint
     * degrees over the DIRECTED edge list (both directions of every
     * undirected edge — the standard symmetrisation). All moment sums are

@@ -1132,6 +1132,18 @@ object ExtQueries {
       .orderBy("o_orderkey")
   }
 
+  /** percent_rank over a unique order (price, key tie-break): the value is
+    * the exact rational (rank-1)/(n-1) computed as one IEEE division of
+    * two exact integers — bit-identical across engines, no rounding
+    * needed. Same bounded-partition window shape as window_ntile. */
+  def windowPercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+    tbl(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(w).as("pct_rank"))
+      .orderBy("o_orderkey")
+  }
+
   /** PIVOT: daily exact-decimal value sums, one column per event type.
     * Explicit pivot values skip the extra distinct-scan job and keep the
     * plan one partial-aggregatable hash agg. */
@@ -1749,6 +1761,23 @@ object ExtQueries {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("tok"))
       .limit(30)
+
+  /** Hapax-legomena profile per source: vocabulary size, count of terms
+    * occurring exactly once, their ppm share of the vocabulary, and total
+    * tokens — the classic lexical-richness / crawl-noise signal (a spammy
+    * source shows an inflated hapax tail of junk tokens). Two
+    * partial-aggregatable passes ((source,term) then source), exact
+    * integers end-to-end. */
+  def textHapax(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum("c").as("n_tokens"))
+      .withColumn("hapax_ppm", expr("(hapax * 1000000L) div vocab"))
+      .orderBy("source")
 
   /** The first BPE merge iteration of tokenizer training: corpus-wide
     * adjacent-symbol (character-pair) frequencies within words, top-20 —
@@ -2444,6 +2473,15 @@ object ExtQueries {
     Graph.degreeAssortativity(
       Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L))
 
+  /** BFS reachability profile from the min node of the thresholded
+    * co-part graph: hop-distance histogram after 4 pinned relaxation
+    * rounds — see Graph.bfsDistances for the ladder contract. */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame =
+    Graph.bfsDistances(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L), rounds = 4)
+      .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("dist")
+
   // ---- time series -------------------------------------------------------
 
   /** Dense hourly spine + forward fill for a user subset (see
@@ -2743,6 +2781,7 @@ object ExtQueries {
     "graph_clustering" -> (graphClustering _),
     "graph_kcore" -> (graphKcore _),
     "graph_assortativity" -> (graphAssortativity _),
+    "graph_bfs" -> (graphBfs _),
     "timeseries_seasonal" -> (timeseriesSeasonal _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
     "window_drawdown" -> (windowDrawdown _),
@@ -2883,11 +2922,13 @@ object ExtQueries {
     "typed_cogroup" -> (typedCogroup _),
     "agg_pricing_summary" -> (aggPricingSummary _),
     "window_ntile" -> (windowNtile _),
+    "window_percent_rank" -> (windowPercentRank _),
     "agg_pivot" -> (aggPivot _),
     "sample_hash" -> (sampleHash _),
     "sample_importance" -> (sampleImportance _),
     "sample_mixture_chi2" -> (sampleMixtureChi2 _),
     "text_vocab" -> (textVocab _),
+    "text_hapax" -> (textHapax _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_bpe_pairs" -> (textBpePairs _),
     "project_json_extract" -> (projectJsonExtract _),

@@ -1903,6 +1903,13 @@ object Oracles {
         | CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // percent_rank on a unique order: (rank-1)/(n-1) is one IEEE division
+    // of exact integers — bit-identical across engines, no rounding.
+    "window_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS pct_rank
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "agg_pivot" -> {
       val cols = Seq("click", "error", "purchase", "signup", "view").map { t =>
         s" CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS $t"
@@ -2146,6 +2153,18 @@ object Oracles {
          |t AS (SELECT doc_id, unnest(w) AS tok FROM w),
          |c AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t GROUP BY tok)
          |SELECT tok, tf, df FROM c ORDER BY tf DESC, tok LIMIT 30""".stripMargin,
+
+    // Hapax-legomena profile per source: exact integer lexical-richness
+    // rollup over the per-(source,term) counts.
+    "text_hapax" ->
+      s"""WITH w AS (SELECT source, ${tok("text")} AS w FROM documents),
+         |t AS (SELECT source, unnest(w) AS term FROM w),
+         |tf AS (SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+         | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         | CAST(sum(c) AS BIGINT) AS n_tokens,
+         | CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS hapax_ppm
+         |FROM tf GROUP BY source ORDER BY source""".stripMargin,
 
     "text_pii_scrub" -> {
       val h = ch("regexp_replace(text, '[0-9]+', '<NUM>', 'g')")
@@ -2558,6 +2577,31 @@ object Oracles {
         |SELECT n, round((n * sxy - sx * sy) /
         |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS assortativity
         |FROM s""".stripMargin,
+
+    // BFS hop-distance histogram from the min node: 4 unrolled synchronous
+    // relaxation rounds (min-semilattice ladder — the CTE mirror of
+    // Graph.bfsDistances). least() skips NULLs in both engines.
+    "graph_bfs" -> {
+      def round(i: Int): String =
+        s"""r$i AS (SELECT e.dst AS node, min(d.dist + 1) AS nd FROM e
+           |      JOIN d${i - 1} d ON e.src = d.node WHERE d.dist IS NOT NULL GROUP BY 1),
+           |d$i AS (SELECT d.node, least(d.dist, r.nd) AS dist
+           |      FROM d${i - 1} d LEFT JOIN r$i r ON d.node = r.node)""".stripMargin
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |n0 AS (SELECT DISTINCT src AS node FROM e),
+         |rt AS (SELECT min(node) AS root FROM n0),
+         |d0 AS (SELECT node, CASE WHEN node = (SELECT root FROM rt)
+         |         THEN CAST(0 AS BIGINT) END AS dist FROM n0),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT dist, count(*) AS n_nodes FROM d4 WHERE dist IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "timeseries_motif" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,

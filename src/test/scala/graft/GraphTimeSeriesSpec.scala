@@ -201,6 +201,24 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(Graph.kCore(path, k = 3, rounds = 4).count() === 0L)
   }
 
+  test("bfsDistances: path graph distances from min node; unreached excluded by round cap") {
+    // path 1-2-3-4-5: root=1, dists 0..4 — but only 4 relaxation rounds
+    // needed for node 5 (dist 4); with rounds=4 all are settled
+    val path = edgesDf((1L,2L),(2L,3L),(3L,4L),(4L,5L))
+    val d = Graph.bfsDistances(path, rounds = 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // with rounds=2 the far tail is not yet reached (ladder prefix semantics)
+    val d2 = Graph.bfsDistances(path, rounds = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(d2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // disconnected component never appears
+    val two = edgesDf((1L,2L),(10L,11L))
+    val dd = Graph.bfsDistances(two, rounds = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(dd === Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("degreeAssortativity: star is perfectly disassortative (r = -1)") {
     val star = edgesDf((1L,2L),(1L,3L),(1L,4L),(1L,5L))
     val r = Graph.degreeAssortativity(star).head()
