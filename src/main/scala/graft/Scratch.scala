@@ -21,6 +21,33 @@ object Scratch {
       println(f"[phase] $tag%-30s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
       r
     }
+    if (args.headOption.contains("pairgen")) {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      def selfJoin() = {
+        val os = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("s")).distinct()
+        os.as("a").join(os.as("b"), col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+          .groupBy(col("a.s").as("src"), col("b.s").as("dst"))
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("src", "dst")
+      }
+      def combExplode() = {
+        val items = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("s")).distinct()
+          .groupBy("ok").agg(sort_array(collect_set(col("s"))).as("it"))
+        items.select(explode(flatten(expr(
+            "transform(it, (x, i) -> transform(slice(it, i + 2, size(it) - i - 1), y -> struct(x AS src, y AS dst)))")))
+            .as("p"))
+          .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 2).select("src", "dst")
+      }
+      for (i <- 1 to 3) {
+        phase(s"self-join-$i") { selfJoin().count() }
+        phase(s"comb-explode-$i") { combExplode().count() }
+      }
+      // cross-check identical results
+      val a = selfJoin(); val b = combExplode()
+      println(s"[pairgen] diff=${a.exceptAll(b).count() + b.exceptAll(a).count()}")
+      spark.stop(); return
+    }
     if (args.headOption.contains("lpa-compare")) {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val edges = graft.operators.Graph.coPartEdgesMin(li, 2L)

@@ -780,6 +780,33 @@ object ExtQueries {
     TextOps.packSequences(tbl(spark, dir, "documents"), seqLen = 512)
       .orderBy("doc_id")
 
+  /** RAG-style overlapping chunking: each document's token stream split
+    * into windows of `chunk` tokens advancing by `chunk - overlap`, final
+    * partial window kept (every token lands in ≥1 chunk; interior tokens
+    * in ≤2). Emitted as exact integer spans (chunk_id, start, end) — the
+    * shard map a retrieval indexer consumes. MAP-SIDE generation: one
+    * `sequence()` explode per doc off its token count, no shuffle at all
+    * until the final presentation sort, and the explode emits
+    * O(n_tokens / stride) rows per doc — linear in output. */
+  def pipelineChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val chunk = 32L; val overlap = 8L; val stride = chunk - overlap
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(stride))).as("start"))
+      // a start within `overlap` of the end would be fully contained in the
+      // previous chunk (its window already reached the end) — stop there,
+      // as every standard splitter does
+      .filter(col("start") === 0L || col("start") < col("n_tokens") - overlap)
+      .select(col("doc_id"),
+        expr(s"start div $stride").as("chunk_id"),
+        col("start"),
+        least(col("start") + chunk, col("n_tokens")).as("end"))
+      .withColumn("n_chunk_tokens", col("end") - col("start"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Exact heavy hitters through a Count-Min prefilter (see
     * Sketches.heavyHitters): one mergeable sketch pass, then an exact
     * groupBy that shuffles only candidate-key rows. Oracle is the plain
@@ -2861,6 +2888,7 @@ object ExtQueries {
     "join_asof_native" -> (joinAsofNative _),
     "sketch_heavy_hitters" -> (sketchHeavyHitters _),
     "pipeline_pack_sequences" -> (pipelinePackSequences _),
+    "pipeline_chunk_overlap" -> (pipelineChunkOverlap _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_asof_forward" -> (joinAsofForward _),
     "join_asof_nearest" -> (joinAsofNearest _),

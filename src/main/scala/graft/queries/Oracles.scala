@@ -2283,6 +2283,20 @@ object Oracles {
          | (start_off % 512 + n_tokens > 512) AS spans
          |FROM o ORDER BY doc_id""".stripMargin,
 
+    // Overlapping RAG chunk map: starts at multiples of stride=24 while
+    // they still extend the previous 32-token window (see the Spark-side
+    // scaladoc for the containment rule); chunk_id = start // stride.
+    "pipeline_chunk_overlap" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len(${tok("text")}) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |s AS (SELECT doc_id, n_tokens, unnest(generate_series(0, n_tokens - 1, 24)) AS start
+         |      FROM d WHERE n_tokens > 0)
+         |SELECT doc_id, start // 24 AS chunk_id, start,
+         | least(start + 32, n_tokens) AS "end",
+         | least(start + 32, n_tokens) - start AS n_chunk_tokens
+         |FROM s WHERE start = 0 OR start < n_tokens - 8
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
     "sketch_heavy_hitters" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id HAVING count(*) >= 80 ORDER BY user_id""".stripMargin,
