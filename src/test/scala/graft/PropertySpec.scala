@@ -151,6 +151,79 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bfsDistances equals brute-force BFS on seeded random graphs (rounds >= diameter)") {
+    val rnd = new scala.util.Random(43)
+    for (_ <- 1 to 5) {
+      val n = 10 + rnd.nextInt(15)
+      val edges = (1 to n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val root = adj.keys.min
+        // brute-force BFS truth
+        var dist = Map(root -> 0L); var frontier = Set(root)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj(_)).diff(dist.keySet)
+          dist = dist ++ next.map(_ -> (dist(frontier.head) + 1L))
+          frontier = next
+        }
+        val got = graft.operators.Graph.bfsDistances(edges.toDF("src", "dst"), rounds = n)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === dist, s"graph edges=$edges")
+      }
+    }
+  }
+
+  test("kCore equals brute-force peel-to-fixpoint on seeded random graphs") {
+    val rnd = new scala.util.Random(44)
+    for (k <- Seq(2, 3); _ <- 1 to 3) {
+      val n = 10 + rnd.nextInt(15)
+      val edges = (1 to 2 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      if (edges.nonEmpty) {
+        // brute-force: peel until stable
+        var es = edges
+        var stable = false
+        while (!stable) {
+          val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (v, xs) => v -> xs.size }
+          val keep = deg.filter(_._2 >= k).keySet
+          val es2 = es.filter(e => keep(e._1) && keep(e._2))
+          stable = es2 == es; es = es2
+        }
+        val truth = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .map { case (v, xs) => v -> xs.size.toLong }
+        val got = graft.operators.Graph.kCore(edges.toDF("src", "dst"), k, rounds = n)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === truth, s"k=$k edges=$edges")
+      }
+    }
+  }
+
+  test("clusteringCoefficients matches brute-force triangle counting on seeded random graphs") {
+    val rnd = new scala.util.Random(45)
+    for (_ <- 1 to 4) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (1 to 3 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+          .groupBy(_._1).map { case (kk, v) => kk -> v.map(_._2).toSet }
+        val truth = adj.collect { case (v, nb) if nb.size >= 2 =>
+          val tri = nb.toSeq.combinations(2).count { case Seq(a, b) => adj(a)(b) }
+          val d = nb.size.toLong
+          v -> (2L * tri * 1000000L / (d * (d - 1)))
+        }
+        val got = graft.operators.Graph
+          .clusteringCoefficients(edges.toDF("src", "dst"), topN = 1000)
+          .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("cc_ppm")).toMap
+        assert(got === truth, s"edges=$edges")
+      }
+    }
+  }
+
   test("histGini equals the exact grouped formula when values sit on bucket multiples") {
     // values as exact bucket multiples -> within-bucket-equality holds,
     // so the trapezoid approximation is EXACT and must match the
