@@ -21,6 +21,32 @@ object Scratch {
       println(f"[phase] $tag%-30s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
       r
     }
+    if (args.headOption.contains("colloc")) {
+      import org.apache.spark.sql.functions._
+      import graft.functions.CrossFns.{tokens, shingles}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      phase("tokens-explode-count") {
+        docs.select(explode(tokens(col("text"))).as("term")).count()
+      }
+      phase("uni-agg") {
+        docs.select(explode(tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1))).count()
+      }
+      phase("bigrams-count") {
+        docs.select(explode(shingles(tokens(col("text")), 2)).as("bg")).count()
+      }
+      phase("bigram-agg-filter") {
+        docs.select(explode(shingles(tokens(col("text")), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("cxy")).filter(col("cxy") >= 5).count()
+      }
+      phase("full-query") {
+        graft.queries.AnalyticsQueries.textCollocations(spark, sfDir).count()
+      }
+      phase("full-query-2") {
+        graft.queries.AnalyticsQueries.textCollocations(spark, sfDir).count()
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("pairgen")) {
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -57,7 +57,15 @@ object CrossFns {
 
   /** Word n-gram shingles (space-joined) from a token array; empty when the
     * doc has fewer than n tokens. Reference form for tests; the operators
-    * use [[shingleHashes]] which never materialises the strings. */
+    * use [[shingleHashes]] which never materialises the strings.
+    *
+    * PASS AN ATTRIBUTE, not an inline expression: `toks` is indexed inside
+    * the per-gram lambda via element_at, and a lambda BODY re-evaluates
+    * outer expressions on every invocation (HOF *arguments* evaluate once
+    * per row, lambda-body captures do not) — `shingles(tokens(col), n)`
+    * re-tokenises the document per gram, O(len·grams). Project the token
+    * array first (`select(tokens(col).as("toks"))`), then shingle the
+    * attribute — measured 4× on text_collocations. */
   def shingles(toks: Column, n: Int): Column = {
     require(n >= 1)
     val idx = sequence(lit(1), size(toks) - (n - 1))

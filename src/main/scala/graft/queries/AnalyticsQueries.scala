@@ -511,7 +511,12 @@ object AnalyticsQueries {
     val uni = toks.groupBy("term").agg(count(lit(1)).as("cu"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = uni.agg(sum("cu").as("nt"))
-    docs.select(explode(shingles(tokens(col("text")), 2)).as("bg"))
+    // bind the token array to an ATTRIBUTE before shingling: shingles()'
+    // lambda indexes its argument per gram, and an inline tokens(text)
+    // expression would re-tokenise the document on every element_at —
+    // O(len·grams) per doc. A prior projection evaluates it once per row.
+    docs.select(tokens(col("text")).as("toks"))
+      .select(explode(shingles(col("toks"), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cxy"))
       .filter(col("cxy") >= 5)
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
