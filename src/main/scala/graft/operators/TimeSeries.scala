@@ -178,6 +178,45 @@ object TimeSeries {
         col("cusum").as("cusum_peak"))
   }
 
+  /** Holt double-exponential smoothing (level + trend, alpha = beta = 1/2)
+    * over the per-type hourly mean series, returning each series' final
+    * smoothing state and one-step forecast. The update
+    *   level' = (level + trend)/2 + x/2
+    *   trend' =  trend/2 + (level' - level)/2
+    * uses ONLY halving and add/sub on doubles — both are exact IEEE
+    * operations applied in a fixed fold order, so the result is
+    * bit-identical across engines (the window_ewma contract, extended to
+    * a 2-component state), with no float-summation-order hazard.
+    *
+    * Scale shape: the hourly aggregation is partial-aggregatable; the fold
+    * runs per SERIES over a collect_list bounded by the calendar (hours in
+    * the retention window — thousands, not data-scale), the same
+    * per-series array contract as [[motifTopK]]. The accumulator rides an
+    * aggregate() HOF struct, so the whole op is one shuffle + one
+    * map-side fold. */
+  def holtSmoothing(events: DataFrame): DataFrame = {
+    val hourly = events
+      .withColumn("cents", round(col("value") * 100d, 0).cast("long"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(expr("sum(cents) div count(1)").as("qv"))
+    hourly.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hr"), col("qv")))).as("s"))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n_hours"),
+        aggregate(
+          transform(expr("slice(s, 2, size(s) - 1)"), x => x("qv").cast("double")),
+          struct(element_at(col("s"), 1)("qv").cast("double").as("level"),
+            lit(0.0d).as("trend")),
+          (acc, x) => {
+            val level2 = (acc("level") + acc("trend")) / lit(2.0d) + x / lit(2.0d)
+            struct(level2.as("level"),
+              (acc("trend") / lit(2.0d) + (level2 - acc("level")) / lit(2.0d)).as("trend"))
+          }).as("st"))
+      .select(col("event_type"), col("n_hours"),
+        col("st")("level").as("level"), col("st")("trend").as("trend"),
+        (col("st")("level") + col("st")("trend")).as("forecast_next"))
+  }
+
   def motifTopK(events: DataFrame, w: Int, paaDiv: Long, k: Int): DataFrame = {
     require(w % 2 == 0, "window length must be even (PAA segment pairs)")
     // qv = floor(100·mean) computed INTEGER-only: cent-quantise each value

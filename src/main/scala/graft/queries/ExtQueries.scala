@@ -2538,6 +2538,13 @@ object ExtQueries {
   /** Hour-of-day seasonal profile per event_type: exact integer seasonal
     * index (bucket mean vs series mean, ppm) per (series, hour-of-day)
     * bucket — see TimeSeries.seasonalProfile. */
+  /** Holt level+trend smoothing state and one-step forecast per event-type
+    * hourly series (alpha = beta = 1/2; halving-only double arithmetic is
+    * bit-exact cross-engine) — see TimeSeries.holtSmoothing. */
+  def timeseriesHolt(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.holtSmoothing(tbl(spark, dir, "events"))
+      .orderBy("event_type")
+
   def timeseriesSeasonal(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.seasonalProfile(tbl(spark, dir, "events"))
       .orderBy("event_type", "hod")
@@ -2810,6 +2817,7 @@ object ExtQueries {
     "graph_assortativity" -> (graphAssortativity _),
     "graph_bfs" -> (graphBfs _),
     "timeseries_seasonal" -> (timeseriesSeasonal _),
+    "timeseries_holt" -> (timeseriesHolt _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
     "window_drawdown" -> (windowDrawdown _),
     "timeseries_gapfill" -> (timeseriesGapfill _),

@@ -2740,6 +2740,28 @@ object Oracles {
         |  CAST(max(peak) AS BIGINT) AS peak_cents
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // Holt level+trend fold over the hourly mean ladder: the recursive CTE
+    // replays the same halving-only double updates in the same order —
+    // every operation exact IEEE, so equality is bitwise, not approximate.
+    "timeseries_holt" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |         sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(qv AS DOUBLE) AS qv,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY hr) AS pos FROM hourly),
+        |h(event_type, pos, level, trend) AS (
+        |  SELECT event_type, pos, qv, CAST(0.0 AS DOUBLE) FROM s WHERE pos = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.pos,
+        |         (h.level + h.trend) / 2 + s.qv / 2,
+        |         h.trend / 2 + (((h.level + h.trend) / 2 + s.qv / 2) - h.level) / 2
+        |  FROM h JOIN s ON s.event_type = h.event_type AND s.pos = h.pos + 1),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY pos DESC) AS rk FROM h)
+        |SELECT event_type, CAST(pos AS BIGINT) AS n_hours, level, trend,
+        |       level + trend AS forecast_next
+        |FROM f WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
     "timeseries_seasonal" ->
       """WITH c AS (SELECT event_type,
         |             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,

@@ -151,6 +151,24 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_events")).toSeq === Seq(1L, 0L, 0L, 1L))
   }
 
+  test("holtSmoothing: hand-computed fold on a 3-point series") {
+    // hourly means: 4.00, 8.00, 2.00 (value in units, qv in cents: 400, 800, 200)
+    // level0=400 trend0=0
+    // x=800: level=(400+0)/2+400=600, trend=0/2+(600-400)/2=100
+    // x=200: level=(600+100)/2+100=450, trend=100/2+(450-600)/2=-25
+    // forecast = 425
+    val ev = Seq(
+      ("click", java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 4.0),
+      ("click", java.sql.Timestamp.valueOf("2024-01-01 01:30:00"), 8.0),
+      ("click", java.sql.Timestamp.valueOf("2024-01-01 02:30:00"), 2.0)
+    ).toDF("event_type", "ts", "value")
+    val r = TimeSeries.holtSmoothing(ev).head()
+    assert(r.getAs[Long]("n_hours") === 3L)
+    assert(r.getAs[Double]("level") === 450.0)
+    assert(r.getAs[Double]("trend") === -25.0)
+    assert(r.getAs[Double]("forecast_next") === 425.0)
+  }
+
   test("madAnomalies flags only genuine outliers") {
     val base = (1 to 20).map(i => (i.toLong, "a", 10.0 + (i % 3))) // tight cluster
     val ev = (base :+ ((99L, "a", 500.0))).toDF("event_id", "event_type", "value")
