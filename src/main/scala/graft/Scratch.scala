@@ -21,6 +21,39 @@ object Scratch {
       println(f"[phase] $tag%-30s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
       r
     }
+    if (args.headOption.contains("vacuum-debug")) {
+      import org.apache.spark.sql.functions._
+      val out = graft.queries.Staging.tmpDir("vacdbg")
+      val base = graft.queries.Staging.tbl(spark, sfDir, "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .select("event_id", "event_type", "value", "event_date")
+      base.repartition(4, col("event_id"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      val root = new org.apache.hadoop.fs.Path(out)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def counts(tag: String): Unit = {
+        val vs = graft.etl.LakeOps.listVersions(spark, out)
+        val files = fs.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+          .flatMap(d => fs.listStatus(d.getPath))
+          .count(_.getPath.getName.endsWith(".parquet"))
+        println(s"[vac] $tag versions=$vs dataFiles=$files")
+        vs.lastOption.foreach { v =>
+          val refs = spark.read.textFile(
+            new org.apache.hadoop.fs.Path(root, s"_graft_manifest_v$v").toString).collect()
+          println(s"[vac] $tag manifest v$v entries=${refs.length} sample=${refs.take(3).mkString("; ")}")
+        }
+      }
+      counts("after-base-write")
+      val firstDate = base.agg(min("event_date")).head().getString(0)
+      graft.etl.LakeOps.mergeInto(spark, out,
+        base.filter(col("event_date") === firstDate),
+        keyCol = "event_id", partCol = "event_date", retainHistory = true)
+      counts("after-merge")
+      graft.etl.LakeOps.vacuum(spark, out)
+      counts("after-vacuum")
+      spark.stop(); return
+    }
     if (args.headOption.contains("colloc")) {
       import org.apache.spark.sql.functions._
       import graft.functions.CrossFns.{tokens, shingles}

@@ -248,6 +248,18 @@ object LakeOps {
     writeManifest(fs, dst, 1L, files.sorted)
   }
 
+  /** The current manifest's live-file entries (relative paths), empty for
+    * a never-promoted table. Hadoop IO, not a datasource read — the
+    * underscore-prefixed manifest name is "hidden" to Spark readers by
+    * convention (deliberately: a `spark.read` over the table root must
+    * never pick the manifest up as data). */
+  def liveEntries(spark: SparkSession, sinkDir: String): Seq[String] = {
+    val root = new Path(sinkDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentManifest(fs, root).map { case (_, p) => readManifest(fs, p) }
+      .getOrElse(Seq.empty)
+  }
+
   /** Retained manifest versions, ascending. */
   def listVersions(spark: SparkSession, sinkDir: String): Seq[Long] = {
     val root = new Path(sinkDir)

@@ -2351,6 +2351,49 @@ object ExtQueries {
       .orderBy("event_date")
   }
 
+  /** Lake GC: content-preserving merge with history retained (supersedes
+    * the touched partition's files), plus a planted stale staging dir,
+    * then [[graft.etl.LakeOps.vacuum]] — live data is exactly the current
+    * manifest's list, so everything else (superseded data files, old
+    * manifest versions, staging leftovers) is deletable garbage. The
+    * query emits the per-date content AFTER vacuum (proving GC never
+    * touches live data — the oracle mirrors the plain table) plus the
+    * post-vacuum orphan and staging counts, both necessarily 0. */
+  def ddlVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("vacuum")
+    val base = tbl(spark, dir, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "event_type", "value", "event_date")
+    base.repartition(4, col("event_id"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // content-identical merge of one date -> old files of that partition
+    // become superseded-manifest references (retainHistory keeps them)
+    val firstDate = base.agg(min("event_date")).head().getString(0)
+    graft.etl.LakeOps.mergeInto(spark, out,
+      base.filter(col("event_date") === firstDate),
+      keyCol = "event_id", partCol = "event_date", retainHistory = true)
+    // plant a stale staging leftover (a crashed writer's residue)
+    val stale = new org.apache.hadoop.fs.Path(root, ".graft_staging_crashed")
+    fs.mkdirs(stale)
+    fs.create(new org.apache.hadoop.fs.Path(stale, "junk.parquet")).close()
+    graft.etl.LakeOps.vacuum(spark, out)
+    val live = graft.etl.LakeOps.readTable(spark, out)
+    val dataFiles = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .count(_.getPath.getName.endsWith(".parquet")).toLong
+    val liveRefs = graft.etl.LakeOps.liveEntries(spark, out).size.toLong
+    val staleDirs = fs.listStatus(root)
+      .count(_.getPath.getName.startsWith(".graft_staging_")).toLong
+    live.groupBy(col("event_date").cast("string").as("event_date"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_id"))
+      .withColumn("orphans_after", lit(dataFiles - liveRefs))
+      .withColumn("stale_staging_after", lit(staleDirs))
+      .orderBy("event_date")
+  }
+
   /** EXCEPT: customers who placed orders but none above 200k. */
   def setopExcept(spark: SparkSession, dir: String): DataFrame = {
     val o = tbl(spark, dir, "orders")
@@ -2914,6 +2957,7 @@ object ExtQueries {
     "sink_upsert" -> (sinkUpsert _),
     "ddl_scd2" -> (ddlScd2 _),
     "ddl_compact" -> (ddlCompact _),
+    "ddl_vacuum" -> (ddlVacuum _),
     "ddl_zorder" -> (ddlZorder _),
     "ddl_time_travel" -> (ddlTimeTravel _),
     "ddl_clone" -> (ddlClone _),

@@ -1848,6 +1848,16 @@ object Oracles {
         | CAST(1 AS BIGINT) AS files_after
         |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin,
 
+    // Vacuum preserves live content exactly; post-GC orphan and staging
+    // counts are structurally 0.
+    "ddl_vacuum" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_date,
+        | count(*) AS n_rows,
+        | CAST(sum(event_id) AS BIGINT) AS sum_id,
+        | CAST(0 AS BIGINT) AS orphans_after,
+        | CAST(0 AS BIGINT) AS stale_staging_after
+        |FROM events GROUP BY event_date ORDER BY event_date""".stripMargin,
+
     // exact discrete quantiles: k = ceil(q*n), value = k-th smallest
     "agg_quantile_2pass" ->
       """WITH t AS (SELECT l_extendedprice AS x FROM lineitem),

@@ -65,6 +65,12 @@ object TransformStateStream {
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // State-store parallelism follows shuffle partitions: at 32 partitions a
+    // 4-batch drain opens 128 RocksDB instances for ~1k keys. Size the state
+    // partitioning to the keyspace for the stream's lifetime (the standard
+    // stateful-streaming tuning lever), restore after.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val out = tmpDir("twssink")
     try {
       val updates = spark.readStream
@@ -84,6 +90,7 @@ object TransformStateStream {
       q.processAllAvailable()
       q.stop()
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

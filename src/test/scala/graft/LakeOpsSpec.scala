@@ -228,6 +228,29 @@ class LakeOpsSpec extends SparkSpec {
     assert(!new java.io.File(staging).exists())
   }
 
+  test("vacuum after a history-retaining merge drops superseded files and old manifests; liveEntries = on-disk parquet set") {
+    val out = graft.queries.Staging.tmpDir("lakeops-vacuum-hist")
+    writeBase(out)
+    val updates = Seq((1L, "2024-01-01", 99.0)).toDF("id", "d", "v")
+    LakeOps.mergeInto(spark, out, updates, "id", "d", retainHistory = true)
+    assert(LakeOps.listVersions(spark, out) === Seq(1L, 2L), "history retained pre-GC")
+    def diskFiles = {
+      val root = new org.apache.hadoop.fs.Path(out)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(d => fs.listStatus(d.getPath).map(f => s"${d.getPath.getName}/${f.getPath.getName}"))
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    assert(diskFiles.size > LakeOps.liveEntries(spark, out).size,
+      "superseded files present before vacuum")
+    val content = manifestRead(out)
+    LakeOps.vacuum(spark, out)
+    assert(LakeOps.listVersions(spark, out) === Seq(2L), "old manifest collected")
+    assert(diskFiles === LakeOps.liveEntries(spark, out).toSet,
+      "after GC the disk holds exactly the live set")
+    assert(manifestRead(out) === content, "content preserved")
+  }
+
   test("deleteKeys drops fully-deleted partitions atomically with the manifest switch") {
     val out = graft.queries.Staging.tmpDir("lakeops-dropall")
     writeBase(out)
