@@ -1423,6 +1423,45 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** Population-drift screen between the two halves of the event window
+    * (split at the exact integer midpoint of the observed µs range — no
+    * calendar constant): per (event_type, value-decile) two-sample
+    * chi-square contribution
+    *   chi2_ppm = 10^6 · (n_a·B − n_b·A)² / (A·B·(n_a+n_b))
+    * computed EXACTLY — DECIMAL(38,0) products (the ×10^6 square
+    * overflows int64 at scale) and floor division done as
+    * (num − pmod(num, den)) / den, which is remainder-free and therefore
+    * exact whatever scale Spark's decimal divide would have used; the
+    * oracle's HUGEINT `//` matches bitwise. The drift rollup is the
+    * snapshot-vs-snapshot check a training pipeline gates ingest on.
+    * Two partial-aggregatable passes + a per-type total join — every
+    * step keyed on (type, bucket) or type. */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+    val bounds = e.agg(
+      min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+    val bucketed = e.crossJoin(broadcast(bounds))
+      .withColumn("w",
+        when(unix_micros(col("ts")) * 2 < col("lo") + col("hi"), "a").otherwise("b"))
+      .withColumn("bucket",
+        least(floor(col("value") / 10d).cast("long"), lit(9L)))
+      .groupBy("event_type", "bucket")
+      .agg(
+        sum(when(col("w") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("w") === "b", 1L).otherwise(0L)).as("n_b"))
+    val totals = bucketed.groupBy("event_type")
+      .agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    bucketed.join(totals, "event_type")
+      .withColumn("dev", dec(col("n_a") * col("tb")) - dec(col("n_b") * col("ta")))
+      .withColumn("num", dec(lit(1000000L)) * col("dev") * col("dev"))
+      .withColumn("den", dec(col("ta")) * dec(col("tb")) * dec(col("n_a") + col("n_b")))
+      .withColumn("chi2_ppm",
+        ((col("num") - pmod(col("num"), col("den"))) / col("den")).cast("long"))
+      .select(col("event_type"), col("bucket"), col("n_a"), col("n_b"), col("chi2_ppm"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Zero-copy shallow clone + copy-on-write divergence: the clone is
     * born as ONE manifest of absolute references into the source (no
     * data bytes copied), a merge into the CLONE doubles a key subset in
@@ -2958,6 +2997,7 @@ object ExtQueries {
     "ddl_scd2" -> (ddlScd2 _),
     "ddl_compact" -> (ddlCompact _),
     "ddl_vacuum" -> (ddlVacuum _),
+    "profile_drift" -> (profileDrift _),
     "ddl_zorder" -> (ddlZorder _),
     "ddl_time_travel" -> (ddlTimeTravel _),
     "ddl_clone" -> (ddlClone _),

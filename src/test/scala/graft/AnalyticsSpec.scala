@@ -160,6 +160,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === scoredDocs)
   }
 
+  test("profile_drift: chi2_ppm matches a BigInt reference; halves partition every event") {
+    val rows = graft.queries.ExtQueries.profileDrift(spark, sf).collect()
+    val total = Staging.tbl(spark, sf, "events").count()
+    assert(rows.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum === total)
+    val byType = rows.groupBy(_.getString(0))
+    for ((_, rs) <- byType) {
+      val ta = rs.map(_.getAs[Long]("n_a")).sum
+      val tb = rs.map(_.getAs[Long]("n_b")).sum
+      for (r <- rs) {
+        val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+        val dev = BigInt(na) * tb - BigInt(nb) * ta
+        val expect = (BigInt(1000000) * dev * dev) / (BigInt(ta) * tb * (na + nb))
+        assert(BigInt(r.getAs[Long]("chi2_ppm")) === expect,
+          s"type=${r.getString(0)} bucket=${r.getAs[Long]("bucket")}")
+      }
+    }
+  }
+
   test("funnel attribution: totals cover every purchase; unattributed land on NULL day") {
     val rows = AnalyticsQueries.funnelAttribution(spark, sf).collect()
     val purchases = Staging.tbl(spark, sf, "events")
