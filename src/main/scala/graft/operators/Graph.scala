@@ -391,6 +391,51 @@ object Graph {
   def pageRankWithDelta(edges: DataFrame, iters: Int): (DataFrame, DataFrame) =
     pageRankRun(edges, iters, withDeltas = true)
 
+  /** Weighted co-part edges: like [[coPartEdgesMin]] but keeping the
+    * co-occurrence count as the edge weight (the "bought together N
+    * times" strength a recommender ranks by). Same single self-join
+    * shuffle with map-side combine. */
+  def coPartEdgesWeighted(lineitem: DataFrame, minCount: Long): DataFrame = {
+    val os = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("s")).distinct()
+    os.as("a").join(os.as("b"), col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("src"), col("b.s").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount)
+  }
+
+  /** WEIGHTED PageRank (the standard web-graph form: contribution
+    * proportional to edge weight over the source's total out-weight),
+    * same integer micro-rank contract as [[pageRank]]:
+    * r' = 150_000 + 850 · Σ_src (r_src · w) div sw_src div 1000 — floor
+    * division and BIGINT sums keep every iteration bit-identical across
+    * engines and partitionings. Same loop hygiene as pageRankRun: the
+    * weight/out-weight annotation is loop-invariant (joined once), each
+    * iteration is ONE equi-join + a partial agg, ranks localCheckpoint
+    * per round. */
+  def pageRankWeighted(edgesW: DataFrame, iters: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edgesW.select(explode(array(
+        struct(col("src"), col("dst"), col("w")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("x"))
+      .select(col("x.src").as("src"), col("x.dst").as("dst"), col("x.w").as("w"))
+      .persist(lvl)
+    val sw = e.groupBy(col("src").as("node")).agg(sum("w").as("sw")).persist(lvl)
+    val ew = e.join(sw.withColumnRenamed("node", "src"), "src").persist(lvl)
+    var ranks = sw.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ew
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(r * w) div sw")).as("s"))
+      ranks = sw.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("850 * coalesce(s, 0L) div 1000")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+
   /** Shared iteration core. Plan hygiene at scale:
     *   - the edges×degree join is loop-INVARIANT, so it runs once up
     *     front (`ed`) and each iteration pays a single join — half the

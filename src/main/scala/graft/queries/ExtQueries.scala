@@ -2582,6 +2582,14 @@ object ExtQueries {
     Graph.degreeAssortativity(
       Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L))
 
+  /** Weighted PageRank over the thresholded co-part graph (co-occurrence
+    * count as edge weight), 3 integer micro-rank iterations, top-20 —
+    * see Graph.pageRankWeighted. */
+  def graphPagerankWeighted(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRankWeighted(
+      Graph.coPartEdgesWeighted(tbl(spark, dir, "lineitem"), minCount = 2L), iters = 3)
+      .orderBy(col("rank").desc, col("node")).limit(20)
+
   /** BFS reachability profile from the min node of the thresholded
     * co-part graph: hop-distance histogram after 4 pinned relaxation
     * rounds — see Graph.bfsDistances for the ladder contract. */
@@ -2898,6 +2906,7 @@ object ExtQueries {
     "graph_kcore" -> (graphKcore _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_bfs" -> (graphBfs _),
+    "graph_pagerank_weighted" -> (graphPagerankWeighted _),
     "timeseries_seasonal" -> (timeseriesSeasonal _),
     "timeseries_holt" -> (timeseriesHolt _),
     "pipeline_curriculum" -> (pipelineCurriculum _),

@@ -2518,6 +2518,28 @@ object Oracles {
         |       FROM deg LEFT JOIN c3 ON deg.node = c3.node)
         |SELECT node, CAST(r AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 
+    // Weighted PageRank: contribution (r·w) // sw per directed edge —
+    // the unrolled mirror of Graph.pageRankWeighted (floor division on
+    // non-negative integers matches Spark's div).
+    "graph_pagerank_weighted" -> {
+      def it(i: Int): String =
+        s"""c$i AS (SELECT bi.dst AS node, sum((r${i - 1}.r * bi.w) // sw.sw) AS s FROM bi
+           |       JOIN r${i - 1} ON bi.src = r${i - 1}.node JOIN sw ON bi.src = sw.node GROUP BY 1),
+           |r$i AS (SELECT sw.node, 150000 + (850 * COALESCE(c$i.s, 0)) // 1000 AS r
+           |       FROM sw LEFT JOIN c$i ON sw.node = c$i.node)""".stripMargin
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS (SELECT a.s AS src, b.s AS dst, count(*) AS w FROM os a
+         |       JOIN os b ON a.ok = b.ok AND a.s < b.s GROUP BY 1, 2 HAVING count(*) >= 2),
+         |bi AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+         |sw AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS sw FROM bi GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM sw),
+         |${it(1)},
+         |${it(2)},
+         |${it(3)}
+         |SELECT node, CAST(r AS BIGINT) AS rank FROM r3
+         |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
+
     "graph_pagerank_delta" ->
       """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s GROUP BY 1, 2),

@@ -237,6 +237,21 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(dd === Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("pageRankWeighted: uniform weights reduce to plain pageRank; heavy edge pulls rank") {
+    val edges = Seq((1L,2L),(2L,3L),(1L,3L),(3L,4L))
+    val uni = edges.map { case (s,d) => (s,d,1L) }.toDF("src","dst","w")
+    val plain = Graph.pageRank(edges.toDF("src","dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wtd = Graph.pageRankWeighted(uni, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wtd === plain, "unit weights must equal the unweighted ladder")
+    // skew edge 1-2 to weight 100: node 2 must outrank its uniform self
+    val skew = Seq((1L,2L,100L),(2L,3L,1L),(1L,3L,1L),(3L,4L,1L)).toDF("src","dst","w")
+    val sk = Graph.pageRankWeighted(skew, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(2L) > wtd(2L), "heavier in-edge must raise rank")
+  }
+
   test("degreeAssortativity: star is perfectly disassortative (r = -1)") {
     val star = edgesDf((1L,2L),(1L,3L),(1L,4L),(1L,5L))
     val r = Graph.degreeAssortativity(star).head()
