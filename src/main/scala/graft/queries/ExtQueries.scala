@@ -1138,6 +1138,42 @@ object ExtQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Higher central moments per return flag: skewness and excess-free
+    * kurtosis from EXACT integer power sums — prices cent-quantised to
+    * DECIMAL(38,0) (c⁴ ≈ 1e28 overflows int64; decimal carries it
+    * exactly, as does the oracle's HUGEINT), every Σcᵏ exact and
+    * partial-aggregatable/mergeable, floats only in the final
+    * moment-ratio arithmetic where both engines apply the IDENTICAL
+    * IEEE expression tree to identical doubles (the agg_corr policy).
+    * One hash-aggregate pass — the shape that survives any scale. */
+  def aggMoments(spark: SparkSession, dir: String): DataFrame = {
+    val c = round(col("l_extendedprice") * 100d, 0).cast("decimal(38,0)")
+    tbl(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(c).cast("double").as("sx"),
+        sum(c * c).cast("double").as("sxx"),
+        sum(c * c * c).cast("double").as("sxxx"),
+        sum(c * c * c * c).cast("double").as("sxxxx"))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sxx"),
+        (col("sx") / col("n")).as("mean"),
+        (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))).as("m2"),
+        col("sxxx"), col("sxxxx"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("mean"), 9).as("mean_cents"),
+        round(
+          (col("sxxx") / col("n") - lit(3d) * col("mean") * (col("sxx") / col("n"))
+            + lit(2d) * col("mean") * col("mean") * col("mean"))
+            / (sqrt(col("m2")) * col("m2")), 9).as("skewness"),
+        round(
+          (col("sxxxx") / col("n") - lit(4d) * col("mean") * (col("sxxx") / col("n"))
+            + lit(6d) * col("mean") * col("mean") * (col("sxx") / col("n"))
+            - lit(3d) * col("mean") * col("mean") * col("mean") * col("mean"))
+            / (col("m2") * col("m2")), 9).as("kurtosis"))
+      .orderBy("l_returnflag")
+  }
+
   /** lead/lag analytics: per-user deltas between consecutive events. */
   def windowLeadLag(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -3007,6 +3043,7 @@ object ExtQueries {
     "ddl_compact" -> (ddlCompact _),
     "ddl_vacuum" -> (ddlVacuum _),
     "profile_drift" -> (profileDrift _),
+    "agg_moments" -> (aggMoments _),
     "ddl_zorder" -> (ddlZorder _),
     "ddl_time_travel" -> (ddlTimeTravel _),
     "ddl_clone" -> (ddlClone _),

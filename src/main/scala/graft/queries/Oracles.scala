@@ -1166,6 +1166,25 @@ object Oracles {
         | round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr
         |FROM s ORDER BY l_returnflag""".stripMargin,
 
+    // Skewness/kurtosis from exact HUGEINT power sums (= Spark's
+    // DECIMAL(38,0)); identical IEEE expression tree after the cast.
+    "agg_moments" ->
+      """WITH b AS (SELECT l_returnflag,
+        |             CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS c FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |        CAST(sum(c) AS DOUBLE) AS sx,
+        |        CAST(sum(c * c) AS DOUBLE) AS sxx,
+        |        CAST(sum(c * c * c) AS DOUBLE) AS sxxx,
+        |        CAST(sum(c * c * c * c) AS DOUBLE) AS sxxxx
+        |      FROM b GROUP BY 1),
+        |m AS (SELECT *, sx / n AS mean, sxx / n - (sx / n) * (sx / n) AS m2 FROM s)
+        |SELECT l_returnflag, n, round(mean, 9) AS mean_cents,
+        | round((sxxx / n - 3 * mean * (sxx / n) + 2 * mean * mean * mean)
+        |   / (sqrt(m2) * m2), 9) AS skewness,
+        | round((sxxxx / n - 4 * mean * (sxxx / n) + 6 * mean * mean * (sxx / n)
+        |   - 3 * mean * mean * mean * mean) / (m2 * m2), 9) AS kurtosis
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
     "typed_agg" ->
       """SELECT event_type,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_value
