@@ -184,6 +184,30 @@ object Oracles {
     * graph_modularity): thresholded co-part edges (e0 oriented, e
     * bidirectional) → three unrolled synchronous plurality-label
     * iterations ending in `l3` (node, label). */
+  /** Shared by profile_drift (batch) and stream_drift (keyed-state
+    * accumulation): two-sample chi-square per (type, value-decile),
+    * halves split at the exact µs midpoint, HUGEINT floor division. */
+  private lazy val driftSql: String =
+    """WITH b AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS tsu, value FROM events),
+      |m AS (SELECT min(epoch_us(tsu)) AS lo, max(epoch_us(tsu)) AS hi FROM b),
+      |c AS (SELECT event_type,
+      |        least(CAST(floor(value / 10) AS BIGINT), 9) AS bucket,
+      |        CASE WHEN epoch_us(tsu) * 2 < m.lo + m.hi THEN 'a' ELSE 'b' END AS w
+      |      FROM b CROSS JOIN m),
+      |g AS (SELECT event_type, bucket,
+      |        CAST(sum(CASE WHEN w = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |        CAST(sum(CASE WHEN w = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |      FROM c GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(n_a) AS BIGINT) AS ta,
+      |        CAST(sum(n_b) AS BIGINT) AS tb FROM g GROUP BY 1)
+      |SELECT g.event_type, g.bucket, g.n_a, g.n_b,
+      | CAST((CAST(1000000 AS HUGEINT)
+      |     * (CAST(g.n_a AS HUGEINT) * t.tb - CAST(g.n_b AS HUGEINT) * t.ta)
+      |     * (CAST(g.n_a AS HUGEINT) * t.tb - CAST(g.n_b AS HUGEINT) * t.ta))
+      |   // (CAST(t.ta AS HUGEINT) * CAST(t.tb AS HUGEINT)
+      |     * CAST(g.n_a + g.n_b AS HUGEINT)) AS BIGINT) AS chi2_ppm
+      |FROM g JOIN t USING (event_type) ORDER BY event_type, bucket""".stripMargin
+
   private lazy val lpaCtes: String = {
     def step(i: Int): String =
       s"""c$i AS (SELECT e.dst AS node, l.label, count(*) AS c
@@ -1870,26 +1894,11 @@ object Oracles {
     // Two-sample chi-square drift per (type, value-decile), halves split
     // at the exact µs midpoint; HUGEINT arithmetic mirrors the Spark
     // side's DECIMAL(38,0) remainder-free floor division bitwise.
-    "profile_drift" ->
-      """WITH b AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS tsu, value FROM events),
-        |m AS (SELECT min(epoch_us(tsu)) AS lo, max(epoch_us(tsu)) AS hi FROM b),
-        |c AS (SELECT event_type,
-        |        least(CAST(floor(value / 10) AS BIGINT), 9) AS bucket,
-        |        CASE WHEN epoch_us(tsu) * 2 < m.lo + m.hi THEN 'a' ELSE 'b' END AS w
-        |      FROM b CROSS JOIN m),
-        |g AS (SELECT event_type, bucket,
-        |        CAST(sum(CASE WHEN w = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |        CAST(sum(CASE WHEN w = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-        |      FROM c GROUP BY 1, 2),
-        |t AS (SELECT event_type, CAST(sum(n_a) AS BIGINT) AS ta,
-        |        CAST(sum(n_b) AS BIGINT) AS tb FROM g GROUP BY 1)
-        |SELECT g.event_type, g.bucket, g.n_a, g.n_b,
-        | CAST((CAST(1000000 AS HUGEINT)
-        |     * (CAST(g.n_a AS HUGEINT) * t.tb - CAST(g.n_b AS HUGEINT) * t.ta)
-        |     * (CAST(g.n_a AS HUGEINT) * t.tb - CAST(g.n_b AS HUGEINT) * t.ta))
-        |   // (CAST(t.ta AS HUGEINT) * CAST(t.tb AS HUGEINT)
-        |     * CAST(g.n_a + g.n_b AS HUGEINT)) AS BIGINT) AS chi2_ppm
-        |FROM g JOIN t USING (event_type) ORDER BY event_type, bucket""".stripMargin,
+    // stream_drift shares this oracle verbatim: the streamed second half
+    // accumulates through the sum-mergeable keyed state, so batch
+    // boundaries cannot change the counts.
+    "profile_drift" -> driftSql,
+    "stream_drift" -> driftSql,
 
     // Vacuum preserves live content exactly; post-GC orphan and staging
     // counts are structurally 0.

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.queries.Staging._
@@ -226,6 +226,66 @@ object StreamQueries {
       .select(col("event_type"), col("hod"), col("n"), col("sum_cents"),
         expr("(sum_cents * nn * 1000000L) div (n * s)").as("idx_ppm"))
       .orderBy("event_type", "hod")
+  }
+
+  /** Streaming drift monitor — the production form of profile_drift: the
+    * first half of the event window is the frozen REFERENCE histogram
+    * (computed batch-side), the second half arrives as a file stream and
+    * its per-(type, value-decile) counts accumulate in the keyed state
+    * sink across micro-batches (sum-mergeable, so batch boundaries can't
+    * change the answer). The drained state joins the reference for the
+    * exact two-sample chi-square — DECIMAL(38,0) with remainder-free
+    * floor division, bitwise-equal to the batch query and its oracle.
+    * A bucket seen in only one half joins as zero, exactly as the batch
+    * group-over-everything produces. */
+  def streamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("sdriftsrc")
+    val events = tbl(spark, dir, "events")
+    // split point: exact integer µs midpoint (driver scalar — metadata,
+    // needed to stage the "future" files; the reference frame is in-plan)
+    val b = events.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    def bucketed(df: DataFrame) = df.withColumn("bucket",
+      least(floor(col("value") / 10d).cast("long"), lit(9L)))
+    val refHist = bucketed(events.filter(unix_micros(col("ts")) * 2 < lo + hi))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n_a"))
+    events.filter(unix_micros(col("ts")) * 2 >= lo + hi)
+      .repartition(4).write.mode("overwrite").parquet(src)
+    val stateRoot = tmpDir("sdriftstate")
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sdriftckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = bucketed(batch)
+          .groupBy("event_type", "bucket").agg(count(lit(1)).as("n_b"))
+        KeyedStateSink.merge(stateRoot, Seq("event_type", "bucket"),
+          minCols = Nil, sumCols = Seq("n_b"))(partial, batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = KeyedStateSink.read(spark, stateRoot).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long, Long)].toDF("event_type", "bucket", "n_b")
+    }
+    val joined = refHist.join(streamed, Seq("event_type", "bucket"), "full_outer")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.groupBy("event_type")
+      .agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    joined.join(broadcast(totals), "event_type")
+      .withColumn("dev", dec(col("n_a") * col("tb")) - dec(col("n_b") * col("ta")))
+      .withColumn("num", dec(lit(1000000L)) * col("dev") * col("dev"))
+      .withColumn("den", dec(col("ta")) * dec(col("tb")) * dec(col("n_a") + col("n_b")))
+      .withColumn("chi2_ppm",
+        ((col("num") - pmod(col("num"), col("den"))) / col("den")).cast("long"))
+      .select(col("event_type"), col("bucket"), col("n_a"), col("n_b"), col("chi2_ppm"))
+      .orderBy("event_type", "bucket")
   }
 
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -879,6 +939,7 @@ object StreamQueries {
     "stream_file_source" -> (streamFileSource _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_seasonal" -> (streamSeasonal _),
+    "stream_drift" -> (streamDrift _),
     "stream_lake_merge" -> (streamLakeMerge _),
     "stream_quantile" -> (streamQuantile _),
     "stream_hll" -> (streamHll _),
