@@ -344,6 +344,16 @@ object ScaleCheck {
       time("graph_pagerank", f) {
         Graph.pageRank(Graph.coPartEdges(lg), 3).count()
       }
+      time("graph_kcore", f) {
+        Graph.kCore(Graph.coPartEdgesMin(lg, 2L), k = 3, rounds = 4).count()
+      }
+      time("graph_bfs", f) {
+        Graph.bfsDistances(Graph.coPartEdgesMin(lg, 2L), rounds = 4)
+          .groupBy("dist").agg(count(lit(1))).count()
+      }
+      time("graph_clustering", f) {
+        Graph.clusteringCoefficients(Graph.coPartEdgesMin(lg, 2L), topN = 20).count()
+      }
     }
     spark.stop()
   }
