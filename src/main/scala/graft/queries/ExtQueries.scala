@@ -2184,6 +2184,54 @@ object ExtQueries {
       .orderBy("rep")
   }
 
+  /** Cluster-agreement evaluation between two dedup tiers: the adjusted
+    * Rand index (Hubert & Arabie 1985) between the minhash-LSH one-hop
+    * clustering and the winnowing-fingerprint clustering, in EXACT
+    * pair-counting integers — contingency cell / row / column pair sums
+    * are partial-aggregatable counts, and the final index is emitted
+    * both as its exact (numerator, denominator) pieces and as ppm via
+    * the remainder-free DECIMAL(38,0) floor division (≡ HUGEINT `//`).
+    * ARI = [2(T·S − RA·RB)] / [T·(RA+RB) − 2·RA·RB] with T total pairs,
+    * S agreeing-cell pairs, RA/RB per-clustering pairs. Docs absent from
+    * a tier (no shingles / no fingerprints) count as singletons — the
+    * same completion both tiers' census queries imply. This is the
+    * report a curator reads to decide whether the cheap tier can
+    * substitute for the expensive one. */
+  def dedupClusterAri(spark: SparkSession, dir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = tbl(spark, dir, "documents")
+    val a = Dedup.lshDocReps(spark, docs)
+    val fp = winnowFingerprints(spark, dir)
+    val bRep = fp.groupBy("fp_sh").agg(min("doc_id").as("grp_rep"))
+    val b = fp.join(bRep, Seq("fp_sh")).groupBy("doc_id").agg(min("grp_rep").as("rep"))
+    val all = docs.select("doc_id")
+    val la = all.join(a, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("ra"))
+    val lb = all.join(b, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rb"))
+    val j = la.join(lb, "doc_id").persist(lvl)
+    def pairSum(grouped: DataFrame, as: String): DataFrame =
+      grouped.agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as(as))
+    val cells = pairSum(j.groupBy("ra", "rb").agg(count(lit(1)).as("n")), "s")
+    val rowP = pairSum(j.groupBy("ra").agg(count(lit(1)).as("n")), "ra_p")
+    val colP = pairSum(j.groupBy("rb").agg(count(lit(1)).as("n")), "rb_p")
+    val tot = j.agg(count(lit(1)).as("n"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    tot.crossJoin(cells).crossJoin(rowP).crossJoin(colP)
+      .withColumn("t", expr("n * (n - 1) div 2"))
+      .withColumn("num", dec(lit(2L)) * (dec(col("t")) * dec(col("s"))
+        - dec(col("ra_p")) * dec(col("rb_p"))))
+      .withColumn("den", dec(col("t")) * dec(col("ra_p") + col("rb_p"))
+        - dec(lit(2L)) * dec(col("ra_p")) * dec(col("rb_p")))
+      .withColumn("ari_ppm",
+        when(col("den") === 0, lit(0L)).otherwise(
+          ((dec(lit(1000000L)) * col("num")
+            - pmod(dec(lit(1000000L)) * col("num"), col("den"))) / col("den"))
+            .cast("long")))
+      .select(col("n").as("n_docs"), col("s").as("same_pairs"),
+        col("ra_p").as("a_pairs"), col("rb_p").as("b_pairs"), col("ari_ppm"))
+  }
+
   /** PRECISION-GATED winnowing clusters — [[dedupWinnowingClusters]]'s
     * recall-maximal contraction composed with the Jaccard-vs-
     * representative verify hop its scaladoc prescribes (the same star
@@ -3078,6 +3126,7 @@ object ExtQueries {
     "dedup_winnowing" -> (dedupWinnowing _),
     "dedup_winnowing_clusters" -> (dedupWinnowingClusters _),
     "dedup_winnowing_verified" -> (dedupWinnowingVerified _),
+    "dedup_cluster_ari" -> (dedupClusterAri _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "pipeline_substring_scrub" -> (pipelineSubstringScrub _),
     "pipeline_scrub_apply" -> (pipelineScrubApply _),

@@ -1511,6 +1511,48 @@ object Oracles {
          |SELECT rep, count(*) AS n_docs FROM cl GROUP BY rep ORDER BY rep""".stripMargin
     },
 
+    // Adjusted Rand index between the LSH and winnowing clusterings:
+    // both doc->rep maps rebuilt from their families' shared CTE logic
+    // (the minhash `w` token CTE doubles as the winnowing token source),
+    // singleton-completed over all docs, then exact pair counting with
+    // HUGEINT floor division for the ppm.
+    "dedup_cluster_ari" -> {
+      val sh = ch("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2]")
+      s"""$minhashCtes,
+         |lgrp AS (SELECT band, sig, min(doc_id) AS grp_rep FROM bands GROUP BY band, sig),
+         |da AS (SELECT b.doc_id, min(g.grp_rep) AS rep
+         |       FROM bands b JOIN lgrp g ON b.band = g.band AND b.sig = g.sig
+         |       GROUP BY b.doc_id),
+         |t2 AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS pos FROM w),
+         |h2 AS (SELECT doc_id, pos, ($sh) * 16777216 + pos AS c FROM t2),
+         |sel2 AS (SELECT doc_id, pos, min(c) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM h2),
+         |fp2 AS (SELECT DISTINCT doc_id, sel // 16777216 AS fp_sh FROM sel2 WHERE pos >= 4),
+         |wgrp AS (SELECT fp_sh, min(doc_id) AS grp_rep FROM fp2 GROUP BY fp_sh),
+         |db AS (SELECT f.doc_id, min(g.grp_rep) AS rep
+         |       FROM fp2 f JOIN wgrp g ON f.fp_sh = g.fp_sh GROUP BY f.doc_id),
+         |alld AS (SELECT doc_id FROM documents),
+         |laa AS (SELECT d.doc_id, COALESCE(a.rep, d.doc_id) AS ra
+         |        FROM alld d LEFT JOIN da a ON d.doc_id = a.doc_id),
+         |lbb AS (SELECT d.doc_id, COALESCE(b.rep, d.doc_id) AS rb
+         |        FROM alld d LEFT JOIN db b ON d.doc_id = b.doc_id),
+         |jj AS (SELECT laa.ra, lbb.rb FROM laa JOIN lbb ON laa.doc_id = lbb.doc_id),
+         |cel AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS s
+         |        FROM (SELECT count(*) AS n FROM jj GROUP BY ra, rb)),
+         |rp AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS ra_p
+         |       FROM (SELECT count(*) AS n FROM jj GROUP BY ra)),
+         |cp AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS rb_p
+         |       FROM (SELECT count(*) AS n FROM jj GROUP BY rb)),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM jj),
+         |ff AS (SELECT tt.n, tt.n * (tt.n - 1) // 2 AS t, cel.s, rp.ra_p, cp.rb_p
+         |       FROM tt, cel, rp, cp)
+         |SELECT n AS n_docs, s AS same_pairs, ra_p AS a_pairs, rb_p AS b_pairs,
+         | CASE WHEN (t * (ra_p + rb_p) - 2 * ra_p * rb_p) = 0 THEN 0
+         |   ELSE CAST((CAST(1000000 AS HUGEINT) * 2 * (CAST(t AS HUGEINT) * s - CAST(ra_p AS HUGEINT) * rb_p))
+         |     // (CAST(t AS HUGEINT) * (ra_p + rb_p) - 2 * CAST(ra_p AS HUGEINT) * rb_p) AS BIGINT) END AS ari_ppm
+         |FROM ff""".stripMargin
+    },
+
     "dedup_substring_spans" ->
       s"""$substringSpanCtes
          |SELECT doc_id, count(*) AS n_spans,

@@ -160,6 +160,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === scoredDocs)
   }
 
+  test("dedup_cluster_ari: pair-count invariants and index bounds") {
+    val r = graft.queries.ExtQueries.dedupClusterAri(spark, sf).head()
+    val (s, ap, bp) = (r.getAs[Long]("same_pairs"),
+      r.getAs[Long]("a_pairs"), r.getAs[Long]("b_pairs"))
+    assert(r.getAs[Long]("n_docs") === 500L)
+    assert(s <= math.min(ap, bp), "agreeing pairs bounded by each clustering's pairs")
+    assert(r.getAs[Long]("ari_ppm") <= 1000000L, "ARI <= 1")
+    assert(s > 0L, "the corpus has genuine duplicate groups both tiers find")
+  }
+
   test("profile_drift: chi2_ppm matches a BigInt reference; halves partition every event") {
     val rows = graft.queries.ExtQueries.profileDrift(spark, sf).collect()
     val total = Staging.tbl(spark, sf, "events").count()
