@@ -1864,6 +1864,32 @@ object ExtQueries {
       .orderBy(col("tf").desc, col("tok"))
       .limit(30)
 
+  /** Corpus novelty curve: for each document (in doc_id ingest order),
+    * the fraction of its DISTINCT bigrams not seen in any earlier
+    * document — the diminishing-returns signal a curator reads to decide
+    * when more of a source stops adding information. First-occurrence
+    * attribution is a partial-aggregatable min over the bigram key, the
+    * doc rollup an exact integer ppm; no ordering dependence beyond the
+    * deterministic doc_id total order. Rolled up per source decile of
+    * the ingest order so the output is a stable small curve. */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = d.groupBy("bg").agg(min("doc_id").as("first_doc"))
+    d.join(first, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .groupBy(expr("doc_id div 50").as("ingest_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bg").as("sum_bg"), sum("n_novel").as("sum_novel"))
+      .withColumn("novel_ppm", expr("(sum_novel * 1000000L) div sum_bg"))
+      .orderBy("ingest_bucket")
+  }
+
   /** Hapax-legomena profile per source: vocabulary size, count of terms
     * occurring exactly once, their ppm share of the vocabulary, and total
     * tokens — the classic lexical-richness / crawl-noise signal (a spammy
@@ -3144,6 +3170,7 @@ object ExtQueries {
     "sample_mixture_chi2" -> (sampleMixtureChi2 _),
     "text_vocab" -> (textVocab _),
     "text_hapax" -> (textHapax _),
+    "text_ngram_novelty" -> (textNgramNovelty _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_bpe_pairs" -> (textBpePairs _),
     "project_json_extract" -> (projectJsonExtract _),

@@ -2258,6 +2258,24 @@ object Oracles {
          |c AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t GROUP BY tok)
          |SELECT tok, tf, df FROM c ORDER BY tf DESC, tok LIMIT 30""".stripMargin,
 
+    // Corpus novelty curve: distinct doc bigrams vs their min-doc first
+    // occurrence, rolled to ingest-order buckets of 50 docs.
+    "text_ngram_novelty" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |bg0 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+         |          THEN list_transform(generate_series(1, len(w) - 1), i_ -> w[i_] || ' ' || w[i_+1])
+         |          ELSE CAST([] AS VARCHAR[]) END) AS bg FROM w),
+         |bg AS (SELECT DISTINCT doc_id, bg FROM bg0),
+         |fst AS (SELECT bg, min(doc_id) AS first_doc FROM bg GROUP BY bg),
+         |per AS (SELECT b.doc_id, count(*) AS n_bg,
+         |          sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END) AS n_novel
+         |        FROM bg b JOIN fst f ON b.bg = f.bg GROUP BY b.doc_id)
+         |SELECT doc_id // 50 AS ingest_bucket, count(*) AS n_docs,
+         | CAST(sum(n_bg) AS BIGINT) AS sum_bg,
+         | CAST(sum(n_novel) AS BIGINT) AS sum_novel,
+         | CAST((sum(n_novel) * 1000000) // sum(n_bg) AS BIGINT) AS novel_ppm
+         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Hapax-legomena profile per source: exact integer lexical-richness
     // rollup over the per-(source,term) counts.
     "text_hapax" ->
