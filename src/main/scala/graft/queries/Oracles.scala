@@ -184,6 +184,20 @@ object Oracles {
     * graph_modularity): thresholded co-part edges (e0 oriented, e
     * bidirectional) → three unrolled synchronous plurality-label
     * iterations ending in `l3` (node, label). */
+  /** Shared by funnel_attribution (batch running window) and
+    * stream_attribution (transformWithState last-click state): last-touch
+    * credit per attributed-click day, exact DECIMAL value sums. */
+  private lazy val attributionSql: String =
+    """WITH b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, event_type,
+      |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |l AS (SELECT *, last_value(CASE WHEN event_type = 'click' THEN tsu END IGNORE NULLS)
+      |        OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lct
+      |      FROM b)
+      |SELECT strftime(lct, '%Y-%m-%d') AS click_day, count(*) AS n_purchases,
+      |  CAST(sum(v) AS DOUBLE) AS sum_value
+      |FROM l WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared by profile_drift (batch) and stream_drift (keyed-state
     * accumulation): two-sample chi-square per (type, value-decile),
     * halves split at the exact µs midpoint, HUGEINT floor division. */
@@ -3237,16 +3251,8 @@ object Oracles {
     // Last-touch attribution: per-user running last-click timestamp
     // (IGNORE NULLS window), purchases grouped by the attributed click's
     // day. Exact DECIMAL cent sums; double only at the edge.
-    "funnel_attribution" ->
-      """WITH b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, event_type,
-        |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
-        |l AS (SELECT *, last_value(CASE WHEN event_type = 'click' THEN tsu END IGNORE NULLS)
-        |        OVER (PARTITION BY user_id ORDER BY tsu, event_id
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lct
-        |      FROM b)
-        |SELECT strftime(lct, '%Y-%m-%d') AS click_day, count(*) AS n_purchases,
-        |  CAST(sum(v) AS DOUBLE) AS sum_value
-        |FROM l WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_attribution" -> attributionSql,
+    "funnel_attribution" -> attributionSql,
 
     "cohort_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,

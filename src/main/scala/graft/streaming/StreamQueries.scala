@@ -421,7 +421,7 @@ object StreamQueries {
     * source picks them up in event-time order — the ordered-log assumption
     * a time-partitioned feed gives a streaming job in production. Returns
     * the glob the stream should read. */
-  private def stageChronological(
+  private[streaming] def stageChronological(
       spark: SparkSession, df: DataFrame, chunks: Int,
       orderCols: Seq[org.apache.spark.sql.Column], tag: String): String = {
     val src = tmpDir(tag)
@@ -940,6 +940,7 @@ object StreamQueries {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_seasonal" -> (streamSeasonal _),
     "stream_drift" -> (streamDrift _),
+    "stream_attribution" -> (AttributionStream.run _),
     "stream_lake_merge" -> (streamLakeMerge _),
     "stream_quantile" -> (streamQuantile _),
     "stream_hll" -> (streamHll _),

@@ -243,4 +243,15 @@ class StreamingSpec extends SparkSpec {
     val commits = new java.io.File(s"$ckpt/commits").list().count(!_.startsWith("."))
     assert(commits === 3, s"expected 3 micro-batches, got $commits")
   }
+
+  test("stream_attribution equals the batch running-window attribution exactly") {
+    def key(r: org.apache.spark.sql.Row) =
+      Option(r.getAs[String]("click_day")).getOrElse("NULL")
+    val streamed = graft.streaming.AttributionStream.run(spark, sf).collect()
+      .map(r => key(r) -> ((r.getAs[Long]("n_purchases"), r.getAs[Double]("sum_value")))).toMap
+    val batch = graft.queries.AnalyticsQueries.funnelAttribution(spark, sf).collect()
+      .map(r => key(r) -> ((r.getAs[Long]("n_purchases"), r.getAs[Double]("sum_value")))).toMap
+    assert(streamed === batch,
+      "cross-batch last-click state must reproduce the batch window bit-for-bit")
+  }
 }
