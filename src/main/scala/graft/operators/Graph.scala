@@ -166,8 +166,14 @@ object Graph {
       .agg(coalesce(sum("t"), lit(0L)).as("n_triangles"))
     val stats = base.agg(count(lit(1)).as("n_edges"))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"))
-    tri.crossJoin(stats).crossJoin(nodes)
+    // 1-row result: materialise eagerly, then release the cached frames so
+    // a long-lived session doesn't accumulate them until eviction.
+    val out = tri.crossJoin(stats).crossJoin(nodes)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+      .localCheckpoint()
+    oriented.unpersist()
+    base.unpersist()
+    out
   }
 
   /** Per-node local clustering coefficient (Watts–Strogatz): for nodes of
@@ -202,13 +208,20 @@ object Graph {
       .select(col("u"), col("v"), explode(array_intersect(col("nu"), col("nv"))).as("w"))
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
-    deg.filter(col("d") >= 2)
+    // top-N rows only: materialise eagerly (TakeOrdered), then release the
+    // three cached frames — no leak into a long-lived session.
+    val out = deg.filter(col("d") >= 2)
       .join(triCorners, Seq("node"), "left")
       .select(col("node"), col("d"),
         coalesce(col("tri"), lit(0L)).as("tri"))
       .withColumn("cc_ppm", expr("(2 * tri * 1000000L) div (d * (d - 1))"))
       .orderBy(col("cc_ppm").desc, col("node"))
       .limit(topN)
+      .localCheckpoint()
+    oriented.unpersist()
+    deg.unpersist()
+    base.unpersist()
+    out
   }
 
   /** k-core peel ladder, `rounds` PINNED synchronous rounds: each round
@@ -286,7 +299,7 @@ object Graph {
     val base = edges.persist(lvl)
     val deg = bidir(base).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
       .persist(lvl)
-    bidir(base)
+    val out = bidir(base)
       .join(deg.select(col("node").as("src"), col("d").as("dx")), "src")
       .join(deg.select(col("node").as("dst"), col("d").as("dy")), "dst")
       .agg(
@@ -300,6 +313,11 @@ object Graph {
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9)
           .as("assortativity"))
+      // 1-row scalar: materialise, then release the cached frames.
+      .localCheckpoint()
+    deg.unpersist()
+    base.unpersist()
+    out
   }
 
   /** Community detection by synchronous label propagation (Raghavan et
@@ -363,13 +381,17 @@ object Graph {
       .join(comm.select(col("node").as("dst"), col("community").as("cd")), "dst")
       .filter(col("cs") === col("cd"))
       .groupBy(col("cs").as("community")).agg(count(lit(1)).as("e_in"))
-    dc.join(ein, Seq("community"), "left")
+    // community-scale rows: materialise, then release the cached edges.
+    val out = dc.join(ein, Seq("community"), "left")
       .crossJoin(m1)
       .select(col("community"), col("n_nodes"),
         coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
         (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
           - col("d_sum") * col("d_sum")).as("q_num"),
         (lit(4L) * col("m") * col("m")).as("q_den"))
+      .localCheckpoint()
+    e.unpersist()
+    out
   }
 
   /** PageRank, `iters` synchronous iterations, damping 0.85, in integer
@@ -433,6 +455,12 @@ object Graph {
           (lit(150000L) + expr("850 * coalesce(s, 0L) div 1000")).as("r"))
         .localCheckpoint()
     }
+    // ranks is checkpointed (or iters == 0 and derives from sw below) —
+    // pin it if the loop never ran, then release the loop-only caches.
+    if (iters == 0) ranks = ranks.localCheckpoint()
+    ew.unpersist()
+    sw.unpersist()
+    e.unpersist()
     ranks.select(col("node"), col("r").as("rank"))
   }
 
@@ -482,10 +510,20 @@ object Graph {
           .select(lit(i.toLong).as("iter"), col("max_delta"))
       ranks = cut
     }
+    // Every frame the outputs read is checkpointed (final ranks under
+    // checkpointEvery=1; delta inputs always) — pin the rare uncheckpointed
+    // tail, then release the loop-only caches instead of leaking them to
+    // the session (the advisor's clusteringCoefficients finding, applied
+    // to the whole iterative family).
+    if (iters == 0 || (!withDeltas && iters % checkpointEvery != 0))
+      ranks = ranks.localCheckpoint()
     val rankOut = ranks.select(col("node"), col("r").as("rank"))
     val deltaOut =
       if (withDeltas) deltas.result().reduce(_ unionByName _)
       else ranks.sparkSession.emptyDataFrame
+    ed.unpersist()
+    deg.unpersist()
+    e.unpersist()
     (rankOut, deltaOut)
   }
 }

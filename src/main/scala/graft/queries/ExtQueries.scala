@@ -2215,8 +2215,12 @@ object ExtQueries {
     * clustering and the winnowing-fingerprint clustering, in EXACT
     * pair-counting integers — contingency cell / row / column pair sums
     * are partial-aggregatable counts, and the final index is emitted
-    * both as its exact (numerator, denominator) pieces and as ppm via
-    * the remainder-free DECIMAL(38,0) floor division (≡ HUGEINT `//`).
+    * both as its exact (numerator, denominator) pieces and as ppm via a
+    * remainder-free DECIMAL(38,0) division that TRUNCATES TOWARD ZERO
+    * (subtracting the dividend-signed `%` remainder — ≡ DuckDB HUGEINT
+    * `//`, which truncates: -1000001 // 2 = -500000). ARI is negative
+    * for worse-than-chance agreement, so the negative branch matters: a
+    * floor-style pmod subtraction would differ by 1 ppm there.
     * ARI = [2(T·S − RA·RB)] / [T·(RA+RB) − 2·RA·RB] with T total pairs,
     * S agreeing-cell pairs, RA/RB per-clustering pairs. Docs absent from
     * a tier (no shingles / no fingerprints) count as singletons — the
@@ -2243,7 +2247,7 @@ object ExtQueries {
     val colP = pairSum(j.groupBy("rb").agg(count(lit(1)).as("n")), "rb_p")
     val tot = j.agg(count(lit(1)).as("n"))
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    tot.crossJoin(cells).crossJoin(rowP).crossJoin(colP)
+    val out = tot.crossJoin(cells).crossJoin(rowP).crossJoin(colP)
       .withColumn("t", expr("n * (n - 1) div 2"))
       .withColumn("num", dec(lit(2L)) * (dec(col("t")) * dec(col("s"))
         - dec(col("ra_p")) * dec(col("rb_p"))))
@@ -2252,10 +2256,15 @@ object ExtQueries {
       .withColumn("ari_ppm",
         when(col("den") === 0, lit(0L)).otherwise(
           ((dec(lit(1000000L)) * col("num")
-            - pmod(dec(lit(1000000L)) * col("num"), col("den"))) / col("den"))
+            - (dec(lit(1000000L)) * col("num")) % col("den")) / col("den"))
             .cast("long")))
       .select(col("n").as("n_docs"), col("s").as("same_pairs"),
         col("ra_p").as("a_pairs"), col("rb_p").as("b_pairs"), col("ari_ppm"))
+      // 1-row result: materialise eagerly so the persisted pair frame can
+      // be released before returning (no cache leak into the session).
+      .localCheckpoint()
+    j.unpersist()
+    out
   }
 
   /** PRECISION-GATED winnowing clusters — [[dedupWinnowingClusters]]'s

@@ -1561,7 +1561,7 @@ object Oracles {
          |ff AS (SELECT tt.n, tt.n * (tt.n - 1) // 2 AS t, cel.s, rp.ra_p, cp.rb_p
          |       FROM tt, cel, rp, cp)
          |SELECT n AS n_docs, s AS same_pairs, ra_p AS a_pairs, rb_p AS b_pairs,
-         | CASE WHEN (t * (ra_p + rb_p) - 2 * ra_p * rb_p) = 0 THEN 0
+         | CASE WHEN (CAST(t AS HUGEINT) * (ra_p + rb_p) - 2 * CAST(ra_p AS HUGEINT) * rb_p) = 0 THEN 0
          |   ELSE CAST((CAST(1000000 AS HUGEINT) * 2 * (CAST(t AS HUGEINT) * s - CAST(ra_p AS HUGEINT) * rb_p))
          |     // (CAST(t AS HUGEINT) * (ra_p + rb_p) - 2 * CAST(ra_p AS HUGEINT) * rb_p) AS BIGINT) END AS ari_ppm
          |FROM ff""".stripMargin
