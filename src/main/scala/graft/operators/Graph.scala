@@ -239,13 +239,48 @@ object Graph {
     * degrees within the surviving subgraph. */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = edges.select(col("src"), col("dst")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val keep = bidir(e).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("node")
-      e = e.join(keep.select(col("node").as("src")), "src")
+      val next = e.join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+      // Checkpoint every OTHER round (and the last): the edge frame only
+      // shrinks, so a 2-round lineage stays cheap to plan while halving the
+      // per-round materialisation jobs that made the 4-round ladder pay 4
+      // fixed costs (the round-6 bench regression on this key).
+      e = if (r % 2 == 0 || r == rounds) next.localCheckpoint() else next
+    }
+    bidir(e).groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
+  /** k-core peel run to the TRUE fixpoint — the form a user gets the
+    * actual k-core from on a graph of ANY size (the pinned-round ladder
+    * above is a deterministic, oracle-unrollable PREFIX of this peel; on
+    * a graph with peel depth > rounds it under-peels). Convergence uses
+    * the same monotone trick as [[connectedComponents]]' label sum: the
+    * edge count STRICTLY DECREASES every non-converged round (a node
+    * with degree < k loses all its edges), so the peel has reached the
+    * fixpoint exactly when the count stops changing — one driver-side
+    * scalar per round on an already-checkpointed frame, the standard
+    * loop-termination signal for iterative dataflow. At most |V| rounds;
+    * per-round cost is the same two endpoint semi-joins as the ladder. */
+  def kCoreFull(edges: DataFrame, k: Int): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var n = e.count()
+    var changed = n > 0
+    while (changed) {
+      val keep = bidir(e).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("node")
+      val next = e.join(keep.select(col("node").as("src")), "src")
         .join(keep.select(col("node").as("dst")), "dst")
         .select(col("src"), col("dst"))
         .localCheckpoint()
+      val n2 = next.count()
+      changed = n2 < n && n2 > 0
+      n = n2
+      e = next
     }
     bidir(e).groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
       .orderBy("node")
@@ -285,6 +320,44 @@ object Graph {
     }
     e.unpersist()
     dist.filter(col("dist").isNotNull)
+  }
+
+  /** BFS run to FRONTIER EXHAUSTION — exact hop distances on a graph of
+    * ANY diameter (the pinned ladder above silently drops nodes beyond
+    * `rounds` hops). Termination mirrors [[connectedComponents]]: with
+    * unit weights and synchronous one-hop relaxation, a node's FIRST
+    * assigned distance is already its BFS distance (the frontier
+    * property), so the settled count strictly GROWS every round that
+    * discovers anything — the fixpoint is reached exactly when it stops
+    * changing. One driver-side scalar per round over the checkpointed
+    * O(|V|) dist frame. Unreachable nodes are returned EXPLICITLY with a
+    * null distance (not silently dropped) — the caller can distinguish
+    * "far" from "disconnected". */
+  def bfsDistancesFull(edges: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = bidir(edges).persist(lvl)
+    val nodes = e.select(col("src").as("node")).distinct()
+    val rootF = nodes.agg(min("node").as("root"))
+    var dist = nodes.crossJoin(broadcast(rootF))
+      .select(col("node"), when(col("node") === col("root"), 0L).as("dist"))
+      .localCheckpoint()
+    def settled(df: DataFrame): Long = df.filter(col("dist").isNotNull).count()
+    var prev = settled(dist)
+    var changed = true
+    while (changed) {
+      val relax = e
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("node").as("src"), col("dist")), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("dist") + 1L).as("nd"))
+      dist = dist.join(relax, Seq("node"), "left")
+        .select(col("node"), least(col("dist"), col("nd")).as("dist"))
+        .localCheckpoint()
+      val s = settled(dist)
+      changed = s > prev
+      prev = s
+    }
+    e.unpersist()
+    dist
   }
 
   /** Degree assortativity (Newman 2002): Pearson correlation of endpoint

@@ -2718,6 +2718,26 @@ object ExtQueries {
       .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
       .orderBy("dist")
 
+  /** TRUE 3-core of the thresholded co-part graph — the peel run to its
+    * actual fixpoint with edge-count convergence detection (see
+    * Graph.kCoreFull), so the answer is the k-core at ANY graph size;
+    * graph_kcore's pinned ladder remains the oracle-unrollable prefix
+    * form. Oracle: a recursive-CTE peel that iterates until no node
+    * falls below k. */
+  def graphKcoreFull(spark: SparkSession, dir: String): DataFrame =
+    Graph.kCoreFull(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L), k = 3)
+
+  /** Exact BFS from the min node of the thresholded co-part graph, run to
+    * frontier exhaustion (settled-count convergence — see
+    * Graph.bfsDistancesFull): every node appears, unreachable ones with
+    * an EXPLICIT null distance. Oracle: recursive-CTE shortest hop count
+    * with a distinct-pair frontier. */
+  def graphBfsFull(spark: SparkSession, dir: String): DataFrame =
+    Graph.bfsDistancesFull(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L))
+      .orderBy("node")
+
   // ---- time series -------------------------------------------------------
 
   /** Dense hourly spine + forward fill for a user subset (see
@@ -3023,8 +3043,10 @@ object ExtQueries {
     "graph_modularity" -> (graphModularity _),
     "graph_clustering" -> (graphClustering _),
     "graph_kcore" -> (graphKcore _),
+    "graph_kcore_full" -> (graphKcoreFull _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_bfs" -> (graphBfs _),
+    "graph_bfs_full" -> (graphBfsFull _),
     "graph_pagerank_weighted" -> (graphPagerankWeighted _),
     "timeseries_seasonal" -> (timeseriesSeasonal _),
     "timeseries_holt" -> (timeseriesHolt _),

@@ -2730,6 +2730,37 @@ object Oracles {
          |SELECT src AS node, count(*) AS core_deg FROM b4 GROUP BY 1 ORDER BY node""".stripMargin
     },
 
+    // TRUE 3-core: recursive-CTE peel run to the fixpoint. The recursive
+    // term filters the previous iteration's edge set to edges whose BOTH
+    // endpoints still have degree >= 3, and only recurses while some node
+    // is below 3 (so the edge set strictly shrinks and recursion
+    // terminates). The final guard handles the empty-core case: if the
+    // last recorded level still has a sub-3 node, the peel died out and
+    // the true core is empty.
+    "graph_kcore_full" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |peel(src, dst, it) AS (
+        |  SELECT src, dst, 0 FROM e0
+        |  UNION ALL
+        |  SELECT f.src, f.dst, f.it + 1 FROM (
+        |    SELECT p.src, p.dst, p.it FROM peel p
+        |    JOIN (SELECT node FROM (SELECT src AS node FROM peel UNION ALL SELECT dst AS node FROM peel)
+        |          GROUP BY node HAVING count(*) >= 3) ka ON p.src = ka.node
+        |    JOIN (SELECT node FROM (SELECT src AS node FROM peel UNION ALL SELECT dst AS node FROM peel)
+        |          GROUP BY node HAVING count(*) >= 3) kb ON p.dst = kb.node
+        |  ) f
+        |  WHERE (SELECT count(*) FROM (
+        |          SELECT node FROM (SELECT src AS node FROM peel UNION ALL SELECT dst AS node FROM peel)
+        |          GROUP BY node HAVING count(*) < 3) u) > 0
+        |),
+        |last AS (SELECT src, dst FROM peel WHERE it = (SELECT max(it) FROM peel)),
+        |bl AS (SELECT src, dst FROM last UNION ALL SELECT dst AS src, src AS dst FROM last),
+        |degs AS (SELECT src AS node, count(*) AS core_deg FROM bl GROUP BY 1),
+        |ok AS (SELECT CASE WHEN min(core_deg) >= 3 THEN 1 ELSE 0 END AS v FROM degs)
+        |SELECT node, core_deg FROM degs WHERE (SELECT v FROM ok) = 1 ORDER BY node""".stripMargin,
+
     // Degree assortativity: exact BIGINT moment sums over the directed
     // endpoint-degree pairs; float only in the final rounded ratio (the
     // agg_corr float policy).
@@ -2774,6 +2805,27 @@ object Oracles {
          |SELECT dist, count(*) AS n_nodes FROM d4 WHERE dist IS NOT NULL
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // Exact BFS to frontier exhaustion: recursive CTE with UNION (distinct)
+    // so the (node, dist) frontier dedups across iterations and terminates;
+    // the dist bound < |V| cuts cycle walks. min(dist) per node is the true
+    // hop distance; unreachable nodes surface with an explicit NULL via the
+    // final left join.
+    "graph_bfs_full" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |n0 AS (SELECT DISTINCT src AS node FROM e),
+        |rt AS (SELECT min(node) AS root FROM n0),
+        |walk(node, dist) AS (
+        |  SELECT root, CAST(0 AS BIGINT) FROM rt
+        |  UNION
+        |  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.dist + 1 < (SELECT count(*) FROM n0)
+        |),
+        |md AS (SELECT node, min(dist) AS dist FROM walk GROUP BY 1)
+        |SELECT n0.node, md.dist FROM n0 LEFT JOIN md USING (node) ORDER BY n0.node""".stripMargin,
 
     "timeseries_motif" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,

@@ -237,6 +237,39 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(dd === Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("kCoreFull: converges past the pinned ladder's depth; empty core detected") {
+    // K4 plus a pendant chain of 6 — the chain peels ONE node per round, so
+    // a 2-round pinned ladder under-peels while the full form reaches K4
+    val g = edgesDf((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,10L),(10L,11L),(11L,12L),(12L,13L),(13L,14L),(14L,15L))
+    val pinned = Graph.kCore(g, k = 2, rounds = 2)
+    assert(pinned.count() > 4L, "2-round prefix must still hold chain nodes")
+    val full = Graph.kCoreFull(g, k = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    assert(full === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // deep-peel graph with NO 3-core: must converge to empty, not loop
+    val path = edgesDf((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),(6L,7L))
+    assert(Graph.kCoreFull(path, k = 3).count() === 0L)
+    // already-stable graph: one extra confirmation round, same answer
+    val k4 = edgesDf((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    assert(Graph.kCoreFull(k4, k = 3).count() === 4L)
+  }
+
+  test("bfsDistancesFull: reaches past any pinned horizon; unreachable explicit null") {
+    // path of 8: diameter 7 — more than the catalog's 4 pinned rounds
+    val path = edgesDf((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),(6L,7L),(7L,8L))
+    val d = Graph.bfsDistancesFull(path).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(d === (1L to 8L).map(n => n -> (n - 1)).toMap)
+    // disconnected pair: present with NULL dist (not dropped)
+    val two = edgesDf((1L,2L),(10L,11L))
+    val rows = Graph.bfsDistancesFull(two).collect()
+    val reached = rows.filter(!_.isNullAt(1))
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(reached === Map(1L -> 0L, 2L -> 1L))
+    assert(rows.filter(_.isNullAt(1)).map(_.getAs[Long]("node")).toSet === Set(10L, 11L))
+  }
+
   test("pageRankWeighted: uniform weights reduce to plain pageRank; heavy edge pulls rank") {
     val edges = Seq((1L,2L),(2L,3L),(1L,3L),(3L,4L))
     val uni = edges.map { case (s,d) => (s,d,1L) }.toDF("src","dst","w")
