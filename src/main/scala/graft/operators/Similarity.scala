@@ -259,6 +259,94 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
   }
 
+  /** Nearest-cells expression for a driver-held centroid array — the same
+    * single native expression the in-memory IVF paths use (centroids ride
+    * the task binary as reference objects; plan size independent of K). */
+  private def centroidCells(cents: Array[(Long, Array[Long], Long)], n: Int) =
+    call_function("graft_ivf_cells", col("qv"), col("nrm"),
+      typedLit(cents.map(_._1).toSeq), typedLit(cents.map(_._2.toSeq).toSeq),
+      typedLit(cents.map(_._3).toSeq), lit(n))
+
+  /** Cell assignment of a quantised frame against driver-held centroids:
+    * one map-side pass, no shuffle. */
+  private def assignCells(q: DataFrame, cents: Array[(Long, Array[Long], Long)]): DataFrame =
+    q.withColumn("cid", element_at(centroidCells(cents, 1), 1))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cid"))
+
+  /** BUILD a persistent IVF index: train deterministic Lloyd centroids
+    * ONCE and write the index as two parquet tables under `indexDir` —
+    *
+    *   - `centroids/`: (cid, cqv, cnrm) — K rows, the trained codebook;
+    *   - `vectors/`:   (vec_id, qv, nrm) PARTITIONED BY cid — the
+    *     inverted file. Probes scan THIS table with cell partition
+    *     pruning; the raw corpus is never re-read and k-means never
+    *     re-runs.
+    *
+    * This is the difference between a demo and a deployable index: a
+    * 100 TB similarity deployment trains once, persists, probes many
+    * times, and appends increments ([[ivfAppendIndex]]) — the index
+    * build is one assignment pass + one partitioned write, and index
+    * metadata (centroids) stays K×dim longs. */
+  def ivfBuildIndex(emb: DataFrame, numCentroids: Int, iterations: Int,
+      indexDir: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = quantized(emb)
+    val cents = lloydCentroids(q, numCentroids, iterations)
+    cents.toSeq.map { case (cid, cqv, cnrm) => (cid, cqv.toSeq, cnrm) }
+      .toDF("cid", "cqv", "cnrm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignCells(q, cents)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/vectors")
+  }
+
+  /** Load a persisted index's centroids to the driver — K rows of index
+    * METADATA (the same footprint every IVF server holds in memory). */
+  def ivfLoadCentroids(spark: SparkSession, indexDir: String): Array[(Long, Array[Long], Long)] =
+    spark.read.parquet(s"$indexDir/centroids").collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Long]]("cqv").toArray,
+        r.getAs[Long]("cnrm")))
+      .sortBy(_._1)
+
+  /** PROBE a persisted IVF index: no training jobs — centroids load from
+    * the index's K-row metadata table and the candidate scan reads the
+    * cell-partitioned `vectors/` table (probed cells only; the cid
+    * equi-join against the broadcast probe side prunes partitions).
+    * Identical ranking semantics to [[ivfTrainedTopK]] — with the same
+    * training parameters the results match bit-for-bit, which is what
+    * the shared oracle checks. */
+  def ivfProbePersisted(emb: DataFrame, indexDir: String, k: Int, nprobe: Int,
+      probePred: org.apache.spark.sql.Column): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = ivfLoadCentroids(spark, indexDir)
+    val index = spark.read.parquet(s"$indexDir/vectors")
+      // partition-column type inference may narrow cid — normalise to long
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cid").cast("long").as("cid"))
+    val probes = quantized(emb).filter(probePred)
+      .withColumn("cid", explode(centroidCells(cents, nprobe)))
+      .select(col("cid"), col("vec_id").as("probe_id"),
+        col("qv").as("pqv"), col("nrm").as("pnrm"))
+    broadcast(probes).join(index, Seq("cid"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
+  /** APPEND new vectors to a persisted IVF index: assign them to the
+    * EXISTING cells (centroids unchanged — the standard IVF increment;
+    * retraining is a separate, explicit rebuild) and append to the
+    * cell-partitioned vectors table. One map-side assignment pass + one
+    * partitioned append — cost linear in the increment, not the index. */
+  def ivfAppendIndex(embNew: DataFrame, indexDir: String): Unit = {
+    val spark = embNew.sparkSession
+    val cents = ivfLoadCentroids(spark, indexDir)
+    assignCells(quantized(embNew), cents)
+      .write.mode("append").partitionBy("cid").parquet(s"$indexDir/vectors")
+  }
+
   /** IVF-PQ approximate top-k: IVF cells bound WHICH vectors a probe
     * scans (nprobe/K of the corpus); product quantization bounds HOW MANY
     * BYTES each scanned candidate costs. Every vector's residual against

@@ -203,6 +203,41 @@ object ExtQueries {
       nprobe = 2, iterations = 1, probePred = col("vec_id") < 5)
       .orderBy("probe_id", "rk")
 
+  /** Persistent-IVF lifecycle: train ONCE, persist the index as parquet
+    * tables (K-row centroid metadata + the cell-PARTITIONED inverted
+    * file), then probe the LOADED index — the probe plan is a scan of
+    * the index table joined on the cell id, with zero k-means jobs.
+    * Same training rule and parameters as simsearch_ivf_trained, so the
+    * results match bit-for-bit and the two keys share one oracle (see
+    * Similarity.ivfBuildIndex / ivfProbePersisted). */
+  def simsearchIvfPersist(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val idx = Staging.tmpDir("ivfidx")
+    Similarity.ivfBuildIndex(emb, numCentroids = 8, iterations = 1, indexDir = idx)
+    Similarity.ivfProbePersisted(emb, idx, k = 5, nprobe = 2,
+      probePred = col("vec_id") < 5)
+      .orderBy("probe_id", "rk")
+  }
+
+  /** Incremental index append: build the persisted IVF index on the
+    * first 400 vectors, append the remainder — appended vectors are
+    * assigned to the EXISTING cells (no retrain; cost linear in the
+    * increment). The census reads the index table back: per cell, total
+    * vectors and how many arrived via the append path. */
+  def simsearchIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val idx = Staging.tmpDir("ivfapp")
+    Similarity.ivfBuildIndex(emb.filter(col("vec_id") < 400),
+      numCentroids = 8, iterations = 1, indexDir = idx)
+    Similarity.ivfAppendIndex(emb.filter(col("vec_id") >= 400), idx)
+    spark.read.parquet(s"$idx/vectors")
+      .select(col("cid").cast("long").as("cid"), col("vec_id"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("vec_id") >= 400, 1L).otherwise(0L)).as("n_appended"))
+      .orderBy("cid")
+  }
+
   /** LSH-bucket ANN: probes scan only their hyperplane bucket (4 planes). */
   def simsearchLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(tbl(spark, dir, "embeddings"), numPlanes = 4, k = 5,
@@ -3093,6 +3128,8 @@ object ExtQueries {
     "simsearch_bruteforce" -> (simsearchBruteforce _),
     "simsearch_ivf" -> (simsearchIvf _),
     "simsearch_ivf_trained" -> (simsearchIvfTrained _),
+    "simsearch_ivf_persist" -> (simsearchIvfPersist _),
+    "simsearch_ivf_append" -> (simsearchIvfAppend _),
     "simsearch_lsh" -> (simsearchLsh _),
     "text_lang_id" -> (textLangId _),
     "text_lang_id_ngram" -> (textLangIdNgram _),

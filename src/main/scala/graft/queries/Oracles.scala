@@ -269,6 +269,9 @@ object Oracles {
   private val enLex = "['the','and','of','to','a','in','is']"
 
   lazy val all: Map[String, String] = base +
+    // probing the PERSISTED index must reproduce the in-memory trained-IVF
+    // results bit-for-bit (same training rule) — one oracle, two paths
+    ("simsearch_ivf_persist" -> base("simsearch_ivf_trained")) +
     // the native-plan as-of join answers the identical question — one
     // oracle, two formulations under test
     ("join_asof_native" -> base("join_asof")) +
@@ -1173,6 +1176,39 @@ object Oracles {
          | FROM probecells p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM scored)
          |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
+    // Incremental IVF append: Lloyd-train on the first 400 vectors only
+    // (ft), then assign ALL vectors — including the appended tail — to the
+    // final centroids; census per cell with the appended count split out.
+    "simsearch_ivf_append" ->
+      s"""$embCtes,
+         |ft AS (SELECT * FROM f WHERE vec_id < 400),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv, nrm AS cnrm
+         |       FROM ft WHERE vec_id < 8),
+         |cc0 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         |  FROM ft v, c0 c),
+         |a0 AS (SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc0)
+         |  WHERE crk = 1),
+         |sums AS (SELECT cid, i_ - 1 AS pos, CAST(sum(qv[i_]) AS BIGINT) AS s, count(*) AS n
+         |         FROM a0, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i_)
+         |         GROUP BY cid, i_),
+         |cm AS (SELECT cid, list(s // n ORDER BY pos) AS cqv FROM sums GROUP BY cid),
+         |c1 AS (SELECT c0.cid, coalesce(cm.cqv, c0.cqv) AS cqv FROM c0 LEFT JOIN cm USING (cid)),
+         |c1n AS (SELECT cid, cqv,
+         |          CAST(list_sum(list_transform(cqv, x_ -> x_*x_)) AS BIGINT) AS cnrm FROM c1),
+         |cc1 AS (SELECT v.vec_id, c.cid,
+         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         |  FROM f v, c1n c),
+         |assigned AS (SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc1)
+         |  WHERE crk = 1)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+         | CAST(sum(CASE WHEN vec_id >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_appended
+         |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin,
 
     "window_sessionize" ->
       """WITH b AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),

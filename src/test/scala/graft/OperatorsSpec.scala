@@ -71,6 +71,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r.count() > 0)
   }
 
+  test("persisted IVF index: load-probe matches in-memory trained results; append reuses cells") {
+    val emb = graft.queries.Staging.tbl(spark, sf, "embeddings")
+    val idx = graft.queries.Staging.tmpDir("ivfspec")
+    Similarity.ivfBuildIndex(emb, numCentroids = 8, iterations = 1, indexDir = idx)
+    val persisted = Similarity.ivfProbePersisted(emb, idx, k = 5, nprobe = 2,
+      probePred = col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val inMem = Similarity.ivfTrainedTopK(emb, k = 5, numCentroids = 8, nprobe = 2,
+      iterations = 1, probePred = col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(persisted === inMem, "probing the persisted index must equal the trained in-memory path")
+    // append: new vectors land only in EXISTING cells, increment-sized write
+    val idx2 = graft.queries.Staging.tmpDir("ivfspec2")
+    Similarity.ivfBuildIndex(emb.filter(col("vec_id") < 100),
+      numCentroids = 8, iterations = 1, indexDir = idx2)
+    val before = spark.read.parquet(s"$idx2/vectors")
+    val cellsBefore = before.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val nBefore = before.count()
+    val increment = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+    Similarity.ivfAppendIndex(increment, idx2)
+    val after = spark.read.parquet(s"$idx2/vectors")
+    assert(after.count() === nBefore + Similarity.quantized(increment).count(),
+      "append adds exactly the (non-zero-norm) increment")
+    val cellsAfter = after.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cellsAfter.subsetOf(cellsBefore), "appended vectors assigned to existing cells only")
+  }
+
   test("ccClusters coarsens lshClusters and still covers every doc once") {
     val cc = Dedup.ccClusters(spark, docs, 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
