@@ -247,6 +247,76 @@ object TextOps {
     merges.toSeq.toDF("iter", "tok_a", "tok_b", "n")
   }
 
+  /** BATCHED BPE training — the scale path for real vocabulary sizes.
+    * [[bpeTrain]] is one Spark job PER MERGE with an ever-deepening
+    * replace chain: correct, but a 32k-merge tokenizer train would be 32k
+    * sequential jobs. Here each JOB takes the top-`batchSize` MUTUALLY
+    * TOKEN-DISJOINT pairs from one corpus-wide count (greedy in
+    * (count desc, a, b) order over a deterministic `pool`-sized candidate
+    * ranking, skipping any pair that shares a symbol with an already-kept
+    * pair) and applies the whole batch in ONE generated projection — a
+    * bounded chain of `batchSize` codegen'd replaces — then truncates
+    * lineage, so plan depth never exceeds the batch size.
+    *
+    * Disjointness makes the batch EXACT, not approximate, merge-by-merge:
+    * merging (a,b) can change neither the occurrences nor the count of a
+    * token-disjoint (c,d) (adjacencies " c  d " don't contain a or b), so
+    * every kept merge applies to exactly the corpus state its count was
+    * measured on, and in-batch application order is irrelevant. The one
+    * documented divergence from the strictly-sequential rule: a symbol
+    * CREATED by a batch can't participate in another merge until the next
+    * batch — the standard batched-BPE contract. 32k merges at batch 256 =
+    * 128 jobs with bounded plans instead of 32k jobs.
+    *
+    * Returns one row per accepted merge: (rank, batch, tok_a, tok_b, n)
+    * with n the pair count in the corpus state the batch was counted on. */
+  def bpeTrainBatched(docs: DataFrame, merges: Int, batchSize: Int): DataFrame = {
+    require(merges >= 1 && batchSize >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var repr = docs
+      .select(concat(lit(" "), concat_ws("  ", tokens(col("text"))), lit(" ")).as("s"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, String, Long)]
+    var batch = 0L
+    var exhausted = false
+    while (out.size < merges && !exhausted) {
+      batch += 1
+      val want = math.min(batchSize, merges - out.size)
+      // Deterministic candidate pool: large enough that the disjointness
+      // filter almost never starves a batch (each kept pair only excludes
+      // candidates sharing its two symbols); the pool bound is part of the
+      // algorithm's contract so the oracle can mirror it exactly.
+      val pool = want * 16 + 64
+      val cand = repr
+        .select(split(trim(col("s")), "  ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(pool)
+        .collect()
+      if (cand.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val it = cand.iterator
+        while (kept.size < want && it.hasNext) {
+          val r = it.next()
+          val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (!used(a) && !used(b)) { used += a; used += b; kept += ((a, b, n)) }
+        }
+        for ((a, b, n) <- kept) out += ((out.size + 1L, batch, a, b, n))
+        val applied = kept.foldLeft(col("s")) { case (c, (a, b, _)) =>
+          call_function("replace", c, lit(s" $a  $b "), lit(s" $a\u0001$b ")) }
+        repr = repr.withColumn("s", applied).localCheckpoint()
+      }
+    }
+    out.toSeq.toDF("rank", "batch", "tok_a", "tok_b", "n")
+  }
+
   /** The OTHER half of the tokenizer loop: train `iterations` BPE merges
     * ([[bpeTrain]]), then APPLY the learned merge table to every document
     * and report its token count before and after — the compression

@@ -1861,6 +1861,16 @@ object ExtQueries {
     TextOps.bpeTrain(tbl(spark, dir, "documents"), iterations = 3)
       .orderBy("iter")
 
+  /** BATCHED BPE training — 6 merges in 2 jobs of 3 token-disjoint
+    * merges each (see TextOps.bpeTrainBatched): the scale form whose job
+    * count is merges/batchSize, not merges, with a bounded-depth replace
+    * chain per batch. The oracle unrolls both batches, mirroring the
+    * greedy disjoint selection (rank-1, then first disjoint, then first
+    * disjoint from both) over the same pool-bounded candidate ranking. */
+  def textBpeTrainBatched(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrainBatched(tbl(spark, dir, "documents"), merges = 6, batchSize = 3)
+      .orderBy("rank")
+
   /** Tokenizer loop closed: train 3 BPE merges, apply the merge table to
     * every document, report per-doc token counts before/after (see
     * TextOps.bpeApplyCounts). Application is a map-side replace chain —
@@ -3192,6 +3202,7 @@ object ExtQueries {
     "sample_split" -> (sampleSplit _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
     "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_train_batched" -> (textBpeTrainBatched _),
     "text_bpe_apply" -> (textBpeApply _),
     "simsearch_recall_ivf" -> (simsearchRecallIvf _),
     "simsearch_recall_ivfpq" -> (simsearchRecallIvfpq _),

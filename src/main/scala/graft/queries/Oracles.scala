@@ -2098,6 +2098,57 @@ object Oracles {
          |UNION ALL SELECT CAST(3 AS BIGINT), a, b, n FROM m3
          |ORDER BY iter""".stripMargin,
 
+    // Batched BPE: two unrolled batches of 3 token-disjoint merges each.
+    // Greedy disjoint selection over the pool-bounded candidate ranking
+    // (rk <= 112 = want*16+64, mirroring the Scala pool contract):
+    // k_1 = rank 1, k_2 = lowest rank sharing no symbol with k_1,
+    // k_3 = lowest rank sharing no symbol with k_1 or k_2. All three
+    // replaces apply to the SAME batch-start corpus state (disjointness
+    // makes them commute); chr(2) is an unmatchable no-op pattern for the
+    // defensive case of a starved batch.
+    "text_bpe_train_batched" ->
+      s"""WITH r0 AS (SELECT ' ' || array_to_string(${tok("text")}, '  ') || ' ' AS s FROM documents),
+         |t1 AS (SELECT string_split(trim(s), '  ') AS l FROM r0 WHERE len(string_split(trim(s), '  ')) >= 2),
+         |u1 AS (SELECT l, unnest(generate_series(2, len(l))) AS i FROM t1),
+         |p1 AS (SELECT l[i-1] AS a, l[i] AS b FROM u1),
+         |cnd1 AS (SELECT * FROM (SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rk
+         |         FROM (SELECT a, b, count(*) AS n FROM p1 GROUP BY a, b)) WHERE rk <= 112),
+         |k11 AS (SELECT a, b, n FROM cnd1 WHERE rk = 1),
+         |k12 AS (SELECT c.a, c.b, c.n FROM cnd1 c, k11
+         |        WHERE c.a NOT IN (k11.a, k11.b) AND c.b NOT IN (k11.a, k11.b)
+         |        ORDER BY c.rk LIMIT 1),
+         |k13 AS (SELECT c.a, c.b, c.n FROM cnd1 c, k11, k12
+         |        WHERE c.a NOT IN (k11.a, k11.b, k12.a, k12.b)
+         |          AND c.b NOT IN (k11.a, k11.b, k12.a, k12.b)
+         |        ORDER BY c.rk LIMIT 1),
+         |r1 AS (SELECT replace(replace(replace(s,
+         |   ' ' || (SELECT a FROM k11) || '  ' || (SELECT b FROM k11) || ' ',
+         |   ' ' || (SELECT a FROM k11) || chr(1) || (SELECT b FROM k11) || ' '),
+         |   coalesce(' ' || (SELECT a FROM k12) || '  ' || (SELECT b FROM k12) || ' ', chr(2)),
+         |   coalesce(' ' || (SELECT a FROM k12) || chr(1) || (SELECT b FROM k12) || ' ', chr(2))),
+         |   coalesce(' ' || (SELECT a FROM k13) || '  ' || (SELECT b FROM k13) || ' ', chr(2)),
+         |   coalesce(' ' || (SELECT a FROM k13) || chr(1) || (SELECT b FROM k13) || ' ', chr(2))) AS s FROM r0),
+         |t2 AS (SELECT string_split(trim(s), '  ') AS l FROM r1 WHERE len(string_split(trim(s), '  ')) >= 2),
+         |u2 AS (SELECT l, unnest(generate_series(2, len(l))) AS i FROM t2),
+         |p2 AS (SELECT l[i-1] AS a, l[i] AS b FROM u2),
+         |cnd2 AS (SELECT * FROM (SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rk
+         |         FROM (SELECT a, b, count(*) AS n FROM p2 GROUP BY a, b)) WHERE rk <= 112),
+         |k21 AS (SELECT a, b, n FROM cnd2 WHERE rk = 1),
+         |k22 AS (SELECT c.a, c.b, c.n FROM cnd2 c, k21
+         |        WHERE c.a NOT IN (k21.a, k21.b) AND c.b NOT IN (k21.a, k21.b)
+         |        ORDER BY c.rk LIMIT 1),
+         |k23 AS (SELECT c.a, c.b, c.n FROM cnd2 c, k21, k22
+         |        WHERE c.a NOT IN (k21.a, k21.b, k22.a, k22.b)
+         |          AND c.b NOT IN (k21.a, k21.b, k22.a, k22.b)
+         |        ORDER BY c.rk LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS rank, CAST(1 AS BIGINT) AS batch, a AS tok_a, b AS tok_b, n FROM k11
+         |UNION ALL SELECT 2, 1, a, b, n FROM k12
+         |UNION ALL SELECT 3, 1, a, b, n FROM k13
+         |UNION ALL SELECT 4, 2, a, b, n FROM k21
+         |UNION ALL SELECT 5, 2, a, b, n FROM k22
+         |UNION ALL SELECT 6, 2, a, b, n FROM k23
+         |ORDER BY rank""".stripMargin,
+
     // the train chain with doc_id carried through and merges applied back
     // to every doc: same 3 unrolled rounds, counts before/after at the end
     "text_bpe_apply" ->

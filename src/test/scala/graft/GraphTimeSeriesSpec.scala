@@ -270,6 +270,31 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(rows.filter(_.isNullAt(1)).map(_.getAs[Long]("node")).toSet === Set(10L, 11L))
   }
 
+  test("bpeTrainBatched: batchSize=1 is exactly sequential bpeTrain; batches are token-disjoint") {
+    val docs = Seq(
+      "the cat sat on the mat", "the cat ran to the mat",
+      "a dog sat on a log", "the dog and the cat",
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val seq3 = TextOps.bpeTrain(docs, iterations = 3).collect()
+      .sortBy(_.getAs[Long]("iter"))
+      .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b"), r.getAs[Long]("n")))
+    val bat1 = TextOps.bpeTrainBatched(docs, merges = 3, batchSize = 1).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b"), r.getAs[Long]("n")))
+    assert(bat1.toSeq === seq3.toSeq,
+      "batch size 1 recounts after every merge — identical to the sequential trainer")
+    // batch of 4: within each batch no symbol repeats (mutual disjointness)
+    val bat = TextOps.bpeTrainBatched(docs, merges = 4, batchSize = 4).collect()
+    assert(bat.length === 4)
+    bat.groupBy(_.getAs[Long]("batch")).foreach { case (_, rows) =>
+      val syms = rows.flatMap(r => Seq(r.getAs[String]("tok_a"), r.getAs[String]("tok_b")))
+      assert(syms.distinct.length === syms.length, "merges within a batch share no symbol")
+    }
+    // first merge of batch 1 is the global top pair — same as sequential #1
+    val first = bat.minBy(_.getAs[Long]("rank"))
+    assert((first.getAs[String]("tok_a"), first.getAs[String]("tok_b")) === ((seq3(0)._1, seq3(0)._2)))
+  }
+
   test("pageRankWeighted: uniform weights reduce to plain pageRank; heavy edge pulls rank") {
     val edges = Seq((1L,2L),(2L,3L),(1L,3L),(3L,4L))
     val uni = edges.map { case (s,d) => (s,d,1L) }.toDF("src","dst","w")
