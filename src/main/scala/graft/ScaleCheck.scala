@@ -91,6 +91,15 @@ object ScaleCheck {
           trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
         .groupBy("canon").agg(min("doc_id")).count()
     }
+    // tokenizer training at a real merge count: 64 merges in 4 batched
+    // jobs (vs 64 sequential jobs for the per-merge trainer — timed at 8
+    // merges for the per-job cost ratio)
+    time("synth_bpe_train_batched64", 1) {
+      graft.operators.TextOps.bpeTrainBatched(d, merges = 64, batchSize = 16).count()
+    }
+    time("synth_bpe_train_seq8", 1) {
+      graft.operators.TextOps.bpeTrain(d, iterations = 8).count()
+    }
     // minhash accuracy harness: candidate-bounded — pairs only, with one
     // signature zip + set intersect per candidate
     time("synth_dedup_minhash_accuracy", 1) {
@@ -103,13 +112,38 @@ object ScaleCheck {
     }
   }
 
+  /** `runMain graft.ScaleCheck hot <n>`: ADVERSARIAL hot-cluster run — a
+    * 10k-doc distinct corpus plus ONE document duplicated `n` times (the
+    * crawl-boilerplate pathology: every copy shares every LSH bucket and
+    * one cluster representative, so an unguarded bucket-rep or
+    * star-verify join funnels the whole cluster through single join
+    * keys). The replication ladders never exercise this: they replicate
+    * every doc uniformly. Timings + rows-out recorded in docs/SCALING.md;
+    * the cluster tiers must stay input-linear and their rows-out must
+    * equal the distinct-content census regardless of n. */
+  private def hotRun(spark: SparkSession, n: Long,
+                     time: (String, Int) => (=> Long) => Unit): Unit = {
+    val out = graft.queries.Staging.tmpDir(s"hot$n")
+    val base = synthDocs(spark, 10000L)
+    val hotText = Array.tabulate(60)(i => "boiler" + (i % 7)).mkString(" ")
+    val hot = spark.range(n)
+      .select((col("id") + 1000000L).as("doc_id"), lit(hotText).as("text"))
+    base.unionByName(hot).repartition(32).write.mode("overwrite").parquet(out)
+    val d = spark.read.parquet(out)
+    time("hot_dedup_exact", 1) { Dedup.exactGroups(d).count() }
+    time("hot_dedup_lsh_clusters", 1) { Dedup.lshClusters(spark, d).count() }
+    time("hot_dedup_jaccard_clusters", 1) { Dedup.jaccardClusters(spark, d, 0.5).count() }
+    time("hot_dedup_cc_clusters", 1) { Dedup.ccClusters(spark, d, 3).count() }
+  }
+
   def main(args: Array[String]): Unit = {
     val synthMode = args.headOption.contains("synth")
-    val sfDir = if (args.nonEmpty && !synthMode) args(0) else "/root/testdata/sf0.1"
+    val hotMode = args.headOption.contains("hot")
+    val sfDir = if (args.nonEmpty && !synthMode && !hotMode) args(0) else "/root/testdata/sf0.1"
     // optional op-name filter: `ScaleCheck <sfDir> op1 op2...` /
     // `ScaleCheck synth <n> op1...` times only the named ops
     val opFilter: Set[String] =
-      (if (synthMode) args.drop(2) else args.drop(1)).toSet
+      (if (synthMode || hotMode) args.drop(2) else args.drop(1)).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -137,6 +171,12 @@ object ScaleCheck {
     if (synthMode) {
       val n = if (args.length > 1) args(1).toLong else 100000L
       synthRun(spark, n, time _)
+      spark.stop()
+      return
+    }
+    if (hotMode) {
+      val n = if (args.length > 1) args(1).toLong else 100000L
+      hotRun(spark, n, time _)
       spark.stop()
       return
     }

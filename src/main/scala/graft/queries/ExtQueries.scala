@@ -2331,9 +2331,28 @@ object ExtQueries {
     val docRep = fp.join(bucketRep, Seq("fp_sh"))
       .groupBy("doc_id").agg(min("grp_rep").as("rep"))
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // capped salted star-verify join (the Dedup.jaccardClusters
+    // hot-cluster guard): only clusters at/above Dedup.HotKeyCap salt —
+    // their members spread by doc-id hash and their rep fingerprints fan
+    // SaltBuckets-fold; cold clusters join on salt 0 unreplicated
+    val hotReps = docRep.groupBy("rep").agg(count(lit(1)).as("cs"))
+      .filter(col("cs") >= Dedup.HotKeyCap)
+      .select(col("rep"), lit(true).as("is_hot"))
+    val repFp = fp.join(
+        docRep.select(col("rep").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("rep"), col("fp_sh"))
+      .join(broadcast(hotReps), Seq("rep"), "left")
+      .withColumn("salt",
+        explode(when(coalesce(col("is_hot"), lit(false)),
+          sequence(lit(0), lit(Dedup.SaltBuckets - 1))).otherwise(sequence(lit(0), lit(0)))))
+      .drop("is_hot")
     val inter = docRep.filter(col("doc_id") =!= col("rep"))
       .join(fp, Seq("doc_id"))
-      .join(fp.select(col("doc_id").as("rep"), col("fp_sh")), Seq("rep", "fp_sh"))
+      .join(broadcast(hotReps), Seq("rep"), "left")
+      .withColumn("salt",
+        when(coalesce(col("is_hot"), lit(false)),
+          pmod(hash(col("doc_id")), lit(Dedup.SaltBuckets)).cast("int")).otherwise(lit(0)))
+      .join(repFp, Seq("rep", "fp_sh", "salt"))
       .groupBy("doc_id", "rep").agg(count(lit(1)).as("inter"))
     docRep
       .join(inter, Seq("doc_id", "rep"), "left_outer")
