@@ -32,7 +32,17 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be a binary literal, got $other")
   }
 
+  /** Per-session names already registered — the register-once guard.
+    * Callers (Staging.tbl, harness mains) invoke register() liberally;
+    * re-registering is harmless but spams every bench/verify log with one
+    * "replaced a previously registered function" warning per function per
+    * query, burying real warnings. Keyed by session so concurrent test
+    * sessions each still get their functions. */
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
+    if (registered.put(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_char_hash",
       exprs => CharHashExpr(exprs.head), "built-in")
