@@ -72,6 +72,7 @@ object ScaleCheck {
     * generator. */
   private def synthRun(spark: SparkSession, n: Long,
                        time: (String, Int) => (=> Long) => Unit): Unit = {
+    var idxDir: String = graft.queries.Staging.tmpDir(s"synthlsh$n")
     val out = graft.queries.Staging.tmpDir(s"synth$n")
     synthDocs(spark, n).repartition(32).write.mode("overwrite").parquet(out)
     val d = spark.read.parquet(out)
@@ -99,6 +100,29 @@ object ScaleCheck {
     }
     time("synth_bpe_train_seq8", 1) {
       graft.operators.TextOps.bpeTrain(d, iterations = 8).count()
+    }
+    // persisted LSH index lifecycle: build once over the n-doc corpus,
+    // then probe a FIXED 5k-doc increment — across n the probe time must
+    // track the increment (one minhash pass + bucket join against index
+    // rows), not the history size; the build is one banded-signature pass
+    time("synth_lsh_index_build", 1) {
+      val idx = graft.queries.Staging.tmpDir(s"synthlsh$n")
+      Dedup.lshIndexBuild(d, idx)
+      idxDir = idx
+      spark.read.parquet(s"$idx/bands").count()
+    }
+    time("synth_lsh_index_probe5k", 1) {
+      // probe-only runs (op filter) still need an index on disk
+      if (!new java.io.File(s"$idxDir/bands").exists()) Dedup.lshIndexBuild(d, idxDir)
+      val inc = synthDocs(spark, 5000L)
+        .withColumn("doc_id", col("doc_id") + 50000000L)
+      Dedup.lshIndexProbe(inc, idxDir).count()
+    }
+    // bigram-LM perplexity scoring: two count passes + one model join —
+    // must grow linearly with the corpus
+    time("synth_text_perplexity", 1) {
+      graft.operators.TextOps.perplexityScores(
+        d.withColumn("lang", lit("en"))).count()
     }
     // minhash accuracy harness: candidate-bounded — pairs only, with one
     // signature zip + set intersect per candidate

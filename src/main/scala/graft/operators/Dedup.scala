@@ -134,6 +134,58 @@ object Dedup {
   def minhashCandidates(spark: SparkSession, docs: DataFrame): DataFrame =
     pairsFromBands(bandedSignatures(spark, docs))
 
+  /** BUILD a persistent LSH band index: compute the banded MinHash
+    * signatures ONCE and write them as a parquet table under `indexDir` —
+    * (doc_id, band, sig), the dedup twin of [[graft.operators.Similarity]]'s
+    * persisted IVF index. A 100 TB crawl-dedup deployment shingles its
+    * historical corpus once, persists the bands, and then every new crawl
+    * increment probes + appends against the index without ever re-reading
+    * (or re-hashing) history. Index size is O(docs × Bands) small rows —
+    * document text never enters the index. */
+  def lshIndexBuild(docs: DataFrame, indexDir: String): Unit =
+    bandedSignatures(docs.sparkSession, docs)
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+
+  /** Candidate pairs from a persisted band index: the same (band, sig)
+    * bucket self-join as [[minhashCandidates]], but both sides scan the
+    * LOADED index table — zero tokenisation/minhash jobs. One oracle, two
+    * paths: output is bit-identical to the in-memory form because the
+    * index stores exactly the banded signatures. */
+  def lshIndexPairs(spark: SparkSession, indexDir: String): DataFrame =
+    pairsFromBands(spark.read.parquet(s"$indexDir/bands"))
+
+  /** PROBE a new document batch against a persisted band index built from
+    * the historical corpus: per new doc, how many distinct historical docs
+    * share at least one band bucket (the near-dup verdict an incremental
+    * crawl ingest gates on). Work is one minhash pass over the INCREMENT
+    * plus a bucket equi-join against the index — history is touched only
+    * through its (band, sig) rows, and the join key is the banded
+    * signature, so cost tracks bucket sizes, not |history| × |batch|.
+    * Docs whose shingle set is empty never enter a band and report 0
+    * matches (left join back to the batch). */
+  def lshIndexProbe(newDocs: DataFrame, indexDir: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idx = spark.read.parquet(s"$indexDir/bands")
+      .select(col("band"), col("sig"), col("doc_id").as("old_doc"))
+    val probes = bandedSignatures(spark, newDocs)
+    val matched = probes.join(idx, Seq("band", "sig"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("old_doc")).as("n_matched"))
+    newDocs.select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)) > 0L).as("is_dup"))
+  }
+
+  /** APPEND an increment to a persisted band index: one minhash pass over
+    * the new docs, parquet append — cost linear in the increment, history
+    * untouched. After the append the index answers [[lshIndexPairs]] /
+    * [[lshIndexProbe]] for the grown corpus. */
+  def lshIndexAppend(newDocs: DataFrame, indexDir: String): Unit =
+    bandedSignatures(newDocs.sparkSession, newDocs)
+      .write.mode("append").parquet(s"$indexDir/bands")
+
   /** Cluster form of minhash dedup: docs sharing the FULL signature
     * (all NumHashes mins identical — near-certain dups) collapse to one
     * representative. Unlike the pair-emitting candidates, output stays

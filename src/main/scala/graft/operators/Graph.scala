@@ -286,6 +286,73 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Directed FUNCTIONAL graph over the part-key id space: one out-edge
+    * per node, src = distinct (l_partkey mod m), dst = (30·src + 7) mod m.
+    * The multiplier is deliberately non-invertible mod 2^k (gcd(30, m) > 1)
+    * so the graph has genuine tail-and-cycle structure — image nodes are
+    * always odd, so every even node is a tree tail, and the odd core
+    * decomposes into rho-shaped tails feeding disjoint cycles (plus
+    * exactly one self-loop where 29v ≡ −7 mod m). */
+  def functionalEdges(lineitem: DataFrame, m: Int): DataFrame =
+    lineitem.select((col("l_partkey") % m).as("src")).distinct()
+      .withColumn("dst", (col("src") * 30 + 7) % m)
+
+  /** Strongly connected components of an out-degree-≤1 (functional)
+    * directed graph, run to the TRUE fixpoint: TRIM + CC — the trim phase
+    * of distributed FW-BW SCC, which on a functional graph is already
+    * COMPLETE:
+    *
+    *   1. TRIM to fixpoint: repeatedly drop edges whose src has no
+    *      in-edge (tree tails) or whose dst has no out-edge (dangling
+    *      images). Each round is two left-semi joins keyed on the node id
+    *      (partial-aggregatable distinct on each side); the edge frame
+    *      only ever SHRINKS, so the driver-side count is the same
+    *      monotone convergence signal [[kCoreFull]] uses, and every
+    *      trimmed node is a singleton SCC (it cannot lie on any cycle).
+    *   2. The fixpoint remainder of an out-degree-≤1 graph has in- and
+    *      out-degree ≥ 1 everywhere, hence is a disjoint union of simple
+    *      cycles — each cycle is one SCC, and (treating its edges as
+    *      undirected) one connected component, so the run-to-fixpoint
+    *      [[connectedComponents]] labels each cycle with its minimum
+    *      node id = the canonical SCC id.
+    *
+    * A GENERAL directed graph would need the forward-backward reachability
+    * phase after the trim (min-label forward ∧ backward, iterated on the
+    * unresolved subgraph); out-degree ≤ 1 is exactly the case where the
+    * trim alone resolves everything, and it is the shape ingest lineage /
+    * successor graphs (one parent pointer per row) take in practice.
+    *
+    * Returns the SCC census: (scc_id = min member id, n_nodes,
+    * cyclic = whether the SCC is a cycle — false exactly for trimmed
+    * singletons). */
+  def sccFunctional(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    val verts = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    var e = e0
+    var n = e.count()
+    var changed = n > 0
+    while (changed) {
+      val hasIn = e.select(col("dst")).distinct().withColumnRenamed("dst", "src")
+      val hasOut = e.select(col("src")).distinct().withColumnRenamed("src", "dst")
+      val next = e.join(hasIn, Seq("src"), "left_semi")
+        .join(hasOut, Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val n2 = next.count()
+      changed = n2 < n && n2 > 0
+      n = n2
+      e = next
+    }
+    val cycles = connectedComponents(e)
+    verts.join(cycles, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("comp_id"), col("node")).as("scc_id"),
+        col("comp_id").isNotNull.as("cyclic"))
+      .groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("n_nodes"), expr("bool_or(cyclic)").as("cyclic"))
+  }
+
   /** BFS hop distances from the graph's MINIMUM node id, `rounds` PINNED
     * synchronous relaxation rounds (the Bellman-Ford ladder on unit
     * weights): dist' = min(dist, 1 + min over in-neighbours dist).

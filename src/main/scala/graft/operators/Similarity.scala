@@ -259,6 +259,43 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
   }
 
+  /** Contrastive hard-negative mining over the trained IVF index: for each
+    * probe vector, the top-k most-cosine-similar vectors whose LABEL
+    * differs from the probe's — the "hard negatives" an embedding-model
+    * trainer pairs with each anchor (high similarity, wrong class; easy
+    * negatives teach nothing). Same trained-Lloyd cells and nprobe probing
+    * as [[ivfTrainedTopK]] — at scale each anchor scans nprobe cells, not
+    * the corpus, and mining the negatives for N anchors is one equi-join
+    * on the cell id; the label ride-along is a projection of the same
+    * source row, no extra join. Ties and ordering follow the ANN family:
+    * (cosine desc, vec_id). */
+  def hardNegatives(emb: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
+      iterations: Int, probePred: org.apache.spark.sql.Column): DataFrame = {
+    val q = quantized(emb)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val cents = lloydCentroids(quantized(emb), numCentroids, iterations)
+
+    def cellsExpr(n: Int) = call_function("graft_ivf_cells", col("qv"), col("nrm"),
+      typedLit(cents.map(_._1).toSeq), typedLit(cents.map(_._2.toSeq).toSeq),
+      typedLit(cents.map(_._3).toSeq), lit(n))
+
+    val assigned = q
+      .withColumn("cid", element_at(cellsExpr(1), 1))
+      .select(col("vec_id"), col("qv"), col("nrm"), col("label"), col("cid"))
+    val probes = q.filter(probePred)
+      .select(
+        col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nrm").as("pnrm"),
+        col("label").as("plabel"), explode(cellsExpr(nprobe)).as("cid"))
+    broadcast(probes).join(assigned, Seq("cid"))
+      .filter(col("plabel") =!= col("label"))
+      .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("plabel"), col("vec_id"), col("label"),
+        col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
   /** Nearest-cells expression for a driver-held centroid array — the same
     * single native expression the in-memory IVF paths use (centroids ride
     * the task binary as reference objects; plan size independent of K). */

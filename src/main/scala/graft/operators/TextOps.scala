@@ -12,6 +12,61 @@ import graft.functions.CrossFns._
   */
 object TextOps {
 
+  /** CCNet-style LM quality filter (Wenzek et al. 2020): score documents
+    * by a bigram language model trained on a reference split, bucket each
+    * language's docs into head/middle/tail, keep the head. The classic
+    * log-perplexity is a float sum; for cross-engine exactness the score
+    * here is the MEAN INVERSE Laplace-smoothed bigram probability in ppm —
+    * per position, inv_p = (C(prev)+V)·10^6 div (C(prev,cur)+1), all
+    * exact int64 (same ordering intent: rare transitions ⇒ large inverse
+    * probability ⇒ tail). Train split = even doc_id (the stand-in for
+    * CCNet's trusted Wikipedia LM corpus), scored split = odd doc_id.
+    *
+    * Scale shape: LM training is two partial-aggregatable count passes
+    * keyed by (prev,cur)/prev; scoring is the bigram stream joined
+    * against the model on those keys — a hash join that distributes with
+    * the vocabulary (the model is corpus-scale, NOT broadcast); V rides a
+    * 1-row crossJoin (audited scalar pattern). Per-doc rollup is one
+    * partial agg. The head/middle/tail split is a per-lang ntile over
+    * DOC-level rows (1 row per doc); at 100 TB swap that window for the
+    * 2-pass histogram split (agg_quantile_2pass) — the scores are already
+    * exact integers. Int64 bound: (C(prev)+V)·10^6 needs C(prev) < 9e12 —
+    * fine to ~10^12 training tokens, then drop to ppb scaling. */
+  def perplexityScores(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+    val bi = toks.select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), size(col("w"))), i =>
+        struct(
+          when(i === 1, lit("<s>"))
+            .otherwise(element_at(col("w"), i - 1)).as("prev"),
+          element_at(col("w"), i).as("cur")))).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val train = bi.filter(col("doc_id") % 2 === 0)
+    val cBi = train.groupBy("prev", "cur").agg(count(lit(1)).as("c_bi"))
+    val cPrev = train.groupBy("prev").agg(count(lit(1)).as("c_prev"))
+    val vocab = train.agg(countDistinct(col("cur")).as("v"))
+    bi.filter(col("doc_id") % 2 === 1)
+      .join(cBi, Seq("prev", "cur"), "left_outer")
+      .join(cPrev, Seq("prev"), "left_outer")
+      .crossJoin(vocab)
+      .select(col("doc_id"), col("lang"),
+        expr("((coalesce(c_prev, 0) + v) * 1000000) div (coalesce(c_bi, 0) + 1)")
+          .as("inv_ppm"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("inv_ppm")).as("sppm"))
+      .withColumn("ppx_ppm", expr("sppm div n_toks"))
+      .withColumn("bucket",
+        when(ntile(3).over(
+          Window.partitionBy("lang").orderBy(col("ppx_ppm"), col("doc_id"))) === 1, "head")
+          .when(ntile(3).over(
+            Window.partitionBy("lang").orderBy(col("ppx_ppm"), col("doc_id"))) === 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("ppx_ppm"), col("bucket"))
+  }
+
   /** Stopword lexicons for the n-gram/stopword language heuristic. Only
     * Latin-script languages are detectable this way; docs with no hits get
     * 'unk' (covers the corpus's 'zh' label, which the synthetic generator

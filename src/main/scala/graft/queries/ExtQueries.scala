@@ -25,6 +25,36 @@ object ExtQueries {
   def dedupMinhashClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashSigClusters(spark, tbl(spark, dir, "documents")).orderBy("rep")
 
+  /** Persisted-LSH-index lifecycle: shingle+minhash the corpus ONCE into a
+    * parquet band index, then compute candidate pairs from the LOADED
+    * index — the plan is a scan of the index table self-joined on
+    * (band, sig), with zero tokenisation jobs. Same banding rule as
+    * dedup_minhash_lsh, so the two keys share one oracle (one oracle, two
+    * paths — the persisted path must reproduce the in-memory pairs
+    * bit-for-bit). See [[graft.operators.Dedup.lshIndexBuild]]. */
+  def dedupLshPersist(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Staging.tmpDir("lshidx")
+    Dedup.lshIndexBuild(tbl(spark, dir, "documents"), idx)
+    Dedup.lshIndexPairs(spark, idx).orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental crawl-dedup against a persisted band index: history =
+    * doc_id % 5 != 0 (indexed once), increment = doc_id % 5 == 0 (probed
+    * for near-dup verdicts against history, then appended). Per new doc:
+    * distinct historical docs sharing a band bucket + the is_dup gate an
+    * ingest pipeline drops on. The probe touches history only through its
+    * (band, sig) index rows — the deployment shape of dedup at 100 TB,
+    * where re-shingling the historical corpus per increment is the cost
+    * you cannot pay. */
+  def dedupLshAppend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val idx = Staging.tmpDir("lshapp")
+    Dedup.lshIndexBuild(docs.filter(col("doc_id") % 5 =!= 0), idx)
+    val verdicts = Dedup.lshIndexProbe(docs.filter(col("doc_id") % 5 === 0), idx)
+    Dedup.lshIndexAppend(docs.filter(col("doc_id") % 5 === 0), idx)
+    verdicts.orderBy("doc_id")
+  }
+
   /** Canonicalisation-first exact dedup — the cheap tier every corpus
     * pipeline runs before near-dup machinery: normalise (lowercase,
     * strip non-alphanumerics, collapse whitespace — character classes
@@ -200,6 +230,16 @@ object ExtQueries {
     * means) — the full train -> index -> probe pipeline. */
   def simsearchIvfTrained(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTrainedTopK(tbl(spark, dir, "embeddings"), k = 5, numCentroids = 8,
+      nprobe = 2, iterations = 1, probePred = col("vec_id") < 5)
+      .orderBy("probe_id", "rk")
+
+  /** Contrastive hard-negative mining — per anchor (vec_id < 5), the top-5
+    * most-similar vectors with a DIFFERENT label, found through the
+    * trained IVF cells (see [[graft.operators.Similarity.hardNegatives]]).
+    * The mining batch an embedding-model trainer feeds its contrastive
+    * loss: high-cosine wrong-class neighbors. */
+  def simsearchHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(tbl(spark, dir, "embeddings"), k = 5, numCentroids = 8,
       nprobe = 2, iterations = 1, probePred = col("vec_id") < 5)
       .orderBy("probe_id", "rk")
 
@@ -989,6 +1029,14 @@ object ExtQueries {
     * accumulation-order-dependent float sums, so the score is
     * bit-reproducible in DuckDB. Two shuffles: the corpus bigram count
     * agg and the per-doc re-agg after the count join. */
+  /** CCNet-style LM quality filter — see
+    * [[graft.operators.TextOps.perplexityScores]]: bigram LM trained on
+    * the even-doc_id reference split, mean inverse smoothed-probability
+    * score (exact integer ppm) per odd-doc_id doc, head/middle/tail
+    * bucket per language. */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame =
+    TextOps.perplexityScores(tbl(spark, dir, "documents")).orderBy("doc_id")
+
   def textTypicality(spark: SparkSession, dir: String): DataFrame = {
     val docBigrams = tbl(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -2802,6 +2850,16 @@ object ExtQueries {
       Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L))
       .orderBy("node")
 
+  /** Strongly connected components of the directed functional part-key
+    * graph (one successor pointer per node), run to the true fixpoint via
+    * trim + cycle-CC — see [[graft.operators.Graph.sccFunctional]]. Census
+    * per SCC: canonical id, size, and whether it is a cycle (trimmed tail
+    * nodes are singleton SCCs). */
+  def graphScc(spark: SparkSession, dir: String): DataFrame =
+    Graph.sccFunctional(
+      Graph.functionalEdges(tbl(spark, dir, "lineitem"), m = 512))
+      .orderBy("scc_id")
+
   // ---- time series -------------------------------------------------------
 
   /** Dense hourly spine + forward fill for a user subset (see
@@ -2963,6 +3021,53 @@ object ExtQueries {
       .orderBy("source", "lang")
   }
 
+  /** Sequential quality-funnel census — the per-gate survival report a
+    * corpus-curation pipeline publishes with every dataset release (how
+    * many documents each filter stage dropped, in pipeline order):
+    * lang-ID (detected != 'unk') → Gopher repetition/length rules →
+    * stopword-density floor (a Gopher signal the composite gate does not
+    * use, so the stage is non-degenerate) → exact-dedup canonicalisation.
+    *
+    * One pass computes every per-doc flag (the langId/gopherSignals
+    * frames join on doc_id); the cascade semantics (stage N sees only
+    * stage N-1 survivors) costs nothing extra because survival is a
+    * conjunction — the census is ONE partial-aggregatable count row,
+    * exploded into the 4 report rows driver-side-free (a 1-row frame).
+    * At 100 TB this is exactly 3 doc-keyed joins + one scalar agg. */
+  def pipelineQualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val lang = TextOps.langId(docs)
+      .select(col("doc_id"), (col("lang_guess") =!= "unk").as("g1"))
+    val gop = TextOps.gopherSignals(docs)
+      .select(col("doc_id"), col("passes").as("g2"),
+        (col("stop_frac") >= 0.01).as("g3"))
+    val canon = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("g4"))
+    val flags = docs.select(col("doc_id"))
+      .join(lang, Seq("doc_id")).join(gop, Seq("doc_id"))
+      .join(canon, Seq("doc_id"), "left")
+      .select(col("g1"),
+        (col("g1") && col("g2")).as("s2"),
+        (col("g1") && col("g2") && col("g3")).as("s3"),
+        (col("g1") && col("g2") && col("g3") && coalesce(col("g4"), lit(false))).as("s4"))
+    flags.agg(count(lit(1)).as("n0"),
+      sum(col("g1").cast("long")).as("n1"), sum(col("s2").cast("long")).as("n2"),
+      sum(col("s3").cast("long")).as("n3"), sum(col("s4").cast("long")).as("n4"))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("lang_id").as("gate"),
+          col("n0").as("n_in"), col("n1").as("n_out")),
+        struct(lit(2L).as("stage"), lit("gopher").as("gate"),
+          col("n1").as("n_in"), col("n2").as("n_out")),
+        struct(lit(3L).as("stage"), lit("stopword").as("gate"),
+          col("n2").as("n_in"), col("n3").as("n_out")),
+        struct(lit(4L).as("stage"), lit("exact_dedup").as("gate"),
+          col("n3").as("n_in"), col("n4").as("n_out")))).as("x"))
+      .select(col("x.stage").as("stage"), col("x.gate").as("gate"),
+        col("x.n_in").as("n_in"), col("x.n_out").as("n_out"))
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+      .orderBy("stage")
+  }
+
   /** Dataset-version diff — the audit a lakehouse runs before promoting a
     * new table version: classify every primary key as added / removed /
     * changed / unchanged between two versions and report counts plus the
@@ -3111,6 +3216,7 @@ object ExtQueries {
     "graph_assortativity" -> (graphAssortativity _),
     "graph_bfs" -> (graphBfs _),
     "graph_bfs_full" -> (graphBfsFull _),
+    "graph_scc" -> (graphScc _),
     "graph_pagerank_weighted" -> (graphPagerankWeighted _),
     "timeseries_seasonal" -> (timeseriesSeasonal _),
     "timeseries_holt" -> (timeseriesHolt _),
@@ -3126,6 +3232,7 @@ object ExtQueries {
     "anomaly_mad" -> (anomalyMad _),
     "text_gopher_rules" -> (textGopherRules _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),
+    "pipeline_quality_funnel" -> (pipelineQualityFunnel _),
     "ddl_bucket_join" -> (ddlBucketJoin _),
     "window_ewma" -> (windowEwma _),
     "agg_mode" -> (aggMode _),
@@ -3133,6 +3240,8 @@ object ExtQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
+    "dedup_lsh_persist" -> (dedupLshPersist _),
+    "dedup_lsh_append" -> (dedupLshAppend _),
     "dedup_minhash_accuracy" -> (dedupMinhashAccuracy _),
     "dedup_normalized" -> (dedupNormalized _),
     "pipeline_dedup_report" -> (pipelineDedupReport _),
@@ -3157,6 +3266,7 @@ object ExtQueries {
     "simsearch_bruteforce" -> (simsearchBruteforce _),
     "simsearch_ivf" -> (simsearchIvf _),
     "simsearch_ivf_trained" -> (simsearchIvfTrained _),
+    "simsearch_hard_negatives" -> (simsearchHardNegatives _),
     "simsearch_ivf_persist" -> (simsearchIvfPersist _),
     "simsearch_ivf_append" -> (simsearchIvfAppend _),
     "simsearch_lsh" -> (simsearchLsh _),
@@ -3164,6 +3274,7 @@ object ExtQueries {
     "text_lang_id_ngram" -> (textLangIdNgram _),
     "text_quality_score" -> (textQualityScore _),
     "text_typicality" -> (textTypicality _),
+    "text_perplexity" -> (textPerplexity _),
     "text_token_count" -> (textTokenCount _),
     "text_token_bpe" -> (textTokenBpe _),
     "text_fingerprint" -> (textFingerprint _),

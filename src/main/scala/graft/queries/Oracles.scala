@@ -241,6 +241,37 @@ object Oracles {
        |${step(3)}""".stripMargin
   }
 
+  /** Shared CTE prefix for the trained-IVF family (simsearch_ivf_trained /
+    * simsearch_hard_negatives): quantised embeddings → one deterministic
+    * Lloyd iteration (first-8 seed, truncated integer means) → final
+    * `assigned` cells + nprobe=2 `probecells` for probes vec_id < 5. */
+  private lazy val ivfTrainedCtes: String =
+    s"""$embCtes,
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv, nrm AS cnrm
+       |       FROM f WHERE vec_id < 8),
+       |cc0 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+       |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+       |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+       |  FROM f v, c0 c),
+       |a0 AS (SELECT vec_id, qv, nrm, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc0)
+       |  WHERE crk = 1),
+       |sums AS (SELECT cid, i_ - 1 AS pos, CAST(sum(qv[i_]) AS BIGINT) AS s, count(*) AS n
+       |         FROM a0, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i_)
+       |         GROUP BY cid, i_),
+       |cm AS (SELECT cid, list(s // n ORDER BY pos) AS cqv FROM sums GROUP BY cid),
+       |c1 AS (SELECT c0.cid, coalesce(cm.cqv, c0.cqv) AS cqv FROM c0 LEFT JOIN cm USING (cid)),
+       |c1n AS (SELECT cid, cqv,
+       |          CAST(list_sum(list_transform(cqv, x_ -> x_*x_)) AS BIGINT) AS cnrm FROM c1),
+       |cc1 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+       |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+       |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+       |  FROM f v, c1n c),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc1),
+       |assigned AS (SELECT vec_id, qv, nrm, cid FROM ranked WHERE crk = 1),
+       |probecells AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm, cid
+       |               FROM ranked WHERE vec_id < 5 AND crk <= 2)""".stripMargin
+
   /** Shared CTE prefix for the BM25 family (text_bm25 / text_rrf_fusion):
     * tokenise → tf/df for the fixed query → per-(doc,term) integer-micro
     * partial scores `s`. */
@@ -272,6 +303,10 @@ object Oracles {
     // probing the PERSISTED index must reproduce the in-memory trained-IVF
     // results bit-for-bit (same training rule) — one oracle, two paths
     ("simsearch_ivf_persist" -> base("simsearch_ivf_trained")) +
+    // pairs from the PERSISTED band index must reproduce the in-memory
+    // minhash-LSH candidates bit-for-bit (the index stores exactly the
+    // banded signatures) — one oracle, two paths
+    ("dedup_lsh_persist" -> base("dedup_minhash_lsh")) +
     // the native-plan as-of join answers the identical question — one
     // oracle, two formulations under test
     ("join_asof_native" -> base("join_asof")) +
@@ -449,6 +484,20 @@ object Oracles {
 
     "dedup_minhash_lsh" ->
       s"$minhashCtes\nSELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b",
+
+    // Incremental crawl dedup: per increment doc (doc_id % 5 = 0), the
+    // distinct HISTORY docs (doc_id % 5 != 0) sharing a band bucket, and
+    // the is_dup ingest gate; zero-band docs report 0 via the left join.
+    "dedup_lsh_append" ->
+      s"""$minhashCtes
+         |SELECT d.doc_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n_matched,
+         |  coalesce(m.n, 0) > 0 AS is_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN (SELECT nw.doc_id, count(DISTINCT o.doc_id) AS n
+         |           FROM bands nw JOIN bands o
+         |             ON nw.band = o.band AND nw.sig = o.sig AND o.doc_id % 5 != 0
+         |           WHERE nw.doc_id % 5 = 0 GROUP BY 1) m USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Canonicalised exact dedup: lower -> strip non-alnum -> collapse
     // spaces -> trim; character classes identical in Java regex and RE2.
@@ -1145,37 +1194,28 @@ object Oracles {
          |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
 
     "simsearch_ivf_trained" ->
-      s"""$embCtes,
-         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv, nrm AS cnrm
-         |       FROM f WHERE vec_id < 8),
-         |cc0 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
-         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
-         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
-         |  FROM f v, c0 c),
-         |a0 AS (SELECT vec_id, qv, nrm, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc0)
-         |  WHERE crk = 1),
-         |sums AS (SELECT cid, i_ - 1 AS pos, CAST(sum(qv[i_]) AS BIGINT) AS s, count(*) AS n
-         |         FROM a0, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i_)
-         |         GROUP BY cid, i_),
-         |cm AS (SELECT cid, list(s // n ORDER BY pos) AS cqv FROM sums GROUP BY cid),
-         |c1 AS (SELECT c0.cid, coalesce(cm.cqv, c0.cqv) AS cqv FROM c0 LEFT JOIN cm USING (cid)),
-         |c1n AS (SELECT cid, cqv,
-         |          CAST(list_sum(list_transform(cqv, x_ -> x_*x_)) AS BIGINT) AS cnrm FROM c1),
-         |cc1 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
-         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
-         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
-         |  FROM f v, c1n c),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc1),
-         |assigned AS (SELECT vec_id, qv, nrm, cid FROM ranked WHERE crk = 1),
-         |probecells AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm, cid
-         |               FROM ranked WHERE vec_id < 5 AND crk <= 2),
+      s"""$ivfTrainedCtes,
          |scored AS (SELECT p.probe_id, a.vec_id,
          |   CAST(${qdotPair("p.pqv", "a.qv")} AS DOUBLE) /
          |    (sqrt(CAST(p.pnrm AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cosine
          | FROM probecells p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM scored)
          |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
+    // Hard-negative mining: same trained cells + nprobe probing, candidate
+    // set restricted to DIFFERENT-label vectors (self drops via its equal
+    // label) before the per-anchor ranking.
+    "simsearch_hard_negatives" ->
+      s"""$ivfTrainedCtes,
+         |scored AS (SELECT p.probe_id, pe.label AS plabel, a.vec_id, ae.label AS label,
+         |   CAST(${qdotPair("p.pqv", "a.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.pnrm AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cosine
+         | FROM probecells p JOIN assigned a ON a.cid = p.cid
+         |   JOIN embeddings pe ON pe.vec_id = p.probe_id
+         |   JOIN embeddings ae ON ae.vec_id = a.vec_id
+         | WHERE pe.label <> ae.label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+         |SELECT probe_id, plabel, vec_id, label, rk, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
 
     // Incremental IVF append: Lloyd-train on the first 400 vectors only
     // (ft), then assign ALL vectors — including the appended tail — to the
@@ -1301,6 +1341,33 @@ object Oracles {
         | strftime(min(tsu), '%Y-%m-%d %H:%M:%S') AS start_s,
         | strftime(max(tsu) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS end_s
         |FROM g GROUP BY user_id, session_id ORDER BY user_id, start_s""".stripMargin,
+
+    // CCNet-style LM quality filter: bigram LM (Laplace-smoothed) trained
+    // on even doc_ids, mean inverse probability in exact integer ppm per
+    // odd doc, head/middle/tail ntile per lang. `//` on positive BIGINTs
+    // matches Spark's `div`.
+    "text_perplexity" ->
+      s"""WITH w0 AS (SELECT doc_id, lang, ${tok("text")} AS w FROM documents),
+         |wn AS (SELECT * FROM w0 WHERE len(w) > 0),
+         |p AS (SELECT doc_id, lang, w, unnest(generate_series(1, len(w))) AS i FROM wn),
+         |b AS (SELECT doc_id, lang,
+         |        CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS prev, w[i] AS cur FROM p),
+         |tr AS (SELECT prev, cur FROM b WHERE doc_id % 2 = 0),
+         |cb AS (SELECT prev, cur, count(*) AS c_bi FROM tr GROUP BY 1, 2),
+         |cp AS (SELECT prev, count(*) AS c_prev FROM tr GROUP BY 1),
+         |v AS (SELECT count(DISTINCT cur) AS v FROM tr),
+         |s AS (SELECT b.doc_id, b.lang,
+         |        ((coalesce(cp.c_prev, 0) + v.v) * 1000000) // (coalesce(cb.c_bi, 0) + 1) AS inv_ppm
+         |      FROM b LEFT JOIN cb ON b.prev = cb.prev AND b.cur = cb.cur
+         |        LEFT JOIN cp ON b.prev = cp.prev CROSS JOIN v
+         |      WHERE b.doc_id % 2 = 1),
+         |d AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+         |        CAST(sum(inv_ppm) AS BIGINT) AS sppm FROM s GROUP BY 1, 2),
+         |r AS (SELECT doc_id, lang, n_toks, CAST(sppm // n_toks AS BIGINT) AS ppx_ppm FROM d)
+         |SELECT doc_id, lang, n_toks, ppx_ppm,
+         |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppx_ppm, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_typicality" ->
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
@@ -2914,6 +2981,29 @@ object Oracles {
         |md AS (SELECT node, min(dist) AS dist FROM walk GROUP BY 1)
         |SELECT n0.node, md.dist FROM n0 LEFT JOIN md USING (node) ORDER BY n0.node""".stripMargin,
 
+    // SCC census of the functional part-key graph: ground truth by
+    // transitive closure — u,v share an SCC iff mutually reachable; a node
+    // is cyclic iff it reaches itself. The engine computes the same census
+    // by trim-to-fixpoint + cycle-CC (no closure materialisation).
+    "graph_scc" ->
+      """WITH RECURSIVE n0 AS (SELECT DISTINCT l_partkey % 512 AS v FROM lineitem),
+        |e AS (SELECT v AS src, (v * 30 + 7) % 512 AS dst FROM n0),
+        |verts AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+        |),
+        |mut AS (SELECT a.src AS u, a.dst AS v FROM reach a
+        |        JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+        |cyc AS (SELECT DISTINCT src AS node FROM reach WHERE src = dst),
+        |sid AS (SELECT vt.node, least(vt.node, coalesce(min(m.u), vt.node)) AS scc_id
+        |        FROM verts vt LEFT JOIN mut m ON m.v = vt.node GROUP BY vt.node)
+        |SELECT s.scc_id, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  bool_or(c.node IS NOT NULL) AS cyclic
+        |FROM sid s LEFT JOIN cyc c ON s.node = c.node
+        |GROUP BY s.scc_id ORDER BY s.scc_id""".stripMargin,
+
     "timeseries_motif" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
         |             sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
@@ -3151,6 +3241,40 @@ object Oracles {
          |  AND top_unigram_frac <= 0.2
          |  AND dup_bigram_frac <= 0.3) AS passes
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Sequential gate-survival funnel: lang-ID -> Gopher composite ->
+    // stopword floor -> exact-dedup canonical; cascade = conjunction of
+    // prefix flags, census = one count row unioned into 4 report rows.
+    "pipeline_quality_funnel" ->
+      s"""$gopherCtes,
+         |ls AS (SELECT doc_id, lang, CAST(len(list_filter(w.w, t_ -> list_contains(lex, t_))) AS BIGINT) AS score
+         |       FROM w, $langLexSql),
+         |lg AS (SELECT doc_id, CASE WHEN score = 0 THEN 'unk' ELSE lang END AS lang_guess
+         |       FROM (SELECT doc_id, lang, score,
+         |               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk FROM ls)
+         |       WHERE rk = 1),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |fl AS (SELECT d.doc_id,
+         |    (lg.lang_guess <> 'unk') AS g1,
+         |    (r.n_toks >= 10 AND r.n_toks <= 100000
+         |      AND r.mean_tok_len >= 2.0 AND r.mean_tok_len <= 10.0
+         |      AND r.top_unigram_frac <= 0.2 AND r.dup_bigram_frac <= 0.3) AS g2,
+         |    (r.stop_frac >= 0.01) AS g3,
+         |    (c.doc_id IS NOT NULL) AS g4
+         |  FROM documents d JOIN lg ON d.doc_id = lg.doc_id JOIN r ON d.doc_id = r.doc_id
+         |    LEFT JOIN canon c ON d.doc_id = c.doc_id),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |    CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+         |  FROM fl)
+         |SELECT stage, gate, n_in, n_out, n_in - n_out AS n_dropped FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage, 'lang_id' AS gate, n0 AS n_in, n1 AS n_out FROM t
+         |  UNION ALL SELECT 2, 'gopher', n1, n2 FROM t
+         |  UNION ALL SELECT 3, 'stopword', n2, n3 FROM t
+         |  UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM t)
+         |ORDER BY stage""".stripMargin,
 
     "pipeline_quality_gate" ->
       s"""$gopherCtes,

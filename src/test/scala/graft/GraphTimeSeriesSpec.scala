@@ -270,6 +270,22 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(rows.filter(_.isNullAt(1)).map(_.getAs[Long]("node")).toSet === Set(10L, 11L))
   }
 
+  test("sccFunctional: trim resolves tails, cycles become SCCs, self-loop cyclic") {
+    // 1->2->3->1 cycle fed by tail 4->1; chain 5->6 (no cycle); self-loop 7
+    val g = edgesDf((1L,2L),(2L,3L),(3L,1L),(4L,1L),(5L,6L),(7L,7L))
+    val r = Graph.sccFunctional(g).collect()
+      .map(x => x.getAs[Long]("scc_id") ->
+        ((x.getAs[Long]("n_nodes"), x.getAs[Boolean]("cyclic")))).toMap
+    assert(r(1L) === ((3L, true)), "cycle 1-2-3 is one SCC with canonical id 1")
+    assert(r(4L) === ((1L, false)) && r(5L) === ((1L, false)) && r(6L) === ((1L, false)))
+    assert(r(7L) === ((1L, true)), "self-loop is a cyclic singleton SCC")
+    assert(r.size === 5)
+    // pure DAG: everything trims, all singletons, none cyclic
+    val dag = edgesDf((1L,2L),(2L,3L),(1L,3L))
+    val d = Graph.sccFunctional(dag).collect()
+    assert(d.length === 3 && d.forall(!_.getAs[Boolean]("cyclic")))
+  }
+
   test("bpeTrainBatched: batchSize=1 is exactly sequential bpeTrain; batches are token-disjoint") {
     val docs = Seq(
       "the cat sat on the mat", "the cat ran to the mat",

@@ -275,6 +275,70 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(3) === 3 / 5.0)
   }
 
+  test("LSH index lifecycle: persisted pairs == in-memory; probe verdicts; append grows index") {
+    val idx = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val history = docs.filter(col("doc_id") < 3)  // 0, 1 exact dups; 2 near dup
+    Dedup.lshIndexBuild(history, idx)
+    // persisted path reproduces the in-memory candidates bit-for-bit
+    val mem = Dedup.minhashCandidates(spark, history)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val per = Dedup.lshIndexPairs(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(per === mem && per.contains((0L, 1L)))
+    // probe: a copy of doc 0 matches history; an unrelated doc does not
+    val batch = Seq((10L, base.trim), (11L, "unrelated fresh material nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val v = Dedup.lshIndexProbe(batch, idx)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(v(10L)._1 === 3L && v(10L)._2, "copy of doc 0 buckets with docs 0,1,2")
+    assert(v(11L) === ((0L, false)), "unrelated doc: zero matches, not a dup")
+    // append: index now answers for the grown corpus
+    Dedup.lshIndexAppend(batch, idx)
+    val after = Dedup.lshIndexPairs(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after.contains((0L, 10L)) && after.contains((2L, 10L)))
+    assert(!after.exists { case (a, b) => a == 11L || b == 11L })
+  }
+
+  test("perplexityScores: common transitions score low, rare score high; exact arithmetic") {
+    // train split (even ids) establishes 'a b' as the common bigram;
+    // doc 1 repeats it, doc 3 is out-of-vocabulary
+    val corpus = Seq(
+      (0L, "en", "a b a b a b"),
+      (2L, "en", "a b a b"),
+      (1L, "en", "a b a b"),
+      (3L, "en", "z q z q"),
+    ).toDF("doc_id", "lang", "text")
+    val r = TextOps.perplexityScores(corpus.select(col("doc_id"), col("text"), col("lang")))
+      .collect().map(x => (x.getLong(0), (x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    assert(r.keySet === Set(1L, 3L), "only the odd (scored) split is emitted")
+    // training counts: bigrams of docs 0,2 with BOS: C(<s>,a)=2, C(a,b)=5, C(b,a)=3; V=|{a,b}|=2
+    // doc 1 positions: (<s>,a): (2+2)*1e6 div 3 = 1333333; (a,b): (5+2)*1e6 div 6 = 1166666 x2;
+    //                  (b,a): (3+2)*1e6 div 4 = 1250000
+    val expected1 = (1333333L + 1166666L * 2 + 1250000L) / 4
+    assert(r(1L)._1 === 4L && r(1L)._2 === expected1)
+    // doc 3: (<s>,z) = (2+2)*1e6 div 1 = 4e6; three unseen-context positions
+    // (0+2)*1e6 div 1 = 2e6 -> mean 2.5e6, strictly worse
+    assert(r(3L)._2 === 2500000L && r(3L)._2 > r(1L)._2)
+    // ntile(3) over the 2 scored docs assigns tiles 1 and 2
+    assert(r(1L)._3 === "head" && r(3L)._3 === "middle")
+  }
+
+  test("hardNegatives returns only different-label neighbors, ranked by cosine") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), "x"),   // probe
+      (1L, Array(1.0f, 0.01f), "x"),  // same label: excluded however similar
+      (2L, Array(0.9f, 0.1f), "y"),   // hard negative (closest wrong-label)
+      (3L, Array(0.0f, 1.0f), "y"),   // easy negative
+      (4L, Array(0.5f, 0.5f), "z"),
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(emb, k = 3, numCentroids = 2, nprobe = 2,
+      iterations = 1, probePred = col("vec_id") === 0L)
+      .collect().map(x => (x.getLong(2), x.getString(3), x.getLong(4)))
+    assert(r.forall(_._2 != "x"), "no same-label vector may appear")
+    assert(r.map(_._1).toSeq === Seq(2L, 4L, 3L), "ranked by cosine to the probe")
+  }
+
   test("PQ codebooks: training vectors encode to themselves; ties take the smaller code") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val cb = new graft.expressions.PqCodebooks(2, 3, Array(
