@@ -666,4 +666,104 @@ object Graph {
     e.unpersist()
     (rankOut, deltaOut)
   }
+
+  /** HITS (Kleinberg 1999) hubs & authorities on the DIRECTED co-part
+    * graph, `iters` synchronous iterations in integer micro-score units.
+    * Per half-iteration: raw_auth(v) = Σ_{u→v} hub(u), then L1-normalise
+    * to a 1e6 budget with floor division — auth = (1_000_000·raw) div
+    * Σraw — so every value is a BIGINT and the run is bit-identical
+    * across engines and partitionings (no float power iteration).
+    *
+    * Scale: each half-iteration is ONE equi-join (edges×scores, keyed on
+    * the node) + one partial-aggregatable sum; the normaliser is a 1-row
+    * aggregate broadcast back (a scalar join, not a shuffle of the score
+    * frame). Score frames stay O(|V|) and are lineage-truncated per
+    * round, same discipline as [[pageRank]]. Overflow headroom: raw ≤
+    * max_deg·1e6 ≤ ~1e11; ·1e6 = 1e17 < int64 max. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select("src", "dst").persist(lvl)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist(lvl)
+
+    // L1-renormalise a (node, raw) frame to the 1e6 budget. The total is
+    // a single-row frame; crossJoin broadcasts it (1 row) — no shuffle.
+    def norm(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(sum("raw").as("tot"))
+      raw.crossJoin(tot)
+        .select(col("node"), expr("(1000000 * raw) div tot").as("s"))
+    }
+
+    var hubs = nodes.select(col("node"), lit(1000000L).as("s"))
+      .localCheckpoint()
+    var auths = hubs
+    for (_ <- 1 to iters) {
+      val rawA = nodes
+        .join(e.join(hubs.withColumnRenamed("node", "src"), "src")
+                .groupBy(col("dst").as("node")).agg(sum("s").as("r")),
+              Seq("node"), "left")
+        .select(col("node"), coalesce(col("r"), lit(0L)).as("raw"))
+      auths = norm(rawA).localCheckpoint()
+      val rawH = nodes
+        .join(e.join(auths.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(col("src").as("node")).agg(sum("s").as("r")),
+              Seq("node"), "left")
+        .select(col("node"), coalesce(col("r"), lit(0L)).as("raw"))
+      hubs = norm(rawH).localCheckpoint()
+    }
+    val out = auths.select(col("node"), col("s").as("auth"))
+      .join(hubs.select(col("node"), col("s").as("hub")), "node")
+      .localCheckpoint()
+    nodes.unpersist()
+    e.unpersist()
+    out
+  }
+
+  /** PERSONALIZED PageRank (random walk with restart to a seed set),
+    * same integer micro-rank contract as [[pageRank]] but the teleport
+    * mass lands only on seeds: r' = tele + (850·S) div 1000 where
+    * tele = (150_000·N) div |seeds| for seed nodes, 0 otherwise (total
+    * teleport budget 0.15·N·1e6, split equally — the floor-division
+    * remainder is dropped identically in both engines). The standard
+    * "similarity to this query set" ranking for recommendations /
+    * related-item retrieval.
+    *
+    * Scale: identical dataflow to pageRankRun — loop-invariant
+    * edges×degree join hoisted, one equi-join + partial agg per
+    * iteration, O(|V|) rank frames truncated per round. The seed
+    * indicator is a column on the node frame, not a separate join. */
+  def pageRankPersonalized(edges: DataFrame, seedPred: org.apache.spark.sql.Column,
+      iters: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = bidir(edges).persist(lvl)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .persist(lvl)
+    val ed = e.join(deg.withColumnRenamed("node", "src"), "src").persist(lvl)
+    // Node frame with teleport share: (150000·N) div |S| on seeds, else 0.
+    // N and |S| are one scalar row, broadcast by the crossJoin.
+    val seeded = deg.select(col("node"), seedPred.cast("long").as("is_seed"))
+    val counts = seeded.agg(count(lit(1)).as("nn"), sum("is_seed").as("ns"))
+    val tele = seeded.crossJoin(counts)
+      .select(col("node"),
+        expr("CASE WHEN is_seed = 1 THEN (150000 * nn) div ns ELSE 0 END").as("tele"))
+      .persist(lvl)
+    var ranks = tele.select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("r div d")).as("s"))
+      ranks = tele
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("tele") + expr("850 * coalesce(s, 0L) div 1000")).as("r"))
+        .localCheckpoint()
+    }
+    if (iters == 0) ranks = ranks.localCheckpoint()
+    tele.unpersist()
+    ed.unpersist()
+    deg.unpersist()
+    e.unpersist()
+    ranks.select(col("node"), col("r").as("rank"))
+  }
 }

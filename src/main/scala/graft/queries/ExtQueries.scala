@@ -2860,6 +2860,27 @@ object ExtQueries {
       Graph.functionalEdges(tbl(spark, dir, "lineitem"), m = 512))
       .orderBy("scc_id")
 
+  /** HITS hubs & authorities on the DIRECTED thresholded co-part graph
+    * (src < dst orientation, co-occurrence ≥ 2), 2 synchronous
+    * iterations in integer micro-score units — see
+    * [[graft.operators.Graph.hits]] for the L1-normalised floor-division
+    * contract that keeps the run oracle-mirrorable. Top-20 authorities. */
+  def graphHits(spark: SparkSession, dir: String): DataFrame =
+    Graph.hits(Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+        iters = 2)
+      .orderBy(col("auth").desc, col("node")).limit(20)
+
+  /** Personalized PageRank: random walk with restart to the seed set
+    * {node ≡ 0 (mod 10)} — the "rank by relatedness to this query set"
+    * retrieval primitive. 3 iterations, integer micro-rank units, teleport
+    * mass split equally over seeds with floor division — see
+    * [[graft.operators.Graph.pageRankPersonalized]]. Top-20. */
+  def graphPpr(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRankPersonalized(
+      Graph.coPartEdges(tbl(spark, dir, "lineitem")),
+      seedPred = col("node") % 10 === 0, iters = 3)
+      .orderBy(col("rank").desc, col("node")).limit(20)
+
   // ---- time series -------------------------------------------------------
 
   /** Dense hourly spine + forward fill for a user subset (see
@@ -3217,6 +3238,8 @@ object ExtQueries {
     "graph_bfs" -> (graphBfs _),
     "graph_bfs_full" -> (graphBfsFull _),
     "graph_scc" -> (graphScc _),
+    "graph_hits" -> (graphHits _),
+    "graph_ppr" -> (graphPpr _),
     "graph_pagerank_weighted" -> (graphPagerankWeighted _),
     "timeseries_seasonal" -> (timeseriesSeasonal _),
     "timeseries_holt" -> (timeseriesHolt _),

@@ -3004,6 +3004,55 @@ object Oracles {
         |FROM sid s LEFT JOIN cyc c ON s.node = c.node
         |GROUP BY s.scc_id ORDER BY s.scc_id""".stripMargin,
 
+    // HITS unrolled: 2 (auth, hub) half-iteration pairs on the DIRECTED
+    // thresholded co-part graph, each half = one join-sum + an L1
+    // renormalisation to the 1e6 budget via scalar-subquery floor
+    // division (all values non-negative, so // ≡ Spark's div).
+    "graph_hits" -> {
+      def half(prev: String, raw: String, out: String, joinCol: String,
+               grpCol: String): String =
+        s"""$raw AS (SELECT n.node, COALESCE(x.r, 0) AS raw FROM nodes n LEFT JOIN
+           |    (SELECT e0.$grpCol AS node, sum(p.s) AS r FROM e0
+           |     JOIN $prev p ON e0.$joinCol = p.node GROUP BY 1) x ON n.node = x.node),
+           |$out AS (SELECT node, (1000000 * raw) // (SELECT sum(raw) FROM $raw) AS s FROM $raw)""".stripMargin
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes),
+         |${half("h0", "ra1", "a1", "src", "dst")},
+         |${half("a1", "rh1", "h1", "dst", "src")},
+         |${half("h1", "ra2", "a2", "src", "dst")},
+         |${half("a2", "rh2", "h2", "dst", "src")}
+         |SELECT a2.node, CAST(a2.s AS BIGINT) AS auth, CAST(h2.s AS BIGINT) AS hub
+         |FROM a2 JOIN h2 ON a2.node = h2.node
+         |ORDER BY auth DESC, a2.node LIMIT 20""".stripMargin
+    },
+
+    // Personalized PageRank unrolled: teleport mass lands only on the
+    // seed set {node % 10 = 0}, split by floor division; otherwise the
+    // exact pagerank recurrence (r div d contributions, 850/1000 damp).
+    "graph_ppr" -> {
+      def it(i: Int): String =
+        s"""c$i AS (SELECT bi.dst AS node, sum(r${i - 1}.r // deg.d) AS s FROM bi
+           |       JOIN r${i - 1} ON bi.src = r${i - 1}.node JOIN deg ON bi.src = deg.node GROUP BY 1),
+           |r$i AS (SELECT t.node, t.tele + (850 * COALESCE(c$i.s, 0)) // 1000 AS r
+           |       FROM tele t LEFT JOIN c$i ON t.node = c$i.node)""".stripMargin
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s GROUP BY 1, 2),
+         |bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src AS node, count(*) AS d FROM bi GROUP BY 1),
+         |sc AS (SELECT count(*) AS nn, sum(CASE WHEN node % 10 = 0 THEN 1 ELSE 0 END) AS ns FROM deg),
+         |tele AS (SELECT node, CASE WHEN node % 10 = 0
+         |           THEN (150000 * (SELECT nn FROM sc)) // (SELECT ns FROM sc)
+         |           ELSE 0 END AS tele FROM deg),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |${it(1)},
+         |${it(2)},
+         |${it(3)}
+         |SELECT node, CAST(r AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
+
     "timeseries_motif" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
         |             sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv

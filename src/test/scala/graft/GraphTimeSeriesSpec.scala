@@ -332,4 +332,50 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === 8L)
     assert(math.abs(r.getAs[Double]("assortativity") - (-1.0)) < 1e-9)
   }
+
+  test("hits: directed star — source is the hub, sinks are the authorities") {
+    // 1 -> {2,3,4}: node 1 points at everything (pure hub), 2..4 are
+    // pointed at (pure authorities). After any iteration count the hub
+    // score concentrates on 1 and the auth budget splits over 2..4.
+    val e = edgesDf((1L,2L),(1L,3L),(1L,4L))
+    val m = Graph.hits(e, iters = 2).collect()
+      .map(r => r.getAs[Long]("node") -> ((r.getAs[Long]("auth"), r.getAs[Long]("hub")))).toMap
+    assert(m(1L)._2 > m(2L)._2, "source node must be the top hub")
+    assert(m(2L)._1 > m(1L)._1, "sink nodes must out-auth the source")
+    assert(m(2L) === m(3L) && m(3L) === m(4L), "symmetric sinks tie exactly")
+    // L1 budget: each normalised family sums to <= 1e6 (floor division)
+    assert(m.values.map(_._1).sum <= 1000000L && m.values.map(_._2).sum <= 1000000L)
+  }
+
+  test("hits: scores are exact integers invariant to input partitioning") {
+    val e = Seq((1L,2L),(2L,3L),(1L,3L),(3L,4L),(4L,1L))
+    val one = Graph.hits(e.toDF("src","dst").repartition(1), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val many = Graph.hits(e.toDF("src","dst").repartition(7), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(one.sameElements(many))
+  }
+
+  test("pageRankPersonalized: teleport mass concentrates on and around seeds") {
+    // star with the hub as the only seed: hub dominates, leaves tie exactly
+    val star = edgesDf((1L,2L),(1L,3L),(1L,4L),(1L,5L))
+    val st = Graph.pageRankPersonalized(star, col("node") === 1L, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(st(1L) > st(2L), "seed hub must dominate")
+    assert(st(2L) === st(3L) && st(3L) === st(4L) && st(4L) === st(5L))
+    // path 1-2-3-4-5, seed {1}: mass concentrates near the seed — the
+    // seed's neighbourhood outranks the far end (exact values pinned by
+    // the integer recurrence; 4 can transiently beat 3 via the leaf-5
+    // funnel, so the decay claim is neighbourhood-vs-tail, not per-hop)
+    val path = edgesDf((1L,2L),(2L,3L),(3L,4L),(4L,5L))
+    val r = Graph.pageRankPersonalized(path, col("node") === 1L, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > r(3L) && r(1L) > r(5L) && r(3L) > r(5L))
+    // all-seed personalization must equal plain pageRank (same teleport)
+    val all = Graph.pageRankPersonalized(path, lit(true), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val plain = Graph.pageRank(path, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(all === plain, "seeds = all nodes reduces to uniform teleport")
+  }
 }
