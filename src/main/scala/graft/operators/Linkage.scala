@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage / entity resolution: blocking → pairwise verify →
+  * transitive clustering → survivorship. The standard dedup shape for
+  * entity tables (customers, vendors, authors) as opposed to the
+  * document-similarity family in [[Dedup]].
+  *
+  * Scale design: candidate generation NEVER goes all-pairs — the
+  * self-join is keyed on the blocking key, so the shuffle co-locates
+  * each block and the pair space is Σ_b |b|² over block sizes, not n².
+  * Blocking keys must be chosen so blocks stay bounded (here
+  * nation × market segment); a skewed block would hot-key the join the
+  * same way any group-by hot key does, and the fix is the same —
+  * refine the blocking key, exactly how production ER blocks on
+  * several keys and unions the candidate sets. The verify step
+  * (edit distance) is a map-side scalar on each candidate row —
+  * codegen'd `levenshtein`, no UDF. Clustering reuses the hash-min
+  * pointer-jumping CC fixpoint (O(|V|) label frames), and
+  * survivorship is one partial-aggregatable group-by over members.
+  */
+object Linkage {
+
+  /** Candidate pairs after blocking + verification: customers sharing a
+    * (nation, mktsegment) block whose names are within `maxDist` edits.
+    * Emits (cust_a, cust_b, name_dist) with cust_a < cust_b. */
+  def blockedPairs(customer: DataFrame, maxDist: Int): DataFrame = {
+    val x = customer.select(
+      col("c_custkey").as("ck"), col("c_name").as("nm"),
+      col("c_nationkey").as("bn"), col("c_mktsegment").as("bs"))
+    x.as("a").join(x.as("b"),
+        col("a.bn") === col("b.bn") && col("a.bs") === col("b.bs") &&
+          col("a.ck") < col("b.ck"))
+      .withColumn("name_dist",
+        levenshtein(col("a.nm"), col("b.nm")).cast("long"))
+      .filter(col("name_dist") <= maxDist)
+      .select(col("a.ck").as("cust_a"), col("b.ck").as("cust_b"),
+        col("name_dist"))
+  }
+
+  /** Entity clusters: connected components over verified pairs (match
+    * is not transitive; CC gives the maximal-entity semantics every ER
+    * system uses). Census rows (cluster_id = min member key, n_members). */
+  def erClusters(pairs: DataFrame): DataFrame =
+    Graph.connectedComponents(
+        pairs.select(col("cust_a").as("src"), col("cust_b").as("dst")))
+      .groupBy(col("comp_id").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+
+  /** Survivorship ("golden record"): per entity cluster, the canonical
+    * record is the min-key member (= cluster_id); consolidated fields
+    * are exact aggregates over members (max balance — order-invariant,
+    * no float summation). One group-by over members + one broadcastable
+    * join back to the canonical row's attributes. */
+  def goldenRecords(customer: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = Graph.connectedComponents(
+      pairs.select(col("cust_a").as("src"), col("cust_b").as("dst")))
+    cc.join(customer, cc("node") === customer("c_custkey"))
+      .groupBy(col("comp_id").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max("c_acctbal").as("max_bal"))
+      .join(customer.select(col("c_custkey").as("cluster_id"),
+        col("c_name").as("golden_name")), "cluster_id")
+      .select("cluster_id", "golden_name", "n_members", "max_bal")
+  }
+}

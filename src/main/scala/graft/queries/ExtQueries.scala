@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.CrossFns._
-import graft.operators.{AsOfJoin, Dedup, Graph, Multimodal, Similarity, SkewJoin, TextOps, TimeSeries}
+import graft.operators.{AsOfJoin, Dedup, Graph, Linkage, Multimodal, Similarity, SkewJoin, TextOps, TimeSeries}
 import Staging._
 
 /** Extension operators beyond the reference surface (SURVEY §2.3 /
@@ -2870,6 +2870,31 @@ object ExtQueries {
         iters = 2)
       .orderBy(col("auth").desc, col("node")).limit(20)
 
+  // ---- record linkage / entity resolution --------------------------------
+
+  /** Blocked candidate pairs for entity resolution over the customer
+    * table: block on (nation, mktsegment), verify with name edit
+    * distance ≤ 2 — see [[graft.operators.Linkage.blockedPairs]] for why
+    * the pair space stays Σ|block|², never n². */
+  def linkBlockedPairs(spark: SparkSession, dir: String): DataFrame =
+    Linkage.blockedPairs(tbl(spark, dir, "customer"), maxDist = 2)
+      .orderBy("cust_a", "cust_b")
+
+  /** Entity clusters: connected components over the verified pairs
+    * (match is not transitive — CC gives maximal entities), censused as
+    * (cluster_id = min member, n_members). */
+  def linkErClusters(spark: SparkSession, dir: String): DataFrame =
+    Linkage.erClusters(
+        Linkage.blockedPairs(tbl(spark, dir, "customer"), maxDist = 2))
+      .orderBy("cluster_id")
+
+  /** Survivorship: one golden record per entity cluster — canonical
+    * (min-key) member's name + exact consolidated max balance. */
+  def linkGoldenRecords(spark: SparkSession, dir: String): DataFrame =
+    Linkage.goldenRecords(tbl(spark, dir, "customer"),
+        Linkage.blockedPairs(tbl(spark, dir, "customer"), maxDist = 2))
+      .orderBy("cluster_id")
+
   /** Personalized PageRank: random walk with restart to the seed set
     * {node ≡ 0 (mod 10)} — the "rank by relatedness to this query set"
     * retrieval primitive. 3 iterations, integer micro-rank units, teleport
@@ -3240,6 +3265,9 @@ object ExtQueries {
     "graph_scc" -> (graphScc _),
     "graph_hits" -> (graphHits _),
     "graph_ppr" -> (graphPpr _),
+    "link_blocked_pairs" -> (linkBlockedPairs _),
+    "link_er_clusters" -> (linkErClusters _),
+    "link_golden_records" -> (linkGoldenRecords _),
     "graph_pagerank_weighted" -> (graphPagerankWeighted _),
     "timeseries_seasonal" -> (timeseriesSeasonal _),
     "timeseries_holt" -> (timeseriesHolt _),

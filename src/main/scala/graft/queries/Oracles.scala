@@ -180,6 +180,24 @@ object Oracles {
   private def qdotPair(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i_ -> $a[i_]*$b[i_])) AS BIGINT)"
 
+  /** Shared CTE body for the entity-resolution family (caller supplies
+    * the `WITH RECURSIVE` head): verified blocked pairs → bidirectional
+    * edges → reachability closure → min-reachable cluster label. */
+  private val linkPairCtes: String =
+    s"""p AS (SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+       |      FROM customer a JOIN customer b
+       |        ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+       |       AND a.c_custkey < b.c_custkey
+       |      WHERE levenshtein(a.c_name, b.c_name) <= 2),
+       |bi AS (SELECT cust_a AS src, cust_b AS dst FROM p
+       |       UNION ALL SELECT cust_b, cust_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM bi
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN bi e ON e.src = r.dst),
+       |lab AS (SELECT src AS node, least(src, min(dst)) AS cluster_id
+       |        FROM reach GROUP BY src)""".stripMargin
+
   /** Shared CTE prefix for the LPA family (graph_label_prop /
     * graph_modularity): thresholded co-part edges (e0 oriented, e
     * bidirectional) → three unrolled synchronous plurality-label
@@ -3052,6 +3070,34 @@ object Oracles {
          |${it(3)}
          |SELECT node, CAST(r AS BIGINT) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
     },
+
+    // Entity-resolution family: blocked candidate pairs (blocking key =
+    // nation × mktsegment), CC clustering of verified matches via a
+    // recursive reachability closure (block-bounded graph, so the
+    // closure stays tiny), and min-key survivorship.
+    "link_blocked_pairs" ->
+      s"""SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist
+         |FROM customer a JOIN customer b
+         |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+         | AND a.c_custkey < b.c_custkey
+         |WHERE levenshtein(a.c_name, b.c_name) <= 2
+         |ORDER BY cust_a, cust_b""".stripMargin,
+
+    "link_er_clusters" ->
+      s"""WITH RECURSIVE $linkPairCtes
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "link_golden_records" ->
+      s"""WITH RECURSIVE $linkPairCtes,
+         |m AS (SELECT l.node, l.cluster_id, c.c_acctbal
+         |      FROM lab l JOIN customer c ON l.node = c.c_custkey),
+         |g AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |        max(c_acctbal) AS max_bal FROM m GROUP BY 1)
+         |SELECT g.cluster_id, c.c_name AS golden_name, g.n_members, g.max_bal
+         |FROM g JOIN customer c ON g.cluster_id = c.c_custkey
+         |ORDER BY g.cluster_id""".stripMargin,
 
     "timeseries_motif" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Linkage
+
+/** Known-answer fixtures for the entity-resolution family: blocking
+  * bounds the candidate space, verification is symmetric, clustering is
+  * transitive-closure semantics, survivorship picks the min-key record. */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cust(rows: (Long, String, Int, String, Double)*) =
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+
+  test("blockedPairs: only same-block pairs are candidates; distance gates matches") {
+    val c = cust(
+      (1L, "acme corp", 1, "A", 10.0),
+      (2L, "acme corp", 1, "A", 20.0),   // exact dup of 1, same block
+      (3L, "acme c0rp", 1, "A", 30.0),   // 1 edit from 1, same block
+      (4L, "acme corp", 2, "A", 40.0),   // same name, DIFFERENT block — excluded
+      (5L, "zzz unrelated", 1, "A", 50.0)) // same block, far name — excluded
+    val p = Linkage.blockedPairs(c, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(p.toSeq === Seq((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("erClusters + goldenRecords: transitive closure merges chains; survivor is min key") {
+    // chain: 1~2 (dist 0), 2~3 (dist 1) — but 1~3 also within 2 here;
+    // add a separate far block pair (10,11) to get two clusters
+    val c = cust(
+      (1L, "acme corp", 1, "A", 10.0),
+      (2L, "acme corp", 1, "A", 99.5),
+      (3L, "acme c0rp", 1, "A", 30.0),
+      (10L, "beta llc", 3, "B", 7.0),
+      (11L, "beta llp", 3, "B", 8.0))
+    val pairs = Linkage.blockedPairs(c, maxDist = 2)
+    val cl = Linkage.erClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl === Map(1L -> 3L, 10L -> 2L))
+    val g = Linkage.goldenRecords(c, pairs).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[String]("golden_name"),
+        r.getAs[Long]("n_members"), r.getAs[Double]("max_bal"))).sortBy(_._1)
+    assert(g.toSeq === Seq((1L, "acme corp", 3L, 99.5), (10L, "beta llc", 2L, 8.0)))
+  }
+
+  test("blockedPairs: result is partitioning-invariant") {
+    val c = cust((1L, "n1", 1, "A", 1.0), (2L, "n2", 1, "A", 2.0),
+      (3L, "n3", 1, "A", 3.0), (4L, "m4", 2, "A", 4.0))
+    val a = Linkage.blockedPairs(c.repartition(1), 2).collect().toSet
+    val b = Linkage.blockedPairs(c.repartition(5), 2).collect().toSet
+    assert(a === b)
+  }
+}
