@@ -67,6 +67,27 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_toks"), col("ppx_ppm"), col("bucket"))
   }
 
+  /** Flesch reading-ease readability in exact milli-units. Counting
+    * rules chosen for cross-engine reproducibility, not linguistic
+    * fidelity: sentences = maximal runs of [.!?], syllables = maximal
+    * vowel runs (the classic cheap approximation), words = whitespace
+    * tokens. fre_milli = 206835 − (1015·W) div max(S,1) − (84600·Y) div
+    * max(W,1) — floor division on non-negative numerators, so the score
+    * is bit-identical in Spark and DuckDB.
+    *
+    * Scale: pure per-row scalar work (regexp_extract_all + size), fully
+    * codegen'd, no shuffle at all — the best possible 100 TB shape. */
+  def readabilityScores(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long").as("n_sents"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+          .cast("long").as("n_sylls"))
+      .withColumn("fre_milli",
+        lit(206835L) - expr("(1015 * n_words) div greatest(n_sents, 1L)")
+          - expr("(84600 * n_sylls) div greatest(n_words, 1L)"))
+
   /** Stopword lexicons for the n-gram/stopword language heuristic. Only
     * Latin-script languages are detectable this way; docs with no hits get
     * 'unk' (covers the corpus's 'zh' label, which the synthetic generator

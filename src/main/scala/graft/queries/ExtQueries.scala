@@ -1037,6 +1037,35 @@ object ExtQueries {
   def textPerplexity(spark: SparkSession, dir: String): DataFrame =
     TextOps.perplexityScores(tbl(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Flesch reading-ease per doc in exact milli-units — see
+    * [[graft.operators.TextOps.readabilityScores]] for the
+    * reproducibility-first counting rules. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    TextOps.readabilityScores(tbl(spark, dir, "documents")).orderBy("doc_id")
+
+  /** DoReMi-style domain reweighting: per-source mean LM score (the
+    * perplexity filter's exact integer ppm), excess over the best
+    * source, mixture weight ∝ excess normalised to ppm — the
+    * "upweight domains the reference model finds hard" recipe, reduced
+    * to two partial-aggregatable passes + two 1-row scalar joins. Falls
+    * back to a uniform split when every source ties (te = 0). */
+  def sampleDoremi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val per = TextOps.perplexityScores(docs).select("doc_id", "ppx_ppm")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ppx_ppm").as("s"))
+      .withColumn("avg_ppm", expr("s div n_docs"))
+      .drop("s")
+    val exc = per.crossJoin(per.agg(min("avg_ppm").as("mn")))
+      .withColumn("excess", col("avg_ppm") - col("mn")).drop("mn")
+    exc.crossJoin(exc.agg(sum("excess").as("te"), count(lit(1)).as("k")))
+      .withColumn("weight_ppm",
+        expr("CASE WHEN te = 0 THEN 1000000 div k ELSE (1000000 * excess) div te END"))
+      .select("source", "n_docs", "avg_ppm", "excess", "weight_ppm")
+      .orderBy("source")
+  }
+
   def textTypicality(spark: SparkSession, dir: String): DataFrame = {
     val docBigrams = tbl(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -3326,6 +3355,8 @@ object ExtQueries {
     "text_quality_score" -> (textQualityScore _),
     "text_typicality" -> (textTypicality _),
     "text_perplexity" -> (textPerplexity _),
+    "text_readability" -> (textReadability _),
+    "sample_doremi" -> (sampleDoremi _),
     "text_token_count" -> (textTokenCount _),
     "text_token_bpe" -> (textTokenBpe _),
     "text_fingerprint" -> (textFingerprint _),

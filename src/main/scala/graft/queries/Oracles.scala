@@ -180,6 +180,29 @@ object Oracles {
   private def qdotPair(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i_ -> $a[i_]*$b[i_])) AS BIGINT)"
 
+  /** Shared CTE prefix for the bigram-LM quality family (text_perplexity
+    * / sample_doremi): Laplace-smoothed bigram LM trained on even
+    * doc_ids, exact integer inverse-probability ppm per odd doc, ending
+    * in `r` (doc_id, lang, n_toks, ppx_ppm). */
+  private val pplCtes: String =
+    s"""w0 AS (SELECT doc_id, lang, ${tok("text")} AS w FROM documents),
+       |wn AS (SELECT * FROM w0 WHERE len(w) > 0),
+       |p AS (SELECT doc_id, lang, w, unnest(generate_series(1, len(w))) AS i FROM wn),
+       |b AS (SELECT doc_id, lang,
+       |        CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS prev, w[i] AS cur FROM p),
+       |tr AS (SELECT prev, cur FROM b WHERE doc_id % 2 = 0),
+       |cb AS (SELECT prev, cur, count(*) AS c_bi FROM tr GROUP BY 1, 2),
+       |cp AS (SELECT prev, count(*) AS c_prev FROM tr GROUP BY 1),
+       |v AS (SELECT count(DISTINCT cur) AS v FROM tr),
+       |s AS (SELECT b.doc_id, b.lang,
+       |        ((coalesce(cp.c_prev, 0) + v.v) * 1000000) // (coalesce(cb.c_bi, 0) + 1) AS inv_ppm
+       |      FROM b LEFT JOIN cb ON b.prev = cb.prev AND b.cur = cb.cur
+       |        LEFT JOIN cp ON b.prev = cp.prev CROSS JOIN v
+       |      WHERE b.doc_id % 2 = 1),
+       |d AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+       |        CAST(sum(inv_ppm) AS BIGINT) AS sppm FROM s GROUP BY 1, 2),
+       |r AS (SELECT doc_id, lang, n_toks, CAST(sppm // n_toks AS BIGINT) AS ppx_ppm FROM d)""".stripMargin
+
   /** Shared CTE body for the entity-resolution family (caller supplies
     * the `WITH RECURSIVE` head): verified blocked pairs → bidirectional
     * edges → reachability closure → min-reachable cluster label. */
@@ -1365,27 +1388,44 @@ object Oracles {
     // odd doc, head/middle/tail ntile per lang. `//` on positive BIGINTs
     // matches Spark's `div`.
     "text_perplexity" ->
-      s"""WITH w0 AS (SELECT doc_id, lang, ${tok("text")} AS w FROM documents),
-         |wn AS (SELECT * FROM w0 WHERE len(w) > 0),
-         |p AS (SELECT doc_id, lang, w, unnest(generate_series(1, len(w))) AS i FROM wn),
-         |b AS (SELECT doc_id, lang,
-         |        CASE WHEN i = 1 THEN '<s>' ELSE w[i-1] END AS prev, w[i] AS cur FROM p),
-         |tr AS (SELECT prev, cur FROM b WHERE doc_id % 2 = 0),
-         |cb AS (SELECT prev, cur, count(*) AS c_bi FROM tr GROUP BY 1, 2),
-         |cp AS (SELECT prev, count(*) AS c_prev FROM tr GROUP BY 1),
-         |v AS (SELECT count(DISTINCT cur) AS v FROM tr),
-         |s AS (SELECT b.doc_id, b.lang,
-         |        ((coalesce(cp.c_prev, 0) + v.v) * 1000000) // (coalesce(cb.c_bi, 0) + 1) AS inv_ppm
-         |      FROM b LEFT JOIN cb ON b.prev = cb.prev AND b.cur = cb.cur
-         |        LEFT JOIN cp ON b.prev = cp.prev CROSS JOIN v
-         |      WHERE b.doc_id % 2 = 1),
-         |d AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
-         |        CAST(sum(inv_ppm) AS BIGINT) AS sppm FROM s GROUP BY 1, 2),
-         |r AS (SELECT doc_id, lang, n_toks, CAST(sppm // n_toks AS BIGINT) AS ppx_ppm FROM d)
+      s"""WITH $pplCtes
          |SELECT doc_id, lang, n_toks, ppx_ppm,
          |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppx_ppm, doc_id)
          |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // DoReMi-style domain reweighting on the same bigram-LM scores:
+    // per-source mean ppm, excess over the best source, weight ∝ excess
+    // normalised to ppm (uniform fallback when all sources tie).
+    "sample_doremi" ->
+      s"""WITH $pplCtes,
+         |per AS (SELECT d2.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(r.ppx_ppm) AS BIGINT) AS s
+         |        FROM r JOIN documents d2 ON r.doc_id = d2.doc_id GROUP BY 1),
+         |pa AS (SELECT source, n_docs, s // n_docs AS avg_ppm FROM per),
+         |mn AS (SELECT min(avg_ppm) AS mn FROM pa),
+         |ex AS (SELECT pa.source, pa.n_docs, pa.avg_ppm, pa.avg_ppm - mn.mn AS excess
+         |       FROM pa CROSS JOIN mn),
+         |tt AS (SELECT CAST(sum(excess) AS BIGINT) AS te, count(*) AS k FROM ex)
+         |SELECT source, n_docs, CAST(avg_ppm AS BIGINT) AS avg_ppm,
+         |  CAST(excess AS BIGINT) AS excess,
+         |  CAST(CASE WHEN tt.te = 0 THEN 1000000 // tt.k
+         |       ELSE (1000000 * ex.excess) // tt.te END AS BIGINT) AS weight_ppm
+         |FROM ex CROSS JOIN tt ORDER BY source""".stripMargin,
+
+    // Flesch reading-ease in exact milli-units: sentences = [.!?]+ runs,
+    // syllables = vowel runs, floor division on non-negative numerators.
+    "text_readability" ->
+      s"""WITH t AS (SELECT doc_id, text, ${tok("text")} AS w FROM documents),
+         |c AS (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_words,
+         |        CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sents,
+         |        CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_sylls
+         |      FROM t)
+         |SELECT doc_id, n_words, n_sents, n_sylls,
+         |  CAST(206835 - (1015 * n_words) // greatest(n_sents, 1)
+         |    - (84600 * n_sylls) // greatest(n_words, 1) AS BIGINT) AS fre_milli
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_typicality" ->
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),

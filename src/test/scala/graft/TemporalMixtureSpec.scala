@@ -122,4 +122,33 @@ class TemporalMixtureSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0L)
     assert(batch.exceptAll(streamed).count() === 0L)
   }
+
+  test("readabilityScores: known-answer counts and exact milli-score") {
+    import spark.implicits._
+    // "go on. it is ok!" → 5 words, 2 sentence runs ('.'+'!'), vowel runs:
+    // o / o / i / i / o → 5
+    val df = Seq((1L, "go on. it is ok!")).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.readabilityScores(df).head()
+    assert(r.getAs[Long]("n_words") === 5L)
+    assert(r.getAs[Long]("n_sents") === 2L)
+    assert(r.getAs[Long]("n_sylls") === 5L)
+    // 206835 - (1015*5) div 2 - (84600*5) div 5 = 206835 - 2537 - 84600
+    assert(r.getAs[Long]("fre_milli") === 206835L - 2537L - 84600L)
+    // empty-ish doc: guards keep the divisions defined
+    val z = graft.operators.TextOps.readabilityScores(
+      Seq((2L, "")).toDF("doc_id", "text")).head()
+    assert(z.getAs[Long]("n_words") === 0L && z.getAs[Long]("fre_milli") === 206835L)
+  }
+
+  test("sample_doremi: weights sum to ~1e6 and favor the high-ppx source; uniform on ties") {
+    val out = queries.ExtQueries.sampleDoremi(spark, sf).collect()
+    val weights = out.map(_.getAs[Long]("weight_ppm"))
+    // floor-division normalisation: total within k ppm of the budget
+    assert(weights.sum <= 1000000L && weights.sum >= 1000000L - out.length)
+    val byExcess = out.sortBy(_.getAs[Long]("excess"))
+    assert(byExcess.head.getAs[Long]("weight_ppm") === 0L,
+      "the best (min-ppx) source gets zero excess weight")
+    assert(byExcess.last.getAs[Long]("weight_ppm") === weights.max,
+      "max-excess source carries the max weight")
+  }
 }
