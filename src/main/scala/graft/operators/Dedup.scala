@@ -525,4 +525,51 @@ object Dedup {
   def simhash(spark: SparkSession, docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       call_function("graft_simhash60", tokens(col("text"))).as("simhash"))
+
+  /** Content-defined chunking (CDC) dedup census, the storage-dedup
+    * primitive behind LBFS-style systems (Muthitacharoen et al., SOSP
+    * 2001): a chunk boundary falls wherever the rolling hash of the
+    * trailing `window`-char substring ≡ 0 (mod `divisor`), so chunk
+    * boundaries survive insertions/deletions — unlike fixed-size blocks,
+    * a one-char edit only reshapes the chunks it touches. Per-source
+    * census: chunk count, distinct chunks (identity = the cross-engine
+    * polynomial char hash; collisions are counted as dups identically by
+    * both engines, which is what makes the census oracle-exact), chars
+    * covered, chars saved by storing each distinct chunk once, dup ppm.
+    *
+    * Scale: chunking + hashing is PURE map-side per-row work (O(n·w)
+    * scalar hashing inside codegen, no explode of positions survives the
+    * projection); the only shuffles are the two partial-aggregatable
+    * group-bys on (source, chunk-hash) then (source) — the same shape as
+    * exact dedup. Expected chunk length = divisor chars. */
+  def cdcChunkStats(docs: DataFrame, window: Int = 8, divisor: Int = 64): DataFrame = {
+    val w1 = window - 1
+    val t = docs.filter(length(col("text")) >= 1)
+      .select(col("source"), col("text"),
+        length(col("text")).cast("long").as("n"))
+    // interior boundary positions: i in [window, n) with window-hash % divisor = 0
+    val bs = t.withColumn("bs", expr(
+      s"""CASE WHEN n >= $window THEN
+         |  filter(sequence(CAST($window AS BIGINT), n),
+         |    i -> i < n AND graft_char_hash(substr(text, CAST(i - $w1 AS INT), $window)) % $divisor = 0)
+         |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+    val chunks = bs.select(col("source"), explode(expr(
+      s"""transform(sequence(1, size(bs) + 1),
+         |  k -> substr(text,
+         |    CAST(CASE WHEN k = 1 THEN 1 ELSE element_at(bs, k - 1) + 1 END AS INT),
+         |    CAST((CASE WHEN k <= size(bs) THEN element_at(bs, k) ELSE n END)
+         |       - (CASE WHEN k = 1 THEN 1 ELSE element_at(bs, k - 1) + 1 END) + 1 AS INT)))""".stripMargin))
+      .as("chunk"))
+    val g = chunks
+      .select(col("source"), expr("graft_char_hash(chunk)").as("h"),
+        length(col("chunk")).cast("long").as("l"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("c"), min("l").as("l"))
+    g.groupBy("source")
+      .agg(sum("c").as("n_chunks"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("l")).as("total_chars"),
+        (sum(col("c") * col("l")) - sum("l")).as("saved_chars"))
+      .withColumn("dup_ppm",
+        expr("(1000000 * (n_chunks - n_distinct)) div n_chunks"))
+  }
 }

@@ -2899,6 +2899,12 @@ object ExtQueries {
         iters = 2)
       .orderBy(col("auth").desc, col("node")).limit(20)
 
+  /** Content-defined chunking dedup census per source — see
+    * [[graft.operators.Dedup.cdcChunkStats]] (LBFS-style rolling-hash
+    * boundaries, window 8, divisor 64 → ~64-char expected chunks). */
+  def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkStats(tbl(spark, dir, "documents")).orderBy("source")
+
   // ---- record linkage / entity resolution --------------------------------
 
   /** Blocked candidate pairs for entity resolution over the customer
@@ -3294,6 +3300,7 @@ object ExtQueries {
     "graph_scc" -> (graphScc _),
     "graph_hits" -> (graphHits _),
     "graph_ppr" -> (graphPpr _),
+    "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "link_blocked_pairs" -> (linkBlockedPairs _),
     "link_er_clusters" -> (linkErClusters _),
     "link_golden_records" -> (linkGoldenRecords _),

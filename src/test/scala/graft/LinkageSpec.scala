@@ -50,4 +50,26 @@ class LinkageSpec extends SparkSpec {
     val b = Linkage.blockedPairs(c.repartition(5), 2).collect().toSet
     assert(a === b)
   }
+
+  test("cdcChunkStats: exact duplicate halves distinct chunks; edits only reshape local chunks") {
+    import graft.operators.Dedup
+    // deterministic pseudo-random text, long enough for ~30 chunks
+    // (seeded Random: aperiodic, so window hashes actually hit % 64 = 0 —
+    // a short-period generator yields zero boundaries and one mega-chunk)
+    val rnd = new scala.util.Random(42)
+    val txt = Seq.fill(2000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val dup = Seq((1L, "s1", txt), (2L, "s1", txt)).toDF("doc_id", "source", "text")
+    val d = Dedup.cdcChunkStats(dup).head()
+    assert(d.getAs[Long]("n_chunks") === 2 * d.getAs[Long]("n_distinct"),
+      "identical docs chunk identically")
+    assert(d.getAs[Long]("dup_ppm") === 500000L)
+    assert(d.getAs[Long]("saved_chars") === d.getAs[Long]("total_chars") / 2)
+    // content-DEFINED boundaries: a single inserted char near the head
+    // must leave the tail chunks shared (the whole point vs fixed blocks)
+    val edited = txt.substring(0, 10) + "X" + txt.substring(10)
+    val near = Seq((1L, "s1", txt), (2L, "s1", edited)).toDF("doc_id", "source", "text")
+    val e = Dedup.cdcChunkStats(near).head()
+    assert(e.getAs[Long]("dup_ppm") > 400000L,
+      s"most chunks must survive a 1-char insert, got ${e.getAs[Long]("dup_ppm")} ppm")
+  }
 }
