@@ -653,4 +653,40 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
+
+  /** ColBERT-style MaxSim late interaction (Khattab & Zaharia, SIGIR
+    * 2020) over multi-vector representations: each embedding is split
+    * into `nSub` contiguous sub-vectors ("token vectors"); the score of
+    * a candidate for a probe is Σ over probe sub-vectors of the MAX
+    * integer dot product against any candidate sub-vector. Raw quantised
+    * dots (no normalisation) keep every score an exact BIGINT — the
+    * ordering contract the oracle can mirror bit-for-bit.
+    *
+    * Scale: probes broadcast (tiny), the corpus streams map-side through
+    * one codegen'd nested-lambda scoring expression — O(nSub²·subdim)
+    * scalar work per (probe, candidate), no shuffle until the per-probe
+    * top-k. The late-interaction structure is what an IVF cell or LSH
+    * bucket would wrap at 100 TB: bucket first, MaxSim only in-bucket. */
+  def maxSimTopK(emb: DataFrame, k: Int, nSub: Int,
+      probePred: org.apache.spark.sql.Column): DataFrame = {
+    val subs = emb
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("subs", expr(
+        s"""transform(sequence(0, ${nSub - 1}),
+           |  s -> slice(qv, s * (size(qv) div $nSub) + 1, size(qv) div $nSub))""".stripMargin))
+      .select(col("vec_id"), col("subs"))
+    val probes = subs.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("subs").as("ps"))
+    val scored = broadcast(probes)
+      .join(subs.select(col("vec_id"), col("subs").as("cs")),
+        col("probe_id") =!= col("vec_id"))
+      .withColumn("score", expr(
+        """aggregate(ps, 0L, (acc, p) -> acc + array_max(transform(cs,
+          |  c -> aggregate(zip_with(p, c, (x, y) -> x * y), 0L, (a2, v) -> a2 + v))))""".stripMargin))
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"),
+        col("score"))
+  }
 }

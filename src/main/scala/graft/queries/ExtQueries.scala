@@ -220,6 +220,14 @@ object ExtQueries {
     Similarity.bruteForceTopK(tbl(spark, dir, "embeddings"), col("vec_id") < 5, 10)
       .orderBy("probe_id", "rk")
 
+  /** ColBERT-style MaxSim late interaction: 4 sub-vectors per embedding,
+    * exact integer Σ-of-max-dot scoring, top-10 per probe — see
+    * [[graft.operators.Similarity.maxSimTopK]]. */
+  def simsearchMaxsim(spark: SparkSession, dir: String): DataFrame =
+    Similarity.maxSimTopK(tbl(spark, dir, "embeddings"), k = 10, nSub = 4,
+        col("vec_id") < 5)
+      .orderBy("probe_id", "rk")
+
   /** IVF ANN: 8 cells, probe the 2 nearest — the bounded-scan scale path. */
   def simsearchIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(tbl(spark, dir, "embeddings"), k = 5, numCentroids = 8,
@@ -3351,6 +3359,7 @@ object ExtQueries {
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
     "sample_stratified" -> (sampleStratified _),
     "simsearch_bruteforce" -> (simsearchBruteforce _),
+    "simsearch_maxsim" -> (simsearchMaxsim _),
     "simsearch_ivf" -> (simsearchIvf _),
     "simsearch_ivf_trained" -> (simsearchIvfTrained _),
     "simsearch_hard_negatives" -> (simsearchHardNegatives _),

@@ -1216,6 +1216,23 @@ object Oracles {
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM pairs)
          |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin,
 
+    // ColBERT-style MaxSim: 4 contiguous sub-vectors per embedding; score
+    // = Σ over probe subs of max integer dot vs any candidate sub. Raw
+    // quantised dots — exact BIGINTs, no normalisation.
+    "simsearch_maxsim" ->
+      s"""WITH q AS (SELECT vec_id, ${quant("embedding")} AS qv FROM embeddings),
+         |s AS (SELECT vec_id, list_transform(generate_series(0, 3),
+         |        s_ -> list_slice(qv, s_ * (len(qv) // 4) + 1, (s_ + 1) * (len(qv) // 4))) AS subs
+         |      FROM q),
+         |pr AS (SELECT vec_id AS probe_id, subs AS ps FROM s WHERE vec_id < 5),
+         |sc AS (SELECT pr.probe_id, c.vec_id,
+         |         CAST(list_sum(list_transform(pr.ps, p_ ->
+         |           list_max(list_transform(c.subs, c_ ->
+         |             list_sum(list_transform(generate_series(1, len(p_)), i_ -> p_[i_] * c_[i_])))))) AS BIGINT) AS score
+         |       FROM pr JOIN s c ON c.vec_id <> pr.probe_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS rk FROM sc)
+         |SELECT probe_id, vec_id, rk, score FROM r WHERE rk <= 10 ORDER BY probe_id, rk""".stripMargin,
+
     "simsearch_ivf" ->
       s"""$embCtes,
          |cents AS (SELECT vec_id AS cid, qv AS cqv, nrm AS cnrm FROM f WHERE vec_id < 8),

@@ -150,6 +150,22 @@ class OperatorsSpec extends SparkSpec {
     assert(top(0)._2 > 0.99 && math.abs(top(1)._2) < 1e-6 && top(2)._2 < -0.99)
   }
 
+  test("maxSimTopK: exact integer late-interaction scores; permuted subs still match") {
+    // probe 0 = [1,0,0,1], nSub=2 → sub-vectors [1,0],[0,1] (×1e6)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),   // identical: 2e12
+      (2L, Array(0.0f, 1.0f, 1.0f, 0.0f)),   // sub-PERMUTED: MaxSim still 2e12
+      (3L, Array(-1.0f, 0.0f, 0.0f, -1.0f)), // negated: best dot per sub is 0
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.maxSimTopK(vecs, k = 3, nSub = 2, col("vec_id") === 0)
+      .orderBy("rk").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score")))
+    assert(top.toSeq === Seq(
+      (1L, 2000000000000L), (2L, 2000000000000L), (3L, 0L)),
+      "late interaction must score sub-permuted vectors as full matches")
+  }
+
   test("cosinePairs finds only the near-parallel pair at 0.9") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.95f, 0.05f)), (2L, Array(0.0f, 1.0f)),
