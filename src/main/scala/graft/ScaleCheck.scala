@@ -418,6 +418,50 @@ object ScaleCheck {
       time("graph_clustering", f) {
         Graph.clusteringCoefficients(Graph.coPartEdgesMin(lg, 2L), topN = 20).count()
       }
+      time("graph_hits", f) {
+        Graph.hits(Graph.coPartEdgesMin(lg, 2L), iters = 2).count()
+      }
+      time("graph_ppr", f) {
+        Graph.pageRankPersonalized(Graph.coPartEdges(lg),
+          col("node") % 10 === 0, iters = 3).count()
+      }
+
+      // CDC chunking: pure map-side hashing + two partial-agg shuffles —
+      // must be linear in corpus chars with flat rows-out (per-source
+      // census). Exact duplication leaves n_distinct unchanged.
+      time("dedup_cdc_chunks", f) {
+        Dedup.cdcChunkStats(d.withColumn("source",
+          coalesce(col("source"), lit("s")))).count()
+      }
+
+      // MaxSim late interaction: fixed probe set, corpus streams map-side
+      // — linear in corpus size per probe, shuffle only at top-k.
+      time("simsearch_maxsim", f) {
+        Similarity.maxSimTopK(v, 10, 4, col("vec_id") < 5).count()
+      }
+
+      // Blocked ER: exact replication is the ADVERSARIAL multiplicity
+      // case for blocking — replicas share a block AND have distance-0
+      // names, so the verified-pair tier grows ~f² by construction
+      // (recorded to show it, like dedup_containment); the CLUSTER tier
+      // stays flat rows-out because replicas collapse into one entity.
+      if (f <= 4)
+        time("link_blocked_pairs", f) {
+          val cf = replicate(tbl(spark, sfDir, "customer"), "c_custkey", f)
+          graft.operators.Linkage.blockedPairs(cf, 2).count()
+        }
+      // the realistic growth ladder: replicas land in DISTINCT blocks
+      // (nation offset per copy) — f× more blocks of unchanged size, so
+      // the pair space and the cluster tier must scale linearly
+      time("link_er_clusters", f) {
+        val c0 = tbl(spark, sfDir, "customer")
+        val cf = (0 until f).map(i => c0
+            .withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 10000000L))
+            .withColumn("c_nationkey", col("c_nationkey") + lit(i * 100)))
+          .reduce(_ unionByName _)
+        graft.operators.Linkage.erClusters(
+          graft.operators.Linkage.blockedPairs(cf, 2)).count()
+      }
     }
     spark.stop()
   }

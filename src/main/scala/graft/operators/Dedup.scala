@@ -542,7 +542,14 @@ object Dedup {
     * projection); the only shuffles are the two partial-aggregatable
     * group-bys on (source, chunk-hash) then (source) — the same shape as
     * exact dedup. Expected chunk length = divisor chars. */
-  def cdcChunkStats(docs: DataFrame, window: Int = 8, divisor: Int = 64): DataFrame = {
+  def cdcChunkStats(docs: DataFrame, window: Int = 8, divisor: Int = 64): DataFrame =
+    cdcCensus(cdcChunkHashes(docs, window, divisor))
+
+  /** Per-chunk rows (source, h, l) of the CDC chunking — the map-side
+    * half of [[cdcChunkStats]], exposed so a streaming ingest can chunk
+    * each micro-batch independently (chunking is per-row, so batch
+    * splits cannot change the chunk set) and defer the census. */
+  def cdcChunkHashes(docs: DataFrame, window: Int = 8, divisor: Int = 64): DataFrame = {
     val w1 = window - 1
     val t = docs.filter(length(col("text")) >= 1)
       .select(col("source"), col("text"),
@@ -560,16 +567,20 @@ object Dedup {
          |    CAST((CASE WHEN k <= size(bs) THEN element_at(bs, k) ELSE n END)
          |       - (CASE WHEN k = 1 THEN 1 ELSE element_at(bs, k - 1) + 1 END) + 1 AS INT)))""".stripMargin))
       .as("chunk"))
-    val g = chunks
-      .select(col("source"), expr("graft_char_hash(chunk)").as("h"),
-        length(col("chunk")).cast("long").as("l"))
+    chunks.select(col("source"), expr("graft_char_hash(chunk)").as("h"),
+      length(col("chunk")).cast("long").as("l"))
+  }
+
+  /** Census half of [[cdcChunkStats]] over (source, h, l) chunk rows:
+    * two partial-aggregatable group-bys, batch-split-invariant. */
+  def cdcCensus(chunkRows: DataFrame): DataFrame =
+    chunkRows
       .groupBy("source", "h")
       .agg(count(lit(1)).as("c"), min("l").as("l"))
-    g.groupBy("source")
+      .groupBy("source")
       .agg(sum("c").as("n_chunks"), count(lit(1)).as("n_distinct"),
         sum(col("c") * col("l")).as("total_chars"),
         (sum(col("c") * col("l")) - sum("l")).as("saved_chars"))
       .withColumn("dup_ppm",
         expr("(1000000 * (n_chunks - n_distinct)) div n_chunks"))
-  }
 }

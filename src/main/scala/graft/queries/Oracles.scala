@@ -180,6 +180,37 @@ object Oracles {
   private def qdotPair(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i_ -> $a[i_]*$b[i_])) AS BIGINT)"
 
+  /** Content-defined chunking census (dedup_cdc_chunks and its streaming
+    * twin): boundary where the trailing-8-char polynomial hash % 64 = 0
+    * (interior positions only), chunks sliced between boundaries,
+    * identity = the same char hash. Mirrors Dedup.cdcChunkStats exactly
+    * (min-length per hash under collision). */
+  private lazy val cdcChunksSql: String =
+    s"""WITH t AS (SELECT doc_id, source, text, length(text) AS n
+       |           FROM documents WHERE length(text) >= 1),
+       |pos AS (SELECT doc_id, unnest(generate_series(8, n)) AS i, text, n FROM t),
+       |bnd AS (SELECT doc_id, i FROM pos
+       |        WHERE i < n AND (${ch("substring(text, CAST(i - 7 AS INT), 8)")}) % 64 = 0),
+       |bl AS (SELECT t.doc_id, t.source, t.text, t.n,
+       |         coalesce(list_sort(list(b.i) FILTER (WHERE b.i IS NOT NULL)),
+       |                  CAST([] AS BIGINT[])) AS bs
+       |       FROM t LEFT JOIN bnd b ON t.doc_id = b.doc_id
+       |       GROUP BY t.doc_id, t.source, t.text, t.n),
+       |ck AS (SELECT source, unnest(list_transform(generate_series(1, len(bs) + 1),
+       |         k -> substring(text,
+       |           CAST(CASE WHEN k = 1 THEN 1 ELSE bs[k-1] + 1 END AS INT),
+       |           CAST((CASE WHEN k <= len(bs) THEN bs[k] ELSE n END)
+       |              - (CASE WHEN k = 1 THEN 1 ELSE bs[k-1] + 1 END) + 1 AS INT)))) AS chunk
+       |       FROM bl),
+       |h AS (SELECT source, (${ch("chunk")}) AS h, CAST(length(chunk) AS BIGINT) AS l FROM ck),
+       |g AS (SELECT source, h, count(*) AS c, min(l) AS l FROM h GROUP BY 1, 2)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) AS BIGINT) AS n_distinct,
+       |  CAST(sum(c * l) AS BIGINT) AS total_chars,
+       |  CAST(sum(c * l) - sum(l) AS BIGINT) AS saved_chars,
+       |  CAST((1000000 * (sum(c) - count(*))) // sum(c) AS BIGINT) AS dup_ppm
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   /** Shared CTE prefix for the bigram-LM quality family (text_perplexity
     * / sample_doremi): Laplace-smoothed bigram LM trained on even
     * doc_ids, exact integer inverse-probability ppm per odd doc, ending
@@ -3132,32 +3163,12 @@ object Oracles {
     // polynomial hash % 64 = 0 (interior positions only), chunks sliced
     // between boundaries, identity = the same char hash. Mirrors
     // Dedup.cdcChunkStats exactly (min-length per hash under collision).
-    "dedup_cdc_chunks" ->
-      s"""WITH t AS (SELECT doc_id, source, text, length(text) AS n
-         |           FROM documents WHERE length(text) >= 1),
-         |pos AS (SELECT doc_id, unnest(generate_series(8, n)) AS i, text, n FROM t),
-         |bnd AS (SELECT doc_id, i FROM pos
-         |        WHERE i < n AND (${ch("substring(text, CAST(i - 7 AS INT), 8)")}) % 64 = 0),
-         |bl AS (SELECT t.doc_id, t.source, t.text, t.n,
-         |         coalesce(list_sort(list(b.i) FILTER (WHERE b.i IS NOT NULL)),
-         |                  CAST([] AS BIGINT[])) AS bs
-         |       FROM t LEFT JOIN bnd b ON t.doc_id = b.doc_id
-         |       GROUP BY t.doc_id, t.source, t.text, t.n),
-         |ck AS (SELECT source, unnest(list_transform(generate_series(1, len(bs) + 1),
-         |         k -> substring(text,
-         |           CAST(CASE WHEN k = 1 THEN 1 ELSE bs[k-1] + 1 END AS INT),
-         |           CAST((CASE WHEN k <= len(bs) THEN bs[k] ELSE n END)
-         |              - (CASE WHEN k = 1 THEN 1 ELSE bs[k-1] + 1 END) + 1 AS INT)))) AS chunk
-         |       FROM bl),
-         |h AS (SELECT source, (${ch("chunk")}) AS h, CAST(length(chunk) AS BIGINT) AS l FROM ck),
-         |g AS (SELECT source, h, count(*) AS c, min(l) AS l FROM h GROUP BY 1, 2)
-         |SELECT source, CAST(sum(c) AS BIGINT) AS n_chunks,
-         |  CAST(count(*) AS BIGINT) AS n_distinct,
-         |  CAST(sum(c * l) AS BIGINT) AS total_chars,
-         |  CAST(sum(c * l) - sum(l) AS BIGINT) AS saved_chars,
-         |  CAST((1000000 * (sum(c) - count(*))) // sum(c) AS BIGINT) AS dup_ppm
-         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_cdc_chunks" -> cdcChunksSql,
 
+    // The streaming ingest form appends per-chunk rows batch-by-batch and
+    // runs the SAME census — chunking is per-row, so it shares the batch
+    // oracle bit-for-bit.
+    "stream_cdc_chunks" -> cdcChunksSql,
     // Entity-resolution family: blocked candidate pairs (blocking key =
     // nation × mktsegment), CC clustering of verified matches via a
     // recursive reachability closure (block-bounded graph, so the

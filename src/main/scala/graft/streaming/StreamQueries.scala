@@ -820,6 +820,34 @@ object StreamQueries {
       .orderBy("source", "lang")
   }
 
+  /** Streaming CDC-chunking ingest: each micro-batch is chunked and
+    * hashed independently (chunking is PER-ROW — batch splits cannot move
+    * a chunk boundary, which is exactly why content-defined beats
+    * fixed-offset chunking for incremental ingest), per-chunk rows append
+    * to the chunk store, and the dedup census runs over the store — so
+    * the result is bit-identical to batch [[graft.operators.Dedup
+    * .cdcChunkStats]] and shares its oracle. The production shape for
+    * "dedup a crawl as it lands" storage accounting. */
+  def streamCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("scdcsrc")
+    val docs = tbl(spark, dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    val out = tmpDir("scdcout")
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("scdcckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.cdcChunkHashes(batch)
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.operators.Dedup.cdcCensus(spark.read.parquet(out)).orderBy("source")
+  }
+
   /** Streaming point-in-time enrichment: probes arrive as a stream and
     * each micro-batch joins the STATIC SCD2 dimension (broadcast-class at
     * warehouse scale) on key + validity interval — the CDC-consumer shape
@@ -954,6 +982,7 @@ object StreamQueries {
     "stream_upsert_sink" -> (streamUpsertSink _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_quality_gate" -> (streamQualityGate _),
+    "stream_cdc_chunks" -> (streamCdcChunks _),
     "stream_temporal_join" -> (streamTemporalJoin _),
     "stream_available_now" -> (streamAvailableNow _),
     "stream_jdbc_sink" -> (streamJdbcSink _),

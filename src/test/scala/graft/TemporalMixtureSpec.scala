@@ -123,6 +123,14 @@ class TemporalMixtureSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("stream_cdc_chunks equals the batch CDC census bit-for-bit") {
+    val streamed = StreamQueries.all("stream_cdc_chunks")(spark, sf)
+    val batch = graft.operators.Dedup.cdcChunkStats(
+      queries.Staging.tbl(spark, sf, "documents"))
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("readabilityScores: known-answer counts and exact milli-score") {
     import spark.implicits._
     // "go on. it is ok!" → 5 words, 2 sentence runs ('.'+'!'), vowel runs:
