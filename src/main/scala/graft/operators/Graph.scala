@@ -686,11 +686,16 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist(lvl)
 
-    // L1-renormalise a (node, raw) frame to the 1e6 budget. The total is
-    // a single-row frame; crossJoin broadcasts it (1 row) — no shuffle.
-    def norm(raw: DataFrame): DataFrame = {
-      val tot = raw.agg(sum("raw").as("tot"))
-      raw.crossJoin(tot)
+    // L1-renormalise a (node, raw) frame to the 1e6 budget. The input
+    // MUST be checkpointed: the total is a second read of the frame (a
+    // 1-row aggregate, crossJoin-broadcast back — no shuffle of the
+    // scores), and an un-truncated input would re-run the expensive
+    // edges×scores join once per read. Checkpoint-then-norm keeps the
+    // join to exactly one execution per half-iteration — measured 2×
+    // on the sf0.1 co-part graph vs normalising the lazy frame.
+    def norm(rawCk: DataFrame): DataFrame = {
+      val tot = rawCk.agg(sum("raw").as("tot"))
+      rawCk.crossJoin(tot)
         .select(col("node"), expr("(1000000 * raw) div tot").as("s"))
     }
 
@@ -703,18 +708,109 @@ object Graph {
                 .groupBy(col("dst").as("node")).agg(sum("s").as("r")),
               Seq("node"), "left")
         .select(col("node"), coalesce(col("r"), lit(0L)).as("raw"))
-      auths = norm(rawA).localCheckpoint()
+        .localCheckpoint()
+      auths = norm(rawA)
       val rawH = nodes
         .join(e.join(auths.withColumnRenamed("node", "dst"), "dst")
                 .groupBy(col("src").as("node")).agg(sum("s").as("r")),
               Seq("node"), "left")
         .select(col("node"), coalesce(col("r"), lit(0L)).as("raw"))
-      hubs = norm(rawH).localCheckpoint()
+        .localCheckpoint()
+      hubs = norm(rawH)
     }
     val out = auths.select(col("node"), col("s").as("auth"))
       .join(hubs.select(col("node"), col("s").as("hub")), "node")
       .localCheckpoint()
     nodes.unpersist()
+    e.unpersist()
+    out
+  }
+
+  /** STRESS centrality (Shimbel 1953) from `nSources` pinned sources
+    * within a `rounds`-hop horizon — the integer-exact member of the
+    * betweenness family: stress(v) = Σ_{s,t} #(shortest s→t paths through
+    * v). Computed Brandes-style but WITHOUT the σ_t ratio division that
+    * makes true betweenness rational: forward BFS accumulates σ(v) =
+    * #shortest paths from s (pure integer sums), backward accumulates
+    * D(v) = Σ_{w ∈ SP-DAG succ} (1 + D(w)) = #shortest-path continuations
+    * below v (pure integer sums), and σ(v)·D(v) counts exactly the
+    * shortest paths THROUGH v — endpoints excluded by construction.
+    * Sources = the `nSources` highest-degree nodes (ties to the smaller
+    * id — deterministic, and hub sources give the sampled stress real
+    * coverage where min-id sources can land in 6-node pockets);
+    * the pinned horizon is the same prefix contract as the BFS ladder
+    * (run [[bfsDistances]]-style to exhaustion when the diameter
+    * matters; see graph_bfs_full for the convergence-detected form).
+    *
+    * Scale: states key on (source, node) so ALL sources advance in the
+    * same `rounds` joins — per round ONE frontier×edges equi-join + one
+    * partial-aggregatable σ-sum + one anti-join against the visited set;
+    * backward mirrors it level-by-level. Frames stay O(nSources·|V|),
+    * lineage-truncated per round. */
+  def stressCentrality(edges: DataFrame, nSources: Int, rounds: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = bidir(edges).persist(lvl)
+    val srcs = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node")).limit(nSources)
+      .select(col("node").as("s"))
+    // visited stays a LAZY union of the (checkpointed) per-round
+    // frontiers — re-checkpointing the growing union each round would
+    // double the job count for no lineage benefit (every leg is already
+    // truncated).
+    var visited = srcs
+      .select(col("s"), col("s").as("node"), lit(0L).as("dist"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var frontier = visited
+    // frontier-exhaustion early exit: an empty round means every later
+    // round (and its backward level) is empty too — identical result,
+    // fewer jobs when the reachable set is smaller than the horizon
+    // (isEmpty on a checkpointed frame is O(1) driver work)
+    var dmax = 0
+    var i = 1
+    while (i <= rounds && dmax == i - 1) {
+      val nxt = frontier.select(col("s"), col("node").as("src"), col("sigma"))
+        .join(e, "src")
+        .groupBy(col("s"), col("dst").as("node"))
+        .agg(sum("sigma").as("sigma"))
+        .join(visited.select("s", "node"), Seq("s", "node"), "left_anti")
+        .select(col("s"), col("node"), lit(i.toLong).as("dist"), col("sigma"))
+        .localCheckpoint()
+      if (!nxt.isEmpty) dmax = i
+      visited = visited.unionByName(nxt)
+      frontier = nxt
+      i += 1
+    }
+    // backward: D = 0 at the horizon, D(v) = Σ_succ (1 + D(w)) above it.
+    // Levels 1..rounds-1 all EMIT rows (a deepest-level node contributes
+    // stress 0 but still appears — the unrolled oracle unions d1..d3
+    // regardless of where the frontier died), so when dmax < rounds the
+    // pass starts AT dmax with an empty successor frame, not below it.
+    val top = math.min(rounds - 1, dmax)
+    var dnext = visited.filter(col("dist") === (top + 1).toLong)
+      .select(col("s"), col("node"), lit(0L).as("d"))
+    val levels = Seq.newBuilder[DataFrame]
+    for (l <- top to 0 by -1) {
+      val lv = visited.filter(col("dist") === l.toLong)
+        .select(col("s"), col("node"), col("sigma"))
+      val down = lv.select(col("s"), col("node").as("src"))
+        .join(e, "src")
+        .select(col("s"), col("src").as("node"), col("dst").as("w"))
+        .join(dnext.select(col("s"), col("node").as("w"), col("d").as("dw")),
+          Seq("s", "w"))
+        .groupBy("s", "node")
+        .agg(sum(lit(1L) + col("dw")).as("d"))
+      val dl = lv.join(down, Seq("s", "node"), "left")
+        .select(col("s"), col("node"), col("sigma"),
+          coalesce(col("d"), lit(0L)).as("d"))
+        .localCheckpoint()
+      if (l > 0) levels += dl // level 0 = the sources themselves: excluded
+      dnext = dl.select("s", "node", "d")
+    }
+    val out = levels.result()
+      .reduceOption(_ unionByName _)
+      .map(_.groupBy("node").agg(sum(col("sigma") * col("d")).as("stress")))
+      .getOrElse(srcs.select(col("s").as("node"), lit(0L).as("stress")).limit(0))
+      .localCheckpoint()
     e.unpersist()
     out
   }

@@ -2938,6 +2938,16 @@ object ExtQueries {
         Linkage.blockedPairs(tbl(spark, dir, "customer"), maxDist = 2))
       .orderBy("cluster_id")
 
+  /** Stress centrality (integer-exact betweenness family) from the 3
+    * top-degree hubs within a 4-hop horizon on the thresholded co-part
+    * graph — see [[graft.operators.Graph.stressCentrality]] for the
+    * division-free Brandes dataflow. Top-20 by paths-through count. */
+  def graphBetweenness(spark: SparkSession, dir: String): DataFrame =
+    Graph.stressCentrality(
+        Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+        nSources = 3, rounds = 4)
+      .orderBy(col("stress").desc, col("node")).limit(20)
+
   /** Personalized PageRank: random walk with restart to the seed set
     * {node ≡ 0 (mod 10)} — the "rank by relatedness to this query set"
     * retrieval primitive. 3 iterations, integer micro-rank units, teleport
@@ -3308,6 +3318,7 @@ object ExtQueries {
     "graph_scc" -> (graphScc _),
     "graph_hits" -> (graphHits _),
     "graph_ppr" -> (graphPpr _),
+    "graph_betweenness" -> (graphBetweenness _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "link_blocked_pairs" -> (linkBlockedPairs _),
     "link_er_clusters" -> (linkErClusters _),

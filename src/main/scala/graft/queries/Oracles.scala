@@ -3169,6 +3169,49 @@ object Oracles {
     // runs the SAME census — chunking is per-row, so it shares the batch
     // oracle bit-for-bit.
     "stream_cdc_chunks" -> cdcChunksSql,
+    // Stress centrality, unrolled: forward BFS with integer shortest-path
+    // counts (σ), backward SP-DAG continuation counts (D), stress =
+    // Σ σ·D over sources — no division anywhere, so bit-exact by
+    // construction. Sources = 3 top-degree hubs; 4-hop pinned horizon.
+    "graph_betweenness" -> {
+      def fwd(i: Int): String =
+        s"""f$i AS (SELECT v.s, bi.dst AS node, sum(v.sigma) AS sigma
+           |     FROM v${i - 1} v JOIN bi ON v.node = bi.src
+           |     WHERE v.dist = ${i - 1} GROUP BY 1, 2),
+           |n$i AS (SELECT f$i.s, f$i.node, $i AS dist, f$i.sigma FROM f$i
+           |     WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} p
+           |                       WHERE p.s = f$i.s AND p.node = f$i.node)),
+           |v$i AS (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM n$i)""".stripMargin
+      def bwd(l: Int, dn: String): String =
+        s"""c$l AS (SELECT lv.s, lv.node, sum(1 + dn.d) AS d
+           |     FROM v4 lv JOIN bi ON lv.node = bi.src
+           |     JOIN $dn dn ON dn.s = lv.s AND dn.node = bi.dst
+           |     WHERE lv.dist = $l GROUP BY 1, 2),
+           |d$l AS (SELECT lv.s, lv.node, lv.sigma, coalesce(c$l.d, 0) AS d
+           |     FROM v4 lv LEFT JOIN c$l ON c$l.s = lv.s AND c$l.node = lv.node
+           |     WHERE lv.dist = $l)""".stripMargin
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |srcs AS (SELECT src AS s FROM bi GROUP BY src
+         |         ORDER BY count(*) DESC, src LIMIT 3),
+         |v0 AS (SELECT s, s AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM srcs),
+         |${fwd(1)},
+         |${fwd(2)},
+         |${fwd(3)},
+         |${fwd(4)},
+         |d4 AS (SELECT s, node, CAST(0 AS BIGINT) AS d FROM v4 WHERE dist = 4),
+         |${bwd(3, "d4")},
+         |${bwd(2, "d3")},
+         |${bwd(1, "d2")}
+         |SELECT node, CAST(sum(sigma * d) AS BIGINT) AS stress
+         |FROM (SELECT s, node, sigma, d FROM d1
+         |      UNION ALL SELECT s, node, sigma, d FROM d2
+         |      UNION ALL SELECT s, node, sigma, d FROM d3)
+         |GROUP BY node ORDER BY stress DESC, node LIMIT 20""".stripMargin
+    },
+
     // Entity-resolution family: blocked candidate pairs (blocking key =
     // nation × mktsegment), CC clustering of verified matches via a
     // recursive reachability closure (block-bounded graph, so the

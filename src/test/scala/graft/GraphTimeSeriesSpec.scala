@@ -356,6 +356,25 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(one.sameElements(many))
   }
 
+  test("stressCentrality: star hub carries all shortest paths; leaves carry none") {
+    // star 1-(2,3,4,5): top-3-degree sources = {1,2,3} (hub + tie-broken
+    // leaves). Every leaf-to-leaf shortest path passes through the hub:
+    // from s=2, D(1)=3 (continuations to 3,4,5), sigma=1 → stress 3;
+    // same from s=3 → total 6. Leaves appear with stress 0 (emitted
+    // horizon rows), hub with 6.
+    val star = edgesDf((1L,2L),(1L,3L),(1L,4L),(1L,5L))
+    val m = Graph.stressCentrality(star, nSources = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === 6L, s"hub stress: $m")
+    assert(Seq(2L,3L,4L,5L).forall(m(_) === 0L))
+    assert(m.size === 5)
+    // partitioning invariance (integer sums only)
+    val m7 = Graph.stressCentrality(
+      star.repartition(7), nSources = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m7 === m)
+  }
+
   test("pageRankPersonalized: teleport mass concentrates on and around seeds") {
     // star with the hub as the only seed: hub dominates, leaves tie exactly
     val star = edgesDf((1L,2L),(1L,3L),(1L,4L),(1L,5L))
