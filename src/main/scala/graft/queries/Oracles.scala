@@ -3174,6 +3174,9 @@ object Oracles {
     // Σ σ·D over sources — no division anywhere, so bit-exact by
     // construction. Sources = 3 top-degree hubs; 4-hop pinned horizon.
     "graph_betweenness" -> {
+      // v_i MUST be MATERIALIZED: each round reads its predecessor twice
+      // (σ-join + NOT EXISTS) — inlined CTEs re-evaluate 2^rounds times
+      // and spill DuckDB to disk on larger fixtures.
       def fwd(i: Int): String =
         s"""f$i AS (SELECT v.s, bi.dst AS node, sum(v.sigma) AS sigma
            |     FROM v${i - 1} v JOIN bi ON v.node = bi.src
@@ -3181,7 +3184,7 @@ object Oracles {
            |n$i AS (SELECT f$i.s, f$i.node, $i AS dist, f$i.sigma FROM f$i
            |     WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} p
            |                       WHERE p.s = f$i.s AND p.node = f$i.node)),
-           |v$i AS (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM n$i)""".stripMargin
+           |v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM n$i)""".stripMargin
       def bwd(l: Int, dn: String): String =
         s"""c$l AS (SELECT lv.s, lv.node, sum(1 + dn.d) AS d
            |     FROM v4 lv JOIN bi ON lv.node = bi.src
