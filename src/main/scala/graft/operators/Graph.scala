@@ -747,24 +747,25 @@ object Graph {
     * partial-aggregatable σ-sum + one anti-join against the visited set;
     * backward mirrors it level-by-level. Frames stay O(nSources·|V|),
     * lineage-truncated per round. */
-  def stressCentrality(edges: DataFrame, nSources: Int, rounds: Int): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = bidir(edges).persist(lvl)
+  /** Shared forward pass of the sampled-centrality family: multi-source
+    * BFS with exact shortest-path counts σ, all sources advancing in the
+    * same per-round join. Sources = `nSources` top-degree hubs (ties to
+    * the smaller id). Returns the (s, node, dist, sigma) visited frame
+    * (a lazy union of checkpointed per-round frontiers — re-checkpointing
+    * the growing union each round would double the job count for no
+    * lineage benefit) and the deepest non-empty distance, with
+    * frontier-exhaustion early exit: an empty round means every later
+    * round is empty too — identical result, fewer jobs when the
+    * reachable set is smaller than the horizon (isEmpty on a
+    * checkpointed frame is O(1) driver work). */
+  private def forwardSigma(e: DataFrame, nSources: Int, rounds: Int): (DataFrame, Int) = {
     val srcs = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("node")).limit(nSources)
       .select(col("node").as("s"))
-    // visited stays a LAZY union of the (checkpointed) per-round
-    // frontiers — re-checkpointing the growing union each round would
-    // double the job count for no lineage benefit (every leg is already
-    // truncated).
     var visited = srcs
       .select(col("s"), col("s").as("node"), lit(0L).as("dist"), lit(1L).as("sigma"))
       .localCheckpoint()
     var frontier = visited
-    // frontier-exhaustion early exit: an empty round means every later
-    // round (and its backward level) is empty too — identical result,
-    // fewer jobs when the reachable set is smaller than the horizon
-    // (isEmpty on a checkpointed frame is O(1) driver work)
     var dmax = 0
     var i = 1
     while (i <= rounds && dmax == i - 1) {
@@ -780,6 +781,33 @@ object Graph {
       frontier = nxt
       i += 1
     }
+    (visited, dmax)
+  }
+
+  /** HARMONIC centrality (sampled): H(v) = Σ_s 1000 div d(s, v) in exact
+    * milli units over the same top-degree source set and pinned horizon
+    * as [[stressCentrality]] — the standard "how close is v to the
+    * hubs" ranking that, unlike closeness, is well-defined on
+    * disconnected graphs (unreachable pairs contribute 0, not ∞). One
+    * forward-σ BFS + ONE partial-aggregatable rollup; floor division on
+    * positive integers keeps it oracle-exact. */
+  def harmonicCentrality(edges: DataFrame, nSources: Int, rounds: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = bidir(edges).persist(lvl)
+    val (visited, _) = forwardSigma(e, nSources, rounds)
+    val out = visited.filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(sum(expr("1000 div dist")).as("harmonic_milli"),
+        count(lit(1)).as("n_sources"))
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
+
+  def stressCentrality(edges: DataFrame, nSources: Int, rounds: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = bidir(edges).persist(lvl)
+    val (visited, dmax) = forwardSigma(e, nSources, rounds)
     // backward: D = 0 at the horizon, D(v) = Σ_succ (1 + D(w)) above it.
     // Levels 1..rounds-1 all EMIT rows (a deepest-level node contributes
     // stress 0 but still appears — the unrolled oracle unions d1..d3
@@ -809,7 +837,7 @@ object Graph {
     val out = levels.result()
       .reduceOption(_ unionByName _)
       .map(_.groupBy("node").agg(sum(col("sigma") * col("d")).as("stress")))
-      .getOrElse(srcs.select(col("s").as("node"), lit(0L).as("stress")).limit(0))
+      .getOrElse(visited.select(col("node"), lit(0L).as("stress")).limit(0))
       .localCheckpoint()
     e.unpersist()
     out

@@ -2948,6 +2948,16 @@ object ExtQueries {
         nSources = 3, rounds = 4)
       .orderBy(col("stress").desc, col("node")).limit(20)
 
+  /** Sampled harmonic centrality from the same 3 top-degree hubs and
+    * 4-hop horizon as [[graphBetweenness]]: Σ_s 1000 div d(s,v) in exact
+    * milli units — see [[graft.operators.Graph.harmonicCentrality]].
+    * Top-20 by closeness-to-the-hubs. */
+  def graphHarmonic(spark: SparkSession, dir: String): DataFrame =
+    Graph.harmonicCentrality(
+        Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+        nSources = 3, rounds = 4)
+      .orderBy(col("harmonic_milli").desc, col("node")).limit(20)
+
   /** Personalized PageRank: random walk with restart to the seed set
     * {node ≡ 0 (mod 10)} — the "rank by relatedness to this query set"
     * retrieval primitive. 3 iterations, integer micro-rank units, teleport
@@ -3319,6 +3329,7 @@ object ExtQueries {
     "graph_hits" -> (graphHits _),
     "graph_ppr" -> (graphPpr _),
     "graph_betweenness" -> (graphBetweenness _),
+    "graph_harmonic" -> (graphHarmonic _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "link_blocked_pairs" -> (linkBlockedPairs _),
     "link_er_clusters" -> (linkErClusters _),

@@ -211,6 +211,35 @@ object Oracles {
        |  CAST((1000000 * (sum(c) - count(*))) // sum(c) AS BIGINT) AS dup_ppm
        |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  /** Shared CTE prefix for the sampled-centrality family
+    * (graph_betweenness / graph_harmonic): thresholded co-part edges →
+    * 3 top-degree hub sources → 4 unrolled multi-source BFS rounds with
+    * exact shortest-path counts σ, ending in `v4` (s, node, dist,
+    * sigma). v_i MUST be MATERIALIZED: each round reads its predecessor
+    * twice (σ-join + NOT EXISTS) — inlined CTEs re-evaluate 2^rounds
+    * times and spill DuckDB to disk on larger fixtures. */
+  private lazy val stressFwdCtes: String = {
+    def fwd(i: Int): String =
+      s"""f$i AS (SELECT v.s, bi.dst AS node, sum(v.sigma) AS sigma
+         |     FROM v${i - 1} v JOIN bi ON v.node = bi.src
+         |     WHERE v.dist = ${i - 1} GROUP BY 1, 2),
+         |n$i AS (SELECT f$i.s, f$i.node, $i AS dist, f$i.sigma FROM f$i
+         |     WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} p
+         |                       WHERE p.s = f$i.s AND p.node = f$i.node)),
+         |v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM n$i)""".stripMargin
+    s"""os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+       |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |srcs AS (SELECT src AS s FROM bi GROUP BY src
+       |         ORDER BY count(*) DESC, src LIMIT 3),
+       |v0 AS (SELECT s, s AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM srcs),
+       |${fwd(1)},
+       |${fwd(2)},
+       |${fwd(3)},
+       |${fwd(4)}""".stripMargin
+  }
+
   /** Shared CTE prefix for the bigram-LM quality family (text_perplexity
     * / sample_doremi): Laplace-smoothed bigram LM trained on even
     * doc_ids, exact integer inverse-probability ppm per odd doc, ending
@@ -3174,17 +3203,6 @@ object Oracles {
     // Σ σ·D over sources — no division anywhere, so bit-exact by
     // construction. Sources = 3 top-degree hubs; 4-hop pinned horizon.
     "graph_betweenness" -> {
-      // v_i MUST be MATERIALIZED: each round reads its predecessor twice
-      // (σ-join + NOT EXISTS) — inlined CTEs re-evaluate 2^rounds times
-      // and spill DuckDB to disk on larger fixtures.
-      def fwd(i: Int): String =
-        s"""f$i AS (SELECT v.s, bi.dst AS node, sum(v.sigma) AS sigma
-           |     FROM v${i - 1} v JOIN bi ON v.node = bi.src
-           |     WHERE v.dist = ${i - 1} GROUP BY 1, 2),
-           |n$i AS (SELECT f$i.s, f$i.node, $i AS dist, f$i.sigma FROM f$i
-           |     WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} p
-           |                       WHERE p.s = f$i.s AND p.node = f$i.node)),
-           |v$i AS MATERIALIZED (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM n$i)""".stripMargin
       def bwd(l: Int, dn: String): String =
         s"""c$l AS (SELECT lv.s, lv.node, sum(1 + dn.d) AS d
            |     FROM v4 lv JOIN bi ON lv.node = bi.src
@@ -3193,17 +3211,7 @@ object Oracles {
            |d$l AS (SELECT lv.s, lv.node, lv.sigma, coalesce(c$l.d, 0) AS d
            |     FROM v4 lv LEFT JOIN c$l ON c$l.s = lv.s AND c$l.node = lv.node
            |     WHERE lv.dist = $l)""".stripMargin
-      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
-         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
-         |       GROUP BY 1, 2 HAVING count(*) >= 2),
-         |bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-         |srcs AS (SELECT src AS s FROM bi GROUP BY src
-         |         ORDER BY count(*) DESC, src LIMIT 3),
-         |v0 AS (SELECT s, s AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM srcs),
-         |${fwd(1)},
-         |${fwd(2)},
-         |${fwd(3)},
-         |${fwd(4)},
+      s"""WITH $stressFwdCtes,
          |d4 AS (SELECT s, node, CAST(0 AS BIGINT) AS d FROM v4 WHERE dist = 4),
          |${bwd(3, "d4")},
          |${bwd(2, "d3")},
@@ -3214,6 +3222,15 @@ object Oracles {
          |      UNION ALL SELECT s, node, sigma, d FROM d3)
          |GROUP BY node ORDER BY stress DESC, node LIMIT 20""".stripMargin
     },
+
+    // Sampled harmonic centrality: same forward-σ BFS prefix, one rollup
+    // — Σ 1000 // dist per node over the hub sources.
+    "graph_harmonic" ->
+      s"""WITH $stressFwdCtes
+         |SELECT node, CAST(sum(1000 // dist) AS BIGINT) AS harmonic_milli,
+         |  CAST(count(*) AS BIGINT) AS n_sources
+         |FROM v4 WHERE dist > 0 GROUP BY node
+         |ORDER BY harmonic_milli DESC, node LIMIT 20""".stripMargin,
 
     // Entity-resolution family: blocked candidate pairs (blocking key =
     // nation × mktsegment), CC clustering of verified matches via a

@@ -375,6 +375,20 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(m7 === m)
   }
 
+  test("harmonicCentrality: star — exact milli sums over hub sources") {
+    // sources (top-degree, ties to smaller id) = {1,2,3}. From s=1 each
+    // leaf is at dist 1 (1000); from s=2/s=3 the hub is 1000, far leaves
+    // 500 each. So: hub 1 → 2000/2 sources, leaves 2,3 → 1500/2,
+    // leaves 4,5 → 2000/3.
+    val star = edgesDf((1L,2L),(1L,3L),(1L,4L),(1L,5L))
+    val m = Graph.harmonicCentrality(star, nSources = 3, rounds = 4)
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("harmonic_milli"), r.getAs[Long]("n_sources")))).toMap
+    assert(m === Map(
+      1L -> ((2000L, 2L)), 2L -> ((1500L, 2L)), 3L -> ((1500L, 2L)),
+      4L -> ((2000L, 3L)), 5L -> ((2000L, 3L))))
+  }
+
   test("pageRankPersonalized: teleport mass concentrates on and around seeds") {
     // star with the hub as the only seed: hub dominates, leaves tie exactly
     val star = edgesDf((1L,2L),(1L,3L),(1L,4L),(1L,5L))
