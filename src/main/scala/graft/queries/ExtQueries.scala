@@ -2913,6 +2913,24 @@ object ExtQueries {
   def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame =
     Dedup.cdcChunkStats(tbl(spark, dir, "documents")).orderBy("source")
 
+  /** Interval-overlap range join WITHOUT a cartesian: purchase activity
+    * windows (30 min) × error incident windows (45 min), overlap pairs
+    * with exact µs overlap — see [[graft.operators.RangeJoin
+    * .intervalOverlap]] for the bucket-decomposition that turns the
+    * inequality join into a hash equi-join (bucket = 1 h, each interval
+    * covers ≤ 2 buckets; pair dedup is a stateless residual predicate,
+    * no distinct). */
+  def joinIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+    def iv(tpe: String, lenUs: Long) = e.filter(col("event_type") === tpe)
+      .select(col("event_id").as("id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + lenUs).as("e"))
+    graft.operators.RangeJoin.intervalOverlap(
+        iv("purchase", 1800000000L), iv("error", 2700000000L),
+        bucketUs = 3600000000L)
+      .orderBy("a_id", "b_id")
+  }
+
   // ---- record linkage / entity resolution --------------------------------
 
   /** Blocked candidate pairs for entity resolution over the customer
@@ -3331,6 +3349,7 @@ object ExtQueries {
     "graph_betweenness" -> (graphBetweenness _),
     "graph_harmonic" -> (graphHarmonic _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
+    "join_interval_overlap" -> (joinIntervalOverlap _),
     "link_blocked_pairs" -> (linkBlockedPairs _),
     "link_er_clusters" -> (linkErClusters _),
     "link_golden_records" -> (linkGoldenRecords _),

@@ -3232,6 +3232,23 @@ object Oracles {
          |FROM v4 WHERE dist > 0 GROUP BY node
          |ORDER BY harmonic_milli DESC, node LIMIT 20""".stripMargin,
 
+    // Interval-overlap range join: DuckDB evaluates the inequality join
+    // directly (IEJoin); Spark's bucket decomposition must produce the
+    // identical pair set with exact µs overlaps.
+    "join_interval_overlap" ->
+      """WITH a AS (SELECT event_id AS a_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+        |           FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT event_id AS b_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) + 2700000000 AS e
+        |      FROM events WHERE event_type = 'error')
+        |SELECT a.a_id, b.b_id,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+        |FROM a JOIN b ON a.s < b.e AND b.s < a.e
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // Entity-resolution family: blocked candidate pairs (blocking key =
     // nation × mktsegment), CC clustering of verified matches via a
     // recursive reachability closure (block-bounded graph, so the

@@ -51,6 +51,26 @@ class LinkageSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("intervalOverlap: exact pairs, no duplicates across buckets, touching excluded") {
+    import graft.operators.RangeJoin
+    val B = 100L // bucket width
+    val a = Seq((1L, 50L, 250L), (2L, 300L, 320L)).toDF("id", "s", "e")
+    val b = Seq(
+      (10L, 240L, 400L),  // overlaps a1 by [240,250) = 10, a2 fully (20)
+      (11L, 250L, 260L),  // TOUCHES a1 at 250 — strict overlap excludes
+      (12L, 0L, 60L))     // overlaps a1 by [50,60) = 10
+      .toDF("id", "s", "e")
+    val out = RangeJoin.intervalOverlap(a, b, B).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    // a1 spans buckets 0-2 and b10 spans 2-4: they meet in bucket 2 ONLY
+    // via the overlap-start rule — exactly one row despite shared buckets
+    assert(out.toSeq === Seq((1L, 10L, 10L), (1L, 12L, 10L), (2L, 10L, 20L)))
+    // physical plan: hash equi-join on the bucket, no cartesian/BNL
+    val plan = RangeJoin.intervalOverlap(a, b, B).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join must decompose to an equi-join:\n$plan")
+  }
+
   test("cdcChunkStats: exact duplicate halves distinct chunks; edits only reshape local chunks") {
     import graft.operators.Dedup
     // deterministic pseudo-random text, long enough for ~30 chunks
