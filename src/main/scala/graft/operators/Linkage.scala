@@ -40,6 +40,29 @@ object Linkage {
         col("name_dist"))
   }
 
+  /** Incremental candidate pairs for a STREAMING ingest: matches of a
+    * new batch = new×new (within-batch blocked pairs) ∪ new×history
+    * (cross join on the blocking key, pair oriented smaller-key-first).
+    * Summed over batches this emits EXACTLY the batch [[blockedPairs]]
+    * set — each pair appears once, at the batch where its later record
+    * arrives — so the incremental crawl shares the batch oracle. Cost
+    * per batch is O(|batch|·avg-block + |batch|·|hist-block|), never a
+    * re-pair of history against itself. */
+  def blockedPairsIncremental(newDf: DataFrame, hist: DataFrame,
+      maxDist: Int): DataFrame = {
+    def keyed(df: DataFrame, p: String) = df.select(
+      col("c_custkey").as(s"${p}k"), col("c_name").as(s"${p}n"),
+      col("c_nationkey").as(s"${p}b1"), col("c_mktsegment").as(s"${p}b2"))
+    val cross = keyed(newDf, "x").join(keyed(hist, "y"),
+        col("xb1") === col("yb1") && col("xb2") === col("yb2") &&
+          col("xk") =!= col("yk"))
+      .withColumn("name_dist", levenshtein(col("xn"), col("yn")).cast("long"))
+      .filter(col("name_dist") <= maxDist)
+      .select(least(col("xk"), col("yk")).as("cust_a"),
+        greatest(col("xk"), col("yk")).as("cust_b"), col("name_dist"))
+    blockedPairs(newDf, maxDist).unionByName(cross)
+  }
+
   /** Entity clusters: connected components over verified pairs (match
     * is not transitive; CC gives the maximal-entity semantics every ER
     * system uses). Census rows (cluster_id = min member key, n_members). */

@@ -2913,6 +2913,34 @@ object ExtQueries {
   def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame =
     Dedup.cdcChunkStats(tbl(spark, dir, "documents")).orderBy("source")
 
+  /** Incremental materialized-view maintenance (IVM): a month×priority
+    * revenue MV is BUILT from the base 90% of orders and persisted as a
+    * parquet table; the 10% delta is then applied INCREMENTALLY — both
+    * frames are partial aggregates over self-maintainable measures
+    * (count, sum-of-cents), so refresh = re-aggregate (MV ∪ agg(delta))
+    * on the group key. Refresh cost is O(|MV| + |delta|), never
+    * O(|base|): the plan scans the persisted MV parquet and the delta
+    * only — the defining property of IVM at warehouse scale. The oracle
+    * is the FULL recompute over all orders, so the gate itself proves
+    * incremental == full. Cents are exact integers (no float sums). */
+  def ddlIncrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(spark, dir, "orders")
+    def mv(df: DataFrame) = df
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority").as("priority"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("month", "priority")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+    val basePath = Staging.tmpDir("mvbase")
+    mv(orders.filter(col("o_orderkey") % 10 =!= 0))
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath)
+      .unionByName(mv(orders.filter(col("o_orderkey") % 10 === 0)))
+      .groupBy("month", "priority")
+      .agg(sum("n_orders").as("n_orders"), sum("rev_cents").as("rev_cents"))
+      .orderBy("month", "priority")
+  }
+
   /** Interval-overlap range join WITHOUT a cartesian: purchase activity
     * windows (30 min) × error incident windows (45 min), overlap pairs
     * with exact µs overlap — see [[graft.operators.RangeJoin
@@ -3350,6 +3378,7 @@ object ExtQueries {
     "graph_harmonic" -> (graphHarmonic _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "join_interval_overlap" -> (joinIntervalOverlap _),
+    "ddl_incremental_mv" -> (ddlIncrementalMv _),
     "link_blocked_pairs" -> (linkBlockedPairs _),
     "link_er_clusters" -> (linkErClusters _),
     "link_golden_records" -> (linkGoldenRecords _),

@@ -263,6 +263,18 @@ object Oracles {
        |        CAST(sum(inv_ppm) AS BIGINT) AS sppm FROM s GROUP BY 1, 2),
        |r AS (SELECT doc_id, lang, n_toks, CAST(sppm // n_toks AS BIGINT) AS ppx_ppm FROM d)""".stripMargin
 
+  /** Blocked ER candidate pairs (link_blocked_pairs and its streaming
+    * incremental twin): block on nation × mktsegment, verify by name
+    * edit distance ≤ 2, orient smaller key first. */
+  private lazy val linkPairsSql: String =
+    s"""SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist
+       |FROM customer a JOIN customer b
+       |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+       | AND a.c_custkey < b.c_custkey
+       |WHERE levenshtein(a.c_name, b.c_name) <= 2
+       |ORDER BY cust_a, cust_b""".stripMargin
+
   /** Shared CTE body for the entity-resolution family (caller supplies
     * the `WITH RECURSIVE` head): verified blocked pairs → bidirectional
     * edges → reachability closure → min-reachable cluster label. */
@@ -3232,6 +3244,15 @@ object Oracles {
          |FROM v4 WHERE dist > 0 GROUP BY node
          |ORDER BY harmonic_milli DESC, node LIMIT 20""".stripMargin,
 
+    // Incremental-MV maintenance: the oracle is the FULL recompute, so a
+    // green gate proves the incremental merge equals it.
+    "ddl_incremental_mv" ->
+      """SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+        |  o_orderpriority AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY month, priority""".stripMargin,
+
     // Interval-overlap range join: DuckDB evaluates the inequality join
     // directly (IEJoin); Spark's bucket decomposition must produce the
     // identical pair set with exact µs overlaps.
@@ -3253,14 +3274,12 @@ object Oracles {
     // nation × mktsegment), CC clustering of verified matches via a
     // recursive reachability closure (block-bounded graph, so the
     // closure stays tiny), and min-key survivorship.
-    "link_blocked_pairs" ->
-      s"""SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
-         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist
-         |FROM customer a JOIN customer b
-         |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
-         | AND a.c_custkey < b.c_custkey
-         |WHERE levenshtein(a.c_name, b.c_name) <= 2
-         |ORDER BY cust_a, cust_b""".stripMargin,
+    "link_blocked_pairs" -> linkPairsSql,
+
+    // Incremental streaming ER emits every pair exactly once (at the
+    // batch where its later record arrives) — the accumulated store is
+    // the batch pair set, same oracle bit-for-bit.
+    "stream_link_pairs" -> linkPairsSql,
 
     "link_er_clusters" ->
       s"""WITH RECURSIVE $linkPairCtes

@@ -848,6 +848,41 @@ object StreamQueries {
     graft.operators.Dedup.cdcCensus(spark.read.parquet(out)).orderBy("source")
   }
 
+  /** Streaming incremental entity resolution: customer records arrive in
+    * micro-batches; each batch's matches are new×new blocked pairs plus
+    * new×history cross-block pairs (see [[graft.operators.Linkage
+    * .blockedPairsIncremental]] — every pair emits exactly once, at the
+    * batch where its LATER record lands, so the accumulated pair store
+    * equals batch [[graft.operators.Linkage.blockedPairs]] bit-for-bit
+    * and shares the link_blocked_pairs oracle). History accumulates as
+    * an append-only parquet table — the dedup-a-crawl-as-it-lands shape
+    * with per-batch cost O(batch×block), never a history re-pair. */
+  def streamLinkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val cust = tbl(spark, dir, "customer")
+    val src = tmpDir("slpsrc")
+    cust.repartition(4).write.mode("overwrite").parquet(src)
+    val out = tmpDir("slpout")
+    val hist = tmpDir("slphist")
+    val q = spark.readStream.schema(cust.schema)
+      .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("slpckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint() // batch is consumed twice (pairs + history append)
+        val histDf =
+          try b.sparkSession.read.parquet(hist)
+          catch { case _: Throwable => b.limit(0) }
+        graft.operators.Linkage.blockedPairsIncremental(b, histDf, maxDist = 2)
+          .write.mode("append").parquet(out)
+        b.write.mode("append").parquet(hist)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(out).orderBy("cust_a", "cust_b")
+  }
+
   /** Streaming point-in-time enrichment: probes arrive as a stream and
     * each micro-batch joins the STATIC SCD2 dimension (broadcast-class at
     * warehouse scale) on key + validity interval — the CDC-consumer shape
@@ -983,6 +1018,7 @@ object StreamQueries {
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_quality_gate" -> (streamQualityGate _),
     "stream_cdc_chunks" -> (streamCdcChunks _),
+    "stream_link_pairs" -> (streamLinkPairs _),
     "stream_temporal_join" -> (streamTemporalJoin _),
     "stream_available_now" -> (streamAvailableNow _),
     "stream_jdbc_sink" -> (streamJdbcSink _),

@@ -51,6 +51,27 @@ class LinkageSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("blockedPairsIncremental: batch-split sum equals the batch pair set exactly") {
+    val all = cust(
+      (1L, "acme corp", 1, "A", 1.0), (2L, "acme corp", 1, "A", 2.0),
+      (3L, "acme c0rp", 1, "A", 3.0), (4L, "beta llc", 2, "B", 4.0),
+      (5L, "beta llp", 2, "B", 5.0), (6L, "acme corpX", 1, "A", 6.0))
+    val full = Linkage.blockedPairs(all, 2).collect().toSet
+    // split into three arrival batches; each batch pairs within itself
+    // and against accumulated history — union must equal the batch run
+    val batches = Seq(Seq(1L, 4L), Seq(2L, 5L), Seq(3L, 6L))
+    var hist = all.limit(0)
+    val acc = batches.map { ids =>
+      val b = all.filter(col("c_custkey").isin(ids: _*))
+      val pairs = Linkage.blockedPairsIncremental(b, hist, 2).collect().toSet
+      hist = hist.unionByName(b)
+      pairs
+    }
+    assert(acc.reduce(_ ++ _) === full)
+    // no pair is emitted twice across batches
+    assert(acc.map(_.size).sum === full.size)
+  }
+
   test("intervalOverlap: exact pairs, no duplicates across buckets, touching excluded") {
     import graft.operators.RangeJoin
     val B = 100L // bucket width
