@@ -297,6 +297,83 @@ object Multimodal {
     }
   }
 
+  /** Per-clip silence profile: doc, decoded sample count, number of
+    * silent segments, total silent samples, longest silent run. */
+  case class AudioSilence(doc_id: Long, n_samples: Long, n_segments: Long,
+                          n_silent: Long, longest_run: Long)
+
+  /** Gapped variant of [[encodeWav]]: every 4th 100-sample block is
+    * zeroed — deterministic embedded silence so a detector has real
+    * structure to find, with closed-form block geometry the oracle
+    * mirrors (non-silent samples are base + t ≥ 100 > 0, so exact-zero
+    * IS the silence predicate). */
+  def encodeWavGapped(payload: Array[Byte]): Array[Byte] = {
+    val nb = payload.length
+    val n = 1000 + nb % 4000
+    val base =
+      if (nb > 0) ((payload(0) & 0xff) + (payload(nb - 1) & 0xff)) % 1000 else 0
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val a = if ((t / 100) % 4 == 0) 0 else base + t
+      pcm(2 * t) = (a & 0xff).toByte
+      pcm(2 * t + 1) = ((a >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Silence-run detection over REAL decoded PCM: stream the frames
+    * through the JDK codec and fold runs of zero samples imperatively —
+    * the per-clip scan stays inside the partition batch (no per-sample
+    * explode, no shuffle introduced by detection; the standard shape for
+    * audio feature extraction over a corpus: codec + scan per row,
+    * aggregate later if needed). */
+  def silenceProfile(docId: Long, bytes: Array[Byte]): AudioSilence = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"unsupported PCM shape: $fmt")
+      val buf = new Array[Byte](fmt.getFrameSize * 1024)
+      var nSamples = 0L; var nSilent = 0L; var nSegments = 0L
+      var run = 0L; var longest = 0L
+      var read = ais.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i + 1 < read) {
+          val a = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toLong
+          if (a == 0L) {
+            if (run == 0L) nSegments += 1
+            run += 1
+            nSilent += 1
+            if (run > longest) longest = run
+          } else run = 0L
+          nSamples += 1
+          i += 2
+        }
+        read = ais.read(buf)
+      }
+      AudioSilence(docId, nSamples, nSegments, nSilent, longest)
+    } finally ais.close()
+  }
+
+  /** Partition-wise batch silence detection over the gapped synth WAVs —
+    * every statistic passes through the real sampled-audio codec. */
+  def silenceAll(spark: SparkSession, docs: DataFrame): Dataset[AudioSilence] = {
+    import spark.implicits._
+    withPayload(docs).as[Payload].mapPartitions { it =>
+      it.map(p => silenceProfile(p.doc_id, encodeWavGapped(p.payload)))
+    }
+  }
+
   /** Frame-sampling stub for video-like payloads: every k-th byte stands in
     * for every k-th frame; keeps the explode/array plumbing honest (a real
     * video demuxer needs codecs the JDK does not ship — the one remaining

@@ -2758,6 +2758,13 @@ object ExtQueries {
     Multimodal.decodeAllAudio(spark, tbl(spark, dir, "documents"))
       .toDF().orderBy("doc_id")
 
+  /** Silence-segment detection over real decoded PCM (gapped synth
+    * WAVs) — see [[graft.operators.Multimodal.silenceProfile]]; the
+    * oracle mirrors the closed-form block geometry. */
+  def multimodalSilence(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.silenceAll(spark, tbl(spark, dir, "documents"))
+      .toDF().orderBy("doc_id")
+
   /** Fixed-width histogram of the value column (bin = floor(value/50)). */
   def aggHistogram(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "events")
@@ -3451,6 +3458,7 @@ object ExtQueries {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_luma_hist" -> (multimodalLumaHist _),
     "multimodal_audio" -> (multimodalAudio _),
+    "multimodal_silence" -> (multimodalSilence _),
     "scan_binaryfile" -> (scanBinaryfile _),
     "scan_text" -> (scanText _),
     "pipeline_text_clean" -> (pipelineTextClean _),

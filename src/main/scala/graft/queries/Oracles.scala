@@ -1977,6 +1977,24 @@ object Oracles {
     // n = 1000 + n_bytes % 4000 samples, base = (first+last byte) % 1000 —
     // the real codec must read back sum = n*base + n(n-1)/2 and
     // energy = n*base^2 + 2*base*n(n-1)/2 + (n-1)n(2n-1)/6.
+    // Silence profile of the gapped synth WAV: every 4th 100-sample
+    // block is zeroed and non-silent samples are strictly positive, so
+    // segments/runs have the closed block-geometry form below (blocks
+    // with k % 4 = 0 are isolated — each is exactly one segment, the
+    // last possibly partial).
+    "multimodal_silence" ->
+      """WITH f AS (SELECT doc_id,
+        |   CAST(1000 + octet_length(encode(text)) % 4000 AS BIGINT) AS n
+        | FROM documents),
+        |b AS (SELECT doc_id, n, unnest(generate_series(0, (n - 1) // 100)) AS k FROM f),
+        |s AS (SELECT doc_id, n, k, least(100, n - 100 * k) AS run
+        |      FROM b WHERE k % 4 = 0)
+        |SELECT doc_id, any_value(n) AS n_samples,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(run) AS BIGINT) AS n_silent,
+        |  CAST(max(run) AS BIGINT) AS longest_run
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "multimodal_audio" ->
       """WITH f AS (SELECT doc_id,
         |   CAST(1000 + octet_length(encode(text)) % 4000 AS BIGINT) AS n,

@@ -92,6 +92,18 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.toSeq === Seq((0L, 'a'.toLong), (3L, 'd'.toLong), (6L, 'g'.toLong)))
   }
 
+  test("silenceProfile: gapped WAV round-trips through the codec with exact run geometry") {
+    // empty payload → n = 1000 samples, silent blocks k = 0,4,8 → 3
+    // isolated 100-sample segments, 300 silent samples
+    val s0 = Multimodal.silenceProfile(1L, Multimodal.encodeWavGapped(Array.emptyByteArray))
+    assert(s0 === Multimodal.AudioSilence(1L, 1000L, 3L, 300L, 100L))
+    // payload of 3050 bytes → n = 4050: k = 0..40, silent k = 0,4,...,40
+    // (11 blocks); the last (k = 40) is partial: min(100, 4050-4000) = 50
+    val s1 = Multimodal.silenceProfile(2L,
+      Multimodal.encodeWavGapped(Array.fill(3050)('x'.toByte)))
+    assert(s1 === Multimodal.AudioSilence(2L, 4050L, 11L, 1050L, 100L))
+  }
+
   test("IVF finds the same top result as brute force when recall allows") {
     val emb = graft.queries.Staging.tbl(spark, sf, "embeddings")
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 1)
