@@ -1074,6 +1074,34 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the corpus-wide word co-occurrence graph — adjacent-token pairs
+    * (lexicographically oriented) occurring ≥ 3 times form the edges,
+    * then the exact integer micro-rank recurrence from
+    * [[graft.operators.Graph.pageRank]] ranks the vocabulary. Top-20.
+    * Scale shape: pair extraction is one map-side transform + a
+    * partial-aggregatable count; the graph is vocab-scale (orders
+    * smaller than the corpus), so the iterations cost nothing at 100 TB
+    * relative to the scan that built the edges. */
+  def textTextrank(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tbl(spark, dir, "documents")
+      .select(tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val edges = toks
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(least(w[i-1], w[i]) AS src, greatest(w[i-1], w[i]) AS dst))""".stripMargin))
+        .as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3)
+      .select("src", "dst")
+    Graph.pageRank(edges, iters = 3)
+      .orderBy(col("rank").desc, col("node")).limit(20)
+      .select(col("node").as("word"), col("rank"))
+  }
+
   def textTypicality(spark: SparkSession, dir: String): DataFrame = {
     val docBigrams = tbl(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -3449,6 +3477,7 @@ object ExtQueries {
     "text_typicality" -> (textTypicality _),
     "text_perplexity" -> (textPerplexity _),
     "text_readability" -> (textReadability _),
+    "text_textrank" -> (textTextrank _),
     "sample_doremi" -> (sampleDoremi _),
     "text_token_count" -> (textTokenCount _),
     "text_token_bpe" -> (textTokenBpe _),

@@ -1516,6 +1516,29 @@ object Oracles {
          |    - (84600 * n_sylls) // greatest(n_words, 1) AS BIGINT) AS fre_milli
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // TextRank: the exact pagerank recurrence over the adjacent-token
+    // co-occurrence graph (lexicographically oriented pairs, count >= 3).
+    "text_textrank" -> {
+      def it(i: Int): String =
+        s"""c$i AS (SELECT bi.dst AS node, sum(r${i - 1}.r // deg.d) AS s FROM bi
+           |       JOIN r${i - 1} ON bi.src = r${i - 1}.node JOIN deg ON bi.src = deg.node GROUP BY 1),
+           |r$i AS (SELECT deg.node, 150000 + (850 * COALESCE(c$i.s, 0)) // 1000 AS r
+           |       FROM deg LEFT JOIN c$i ON deg.node = c$i.node)""".stripMargin
+      s"""WITH t AS (SELECT ${tok("text")} AS w FROM documents),
+         |tw AS (SELECT w FROM t WHERE len(w) >= 2),
+         |p AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM tw),
+         |pr AS (SELECT least(w[i], w[i+1]) AS src, greatest(w[i], w[i+1]) AS dst FROM p),
+         |e0 AS (SELECT src, dst FROM pr WHERE src <> dst GROUP BY 1, 2 HAVING count(*) >= 3),
+         |bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src AS node, count(*) AS d FROM bi GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |${it(1)},
+         |${it(2)},
+         |${it(3)}
+         |SELECT node AS word, CAST(r AS BIGINT) AS rank FROM r3
+         |ORDER BY rank DESC, word LIMIT 20""".stripMargin
+    },
+
     "text_typicality" ->
       s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
          |bg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
