@@ -2793,6 +2793,34 @@ object ExtQueries {
     Multimodal.silenceAll(spark, tbl(spark, dir, "documents"))
       .toDF().orderBy("doc_id")
 
+  /** 2-D skyline (Pareto frontier): orders minimizing BOTH price and
+    * order date — no order on the frontier is dominated (another order
+    * ≤ in both dims, < in at least one). The classic formulation is an
+    * all-pairs NOT EXISTS; this one is JOIN-FREE: after a global sort on
+    * price, a point is dominated iff the min date among strictly-cheaper
+    * orders is ≤ its own (range frame ending 1 cent before), or a
+    * same-price order has a strictly earlier date (per-price min). One
+    * range-partitioned sort + two windows — O(n log n), fully
+    * distributed, the plan Spark's sort machinery was built for. All
+    * comparisons on exact integers (cents, epoch days). */
+  def aggSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val o = tbl(spark, dir, "orders").select(
+      col("o_orderkey").as("okey"),
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+      datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("days"))
+    val cheaper = Window.orderBy("cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy("cents")
+    o.withColumn("min_days_cheaper", min("days").over(cheaper))
+      .withColumn("min_days_same", min("days").over(samePrice))
+      .filter(
+        (col("min_days_cheaper").isNull || col("min_days_cheaper") > col("days")) &&
+          col("min_days_same") === col("days"))
+      .select("okey", "cents", "days")
+      .orderBy("cents", "days", "okey")
+  }
+
   /** Fixed-width histogram of the value column (bin = floor(value/50)). */
   def aggHistogram(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "events")
@@ -3414,6 +3442,7 @@ object ExtQueries {
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "join_interval_overlap" -> (joinIntervalOverlap _),
     "ddl_incremental_mv" -> (ddlIncrementalMv _),
+    "agg_skyline" -> (aggSkyline _),
     "link_blocked_pairs" -> (linkBlockedPairs _),
     "link_er_clusters" -> (linkErClusters _),
     "link_golden_records" -> (linkGoldenRecords _),

@@ -3285,6 +3285,21 @@ object Oracles {
          |FROM v4 WHERE dist > 0 GROUP BY node
          |ORDER BY harmonic_milli DESC, node LIMIT 20""".stripMargin,
 
+    // 2-D skyline, join-free: dominated iff min date among strictly
+    // cheaper orders <= own date (range frame to 1 cent before), or a
+    // same-price order is strictly earlier.
+    "agg_skyline" ->
+      """WITH o AS (SELECT o_orderkey AS okey,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days
+        |FROM orders),
+        |w AS (SELECT *,
+        |  min(days) OVER (ORDER BY cents RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mdc,
+        |  min(days) OVER (PARTITION BY cents) AS mds FROM o)
+        |SELECT okey, cents, days FROM w
+        |WHERE (mdc IS NULL OR mdc > days) AND mds = days
+        |ORDER BY cents, days, okey""".stripMargin,
+
     // Incremental-MV maintenance: the oracle is the FULL recompute, so a
     // green gate proves the incremental merge equals it.
     "ddl_incremental_mv" ->

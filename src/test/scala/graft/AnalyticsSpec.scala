@@ -252,4 +252,28 @@ class AnalyticsSpec extends SparkSpec {
       assert(a == b, s"${r.getAs[String]("event_type")}: rollup $a != direct $b")
     }
   }
+
+  test("skyline window formulation equals brute-force dominance on a tie-heavy fixture") {
+    // (okey, cents, days): 1 and 2 tie exactly (both skyline); 3 shares
+    // 1's price but is later (dominated in-group); 4 cheaper but later
+    // than nothing cheaper (skyline); 5 dominated across prices; 6 is
+    // the earliest overall at a high price (skyline)
+    val rows = Seq(
+      (1L, 500L, 10L), (2L, 500L, 10L), (3L, 500L, 11L),
+      (4L, 300L, 20L), (5L, 600L, 30L), (6L, 900L, 5L))
+    val df = rows.toDF("okey", "cents", "days")
+    import org.apache.spark.sql.expressions.Window
+    val cheaper = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+    val same = Window.partitionBy("cents")
+    val sky = df.withColumn("mdc", min("days").over(cheaper))
+      .withColumn("mds", min("days").over(same))
+      .filter((col("mdc").isNull || col("mdc") > col("days")) && col("mds") === col("days"))
+      .select("okey").as[Long].collect().toSet
+    // brute force: p survives iff no q with q<=p in both dims, < in one
+    val brute = rows.filter { p => !rows.exists(q =>
+      q._2 <= p._2 && q._3 <= p._3 && (q._2 < p._2 || q._3 < p._3))
+    }.map(_._1).toSet
+    assert(sky === brute)
+    assert(sky === Set(1L, 2L, 4L, 6L))
+  }
 }
