@@ -2793,6 +2793,22 @@ object ExtQueries {
     Multimodal.silenceAll(spark, tbl(spark, dir, "documents"))
       .toDF().orderBy("doc_id")
 
+  /** l-diversity census — the companion to k-anonymity in privacy
+    * profiling: per quasi-identifier group (nation × mktsegment), how
+    * many DISTINCT sensitive values (balance bucket) appear. A group
+    * with small l leaks the sensitive attribute even when k is large.
+    * One partial-aggregatable group-by with a count-distinct; flags
+    * groups below l = 3. */
+  def profileLDiversity(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "customer")
+      .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT) div 100000").as("bal_bucket"))
+      .groupBy("nation", "segment")
+      .agg(count(lit(1)).as("k_size"),
+        countDistinct(col("bal_bucket")).as("l_distinct"))
+      .withColumn("violates", (col("l_distinct") < 3).cast("boolean"))
+      .orderBy("nation", "segment")
+
   /** 2-D skyline (Pareto frontier): orders minimizing BOTH price and
     * order date — no order on the frontier is dominated (another order
     * ≤ in both dims, < in at least one). The classic formulation is an
@@ -3443,6 +3459,7 @@ object ExtQueries {
     "join_interval_overlap" -> (joinIntervalOverlap _),
     "ddl_incremental_mv" -> (ddlIncrementalMv _),
     "agg_skyline" -> (aggSkyline _),
+    "profile_l_diversity" -> (profileLDiversity _),
     "link_blocked_pairs" -> (linkBlockedPairs _),
     "link_er_clusters" -> (linkErClusters _),
     "link_golden_records" -> (linkGoldenRecords _),

@@ -263,6 +263,15 @@ object Oracles {
        |        CAST(sum(inv_ppm) AS BIGINT) AS sppm FROM s GROUP BY 1, 2),
        |r AS (SELECT doc_id, lang, n_toks, CAST(sppm // n_toks AS BIGINT) AS ppx_ppm FROM d)""".stripMargin
 
+  /** Month×priority revenue MV, full recompute — the shared gate for
+    * both incremental-maintenance forms (batch delta and streaming). */
+  private lazy val mvFullSql: String =
+    """SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+      |  o_orderpriority AS priority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM orders GROUP BY 1, 2 ORDER BY month, priority""".stripMargin
+
   /** Blocked ER candidate pairs (link_blocked_pairs and its streaming
     * incremental twin): block on nation × mktsegment, verify by name
     * edit distance ≤ 2, orient smaller key first. */
@@ -3285,6 +3294,14 @@ object Oracles {
          |FROM v4 WHERE dist > 0 GROUP BY node
          |ORDER BY harmonic_milli DESC, node LIMIT 20""".stripMargin,
 
+    // l-diversity census per quasi-identifier group.
+    "profile_l_diversity" ->
+      """SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |  CAST(count(*) AS BIGINT) AS k_size,
+        |  CAST(count(DISTINCT CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100000) AS BIGINT) AS l_distinct,
+        |  (count(DISTINCT CAST(round(c_acctbal * 100, 0) AS BIGINT) // 100000) < 3) AS violates
+        |FROM customer GROUP BY 1, 2 ORDER BY nation, segment""".stripMargin,
+
     // 2-D skyline, join-free: dominated iff min date among strictly
     // cheaper orders <= own date (range frame to 1 cent before), or a
     // same-price order is strictly earlier.
@@ -3300,14 +3317,10 @@ object Oracles {
         |WHERE (mdc IS NULL OR mdc > days) AND mds = days
         |ORDER BY cents, days, okey""".stripMargin,
 
-    // Incremental-MV maintenance: the oracle is the FULL recompute, so a
-    // green gate proves the incremental merge equals it.
-    "ddl_incremental_mv" ->
-      """SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
-        |  o_orderpriority AS priority,
-        |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
-        |FROM orders GROUP BY 1, 2 ORDER BY month, priority""".stripMargin,
+    // Incremental-MV maintenance (batch and streaming): the oracle is
+    // the FULL recompute, so a green gate proves incremental == full.
+    "ddl_incremental_mv" -> mvFullSql,
+    "stream_incremental_mv" -> mvFullSql,
 
     // Interval-overlap range join: DuckDB evaluates the inequality join
     // directly (IEJoin); Spark's bucket decomposition must produce the

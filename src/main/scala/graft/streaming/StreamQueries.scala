@@ -883,6 +883,51 @@ object StreamQueries {
     spark.read.parquet(out).orderBy("cust_a", "cust_b")
   }
 
+  /** Streaming incremental materialized-view maintenance: each order
+    * micro-batch folds into the persisted month×priority revenue MV by
+    * re-aggregating (MV ∪ agg(batch)) — count and sum-of-cents are
+    * self-maintainable, so the refresh never rescans history and the
+    * final MV equals the full recompute (the shared oracle proves it).
+    * The streaming face of [[graft.queries.ExtQueries.ddlIncrementalMv]]. */
+  def streamIncrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(spark, dir, "orders")
+    val src = tmpDir("simvsrc")
+    orders.repartition(4).write.mode("overwrite").parquet(src)
+    val mvPath = tmpDir("simvmv")
+    def agg(df: DataFrame) = df
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority").as("priority"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("month", "priority")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+    val q = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("simvckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = agg(batch)
+        val merged =
+          try delta.sparkSession.read.parquet(mvPath)
+            .groupBy("month", "priority") // partial-row merge across files
+            .agg(sum("n_orders").as("n_orders"), sum("rev_cents").as("rev_cents"))
+            .unionByName(delta)
+            .groupBy("month", "priority")
+            .agg(sum("n_orders").as("n_orders"), sum("rev_cents").as("rev_cents"))
+          catch { case _: Throwable => delta }
+        // write-then-swap: materialise the merge before overwriting the MV
+        val out = merged.localCheckpoint()
+        out.write.mode("overwrite").parquet(mvPath)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(mvPath)
+      .select(col("month"), col("priority"),
+        col("n_orders").cast("long").as("n_orders"), col("rev_cents"))
+      .orderBy("month", "priority")
+  }
+
   /** Streaming point-in-time enrichment: probes arrive as a stream and
     * each micro-batch joins the STATIC SCD2 dimension (broadcast-class at
     * warehouse scale) on key + validity interval — the CDC-consumer shape
@@ -1019,6 +1064,7 @@ object StreamQueries {
     "stream_quality_gate" -> (streamQualityGate _),
     "stream_cdc_chunks" -> (streamCdcChunks _),
     "stream_link_pairs" -> (streamLinkPairs _),
+    "stream_incremental_mv" -> (streamIncrementalMv _),
     "stream_temporal_join" -> (streamTemporalJoin _),
     "stream_available_now" -> (streamAvailableNow _),
     "stream_jdbc_sink" -> (streamJdbcSink _),
