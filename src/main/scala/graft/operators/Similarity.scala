@@ -654,6 +654,40 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** ε-NN RADIUS search, exact baseline: every candidate whose cosine
+    * with the probe reaches `minCos` — the "all near neighbours" dual of
+    * top-k, what dedup-by-threshold and retrieval-with-cutoff actually
+    * want. Probes broadcast; the corpus streams map-side (linear per
+    * probe — the correctness baseline the bucketed form is measured
+    * against). */
+  def rangeSearch(emb: DataFrame, minCos: Double,
+      probePred: org.apache.spark.sql.Column): DataFrame = {
+    val q = quantized(emb)
+    val probes = q.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nrm").as("pnrm"))
+    broadcast(probes).join(q, col("probe_id") =!= col("vec_id"))
+      .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
+      .filter(col("cosine") >= minCos)
+      .select(col("probe_id"), col("vec_id"), col("cosine"))
+  }
+
+  /** Radius search through the LSH buckets: candidates limited to the
+    * probe's hyperplane bucket, exact cosine only in-bucket — the O(n)
+    * scale path (recall < 1 by construction; measured by
+    * simsearch_recall_range against [[rangeSearch]]). */
+  def rangeSearchLsh(emb: DataFrame, numPlanes: Int, minCos: Double,
+      probePred: org.apache.spark.sql.Column): DataFrame = {
+    val b = lshBuckets(emb, numPlanes)
+    val probes = b.filter(probePred)
+      .select(col("bucket"), col("vec_id").as("probe_id"),
+        col("qv").as("pqv"), col("nrm").as("pnrm"))
+    broadcast(probes).join(b, Seq("bucket"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
+      .filter(col("cosine") >= minCos)
+      .select(col("probe_id"), col("vec_id"), col("cosine"))
+  }
+
   /** ColBERT-style MaxSim late interaction (Khattab & Zaharia, SIGIR
     * 2020) over multi-vector representations: each embedding is split
     * into `nSub` contiguous sub-vectors ("token vectors"); the score of

@@ -404,6 +404,30 @@ object ExtQueries {
       .orderBy("probe_id")
   }
 
+  /** ε-NN radius search baseline: all candidates with cosine ≥ 0.2 per
+    * probe — see [[graft.operators.Similarity.rangeSearch]]. */
+  def simsearchRange(spark: SparkSession, dir: String): DataFrame =
+    Similarity.rangeSearch(tbl(spark, dir, "embeddings"), 0.2, col("vec_id") < 5)
+      .orderBy("probe_id", "vec_id")
+
+  /** Recall of the LSH-bucketed radius search against the exact
+    * baseline, per probe — the measured cost of bounding the candidate
+    * set to one hyperplane bucket. */
+  def simsearchRecallRange(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val truth = Similarity.rangeSearch(emb, 0.2, col("vec_id") < 5)
+      .select("probe_id", "vec_id")
+    val approx = Similarity.rangeSearchLsh(emb, numPlanes = 4, minCos = 0.2,
+        probePred = col("vec_id") < 5)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      .orderBy("probe_id")
+  }
+
   // ---- text analysis -----------------------------------------------------
 
   def textLangId(spark: SparkSession, dir: String): DataFrame =
@@ -3511,6 +3535,8 @@ object ExtQueries {
     "sample_stratified" -> (sampleStratified _),
     "simsearch_bruteforce" -> (simsearchBruteforce _),
     "simsearch_maxsim" -> (simsearchMaxsim _),
+    "simsearch_range" -> (simsearchRange _),
+    "simsearch_recall_range" -> (simsearchRecallRange _),
     "simsearch_ivf" -> (simsearchIvf _),
     "simsearch_ivf_trained" -> (simsearchIvfTrained _),
     "simsearch_hard_negatives" -> (simsearchHardNegatives _),

@@ -1288,6 +1288,46 @@ object Oracles {
          |GROUP BY t.probe_id ORDER BY t.probe_id""".stripMargin
     },
 
+    // Radius (ε-NN) search baseline: every pair at cosine >= 0.2.
+    "simsearch_range" ->
+      s"""$embCtes,
+         |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         |   CAST(${qdotPair("p.qv", "c.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+         | FROM (SELECT * FROM f WHERE vec_id < 5) p JOIN f c ON c.vec_id <> p.vec_id)
+         |SELECT probe_id, vec_id, cosine FROM pairs
+         |WHERE cosine >= 0.2 ORDER BY probe_id, vec_id""".stripMargin,
+
+    // Recall of the bucket-bounded radius search vs the exact baseline.
+    "simsearch_recall_range" -> {
+      val planeComp = ch("(CAST(p AS VARCHAR) || ':' || CAST(i_ - 1 AS VARCHAR))")
+      s"""$embCtes,
+         |planes AS (SELECT unnest(generate_series(0, 3)) AS p),
+         |dots AS (SELECT f.vec_id, p,
+         |   CAST(list_sum(list_transform(generate_series(1, len(qv)),
+         |     i_ -> qv[i_] * (($planeComp) % 2001 - 1000))) AS BIGINT) AS dot
+         | FROM f, planes),
+         |buckets AS (SELECT vec_id,
+         |   CAST(sum(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM dots GROUP BY vec_id),
+         |b AS (SELECT f.vec_id, f.qv, f.nrm, buckets.bucket FROM f JOIN buckets USING (vec_id)),
+         |lhit AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id
+         | FROM (SELECT * FROM b WHERE vec_id < 5) p
+         | JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.vec_id
+         | WHERE CAST(${qdotPair("p.qv", "c.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) >= 0.2),
+         |btrue AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id
+         | FROM (SELECT * FROM f WHERE vec_id < 5) p JOIN f c ON c.vec_id <> p.vec_id
+         | WHERE CAST(${qdotPair("p.qv", "c.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) >= 0.2)
+         |SELECT t.probe_id, CAST(count(*) AS BIGINT) AS n_true,
+         | CAST(count(l.vec_id) AS BIGINT) AS n_hit,
+         | CAST(count(l.vec_id) AS DOUBLE) / count(*) AS recall
+         |FROM btrue t LEFT JOIN lhit l
+         |  ON l.probe_id = t.probe_id AND l.vec_id = t.vec_id
+         |GROUP BY t.probe_id ORDER BY t.probe_id""".stripMargin
+    },
+
     "simsearch_bruteforce" ->
       s"""$embCtes,
          |pairs AS (SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
