@@ -450,6 +450,47 @@ object ScaleCheck {
           val cf = replicate(tbl(spark, sfDir, "customer"), "c_custkey", f)
           graft.operators.Linkage.blockedPairs(cf, 2).count()
         }
+      time("graph_betweenness", f) {
+        Graph.stressCentrality(Graph.coPartEdgesMin(lg, 2L), 3, 4).count()
+      }
+      time("graph_harmonic", f) {
+        Graph.harmonicCentrality(Graph.coPartEdgesMin(lg, 2L), 3, 4).count()
+      }
+
+      // interval join: replicated events multiply both interval sets f×;
+      // pairs grow ~f² within each hour bucket (density doubles both
+      // sides) but the plan stays a bucket hash join — the measurement
+      // shows output-bound growth, never a cartesian
+      if (f <= 4)
+        time("join_interval_overlap", f) {
+          def iv(tpe: String, len: Long) = e.filter(col("event_type") === tpe)
+            .select(col("event_id").as("id"), unix_micros(col("ts")).as("s"),
+              (unix_micros(col("ts")) + len).as("e"))
+          graft.operators.RangeJoin.intervalOverlap(
+            iv("purchase", 1800000000L), iv("error", 2700000000L),
+            3600000000L).count()
+        }
+
+      // radius search: fixed probes, corpus f× — linear scan per probe
+      time("simsearch_range", f) {
+        Similarity.rangeSearch(v, 0.2, col("vec_id") < 5).count()
+      }
+
+      // skyline: one range-partitioned sort + two windows over f× rows
+      time("agg_skyline", f) {
+        val o = replicate(tbl(spark, sfDir, "orders"), "o_orderkey", f)
+        import org.apache.spark.sql.expressions.Window
+        val oo = o.select(col("o_orderkey").as("okey"),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("days"))
+        val cheaper = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+        oo.withColumn("mdc", min("days").over(cheaper))
+          .withColumn("mds", min("days").over(Window.partitionBy("cents")))
+          .filter((col("mdc").isNull || col("mdc") > col("days")) && col("mds") === col("days"))
+          .count()
+      }
+
       // the realistic growth ladder: replicas land in DISTINCT blocks
       // (nation offset per copy) — f× more blocks of unchanged size, so
       // the pair space and the cluster tier must scale linearly
