@@ -263,6 +263,20 @@ object Oracles {
        |        CAST(sum(inv_ppm) AS BIGINT) AS sppm FROM s GROUP BY 1, 2),
        |r AS (SELECT doc_id, lang, n_toks, CAST(sppm // n_toks AS BIGINT) AS ppx_ppm FROM d)""".stripMargin
 
+  /** Join-free 2-D skyline — the shared gate for agg_skyline and the
+    * frontier-state streaming form. */
+  private lazy val skylineSql: String =
+    """WITH o AS (SELECT o_orderkey AS okey,
+      |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days
+      |FROM orders),
+      |w AS (SELECT *,
+      |  min(days) OVER (ORDER BY cents RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mdc,
+      |  min(days) OVER (PARTITION BY cents) AS mds FROM o)
+      |SELECT okey, cents, days FROM w
+      |WHERE (mdc IS NULL OR mdc > days) AND mds = days
+      |ORDER BY cents, days, okey""".stripMargin
+
   /** Month×priority revenue MV, full recompute — the shared gate for
     * both incremental-maintenance forms (batch delta and streaming). */
   private lazy val mvFullSql: String =
@@ -3345,17 +3359,11 @@ object Oracles {
     // 2-D skyline, join-free: dominated iff min date among strictly
     // cheaper orders <= own date (range frame to 1 cent before), or a
     // same-price order is strictly earlier.
-    "agg_skyline" ->
-      """WITH o AS (SELECT o_orderkey AS okey,
-        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
-        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days
-        |FROM orders),
-        |w AS (SELECT *,
-        |  min(days) OVER (ORDER BY cents RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mdc,
-        |  min(days) OVER (PARTITION BY cents) AS mds FROM o)
-        |SELECT okey, cents, days FROM w
-        |WHERE (mdc IS NULL OR mdc > days) AND mds = days
-        |ORDER BY cents, days, okey""".stripMargin,
+    // skyline(all) = skyline(frontier ∪ batch): the streaming form keeps
+    // only the frontier as state and shares the batch oracle.
+    "stream_skyline" -> skylineSql,
+
+    "agg_skyline" -> skylineSql,
 
     // Incremental-MV maintenance (batch and streaming): the oracle is
     // the FULL recompute, so a green gate proves incremental == full.

@@ -928,6 +928,49 @@ object StreamQueries {
       .orderBy("month", "priority")
   }
 
+  /** Streaming skyline maintenance: the Pareto frontier is its own
+    * sufficient state — skyline(all seen) = skyline(frontier ∪ batch) —
+    * so each micro-batch re-skylines only the (tiny) current frontier
+    * plus the new points and overwrites the frontier store. Per-batch
+    * cost is O(|batch| + |frontier|), never a rescan of history; the
+    * final frontier equals the batch [[graft.queries.ExtQueries
+    * .aggSkyline]] and shares its oracle. */
+  def streamSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val orders = tbl(spark, dir, "orders")
+    val src = tmpDir("sskysrc")
+    orders.repartition(4).write.mode("overwrite").parquet(src)
+    val front = tmpDir("sskyfront")
+    def skyline(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val cheaper = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+      df.withColumn("mdc", min("days").over(cheaper))
+        .withColumn("mds", min("days").over(Window.partitionBy("cents")))
+        .filter((col("mdc").isNull || col("mdc") > col("days")) &&
+          col("mds") === col("days"))
+        .select("okey", "cents", "days")
+    }
+    val q = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sskyckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pts = batch.select(col("o_orderkey").as("okey"),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("days"))
+        val prev =
+          try pts.sparkSession.read.parquet(front)
+          catch { case _: Throwable => pts.limit(0) }
+        val merged = skyline(prev.unionByName(pts)).localCheckpoint()
+        merged.write.mode("overwrite").parquet(front)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(front).orderBy("cents", "days", "okey")
+  }
+
   /** Streaming point-in-time enrichment: probes arrive as a stream and
     * each micro-batch joins the STATIC SCD2 dimension (broadcast-class at
     * warehouse scale) on key + validity interval — the CDC-consumer shape
@@ -1065,6 +1108,7 @@ object StreamQueries {
     "stream_cdc_chunks" -> (streamCdcChunks _),
     "stream_link_pairs" -> (streamLinkPairs _),
     "stream_incremental_mv" -> (streamIncrementalMv _),
+    "stream_skyline" -> (streamSkyline _),
     "stream_temporal_join" -> (streamTemporalJoin _),
     "stream_available_now" -> (streamAvailableNow _),
     "stream_jdbc_sink" -> (streamJdbcSink _),
