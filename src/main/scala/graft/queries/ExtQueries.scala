@@ -2817,6 +2817,35 @@ object ExtQueries {
     Multimodal.silenceAll(spark, tbl(spark, dir, "documents"))
       .toDF().orderBy("doc_id")
 
+  /** Partition-scheme EVOLUTION (the Iceberg/Delta pattern): history
+    * stays in its original day-partitioned layout while new data lands
+    * day+hour partitioned — no rewrite of old files, ever, at any table
+    * size. One reader unions the two generations on the common
+    * projection; partition pruning still works per-branch because each
+    * branch scans its own layout (spec-pinned via inputFiles counts).
+    * Census per generation: partitions, rows, exact cents. */
+  def ddlPartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+      .withColumn("p_day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)"))
+    val d1 = Staging.tmpDir("pev1")
+    val d2 = Staging.tmpDir("pev2")
+    e.filter(dayofmonth(col("ts")) <= 15)
+      .write.mode("overwrite").partitionBy("p_day").parquet(d1)
+    e.filter(dayofmonth(col("ts")) > 15)
+      .withColumn("p_hour", hour(col("ts")))
+      .write.mode("overwrite").partitionBy("p_day", "p_hour").parquet(d2)
+    val common = Seq("p_day", "event_id", "cents")
+    spark.read.parquet(d1).select(common.map(col): _*)
+      .withColumn("scheme", lit("day"))
+      .unionByName(spark.read.parquet(d2).select(common.map(col): _*)
+        .withColumn("scheme", lit("day_hour")))
+      .groupBy("scheme")
+      .agg(countDistinct(col("p_day")).as("n_days"),
+        count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .orderBy("scheme")
+  }
+
   /** l-diversity census — the companion to k-anonymity in privacy
     * profiling: per quasi-identifier group (nation × mktsegment), how
     * many DISTINCT sensitive values (balance bucket) appear. A group
@@ -3484,6 +3513,7 @@ object ExtQueries {
     "ddl_incremental_mv" -> (ddlIncrementalMv _),
     "agg_skyline" -> (aggSkyline _),
     "profile_l_diversity" -> (profileLDiversity _),
+    "ddl_partition_evolution" -> (ddlPartitionEvolution _),
     "link_blocked_pairs" -> (linkBlockedPairs _),
     "link_er_clusters" -> (linkErClusters _),
     "link_golden_records" -> (linkGoldenRecords _),

@@ -3348,6 +3348,19 @@ object Oracles {
          |FROM v4 WHERE dist > 0 GROUP BY node
          |ORDER BY harmonic_milli DESC, node LIMIT 20""".stripMargin,
 
+    // Partition evolution census: generation = day-of-month split.
+    "ddl_partition_evolution" ->
+      """WITH e AS (SELECT
+        |    CASE WHEN EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 15
+        |      THEN 'day' ELSE 'day_hour' END AS scheme,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS p_day,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT scheme, CAST(count(DISTINCT p_day) AS BIGINT) AS n_days,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM e GROUP BY scheme ORDER BY scheme""".stripMargin,
+
     // l-diversity census per quasi-identifier group.
     "profile_l_diversity" ->
       """SELECT c_nationkey AS nation, c_mktsegment AS segment,

@@ -322,4 +322,39 @@ class LakeOpsSpec extends SparkSpec {
     }
     assert(content(LakeOps.readTable(spark, out))(1L) === (("2024-01-01", 11.0)))
   }
+
+  test("partition evolution: each generation prunes on its own layout, no rewrite") {
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 200).map { i =>
+      (i.toLong, f"2024-01-${1 + i % 20}%02d", (i % 24).toLong, i.toDouble)
+    }
+    val df = rows.toDF("event_id", "p_day", "p_hour", "value")
+    val d1 = graft.queries.Staging.tmpDir("pevspec1")
+    val d2 = graft.queries.Staging.tmpDir("pevspec2")
+    df.filter(substring(col("p_day"), 9, 2).cast("int") <= 10)
+      .drop("p_hour").write.mode("overwrite").partitionBy("p_day").parquet(d1)
+    df.filter(substring(col("p_day"), 9, 2).cast("int") > 10)
+      .write.mode("overwrite").partitionBy("p_day", "p_hour").parquet(d2)
+    // executed-scan file counts (inputFiles lists the relation pre-prune)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      }.flatten.map(_.metrics("numFiles").value).sum
+    }
+    // generation 1: a day filter must open only that day's files
+    val g1 = spark.read.parquet(d1)
+    assert(filesRead(g1.filter(col("p_day") === "2024-01-03")) < g1.inputFiles.length,
+      "day filter must prune generation-1 partitions")
+    // generation 2: the finer layout prunes on day AND hour
+    val g2 = spark.read.parquet(d2)
+    assert(filesRead(g2.filter(col("p_day") === "2024-01-13" && col("p_hour") === 12L)) <
+      filesRead(g2.filter(col("p_day") === "2024-01-13")),
+      "hour filter must prune inside the evolved layout")
+    // the union reader sees every row exactly once
+    val union = g1.select("event_id").unionByName(g2.select("event_id"))
+    assert(union.distinct().count() === 200L && union.count() === 200L)
+  }
 }
