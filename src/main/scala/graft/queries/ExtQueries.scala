@@ -2890,6 +2890,26 @@ object ExtQueries {
       .orderBy("cents", "days", "okey")
   }
 
+  /** Shot-boundary detection over the sampled frame stream: a cut where
+    * consecutive frame samples differ by more than 10 (first frame opens
+    * shot 1), then a per-clip shot census — frame count, shot count,
+    * longest shot. The standard scene-segmentation shape: per-key
+    * ordered windows over the frame stream (lag + running cut-sum =
+    * gaps-and-islands), no cross-clip shuffle beyond the per-doc key. */
+  def multimodalShots(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    Multimodal.frameSample(spark, tbl(spark, dir, "documents"), 7)
+      .withColumn("prev", lag("sample", 1).over(w))
+      .withColumn("cut",
+        (col("prev").isNull || abs(col("sample") - col("prev")) > 10).cast("long"))
+      .withColumn("shot", sum("cut").over(w))
+      .groupBy("doc_id", "shot").agg(count(lit(1)).as("len"))
+      .groupBy("doc_id")
+      .agg(sum("len").as("n_frames"), count(lit(1)).as("n_shots"),
+        max("len").as("longest_shot"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed-width histogram of the value column (bin = floor(value/50)). */
   def aggHistogram(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "events")
@@ -3590,6 +3610,7 @@ object ExtQueries {
     "multimodal_luma_hist" -> (multimodalLumaHist _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_silence" -> (multimodalSilence _),
+    "multimodal_shots" -> (multimodalShots _),
     "scan_binaryfile" -> (scanBinaryfile _),
     "scan_text" -> (scanText _),
     "pipeline_text_clean" -> (pipelineTextClean _),

@@ -2805,6 +2805,26 @@ object Oracles {
         |      FROM documents WHERE length(text) > 0)
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // Shot census over the every-7th-byte frame stream: cut where
+    // consecutive samples differ by > 10, gaps-and-islands per clip.
+    "multimodal_shots" ->
+      """WITH fr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS frame_idx,
+        |    CAST(ascii(substring(text, i, 1)) AS BIGINT) AS sample
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 7)) AS i
+        |        FROM documents WHERE length(text) > 0)),
+        |c AS (SELECT doc_id, frame_idx, sample,
+        |    CASE WHEN lag(sample) OVER w IS NULL
+        |      OR abs(sample - lag(sample) OVER w) > 10 THEN 1 ELSE 0 END AS cut
+        |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |sh AS (SELECT doc_id,
+        |    sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS shot
+        |  FROM c),
+        |g AS (SELECT doc_id, shot, count(*) AS len FROM sh GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_frames,
+        |  CAST(count(*) AS BIGINT) AS n_shots,
+        |  CAST(max(len) AS BIGINT) AS longest_shot
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "join_agg_revenue" ->
       s"""SELECT r_name, n_name, count(*) AS n_orders, ${decSum2("o_totalprice")} AS revenue
          |FROM orders
