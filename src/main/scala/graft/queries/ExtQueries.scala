@@ -2830,10 +2830,16 @@ object ExtQueries {
       .withColumn("cents", expr("CAST(round(value * 100, 0) AS BIGINT)"))
     val d1 = Staging.tmpDir("pev1")
     val d2 = Staging.tmpDir("pev2")
+    // repartition on the partition keys first: otherwise every one of
+    // the writer tasks opens a file in every partition dir it sees
+    // (tasks × partitions small files — the classic partitioned-write
+    // mistake); keyed repartition gives one file per partition
     e.filter(dayofmonth(col("ts")) <= 15)
+      .repartition(col("p_day"))
       .write.mode("overwrite").partitionBy("p_day").parquet(d1)
     e.filter(dayofmonth(col("ts")) > 15)
       .withColumn("p_hour", hour(col("ts")))
+      .repartition(col("p_day"), col("p_hour"))
       .write.mode("overwrite").partitionBy("p_day", "p_hour").parquet(d2)
     val common = Seq("p_day", "event_id", "cents")
     spark.read.parquet(d1).select(common.map(col): _*)
