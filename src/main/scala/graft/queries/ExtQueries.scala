@@ -3065,6 +3065,30 @@ object ExtQueries {
         iters = 2)
       .orderBy(col("auth").desc, col("node")).limit(20)
 
+  /** Cross-source overlap matrix — the "which sources plagiarise which"
+    * diagnostic a curator reads before weighting a mixture: for every
+    * source pair, how many DISTINCT word-3-gram shingles they share.
+    * One distinct pass keys (shingle, source); the pair explode is
+    * bounded by sources-per-shingle (≤ n_sources, a constant), so the
+    * whole matrix costs one shuffle on the shingle hash plus a census
+    * agg — never a doc×doc or source×source data join. */
+  def pipelineSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleTable(tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")))
+      // shingleTable keeps doc_id; re-attach source and dedupe per source
+      .join(tbl(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+      .select(col("h"), col("source")).distinct()
+    val bySh = sh.groupBy("h").agg(collect_set(col("source")).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    bySh.select(explode(expr(
+        """flatten(transform(array_sort(ss),
+          |  (a, i) -> transform(slice(array_sort(ss), i + 2, size(ss)),
+          |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Content-defined chunking dedup census per source — see
     * [[graft.operators.Dedup.cdcChunkStats]] (LBFS-style rolling-hash
     * boundaries, window 8, divisor 64 → ~64-char expected chunks). */
@@ -3535,6 +3559,7 @@ object ExtQueries {
     "graph_betweenness" -> (graphBetweenness _),
     "graph_harmonic" -> (graphHarmonic _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
+    "pipeline_source_overlap" -> (pipelineSourceOverlap _),
     "join_interval_overlap" -> (joinIntervalOverlap _),
     "ddl_incremental_mv" -> (ddlIncrementalMv _),
     "agg_skyline" -> (aggSkyline _),

@@ -3330,6 +3330,21 @@ object Oracles {
     // Dedup.cdcChunkStats exactly (min-length per hash under collision).
     "dedup_cdc_chunks" -> cdcChunksSql,
 
+    // Cross-source shingle-overlap matrix: distinct (source, shingle)
+    // pass, then bounded pair generation per shared shingle.
+    "pipeline_source_overlap" ->
+      s"""WITH w AS (SELECT doc_id, source, ${tok("text")} AS w FROM documents),
+         |sh0 AS (SELECT source, list_distinct(list_transform(${shingles("w")}, s_ -> ${ch("s_")})) AS hs FROM w),
+         |sh AS (SELECT DISTINCT source, unnest(hs) AS h FROM sh0 WHERE len(hs) > 0),
+         |g AS (SELECT h, list_sort(list(DISTINCT source)) AS ss FROM sh GROUP BY h
+         |      HAVING count(DISTINCT source) >= 2),
+         |p AS (SELECT ss[i] AS src_a, ss[j] AS src_b FROM g,
+         |        LATERAL (SELECT unnest(generate_series(1, len(ss))) AS i),
+         |        LATERAL (SELECT unnest(generate_series(1, len(ss))) AS j)
+         |      WHERE i < j)
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM p GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
     // The streaming ingest form appends per-chunk rows batch-by-batch and
     // runs the SAME census — chunking is per-row, so it shares the batch
     // oracle bit-for-bit.
