@@ -476,19 +476,14 @@ object ScaleCheck {
         Similarity.rangeSearch(v, 0.2, col("vec_id") < 5).count()
       }
 
-      // skyline: one range-partitioned sort + two windows over f× rows
+      // skyline: bucketed-prefix-min distributed plan over f× rows
       time("agg_skyline", f) {
         val o = replicate(tbl(spark, sfDir, "orders"), "o_orderkey", f)
-        import org.apache.spark.sql.expressions.Window
         val oo = o.select(col("o_orderkey").as("okey"),
           expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
           datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
             .cast("long").as("days"))
-        val cheaper = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
-        oo.withColumn("mdc", min("days").over(cheaper))
-          .withColumn("mds", min("days").over(Window.partitionBy("cents")))
-          .filter((col("mdc").isNull || col("mdc") > col("days")) && col("mds") === col("days"))
-          .count()
+        graft.operators.Skyline.paretoMin(oo).count()
       }
 
       // the realistic growth ladder: replicas land in DISTINCT blocks

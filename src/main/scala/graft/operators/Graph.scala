@@ -693,10 +693,16 @@ object Graph {
     // edges×scores join once per read. Checkpoint-then-norm keeps the
     // join to exactly one execution per half-iteration — measured 2×
     // on the sf0.1 co-part graph vs normalising the lazy frame.
+    // Budget bound: the 1e6 L1 budget floor-divided over |V| nodes means
+    // scores can all floor to 0 once |V| exceeds ~1e6 — the normaliser is
+    // guarded (greatest(tot, 1)) so that degenerate case yields all-zero
+    // scores instead of NULL ranks / divide-by-zero; for |V| beyond the
+    // budget, scale the 1_000_000 constant with node count.
     def norm(rawCk: DataFrame): DataFrame = {
       val tot = rawCk.agg(sum("raw").as("tot"))
       rawCk.crossJoin(tot)
-        .select(col("node"), expr("(1000000 * raw) div tot").as("s"))
+        .select(col("node"),
+          expr("(1000000 * raw) div greatest(tot, 1)").as("s"))
     }
 
     var hubs = nodes.select(col("node"), lit(1000000L).as("s"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.CrossFns._
-import graft.operators.{AsOfJoin, Dedup, Graph, Linkage, Multimodal, Similarity, SkewJoin, TextOps, TimeSeries}
+import graft.operators.{AsOfJoin, Dedup, Graph, Linkage, Multimodal, Similarity, SkewJoin, Skyline, TextOps, TimeSeries}
 import Staging._
 
 /** Extension operators beyond the reference surface (SURVEY §2.3 /
@@ -2870,28 +2870,19 @@ object ExtQueries {
 
   /** 2-D skyline (Pareto frontier): orders minimizing BOTH price and
     * order date — no order on the frontier is dominated (another order
-    * ≤ in both dims, < in at least one). The classic formulation is an
-    * all-pairs NOT EXISTS; this one is JOIN-FREE: after a global sort on
-    * price, a point is dominated iff the min date among strictly-cheaper
-    * orders is ≤ its own (range frame ending 1 cent before), or a
-    * same-price order has a strictly earlier date (per-price min). One
-    * range-partitioned sort + two windows — O(n log n), fully
-    * distributed, the plan Spark's sort machinery was built for. All
-    * comparisons on exact integers (cents, epoch days). */
+    * ≤ in both dims, < in at least one). Plan: the DISTRIBUTED
+    * bucketed-prefix-min skyline — quantile value-buckets on price,
+    * one per-bucket window pass, driver-side exclusive prefix-min over
+    * the bucket minima (see [[graft.operators.Skyline.paretoMin]]); no
+    * single-partition window anywhere. All comparisons on exact
+    * integers (cents, epoch days). */
   def aggSkyline(spark: SparkSession, dir: String): DataFrame = {
     val o = tbl(spark, dir, "orders").select(
       col("o_orderkey").as("okey"),
       expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
       datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
         .cast("long").as("days"))
-    val cheaper = Window.orderBy("cents")
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val samePrice = Window.partitionBy("cents")
-    o.withColumn("min_days_cheaper", min("days").over(cheaper))
-      .withColumn("min_days_same", min("days").over(samePrice))
-      .filter(
-        (col("min_days_cheaper").isNull || col("min_days_cheaper") > col("days")) &&
-          col("min_days_same") === col("days"))
+    Skyline.paretoMin(o)
       .select("okey", "cents", "days")
       .orderBy("cents", "days", "okey")
   }

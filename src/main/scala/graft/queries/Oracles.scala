@@ -2807,6 +2807,12 @@ object Oracles {
 
     // Shot census over the every-7th-byte frame stream: cut where
     // consecutive samples differ by > 10, gaps-and-islands per clip.
+    // INVARIANT (shared with multimodal_frames): the oracle samples
+    // every 7th CHARACTER while Multimodal.frameSample samples every
+    // 7th UTF-8 BYTE — identical only because documents.text is
+    // ASCII-only (verified at all sf fixtures; pinned loudly by
+    // MultimodalSpec's ascii-fixture assertion so a regenerated
+    // non-ASCII fixture fails there, not as a silent hash mismatch).
     "multimodal_shots" ->
       """WITH fr AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS frame_idx,
         |    CAST(ascii(substring(text, i, 1)) AS BIGINT) AS sample
@@ -3285,7 +3291,7 @@ object Oracles {
         s"""$raw AS (SELECT n.node, COALESCE(x.r, 0) AS raw FROM nodes n LEFT JOIN
            |    (SELECT e0.$grpCol AS node, sum(p.s) AS r FROM e0
            |     JOIN $prev p ON e0.$joinCol = p.node GROUP BY 1) x ON n.node = x.node),
-           |$out AS (SELECT node, (1000000 * raw) // (SELECT sum(raw) FROM $raw) AS s FROM $raw)""".stripMargin
+           |$out AS (SELECT node, (1000000 * raw) // greatest((SELECT sum(raw) FROM $raw), 1) AS s FROM $raw)""".stripMargin
       s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
          |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
          |       GROUP BY 1, 2 HAVING count(*) >= 2),

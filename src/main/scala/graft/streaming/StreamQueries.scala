@@ -870,9 +870,12 @@ object StreamQueries {
       .option("checkpointLocation", tmpDir("slpckpt"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.localCheckpoint() // batch is consumed twice (pairs + history append)
+        // first-batch case only: path-not-found is an AnalysisException;
+        // any OTHER read failure must propagate — a broad catch here
+        // would silently drop the accumulated history (advisor finding)
         val histDf =
           try b.sparkSession.read.parquet(hist)
-          catch { case _: Throwable => b.limit(0) }
+          catch { case _: org.apache.spark.sql.AnalysisException => b.limit(0) }
         graft.operators.Linkage.blockedPairsIncremental(b, histDf, maxDist = 2)
           .write.mode("append").parquet(out)
         b.write.mode("append").parquet(hist)
@@ -914,7 +917,9 @@ object StreamQueries {
             .unionByName(delta)
             .groupBy("month", "priority")
             .agg(sum("n_orders").as("n_orders"), sum("rev_cents").as("rev_cents"))
-          catch { case _: Throwable => delta }
+          // path-not-found = first batch; real read errors propagate
+          // rather than silently resetting the MV to this batch's delta
+          catch { case _: org.apache.spark.sql.AnalysisException => delta }
         // write-then-swap: materialise the merge before overwriting the MV
         val out = merged.localCheckpoint()
         out.write.mode("overwrite").parquet(mvPath)
@@ -940,15 +945,10 @@ object StreamQueries {
     val src = tmpDir("sskysrc")
     orders.repartition(4).write.mode("overwrite").parquet(src)
     val front = tmpDir("sskyfront")
-    def skyline(df: DataFrame): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val cheaper = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
-      df.withColumn("mdc", min("days").over(cheaper))
-        .withColumn("mds", min("days").over(Window.partitionBy("cents")))
-        .filter((col("mdc").isNull || col("mdc") > col("days")) &&
-          col("mds") === col("days"))
-        .select("okey", "cents", "days")
-    }
+    // the distributed bucketed-prefix-min skyline (no single-partition
+    // window) — same operator as the batch face, run on frontier ∪ batch
+    def skyline(df: DataFrame): DataFrame =
+      graft.operators.Skyline.paretoMin(df).select("okey", "cents", "days")
     val q = spark.readStream.schema(orders.schema)
       .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
       .parquet(src)
@@ -959,9 +959,9 @@ object StreamQueries {
           expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
           datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
             .cast("long").as("days"))
-        val prev =
+        val prev = // path-not-found = first batch; real errors propagate
           try pts.sparkSession.read.parquet(front)
-          catch { case _: Throwable => pts.limit(0) }
+          catch { case _: org.apache.spark.sql.AnalysisException => pts.limit(0) }
         val merged = skyline(prev.unionByName(pts)).localCheckpoint()
         merged.write.mode("overwrite").parquet(front)
       }

@@ -104,6 +104,16 @@ class MultimodalSpec extends SparkSpec {
     assert(s1 === Multimodal.AudioSilence(2L, 4050L, 11L, 1050L, 100L))
   }
 
+  test("documents fixture is ASCII-only (frame/shot oracle invariant)") {
+    // the multimodal_frames / multimodal_shots oracles index CHARACTERS
+    // while frameSample indexes UTF-8 BYTES — equal only on ASCII text.
+    // Pin the fixture invariant here so a regenerated non-ASCII fixture
+    // fails loudly instead of as a silent oracle hash mismatch.
+    val bad = graft.queries.Staging.tbl(spark, sf, "documents")
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(bad === 0L, s"$bad documents with multi-byte characters")
+  }
+
   test("IVF finds the same top result as brute force when recall allows") {
     val emb = graft.queries.Staging.tbl(spark, sf, "embeddings")
     val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 1)
