@@ -240,7 +240,12 @@ object Dedup {
     // copy is its content rep's membership, so reps are computed on
     // distinct content only and counts re-weighted by multiplicity —
     // identical output, hot-cluster volume gone before the shingle pass
+    // persist the collapsed frame: it feeds BOTH the shingle pass and the
+    // n_copies re-weighting join — uncached, the full-text group-by
+    // shuffle would run twice (released by the catalog runners'
+    // clearCache, like the other tier-scoped persists)
     val c = collapseExact(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lshDocRepsFromSets(shingleSets(c))
       .join(c.select(col("doc_id"), col("n_copies")), Seq("doc_id"))
       .groupBy("rep").agg(sum(col("n_copies")).as("n_docs"))
@@ -256,8 +261,10 @@ object Dedup {
     * a join on the tiny (doc, rep) mapping — document payloads are never
     * touched after the first shingle pass. */
   def ccClusters(spark: SparkSession, docs: DataFrame, rounds: Int = 3): DataFrame = {
-    // exact-collapse first (output-preserving — see collapseExact/lshClusters)
+    // exact-collapse first (output-preserving — see collapseExact/
+    // lshClusters); persisted for the same two-consumer reason as there
     val c = collapseExact(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the (doc, rep) mapping MUST be lineage-truncated before and inside
     // the pointer-jumping loop: each round joins m against ITSELF, so an
     // un-truncated m re-executes the banded-LSH tail 2^rounds times
@@ -297,21 +304,34 @@ object Dedup {
     // of clusters at/above the cap salt by doc-id hash; those clusters'
     // rep shingles (built from the COMPACT per-doc set frame) fan
     // SaltBuckets-fold; everything else joins on salt 0 unreplicated.
-    val hotReps = docRep.groupBy("rep").agg(count(lit(1)).as("cs"))
-      .filter(col("cs") >= HotKeyCap)
-      .select(col("rep"), lit(true).as("is_hot"))
-    val repSh = docRep.select(col("rep")).distinct()
-      .join(hsDf.select(col("doc_id").as("rep"), col("hs")), Seq("rep"))
-      .join(broadcast(hotReps), Seq("rep"), "left")
-      .withColumn("salt", saltFan(coalesce(col("is_hot"), lit(false))))
-      .select(col("rep"), col("salt"), explode(col("hs")).as("h"))
-    val inter = docRep.filter(col("doc_id") =!= col("rep"))
-      .join(sh, Seq("doc_id"))
-      .join(broadcast(hotReps), Seq("rep"), "left")
-      .withColumn("salt",
-        when(coalesce(col("is_hot"), lit(false)), saltOf(col("doc_id"))).otherwise(lit(0)))
-      .join(repSh, Seq("rep", "h", "salt"))
-      .groupBy("doc_id", "rep").agg(count(lit(1)).as("inter"))
+    // The guard is GATED on a driver-side max-cluster-size probe (see
+    // maxKeyCount) — a cold corpus takes the plain unsalted star join.
+    val census = docRep.groupBy("rep").agg(count(lit(1)).as("cs"))
+    val inter =
+      if (maxKeyCount(census, "cs") < HotKeyCap) {
+        val repSh = docRep.select(col("rep")).distinct()
+          .join(hsDf.select(col("doc_id").as("rep"), col("hs")), Seq("rep"))
+          .select(col("rep"), explode(col("hs")).as("h"))
+        docRep.filter(col("doc_id") =!= col("rep"))
+          .join(sh, Seq("doc_id"))
+          .join(repSh, Seq("rep", "h"))
+          .groupBy("doc_id", "rep").agg(count(lit(1)).as("inter"))
+      } else {
+        val hotReps = census.filter(col("cs") >= HotKeyCap)
+          .select(col("rep"), lit(true).as("is_hot"))
+        val repSh = docRep.select(col("rep")).distinct()
+          .join(hsDf.select(col("doc_id").as("rep"), col("hs")), Seq("rep"))
+          .join(broadcast(hotReps), Seq("rep"), "left")
+          .withColumn("salt", saltFan(coalesce(col("is_hot"), lit(false))))
+          .select(col("rep"), col("salt"), explode(col("hs")).as("h"))
+        docRep.filter(col("doc_id") =!= col("rep"))
+          .join(sh, Seq("doc_id"))
+          .join(broadcast(hotReps), Seq("rep"), "left")
+          .withColumn("salt",
+            when(coalesce(col("is_hot"), lit(false)), saltOf(col("doc_id"))).otherwise(lit(0)))
+          .join(repSh, Seq("rep", "h", "salt"))
+          .groupBy("doc_id", "rep").agg(count(lit(1)).as("inter"))
+      }
     val verified = docRep
       .join(inter, Seq("doc_id", "rep"), "left_outer")
       .join(sizes, Seq("doc_id"))
@@ -347,6 +367,19 @@ object Dedup {
   private def saltOf(c: Column): Column =
     pmod(hash(c), lit(SaltBuckets)).cast("int")
 
+  /** Driver-side hot-key probe: the max value of count column `c` in an
+    * already-grouped frame, as one scalar (0 on empty input). The salted
+    * join shape costs real work even when NOTHING is hot — the salt
+    * column rides every shuffle row, the small side is fanned, and the
+    * broadcast census is an extra job — so the tiers branch on this
+    * bound and keep the PLAIN r6-shape plan unless a key at/above
+    * [[HotKeyCap]] actually exists (the r7 regression: an always-on
+    * census + salted plan taxed every cold corpus ~2-3×). The probe
+    * itself is map-side-combined (partial max) over a frame the tier
+    * computes anyway, returning one row — metadata-scale. */
+  private[graft] def maxKeyCount(grouped: DataFrame, c: String): Long =
+    grouped.agg(coalesce(max(col(c)), lit(0L)).as("m")).head().getLong(0)
+
   /** Fan-out generator: hot keys replicate SaltBuckets-fold, cold keys
     * emit the single salt 0 (matching the fat side's cold salt). */
   private def saltFan(isHot: Column): Column =
@@ -367,19 +400,30 @@ object Dedup {
   def lshDocRepsFromSets(hsDf: DataFrame): DataFrame = {
     val bands = bandedSignaturesFromSets(hsDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the bucket census is bucket-count-sized: checkpoint it eagerly so
+    // the ONE job that computes it (warming the bands cache on the way)
+    // serves the hot probe, the rep frame, and the hot set — the census
+    // group-by never runs twice
     val stats = bands.groupBy("band", "sig")
       .agg(min(col("doc_id")).as("grp_rep"), count(lit(1)).as("bs"))
-    val hot = stats.filter(col("bs") >= HotKeyCap)
-      .select(col("band"), col("sig"), lit(true).as("is_hot"))
-    val grpRep = stats
-      .join(broadcast(hot), Seq("band", "sig"), "left")
-      .withColumn("salt", saltFan(coalesce(col("is_hot"), lit(false))))
-      .select(col("band"), col("sig"), col("salt"), col("grp_rep"))
-    bands.join(broadcast(hot), Seq("band", "sig"), "left")
-      .withColumn("salt",
-        when(coalesce(col("is_hot"), lit(false)), saltOf(col("doc_id"))).otherwise(lit(0)))
-      .join(grpRep, Seq("band", "sig", "salt"))
-      .groupBy("doc_id").agg(min(col("grp_rep")).as("rep"))
+      .localCheckpoint()
+    // hot probe over the checkpointed census (a trivial scalar job);
+    // cold corpora take the plain r6-shape plan
+    if (maxKeyCount(stats, "bs") < HotKeyCap) {
+      bands.join(stats.select("band", "sig", "grp_rep"), Seq("band", "sig"))
+        .groupBy("doc_id").agg(min(col("grp_rep")).as("rep"))
+    } else {
+      val hot = stats.filter(col("bs") >= HotKeyCap)
+        .select(col("band"), col("sig"), lit(true).as("is_hot"))
+      val grpRep = stats
+        .withColumn("salt", saltFan(col("bs") >= HotKeyCap))
+        .select(col("band"), col("sig"), col("salt"), col("grp_rep"))
+      bands.join(broadcast(hot), Seq("band", "sig"), "left")
+        .withColumn("salt",
+          when(coalesce(col("is_hot"), lit(false)), saltOf(col("doc_id"))).otherwise(lit(0)))
+        .join(grpRep, Seq("band", "sig", "salt"))
+        .groupBy("doc_id").agg(min(col("grp_rep")).as("rep"))
+    }
   }
 
   private def pairsFromBands(bands0: DataFrame): DataFrame = {

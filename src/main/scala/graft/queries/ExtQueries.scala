@@ -2471,26 +2471,40 @@ object ExtQueries {
     // capped salted star-verify join (the Dedup.jaccardClusters
     // hot-cluster guard): only clusters at/above Dedup.HotKeyCap salt —
     // their members spread by doc-id hash and their rep fingerprints fan
-    // SaltBuckets-fold; cold clusters join on salt 0 unreplicated
-    val hotReps = docRep.groupBy("rep").agg(count(lit(1)).as("cs"))
-      .filter(col("cs") >= Dedup.HotKeyCap)
-      .select(col("rep"), lit(true).as("is_hot"))
-    val repFp = fp.join(
-        docRep.select(col("rep").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("rep"), col("fp_sh"))
-      .join(broadcast(hotReps), Seq("rep"), "left")
-      .withColumn("salt",
-        explode(when(coalesce(col("is_hot"), lit(false)),
-          sequence(lit(0), lit(Dedup.SaltBuckets - 1))).otherwise(sequence(lit(0), lit(0)))))
-      .drop("is_hot")
-    val inter = docRep.filter(col("doc_id") =!= col("rep"))
-      .join(fp, Seq("doc_id"))
-      .join(broadcast(hotReps), Seq("rep"), "left")
-      .withColumn("salt",
-        when(coalesce(col("is_hot"), lit(false)),
-          pmod(hash(col("doc_id")), lit(Dedup.SaltBuckets)).cast("int")).otherwise(lit(0)))
-      .join(repFp, Seq("rep", "fp_sh", "salt"))
-      .groupBy("doc_id", "rep").agg(count(lit(1)).as("inter"))
+    // SaltBuckets-fold; cold clusters join on salt 0 unreplicated. Gated
+    // on a driver-side max-cluster-size probe (Dedup.maxKeyCount): a
+    // corpus with no hot cluster takes the plain unsalted star join —
+    // the always-on salt plumbing was the r7 dedup-tier regression.
+    val census = docRep.groupBy("rep").agg(count(lit(1)).as("cs"))
+    val inter =
+      if (Dedup.maxKeyCount(census, "cs") < Dedup.HotKeyCap) {
+        val repFp = fp.join(
+            docRep.select(col("rep").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+          .select(col("doc_id").as("rep"), col("fp_sh"))
+        docRep.filter(col("doc_id") =!= col("rep"))
+          .join(fp, Seq("doc_id"))
+          .join(repFp, Seq("rep", "fp_sh"))
+          .groupBy("doc_id", "rep").agg(count(lit(1)).as("inter"))
+      } else {
+        val hotReps = census.filter(col("cs") >= Dedup.HotKeyCap)
+          .select(col("rep"), lit(true).as("is_hot"))
+        val repFp = fp.join(
+            docRep.select(col("rep").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+          .select(col("doc_id").as("rep"), col("fp_sh"))
+          .join(broadcast(hotReps), Seq("rep"), "left")
+          .withColumn("salt",
+            explode(when(coalesce(col("is_hot"), lit(false)),
+              sequence(lit(0), lit(Dedup.SaltBuckets - 1))).otherwise(sequence(lit(0), lit(0)))))
+          .drop("is_hot")
+        docRep.filter(col("doc_id") =!= col("rep"))
+          .join(fp, Seq("doc_id"))
+          .join(broadcast(hotReps), Seq("rep"), "left")
+          .withColumn("salt",
+            when(coalesce(col("is_hot"), lit(false)),
+              pmod(hash(col("doc_id")), lit(Dedup.SaltBuckets)).cast("int")).otherwise(lit(0)))
+          .join(repFp, Seq("rep", "fp_sh", "salt"))
+          .groupBy("doc_id", "rep").agg(count(lit(1)).as("inter"))
+      }
     docRep
       .join(inter, Seq("doc_id", "rep"), "left_outer")
       .join(sizes, Seq("doc_id"))
