@@ -2837,7 +2837,17 @@ object ExtQueries {
     * size. One reader unions the two generations on the common
     * projection; partition pruning still works per-branch because each
     * branch scans its own layout (spec-pinned via inputFiles counts).
-    * Census per generation: partitions, rows, exact cents. */
+    * Census per generation: partitions, rows, exact cents.
+    *
+    * Cost note: this key is deliberately a partitioned-WRITE benchmark —
+    * the day/hour generation commits ~360 partition dirs at sf0.1, so
+    * its runtime is filesystem-metadata-bound (per-dir create+rename),
+    * not data-bound. The projection is trimmed to the census columns and
+    * the two generation writes overlap; the remaining cost IS the
+    * measured quantity. At cluster scale the same write is object-store
+    * metadata-bound the same way — that is the real cost of an
+    * hour-granular layout, which is why evolution (NOT rewriting
+    * history into the finer scheme) is the point of the demo. */
   def ddlPartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "events")
       .withColumn("p_day", date_format(col("ts"), "yyyy-MM-dd"))
@@ -2847,14 +2857,33 @@ object ExtQueries {
     // repartition on the partition keys first: otherwise every one of
     // the writer tasks opens a file in every partition dir it sees
     // (tasks × partitions small files — the classic partitioned-write
-    // mistake); keyed repartition gives one file per partition
-    e.filter(dayofmonth(col("ts")) <= 15)
-      .repartition(col("p_day"))
-      .write.mode("overwrite").partitionBy("p_day").parquet(d1)
-    e.filter(dayofmonth(col("ts")) > 15)
-      .withColumn("p_hour", hour(col("ts")))
-      .repartition(col("p_day"), col("p_hour"))
-      .write.mode("overwrite").partitionBy("p_day", "p_hour").parquet(d2)
+    // mistake); keyed repartition gives one file per partition. Write
+    // ONLY the columns the census reads — the layout demo is about the
+    // directory structure, and a full-width events copy per generation
+    // made this the 5th-slowest catalog key for no extra coverage.
+    // the two generation writes are independent jobs dominated by
+    // per-partition-dir commit latency (the day/hour generation alone
+    // opens ~360 dirs at sf0.1) — overlap them so the wall cost is the
+    // slower write, not the sum; the census read below happens-after
+    // both via the Await barrier
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val w1 = Future {
+      e.filter(dayofmonth(col("ts")) <= 15)
+        .select("p_day", "event_id", "cents")
+        .repartition(col("p_day"))
+        .write.mode("overwrite").partitionBy("p_day").parquet(d1)
+    }
+    val w2 = Future {
+      e.filter(dayofmonth(col("ts")) > 15)
+        .withColumn("p_hour", hour(col("ts")))
+        .select("p_day", "p_hour", "event_id", "cents")
+        .repartition(col("p_day"), col("p_hour"))
+        .write.mode("overwrite").partitionBy("p_day", "p_hour").parquet(d2)
+    }
+    Await.result(w1, Duration.Inf)
+    Await.result(w2, Duration.Inf)
     val common = Seq("p_day", "event_id", "cents")
     spark.read.parquet(d1).select(common.map(col): _*)
       .withColumn("scheme", lit("day"))
