@@ -456,6 +456,12 @@ object ScaleCheck {
       time("graph_harmonic", f) {
         Graph.harmonicCentrality(Graph.coPartEdgesMin(lg, 2L), 3, 4).count()
       }
+      // weighted SSSP to fixpoint: disjoint copies leave the root's
+      // component unchanged, so round count stays the component's
+      // weighted diameter; per-round cost is the frontier×edges join
+      time("graph_sssp", f) {
+        Graph.ssspFull(Graph.coPartEdgesCost(lg, 2L)).count()
+      }
 
       // interval join: replicated events multiply both interval sets f×;
       // pairs grow ~f² within each hour bucket (density doubles both

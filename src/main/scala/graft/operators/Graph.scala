@@ -57,6 +57,78 @@ object Graph {
       .select("src", "dst")
   }
 
+  /** [[coPartEdgesMin]] with an integer edge COST: w = 1 + 1000 div
+    * co-count — frequently-bought-together pairs are CHEAP to traverse,
+    * rare pairs expensive (the inverse-affinity metric every
+    * recommendation-graph distance uses; the AFFINITY-weighted twin for
+    * rank flows is [[coPartEdgesWeighted]]). Strictly positive
+    * integers, so shortest paths are Dijkstra-well-defined and every
+    * engine computes bit-identical sums. Same single self-join +
+    * map-side-combined count as the unweighted form. */
+  def coPartEdgesCost(lineitem: DataFrame, minCount: Long): DataFrame = {
+    val os = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("s")).distinct()
+    os.as("a").join(os.as("b"), col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("src"), col("b.s").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("src"), col("dst"), expr("1 + 1000 div c").as("w"))
+  }
+
+  /** Weighted single-source shortest paths (distributed Bellman-Ford),
+    * run to the TRUE fixpoint on strictly positive integer weights —
+    * the first thing a user with edge costs (fees, latencies,
+    * inverse-affinity) reaches for after BFS. Per round: one equi-join
+    * of the settled frame onto the bidirectional weighted edges + a
+    * partial-aggregatable min(dist + w), then least() against the old
+    * frame — node-keyed shuffles only, dist frame O(|V|),
+    * lineage-truncated per round.
+    *
+    * Convergence: unlike BFS, a settled node's distance can still
+    * IMPROVE (a cheap long path beats an expensive short one), so the
+    * settled-count signal alone is not enough. A round changes the
+    * frame iff it settles a node (count strictly grows) or improves a
+    * distance (the settled-sum strictly falls, weights being positive);
+    * the (count, sum) pair is therefore unchanged exactly at the
+    * fixpoint — one 1-row aggregate per round over the checkpointed
+    * frame. Positive weights bound the ladder by |V|-1 rounds; real
+    * graphs exit in O(weighted diameter). Unreachable nodes are
+    * returned EXPLICITLY with a null distance, same contract as
+    * [[bfsDistancesFull]]. */
+  def ssspFull(edges: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(explode(array(
+        struct(col("src"), col("dst"), col("w")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+      .persist(lvl)
+    val nodes = e.select(col("src").as("node")).distinct()
+    val rootF = nodes.agg(min("node").as("root"))
+    var dist = nodes.crossJoin(broadcast(rootF))
+      .select(col("node"), when(col("node") === col("root"), 0L).as("dist"))
+      .localCheckpoint()
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(col("dist")).as("n"),
+        coalesce(sum(col("dist")), lit(0L)).as("s")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = sig(dist)
+    var changed = true
+    while (changed) {
+      val relax = e
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("node").as("src"), col("dist")), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("dist") + col("w")).as("nd"))
+      dist = dist.join(relax, Seq("node"), "left")
+        .select(col("node"), least(col("dist"), col("nd")).as("dist"))
+        .localCheckpoint()
+      val s = sig(dist)
+      changed = s != prev
+      prev = s
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Connected components by hash-min label propagation with pointer
     * jumping, run to fixpoint: every node ends labelled with the MINIMUM
     * node id reachable from it (= a canonical component id).

@@ -3079,6 +3079,19 @@ object ExtQueries {
       Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L))
       .orderBy("node")
 
+  /** Weighted single-source shortest paths from the min node of the
+    * thresholded co-part graph, edge cost = inverse affinity
+    * (1 + 1000 div co-count), run to the true Bellman-Ford fixpoint
+    * with (settled-count, settled-sum) convergence detection — see
+    * [[graft.operators.Graph.ssspFull]]. Unreachable nodes appear with
+    * an EXPLICIT null distance. Oracle: the relaxation ladder unrolled
+    * past the fixture's weighted diameter (rounds beyond the fixpoint
+    * are no-ops, so a generous unroll is exact). */
+  def graphSssp(spark: SparkSession, dir: String): DataFrame =
+    Graph.ssspFull(
+      Graph.coPartEdgesCost(tbl(spark, dir, "lineitem"), minCount = 2L))
+      .orderBy("node")
+
   /** Strongly connected components of the directed functional part-key
     * graph (one successor pointer per node), run to the true fixpoint via
     * trim + cycle-CC — see [[graft.operators.Graph.sccFunctional]]. Census
@@ -3587,6 +3600,7 @@ object ExtQueries {
     "graph_assortativity" -> (graphAssortativity _),
     "graph_bfs" -> (graphBfs _),
     "graph_bfs_full" -> (graphBfsFull _),
+    "graph_sssp" -> (graphSssp _),
     "graph_scc" -> (graphScc _),
     "graph_hits" -> (graphHits _),
     "graph_ppr" -> (graphPpr _),

@@ -3237,6 +3237,32 @@ object Oracles {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Weighted SSSP to the Bellman-Ford fixpoint: the relaxation ladder
+    // unrolled in MATERIALIZED CTEs (each round reads its predecessor
+    // twice) to 12 rounds — beyond the fixture's weighted diameter at
+    // every sf (measured: the Spark convergence detector exits well
+    // inside it), and rounds past the fixpoint are exact no-ops since
+    // min/least are idempotent. Unreachable nodes keep NULL throughout.
+    "graph_sssp" -> {
+      def round(i: Int): String =
+        s"""r$i AS (SELECT bi.dst AS node, min(d.dist + bi.w) AS nd FROM bi
+           |      JOIN d${i - 1} d ON bi.src = d.node WHERE d.dist IS NOT NULL GROUP BY 1),
+           |d$i AS MATERIALIZED (SELECT d.node, least(d.dist, r.nd) AS dist
+           |      FROM d${i - 1} d LEFT JOIN r$i r ON d.node = r.node)""".stripMargin
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS (SELECT a.s AS src, b.s AS dst, 1 + 1000 // count(*) AS w
+         |       FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |bi AS (SELECT src, dst, w FROM e0
+         |       UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+         |n0 AS (SELECT DISTINCT src AS node FROM bi),
+         |rt AS (SELECT min(node) AS root FROM n0),
+         |d0 AS MATERIALIZED (SELECT node, CASE WHEN node = (SELECT root FROM rt)
+         |         THEN CAST(0 AS BIGINT) END AS dist FROM n0),
+         |${(1 to 12).map(round).mkString(",\n")}
+         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d12 ORDER BY node""".stripMargin
+    },
+
     // Exact BFS to frontier exhaustion: recursive CTE with UNION (distinct)
     // so the (node, dist) frontier dedups across iterations and terminates;
     // the dist bound < |V| cuts cycle walks. min(dist) per node is the true

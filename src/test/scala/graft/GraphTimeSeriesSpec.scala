@@ -270,6 +270,24 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(rows.filter(_.isNullAt(1)).map(_.getAs[Long]("node")).toSet === Set(10L, 11L))
   }
 
+  test("ssspFull: cheap long path beats expensive direct edge; unreachable explicit null") {
+    def wEdges(ts: (Long, Long, Long)*) = ts.toDF("src", "dst", "w")
+    // 1-2 direct costs 10; 1-3-4-2 costs 1+1+1 = 3 — Bellman-Ford must
+    // keep improving node 2 AFTER it is first settled (the case the
+    // BFS settled-count convergence signal would exit too early on)
+    val g = wEdges((1L,2L,10L), (1L,3L,1L), (3L,4L,1L), (4L,2L,1L), (9L,10L,5L))
+    val d = Graph.ssspFull(g).collect()
+    val reached = d.filter(!_.isNullAt(1))
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(reached === Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 2L))
+    assert(d.filter(_.isNullAt(1)).map(_.getAs[Long]("node")).toSet === Set(9L, 10L))
+    // undirected: traversal works against the stated edge orientation
+    val rev = wEdges((2L,1L,4L))
+    assert(Graph.ssspFull(rev).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+      === Map(1L -> 0L, 2L -> 4L))
+  }
+
   test("sccFunctional: trim resolves tails, cycles become SCCs, self-loop cyclic") {
     // 1->2->3->1 cycle fed by tail 4->1; chain 5->6 (no cycle); self-loop 7
     val g = edgesDf((1L,2L),(2L,3L),(3L,1L),(4L,1L),(5L,6L),(7L,7L))
