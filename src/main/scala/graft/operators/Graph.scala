@@ -882,6 +882,25 @@ object Graph {
     out
   }
 
+  /** [[harmonicCentrality]] run to FRONTIER EXHAUSTION: the forward
+    * multi-source σ-BFS loop already detects an empty round (every
+    * later round is empty too — see [[forwardSigma]]), so the full form
+    * is the pinned form with an unbounded horizon; exact sampled
+    * harmonic centrality on a graph of ANY diameter. The pinned-horizon
+    * form remains the oracle-unrollable PREFIX contract. */
+  def harmonicCentralityFull(edges: DataFrame, nSources: Int): DataFrame =
+    harmonicCentrality(edges, nSources, Int.MaxValue)
+
+  /** [[stressCentrality]] run to FRONTIER EXHAUSTION — exact sampled
+    * stress on a graph of ANY diameter: the forward pass runs until a
+    * round discovers nothing (frontier-exhaustion early exit), and the
+    * backward continuation pass starts at the detected deepest level
+    * (`top = dmax` once `rounds` no longer binds). Same per-round
+    * dataflow and O(nSources·|V|) frames as the pinned form, which
+    * stays the oracle-unrollable prefix. */
+  def stressCentralityFull(edges: DataFrame, nSources: Int): DataFrame =
+    stressCentrality(edges, nSources, Int.MaxValue)
+
   def stressCentrality(edges: DataFrame, nSources: Int, rounds: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = bidir(edges).persist(lvl)

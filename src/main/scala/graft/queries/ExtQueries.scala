@@ -3233,6 +3233,26 @@ object ExtQueries {
         nSources = 3, rounds = 4)
       .orderBy(col("harmonic_milli").desc, col("node")).limit(20)
 
+  /** [[graphBetweenness]] run to frontier EXHAUSTION (convergence
+    * detected, no pinned horizon) — exact sampled stress at any graph
+    * diameter; see [[graft.operators.Graph.stressCentralityFull]].
+    * Oracle: the forward ladder unrolled past the fixture's hub
+    * eccentricity (empty rounds are no-ops). */
+  def graphBetweennessFull(spark: SparkSession, dir: String): DataFrame =
+    Graph.stressCentralityFull(
+        Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+        nSources = 3)
+      .orderBy(col("stress").desc, col("node")).limit(20)
+
+  /** [[graphHarmonic]] run to frontier EXHAUSTION — exact sampled
+    * harmonic centrality at any diameter; see
+    * [[graft.operators.Graph.harmonicCentralityFull]]. */
+  def graphHarmonicFull(spark: SparkSession, dir: String): DataFrame =
+    Graph.harmonicCentralityFull(
+        Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+        nSources = 3)
+      .orderBy(col("harmonic_milli").desc, col("node")).limit(20)
+
   /** Personalized PageRank: random walk with restart to the seed set
     * {node ≡ 0 (mod 10)} — the "rank by relatedness to this query set"
     * retrieval primitive. 3 iterations, integer micro-rank units, teleport
@@ -3605,7 +3625,9 @@ object ExtQueries {
     "graph_hits" -> (graphHits _),
     "graph_ppr" -> (graphPpr _),
     "graph_betweenness" -> (graphBetweenness _),
+    "graph_betweenness_full" -> (graphBetweennessFull _),
     "graph_harmonic" -> (graphHarmonic _),
+    "graph_harmonic_full" -> (graphHarmonicFull _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "pipeline_source_overlap" -> (pipelineSourceOverlap _),
     "join_interval_overlap" -> (joinIntervalOverlap _),

@@ -218,7 +218,7 @@ object Oracles {
     * sigma). v_i MUST be MATERIALIZED: each round reads its predecessor
     * twice (σ-join + NOT EXISTS) — inlined CTEs re-evaluate 2^rounds
     * times and spill DuckDB to disk on larger fixtures. */
-  private lazy val stressFwdCtes: String = {
+  private def stressFwdCtesN(depth: Int): String = {
     def fwd(i: Int): String =
       s"""f$i AS (SELECT v.s, bi.dst AS node, sum(v.sigma) AS sigma
          |     FROM v${i - 1} v JOIN bi ON v.node = bi.src
@@ -234,11 +234,10 @@ object Oracles {
        |srcs AS (SELECT src AS s FROM bi GROUP BY src
        |         ORDER BY count(*) DESC, src LIMIT 3),
        |v0 AS (SELECT s, s AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM srcs),
-       |${fwd(1)},
-       |${fwd(2)},
-       |${fwd(3)},
-       |${fwd(4)}""".stripMargin
+       |${(1 to depth).map(fwd).mkString(",\n")}""".stripMargin
   }
+
+  private lazy val stressFwdCtes: String = stressFwdCtesN(4)
 
   /** Shared CTE prefix for the bigram-LM quality family (text_perplexity
     * / sample_doremi): Laplace-smoothed bigram LM trained on even
@@ -3405,6 +3404,40 @@ object Oracles {
          |      UNION ALL SELECT s, node, sigma, d FROM d3)
          |GROUP BY node ORDER BY stress DESC, node LIMIT 20""".stripMargin
     },
+
+    // Stress centrality run to frontier EXHAUSTION: identical ladder
+    // unrolled to 12 forward rounds — past the fixture hubs' measured
+    // eccentricity (9 at sf0.01, 3 at sf0.1), so every round beyond the
+    // true frontier death is an EMPTY no-op and the unroll equals the
+    // Spark side's convergence-detected fixpoint. Backward levels
+    // 11..1 mirror the engine's top-down continuation sums.
+    "graph_betweenness_full" -> {
+      val D = 12
+      def bwd(l: Int): String =
+        s"""c$l AS (SELECT lv.s, lv.node, sum(1 + dn.d) AS d
+           |     FROM v$D lv JOIN bi ON lv.node = bi.src
+           |     JOIN d${l + 1} dn ON dn.s = lv.s AND dn.node = bi.dst
+           |     WHERE lv.dist = $l GROUP BY 1, 2),
+           |d$l AS MATERIALIZED (SELECT lv.s, lv.node, lv.sigma, coalesce(c$l.d, 0) AS d
+           |     FROM v$D lv LEFT JOIN c$l ON c$l.s = lv.s AND c$l.node = lv.node
+           |     WHERE lv.dist = $l)""".stripMargin
+      s"""WITH ${stressFwdCtesN(D)},
+         |d$D AS (SELECT s, node, CAST(0 AS BIGINT) AS d FROM v$D WHERE dist = $D),
+         |${(D - 1 to 1 by -1).map(bwd).mkString(",\n")}
+         |SELECT node, CAST(sum(sigma * d) AS BIGINT) AS stress
+         |FROM (${(1 until D).map(l => s"SELECT s, node, sigma, d FROM d$l")
+               .mkString(" UNION ALL ")})
+         |GROUP BY node ORDER BY stress DESC, node LIMIT 20""".stripMargin
+    },
+
+    // Sampled harmonic centrality run to frontier EXHAUSTION: the same
+    // 12-round unroll (rounds past the frontier's death are empty).
+    "graph_harmonic_full" ->
+      s"""WITH ${stressFwdCtesN(12)}
+         |SELECT node, CAST(sum(1000 // dist) AS BIGINT) AS harmonic_milli,
+         |  CAST(count(*) AS BIGINT) AS n_sources
+         |FROM v12 WHERE dist > 0 GROUP BY node
+         |ORDER BY harmonic_milli DESC, node LIMIT 20""".stripMargin,
 
     // Sampled harmonic centrality: same forward-σ BFS prefix, one rollup
     // — Σ 1000 // dist per node over the hub sources.

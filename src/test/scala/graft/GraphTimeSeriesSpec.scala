@@ -288,6 +288,27 @@ class GraphTimeSeriesSpec extends SparkSpec {
       === Map(1L -> 0L, 2L -> 4L))
   }
 
+  test("stress/harmonic full forms reach past the pinned 4-round horizon") {
+    // path of 8 from the hub end: nodes at dist 5..7 exist only in the
+    // exhaustion-detected form. Source = top-degree (interior) nodes,
+    // so compare against a star-with-tail where the hub is forced:
+    // hub 1 with leaves 2,3,4 (degree 3) and a tail 1-5-6-7-8-9.
+    val g = edgesDf((1L,2L),(1L,3L),(1L,4L),(1L,5L),(5L,6L),(6L,7L),(7L,8L),(8L,9L))
+    val pinned = Graph.harmonicCentrality(g, nSources = 1, rounds = 4).collect()
+      .map(r => r.getAs[Long]("node")).toSet
+    val full = Graph.harmonicCentralityFull(g, nSources = 1).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("harmonic_milli")).toMap
+    assert(!pinned.contains(9L), "pinned horizon must stop before the tail end")
+    assert(full(9L) === 1000L / 5, "full form must reach dist-5 tail end")
+    // stress: on the tail, each interior node carries all paths to the
+    // nodes below it — full form counts the whole tail, pinned cannot
+    val sFull = Graph.stressCentralityFull(g, nSources = 1).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("stress")).toMap
+    // source is hub 1 (degree 4): paths through 5 continue to 6,7,8,9
+    assert(sFull(5L) === 4L && sFull(8L) === 1L)
+    assert(!sFull.contains(9L) || sFull(9L) === 0L)
+  }
+
   test("sccFunctional: trim resolves tails, cycles become SCCs, self-loop cyclic") {
     // 1->2->3->1 cycle fed by tail 4->1; chain 5->6 (no cycle); self-loop 7
     val g = edgesDf((1L,2L),(2L,3L),(3L,1L),(4L,1L),(5L,6L),(7L,7L))
