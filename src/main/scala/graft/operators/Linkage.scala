@@ -77,14 +77,20 @@ object Linkage {
     * are exact aggregates over members (max balance — order-invariant,
     * no float summation). One group-by over members + one broadcastable
     * join back to the canonical row's attributes. */
-  def goldenRecords(customer: DataFrame, pairs: DataFrame): DataFrame = {
-    val cc = Graph.connectedComponents(
-      pairs.select(col("cust_a").as("src"), col("cust_b").as("dst")))
+  def goldenRecords(customer: DataFrame, pairs: DataFrame): DataFrame =
+    goldenFromClusters(customer,
+      Graph.connectedComponents(
+        pairs.select(col("cust_a").as("src"), col("cust_b").as("dst"))))
+
+  /** Survivorship over a PRECOMPUTED (node, comp_id) cluster map — the
+    * shared tail of [[goldenRecords]] and its incremental streaming twin
+    * (which maintains the map across batches instead of re-clustering
+    * the pair history). */
+  def goldenFromClusters(customer: DataFrame, cc: DataFrame): DataFrame =
     cc.join(customer, cc("node") === customer("c_custkey"))
       .groupBy(col("comp_id").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"), max("c_acctbal").as("max_bal"))
       .join(customer.select(col("c_custkey").as("cluster_id"),
         col("c_name").as("golden_name")), "cluster_id")
       .select("cluster_id", "golden_name", "n_members", "max_bal")
-  }
 }

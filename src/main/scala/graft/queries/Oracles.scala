@@ -315,6 +315,18 @@ object Oracles {
        |lab AS (SELECT src AS node, least(src, min(dst)) AS cluster_id
        |        FROM reach GROUP BY src)""".stripMargin
 
+  /** Golden-record survivorship over the ER clusters (shared by
+    * link_golden_records and its incremental streaming twin). */
+  private lazy val linkGoldenSql: String =
+    s"""WITH RECURSIVE $linkPairCtes,
+       |m AS (SELECT l.node, l.cluster_id, c.c_acctbal
+       |      FROM lab l JOIN customer c ON l.node = c.c_custkey),
+       |g AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |        max(c_acctbal) AS max_bal FROM m GROUP BY 1)
+       |SELECT g.cluster_id, c.c_name AS golden_name, g.n_members, g.max_bal
+       |FROM g JOIN customer c ON g.cluster_id = c.c_custkey
+       |ORDER BY g.cluster_id""".stripMargin
+
   /** Shared CTE prefix for the LPA family (graph_label_prop /
     * graph_modularity): thresholded co-part edges (e0 oriented, e
     * bidirectional) → three unrolled synchronous plurality-label
@@ -3516,15 +3528,13 @@ object Oracles {
          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
          |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "link_golden_records" ->
-      s"""WITH RECURSIVE $linkPairCtes,
-         |m AS (SELECT l.node, l.cluster_id, c.c_acctbal
-         |      FROM lab l JOIN customer c ON l.node = c.c_custkey),
-         |g AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-         |        max(c_acctbal) AS max_bal FROM m GROUP BY 1)
-         |SELECT g.cluster_id, c.c_name AS golden_name, g.n_members, g.max_bal
-         |FROM g JOIN customer c ON g.cluster_id = c.c_custkey
-         |ORDER BY g.cluster_id""".stripMargin,
+    "link_golden_records" -> linkGoldenSql,
+
+    // Incremental golden-record maintenance folds each batch's pairs
+    // into the persisted cluster map (CC over new pairs ∪ contracted
+    // map edges = CC over all pairs seen) — the final survivorship
+    // equals the batch form, same oracle.
+    "stream_link_golden" -> linkGoldenSql,
 
     "timeseries_motif" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,

@@ -72,6 +72,49 @@ class LinkageSpec extends SparkSpec {
     assert(acc.map(_.size).sum === full.size)
   }
 
+  test("incremental cluster fold equals batch CC at every boundary; refold idempotent") {
+    import graft.operators.Graph
+    // the stream_link_golden kernel: CC over (new pairs ∪ contracted
+    // prior assignments) must equal CC over all pairs seen — including
+    // a batch whose pairs BRIDGE two existing clusters
+    val all = cust(
+      (1L, "acme corp", 1, "A", 1.0), (2L, "acme corp", 1, "A", 2.0),
+      (3L, "acme c0rp", 1, "A", 3.0), (4L, "acme c0rpX", 1, "A", 4.0),
+      (5L, "beta llc", 2, "B", 5.0), (6L, "beta llp", 2, "B", 6.0))
+    val batches = Seq(Seq(1L, 2L, 5L), Seq(4L, 6L), Seq(3L)) // 3 bridges 1-2 and 4
+    var hist = all.limit(0)
+    var prevMap = all.select(col("c_custkey").as("node"),
+      col("c_custkey").as("comp_id")).limit(0)
+    var pairsSoFar = Linkage.blockedPairs(all, 2).limit(0)
+    batches.foreach { ids =>
+      val b = all.filter(col("c_custkey").isin(ids: _*))
+      val pairs = Linkage.blockedPairsIncremental(b, hist, 2)
+      val edges = pairs.select(col("cust_a").as("src"), col("cust_b").as("dst"))
+        .unionByName(prevMap.filter(col("node") =!= col("comp_id"))
+          .select(col("node").as("src"), col("comp_id").as("dst")))
+      val folded = Graph.connectedComponents(edges).localCheckpoint()
+      hist = hist.unionByName(b).localCheckpoint()
+      pairsSoFar = pairsSoFar.unionByName(pairs).localCheckpoint()
+      val batchCc = Graph.connectedComponents(
+        pairsSoFar.select(col("cust_a").as("src"), col("cust_b").as("dst")))
+      assert(folded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        === batchCc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        s"incremental map diverged from batch CC after batch $ids")
+      // replay: refolding the SAME pairs into the updated map is a no-op
+      val refold = Graph.connectedComponents(
+        pairs.select(col("cust_a").as("src"), col("cust_b").as("dst"))
+          .unionByName(folded.filter(col("node") =!= col("comp_id"))
+            .select(col("node").as("src"), col("comp_id").as("dst"))))
+      assert(refold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        === folded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      prevMap = folded
+    }
+    // final survivorship equals the one-shot batch golden records
+    val inc = Linkage.goldenFromClusters(all, prevMap).collect().toSet
+    val batch = Linkage.goldenRecords(all, Linkage.blockedPairs(all, 2)).collect().toSet
+    assert(inc === batch)
+  }
+
   test("intervalOverlap: exact pairs, no duplicates across buckets, touching excluded") {
     import graft.operators.RangeJoin
     val B = 100L // bucket width
