@@ -499,6 +499,51 @@ object Graph {
     dist
   }
 
+  /** k-TRUSS of the undirected graph, run to the true fixpoint: the
+    * maximal subgraph in which every edge participates in at least k-2
+    * triangles WITHIN the subgraph — the edge-cohesion sharpening of
+    * k-core (a k-truss is always inside the (k-1)-core, but demands
+    * mutual triangles, so it isolates genuinely cohesive communities
+    * where core numbers are fooled by hub stars). Cohen 2008.
+    *
+    * Per peel round, over the CURRENT edge set: (1) enumerate each
+    * triangle ONCE through the id-oriented wedge join (a<b<c — the same
+    * Σ C(deg,2) enumeration class as [[triangleCount]], never all
+    * pairs), explode its three edges, and count per-edge support with a
+    * partial-aggregatable sum; (2) drop edges below k-2. The edge frame
+    * only SHRINKS, so the driver-side count both detects the fixpoint
+    * and certifies progress; frames are lineage-truncated per round.
+    * Returns the per-node truss degree (incident surviving edges). */
+  def kTruss(edges: DataFrame, k: Int): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var n = e.count()
+    var changed = n > 0
+    while (changed) {
+      val tri = e.as("ab")
+        .join(e.as("ac"),
+          col("ab.src") === col("ac.src") && col("ab.dst") < col("ac.dst"))
+        .join(e.as("bc"),
+          col("bc.src") === col("ab.dst") && col("bc.dst") === col("ac.dst"))
+        .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("ac.dst").as("c"))
+      val sup = tri.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("a").as("src"), col("c").as("dst")),
+          struct(col("b").as("src"), col("c").as("dst")))).as("t"))
+        .groupBy(col("t.src").as("src"), col("t.dst").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+      val next = e.join(sup, Seq("src", "dst"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
+        .select("src", "dst")
+        .localCheckpoint()
+      val n2 = next.count()
+      changed = n2 < n && n2 > 0
+      n = n2
+      e = next
+    }
+    bidir(e).groupBy(col("src").as("node")).agg(count(lit(1)).as("truss_deg"))
+      .orderBy("node")
+  }
+
   /** Degree assortativity (Newman 2002): Pearson correlation of endpoint
     * degrees over the DIRECTED edge list (both directions of every
     * undirected edge — the standard symmetrisation). All moment sums are

@@ -3092,6 +3092,17 @@ object ExtQueries {
       Graph.coPartEdgesCost(tbl(spark, dir, "lineitem"), minCount = 2L))
       .orderBy("node")
 
+  /** 12-truss of the (unthresholded) co-part graph, peeled to the true
+    * fixpoint: every surviving edge sits in ≥ 10 triangles within the
+    * subgraph — see [[graft.operators.Graph.kTruss]]. The peel
+    * genuinely cascades on this fixture (5 rounds at sf0.01, 3 at
+    * sf0.1) — the case where one support pass is NOT the answer.
+    * Census: per-node truss degree. Oracle: the peel unrolled past the
+    * fixture's convergence depth (rounds after the edge set stabilises
+    * recompute identical supports and drop nothing). */
+  def graphKtruss(spark: SparkSession, dir: String): DataFrame =
+    Graph.kTruss(Graph.coPartEdges(tbl(spark, dir, "lineitem")), k = 12)
+
   /** Strongly connected components of the directed functional part-key
     * graph (one successor pointer per node), run to the true fixpoint via
     * trim + cycle-CC — see [[graft.operators.Graph.sccFunctional]]. Census
@@ -3621,6 +3632,7 @@ object ExtQueries {
     "graph_bfs" -> (graphBfs _),
     "graph_bfs_full" -> (graphBfsFull _),
     "graph_sssp" -> (graphSssp _),
+    "graph_ktruss" -> (graphKtruss _),
     "graph_scc" -> (graphScc _),
     "graph_hits" -> (graphHits _),
     "graph_ppr" -> (graphPpr _),

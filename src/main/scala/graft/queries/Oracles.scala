@@ -3248,6 +3248,34 @@ object Oracles {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // 12-truss peel unrolled to 8 rounds — past the fixture's measured
+    // convergence depth (5 at sf0.01, 3 at sf0.1); rounds after the
+    // edge set stabilises recompute identical supports and drop
+    // nothing, so the static unroll equals the engine's count-detected
+    // fixpoint. Per round: each triangle enumerated ONCE via the
+    // id-oriented wedge join, its 3 edges unioned out, support counted,
+    // then the k-2 filter.
+    "graph_ktruss" -> {
+      def round(i: Int): String =
+        s"""t$i AS (SELECT ab.src AS a, ab.dst AS b, ac.dst AS c
+           |      FROM e$i ab JOIN e$i ac ON ab.src = ac.src AND ab.dst < ac.dst
+           |      JOIN e$i bc ON bc.src = ab.dst AND bc.dst = ac.dst),
+           |s$i AS (SELECT src, dst, count(*) AS sup FROM (
+           |        SELECT a AS src, b AS dst FROM t$i
+           |        UNION ALL SELECT a, c FROM t$i
+           |        UNION ALL SELECT b, c FROM t$i) GROUP BY 1, 2),
+           |e${i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e$i e
+           |      LEFT JOIN s$i s ON e.src = s.src AND e.dst = s.dst
+           |      WHERE coalesce(s.sup, 0) >= 10)""".stripMargin
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e1 AS (SELECT DISTINCT a.s AS src, b.s AS dst
+         |       FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT node, CAST(count(*) AS BIGINT) AS truss_deg
+         |FROM (SELECT src AS node FROM e9 UNION ALL SELECT dst FROM e9)
+         |GROUP BY 1 ORDER BY node""".stripMargin
+    },
+
     // Weighted SSSP to the Bellman-Ford fixpoint: the relaxation ladder
     // unrolled in MATERIALIZED CTEs (each round reads its predecessor
     // twice) to 12 rounds — beyond the fixture's weighted diameter at

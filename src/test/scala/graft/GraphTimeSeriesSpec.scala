@@ -309,6 +309,23 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(!sFull.contains(9L) || sFull(9L) === 0L)
   }
 
+  test("kTruss: peel cascades (support recomputed within the subgraph), K5 survives") {
+    // K5: every edge in 3 triangles -> survives k=4 (support >= 2).
+    // Double triangle (10,11,12)+(11,12,13): edge 11-12 has support 2 in
+    // round 1, but after its neighbours drop it has 0 — only a CASCADING
+    // peel (not one support pass) removes it.
+    val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b))
+    val bowtie = Seq((10L,11L),(10L,12L),(11L,12L),(11L,13L),(12L,13L))
+    val g = edgesDf(k5 ++ bowtie: _*)
+    val t = Graph.kTruss(g, k = 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("truss_deg")).toMap
+    assert(t === (1L to 5L).map(_ -> 4L).toMap,
+      s"4-truss must be exactly K5 with degree 4, got $t")
+    // k=5 demands support >= 3: K5 still qualifies; k=6 empties it
+    assert(Graph.kTruss(g, k = 5).count() === 5L)
+    assert(Graph.kTruss(g, k = 6).count() === 0L)
+  }
+
   test("sccFunctional: trim resolves tails, cycles become SCCs, self-loop cyclic") {
     // 1->2->3->1 cycle fed by tail 4->1; chain 5->6 (no cycle); self-loop 7
     val g = edgesDf((1L,2L),(2L,3L),(3L,1L),(4L,1L),(5L,6L),(7L,7L))
