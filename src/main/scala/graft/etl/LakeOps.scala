@@ -107,7 +107,8 @@ object LakeOps {
     * the GDPR job's ideal: scan (2 columns) + rewrite only the
     * partitions the subjects appear in. */
   def deleteKeys(spark: SparkSession, sinkDir: String, keys: DataFrame,
-                 keyCol: String, partCol: String): Unit = {
+                 keyCol: String, partCol: String,
+                 retainHistory: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val base = readTable(spark, sinkDir)
     val affected = base.select(partCol, keyCol)
@@ -121,7 +122,8 @@ object LakeOps {
     kept.repartition(col(partCol))
       .write.mode("error").partitionBy(partCol).parquet(staging)
     promoteStaged(spark, sinkDir, staging,
-      dropParts = affected.map(v => s"$partCol=$v").toSet)
+      dropParts = affected.map(v => s"$partCol=$v").toSet,
+      retainHistory = retainHistory)
   }
 
   /** Small-file COMPACTION — the other standing lake-maintenance job:

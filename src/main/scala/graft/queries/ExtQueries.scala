@@ -1605,6 +1605,57 @@ object ExtQueries {
     census(1L).unionByName(census(2L)).orderBy("version", "event_type")
   }
 
+  /** CHANGE FEED between lake-table versions (the Delta/Iceberg CDF
+    * read): three retained snapshots — base load, an upsert generation
+    * (updates double id%6 values, inserts add new id%5 keys), a GDPR
+    * delete generation (id%9 keys) — then each consecutive version pair
+    * is diffed by a PK full-outer join and classified
+    * insert/update/delete/unchanged with the exact cents delta. This is
+    * the incremental-consumer contract: a downstream reader applies the
+    * feed instead of re-reading the table. The join is PK-keyed
+    * (sort-merge on event_id), snapshots resolve through their
+    * manifests (one metadata read each, no log replay) — at 100 TB the
+    * diff cost is two snapshot scans, and a real deployment would
+    * partition-prune both sides to the touched partitions the manifest
+    * diff already names. */
+  def ddlChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("changefeed")
+    val e = tbl(spark, dir, "events")
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .select("event_id", "event_date", "event_type", "value")
+    val base = e.filter(col("event_id") % 3 === 0)
+    base.repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val updates = base.filter(col("event_id") % 6 === 0)
+      .withColumn("value", col("value") * 2)
+    val inserts = e.filter(col("event_id") % 3 =!= 0 && col("event_id") % 5 === 0)
+    graft.etl.LakeOps.mergeInto(spark, out, updates.unionByName(inserts),
+      "event_id", "event_date", retainHistory = true)
+    graft.etl.LakeOps.deleteKeys(spark, out,
+      e.filter(col("event_id") % 9 === 0).select("event_id"),
+      "event_id", "event_date", retainHistory = true)
+    def snap(v: Long): DataFrame =
+      graft.etl.LakeOps.readTableAsOf(spark, out, v)
+        .select(col("event_id"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    def feed(from: Long, to: Long): DataFrame =
+      snap(from).select(col("event_id"), col("cents").as("c_from"))
+        .join(snap(to).select(col("event_id"), col("cents").as("c_to")),
+          Seq("event_id"), "full_outer")
+        .withColumn("change",
+          when(col("c_from").isNull, "insert")
+            .when(col("c_to").isNull, "delete")
+            .when(col("c_from") =!= col("c_to"), "update")
+            .otherwise("unchanged"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("c_to"), lit(0L)) - coalesce(col("c_from"), lit(0L)))
+            .as("delta_cents"))
+        .select(lit(s"v$from->v$to").as("step"), col("change"),
+          col("n_rows"), col("delta_cents"))
+    feed(1L, 2L).unionByName(feed(2L, 3L)).orderBy("step", "change")
+  }
+
   /** Mixture-sampling QA gate: Pearson goodness-of-fit of the realized
     * hash-coin sample against each source's configured rate, in exact
     * integers — dev = 100·observed − n·rate (signed, zero iff the coin
@@ -3647,6 +3698,7 @@ object ExtQueries {
     "agg_skyline" -> (aggSkyline _),
     "profile_l_diversity" -> (profileLDiversity _),
     "ddl_partition_evolution" -> (ddlPartitionEvolution _),
+    "ddl_change_feed" -> (ddlChangeFeed _),
     "link_blocked_pairs" -> (linkBlockedPairs _),
     "link_er_clusters" -> (linkErClusters _),
     "link_golden_records" -> (linkGoldenRecords _),

@@ -3488,6 +3488,34 @@ object Oracles {
          |FROM v4 WHERE dist > 0 GROUP BY node
          |ORDER BY harmonic_milli DESC, node LIMIT 20""".stripMargin,
 
+    // Change feed: arithmetic reconstruction of the three retained
+    // snapshots (base id%3 load; upsert generation doubling id%6 and
+    // inserting id%5 non-base keys; delete generation removing id%9),
+    // then the same PK full-outer diff + classification. value*2 is an
+    // exact power-of-two double scale, so both engines round the
+    // identical product.
+    "ddl_change_feed" -> {
+      def feed(a: String, b: String, label: String): String =
+        s"""SELECT '$label' AS step,
+           |  CASE WHEN a.event_id IS NULL THEN 'insert'
+           |       WHEN b.event_id IS NULL THEN 'delete'
+           |       WHEN a.c <> b.c THEN 'update' ELSE 'unchanged' END AS change,
+           |  coalesce(b.c, 0) - coalesce(a.c, 0) AS d
+           |FROM $a a FULL OUTER JOIN $b b ON a.event_id = b.event_id""".stripMargin
+      s"""WITH e AS (SELECT event_id,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS c1,
+         |    CAST(round(value * 2 * 100, 0) AS BIGINT) AS c2 FROM events),
+         |v1 AS (SELECT event_id, c1 AS c FROM e WHERE event_id % 3 = 0),
+         |v2 AS (SELECT event_id,
+         |         CASE WHEN event_id % 6 = 0 THEN c2 ELSE c1 END AS c
+         |       FROM e WHERE event_id % 3 = 0 OR event_id % 5 = 0),
+         |v3 AS (SELECT event_id, c FROM v2 WHERE event_id % 9 <> 0)
+         |SELECT step, change, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(d) AS BIGINT) AS delta_cents
+         |FROM (${feed("v1", "v2", "v1->v2")} UNION ALL ${feed("v2", "v3", "v2->v3")})
+         |GROUP BY 1, 2 ORDER BY step, change""".stripMargin
+    },
+
     // Partition evolution census: generation = day-of-month split.
     "ddl_partition_evolution" ->
       """WITH e AS (SELECT
