@@ -2085,6 +2085,58 @@ object ExtQueries {
       .orderBy("split")
   }
 
+  /** LEAKAGE-AWARE train/test split: assigning sides by a hash of the
+    * raw doc id lets near-duplicates straddle the boundary — the
+    * test-set contamination that silently inflates eval scores. The
+    * cluster-safe strategy hashes the doc's DEDUP-CLUSTER representative
+    * instead (banded-LSH rep + 3 pointer-jump rounds, the
+    * [[graft.operators.Dedup.ccClusters]] contraction), so every member
+    * of a near-dup cluster lands on the same side. Census per strategy:
+    * split sizes plus the measured leakage — LSH candidate pairs whose
+    * endpoints fall on DIFFERENT sides. Plan: the one minhash pass both
+    * strategies share, a doc-keyed side map, and two candidate-pair
+    * equi-joins — no pair blow-up beyond the banded candidate set. */
+  def sampleSplitClusterSafe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val hs = Dedup.shingleSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var m = Dedup.lshDocRepsFromSets(hs).localCheckpoint()
+    for (_ <- 1 to 3) {
+      val parent = m.select(col("doc_id").as("rep"), col("rep").as("rep2"))
+      m = m.join(parent, Seq("rep"), "left")
+        .select(col("doc_id"), coalesce(col("rep2"), col("rep")).as("rep"))
+        .localCheckpoint()
+    }
+    // docs below the shingle threshold have no banded rep: they are
+    // their own singleton cluster on both sides of the comparison
+    val sides = docs.select("doc_id")
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+      .withColumn("naive",
+        when(charHash(col("doc_id").cast("string")) % 100 < 80, "train")
+          .otherwise("test"))
+      .withColumn("safe",
+        when(charHash(col("rep").cast("string")) % 100 < 80, "train")
+          .otherwise("test"))
+      .localCheckpoint()
+    val cand = Dedup.minhashCandidates(spark, docs)
+    def strategy(name: String, c: String): DataFrame = {
+      val counts = sides.agg(
+        sum(when(col(c) === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col(c) === "test", 1L).otherwise(0L)).as("n_test"))
+      val leaks = cand
+        .join(sides.select(col("doc_id").as("doc_a"), col(c).as("sa")), "doc_a")
+        .join(sides.select(col("doc_id").as("doc_b"), col(c).as("sb")), "doc_b")
+        .agg(count(lit(1)).as("cand_pairs"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("leaked_pairs"))
+      counts.crossJoin(leaks).select(lit(name).as("strategy"),
+        col("n_train"), col("n_test"), col("cand_pairs"), col("leaked_pairs"))
+    }
+    strategy("cluster_safe", "safe")
+      .unionByName(strategy("doc_hash", "naive"))
+      .orderBy("strategy")
+  }
+
   /** Corpus vocabulary: top-30 tokens by collection frequency with doc
     * frequency — the vocab builder a tokenizer-training pipeline runs.
     * One explode + one hash agg; top-k via TakeOrdered (distributed
@@ -3823,6 +3875,7 @@ object ExtQueries {
     "ddl_time_travel" -> (ddlTimeTravel _),
     "ddl_clone" -> (ddlClone _),
     "sample_split" -> (sampleSplit _),
+    "sample_split_cluster_safe" -> (sampleSplitClusterSafe _),
     "scan_schema_evolution" -> (scanSchemaEvolution _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_train_batched" -> (textBpeTrainBatched _),

@@ -762,6 +762,47 @@ object Oracles {
          |       LEFT JOIN (SELECT doc_id AS rep, rep AS rep2 FROM d2) p ON p.rep = d.rep)
          |SELECT rep, count(*) AS n_docs FROM d3 GROUP BY rep ORDER BY rep""".stripMargin,
 
+    // Leakage-aware split: sides by doc-id hash vs dedup-cluster-rep
+    // hash (the cc-contraction reps, mirrored from dedup_cc_clusters),
+    // leakage = banded candidate pairs straddling the split.
+    "sample_split_cluster_safe" -> {
+      val hDoc = ch("CAST(doc_id AS VARCHAR)")
+      val hRep = ch("CAST(rep AS VARCHAR)")
+      s"""$minhashCtes,
+         |grp AS (SELECT band, sig, min(doc_id) AS grp_rep FROM bands GROUP BY band, sig),
+         |d0 AS (SELECT b.doc_id, min(g.grp_rep) AS rep
+         |       FROM bands b JOIN grp g ON b.band = g.band AND b.sig = g.sig
+         |       GROUP BY b.doc_id),
+         |d1 AS (SELECT d.doc_id, coalesce(p.rep2, d.rep) AS rep FROM d0 d
+         |       LEFT JOIN (SELECT doc_id AS rep, rep AS rep2 FROM d0) p ON p.rep = d.rep),
+         |d2 AS (SELECT d.doc_id, coalesce(p.rep2, d.rep) AS rep FROM d1 d
+         |       LEFT JOIN (SELECT doc_id AS rep, rep AS rep2 FROM d1) p ON p.rep = d.rep),
+         |d3 AS (SELECT d.doc_id, coalesce(p.rep2, d.rep) AS rep FROM d2 d
+         |       LEFT JOIN (SELECT doc_id AS rep, rep AS rep2 FROM d2) p ON p.rep = d.rep),
+         |lab AS (SELECT doc.doc_id, coalesce(d3.rep, doc.doc_id) AS rep
+         |        FROM documents doc LEFT JOIN d3 ON doc.doc_id = d3.doc_id),
+         |sd AS (SELECT doc_id,
+         |         CASE WHEN ($hDoc) % 100 < 80 THEN 'train' ELSE 'test' END AS naive,
+         |         CASE WHEN ($hRep) % 100 < 80 THEN 'train' ELSE 'test' END AS safe
+         |       FROM lab),
+         |pm AS (SELECT a.naive AS na, b.naive AS nb, a.safe AS sa, b.safe AS sb
+         |       FROM pairs p JOIN sd a ON p.doc_a = a.doc_id
+         |       JOIN sd b ON p.doc_b = b.doc_id)
+         |SELECT * FROM (
+         |  SELECT 'cluster_safe' AS strategy,
+         |    CAST((SELECT count(*) FROM sd WHERE safe = 'train') AS BIGINT) AS n_train,
+         |    CAST((SELECT count(*) FROM sd WHERE safe = 'test') AS BIGINT) AS n_test,
+         |    CAST((SELECT count(*) FROM pm) AS BIGINT) AS cand_pairs,
+         |    CAST((SELECT count(*) FROM pm WHERE sa <> sb) AS BIGINT) AS leaked_pairs
+         |  UNION ALL
+         |  SELECT 'doc_hash',
+         |    CAST((SELECT count(*) FROM sd WHERE naive = 'train') AS BIGINT),
+         |    CAST((SELECT count(*) FROM sd WHERE naive = 'test') AS BIGINT),
+         |    CAST((SELECT count(*) FROM pm) AS BIGINT),
+         |    CAST((SELECT count(*) FROM pm WHERE na <> nb) AS BIGINT)
+         |) ORDER BY strategy""".stripMargin
+    },
+
     "dedup_jaccard_clusters" ->
       s"""$minhashCtes,
          |grp AS (SELECT band, sig, min(doc_id) AS grp_rep FROM bands GROUP BY band, sig),
