@@ -63,6 +63,48 @@ object Linkage {
     blockedPairs(newDf, maxDist).unionByName(cross)
   }
 
+  /** QUOTIENT fold of new verified pairs into a persisted (node,
+    * comp_id) cluster map: each pair contracts to its endpoints'
+    * current labels, so intra-cluster pairs vanish and connected
+    * components run over the TOUCHED-cluster quotient graph only —
+    * O(bridging pairs) nodes, never O(|V|). Quotient components lift
+    * exactly to full-graph components (prior clusters are connected by
+    * induction), and labels are min member ids, so min-over-merged-old-
+    * labels IS the batch CC label. Returns (refreshed map, mergeMap)
+    * where mergeMap = (comp_id = old label, merged = new label) rows
+    * for touched clusters only — exactly what incremental survivorship
+    * needs (drop old labels, re-aggregate merged ones). Replay-safe:
+    * already-folded pairs contract to self-loops and drop out, making
+    * the fold a no-op. This is the 100 TB form; below
+    * [[QuotientFoldThreshold]] map rows, a direct CC over
+    * (pairs ∪ contracted star edges) costs fewer jobs and wins —
+    * the streaming query probes and picks. */
+  def foldClusters(prevMap: DataFrame, pairs: DataFrame): (DataFrame, DataFrame) = {
+    val ends = pairs
+      .select(explode(array(col("cust_a"), col("cust_b"))).as("node")).distinct()
+    val newcomers = ends.join(prevMap, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("comp_id"))
+    val base = prevMap.unionByName(newcomers)
+    val cp = pairs
+      .join(base.select(col("node").as("cust_a"), col("comp_id").as("ca")), "cust_a")
+      .join(base.select(col("node").as("cust_b"), col("comp_id").as("cb")), "cust_b")
+      .filter(col("ca") =!= col("cb"))
+      .select(col("ca").as("src"), col("cb").as("dst")).distinct()
+    val merge = Graph.connectedComponents(cp)
+      .select(col("node").as("comp_id"), col("comp_id").as("merged"))
+    val newMap = base.join(merge, Seq("comp_id"), "left")
+      .select(col("node"), coalesce(col("merged"), col("comp_id")).as("comp_id"))
+    (newMap, merge)
+  }
+
+  /** Map size above which the streaming fold switches from the direct
+    * CC (fewer jobs, O(|V|) frames — wins while the map is small) to
+    * the quotient fold (more jobs, O(touched) frames — wins once the
+    * map dwarfs a batch's touch set). Measured at sf0.1 (15k-row map):
+    * direct 21s vs quotient 35s for the whole stream — fixed per-job
+    * cost dominates until the map is orders of magnitude larger. */
+  val QuotientFoldThreshold = 1000000L
+
   /** Entity clusters: connected components over verified pairs (match
     * is not transitive; CC gives the maximal-entity semantics every ER
     * system uses). Census rows (cluster_id = min member key, n_members). */

@@ -72,11 +72,12 @@ class LinkageSpec extends SparkSpec {
     assert(acc.map(_.size).sum === full.size)
   }
 
-  test("incremental cluster fold equals batch CC at every boundary; refold idempotent") {
+  test("quotient cluster fold equals batch CC at every boundary; refold idempotent") {
     import graft.operators.Graph
-    // the stream_link_golden kernel: CC over (new pairs ∪ contracted
-    // prior assignments) must equal CC over all pairs seen — including
-    // a batch whose pairs BRIDGE two existing clusters
+    // the stream_link_golden kernel (the above-threshold path local
+    // fixtures never take): quotient CC over contracted pairs +
+    // incremental survivorship must equal the batch forms at every
+    // boundary — including a batch whose pairs BRIDGE two clusters
     val all = cust(
       (1L, "acme corp", 1, "A", 1.0), (2L, "acme corp", 1, "A", 2.0),
       (3L, "acme c0rp", 1, "A", 3.0), (4L, "acme c0rpX", 1, "A", 4.0),
@@ -85,34 +86,50 @@ class LinkageSpec extends SparkSpec {
     var hist = all.limit(0)
     var prevMap = all.select(col("c_custkey").as("node"),
       col("c_custkey").as("comp_id")).limit(0)
+    var goldenState = Linkage.goldenRecords(all, Linkage.blockedPairs(all, 2)).limit(0)
     var pairsSoFar = Linkage.blockedPairs(all, 2).limit(0)
     batches.foreach { ids =>
       val b = all.filter(col("c_custkey").isin(ids: _*))
-      val pairs = Linkage.blockedPairsIncremental(b, hist, 2)
-      val edges = pairs.select(col("cust_a").as("src"), col("cust_b").as("dst"))
-        .unionByName(prevMap.filter(col("node") =!= col("comp_id"))
-          .select(col("node").as("src"), col("comp_id").as("dst")))
-      val folded = Graph.connectedComponents(edges).localCheckpoint()
+      val pairs = Linkage.blockedPairsIncremental(b, hist, 2).localCheckpoint()
+      val (newMap0, merge0) = Linkage.foldClusters(prevMap, pairs)
+      val folded = newMap0.localCheckpoint()
+      val merge = merge0.localCheckpoint()
       hist = hist.unionByName(b).localCheckpoint()
       pairsSoFar = pairsSoFar.unionByName(pairs).localCheckpoint()
       val batchCc = Graph.connectedComponents(
         pairsSoFar.select(col("cust_a").as("src"), col("cust_b").as("dst")))
       assert(folded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         === batchCc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
-        s"incremental map diverged from batch CC after batch $ids")
+        s"quotient map diverged from batch CC after batch $ids")
+      // incremental survivorship: untouched rows carry over, merged
+      // clusters re-aggregate — must equal the full recompute
+      val touchedNew = merge.select(col("merged").as("comp_id")).distinct()
+      val members = folded.join(touchedNew, Seq("comp_id"), "left_semi")
+        .withColumnRenamed("comp_id", "cluster_id")
+      val redone = members
+        .join(hist, members("node") === hist("c_custkey"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"), max("c_acctbal").as("max_bal"))
+        .join(hist.select(col("c_custkey").as("cluster_id"),
+          col("c_name").as("golden_name")), "cluster_id")
+        .select("cluster_id", "golden_name", "n_members", "max_bal")
+      goldenState = goldenState
+        .join(merge.select(col("comp_id").as("cluster_id")), Seq("cluster_id"), "left_anti")
+        .unionByName(redone)
+        .localCheckpoint()
+      assert(goldenState.collect().toSet
+        === Linkage.goldenFromClusters(hist, batchCc).collect().toSet,
+        s"incremental golden diverged from full recompute after batch $ids")
       // replay: refolding the SAME pairs into the updated map is a no-op
-      val refold = Graph.connectedComponents(
-        pairs.select(col("cust_a").as("src"), col("cust_b").as("dst"))
-          .unionByName(folded.filter(col("node") =!= col("comp_id"))
-            .select(col("node").as("src"), col("comp_id").as("dst"))))
+      val (refold, remerge) = Linkage.foldClusters(folded, pairs)
       assert(refold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         === folded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(remerge.count() === 0L, "replayed pairs must contract to self-loops")
       prevMap = folded
     }
     // final survivorship equals the one-shot batch golden records
-    val inc = Linkage.goldenFromClusters(all, prevMap).collect().toSet
     val batch = Linkage.goldenRecords(all, Linkage.blockedPairs(all, 2)).collect().toSet
-    assert(inc === batch)
+    assert(goldenState.collect().toSet === batch)
   }
 
   test("intervalOverlap: exact pairs, no duplicates across buckets, touching excluded") {
