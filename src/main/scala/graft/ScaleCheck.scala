@@ -160,14 +160,53 @@ object ScaleCheck {
     time("hot_dedup_cc_clusters", 1) { Dedup.ccClusters(spark, d, 3).count() }
   }
 
+  /** `runMain graft.ScaleCheck fold <n>`: the streaming-ER fold
+    * crossover — a persisted cluster map of `n` entities (pairs of
+    * consecutive ids) folded with one 2000-record batch (1000 new
+    * 2-clusters + 50 pairs bridging existing clusters), timed BOTH ways:
+    * the direct CC over (pairs ∪ contracted stars) — O(n) frames every
+    * batch — vs the quotient fold + incremental survivorship — frames
+    * O(touched) = O(batch). Grounds Linkage.QuotientFoldThreshold in a
+    * measurement instead of an assertion; results in docs/SCALING.md. */
+  private def foldRun(spark: SparkSession, n: Long,
+                      time: (String, Int) => (=> Long) => Unit): Unit = {
+    import graft.operators.{Graph, Linkage}
+    // prior state: n nodes in n/2 two-member clusters (even id = rep)
+    val prevMap = spark.range(n)
+      .select(col("id").as("node"), (col("id") - col("id") % 2).as("comp_id"))
+      .localCheckpoint()
+    // batch pairs: 1000 brand-new 2-clusters above the id space + 50
+    // pairs bridging existing clusters (reps 4k apart merge)
+    val fresh = spark.range(1000)
+      .select((lit(n) + col("id") * 2).as("cust_a"),
+        (lit(n) + col("id") * 2 + 1).as("cust_b"))
+    val bridges = spark.range(50)
+      .select((col("id") * 8000).as("cust_a"), (col("id") * 8000 + 4000).as("cust_b"))
+    val pairs = fresh.unionByName(bridges)
+      .withColumn("name_dist", lit(0L)).localCheckpoint()
+    time("fold_direct", 1) {
+      val edges = pairs.select(col("cust_a").as("src"), col("cust_b").as("dst"))
+        .unionByName(prevMap.filter(col("node") =!= col("comp_id"))
+          .select(col("node").as("src"), col("comp_id").as("dst")))
+      Graph.connectedComponents(edges).count()
+    }
+    time("fold_quotient", 1) {
+      val (newMap, merge) = Linkage.foldClusters(prevMap, pairs)
+      // consume both outputs like the query does (map swap + touched set)
+      newMap.count() + merge.count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val synthMode = args.headOption.contains("synth")
     val hotMode = args.headOption.contains("hot")
-    val sfDir = if (args.nonEmpty && !synthMode && !hotMode) args(0) else "/root/testdata/sf0.1"
+    val foldMode = args.headOption.contains("fold")
+    val sfDir = if (args.nonEmpty && !synthMode && !hotMode && !foldMode) args(0)
+      else "/root/testdata/sf0.1"
     // optional op-name filter: `ScaleCheck <sfDir> op1 op2...` /
     // `ScaleCheck synth <n> op1...` times only the named ops
     val opFilter: Set[String] =
-      (if (synthMode || hotMode) args.drop(2) else args.drop(1)).toSet
+      (if (synthMode || hotMode || foldMode) args.drop(2) else args.drop(1)).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -201,6 +240,12 @@ object ScaleCheck {
     if (hotMode) {
       val n = if (args.length > 1) args(1).toLong else 100000L
       hotRun(spark, n, time _)
+      spark.stop()
+      return
+    }
+    if (foldMode) {
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      foldRun(spark, n, time _)
       spark.stop()
       return
     }

@@ -100,9 +100,14 @@ object Linkage {
   /** Map size above which the streaming fold switches from the direct
     * CC (fewer jobs, O(|V|) frames — wins while the map is small) to
     * the quotient fold (more jobs, O(touched) frames — wins once the
-    * map dwarfs a batch's touch set). Measured at sf0.1 (15k-row map):
-    * direct 21s vs quotient 35s for the whole stream — fixed per-job
-    * cost dominates until the map is orders of magnitude larger. */
+    * map dwarfs a batch's touch set). Measured two ways: the whole
+    * sf0.1 stream (15k-row map) runs 21s direct vs 35s quotient —
+    * fixed per-job cost dominates small maps — while the isolated fold
+    * kernel (`ScaleCheck fold <n>`, one 2050-pair batch) crosses over
+    * by 100k map rows and diverges fast: direct 12.4s vs quotient 7.3s
+    * at 1M, 15.7s vs 7.8s at 4M (direct grows with the map, quotient
+    * stays flat at the batch cost plus the map rewrite). 1M splits the
+    * difference with margin on both sides. */
   val QuotientFoldThreshold = 1000000L
 
   /** Entity clusters: connected components over verified pairs (match
