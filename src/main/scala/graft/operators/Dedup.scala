@@ -190,14 +190,26 @@ object Dedup {
     * (all NumHashes mins identical — near-certain dups) collapse to one
     * representative. Unlike the pair-emitting candidates, output stays
     * flat under heavy duplication (see docs/SCALING.md takeaway 1). */
-  def minhashSigClusters(spark: SparkSession, docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
-      .filter(size(col("hs")) > 0)
+  def minhashSigClusters(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // collapse-first like the other structural tiers — output-preserving
+    // (exact copies share every shingle hence the full signature; the
+    // kept min copy id IS the group min; n_copies reweights the census)
+    // — and persist the SHARED prefix frames: the dedup-report pipeline
+    // unions tiers 3/4/5, and Spark's cache manager substitutes any
+    // matching plan fragment, so the collapse + shingle pass runs once
+    // across all three tiers instead of once per tier (the r7→r8
+    // pipeline_dedup_report regression was exactly this lost sharing)
+    val c = collapseExact(docs).persist(lvl)
+    val hsDf = shingleSets(c).persist(lvl)
+    hsDf
       .select(col("doc_id"),
         array_join(transform(minhashSig(col("hs"), NumHashes), v => v.cast("string")), ",").as("sig"))
+      .join(c.select(col("doc_id"), col("n_copies")), Seq("doc_id"))
       .groupBy("sig")
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+      .agg(min(col("doc_id")).as("rep"), sum(col("n_copies")).as("n_docs"))
       .select(col("rep"), col("n_docs"))
+  }
 
   /** Cluster-emitting LSH dedup — the scale-safe output shape: instead of
     * emitting candidate PAIRS (quadratic in duplicate multiplicity: a
@@ -246,7 +258,12 @@ object Dedup {
     // clearCache, like the other tier-scoped persists)
     val c = collapseExact(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lshDocRepsFromSets(shingleSets(c))
+    // the shingle frame persists too: identical fragments in the other
+    // structural tiers (minhashSigClusters, ccClusters) then share one
+    // tokenize+hash pass through the cache manager
+    val hsDf = shingleSets(c)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lshDocRepsFromSets(hsDf)
       .join(c.select(col("doc_id"), col("n_copies")), Seq("doc_id"))
       .groupBy("rep").agg(sum(col("n_copies")).as("n_docs"))
   }
@@ -262,15 +279,18 @@ object Dedup {
     * touched after the first shingle pass. */
   def ccClusters(spark: SparkSession, docs: DataFrame, rounds: Int = 3): DataFrame = {
     // exact-collapse first (output-preserving — see collapseExact/
-    // lshClusters); persisted for the same two-consumer reason as there
+    // lshClusters); persisted for the same two-consumer reason as there,
+    // and the shingle frame likewise for cross-tier cache sharing
     val c = collapseExact(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hsDf = shingleSets(c)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the (doc, rep) mapping MUST be lineage-truncated before and inside
     // the pointer-jumping loop: each round joins m against ITSELF, so an
     // un-truncated m re-executes the banded-LSH tail 2^rounds times
     // (measured 7.0s -> 1.5s at sf0.1 for 3 rounds; the frame is
     // doc-count-sized, so the checkpoint itself is trivial)
-    var m = lshDocRepsFromSets(shingleSets(c)).localCheckpoint()
+    var m = lshDocRepsFromSets(hsDf).localCheckpoint()
     for (_ <- 1 to rounds) {
       val parent = m.select(col("doc_id").as("rep"), col("rep").as("rep2"))
       m = m.join(parent, Seq("rep"), "left")
