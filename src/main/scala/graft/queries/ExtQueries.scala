@@ -3206,6 +3206,15 @@ object ExtQueries {
   def graphKtruss(spark: SparkSession, dir: String): DataFrame =
     Graph.kTruss(Graph.coPartEdges(tbl(spark, dir, "lineitem")), k = 12)
 
+  /** Link prediction on the thresholded co-part graph: top-20
+    * non-adjacent pairs by the Resource-Allocation index (integer ppm —
+    * see [[graft.operators.Graph.linkPrediction]]), with the common-
+    * neighbour count as tiebreak. The "recommend the next edge"
+    * primitive. */
+  def graphLinkPrediction(spark: SparkSession, dir: String): DataFrame =
+    Graph.linkPrediction(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L), topK = 20)
+
   /** Strongly connected components of the directed functional part-key
     * graph (one successor pointer per node), run to the true fixpoint via
     * trim + cycle-CC — see [[graft.operators.Graph.sccFunctional]]. Census
@@ -3736,6 +3745,7 @@ object ExtQueries {
     "graph_bfs_full" -> (graphBfsFull _),
     "graph_sssp" -> (graphSssp _),
     "graph_ktruss" -> (graphKtruss _),
+    "graph_link_prediction" -> (graphLinkPrediction _),
     "graph_scc" -> (graphScc _),
     "graph_hits" -> (graphHits _),
     "graph_ppr" -> (graphPpr _),

@@ -3289,6 +3289,25 @@ object Oracles {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Resource-Allocation link prediction: wedges u-w-v over the
+    // bidirectional adjacency, RA = sum of 1e6 // deg(w) over common
+    // neighbours, existing edges anti-joined out, top-20.
+    "graph_link_prediction" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src AS w, count(*) AS d FROM bi GROUP BY 1),
+        |sc AS (SELECT x.dst AS u, y.dst AS v,
+        |         CAST(count(*) AS BIGINT) AS common,
+        |         CAST(sum(1000000 // deg.d) AS BIGINT) AS ra_ppm
+        |       FROM bi x JOIN bi y ON x.src = y.src AND x.dst < y.dst
+        |       JOIN deg ON deg.w = x.src
+        |       GROUP BY 1, 2)
+        |SELECT u, v, common, ra_ppm FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.src = sc.u AND e0.dst = sc.v)
+        |ORDER BY ra_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
     // 12-truss peel unrolled to 8 rounds — past the fixture's measured
     // convergence depth (5 at sf0.01, 3 at sf0.1); rounds after the
     // edge set stabilises recompute identical supports and drop

@@ -309,6 +309,15 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(!sFull.contains(9L) || sFull(9L) === 0L)
   }
 
+  test("linkPrediction: RA index hand-computed; adjacent pairs excluded") {
+    // star 1-{2,3,4} plus edge 2-3: the only non-adjacent wedge pairs
+    // are (2,4) and (3,4), each through hub 1 (deg 3) -> RA = 1e6 div 3
+    val g = edgesDf((1L,2L),(1L,3L),(1L,4L),(2L,3L))
+    val p = Graph.linkPrediction(g, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(p.toSeq === Seq((2L,4L,1L,333333L), (3L,4L,1L,333333L)))
+  }
+
   test("kTruss: peel cascades (support recomputed within the subgraph), K5 survives") {
     // K5: every edge in 3 triangles -> survives k=4 (support >= 2).
     // Double triangle (10,11,12)+(11,12,13): edge 11-12 has support 2 in
