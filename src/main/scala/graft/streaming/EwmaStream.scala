@@ -52,11 +52,16 @@ object EwmaStream {
     val src = tmpDir("streamewma")
     val events = tbl(spark, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
-    val bucketed = events.withColumn("b",
-      ntile(2).over(org.apache.spark.sql.expressions.Window.orderBy(col("us"), col("event_id"))))
+    // chronological chunks via range partitioning (no single-partition
+    // ntile window); persisted so sampled bounds are stable across writes
+    val bucketed = events
+      .repartitionByRange(2, col("us"), col("event_id"))
+      .withColumn("b", spark_partition_id() + 1)
+      .persist()
     for (i <- 1 to 2)
       bucketed.filter(col("b") === i).drop("b")
         .coalesce(1).write.mode("overwrite").parquet(s"$src/b$i")
+    bucketed.unpersist()
     val fs = new org.apache.hadoop.fs.Path(src)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val t0 = System.currentTimeMillis() - 3600000L

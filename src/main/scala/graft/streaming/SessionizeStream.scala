@@ -55,15 +55,20 @@ object SessionizeStream {
     val src = tmpDir("streamsess")
     val events = tbl(spark, dir, "events")
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
-    // stage two chronological chunks (ntile over the global time order —
-    // staging harness only) and PIN ascending modification times: the file
+    // stage two chronological chunks (RANGE partitioning + partition id —
+    // ordered disjoint chunks without a single-partition ntile window;
+    // persisted so the partitioner's sampled bounds can't shift between
+    // the chunk writes) and PIN ascending modification times: the file
     // source orders new files by (modTime, path), so pickup = event-time
     // order, which is the operator's ordered-log assumption
-    val bucketed = events.withColumn("b",
-      ntile(2).over(org.apache.spark.sql.expressions.Window.orderBy(col("us"), col("event_id"))))
+    val bucketed = events
+      .repartitionByRange(2, col("us"), col("event_id"))
+      .withColumn("b", spark_partition_id() + 1)
+      .persist()
     for (i <- 1 to 2)
       bucketed.filter(col("b") === i).drop("b")
         .coalesce(1).write.mode("overwrite").parquet(s"$src/b$i")
+    bucketed.unpersist()
     val fs = new org.apache.hadoop.fs.Path(src)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val t0 = System.currentTimeMillis() - 3600000L

@@ -425,9 +425,16 @@ object StreamQueries {
       spark: SparkSession, df: DataFrame, chunks: Int,
       orderCols: Seq[org.apache.spark.sql.Column], tag: String): String = {
     val src = tmpDir(tag)
-    // persist: the global ntile sort would otherwise recompute per chunk
-    val bucketed = df.withColumn("_b",
-      ntile(chunks).over(org.apache.spark.sql.expressions.Window.orderBy(orderCols: _*)))
+    // chronological chunks via RANGE partitioning + partition id instead
+    // of a global ntile window (that plans a single-partition WindowExec
+    // — the skyline hazard, needless even in a staging harness): range
+    // partitions are ordered and disjoint on the order key, the only
+    // property the file source's (modTime, path) pickup relies on. MUST
+    // persist — the range partitioner samples, so an unpersisted frame
+    // could re-sample different bounds between the per-chunk writes.
+    val bucketed = df
+      .repartitionByRange(chunks, orderCols: _*)
+      .withColumn("_b", spark_partition_id() + 1)
       .persist()
     for (i <- 1 to chunks)
       bucketed.filter(col("_b") === i).drop("_b")
