@@ -38,6 +38,24 @@ object Bench {
       }.min
     val calib = calibrate()
 
+    // SHUFFLE-throughput calibration: the scalar probe above is blind to
+    // exchange contention (the r8 loaded run drifted 1.5-1.9x on
+    // shuffle-heavy keys while the CPU probe read near-baseline), so a
+    // fixed repartition+agg job is timed alongside it — a per-key
+    // regression that tracks THIS probe's drift is machine load, not a
+    // code change. Best of 3, ~20M rows through one full exchange.
+    def calibrateShuffle(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(20000000L)
+          .selectExpr("id", "(id * 2654435761) % 1048576 as k")
+          .repartition(32, org.apache.spark.sql.functions.col("k"))
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("id").as("s"))
+          .selectExpr("sum(s)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val calibShuffle = calibrateShuffle()
+
     // Streaming trigger overhead, measured once: a TRIVIAL availableNow
     // file-source stream (1-row parquet -> parquet sink, fresh checkpoint)
     // carries zero operator work, so its wall time IS the micro-batch
@@ -94,6 +112,21 @@ object Bench {
             f"(${drift * 100}%+.0f%%) — machine load differs from the recorded " +
             "baseline; per-query regressions in this run are contention-suspect")
     }
+    prev.get("_calibration_shuffle").foreach { p =>
+      val drift = (calibShuffle - p) / p
+      if (math.abs(drift) > 0.5)
+        System.err.println(
+          f"[bench] SHUFFLE CALIBRATION DRIFT: fixed exchange workload $p%.2fs -> " +
+            f"$calibShuffle%.2fs (${drift * 100}%+.0f%%) — shuffle-heavy keys in " +
+            "this run carry contention noise the scalar probe cannot see")
+    }
+    // Drift normalizer for the regression diff: the worst of the two
+    // probes' slowdowns (floored at 1 — a FASTER machine must not hide
+    // real regressions). A key is only flagged SLOWER when it regressed
+    // beyond what machine drift alone explains.
+    val driftFactor = math.max(1.0, math.max(
+      prev.get("_calibration").map(calib / _).getOrElse(1.0),
+      prev.get("_calibration_shuffle").map(calibShuffle / _).getOrElse(1.0)))
     val timed = first.collect { case (n, s, true) =>
       val regressed = prev.get(n).exists(p => s - p > 0.3 && s - p > 0.2 * p)
       if (!regressed) n -> s
@@ -106,7 +139,7 @@ object Bench {
       }
     }
     val failed = first.collect { case (n, _, false) => n }
-    regressionDiff(sfDir, prev, timed, failed, calib)
+    regressionDiff(sfDir, prev, timed, failed, calib, calibShuffle, driftFactor)
     // The driver keeps only the last ~2000 chars of output and parses the
     // JSON line out of it, so: (a) this line is the FINAL thing printed,
     // after the stderr regression diff; (b) the queries map carries the
@@ -117,7 +150,7 @@ object Bench {
     val qs = top.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${first.size},"failed":$failedJson,"calibration":$calib%.3f,"stream_fixed":$streamFixed%.3f,"queries":$qs,"full":"docs/bench/${new java.io.File(sfDir).getName}.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${first.size},"failed":$failedJson,"calibration":$calib%.3f,"calibration_shuffle":$calibShuffle%.3f,"stream_fixed":$streamFixed%.3f,"queries":$qs,"full":"docs/bench/${new java.io.File(sfDir).getName}.json","sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -142,15 +175,22 @@ object Bench {
   private def regressionDiff(sfDir: String, prev: Map[String, Double],
                              timed: Seq[(String, Double)],
                              failed: Seq[String],
-                             calib: Double): Unit = try {
+                             calib: Double, calibShuffle: Double,
+                             driftFactor: Double): Unit = try {
     val hist = histFile(sfDir)
     if (prev.nonEmpty) {
-      System.err.println(s"[bench] regression diff vs ${hist.getPath}:")
+      System.err.println(
+        f"[bench] regression diff vs ${hist.getPath} (drift normalizer ${driftFactor}%.2fx):")
       var flagged = 0
       timed.foreach { case (name, secs) =>
         prev.get(name).foreach { p =>
           val delta = secs - p
-          if (math.abs(delta) > 0.3 && math.abs(delta) > 0.2 * p) {
+          // SLOWER flags are normalized by the probe drift: a regression
+          // must exceed what machine load alone explains. Faster moves
+          // use the raw threshold (an improvement is never drift-masked).
+          val isSlower = delta > 0.3 * driftFactor && delta > 0.2 * p * driftFactor
+          val isFaster = delta < -0.3 && -delta > 0.2 * p
+          if (isSlower || isFaster) {
             flagged += 1
             val dir = if (delta > 0) "SLOWER" else "faster"
             System.err.println(f"[bench]   $name%-28s $p%.2fs -> $secs%.2fs  ($dir ${math.abs(delta)}%.2fs)")
@@ -159,14 +199,14 @@ object Bench {
       }
       val newQ = timed.map(_._1).filterNot(prev.contains)
       if (newQ.nonEmpty) System.err.println(s"[bench]   new queries: ${newQ.mkString(", ")}")
-      if (flagged == 0) System.err.println("[bench]   no query moved >20% and >0.3s")
+      if (flagged == 0) System.err.println("[bench]   no query moved beyond drift-normalized 20% and 0.3s")
     }
     if (failed.nonEmpty) {
       // A broken run must not become the next round's regression baseline.
       System.err.println(s"[bench] ${failed.size} queries FAILED (${failed.mkString(", ")}); history NOT rewritten")
     } else {
       hist.getParentFile.mkdirs()
-      val json = (("_calibration" -> calib) +: timed)
+      val json = (("_calibration" -> calib) +: ("_calibration_shuffle" -> calibShuffle) +: timed)
         .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(hist.toPath, json + "\n")
     }

@@ -171,17 +171,27 @@ object ScaleCheck {
   private def foldRun(spark: SparkSession, n: Long,
                       time: (String, Int) => (=> Long) => Unit): Unit = {
     import graft.operators.{Graph, Linkage}
+    // Bridge endpoints are derived from n (below): under ~400 nodes the
+    // 50 bridge pairs would collide on too few clusters to measure a
+    // genuine merge cascade, so the kernel demands a real map size.
+    require(n >= 400, s"fold kernel needs n >= 400 map rows, got $n")
     // prior state: n nodes in n/2 two-member clusters (even id = rep)
     val prevMap = spark.range(n)
       .select(col("id").as("node"), (col("id") - col("id") % 2).as("comp_id"))
       .localCheckpoint()
     // batch pairs: 1000 brand-new 2-clusters above the id space + 50
-    // pairs bridging existing clusters (reps 4k apart merge)
+    // pairs bridging existing clusters. Bridge ids DERIVE from n (step
+    // even, max endpoint < n) so every bridge references two live map
+    // nodes whatever n is — fixed constants silently turned bridges
+    // into newcomers below n ~ 400k and stopped measuring cluster
+    // merging at all (advisor finding).
     val fresh = spark.range(1000)
       .select((lit(n) + col("id") * 2).as("cust_a"),
         (lit(n) + col("id") * 2 + 1).as("cust_b"))
+    val step = math.max(4L, (n / 100) & ~1L)
+    val half = math.max(2L, (step / 2) & ~1L)
     val bridges = spark.range(50)
-      .select((col("id") * 8000).as("cust_a"), (col("id") * 8000 + 4000).as("cust_b"))
+      .select((col("id") * step).as("cust_a"), (col("id") * step + half).as("cust_b"))
     val pairs = fresh.unionByName(bridges)
       .withColumn("name_dist", lit(0L)).localCheckpoint()
     time("fold_direct", 1) {

@@ -38,7 +38,18 @@ object Skyline {
   val DefaultBuckets = 32
 
   /** `points` must carry BIGINT columns `cents` and `days`; all columns
-    * of frontier rows are returned unchanged. */
+    * of frontier rows are returned unchanged.
+    *
+    * Skew caveat: the quantile bounds are DEDUPLICATED (equal cents must
+    * co-bucket for the prefix-min to be exact), so a value distribution
+    * dominated by one cents value collapses to few buckets and the
+    * per-bucket window re-concentrates those rows on few tasks — the
+    * hazard this rewrite removes for spread-out data returns for
+    * near-constant data. A warning is logged when the distinct bounds
+    * fall below half the requested buckets; the equal-cents run cannot
+    * be salted without breaking the range-frame same-price min, so the
+    * mitigation at scale is pre-aggregating duplicate (cents, days)
+    * pairs (order-invariant for the frontier) before calling this. */
   def paretoMin(points: DataFrame, buckets: Int = DefaultBuckets): DataFrame = {
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
     // value-based bucket bounds: deterministic given the data, and the
@@ -49,6 +60,11 @@ object Skyline {
       if (probes.isEmpty) Array.empty[Long]
       else points.stat.approxQuantile("cents", probes, 0.001)
         .map(_.toLong).distinct.sorted
+    if (probes.nonEmpty && bounds.length < (buckets - 1) / 2)
+      System.err.println(
+        s"[skyline] cents distribution collapsed ${buckets - 1} quantile probes " +
+          s"to ${bounds.length} distinct bounds — heavy value skew; per-bucket " +
+          "windows will concentrate (see paretoMin scaladoc)")
     val bucketCol =
       if (bounds.isEmpty) lit(0)
       // count of bounds strictly below cents — a monotone step function,

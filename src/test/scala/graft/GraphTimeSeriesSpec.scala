@@ -335,6 +335,50 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(Graph.kTruss(g, k = 6).count() === 0L)
   }
 
+  test("kTruss: incremental decrement equals full recount on deep cascades and hub overlap") {
+    // chain of triangles (i, i+1, i+2): k=4 peels it one triangle per
+    // round from both ends — the deepest cascade per edge count, every
+    // round exercising the dead-triangle decrement path. Overlap it
+    // with K6 on nodes 1..6 so dropped chain edges touch surviving
+    // K6 edges (the decrement must leave K6's support exact), and a
+    // hub fan (100 -> many leaves, no triangles) so the degree-ordered
+    // initial count and the per-round lower-degree endpoint pick both
+    // see real skew.
+    val chain = (1L to 12L).flatMap(i => Seq((i, i + 1), (i, i + 2))).distinct
+    val k6 = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val fan = (20L to 40L).map(l => (100L, l))
+    val g = edgesDf((chain ++ k6 ++ fan).distinct: _*)
+    for (k <- Seq(3, 4, 5, 6, 7)) {
+      val inc = Graph.kTruss(g, k).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("truss_deg")).toMap
+      val full = Graph.kTrussFullRecount(g, k).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("truss_deg")).toMap
+      assert(inc === full, s"incremental k-truss diverged from full recount at k=$k")
+    }
+  }
+
+  test("kTruss: hub-skewed wheel takes the degree-oriented support path and stays exact") {
+    // wheel: hub 0 + 300-cycle rim, every rim node tied to the hub.
+    // maxDeg = 300, sumDeg ~ 1800: maxDeg^2 >> 16*sumDeg, so the probe
+    // routes supportWithin to the oriented enumeration (the fast
+    // intersect path would put the hub's 300-long array on every spoke
+    // row). k=4: rim edges sit in 1 triangle -> drop; spokes then lose
+    // both triangles -> the wheel empties in a cascade. Add K5 (ids
+    // 1000..1004) so the survivor set is non-trivial.
+    val rim = (0L until 300L).map(i => (i + 1, (i + 1) % 300 + 1))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val spokes = (1L to 300L).map(l => (0L, l))
+    val k5 = for (a <- 1000L to 1004L; b <- (a + 1) to 1004L) yield (a, b)
+    val g = edgesDf((rim ++ spokes ++ k5).distinct: _*)
+    val inc = Graph.kTruss(g, 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("truss_deg")).toMap
+    val full = Graph.kTrussFullRecount(g, 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("truss_deg")).toMap
+    assert(inc === full)
+    assert(inc === (1000L to 1004L).map(_ -> 4L).toMap,
+      s"4-truss of the wheel+K5 must be exactly K5, got $inc")
+  }
+
   test("sccFunctional: trim resolves tails, cycles become SCCs, self-loop cyclic") {
     // 1->2->3->1 cycle fed by tail 4->1; chain 5->6 (no cycle); self-loop 7
     val g = edgesDf((1L,2L),(2L,3L),(3L,1L),(4L,1L),(5L,6L),(7L,7L))
