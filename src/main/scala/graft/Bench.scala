@@ -92,7 +92,13 @@ object Bench {
       (secs, ok)
     }
 
-    val first = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // Dev subset: `runMain graft.Bench key1 key2...` times only those
+    // keys and leaves the committed history untouched (a partial run
+    // must never become the regression baseline).
+    val subset = args.toSet
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => subset.isEmpty || subset(k))
+    val first = keys.map { name =>
       val (secs, ok) = time(name)
       (name, secs, ok)
     }
@@ -139,7 +145,13 @@ object Bench {
       }
     }
     val failed = first.collect { case (n, _, false) => n }
-    regressionDiff(sfDir, prev, timed, failed, calib, calibShuffle, driftFactor)
+    if (subset.isEmpty)
+      regressionDiff(sfDir, prev, timed, failed, calib, calibShuffle, driftFactor)
+    else
+      timed.foreach { case (n, s) =>
+        System.err.println(f"[bench] subset $n%-28s $s%.2fs" +
+          prev.get(n).map(p => f" (history $p%.2fs)").getOrElse(""))
+      }
     // The driver keeps only the last ~2000 chars of output and parses the
     // JSON line out of it, so: (a) this line is the FINAL thing printed,
     // after the stderr regression diff; (b) the queries map carries the

@@ -114,9 +114,18 @@ object Dedup {
   def bandedSignatures(spark: SparkSession, docs: DataFrame): DataFrame =
     bandedSignaturesFromSets(shingleSets(docs))
 
-  def bandedSignaturesFromSets(hsDf: DataFrame): DataFrame = {
+  /** doc_id -> full NumHashes minhash signature array (one narrow scan
+    * of the shingle set per doc). Split out so a multi-tier consumer
+    * (pipeline_dedup_report) can compute the signature ONCE and feed
+    * both the per-signature census and the banded contraction. */
+  def sigsFromSets(hsDf: DataFrame): DataFrame =
+    hsDf.select(col("doc_id"), minhashSig(col("hs"), NumHashes).as("sig"))
+
+  def bandedSignaturesFromSets(hsDf: DataFrame): DataFrame =
+    bandedSignaturesFromSigs(sigsFromSets(hsDf))
+
+  def bandedSignaturesFromSigs(sigs: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / Bands
-    val sigs = hsDf.select(col("doc_id"), minhashSig(col("hs"), NumHashes).as("sig"))
     sigs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)), b =>
@@ -417,8 +426,11 @@ object Dedup {
     * hash and their one-row rep fans [[SaltBuckets]]-fold; cold buckets
     * join on salt 0 and pay nothing. (The min aggregations were never
     * the hazard — partial aggregation combines map-side.) */
-  def lshDocRepsFromSets(hsDf: DataFrame): DataFrame = {
-    val bands = bandedSignaturesFromSets(hsDf)
+  def lshDocRepsFromSets(hsDf: DataFrame): DataFrame =
+    lshDocRepsFromSigs(sigsFromSets(hsDf))
+
+  def lshDocRepsFromSigs(sigs: DataFrame): DataFrame = {
+    val bands = bandedSignaturesFromSigs(sigs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the bucket census is bucket-count-sized: checkpoint it eagerly so
     // the ONE job that computes it (warming the bands cache on the way)

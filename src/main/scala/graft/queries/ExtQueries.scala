@@ -98,22 +98,104 @@ object ExtQueries {
     * does each dedup tier actually collapse on this corpus": for the
     * ladder exact → normalised → minhash-signature → LSH-band → CC,
     * one row per tier with docs in, groups out, and docs collapsed.
-    * Each tier is the SAME operator the standalone keys run (no
-    * re-implementation), reduced to its census; the ladder ordering is
-    * encoded in the tier label so the progressive-collapse story reads
-    * straight off the sorted output. */
+    *
+    * ONE shared pass feeds all five censuses: the exact-content
+    * collapse runs once (it IS tier 1's grouping, and every later tier
+    * is weight-preserving under it — exact copies normalise, shingle
+    * and band identically), the collapsed frame is shingled once, and
+    * the banded doc→rep contraction runs once for tiers 4 and 5 (5's
+    * pointer jumping iterates the tiny mapping, never the text). The
+    * standalone tier keys each recompute this prefix from raw text —
+    * correct for isolated runs, but a report reading the same corpus
+    * five ways must not pay the text pipeline five times (the r6→r8
+    * regression was exactly the tiers' private persists ceasing to
+    * cache-share across the union; explicit reuse replaces that
+    * accident of the cache manager with dataflow).
+    *
+    * The censuses themselves collapse to COUNT DISTINCT + weighted sum
+    * — a census never needs the per-group rows, only how many groups
+    * exist and how much weight entered — so the five grouped
+    * aggregations fold into TWO multi-distinct aggregates (one textual
+    * pass over the collapse frame for tiers 1–2, one structural pass
+    * over the sig/rep frame for tiers 3–5), assembled into tier rows by
+    * a 1-row×1-row crossJoin + explode. That turned 36 AQE stage-jobs
+    * (five grouped censuses, each its own exchange) into ~10 — on a
+    * per-stage-overhead-dominated report that is the whole cost. Output
+    * is bit-identical to the per-tier operators — AllQueriesSpec pins
+    * the report rows against the standalone tiers' own censuses. */
   def pipelineDedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = tbl(spark, dir, "documents")
-    def census(tier: String, g: DataFrame, nCol: String): DataFrame =
-      g.agg(count(lit(1)).as("n_groups"), sum(col(nCol)).as("n_docs_in"))
-        .select(lit(tier).as("tier"), col("n_docs_in"), col("n_groups"),
-          (col("n_docs_in") - col("n_groups")).as("n_collapsed"))
-    census("1_exact", Dedup.exactGroups(docs), "n_dups")
-      .unionByName(census("2_normalized", dedupNormalized(spark, dir), "n_docs"))
-      .unionByName(census("3_minhash_sig", Dedup.minhashSigClusters(spark, docs), "n_docs"))
-      .unionByName(census("4_lsh_band", Dedup.lshClusters(spark, docs), "n_docs"))
-      .unionByName(census("5_cc", Dedup.ccClusters(spark, docs, rounds = 3), "n_docs"))
+    val c = Dedup.collapseExact(docs).persist(lvl)
+    // the 16-hash signature is the report's most CPU-expensive column:
+    // compute it ONCE and feed both tier 3's census and tier 4/5's
+    // banded contraction from the cached frame. n_copies rides ALONG the
+    // shingle->sig->rep frames so no census pays a join back to the
+    // collapse frame (censuses only need the weight, not the text).
+    val sigs = c
+      .select(col("doc_id"), col("n_copies"),
+        shingleHashes(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("n_copies"),
+        minhashSig(col("hs"), Dedup.NumHashes).as("sig"))
+      .persist(lvl)
+    // eager localCheckpoint, deliberately: tier 5 re-reads this frame 8
+    // times through its lazy self-joins — lineage-truncated, the
+    // contraction runs exactly once and the self-joins read a tiny
+    // in-memory checkpoint (AQE broadcasts them from its exact stats)
+    val docRep = Dedup.lshDocRepsFromSigs(sigs.select("doc_id", "sig"))
+      .localCheckpoint()
+    // tier 5: 3 pointer-jumping rounds over the doc→rep mapping only
+    var m = docRep
+    for (_ <- 1 to 3) {
+      val parent = m.select(col("doc_id").as("rep"), col("rep").as("rep2"))
+      m = m.join(parent, Seq("rep"), "left")
+        .select(col("doc_id"), coalesce(col("rep2"), col("rep")).as("rep"))
+    }
+    // textual pass (tiers 1-2): the collapse frame already holds one row
+    // per distinct text, so tier 1's group count is a plain count; tier
+    // 2's is a count of distinct canonical forms. One aggregate job.
+    val a12 = c
+      .select(col("n_copies"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+          .as("canon"))
+      .agg(count(lit(1)).as("g1"), count_distinct(col("canon")).as("g2"),
+        sum(col("n_copies")).as("d12"))
+    // structural pass (tiers 3-5): MELT the per-doc (sig, band-rep,
+    // cc-rep) keys into (tier, key, weight) rows — map-side ×3 on the
+    // doc-count-sized frame — so all three censuses ride ONE grouped
+    // exchange + one 3-row rollup, instead of three separate
+    // distinct-aggregates (each its own pair of exchanges). The rep
+    // mappings join back on doc_id: broadcast here (AQE has exact stats
+    // from the checkpoint), co-partitioned sort-merge at 100 TB.
+    val a345 = sigs
+      .join(docRep.withColumnRenamed("rep", "rep4"), Seq("doc_id"))
+      .join(m.withColumnRenamed("rep", "rep5"), Seq("doc_id"))
+      .select(col("n_copies"), explode(array(
+        struct(lit("3_minhash_sig").as("tier"),
+          array_join(transform(col("sig"), v => v.cast("string")), ",").as("key")),
+        struct(lit("4_lsh_band").as("tier"), col("rep4").cast("string").as("key")),
+        struct(lit("5_cc").as("tier"), col("rep5").cast("string").as("key")))).as("x"))
+      .groupBy(col("x.tier").as("tier"), col("x.key"))
+      .agg(sum(col("n_copies")).as("w"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_groups"), sum(col("w")).as("n_docs_in"))
+    def tierRow(tier: String, d: org.apache.spark.sql.Column,
+                g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      struct(lit(tier).as("tier"), d.as("n_docs_in"), g.as("n_groups"))
+    val out = a12 // 1-row textual aggregate -> two tier rows
+      .select(explode(array(
+        tierRow("1_exact", col("d12"), col("g1")),
+        tierRow("2_normalized", col("d12"), col("g2")))).as("x"))
+      .select(col("x.tier"), col("x.n_docs_in"), col("x.n_groups"))
+      .unionByName(a345.select("tier", "n_docs_in", "n_groups"))
+      .withColumn("n_collapsed", col("n_docs_in") - col("n_groups"))
       .orderBy("tier")
+      .localCheckpoint() // 5 rows: materialise, then release the shared caches
+    sigs.unpersist()
+    c.unpersist()
+    out
   }
 
   /** MinHash estimator accuracy harness — the dedup family's analog of
