@@ -207,16 +207,65 @@ object ScaleCheck {
     }
   }
 
+  /** `runMain graft.ScaleCheck ledger <n>`: the incremental-ER ledger
+    * kernel ([[graft.etl.ErLedger]]) — a pre-seeded history of `n`
+    * records in blocks of 200 (block COUNT grows with the corpus, the
+    * way a refined blocking key keeps block SIZE bounded), then ONE
+    * 1000-duplicate batch confined to 5 blocks is folded and timed.
+    * `ledger_fold` must stay flat as `n` grows: the candidate join and
+    * the member fetch read only the batch's 5 blocks — dir-pruned by
+    * `blk_bucket`, row-group-pruned by the sorted `blk_key` —
+    * while `ledger_scan` (a full history scan, for contrast) grows
+    * linearly. Names are md5 strings so distinct records never fall
+    * within the levenshtein gate; batch names equal their seed
+    * target's, so the fold performs 1000 real merges + golden
+    * refreshes. Results in docs/SCALING.md. */
+  private def ledgerRun(spark: SparkSession, n: Long,
+                        time: (String, Int) => (=> Long) => Unit): Unit = {
+    import graft.etl.ErLedger
+    val base = graft.queries.Staging.tmpDir(s"ledger$n")
+    val seed = spark.range(n).select(
+      col("id").as("c_custkey"),
+      md5(col("id").cast("string")).as("c_name"),
+      expr("cast(id div 200 as int)").as("c_nationkey"),
+      lit("LEDGER").as("c_mktsegment"),
+      (col("id") % 1000L).cast("double").as("c_acctbal"))
+    seed
+      .withColumn("blk_key", ErLedger.blkKey(col("c_nationkey"), col("c_mktsegment")))
+      .withColumn("blk_bucket", pmod(col("blk_key"), lit(ErLedger.HistBuckets)))
+      .repartition(col("blk_bucket")).sortWithinPartitions("blk_bucket", "blk_key")
+      .write.partitionBy("blk_bucket").mode("overwrite")
+      .parquet(s"$base/hist/ingest_batch=0")
+    val batch = spark.range(1000).select(
+      (col("id") + n).as("c_custkey"),
+      md5(col("id").cast("string")).as("c_name"),
+      expr("cast(id div 200 as int)").as("c_nationkey"),
+      lit("LEDGER").as("c_mktsegment"),
+      lit(0.0).as("c_acctbal")).localCheckpoint()
+    time("ledger_fold", 1) {
+      ErLedger.foldBatch(batch, 1L, s"$base/hist", s"$base/fwd",
+        s"$base/golden")
+      ErLedger.readGolden(spark, s"$base/golden").count()
+    }
+    time("ledger_scan", 1) {
+      // a real column aggregate (count() would answer from footers)
+      spark.read.option("basePath", s"$base/hist").parquet(s"$base/hist")
+        .agg(sum("c_acctbal")).collect()
+      spark.read.option("basePath", s"$base/hist").parquet(s"$base/hist").count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val synthMode = args.headOption.contains("synth")
     val hotMode = args.headOption.contains("hot")
     val foldMode = args.headOption.contains("fold")
-    val sfDir = if (args.nonEmpty && !synthMode && !hotMode && !foldMode) args(0)
+    val ledgerMode = args.headOption.contains("ledger")
+    val sfDir = if (args.nonEmpty && !synthMode && !hotMode && !foldMode && !ledgerMode) args(0)
       else "/root/testdata/sf0.1"
     // optional op-name filter: `ScaleCheck <sfDir> op1 op2...` /
     // `ScaleCheck synth <n> op1...` times only the named ops
     val opFilter: Set[String] =
-      (if (synthMode || hotMode || foldMode) args.drop(2) else args.drop(1)).toSet
+      (if (synthMode || hotMode || foldMode || ledgerMode) args.drop(2) else args.drop(1)).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -250,6 +299,12 @@ object ScaleCheck {
     if (hotMode) {
       val n = if (args.length > 1) args(1).toLong else 100000L
       hotRun(spark, n, time _)
+      spark.stop()
+      return
+    }
+    if (ledgerMode) {
+      val n = if (args.length > 1) args(1).toLong else 1000000L
+      ledgerRun(spark, n, time _)
       spark.stop()
       return
     }

@@ -33,9 +33,12 @@ object Linkage {
     x.as("a").join(x.as("b"),
         col("a.bn") === col("b.bn") && col("a.bs") === col("b.bs") &&
           col("a.ck") < col("b.ck"))
+      // thresholded levenshtein: banded DP that early-exits past
+      // maxDist (returns -1), far cheaper than the full matrix on the
+      // candidate fan-out; kept rows carry the exact distance
       .withColumn("name_dist",
-        levenshtein(col("a.nm"), col("b.nm")).cast("long"))
-      .filter(col("name_dist") <= maxDist)
+        levenshtein(col("a.nm"), col("b.nm"), maxDist).cast("long"))
+      .filter(col("name_dist").between(0, maxDist))
       .select(col("a.ck").as("cust_a"), col("b.ck").as("cust_b"),
         col("name_dist"))
   }
@@ -56,8 +59,8 @@ object Linkage {
     val cross = keyed(newDf, "x").join(keyed(hist, "y"),
         col("xb1") === col("yb1") && col("xb2") === col("yb2") &&
           col("xk") =!= col("yk"))
-      .withColumn("name_dist", levenshtein(col("xn"), col("yn")).cast("long"))
-      .filter(col("name_dist") <= maxDist)
+      .withColumn("name_dist", levenshtein(col("xn"), col("yn"), maxDist).cast("long"))
+      .filter(col("name_dist").between(0, maxDist))
       .select(least(col("xk"), col("yk")).as("cust_a"),
         greatest(col("xk"), col("yk")).as("cust_b"), col("name_dist"))
     blockedPairs(newDf, maxDist).unionByName(cross)
@@ -97,17 +100,17 @@ object Linkage {
     (newMap, merge)
   }
 
-  /** Map size above which the streaming fold switches from the direct
-    * CC (fewer jobs, O(|V|) frames — wins while the map is small) to
-    * the quotient fold (more jobs, O(touched) frames — wins once the
-    * map dwarfs a batch's touch set). Measured two ways: the whole
-    * sf0.1 stream (15k-row map) runs 21s direct vs 35s quotient —
-    * fixed per-job cost dominates small maps — while the isolated fold
-    * kernel (`ScaleCheck fold <n>`, one 2050-pair batch) crosses over
-    * by 100k map rows and diverges fast: direct 12.4s vs quotient 7.3s
-    * at 1M, 15.7s vs 7.8s at 4M (direct grows with the map, quotient
-    * stays flat at the batch cost plus the map rewrite). 1M splits the
-    * difference with margin on both sides. */
+  /** Measured crossover of the MAP-REWRITE fold kernels (`ScaleCheck
+    * fold <n>`, one 2050-pair batch): a direct CC over (pairs ∪
+    * contracted star edges) beats [[foldClusters]] below ~100k map
+    * rows (fixed per-job cost dominates) and loses badly past it —
+    * direct 12.4s vs quotient 7.3s at 1M, 15.7s vs 7.8s at 4M (direct
+    * grows with the map, quotient stays flat at batch cost + the map
+    * rewrite). Retained as the documented break-even for consumers of
+    * [[foldClusters]]; the streaming golden-record query itself no
+    * longer probes it — [[graft.etl.ErLedger]] replaces the map
+    * rewrite with a label-forwarding table whose per-batch cost is
+    * O(touched) at ANY map size, so one path serves every scale. */
   val QuotientFoldThreshold = 1000000L
 
   /** Entity clusters: connected components over verified pairs (match

@@ -894,42 +894,34 @@ object StreamQueries {
   }
 
   /** Streaming golden-record maintenance: the incremental face of
-    * [[graft.operators.Linkage.goldenRecords]]. State per batch is the
-    * O(|V|) record history, the (node, comp_id) cluster map and the
-    * per-cluster golden store — NEVER the pair history. The fold runs
-    * on the CONTRACTED cluster graph: each new verified pair (x, y)
-    * (within-batch + batch×history via [[graft.operators.Linkage
-    * .blockedPairsIncremental]], every pair emitted exactly once)
-    * becomes an edge (comp(x), comp(y)); pairs internal to an existing
-    * cluster contract away, so CC runs over the TOUCHED-cluster
-    * quotient graph only — O(bridging pairs) nodes, not O(|V|) — and
-    * quotient components lift exactly to full-graph components (prior
-    * clusters are connected by induction). Survivorship is equally
-    * incremental: only clusters whose label appears in the quotient CC
-    * re-aggregate (their members resolved through the refreshed map,
-    * records fetched from the history store); untouched golden rows
-    * carry over verbatim. Labels are min member ids, so the min over
-    * merged old labels IS the batch CC label and the maintained state
-    * equals the batch link_golden_records at every boundary (final
-    * state shares its oracle; LinkageSpec pins the per-boundary
-    * equality including a cluster-bridging batch). Per-batch cost:
-    * O(|batch|·block + touched) fold + an O(|V|) history scan for the
-    * touched members (a PK-bucketed record store makes that fetch
-    * O(touched) too — noted, not needed at this scale).
-    *
-    * FOLD-FORM PROBE: below [[graft.operators.Linkage
-    * .QuotientFoldThreshold]] map rows the per-batch job count of the
-    * quotient machinery costs more than it saves (measured 35s vs 21s
-    * at sf0.1), so small maps take ONE direct CC over
-    * (pairs ∪ contracted star edges) with a full survivorship
-    * recompute — identical state, fewer jobs; the quotient form is the
-    * path a growing deployment switches onto. */
+    * [[graft.operators.Linkage.goldenRecords]], with EVERY per-batch
+    * store read and write proportional to the touched blocks and
+    * entities — the whole state layer lives in [[graft.etl.ErLedger]]
+    * (history hash-bucketed by BLOCKING key so both the candidate join
+    * and the member fetch prune to the batch's blocks, a tiny
+    * single-hop label-forwarding table instead of an O(|V|)
+    * cluster-map rewrite, and a cluster-bucketed golden store
+    * refreshed with dynamic partition overwrite). Each micro-batch's
+    * verified pairs (within-batch + batch×block-history via
+    * [[graft.operators.Linkage.blockedPairsIncremental]], every pair
+    * emitted exactly once) contract to current labels through the
+    * forwarding table, CC runs over the bridging-label quotient graph
+    * only, and survivorship re-aggregates exactly the merged clusters
+    * — members read via fwd-preimage + the block-pruned fetch
+    * (clusters are block-confined), untouched golden BUCKETS
+    * never read or rewritten. Labels stay min member ids, so the
+    * maintained store equals the batch link_golden_records at every
+    * boundary (final state shares its oracle; ErLedgerSpec pins the
+    * per-boundary equality including a cluster-bridging batch and a
+    * redelivered batch). Replay-idempotent end-to-end: the history dir
+    * rewrites itself, replayed pairs contract to self-loops, and an
+    * empty merge skips the fwd/golden writes. */
   def streamLinkGolden(spark: SparkSession, dir: String): DataFrame = {
     val cust = tbl(spark, dir, "customer")
     val src = tmpDir("slgsrc")
     cust.repartition(4).write.mode("overwrite").parquet(src)
     val hist = tmpDir("slghist")
-    val clMap = tmpDir("slgmap")
+    val fwd = tmpDir("slgfwd")
     val golden = tmpDir("slggold")
     val q = spark.readStream.schema(cust.schema)
       .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
@@ -937,80 +929,12 @@ object StreamQueries {
       .writeStream
       .option("checkpointLocation", tmpDir("slgckpt"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.localCheckpoint()
-        val ss = b.sparkSession
-        // REPLAY-IDEMPOTENT history: each batch owns the partition dir
-        // ingest_batch=<id> and overwrites it — a redelivered batch
-        // rewrites the same records instead of double-appending (the
-        // blind-append hazard of at-least-once foreachBatch). Written
-        // FIRST so every later read sees a complete prefix.
-        b.write.mode("overwrite").parquet(s"$hist/ingest_batch=$batchId")
-        val all = ss.read.option("basePath", hist).parquet(hist)
-        val histPrev = all.filter(col("ingest_batch") < batchId).drop("ingest_batch")
-        val prevMap = // path-not-found = first batch; real errors propagate
-          try ss.read.parquet(clMap)
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            b.select(col("c_custkey").as("node"), col("c_custkey").as("comp_id")).limit(0) }
-        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val pairs = graft.operators.Linkage
-          .blockedPairsIncremental(b, histPrev, maxDist = 2)
-          .persist(lvl) // consumed by both fold forms twice
-        val allRecs = all.filter(col("ingest_batch") <= batchId).drop("ingest_batch")
-        // fold-form probe (the dedup hot-key pattern): while the map is
-        // small, ONE direct CC over (pairs ∪ contracted star edges) +
-        // a full survivorship recompute costs fewer jobs and wins —
-        // measured 21s vs 35s for the whole stream at sf0.1. Past
-        // QuotientFoldThreshold map rows, the quotient fold's
-        // O(touched) frames win and full recompute stops being an
-        // option. Both forms produce identical state (LinkageSpec pins
-        // the quotient kernel against batch CC per boundary).
-        if (prevMap.count() < graft.operators.Linkage.QuotientFoldThreshold) {
-          val edges = pairs.select(col("cust_a").as("src"), col("cust_b").as("dst"))
-            .unionByName(prevMap.filter(col("node") =!= col("comp_id"))
-              .select(col("node").as("src"), col("comp_id").as("dst")))
-          val cc = graft.operators.Graph.connectedComponents(edges).localCheckpoint()
-          // golden derives from the CHECKPOINTED cc and the on-disk
-          // history only — no extra materialisation before the swap
-          val gr = graft.operators.Linkage.goldenFromClusters(allRecs, cc)
-          gr.write.mode("overwrite").parquet(golden)
-          cc.write.mode("overwrite").parquet(clMap)
-        } else {
-          // quotient fold + incremental survivorship: CC over the
-          // touched-cluster quotient graph; only merged clusters
-          // re-aggregate, untouched golden rows carry over verbatim
-          val prevGolden =
-            try ss.read.parquet(golden)
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              b.select(col("c_custkey").as("cluster_id"), col("c_name").as("golden_name"),
-                lit(0L).as("n_members"), col("c_acctbal").as("max_bal")).limit(0) }
-          val (newMap0, merge0) =
-            graft.operators.Linkage.foldClusters(prevMap, pairs)
-          val newMap = newMap0.persist(lvl)
-          val merge = merge0.persist(lvl)
-          val touchedNew = merge.select(col("merged").as("comp_id")).distinct()
-          val touchedMembers = newMap
-            .join(touchedNew, Seq("comp_id"), "left_semi")
-            .withColumnRenamed("comp_id", "cluster_id")
-          val redone = touchedMembers
-            .join(allRecs, touchedMembers("node") === allRecs("c_custkey"))
-            .groupBy("cluster_id")
-            .agg(count(lit(1)).as("n_members"), max("c_acctbal").as("max_bal"))
-            .join(allRecs.select(col("c_custkey").as("cluster_id"),
-              col("c_name").as("golden_name")), "cluster_id")
-            .select("cluster_id", "golden_name", "n_members", "max_bal")
-          val touchedOld = merge.select(col("comp_id").as("cluster_id"))
-          val gr = prevGolden.join(touchedOld, Seq("cluster_id"), "left_anti")
-            .unionByName(redone)
-            .localCheckpoint() // reads the golden store it will overwrite
-          gr.write.mode("overwrite").parquet(golden)
-          newMap.write.mode("overwrite").parquet(clMap)
-          Seq(pairs, newMap, merge).foreach(_.unpersist())
-        }
+        graft.etl.ErLedger.foldBatch(batch, batchId, hist, fwd, golden)
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(golden)
+    graft.etl.ErLedger.readGolden(spark, golden)
       .select(col("cluster_id"), col("golden_name"),
         col("n_members").cast("long").as("n_members"), col("max_bal"))
       .orderBy("cluster_id")
