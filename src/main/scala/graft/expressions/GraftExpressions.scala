@@ -177,6 +177,24 @@ object GraftHash {
 
   /** Integer dot product over the common prefix of two long arrays.
     * Null elements contribute 0 (the term is skipped). */
+  /** Merge-walk |a ∩ b| over ascending-sorted long arrays: O(n+m),
+    * zero allocation (vs array_intersect's hash set + result array). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val m = math.min(a.numElements(), b.numElements())
     var acc = 0L
@@ -528,6 +546,29 @@ case class SimHash60Expr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.simhash60($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "graft_simhash60"
+}
+
+/** |a ∩ b| of two SORTED long arrays by a zero-allocation merge walk —
+  * the adjacency-intersection kernel of triangle/truss support counting.
+  * `size(array_intersect(a, b))` builds a hash set AND materialises the
+  * intersection array per row; on a support count over millions of edges
+  * with ~100-element adjacency lists the allocation dominates. Inputs
+  * MUST be ascending-sorted (sort_array on the adjacency aggregate);
+  * null elements are not expected (adjacency of non-null node ids). */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"graft_sorted_intersect_count needs array<bigint> x2, got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.GraftHash.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_sorted_intersect_count"
 }
 
 case class DotLongExpr(left: Expression, right: Expression)

@@ -52,6 +52,8 @@ object GraftFunctions {
       exprs => MinHashSigExpr(exprs(0), litInt(exprs(1), "numHashes")), "built-in")
     reg.createOrReplaceTempFunction("graft_dot_long",
       exprs => DotLongExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
+      exprs => SortedIntersectCountExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_quantize",
       exprs => QuantizeExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash60",

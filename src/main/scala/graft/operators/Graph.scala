@@ -204,6 +204,7 @@ object Graph {
     * The count is orientation-invariant, so the oracle can use the simple
     * id-ordered form and still agree exactly. */
   def triangleCount(edges: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(edges.sparkSession)
     // Three independent plan branches read the edge set (degree, orientation,
     // edge count) — persist it so the upstream derivation runs once.
     val base = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -232,7 +233,10 @@ object Graph {
     val tri = oriented
       .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
-      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("t"))
+      // zero-allocation merge walk over the sorted lists (vs
+      // array_intersect's per-row hash set + materialised array)
+      .select(call_function("graft_sorted_intersect_count",
+        col("nu"), col("nv")).as("t"))
       // coalesce: a triangle-free orientation can leave the joined frame
       // empty (e.g. a single edge) — report 0, not null
       .agg(coalesce(sum("t"), lit(0L)).as("n_triangles"))
@@ -608,13 +612,30 @@ object Graph {
     val maxD = st.getLong(0)
     val sumD = st.getLong(1) // = 2|E|
     val out = if (maxD * maxD <= 16L * math.max(sumD, 1L)) {
+      graft.expressions.GraftFunctions.register(e.sparkSession)
+      // SORTED adjacency: sorting once per node lets the per-edge
+      // intersection run as a zero-allocation merge walk
+      // (graft_sorted_intersect_count) instead of array_intersect's
+      // per-row hash set + materialised intersection array — the
+      // allocation is what dominates a support count over millions of
+      // edges with ~100-element lists.
       val adj = bidir(e).groupBy(col("src").as("node"))
-        .agg(collect_set(col("dst")).as("nbrs"))
+        .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      // The adjacency frame holds sumD (= 2|E|) entries total — when
+      // that fits a broadcast (~16B per entry incl. array overhead),
+      // hint it explicitly: the auto threshold (10MB) won't, and the
+      // alternative is TWO shuffles of every target edge row carrying
+      // neighbour arrays. Past the cap (cluster-scale graphs) the
+      // sort-merge joins are the right plan and the hint must not fire.
+      val adjB =
+        if (sumD * 16L <= 64L * 1024 * 1024) (f: DataFrame) => broadcast(f)
+        else (f: DataFrame) => f
       target.select("src", "dst")
-        .join(adj.select(col("node").as("src"), col("nbrs").as("ns")), "src")
-        .join(adj.select(col("node").as("dst"), col("nbrs").as("nd")), "dst")
+        .join(adjB(adj.select(col("node").as("src"), col("nbrs").as("ns"))), "src")
+        .join(adjB(adj.select(col("node").as("dst"), col("nbrs").as("nd"))), "dst")
         .select(col("src"), col("dst"),
-          size(array_intersect(col("ns"), col("nd"))).cast("long").as("sup"))
+          call_function("graft_sorted_intersect_count",
+            col("ns"), col("nd")).as("sup"))
     } else {
       val oriented = e
         .join(degF.select(col("node").as("src"), col("d").as("ds")), "src")
