@@ -853,18 +853,28 @@ object Graph {
   def modularityByCommunity(edges: DataFrame, iters: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.persist(lvl)
-    val comm = labelPropagation(e, iters)
-    val deg = bidir(e).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-    val m1 = e.agg(count(lit(1)).as("m"))
+    val out = modularityCensus(e, labelPropagation(e, iters))
+    e.unpersist()
+    out
+  }
+
+  /** The exact-integer modularity census of an arbitrary
+    * (node, community) partition over `edges` — the q_num/q_den
+    * decomposition of [[modularityByCommunity]], shared with the
+    * Louvain family so LPA and Louvain partitions are comparable on
+    * identical terms. */
+  def modularityCensus(edges: DataFrame, comm: DataFrame): DataFrame = {
+    val deg = bidir(edges).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val m1 = edges.agg(count(lit(1)).as("m"))
     val dc = deg.join(comm, "node").groupBy("community")
       .agg(count(lit(1)).as("n_nodes"), sum("d").as("d_sum"))
-    val ein = e
+    val ein = edges
       .join(comm.select(col("node").as("src"), col("community").as("cs")), "src")
       .join(comm.select(col("node").as("dst"), col("community").as("cd")), "dst")
       .filter(col("cs") === col("cd"))
       .groupBy(col("cs").as("community")).agg(count(lit(1)).as("e_in"))
-    // community-scale rows: materialise, then release the cached edges.
-    val out = dc.join(ein, Seq("community"), "left")
+    // community-scale rows: materialise before the caller drops caches.
+    dc.join(ein, Seq("community"), "left")
       .crossJoin(m1)
       .select(col("community"), col("n_nodes"),
         coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
@@ -872,8 +882,196 @@ object Graph {
           - col("d_sum") * col("d_sum")).as("q_num"),
         (lit(4L) * col("m") * col("m")).as("q_den"))
       .localCheckpoint()
+  }
+
+  /** LOUVAIN local-move phase (Blondel et al. 2008) — the
+    * modularity-OPTIMIZING community operator [[labelPropagation]]'s
+    * plurality rule is not: each round every node evaluates, in EXACT
+    * integers, the modularity gain of moving to each neighbouring
+    * community and takes the best strictly-improving move. Synchronous
+    * and deterministic:
+    *
+    *  - gain comparison: joining community c scores
+    *    s(i,c) = 4W·k_{i,c} − 2·d_i·(D_c − [c = cur(i)]·d_i), all three
+    *    factors integer (W total weight, k_{i,c} weight from i into c,
+    *    d_i weighted degree, D_c community degree mass — the same
+    *    quantities [[modularityCensus]] aggregates); argmax over the
+    *    neighbour communities ∪ {cur}, ties to the SMALLEST community
+    *    id, applied only when strictly above the stay score — so every
+    *    applied move raises Q by (s_best − s_cur)/4W·2m in exact
+    *    arithmetic.
+    *  - synchronous-oscillation guard: a round moves only the nodes
+    *    with (node + round) even — the standard parity damping; the
+    *    alternation is part of the contract (mirrored by the oracle),
+    *    and two consecutive quiet rounds certify a true fixpoint (both
+    *    parity classes declined to move; labels unchanged ⇒ quiet
+    *    forever, so rounds past the fixpoint are no-ops and a generous
+    *    oracle unroll is exact).
+    *  - self-loops (which appear on the contracted graphs of
+    *    [[louvain]]) count 2w toward d_i but are EXCLUDED from k_{i,c}:
+    *    a self-loop travels with its node, so it cancels in every
+    *    destination comparison and counting it would bias staying.
+    *
+    * Per round: one weighted edge×labels equi-join + partial agg
+    * (k_{i,c}), one label×degree agg (D_c), a bounded-group argmax
+    * window (group size = 1 + #neighbour communities ≤ degree — the
+    * neighbourhood bound every op in this file lives with), one label
+    * frame rewrite, lineage-truncated. All shuffles keyed on node or
+    * community; W is a one-scalar loop-invariant driver pull.
+    * Score bound |s| ≤ 8W² keeps int64 exact to W ~ 10⁹ total weight.
+    * Returns (node, label); labels are NOT canonicalised (see
+    * [[canonCommunities]]). */
+  private def louvainKernel(edgesW: DataFrame, maxRounds: Int,
+      untilQuiet: Boolean): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edgesW.select(col("src"), col("dst"), col("w")).persist(lvl)
+    // weighted bidirection; a self-loop row doubles (degree 2w, the
+    // standard convention) and is filtered from k_{i,c} below
+    // PRE-PARTITIONED by the node key — the round's k_{i,c} aggregation
+    // and per-node argmax then run on this layout with no new exchange
+    // whenever the label side broadcasts (the catalog regime; at
+    // cluster scale the label join shuffles and THAT is the round's
+    // one data-scale exchange)
+    val biW = e.select(explode(array(
+        struct(col("src"), col("dst"), col("w")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("x"))
+      .select(col("x.src").as("src"), col("x.dst").as("dst"), col("x.w").as("w"))
+      .repartition(col("src")).persist(lvl)
+    val deg = biW.groupBy(col("src").as("node")).agg(sum("w").as("di")).persist(lvl)
+    // loop-invariant 1-row scalar (audited pattern): total edge weight
+    val wTot = e.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
+    var lab = deg.select(col("node"), col("node").as("label")).localCheckpoint()
+    var r = 0
+    var quiet = 0
+    while (r < maxRounds && (!untilQuiet || quiet < 2)) {
+      r += 1
+      val kc = biW.filter(col("src") =!= col("dst"))
+        .join(lab.select(col("node").as("dst"), col("label").as("c")), "dst")
+        .groupBy(col("src").as("node"), col("c")).agg(sum("w").as("k"))
+      val dc = lab.join(deg, "node").groupBy(col("label").as("c")).agg(sum("di").as("dc"))
+      val cur = lab.select(col("node"), col("label").as("curc"))
+      // candidate scores over the kc rows only; the own-community row is
+      // present exactly when the node has an intra-community edge, and
+      // when it is absent the stay score reduces to −2·d_i·(D_cur − d_i)
+      // (k_own = 0) — reconstructed in the reduction below, so the
+      // labels equal the candidates-∪-own formulation the oracle mirrors
+      val scored = kc
+        .join(cur, "node").join(deg, "node").join(dc, "c")
+        .join(dc.select(col("c").as("curc"), col("dc").as("dcur")), "curc")
+        .withColumn("score",
+          lit(4L) * lit(wTot) * col("k") - lit(2L) * col("di") *
+            (col("dc") - when(col("c") === col("curc"), col("di")).otherwise(lit(0L))))
+      // per-node argmax (max score, ties to the SMALLEST community via
+      // the negated id in the struct ordering) AND the stay score in ONE
+      // partial-aggregatable reduction — no window sort, and on the
+      // biW layout no extra exchange
+      val red = scored.groupBy("node").agg(
+        max(struct(col("score"), (-col("c")).as("negc"), col("c").as("bc"))).as("b"),
+        max(when(col("c") === col("curc"), col("score"))).as("csRaw"),
+        first(col("curc")).as("curc"), first(col("di")).as("di"),
+        first(col("dcur")).as("dcur"))
+      val moved = red.select(col("node"), col("curc"),
+        col("b.bc").as("bc"), col("b.score").as("bs"),
+        coalesce(col("csRaw"),
+          lit(-2L) * col("di") * (col("dcur") - col("di"))).as("cs"))
+      val next = truncStats(cur
+        .join(moved.select(col("node"), col("bc"), col("bs"), col("cs")),
+          Seq("node"), "left")
+        .select(col("node"),
+          when(col("bc").isNotNull &&
+              pmod(col("node") + lit(r.toLong), lit(2L)) === 0 &&
+              col("bc") =!= col("curc") && col("bs") > col("cs"), col("bc"))
+            .otherwise(col("curc")).as("label"))
+        .localCheckpoint())
+      if (untilQuiet) {
+        val moves = next.join(lab.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).count()
+        quiet = if (moves == 0) quiet + 1 else 0
+      }
+      lab = next
+    }
+    deg.unpersist()
     e.unpersist()
-    out
+    lab
+  }
+
+  /** Lineage AND stats truncation for deeply iterative plans.
+    * localCheckpoint alone carries the origin plan's size ESTIMATE into
+    * its LogicalRDD (deliberately, so downstream broadcast planning
+    * keeps working) — but a round plan that references its own label
+    * frame k times through joins MULTIPLIES estimates, so the
+    * estimate's digit count grows ~k× per round and by round ~10 the
+    * optimizer's arbitrary-precision stats arithmetic dominates wall
+    * time (measured on an 8-node fixture: rounds 10/11/12 cost
+    * 12s/58s/377s). Rebuilding the frame over the checkpointed RDD
+    * resets the estimate; AQE re-derives join strategies from RUNTIME
+    * sizes, which is the decision surface that matters for these
+    * O(|V|) round frames. */
+  private def truncStats(ck: DataFrame): DataFrame =
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+
+  /** Canonicalise a (node, label) partition: every community renamed to
+    * its MIN member id — deterministic output whatever ids the move
+    * sequence left as labels. */
+  private def canonCommunities(lab: DataFrame): DataFrame =
+    lab.groupBy("label").agg(min("node").as("community"))
+      .join(lab, "label").select(col("node"), col("community"))
+
+  /** Fixed-round Louvain local moves on an unweighted canonical edge
+    * list — the oracle-mirrorable form ([[labelPropagation]]'s pinned-
+    * ladder contract). Returns (node, community), min-member ids. */
+  def louvainMoves(edges: DataFrame, rounds: Int): DataFrame =
+    canonCommunities(louvainKernel(
+      edges.select(col("src"), col("dst"), lit(1L).as("w")), rounds,
+      untilQuiet = false))
+
+  /** Convergence-detected Louvain local moves: runs until two
+    * consecutive quiet rounds (both parity classes decline every move —
+    * a true fixpoint, see [[louvainKernel]]), capped at `maxRounds` as
+    * a safety bound. */
+  def louvainMovesFull(edges: DataFrame, maxRounds: Int = 64): DataFrame =
+    canonCommunities(louvainKernel(
+      edges.select(col("src"), col("dst"), lit(1L).as("w")), maxRounds,
+      untilQuiet = true))
+
+  /** MULTI-LEVEL Louvain: local moves to the fixpoint, contract each
+    * community to a super-node (intra-community weight becomes a
+    * self-loop), repeat on the weighted quotient graph until a level
+    * stops merging. The composition node → final community is
+    * maintained across levels; output ids are min member ids. The
+    * quotient graphs shrink geometrically, so the total cost is
+    * dominated by level 1 — the property that makes Louvain the
+    * standard at scale. */
+  def louvain(edges: DataFrame, maxLevels: Int = 4): DataFrame = {
+    var g = edges.select(col("src"), col("dst"), lit(1L).as("w")).localCheckpoint()
+    var mapping: DataFrame = null // node -> current super-node
+    var level = 0
+    var shrinking = true
+    while (level < maxLevels && shrinking) {
+      level += 1
+      val lab = louvainKernel(g, maxRounds = 64, untilQuiet = true)
+      val merged = lab.filter(col("node") =!= col("label")).limit(1).count() > 0
+      mapping =
+        if (mapping == null) lab
+        else truncStats(mapping
+          .join(lab.select(col("node").as("label0"), col("label").as("l2")),
+            mapping("label") === col("label0"))
+          .select(mapping("node"), col("l2").as("label"))
+          .localCheckpoint())
+      if (!merged) shrinking = false
+      else {
+        // contract: endpoints -> labels, canonical min/max orientation
+        // (self-loops keep src = dst), weights summed
+        val relab = g
+          .join(lab.select(col("node").as("src"), col("label").as("ls")), "src")
+          .join(lab.select(col("node").as("dst"), col("label").as("ld")), "dst")
+          .select(least(col("ls"), col("ld")).as("src"),
+            greatest(col("ls"), col("ld")).as("dst"), col("w"))
+        g = truncStats(
+          relab.groupBy("src", "dst").agg(sum("w").as("w")).localCheckpoint())
+      }
+    }
+    canonCommunities(mapping)
   }
 
   /** PageRank, `iters` synchronous iterations, damping 0.85, in integer

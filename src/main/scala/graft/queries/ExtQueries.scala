@@ -3288,6 +3288,25 @@ object ExtQueries {
   def graphKtruss(spark: SparkSession, dir: String): DataFrame =
     Graph.kTruss(Graph.coPartEdges(tbl(spark, dir, "lineitem")), k = 12)
 
+  /** LOUVAIN communities of the thresholded co-part graph — the
+    * modularity-OPTIMIZING partition ([[graft.operators.Graph
+    * .louvainMoves]]), 6 pinned synchronous ΔQ rounds (the
+    * oracle-mirrorable ladder contract shared with graph_label_prop;
+    * the convergence-detected and multi-level forms are operators with
+    * fixture-pinned specs — the sync fixpoint has a months-long tail of
+    * ±1-node moves that a bench key must not chase). Census: the same
+    * exact q_num/q_den decomposition as graph_modularity over the same
+    * graph, so the two keys print directly comparable partitions —
+    * Louvain's Q ≈ 0.22 vs LPA's 0.008 at sf0.01 (spec-asserted ≥).
+    * Oracle: the 6 rounds unrolled (kc/dc/candidate/score/argmax CTEs
+    * per round), then the census over min-member community ids. */
+  def graphLouvain(spark: SparkSession, dir: String): DataFrame = {
+    val e = Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L)
+      .localCheckpoint() // shared by the move ladder and the census
+    Graph.modularityCensus(e, Graph.louvainMoves(e, rounds = 6))
+      .orderBy("community")
+  }
+
   /** Link prediction on the thresholded co-part graph: top-20
     * non-adjacent pairs by the Resource-Allocation index (integer ppm —
     * see [[graft.operators.Graph.linkPrediction]]), with the common-
@@ -3827,6 +3846,7 @@ object ExtQueries {
     "graph_components" -> (graphComponents _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_modularity" -> (graphModularity _),
+    "graph_louvain" -> (graphLouvain _),
     "graph_clustering" -> (graphClustering _),
     "graph_kcore" -> (graphKcore _),
     "graph_kcore_full" -> (graphKcoreFull _),

@@ -388,6 +388,47 @@ object Oracles {
        |${step(3)}""".stripMargin
   }
 
+  /** Unrolled Louvain ladder (graph_louvain): the same thresholded
+    * co-part graph as the LPA family, then 6 synchronous ΔQ-move rounds
+    * — per round the per-(node, neighbour-community) weight kc, the
+    * community degree mass dc, the candidate set (neighbour communities
+    * ∪ own), the integer score 4W·k − 2·d_i·(D_c − [own]·d_i), a
+    * (score DESC, c) argmax with the stay score alongside, and the
+    * parity-gated strictly-improving move — mirroring
+    * Graph.louvainKernel exactly. */
+  private lazy val louvainCtes: String = {
+    def round(i: Int): String =
+      s"""kc$i AS (SELECT e.src AS node, l.label AS c, count(*) AS k
+         |      FROM e JOIN lv${i - 1} l ON e.dst = l.node GROUP BY 1, 2),
+         |dc$i AS (SELECT l.label AS c, sum(dg.di) AS dc
+         |      FROM lv${i - 1} l JOIN dg ON l.node = dg.node GROUP BY 1),
+         |ca$i AS (SELECT node, c, max(k) AS k FROM (
+         |        SELECT node, c, k FROM kc$i
+         |        UNION ALL SELECT node, label AS c, 0 AS k FROM lv${i - 1}) GROUP BY 1, 2),
+         |sc$i AS (SELECT a.node, a.c, cu.label AS curc,
+         |        4 * wt.w * a.k - 2 * dg.di *
+         |          (dc$i.dc - CASE WHEN a.c = cu.label THEN dg.di ELSE 0 END) AS score
+         |      FROM ca$i a JOIN lv${i - 1} cu ON a.node = cu.node
+         |        JOIN dg ON a.node = dg.node
+         |        JOIN dc$i ON a.c = dc$i.c CROSS JOIN wt),
+         |lv$i AS MATERIALIZED (SELECT node,
+         |        CASE WHEN (node + $i) % 2 = 0 AND c <> curc AND score > cs
+         |             THEN c ELSE curc END AS label
+         |      FROM (SELECT *,
+         |              row_number() OVER (PARTITION BY node ORDER BY score DESC, c) AS rk,
+         |              max(CASE WHEN c = curc THEN score END)
+         |                OVER (PARTITION BY node) AS cs
+         |            FROM sc$i) WHERE rk = 1)""".stripMargin
+    s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |dg AS MATERIALIZED (SELECT src AS node, count(*) AS di FROM e GROUP BY 1),
+       |wt AS MATERIALIZED (SELECT count(*) AS w FROM e0),
+       |lv0 AS MATERIALIZED (SELECT node, node AS label FROM dg),
+       |${(1 to 6).map(round).mkString(",\n")}""".stripMargin
+  }
+
   /** Shared CTE prefix for the trained-IVF family (simsearch_ivf_trained /
     * simsearch_hard_negatives): quantised embeddings → one deterministic
     * Lloyd iteration (first-8 seed, truncated integer means) → final
@@ -3330,7 +3371,7 @@ object Oracles {
       s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
          |e1 AS (SELECT DISTINCT a.s AS src, b.s AS dst
          |       FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s),
-         |${(1 to 8).map(round).mkString(",\n")}
+         |${(1 to 6).map(round).mkString(",\n")}
          |SELECT node, CAST(count(*) AS BIGINT) AS truss_deg
          |FROM (SELECT src AS node FROM e9 UNION ALL SELECT dst FROM e9)
          |GROUP BY 1 ORDER BY node""".stripMargin
@@ -3835,6 +3876,26 @@ object Oracles {
          |  CAST(4 * m1.m * m1.m AS BIGINT) AS q_den
          |FROM dc LEFT JOIN ein ON dc.community = ein.community CROSS JOIN m1
          |ORDER BY dc.n_nodes DESC, dc.community""".stripMargin,
+
+    // Louvain census: min-member community ids over the 6-round move
+    // ladder, then the exact modularity decomposition (same terms as
+    // graph_modularity so the two partitions compare directly).
+    "graph_louvain" ->
+      s"""$louvainCtes,
+         |cm AS (SELECT label, min(node) AS community FROM lv6 GROUP BY 1),
+         |lc AS (SELECT l.node, cm.community FROM lv6 l JOIN cm ON l.label = cm.label),
+         |dcc AS (SELECT lc.community, count(*) AS n_nodes, sum(dg.di) AS d_sum
+         |        FROM lc JOIN dg ON lc.node = dg.node GROUP BY 1),
+         |ei AS (SELECT a.community, count(*) AS e_in
+         |       FROM e0 JOIN lc a ON e0.src = a.node JOIN lc b ON e0.dst = b.node
+         |       WHERE a.community = b.community GROUP BY 1)
+         |SELECT d.community, d.n_nodes,
+         |  CAST(COALESCE(ei.e_in, 0) AS BIGINT) AS e_in,
+         |  CAST(d.d_sum AS BIGINT) AS d_sum,
+         |  CAST(4 * wt.w * COALESCE(ei.e_in, 0) - d.d_sum * d.d_sum AS BIGINT) AS q_num,
+         |  CAST(4 * wt.w * wt.w AS BIGINT) AS q_den
+         |FROM dcc d LEFT JOIN ei ON d.community = ei.community CROSS JOIN wt
+         |ORDER BY d.community""".stripMargin,
 
     "timeseries_changepoint" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
