@@ -1010,6 +1010,48 @@ object Graph {
   private def truncStats(ck: DataFrame): DataFrame =
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
 
+  /** DETERMINISTIC random walks — the DeepWalk/node2vec corpus
+    * generator (Perozzi et al. 2014): `walksPerNode` walks of `steps`
+    * hops from every non-isolated node, the next hop drawn by the
+    * cross-engine hash coin charHash("start:wk:step:cur") mod degree
+    * indexing the SORTED neighbour list. The coin makes the corpus
+    * bit-reproducible across engines, partitionings and reruns — the
+    * property a training-data pipeline needs to regenerate or audit a
+    * walk corpus — and oracle-mirrorable (the DuckDB twin unrolls the
+    * same ladder). One adjacency equi-join per step (the relaxation-
+    * ladder shape, node-keyed shuffle); the walk frame stays
+    * O(nodes × walksPerNode) with lineage+stats truncated per step;
+    * adjacency is built once and persisted. Every hop lands on a node
+    * with ≥ 1 neighbour (bidirectional closure), so walks never
+    * strand. Output: one row per (start, wk, step 0..steps) position. */
+  def randomWalks(edges: DataFrame, walksPerNode: Int, steps: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(edges.sparkSession)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val adj = bidir(edges).groupBy(col("src").as("node"))
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs")).persist(lvl)
+    var wf = adj.select(col("node").as("start"),
+        explode(sequence(lit(0L), lit((walksPerNode - 1).toLong))).as("wk"))
+      .select(col("start"), col("wk"), col("start").as("cur"),
+        array(col("start")).as("path"))
+      .localCheckpoint()
+    for (s <- 1 to steps) {
+      val coin = graft.functions.CrossFns.charHash(
+        concat_ws(":", col("start"), col("wk"), lit(s), col("cur")))
+      wf = truncStats(wf
+        .join(adj.select(col("node").as("cur"), col("nbrs")), "cur")
+        .withColumn("nxt", element_at(col("nbrs"),
+          (pmod(coin, size(col("nbrs")).cast("long")) + lit(1L)).cast("int")))
+        .select(col("start"), col("wk"), col("nxt").as("cur"),
+          concat(col("path"), array(col("nxt"))).as("path"))
+        .localCheckpoint())
+    }
+    val out = wf.select(col("start"), col("wk"), posexplode(col("path")))
+      .select(col("start"), col("wk"), col("pos").cast("long").as("step"),
+        col("col").as("node"))
+    adj.unpersist()
+    out
+  }
+
   /** Canonicalise a (node, label) partition: every community renamed to
     * its MIN member id — deterministic output whatever ids the move
     * sequence left as labels. */

@@ -3307,6 +3307,19 @@ object ExtQueries {
       .orderBy("community")
   }
 
+  /** Random-walk corpus over the thresholded co-part graph: 2
+    * deterministic walks of 4 hops per node
+    * ([[graft.operators.Graph.randomWalks]]) — the graph-structured
+    * pretraining-data generator (DeepWalk sentences), exploded to one
+    * row per walk position so the oracle compares scalar columns.
+    * Oracle: the hop ladder unrolled with the same charHash coin mod
+    * degree over the same sorted neighbour lists. */
+  def graphRandomWalks(spark: SparkSession, dir: String): DataFrame =
+    Graph.randomWalks(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+      walksPerNode = 2, steps = 4)
+      .orderBy("start", "wk", "step")
+
   /** Link prediction on the thresholded co-part graph: top-20
     * non-adjacent pairs by the Resource-Allocation index (integer ppm —
     * see [[graft.operators.Graph.linkPrediction]]), with the common-
@@ -3847,6 +3860,7 @@ object ExtQueries {
     "graph_label_prop" -> (graphLabelProp _),
     "graph_modularity" -> (graphModularity _),
     "graph_louvain" -> (graphLouvain _),
+    "graph_random_walks" -> (graphRandomWalks _),
     "graph_clustering" -> (graphClustering _),
     "graph_kcore" -> (graphKcore _),
     "graph_kcore_full" -> (graphKcoreFull _),

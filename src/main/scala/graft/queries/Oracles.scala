@@ -3877,6 +3877,32 @@ object Oracles {
          |FROM dc LEFT JOIN ein ON dc.community = ein.community CROSS JOIN m1
          |ORDER BY dc.n_nodes DESC, dc.community""".stripMargin,
 
+    // Deterministic random walks: 4 unrolled hops, next hop =
+    // charHash("start:wk:step:cur") mod degree into the ascending
+    // neighbour list — the exact coin Graph.randomWalks draws.
+    "graph_random_walks" -> {
+      def coin(i: Int): String = ch(
+        "CAST(w.start AS VARCHAR) || ':' || CAST(w.wk AS VARCHAR) || " +
+          s"':' || '$i' || ':' || CAST(w.cur AS VARCHAR)")
+      def hop(i: Int): String =
+        s"""w$i AS MATERIALIZED (SELECT w.start, w.wk,
+           |    a.nbrs[CAST((${coin(i)}) % len(a.nbrs) AS BIGINT) + 1] AS cur,
+           |    list_append(w.path,
+           |      a.nbrs[CAST((${coin(i)}) % len(a.nbrs) AS BIGINT) + 1]) AS path
+           |  FROM w${i - 1} w JOIN adj a ON w.cur = a.node)""".stripMargin
+      s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |adj AS MATERIALIZED (SELECT src AS node, list(dst ORDER BY dst) AS nbrs FROM e GROUP BY 1),
+         |w0 AS MATERIALIZED (SELECT a.node AS start, wks.wk, a.node AS cur, [a.node] AS path
+         |  FROM adj a CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS wk) wks),
+         |${(1 to 4).map(hop).mkString(",\n")}
+         |SELECT start, wk, CAST(u.i - 1 AS BIGINT) AS step, path[u.i] AS node
+         |FROM w4, LATERAL (SELECT unnest(generate_series(1, len(path))) AS i) u
+         |ORDER BY start, wk, step""".stripMargin
+    },
+
     // Louvain census: min-member community ids over the 6-round move
     // ladder, then the exact modularity decomposition (same terms as
     // graph_modularity so the two partitions compare directly).

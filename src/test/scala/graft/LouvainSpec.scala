@@ -95,6 +95,28 @@ class LouvainSpec extends SparkSpec {
     assert(qLou >= qLpa, s"catalog louvain Q=$qLou < LPA Q=$qLpa")
   }
 
+  test("randomWalks: every hop follows an edge, counts exact, bit-deterministic") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val g = edgesDf(es: _*)
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val rows = Graph.randomWalks(g, walksPerNode = 3, steps = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 4 nodes x 3 walks x 6 positions
+    assert(rows.length === 4 * 3 * 6)
+    val byWalk = rows.groupBy(t => (t._1, t._2)).values
+    byWalk.foreach { w =>
+      val seq = w.sortBy(_._3).map(_._4).toList
+      assert(seq.head === w.head._1, "walk must start at its start node")
+      seq.sliding(2).foreach { case List(a, b) =>
+        assert(adj(a).contains(b), s"hop $a->$b is not an edge (walk $seq)")
+      }
+    }
+    // rerun under a different partitioning: bit-identical corpus
+    val again = Graph.randomWalks(g.repartition(7), 3, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet === rows.toSet)
+  }
+
   test("louvainMoves is partitioning-invariant") {
     val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     val k4b = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
