@@ -531,6 +531,20 @@ object ScaleCheck {
       time("graph_hits", f) {
         Graph.hits(Graph.coPartEdgesMin(lg, 2L), iters = 2).count()
       }
+      // Louvain: disjoint-copy replication scales nodes/edges f× with
+      // community structure per copy unchanged — round cost must track
+      // |E| linearly (one k_{i,c} agg + bounded argmax per round)
+      time("graph_louvain", f) {
+        Graph.louvainMoves(Graph.coPartEdgesMin(lg, 2L), rounds = 6)
+          .select("community").distinct().count()
+      }
+      // walk corpus: rows-out = nodes × walks × (steps+1) by definition
+      // — per-step cost is ONE adjacency equi-join, so time must track
+      // the f× walk-frame size linearly
+      time("graph_random_walks", f) {
+        Graph.randomWalks(Graph.coPartEdgesMin(lg, 2L),
+          walksPerNode = 2, steps = 4).count()
+      }
       time("graph_ppr", f) {
         Graph.pageRankPersonalized(Graph.coPartEdges(lg),
           col("node") % 10 === 0, iters = 3).count()

@@ -221,6 +221,43 @@ object LakeOps {
     readEntries(spark, sinkDir, files)
   }
 
+  /** PARTITION-PRUNED change-feed scans between two retained versions:
+    * rows can differ ONLY inside partitions whose FILE SET changed
+    * between the manifests — a PK is unique per snapshot and lives in
+    * its partition's files, and an untouched partition carries
+    * byte-identical files in both manifests, so each of its rows joins
+    * to itself as `unchanged` with delta 0. The manifest diff (pure
+    * metadata, no data read) names the touched partitions; both
+    * snapshot scans prune to them, and the untouched rows are COUNTED
+    * from one footer-metadata scan of the shared files instead of
+    * flowing through the diff join. At 100 TB this is the difference
+    * between two full snapshot scans and two scans of the day's
+    * changed partitions. Returns (prunedFrom, prunedTo,
+    * unchangedRowCount). */
+  def changeFeedScans(spark: SparkSession, sinkDir: String, from: Long,
+      to: Long): (DataFrame, DataFrame, Long) = {
+    val root = new Path(sinkDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOf(v: Long): Seq[String] = {
+      val mp = allManifests(fs, root).collectFirst { case (vv, p) if vv == v => p }
+        .getOrElse(throw new IllegalArgumentException(
+          s"no manifest v$v for $sinkDir (retained: ${listVersions(spark, sinkDir).mkString(",")})"))
+      readManifest(fs, mp)
+    }
+    val mf = filesOf(from)
+    val mt = filesOf(to)
+    val changed = (mf.toSet diff mt.toSet) union (mt.toSet diff mf.toSet)
+    val touched = changed.map(partOf)
+    val (fT, rest) = mf.partition(f => touched(partOf(f)))
+    val tT = mt.filter(f => touched(partOf(f)))
+    def scan(files: Seq[String], all: Seq[String]): DataFrame =
+      if (files.nonEmpty) readEntries(spark, sinkDir, files)
+      else readEntries(spark, sinkDir, all).limit(0) // schema-only
+    val unchangedRows =
+      if (rest.isEmpty) 0L else readEntries(spark, sinkDir, rest).count()
+    (scan(fT, mf), scan(tT, mt), unchangedRows)
+  }
+
   /** Zero-copy SHALLOW CLONE (the Delta/Iceberg shallow-clone shape on
     * plain parquet): the clone is a new table directory containing ONLY
     * a v1 manifest whose entries are ABSOLUTE paths into the source's

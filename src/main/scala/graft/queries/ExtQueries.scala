@@ -1688,41 +1688,45 @@ object ExtQueries {
   }
 
   /** CHANGE FEED between lake-table versions (the Delta/Iceberg CDF
-    * read): three retained snapshots — base load, an upsert generation
-    * (updates double id%6 values, inserts add new id%5 keys), a GDPR
-    * delete generation (id%9 keys) — then each consecutive version pair
-    * is diffed by a PK full-outer join and classified
-    * insert/update/delete/unchanged with the exact cents delta. This is
-    * the incremental-consumer contract: a downstream reader applies the
-    * feed instead of re-reading the table. The join is PK-keyed
-    * (sort-merge on event_id), snapshots resolve through their
-    * manifests (one metadata read each, no log replay) — at 100 TB the
-    * diff cost is two snapshot scans, and a real deployment would
-    * partition-prune both sides to the touched partitions the manifest
-    * diff already names. */
+    * read), PARTITION-PRUNED off the manifest diff: three retained
+    * snapshots — base load, an upsert generation, a GDPR delete
+    * generation, every mutation CONFINED to day-of-month ≤ 7 dates
+    * (the localized-change shape a daily pipeline actually produces) —
+    * then each consecutive version pair is diffed by a PK full-outer
+    * join over ONLY the partitions whose file set changed
+    * ([[graft.etl.LakeOps.changeFeedScans]]): untouched partitions
+    * hold byte-identical files in both manifests, so their rows are
+    * `unchanged` with delta 0 by construction and are counted from one
+    * footer-metadata scan instead of joined. At 100 TB the diff cost
+    * is two scans of the touched partitions, not two snapshot scans.
+    * This is the incremental-consumer contract: a downstream reader
+    * applies the feed instead of re-reading the table. */
   def ddlChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val out = tmpDir("changefeed")
     val e = tbl(spark, dir, "events")
       .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
       .select("event_id", "event_date", "event_type", "value")
+    val early = dayofmonth(to_date(col("event_date"))) <= 7
     val base = e.filter(col("event_id") % 3 === 0)
     base.repartition(col("event_date"))
       .write.mode("overwrite").partitionBy("event_date").parquet(out)
-    val updates = base.filter(col("event_id") % 6 === 0)
+    val updates = base.filter(col("event_id") % 6 === 0 && early)
       .withColumn("value", col("value") * 2)
-    val inserts = e.filter(col("event_id") % 3 =!= 0 && col("event_id") % 5 === 0)
+    val inserts = e.filter(col("event_id") % 3 =!= 0 && col("event_id") % 5 === 0 && early)
     graft.etl.LakeOps.mergeInto(spark, out, updates.unionByName(inserts),
       "event_id", "event_date", retainHistory = true)
     graft.etl.LakeOps.deleteKeys(spark, out,
-      e.filter(col("event_id") % 9 === 0).select("event_id"),
+      e.filter(col("event_id") % 9 === 0 && early).select("event_id"),
       "event_id", "event_date", retainHistory = true)
-    def snap(v: Long): DataFrame =
-      graft.etl.LakeOps.readTableAsOf(spark, out, v)
-        .select(col("event_id"),
-          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
-    def feed(from: Long, to: Long): DataFrame =
-      snap(from).select(col("event_id"), col("cents").as("c_from"))
-        .join(snap(to).select(col("event_id"), col("cents").as("c_to")),
+    def cents(df: DataFrame): DataFrame =
+      df.select(col("event_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    def feed(from: Long, to: Long): DataFrame = {
+      val (sFrom, sTo, nUntouched) =
+        graft.etl.LakeOps.changeFeedScans(spark, out, from, to)
+      val diffed = cents(sFrom).select(col("event_id"), col("cents").as("c_from"))
+        .join(cents(sTo).select(col("event_id"), col("cents").as("c_to")),
           Seq("event_id"), "full_outer")
         .withColumn("change",
           when(col("c_from").isNull, "insert")
@@ -1733,8 +1737,16 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum(coalesce(col("c_to"), lit(0L)) - coalesce(col("c_from"), lit(0L)))
             .as("delta_cents"))
+      // rows in untouched partitions: unchanged, delta 0, never joined
+      diffed
+        .unionByName(Seq(("unchanged", nUntouched, 0L))
+          .toDF("change", "n_rows", "delta_cents"))
+        .groupBy("change")
+        .agg(sum("n_rows").as("n_rows"), sum("delta_cents").as("delta_cents"))
+        .filter(col("n_rows") > 0) // drop the synthetic row when empty
         .select(lit(s"v$from->v$to").as("step"), col("change"),
           col("n_rows"), col("delta_cents"))
+    }
     feed(1L, 2L).unionByName(feed(2L, 3L)).orderBy("step", "change")
   }
 

@@ -3604,13 +3604,15 @@ object Oracles {
            |  coalesce(b.c, 0) - coalesce(a.c, 0) AS d
            |FROM $a a FULL OUTER JOIN $b b ON a.event_id = b.event_id""".stripMargin
       s"""WITH e AS (SELECT event_id,
+         |    EXTRACT(day FROM CAST(ts AS TIMESTAMP)) <= 7 AS early,
          |    CAST(round(value * 100, 0) AS BIGINT) AS c1,
          |    CAST(round(value * 2 * 100, 0) AS BIGINT) AS c2 FROM events),
-         |v1 AS (SELECT event_id, c1 AS c FROM e WHERE event_id % 3 = 0),
-         |v2 AS (SELECT event_id,
-         |         CASE WHEN event_id % 6 = 0 THEN c2 ELSE c1 END AS c
-         |       FROM e WHERE event_id % 3 = 0 OR event_id % 5 = 0),
-         |v3 AS (SELECT event_id, c FROM v2 WHERE event_id % 9 <> 0)
+         |v1 AS (SELECT event_id, early, c1 AS c FROM e WHERE event_id % 3 = 0),
+         |v2 AS (SELECT event_id, early,
+         |         CASE WHEN event_id % 6 = 0 AND early THEN c2 ELSE c1 END AS c
+         |       FROM e WHERE event_id % 3 = 0 OR (event_id % 5 = 0 AND early)),
+         |v3 AS (SELECT event_id, early, c FROM v2
+         |       WHERE NOT (event_id % 9 = 0 AND early))
          |SELECT step, change, CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(sum(d) AS BIGINT) AS delta_cents
          |FROM (${feed("v1", "v2", "v1->v2")} UNION ALL ${feed("v2", "v3", "v2->v3")})

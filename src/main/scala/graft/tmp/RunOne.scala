@@ -1,0 +1,22 @@
+package graft.tmp
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch single-query runner with full stack traces. */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+    val n = graft.SparkEntry.queries(args(0))(spark, sfDir).count()
+    println(f"[runone] ${args(0)} rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    spark.stop()
+  }
+}

@@ -357,4 +357,27 @@ class LakeOpsSpec extends SparkSpec {
     val union = g1.select("event_id").unionByName(g2.select("event_id"))
     assert(union.distinct().count() === 200L && union.count() === 200L)
   }
+  test("changeFeedScans prunes both snapshots to manifest-diff partitions") {
+    val out = graft.queries.Staging.tmpDir("cfscan")
+    Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0), (4L, "2024-01-02", 40.0),
+      (5L, "2024-01-03", 50.0), (6L, "2024-01-03", 60.0),
+    ).toDF("id", "d", "v")
+      .repartition(col("d"))
+      .write.mode("overwrite").partitionBy("d").parquet(out)
+    // v2: touch ONLY 2024-01-02 (update id=3, insert id=7)
+    LakeOps.mergeInto(spark, out,
+      Seq((3L, "2024-01-02", 99.0), (7L, "2024-01-02", 70.0)).toDF("id", "d", "v"),
+      "id", "d", retainHistory = true)
+    val (sFrom, sTo, nUntouched) = LakeOps.changeFeedScans(spark, out, 1L, 2L)
+    // pruned scans hold exactly the touched partition's rows
+    assert(sFrom.select("id").collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+    assert(sTo.select("id").collect().map(_.getLong(0)).toSet === Set(3L, 4L, 7L))
+    // the four rows of 01-01 and 01-03 are counted, never joined
+    assert(nUntouched === 4L)
+    // and the pruned scans + untouched count partition each snapshot
+    assert(sFrom.count() + nUntouched === LakeOps.readTableAsOf(spark, out, 1L).count())
+    assert(sTo.count() + nUntouched === LakeOps.readTableAsOf(spark, out, 2L).count())
+  }
 }
