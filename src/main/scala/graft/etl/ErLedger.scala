@@ -42,10 +42,10 @@ import graft.operators.{Graph, Linkage}
   *     contracting against its own half-written output. Size is
   *     O(#labels ever retired) = O(records absorbed into larger
   *     clusters) ≈ the duplicate count — a small fraction of any real
-  *     corpus, and bounded below |V| − #clusters; old versions are
-  *     dropped by [[vacuumFwd]], and an epoch compaction (fold fwd into
-  *     golden bucket rewrites, then truncate) caps the live version for
-  *     adversarial all-duplicates streams.
+  *     corpus, and bounded below |V| − #clusters. fwd is LOAD-BEARING
+  *     membership state (survivorship fetches a merged cluster's
+  *     members via its preimage), so it is never truncated — it IS the
+  *     compact cluster map; [[vacuumFwd]] drops superseded versions.
   *   - '''golden''' — survivorship rows hash-bucketed by cluster id: a
   *     batch stages the refreshed content of exactly the buckets holding
   *     a retired or refreshed cluster row (reading only those buckets'
@@ -425,6 +425,38 @@ object ErLedger {
       f.rename(p, dst)
     }
     f.delete(new Path(stage), true)
+  }
+
+  /** Compact the history store: fold every batch partition dir with id
+    * ≤ `upTo` into ONE consolidated `ingest_batch=upTo` dir (same
+    * bucket layout, rows re-sorted by blk_key so the row-group prune
+    * stays sharp). The per-batch layout otherwise grows one dir ×
+    * touched buckets per batch forever; after compaction the prefix is
+    * ≤ [[HistBuckets]] files and every prefix read (candidate join,
+    * member fetch) lists bounded metadata. CONTRACT: `upTo` must not
+    * exceed the last COMMITTED batch — an at-least-once redelivery can
+    * only replay batches above the sink's committed offset, and
+    * replaying a compacted-away batch would re-append its rows.
+    * Single-writer maintenance op (the vacuum class): the consolidated
+    * stage is durable (dot-prefixed — invisible to partition
+    * discovery) before any source dir is deleted; crash recovery =
+    * rename the stage in. */
+  def compactHistory(ss: SparkSession, histDir: String, upTo: Long): Unit = {
+    val f = fs(ss)
+    val root = new Path(histDir)
+    if (!f.exists(root)) return
+    val dirs = f.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("ingest_batch="))
+      .filter(_.getName.drop("ingest_batch=".length).toLong <= upTo)
+    if (dirs.length <= 1) return
+    val stage = new Path(root, s".compact-$upTo")
+    ss.read.option("basePath", histDir).parquet(dirs.map(_.toString): _*)
+      .drop("ingest_batch")
+      .repartition(col("blk_bucket"))
+      .sortWithinPartitions("blk_bucket", "blk_key")
+      .write.partitionBy("blk_bucket").mode("overwrite").parquet(stage.toString)
+    dirs.foreach(d => f.delete(d, true))
+    f.rename(stage, new Path(root, s"ingest_batch=$upTo"))
   }
 
   /** The maintained golden store (drops the bucket layout column). */

@@ -70,6 +70,38 @@ class ErLedgerSpec extends SparkSpec {
     }
   }
 
+  test("compactHistory folds batch dirs; subsequent folds match the uncompacted twin") {
+    val all = cust(
+      (1L, "acme corp", 1, "A", 1.0), (2L, "acme corp", 1, "A", 2.0),
+      (3L, "acme c0rp", 1, "A", 3.0), (5L, "beta llc", 2, "B", 5.0),
+      (6L, "beta llp", 2, "B", 6.0), (7L, "gamma gmbh", 3, "C", 7.0))
+    val batches = Seq(Seq(1L, 5L), Seq(2L, 6L), Seq(3L, 7L))
+    val (h1, f1, g1) = stores()
+    val (h2, f2, g2) = stores()
+    // fold batches 0-1 into both ledgers, compact only the first
+    batches.take(2).zipWithIndex.foreach { case (ids, i) =>
+      val b = all.filter(col("c_custkey").isin(ids: _*))
+      ErLedger.foldBatch(b, i.toLong, h1, f1, g1)
+      ErLedger.foldBatch(b, i.toLong, h2, f2, g2)
+    }
+    ErLedger.compactHistory(spark, h1, upTo = 1L)
+    val dirs = new java.io.File(h1).listFiles()
+      .filter(_.getName.startsWith("ingest_batch=")).map(_.getName).toSet
+    assert(dirs === Set("ingest_batch=1"), s"expected one consolidated dir, got $dirs")
+    // batch 2 folds identically over compacted and uncompacted history
+    val b2 = all.filter(col("c_custkey").isin(batches(2): _*))
+    ErLedger.foldBatch(b2, 2L, h1, f1, g1)
+    ErLedger.foldBatch(b2, 2L, h2, f2, g2)
+    assert(ErLedger.readGolden(spark, g1).collect().toSet ===
+      ErLedger.readGolden(spark, g2).collect().toSet)
+    assert(ErLedger.readFullMap(spark, f1).collect().toSet ===
+      ErLedger.readFullMap(spark, f2).collect().toSet)
+    // compaction preserved every history row
+    val r1 = spark.read.option("basePath", h1).parquet(h1)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(r1 === Set(1L, 2L, 3L, 5L, 6L, 7L))
+  }
+
   test("fwd table stays single-hop and touched-scale; golden buckets prune") {
     // 1~2~3 merge stepwise: after all batches every retired label must
     // resolve to the final min label in ONE hop (no chain walk)
