@@ -3371,7 +3371,7 @@ object Oracles {
       s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
          |e1 AS (SELECT DISTINCT a.s AS src, b.s AS dst
          |       FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s),
-         |${(1 to 6).map(round).mkString(",\n")}
+         |${(1 to 8).map(round).mkString(",\n")}
          |SELECT node, CAST(count(*) AS BIGINT) AS truss_deg
          |FROM (SELECT src AS node FROM e9 UNION ALL SELECT dst FROM e9)
          |GROUP BY 1 ORDER BY node""".stripMargin
