@@ -355,6 +355,13 @@ object ScaleCheck {
       }
       if (f <= 4) // all-pairs baseline: deliberately quadratic
         time("dedup_embedding_allpairs", f) { Similarity.cosinePairs(v, 0.5).count() }
+      // PCA: the Gram pass is the only data-scale work (per-row dim²
+      // map-side fan-out, partial-agg to ≤dim² rows before ONE shuffle);
+      // the 8 power steps run on the fixed-size covariance frame — time
+      // must be scan-linear in f with a constant iteration tail
+      time("embed_pca_loadings", f) {
+        graft.operators.Embeddings.pcaPowerLoadings(v, iters = 8).count()
+      }
 
       val e = replicate(events, "event_id", f)
       time("window_ohlc", f) {
@@ -366,6 +373,16 @@ object ScaleCheck {
           .count()
       }
 
+      // STL/cross-corr: the raw-events → hourly reduce is the only
+      // data-scale pass (replication fattens hours, not series length);
+      // the decomposition windows and lag joins ride the TIME-bounded
+      // series, so time must flatten toward the scan cost as f grows
+      time("timeseries_stl", f) {
+        graft.operators.TimeSeries.stlDecompose(e, halfWindow = 12).count()
+      }
+      time("timeseries_crosscorr", f) {
+        graft.operators.TimeSeries.crossCorrStats(e, maxLag = 6).count()
+      }
       // replicated users repeat per copy -> per-key counts grow f-fold;
       // threshold scales with f so selectivity stays comparable
       time("sketch_heavy_hitters", f) {
@@ -544,6 +561,20 @@ object ScaleCheck {
       time("graph_random_walks", f) {
         Graph.randomWalks(Graph.coPartEdgesMin(lg, 2L),
           walksPerNode = 2, steps = 4).count()
+      }
+      // second-order bias adds ONE extra adjacency equi-join per hop
+      // (prev-side membership) + an O(deg) weight fold — time must stay
+      // a constant factor over the uniform walks at every f
+      time("graph_node2vec_walks", f) {
+        Graph.node2vecWalks(Graph.coPartEdgesMin(lg, 2L),
+          walksPerNode = 2, steps = 4, 1L, 6L, 3L).count()
+      }
+      // skip-gram pairs flat-map MAP-SIDE from the path arrays (no
+      // self-join): rows-out ≈ positions × 2·window, one partial-agg
+      // shuffle — linear in the walk corpus by construction
+      time("graph_walk_pairs", f) {
+        Graph.walkSkipgramPairs(Graph.coPartEdgesMin(lg, 2L),
+          walksPerNode = 2, steps = 4, window = 2).count()
       }
       time("graph_ppr", f) {
         Graph.pageRankPersonalized(Graph.coPartEdges(lg),

@@ -429,9 +429,20 @@ object Dedup {
   def lshDocRepsFromSets(hsDf: DataFrame): DataFrame =
     lshDocRepsFromSigs(sigsFromSets(hsDf))
 
-  def lshDocRepsFromSigs(sigs: DataFrame): DataFrame = {
-    val bands = bandedSignaturesFromSigs(sigs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def lshDocRepsFromSigs(sigs: DataFrame): DataFrame =
+    lshDocRepsFromSigs(sigs, cacheBands = true)
+
+  /** As above; `cacheBands = false` skips the banded frame's cache layer —
+    * for callers whose sigs frame is ALREADY cached (the dedup-report
+    * path): re-deriving the explode from that cache is a cheap map, and
+    * dropping the second layer saves its write+read round trip. A cold
+    * sigs frame (standalone keys: full text shingle+minhash upstream)
+    * must keep the default so the text pipeline never runs twice. */
+  def lshDocRepsFromSigs(sigs: DataFrame, cacheBands: Boolean): DataFrame = {
+    val bands0 = bandedSignaturesFromSigs(sigs)
+    val bands =
+      if (!cacheBands) bands0
+      else bands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the bucket census is bucket-count-sized: checkpoint it eagerly so
     // the ONE job that computes it (warming the bands cache on the way)
     // serves the hot probe, the rep frame, and the hot set — the census

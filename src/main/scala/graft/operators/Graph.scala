@@ -1024,7 +1024,13 @@ object Graph {
     * adjacency is built once and persisted. Every hop lands on a node
     * with ≥ 1 neighbour (bidirectional closure), so walks never
     * strand. Output: one row per (start, wk, step 0..steps) position. */
-  def randomWalks(edges: DataFrame, walksPerNode: Int, steps: Int): DataFrame = {
+  def randomWalks(edges: DataFrame, walksPerNode: Int, steps: Int): DataFrame =
+    explodeWalks(walkPaths(edges, walksPerNode, steps))
+
+  /** The walk ladder behind [[randomWalks]], one row per walk:
+    * (start, wk, path). Kept separate so pair/corpus generators can
+    * flat-map the path array WITHOUT a self-join on the exploded form. */
+  private def walkPaths(edges: DataFrame, walksPerNode: Int, steps: Int): DataFrame = {
     graft.expressions.GraftFunctions.register(edges.sparkSession)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val adj = bidir(edges).groupBy(col("src").as("node"))
@@ -1043,6 +1049,100 @@ object Graph {
           (pmod(coin, size(col("nbrs")).cast("long")) + lit(1L)).cast("int")))
         .select(col("start"), col("wk"), col("nxt").as("cur"),
           concat(col("path"), array(col("nxt"))).as("path"))
+        .localCheckpoint())
+    }
+    adj.unpersist()
+    wf.select(col("start"), col("wk"), col("path"))
+  }
+
+  private def explodeWalks(paths: DataFrame): DataFrame =
+    paths.select(col("start"), col("wk"), posexplode(col("path")))
+      .select(col("start"), col("wk"), col("pos").cast("long").as("step"),
+        col("col").as("node"))
+
+  /** Skip-gram (center, context) pair counts from the deterministic walk
+    * corpus — the word2vec-style training-pair generator (Mikolov et al.
+    * 2013 applied to walks, i.e. DeepWalk's actual training input): for
+    * every walk position i, every position j within `window` hops
+    * (j ≠ i, both directions) contributes one (path[i], path[j]) pair.
+    * Pairs are generated MAP-SIDE by flat-mapping each walk's path array
+    * (no self-join of the exploded positions frame — at corpus scale the
+    * join would shuffle walks × positions rows twice to rebuild locality
+    * the path array already has), then reduced to exact counts in one
+    * partial-aggregatable shuffle. Pair multiplicity is the training
+    * weight, so it's kept as n_pairs, not distinct-ed away. */
+  def walkSkipgramPairs(edges: DataFrame, walksPerNode: Int, steps: Int,
+      window: Int): DataFrame = {
+    require(window >= 1)
+    walkPaths(edges, walksPerNode, steps)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(path)), i ->
+           |  filter(transform(sequence(greatest(1, i - $window),
+           |                            least(size(path), i + $window)),
+           |    j -> IF(i = j, CAST(NULL AS STRUCT<center: BIGINT, context: BIGINT>),
+           |            named_struct('center', path[i-1], 'context', path[j-1]))),
+           |    p -> p IS NOT NULL)))""".stripMargin)).as("p"))
+      .groupBy(col("p")("center").as("center"), col("p")("context").as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** DETERMINISTIC second-order (node2vec-style) biased walks, Grover &
+    * Leskovec 2016's p/q bias expressed as INTEGER candidate weights so
+    * the draw stays bit-reproducible and oracle-mirrorable: from state
+    * (prev, cur), each neighbour c of cur weighs
+    *   `wReturn` if c = prev (the 1/p return arm),
+    *   `wCommon` if c is also adjacent to prev (distance-1, the stay arm),
+    *   `wOut`    otherwise (distance-2, the 1/q explore arm),
+    * and the hop draws r = charHash("start:wk:step:cur") mod Σweights,
+    * walking the sorted neighbour list's cumulative weights to the first
+    * bucket past r (a left fold — no prefix-sum window, stays inside
+    * whole-stage codegen). Hop 1 has no prev and draws uniformly — the
+    * exact [[randomWalks]] coin, so a (wReturn=wCommon=wOut) run
+    * degenerates to DeepWalk bit-for-bit.
+    *
+    * Scale shape: the SAME one-adjacency-equi-join-per-hop ladder as
+    * [[randomWalks]] plus a second equi-join on prev for the
+    * distance-1 membership test; per-row work is O(deg) in the weight
+    * fold; the walk frame stays O(nodes × walksPerNode) with
+    * lineage+stats truncated per hop. */
+  def node2vecWalks(edges: DataFrame, walksPerNode: Int, steps: Int,
+      wReturn: Long, wCommon: Long, wOut: Long): DataFrame = {
+    require(steps >= 1 && wReturn > 0 && wCommon > 0 && wOut > 0)
+    graft.expressions.GraftFunctions.register(edges.sparkSession)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val adj = bidir(edges).groupBy(col("src").as("node"))
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs")).persist(lvl)
+    val coin1 = graft.functions.CrossFns.charHash(
+      concat_ws(":", col("start"), col("wk"), lit(1), col("cur")))
+    var wf = adj.select(col("node").as("start"),
+        explode(sequence(lit(0L), lit((walksPerNode - 1).toLong))).as("wk"))
+      .select(col("start"), col("wk"), col("start").as("cur"),
+        array(col("start")).as("path"))
+      .join(adj.select(col("node").as("cur"), col("nbrs")), "cur")
+      .withColumn("nxt", element_at(col("nbrs"),
+        (pmod(coin1, size(col("nbrs")).cast("long")) + lit(1L)).cast("int")))
+      .select(col("start"), col("wk"), col("cur").as("prev"),
+        col("nxt").as("cur"), concat(col("path"), array(col("nxt"))).as("path"))
+      .localCheckpoint()
+    for (s <- 2 to steps) {
+      val coin = graft.functions.CrossFns.charHash(
+        concat_ws(":", col("start"), col("wk"), lit(s), col("cur")))
+      wf = truncStats(wf
+        .join(adj.select(col("node").as("cur"), col("nbrs")), "cur")
+        .join(adj.select(col("node").as("prev"), col("nbrs").as("pnbrs")), "prev")
+        .withColumn("wts", expr(
+          s"transform(nbrs, c -> CAST(CASE WHEN c = prev THEN $wReturn " +
+            s"WHEN array_contains(pnbrs, c) THEN $wCommon " +
+            s"ELSE $wOut END AS BIGINT))"))
+        .withColumn("r", pmod(coin, expr("aggregate(wts, 0L, (a, x) -> a + x)")))
+        .withColumn("nxt", expr(
+          "aggregate(sequence(1, size(nbrs)), " +
+            "named_struct('rem', r, 'pick', CAST(NULL AS BIGINT)), " +
+            "(a, i) -> CASE WHEN a.pick IS NOT NULL THEN a " +
+            "WHEN a.rem < wts[i-1] THEN named_struct('rem', a.rem, 'pick', nbrs[i-1]) " +
+            "ELSE named_struct('rem', a.rem - wts[i-1], 'pick', a.pick) END).pick"))
+        .select(col("start"), col("wk"), col("cur").as("prev"),
+          col("nxt").as("cur"), concat(col("path"), array(col("nxt"))).as("path"))
         .localCheckpoint())
     }
     val out = wf.select(col("start"), col("wk"), posexplode(col("path")))

@@ -217,6 +217,86 @@ object TimeSeries {
         (col("st")("level") + col("st")("trend")).as("forecast_next"))
   }
 
+  /** STL-style additive decomposition of each per-type hourly series into
+    * trend + seasonal + residual — the classical decomposition
+    * (Cleveland et al. 1990's shape with a single smoothing pass, the
+    * moving-average variant): trend is a centred moving average over
+    * ±`halfWindow` positions, the seasonal component is the hour-of-day
+    * mean of the detrended series, and the residual is what's left. All
+    * three components are EXACT integers (cent-quantised series,
+    * sum-div-count means — Spark `div` and DuckDB `//` both truncate
+    * toward zero, including on the negative detrended values), so the
+    * decomposition is bit-identical across engines and partitionings and
+    * recombines exactly: qv = trend + seasonal + resid + the emitted
+    * rounding slack is zero by construction since resid is defined as the
+    * difference.
+    *
+    * Scale shape: the raw-events → hourly reduce is the only data-scale
+    * pass (partial-aggregatable); the trend window and position index ride
+    * per-SERIES keyed windows over the TIME-bounded series (thousands of
+    * rows per type, never data-scale); the seasonal profile is a ≤24-row-
+    * per-type aggregate broadcast back. Window edges use the clipped
+    * window's own count, so the first/last `halfWindow` hours average over
+    * fewer points rather than going null. */
+  def stlDecompose(events: DataFrame, halfWindow: Int): DataFrame = {
+    require(halfWindow >= 1)
+    val series = hourlyCentSeries(events)
+    val detr = series
+      .withColumn("trend",
+        expr(s"sum(qv) OVER (PARTITION BY event_type ORDER BY pos " +
+          s"ROWS BETWEEN $halfWindow PRECEDING AND $halfWindow FOLLOWING) div " +
+          s"count(qv) OVER (PARTITION BY event_type ORDER BY pos " +
+          s"ROWS BETWEEN $halfWindow PRECEDING AND $halfWindow FOLLOWING)"))
+      .withColumn("detr", col("qv") - col("trend"))
+      .withColumn("hod", hour(col("hr")).cast("long"))
+    val seasonal = detr.groupBy("event_type", "hod")
+      .agg(expr("sum(detr) div count(1)").as("seasonal"))
+    detr.join(broadcast(seasonal), Seq("event_type", "hod"))
+      .select(col("event_type"), col("pos").cast("long").as("pos"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr_s"),
+        col("qv"), col("trend"), col("seasonal"),
+        (col("qv") - col("trend") - col("seasonal")).as("resid"))
+  }
+
+  /** Lagged cross-correlation sufficient statistics between every ordered
+    * pair of event-type hourly series, lags 0..`maxLag` — "does series B
+    * follow series A h hours later?", the lead/lag discovery primitive
+    * behind metric root-causing and feature-lag selection. Series align on
+    * ABSOLUTE epoch hours (not per-series positions, which would slip
+    * wherever one series has a gap); for each lag the pair frame
+    * (a@t, b@t+lag) reduces to the same exact integer moments as
+    * [[autocorrStats]] — n_pairs, num = n·Σxy − Σx·Σy, den_a, den_b — and
+    * the float ratio is left to the caller (den products can overflow
+    * int64; integer moments stay engine-exact).
+    *
+    * Scale shape: one data-scale partial-aggregatable hourly reduce; the
+    * lag fan-out explodes the TIME-bounded series `maxLag+1` ways and
+    * equi-joins on the single shifted-hour key (series-length-scale
+    * shuffle, never data-scale); the a<b filter halves the pair space and
+    * the moment reduce is partial-aggregatable. */
+  def crossCorrStats(events: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 0)
+    val series = hourlyCentSeries(events)
+      .withColumn("hrs", expr("unix_timestamp(hr) div 3600"))
+    val a = series.select(col("event_type").as("et_a"), col("qv").as("xa"),
+        col("hrs"), explode(sequence(lit(0L), lit(maxLag.toLong))).as("lag"))
+      .withColumn("hrs_b", col("hrs") + col("lag"))
+    val b = series.select(col("event_type").as("et_b"), col("qv").as("xb"),
+      col("hrs").as("hrs_b"))
+    a.join(b, Seq("hrs_b")).filter(col("et_a") < col("et_b"))
+      .groupBy("et_a", "et_b", "lag")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("xa")).as("sa"), sum(col("xb")).as("sb"),
+        sum(col("xa") * col("xb")).as("sab"),
+        sum(col("xa") * col("xa")).as("saa"),
+        sum(col("xb") * col("xb")).as("sbb"))
+      .select(col("et_a"), col("et_b"), col("lag"), col("n_pairs"),
+        (col("n_pairs") * col("sab") - col("sa") * col("sb")).as("num"),
+        (col("n_pairs") * col("saa") - col("sa") * col("sa")).as("den_a"),
+        (col("n_pairs") * col("sbb") - col("sb") * col("sb")).as("den_b"))
+  }
+
   def motifTopK(events: DataFrame, w: Int, paaDiv: Long, k: Int): DataFrame = {
     require(w % 2 == 0, "window length must be even (PAA segment pairs)")
     // qv = floor(100·mean) computed INTEGER-only: cent-quantise each value

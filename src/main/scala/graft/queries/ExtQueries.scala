@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.CrossFns._
-import graft.operators.{AsOfJoin, Dedup, Graph, Linkage, Multimodal, Similarity, SkewJoin, Skyline, TextOps, TimeSeries}
+import graft.operators.{AsOfJoin, Dedup, Embeddings, Graph, Linkage, Multimodal, Similarity, SkewJoin, Skyline, TextOps, TimeSeries}
 import Staging._
 
 /** Extension operators beyond the reference surface (SURVEY §2.3 /
@@ -126,24 +126,33 @@ object ExtQueries {
   def pipelineDedupReport(spark: SparkSession, dir: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = tbl(spark, dir, "documents")
-    val c = Dedup.collapseExact(docs).persist(lvl)
-    // the 16-hash signature is the report's most CPU-expensive column:
-    // compute it ONCE and feed both tier 3's census and tier 4/5's
-    // banded contraction from the cached frame. n_copies rides ALONG the
-    // shingle->sig->rep frames so no census pays a join back to the
-    // collapse frame (censuses only need the weight, not the text).
-    val sigs = c
+    // ONE cache layer for the whole report: the exact-collapse frame with
+    // tier 2's canonical form AND tier 3-5's 16-hash signature computed in
+    // the same pass (the signature is the report's most CPU-expensive
+    // column — it runs ONCE here). n_copies rides along so no census pays
+    // a join back (censuses only need the weight, not the text). Shingle-
+    // less docs keep a NULL sig instead of dropping: tiers 1-2 must count
+    // them, tiers 3-5 filter them out below.
+    val shared = Dedup.collapseExact(docs)
       .select(col("doc_id"), col("n_copies"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+          .as("canon"),
         shingleHashes(col("text"), 3).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), col("n_copies"),
-        minhashSig(col("hs"), Dedup.NumHashes).as("sig"))
+      .select(col("doc_id"), col("n_copies"), col("canon"),
+        when(size(col("hs")) > 0, minhashSig(col("hs"), Dedup.NumHashes))
+          .as("sig"))
       .persist(lvl)
+    val sigs = shared.filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("n_copies"), col("sig"))
     // eager localCheckpoint, deliberately: tier 5 re-reads this frame 8
     // times through its lazy self-joins — lineage-truncated, the
     // contraction runs exactly once and the self-joins read a tiny
-    // in-memory checkpoint (AQE broadcasts them from its exact stats)
-    val docRep = Dedup.lshDocRepsFromSigs(sigs.select("doc_id", "sig"))
+    // in-memory checkpoint (AQE broadcasts them from its exact stats).
+    // cacheBands = false: the banded explode re-derives from the shared
+    // cache — no second cache layer.
+    val docRep = Dedup.lshDocRepsFromSigs(sigs.select("doc_id", "sig"),
+        cacheBands = false)
       .localCheckpoint()
     // tier 5: 3 pointer-jumping rounds over the doc→rep mapping only
     var m = docRep
@@ -152,14 +161,11 @@ object ExtQueries {
       m = m.join(parent, Seq("rep"), "left")
         .select(col("doc_id"), coalesce(col("rep2"), col("rep")).as("rep"))
     }
-    // textual pass (tiers 1-2): the collapse frame already holds one row
-    // per distinct text, so tier 1's group count is a plain count; tier
-    // 2's is a count of distinct canonical forms. One aggregate job.
-    val a12 = c
-      .select(col("n_copies"),
-        trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-          .as("canon"))
+    // textual pass (tiers 1-2): the shared frame already holds one row
+    // per distinct text with its canonical form, so tier 1's group count
+    // is a plain count; tier 2's is a count of distinct canonical forms.
+    // One aggregate job over the cache.
+    val a12 = shared
       .agg(count(lit(1)).as("g1"), count_distinct(col("canon")).as("g2"),
         sum(col("n_copies")).as("d12"))
     // structural pass (tiers 3-5): MELT the per-doc (sig, band-rep,
@@ -192,9 +198,8 @@ object ExtQueries {
       .unionByName(a345.select("tier", "n_docs_in", "n_groups"))
       .withColumn("n_collapsed", col("n_docs_in") - col("n_groups"))
       .orderBy("tier")
-      .localCheckpoint() // 5 rows: materialise, then release the shared caches
-    sigs.unpersist()
-    c.unpersist()
+      .localCheckpoint() // 5 rows: materialise, then release the shared cache
+    shared.unpersist()
     out
   }
 
@@ -3332,6 +3337,27 @@ object ExtQueries {
       walksPerNode = 2, steps = 4)
       .orderBy("start", "wk", "step")
 
+  /** Second-order node2vec-style walks over the same graph: integer
+    * weights (return 1, distance-1 6, distance-2 3 — a BFS-leaning
+    * p≈6/q≈2 bias) steering the same deterministic coin — see
+    * [[graft.operators.Graph.node2vecWalks]]. Oracle: the hop ladder
+    * unrolled with per-candidate CASE weights and a cumulative-weight
+    * pick. */
+  def graphNode2vecWalks(spark: SparkSession, dir: String): DataFrame =
+    Graph.node2vecWalks(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+      walksPerNode = 2, steps = 4, wReturn = 1L, wCommon = 6L, wOut = 3L)
+      .orderBy("start", "wk", "step")
+
+  /** Skip-gram (center, context) pair counts from the walk corpus,
+    * window ±2 — the word2vec training input generated map-side from the
+    * path arrays (see [[graft.operators.Graph.walkSkipgramPairs]]). */
+  def graphWalkPairs(spark: SparkSession, dir: String): DataFrame =
+    Graph.walkSkipgramPairs(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+      walksPerNode = 2, steps = 4, window = 2)
+      .orderBy("center", "context")
+
   /** Link prediction on the thresholded co-part graph: top-20
     * non-adjacent pairs by the Resource-Allocation index (integer ppm —
     * see [[graft.operators.Graph.linkPrediction]]), with the common-
@@ -3552,6 +3578,34 @@ object ExtQueries {
   def timeseriesSeasonal(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.seasonalProfile(tbl(spark, dir, "events"))
       .orderBy("event_type", "hod")
+
+  /** STL-style additive decomposition of each hourly series into exact
+    * integer trend + seasonal + residual (±12h centred-mean trend,
+    * hour-of-day seasonal — see TimeSeries.stlDecompose). */
+  def timeseriesStl(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.stlDecompose(tbl(spark, dir, "events"), halfWindow = 12)
+      .orderBy("event_type", "pos")
+
+  /** Lagged cross-correlation moments between every event-type pair,
+    * lags 0..6 hours, aligned on absolute epoch hours (see
+    * TimeSeries.crossCorrStats). */
+  def timeseriesCrosscorr(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.crossCorrStats(tbl(spark, dir, "events"), maxLag = 6)
+      .orderBy("et_a", "et_b", "lag")
+
+  /** Top-principal-component loadings of the embedding corpus — 8
+    * integer-exact power steps over the exact covariance numerator (see
+    * [[graft.operators.Embeddings.pcaPowerLoadings]]). */
+  def embedPcaLoadings(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.pcaPowerLoadings(tbl(spark, dir, "embeddings"), iters = 8)
+      .orderBy("dim")
+
+  /** Top-20 vectors by |projection| onto the top principal component —
+    * the corpus-diversity/outlier probe (see
+    * [[graft.operators.Embeddings.pcaScoresTopK]]). */
+  def embedPcaScores(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.pcaScoresTopK(tbl(spark, dir, "embeddings"), iters = 8, k = 20)
+      .orderBy("vec_id")
 
   /** Community census from synchronous label propagation (3 pinned
     * iterations, plurality labels with min tie-break) over the
@@ -3873,6 +3927,12 @@ object ExtQueries {
     "graph_modularity" -> (graphModularity _),
     "graph_louvain" -> (graphLouvain _),
     "graph_random_walks" -> (graphRandomWalks _),
+    "graph_node2vec_walks" -> (graphNode2vecWalks _),
+    "graph_walk_pairs" -> (graphWalkPairs _),
+    "timeseries_stl" -> (timeseriesStl _),
+    "timeseries_crosscorr" -> (timeseriesCrosscorr _),
+    "embed_pca_loadings" -> (embedPcaLoadings _),
+    "embed_pca_scores" -> (embedPcaScores _),
     "graph_clustering" -> (graphClustering _),
     "graph_kcore" -> (graphKcore _),
     "graph_kcore_full" -> (graphKcoreFull _),

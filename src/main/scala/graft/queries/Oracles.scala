@@ -180,6 +180,41 @@ object Oracles {
   private def qdotPair(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i_ -> $a[i_]*$b[i_])) AS BIGINT)"
 
+  /** Shared CTE prefix for the PCA family: exact HUGEINT covariance
+    * numerator (n·Σxy − Σx·Σy over micro-unit quantised vectors, 0-based
+    * dims) + 8 unrolled power steps, each rescaled to max|v| = 1e6 by
+    * truncated integer division, ending in x8 (dim, v) with canonical
+    * sign via fl.s. Mirrors Embeddings.pcaPowerLoadings exactly. */
+  private val pcaCtes: String = {
+    def step(k: Int): String =
+      s"""y$k AS (SELECT c.i AS dim, sum(c.c * x.v) AS y
+         |  FROM cov c JOIN x${k - 1} x ON c.j = x.dim GROUP BY 1),
+         |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
+         |x$k AS MATERIALIZED (SELECT dim,
+         |    (CASE WHEN y < 0 THEN -1 ELSE 1 END) *
+         |      ((CAST(1000000 AS HUGEINT) * abs(y)) // m) AS v
+         |  FROM y$k, m$k)""".stripMargin
+    s"""WITH q AS MATERIALIZED (SELECT vec_id, ${quant("embedding")} AS qv FROM embeddings),
+       |pr AS (SELECT ui.i AS i, uj.j AS j,
+       |         CAST(qv[ui.i] AS HUGEINT) * qv[uj.j] AS p
+       |       FROM q,
+       |         LATERAL (SELECT unnest(generate_series(1, 64)) AS i) ui,
+       |         LATERAL (SELECT unnest(generate_series(1, 64)) AS j) uj),
+       |cs AS (SELECT i, j, sum(p) AS sij, count(*) AS n FROM pr GROUP BY 1, 2),
+       |ss AS (SELECT u.i AS i, sum(CAST(qv[u.i] AS HUGEINT)) AS si
+       |       FROM q, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+       |       GROUP BY 1),
+       |cov AS MATERIALIZED (SELECT cs.i - 1 AS i, cs.j - 1 AS j,
+       |         CAST(cs.n AS HUGEINT) * cs.sij - sa.si * sb.si AS c
+       |       FROM cs JOIN ss sa ON cs.i = sa.i JOIN ss sb ON cs.j = sb.i),
+       |x0 AS (SELECT unnest(generate_series(0, 63)) AS dim,
+       |         CAST(1000000 AS HUGEINT) AS v),
+       |${(1 to 8).map(step).mkString(",\n")},
+       |fm AS (SELECT min(dim) AS dim FROM x8 WHERE abs(v) = 1000000),
+       |fl AS (SELECT CASE WHEN x.v < 0 THEN -1 ELSE 1 END AS s
+       |       FROM x8 x JOIN fm ON x.dim = fm.dim)""".stripMargin
+  }
+
   /** Content-defined chunking census (dedup_cdc_chunks and its streaming
     * twin): boundary where the trailing-8-char polynomial hash % 64 = 0
     * (interior positions only), chunks sliced between boundaries,
@@ -3904,6 +3939,144 @@ object Oracles {
          |FROM w4, LATERAL (SELECT unnest(generate_series(1, len(path))) AS i) u
          |ORDER BY start, wk, step""".stripMargin
     },
+
+    // Skip-gram pairs from the SAME walk ladder: for each position i,
+    // every j within ±2 (j ≠ i) contributes one (path[i], path[j]) pair;
+    // multiplicity kept as the training weight.
+    "graph_walk_pairs" -> {
+      def coin(i: Int): String = ch(
+        "CAST(w.start AS VARCHAR) || ':' || CAST(w.wk AS VARCHAR) || " +
+          s"':' || '$i' || ':' || CAST(w.cur AS VARCHAR)")
+      def hop(i: Int): String =
+        s"""w$i AS MATERIALIZED (SELECT w.start, w.wk,
+           |    a.nbrs[CAST((${coin(i)}) % len(a.nbrs) AS BIGINT) + 1] AS cur,
+           |    list_append(w.path,
+           |      a.nbrs[CAST((${coin(i)}) % len(a.nbrs) AS BIGINT) + 1]) AS path
+           |  FROM w${i - 1} w JOIN adj a ON w.cur = a.node)""".stripMargin
+      s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |adj AS MATERIALIZED (SELECT src AS node, list(dst ORDER BY dst) AS nbrs FROM e GROUP BY 1),
+         |w0 AS MATERIALIZED (SELECT a.node AS start, wks.wk, a.node AS cur, [a.node] AS path
+         |  FROM adj a CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS wk) wks),
+         |${(1 to 4).map(hop).mkString(",\n")}
+         |SELECT path[ui.i] AS center, path[uj.j] AS context,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM w4,
+         |  LATERAL (SELECT unnest(generate_series(1, len(path))) AS i) ui,
+         |  LATERAL (SELECT unnest(generate_series(greatest(1, ui.i - 2),
+         |                                         least(len(path), ui.i + 2))) AS j) uj
+         |WHERE uj.j <> ui.i
+         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+    },
+
+    // Second-order biased walks: hop 1 uniform (the randomWalks coin),
+    // hops 2..4 weight each candidate 1 (return to prev) / 6 (also
+    // adjacent to prev) / 3 (distance-2) and pick the first cumulative-
+    // weight bucket past coin % total — the exact left-fold the engine
+    // runs.
+    "graph_node2vec_walks" -> {
+      def coin(i: Int): String = ch(
+        "CAST(w.start AS VARCHAR) || ':' || CAST(w.wk AS VARCHAR) || " +
+          s"':' || '$i' || ':' || CAST(w.cur AS VARCHAR)")
+      def hop(i: Int): String =
+        s"""c$i AS (SELECT w.start, w.wk, w.cur, w.path, u.k,
+           |    a.nbrs[u.k] AS cand,
+           |    CASE WHEN a.nbrs[u.k] = w.prev THEN 1
+           |         WHEN list_contains(p.nbrs, a.nbrs[u.k]) THEN 6
+           |         ELSE 3 END AS wt,
+           |    (${coin(i)}) AS cn
+           |  FROM w${i - 1} w JOIN adj a ON w.cur = a.node
+           |    JOIN adj p ON w.prev = p.node,
+           |  LATERAL (SELECT unnest(generate_series(1, len(a.nbrs))) AS k) u),
+           |s$i AS (SELECT *, sum(wt) OVER (PARTITION BY start, wk) AS tot,
+           |        sum(wt) OVER (PARTITION BY start, wk ORDER BY k) AS cum FROM c$i),
+           |w$i AS MATERIALIZED (SELECT start, wk, cur AS prev, cand AS cur,
+           |    list_append(path, cand) AS path
+           |  FROM s$i WHERE (cn % tot) >= cum - wt AND (cn % tot) < cum)""".stripMargin
+      val coin1 = ch(
+        "CAST(w.start AS VARCHAR) || ':' || CAST(w.wk AS VARCHAR) || " +
+          "':' || '1' || ':' || CAST(w.cur AS VARCHAR)")
+      s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |adj AS MATERIALIZED (SELECT src AS node, list(dst ORDER BY dst) AS nbrs FROM e GROUP BY 1),
+         |w1 AS MATERIALIZED (SELECT w.start, w.wk, w.cur AS prev,
+         |    a.nbrs[CAST(($coin1) % len(a.nbrs) AS BIGINT) + 1] AS cur,
+         |    list_append(w.path,
+         |      a.nbrs[CAST(($coin1) % len(a.nbrs) AS BIGINT) + 1]) AS path
+         |  FROM (SELECT a0.node AS start, wks.wk, a0.node AS cur, [a0.node] AS path
+         |        FROM adj a0 CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS wk) wks) w
+         |  JOIN adj a ON w.cur = a.node),
+         |${(2 to 4).map(hop).mkString(",\n")}
+         |SELECT start, wk, CAST(u.i - 1 AS BIGINT) AS step, path[u.i] AS node
+         |FROM w4, LATERAL (SELECT unnest(generate_series(1, len(path))) AS i) u
+         |ORDER BY start, wk, step""".stripMargin
+    },
+
+    // STL-style decomposition: centred ±12 moving-mean trend over the
+    // hourly cent series, hour-of-day mean of the detrended series as the
+    // seasonal, residual = the exact remainder. All integer (// ≡ div).
+    "timeseries_stl" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |             sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, hr, qv,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY hr) AS pos FROM h),
+        |t AS (SELECT *, sum(qv) OVER tw // count(qv) OVER tw AS trend
+        |      FROM s WINDOW tw AS (PARTITION BY event_type ORDER BY pos
+        |        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |d AS (SELECT *, qv - trend AS detr,
+        |        CAST(hour(hr) AS BIGINT) AS hod FROM t),
+        |se AS (SELECT event_type, hod, sum(detr) // count(*) AS seasonal
+        |       FROM d GROUP BY 1, 2)
+        |SELECT d.event_type, CAST(d.pos AS BIGINT) AS pos,
+        |  strftime(d.hr, '%Y-%m-%d %H:%M:%S') AS hr_s,
+        |  CAST(d.qv AS BIGINT) AS qv, CAST(d.trend AS BIGINT) AS trend,
+        |  CAST(se.seasonal AS BIGINT) AS seasonal,
+        |  CAST(d.qv - d.trend - se.seasonal AS BIGINT) AS resid
+        |FROM d JOIN se ON d.event_type = se.event_type AND d.hod = se.hod
+        |ORDER BY d.event_type, pos""".stripMargin,
+
+    // Lagged cross-correlation moments between series pairs aligned on
+    // absolute epoch hours, lags 0..6 — the autocorr moment contract
+    // applied across series.
+    "timeseries_crosscorr" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |             sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, qv, epoch(hr) // 3600 AS hrs FROM h),
+        |p AS (SELECT a.event_type AS et_a, b.event_type AS et_b, lg.lag,
+        |        a.qv AS xa, b.qv AS xb
+        |      FROM s a
+        |      CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS lag) lg
+        |      JOIN s b ON b.hrs = a.hrs + lg.lag AND a.event_type < b.event_type)
+        |SELECT et_a, et_b, CAST(lag AS BIGINT) AS lag,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) * sum(xa*xb) - sum(xa) * sum(xb) AS BIGINT) AS num,
+        |  CAST(count(*) * sum(xa*xa) - sum(xa) * sum(xa) AS BIGINT) AS den_a,
+        |  CAST(count(*) * sum(xb*xb) - sum(xb) * sum(xb) AS BIGINT) AS den_b
+        |FROM p GROUP BY 1, 2, 3 ORDER BY et_a, et_b, lag""".stripMargin,
+
+    // Top-PC loadings: the shared power-iteration ladder, sign flipped so
+    // the lowest max-|v| dim is positive.
+    "embed_pca_loadings" ->
+      s"""$pcaCtes
+         |SELECT x.dim AS dim, CAST(x.v * fl.s AS BIGINT) AS loading_ppm
+         |FROM x8 x, fl ORDER BY dim""".stripMargin,
+
+    // Top-20 vectors by |projection| onto the canonical top PC.
+    "embed_pca_scores" ->
+      s"""$pcaCtes,
+         |ld AS (SELECT x.dim, CAST(x.v * fl.s AS BIGINT) AS l FROM x8 x, fl),
+         |sc AS (SELECT q.vec_id, CAST(sum(qv[u.i] * ld.l) AS BIGINT) AS score
+         |       FROM q, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+         |       JOIN ld ON ld.dim = u.i - 1
+         |       GROUP BY 1)
+         |SELECT vec_id, score FROM sc
+         |ORDER BY abs(score) DESC, vec_id LIMIT 20""".stripMargin,
 
     // Louvain census: min-member community ids over the 6-round move
     // ladder, then the exact modularity decomposition (same terms as

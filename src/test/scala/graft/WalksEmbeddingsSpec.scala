@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Embeddings, Graph, TimeSeries}
+
+/** Semantic checks for the round-9 corpus-generation and spectral
+  * operators: node2vec biased walks, skip-gram pair generation, the
+  * power-iteration PCA, and the STL / cross-correlation time-series ops. */
+class WalksEmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesDf(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
+
+  test("node2vecWalks: unit weights degenerate to randomWalks bit-for-bit") {
+    // with wReturn = wCommon = wOut = 1 the cumulative-weight pick is
+    // exactly coin % degree into the sorted list — DeepWalk's draw
+    val g = edgesDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val n2v = Graph.node2vecWalks(g, walksPerNode = 2, steps = 4, 1L, 1L, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val dw = Graph.randomWalks(g, walksPerNode = 2, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(n2v.toSet === dw.toSet)
+  }
+
+  test("node2vecWalks: hops follow edges; huge return weight oscillates; partition-invariant") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (1L, 3L), (2L, 4L))
+    val g = edgesDf(es: _*)
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val rows = Graph.node2vecWalks(g, 2, 5, wReturn = 1000000L, wCommon = 1L, wOut = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 5 * 2 * 6)
+    var backtracks = 0; var laterHops = 0
+    rows.groupBy(t => (t._1, t._2)).values.foreach { w =>
+      val seq = w.sortBy(_._3).map(_._4).toList
+      assert(seq.head === w.head._1)
+      seq.sliding(2).foreach { case List(a, b) =>
+        assert(adj(a).contains(b), s"hop $a->$b not an edge in $seq")
+      case _ => ()
+      }
+      // hops 2+ should overwhelmingly return to the previous node
+      seq.sliding(3).foreach { case List(a, _, c) =>
+        laterHops += 1; if (a == c) backtracks += 1
+      case _ => ()
+      }
+    }
+    assert(backtracks >= (laterHops * 9) / 10,
+      s"return-weight 1e6 should dominate: $backtracks/$laterHops backtracks")
+    val again = Graph.node2vecWalks(g.repartition(7), 2, 5, 1000000L, 1L, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet === rows.toSet)
+  }
+
+  test("walkSkipgramPairs: equals pairs derived from the exploded walk corpus") {
+    val g = edgesDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val win = 2
+    val walks = Graph.randomWalks(g, walksPerNode = 2, steps = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = walks.groupBy(t => (t._1, t._2)).values.flatMap { w =>
+      val seq = w.sortBy(_._3).map(_._4)
+      for {
+        i <- seq.indices; j <- seq.indices
+        if i != j && math.abs(i - j) <= win
+      } yield (seq(i), seq(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Graph.walkSkipgramPairs(g, 2, 4, win).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    // pair generation is direction-symmetric: (a,b) and (b,a) counts match
+    got.foreach { case ((a, b), n) => assert(got((b, a)) === n) }
+  }
+
+  test("pcaPowerLoadings: planted dominant axis recovered, sign canonical, partition-invariant") {
+    val dim = 8
+    // dim 2 carries almost all variance; others near-constant noise
+    val rows = (0 until 40).map { i =>
+      val v = Array.fill(dim)(0.001f * (i % 3))
+      v(2) = if (i % 2 == 0) 0.9f else -0.9f
+      v(5) = 0.01f * (i % 5)
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val l = Embeddings.pcaPowerLoadings(emb, iters = 8, dim = dim).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l.size === dim)
+    assert(l(2L) === 1000000L, s"dominant axis must carry the max loading: $l")
+    assert(l.filterKeys(_ != 2L).values.forall(v => math.abs(v) < 100000L),
+      s"off-axis loadings should be small: $l")
+    val again = Embeddings.pcaPowerLoadings(emb.repartition(7), 8, dim).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === l)
+  }
+
+  test("pcaScoresTopK: scores are the exact integer projection, top-k by |score|") {
+    val dim = 8
+    val rows = (0 until 30).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(0) = (i - 15) * 0.05f // monotone along the dominant axis
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val top = Embeddings.pcaScoresTopK(emb, iters = 4, k = 5, dim = dim).collect()
+    assert(top.length === 5)
+    // extremes of the axis must win; scores all non-zero magnitude order
+    val ids = top.map(_.getLong(0)).toSet
+    assert(ids.contains(0L) && ids.contains(29L), s"extreme vecs must rank: $ids")
+    val mags = top.map(r => math.abs(r.getLong(1)))
+    assert(mags.sameElements(mags.sorted.reverse), "rows come back ranked by |score|")
+  }
+
+  test("stlDecompose: constant series has flat trend, zero seasonal and residual") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = (0 until 72).map { h =>
+      (new java.sql.Timestamp(base.getTime + h * 3600_000L), "a", 5.0)
+    }.toDF("ts", "event_type", "value")
+    val out = TimeSeries.stlDecompose(events, halfWindow = 12).collect()
+    assert(out.length === 72)
+    out.foreach { r =>
+      assert(r.getAs[Long]("qv") === 500L)
+      assert(r.getAs[Long]("trend") === 500L)
+      assert(r.getAs[Long]("seasonal") === 0L)
+      assert(r.getAs[Long]("resid") === 0L)
+    }
+  }
+
+  test("stlDecompose: components always recombine exactly; ramp trend tracks the centre") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = (0 until 96).map { h =>
+      (new java.sql.Timestamp(base.getTime + h * 3600_000L), "a", h * 1.0)
+    }.toDF("ts", "event_type", "value")
+    val out = TimeSeries.stlDecompose(events, halfWindow = 12).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("qv") ===
+        r.getAs[Long]("trend") + r.getAs[Long]("seasonal") + r.getAs[Long]("resid"))
+    }
+    // interior of a linear ramp: centred mean of a symmetric window = centre
+    val interior = out.filter(r => {
+      val p = r.getAs[Long]("pos"); p > 12 && p <= 96 - 12
+    })
+    interior.foreach(r => assert(r.getAs[Long]("trend") === r.getAs[Long]("qv")))
+  }
+
+  test("crossCorrStats: a 2-hour-shifted copy correlates perfectly at lag 2") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600_000L)
+    val va = (0 until 48).map(h => (t(h), "a", math.sin(h * 0.7) * 10 + 20))
+    val vb = (2 until 50).map(h => (t(h), "b", math.sin((h - 2) * 0.7) * 10 + 20))
+    val events = (va ++ vb).toDF("ts", "event_type", "value")
+    val stats = TimeSeries.crossCorrStats(events, maxLag = 4).collect()
+      .map(r => r.getLong(2) -> (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val (num2, denA2, denB2) = stats(2L)
+    assert(num2 > 0 && num2 * num2 === denA2 * denB2,
+      s"lag-2 must be a perfect correlation: $num2 $denA2 $denB2")
+    val (num0, denA0, denB0) = stats(0L)
+    assert(num0 * num0 < denA0 * denB0, "lag 0 must correlate imperfectly")
+  }
+}
