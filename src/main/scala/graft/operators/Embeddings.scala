@@ -21,65 +21,78 @@ import graft.functions.CrossFns._
   * the lowest-index component attaining max|x| is positive.
   *
   * Scale shape: the Gram pass is the only data-scale work — each row
-  * flat-maps its 64×64 elementwise products map-side and partial
-  * aggregation reduces every partition to ≤4096 rows before the single
-  * shuffle (no self-join on vec_id, which would shuffle the corpus).
-  * The 8 power steps run on the 4096-row covariance frame joined to a
-  * 64-row vector frame — driver-negligible, data-independent cost. */
+  * flat-maps its upper-triangle elementwise products (plus a
+  * diagonal-trick entry per dim for the linear sums) map-side, and
+  * partial aggregation reduces every partition to dim·(dim+3)/2 groups
+  * before the single shuffle (no self-join on vec_id, which would
+  * shuffle the corpus; no second pass for Σq). The power steps fold
+  * DRIVER-SIDE in exact BigInt arithmetic over the collected dim×dim
+  * matrix — a distributed per-step form was measured at ~1s of
+  * scheduler overhead per step on a matrix that fits in L2. */
 object Embeddings {
 
-  /** (i, j, c): exact covariance numerator c = n·Σ(q_i·q_j) − Σq_i·Σq_j
-    * over the micro-unit quantised corpus, all dim×dim entries. */
-  private def covNumerator(emb: DataFrame, dim: Int): DataFrame = {
-    val q = emb.select(quantize(col("embedding")).as("qv"))
-    // per-row elementwise product fan-out: pos = i*dim + j, map-side only
-    val prods = q.select(posexplode(expr(
-      "flatten(transform(qv, x -> transform(qv, y -> x * y)))")))
-      .select((col("pos") / dim).cast("long").as("i"),
-        pmod(col("pos"), lit(dim)).cast("long").as("j"),
-        col("col").as("p"))
-      .groupBy("i", "j")
-      .agg(sum(col("p").cast("decimal(38,0)")).as("sij"),
+  /** Exact sufficient statistics for the covariance numerator in ONE
+    * data-scale pass: each row fans out its UPPER-TRIANGLE elementwise
+    * products q_i·q_j (i ≤ j) plus a (i, -1, q_i) diagonal-trick entry
+    * for the linear sums — all map-side, partial-aggregated to
+    * dim·(dim+3)/2 groups per partition before the single shuffle.
+    * Returns (i, j, s, n): j = -1 rows carry Σq_i, others Σ(q_i·q_j). */
+  private def gramStats(emb: DataFrame, dim: Int): DataFrame = {
+    val d1 = dim - 1
+    emb.select(quantize(col("embedding")).as("qv"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, $d1), i ->
+           |  array_append(transform(sequence(i, $d1), j ->
+           |    named_struct('i', i, 'j', j, 'p', qv[i] * qv[j])),
+           |  named_struct('i', i, 'j', -1, 'p', qv[i]))))""".stripMargin)).as("x"))
+      .groupBy(col("x.i").as("i"), col("x.j").as("j"))
+      .agg(sum(col("x.p").cast("decimal(38,0)")).as("s"),
         count(lit(1)).as("n"))
-    val sums = q.select(posexplode(col("qv")))
-      .groupBy(col("pos").cast("long").as("i"))
-      .agg(sum(col("col").cast("decimal(38,0)")).as("si"))
-    prods
-      .join(broadcast(sums), Seq("i"))
-      .join(broadcast(sums.select(col("i").as("j"), col("si").as("sj"))), Seq("j"))
-      .select(col("i"), col("j"),
-        (col("n").cast("decimal(38,0)") * col("sij") - col("si") * col("sj"))
-          .cast("decimal(38,0)").as("c"))
   }
 
   /** Top-principal-component loadings: (dim, loading_ppm), loading in
     * micro-units of the max-|component| (so max |loading_ppm| = 1e6
-    * exactly), after `iters` power steps from the all-ones start. */
+    * exactly), after `iters` power steps from the all-ones start.
+    *
+    * The power steps run DRIVER-SIDE in exact BigInt arithmetic over the
+    * collected covariance — dim² entries (4096 at dim 64), the
+    * metadata-scale collect contract (same as the centroid pull and the
+    * skyline's prefix-min fold). A distributed form was measured first:
+    * 8 steps of dim-row join/agg frames cost ~1s of scheduler overhead
+    * EACH (and left lazy the plan doubles per step — ~99s for 8), for a
+    * matrix that fits in a cache line's neighbourhood. Only the Gram
+    * pass is data-scale, and it stays distributed. BigInt /, abs and
+    * sign match the SQL `div`/abs/CASE semantics exactly (truncation
+    * toward zero on the non-negative operands used here). */
   def pcaPowerLoadings(emb: DataFrame, iters: Int, dim: Int = 64): DataFrame = {
     require(iters >= 1)
     val spark = emb.sparkSession
-    val cov = covNumerator(emb, dim).localCheckpoint()
-    var x: DataFrame = spark.range(dim)
-      .select(col("id").as("dim"), lit(1000000L).cast("decimal(38,0)").as("v"))
+    // assemble C = n·Σxy − Σx·Σy from the one-pass stats, driver-side
+    // (dim·(dim+3)/2 rows — metadata-scale, the centroid-pull contract)
+    val rows = gramStats(emb, dim).collect()
+    var n = BigInt(0)
+    val si = Array.ofDim[BigInt](dim)
+    val sij = Array.ofDim[BigInt](dim, dim)
+    rows.foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger))
+      if (j < 0) { si(i) = s; n = BigInt(r.getLong(3)) }
+      else { sij(i)(j) = s; sij(j)(i) = s }
+    }
+    val cov = Array.tabulate(dim, dim)((i, j) => n * sij(i)(j) - si(i) * si(j))
+    val scale = BigInt(1000000)
+    var x = Array.fill(dim)(scale)
     for (_ <- 1 to iters) {
-      val y = cov.join(broadcast(x.select(col("dim").as("j"), col("v"))), Seq("j"))
-        .groupBy(col("i").as("dim"))
-        .agg(sum((col("c") * col("v")).cast("decimal(38,0)")).as("y"))
-      val m = y.agg(max(abs(col("y"))).as("m"))
-      x = y.crossJoin(broadcast(m))
-        .select(col("dim"),
-          (when(col("y") < 0, -1L).otherwise(1L) *
-            expr("(CAST(1000000 AS DECIMAL(38,0)) * abs(y)) div m"))
-            .cast("decimal(38,0)").as("v"))
+      val y = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(BigInt(0))((a, j) => a + cov(i)(j) * x(j)))
+      val m = y.map(_.abs).max
+      require(m > 0, "degenerate covariance: corpus has no variance")
+      x = y.map(v => (if (v < 0) -BigInt(1) else BigInt(1)) * ((scale * v.abs) / m))
     }
     // canonical sign: the lowest dim attaining |v| = 1e6 ends positive
-    // (no global-order window — a min-dim agg + 1-row broadcast probe)
-    val firstMax = x.filter(abs(col("v")) === lit(1000000L))
-      .agg(min(col("dim")).as("dim"))
-    val flip = x.join(broadcast(firstMax), "dim")
-      .select(when(col("v") < 0, -1L).otherwise(1L).as("s"))
-    x.crossJoin(broadcast(flip))
-      .select(col("dim"), (col("v") * col("s")).cast("long").as("loading_ppm"))
+    val s = if (x(x.indexWhere(_.abs == scale)) < 0) -1L else 1L
+    import spark.implicits._
+    x.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong * s) }.toSeq
+      .toDF("dim", "loading_ppm")
   }
 
   /** Project every vector onto the top principal component and return the
