@@ -362,6 +362,11 @@ object ScaleCheck {
       time("embed_pca_loadings", f) {
         graft.operators.Embeddings.pcaPowerLoadings(v, iters = 8).count()
       }
+      // k persisted map-side scans + TakeOrdered(1) each — linear in the
+      // corpus with a fixed k factor, rows-out always k
+      time("sample_kcenter", f) {
+        graft.operators.Embeddings.kCenterSelect(v, 6).count()
+      }
 
       val e = replicate(events, "event_id", f)
       time("window_ohlc", f) {

@@ -102,6 +102,51 @@ object Embeddings {
     * metadata-scale, the centroid-pull contract) and ride the scan as an
     * array literal, so the scoring pass is one map + TakeOrdered. Score
     * = Σ q_i·loading_i is exact int64 (≤ 64·1e6·1e6 ≈ 6.4e13). */
+  /** Greedy k-center coreset selection (Gonzalez 1985) — the diversity
+    * sampler a curriculum/eval-set builder uses to pick k maximally
+    * spread exemplars: seed with the min vec_id, then k−1 times pick the
+    * vector FARTHEST (exact integer squared-L2 on micro-unit quantised
+    * vectors — max 64·(2e6)² ≈ 2.6e14 ≪ int64) from its nearest chosen
+    * center, ties to the min vec_id. Returns (rk, vec_id, d2_pick); the
+    * seed's d2_pick is 0, each later d2_pick is the covering radius at
+    * that step — the classic 2-approximation certificate sequence.
+    *
+    * Scale shape: each of the k rounds is ONE map-side pass (the ≤k
+    * chosen centers ride the scan as array literals — k·dim values,
+    * metadata-scale) + a TakeOrdered(1); the corpus is persisted once
+    * and never shuffled. Cost k × scan — the standard trade for a
+    * sequential-greedy guarantee (a tree/coreset variant batches rounds
+    * at larger k). */
+  def kCenterSelect(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = emb.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .persist(lvl)
+    def d2To(center: Array[Long]) =
+      aggregate(
+        zip_with(col("qv"), array(center.map(lit(_)): _*),
+          (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, v) => a + v)
+    val seed = q.orderBy("vec_id").limit(1).head()
+    var picks = Vector((1L, seed.getLong(0), 0L))
+    var centers = Vector(seed.getSeq[Long](1).toArray)
+    for (r <- 2L to k.toLong) {
+      val chosen = picks.map(_._2)
+      val dCols = centers.map(d2To)
+      val far = q
+        .filter(!col("vec_id").isInCollection(chosen))
+        .withColumn("d2", if (dCols.size == 1) dCols.head else least(dCols: _*))
+        .orderBy(col("d2").desc, col("vec_id"))
+        .limit(1).head()
+      picks :+= ((r, far.getLong(0), far.getLong(2)))
+      centers :+= far.getSeq[Long](1).toArray
+    }
+    q.unpersist()
+    import spark.implicits._
+    picks.toDF("rk", "vec_id", "d2_pick")
+  }
+
   def pcaScoresTopK(emb: DataFrame, iters: Int, k: Int, dim: Int = 64): DataFrame = {
     val loadings = pcaPowerLoadings(emb, iters, dim)
       .orderBy("dim").collect().map(_.getLong(1))

@@ -3607,6 +3607,13 @@ object ExtQueries {
     Embeddings.pcaScoresTopK(tbl(spark, dir, "embeddings"), iters = 8, k = 20)
       .orderBy("vec_id")
 
+  /** Greedy k-center coreset: 6 maximally spread exemplars with their
+    * covering-radius certificates (see
+    * [[graft.operators.Embeddings.kCenterSelect]]). */
+  def sampleKcenter(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.kCenterSelect(tbl(spark, dir, "embeddings"), k = 6)
+      .orderBy("rk")
+
   /** Community census from synchronous label propagation (3 pinned
     * iterations, plurality labels with min tie-break) over the
     * thresholded co-part graph — see Graph.labelPropagation. */
@@ -3933,6 +3940,7 @@ object ExtQueries {
     "timeseries_crosscorr" -> (timeseriesCrosscorr _),
     "embed_pca_loadings" -> (embedPcaLoadings _),
     "embed_pca_scores" -> (embedPcaScores _),
+    "sample_kcenter" -> (sampleKcenter _),
     "graph_clustering" -> (graphClustering _),
     "graph_kcore" -> (graphKcore _),
     "graph_kcore_full" -> (graphKcoreFull _),

@@ -4067,6 +4067,30 @@ object Oracles {
          |SELECT x.dim AS dim, CAST(x.v * fl.s AS BIGINT) AS loading_ppm
          |FROM x8 x, fl ORDER BY dim""".stripMargin,
 
+    // Greedy k-center (Gonzalez): 6 unrolled rounds — seed = min vec_id,
+    // each next pick the vector farthest (exact integer squared L2) from
+    // its nearest chosen center, ties to min vec_id.
+    "sample_kcenter" -> {
+      def d2(a: String, c: String): String =
+        s"CAST(list_sum(list_transform(generate_series(1, 64), " +
+          s"p_ -> ($a.qv[p_] - $c.qv[p_]) * ($a.qv[p_] - $c.qv[p_]))) AS BIGINT)"
+      def round(r: Int): String =
+        s"""m$r AS (SELECT a.vec_id, a.qv, min(${d2("a", "c")}) AS d
+           |  FROM q a CROSS JOIN cs${r - 1} c
+           |  WHERE a.vec_id NOT IN (SELECT vec_id FROM cs${r - 1})
+           |  GROUP BY a.vec_id, a.qv),
+           |c$r AS (SELECT vec_id, qv, d FROM m$r ORDER BY d DESC, vec_id LIMIT 1),
+           |cs$r AS (SELECT vec_id, qv, d FROM cs${r - 1}
+           |  UNION ALL SELECT vec_id, qv, d FROM c$r)""".stripMargin
+      s"""WITH q AS MATERIALIZED (SELECT vec_id, ${quant("embedding")} AS qv FROM embeddings),
+         |cs1 AS (SELECT vec_id, qv, CAST(0 AS BIGINT) AS d
+         |        FROM q ORDER BY vec_id LIMIT 1),
+         |${(2 to 6).map(round).mkString(",\n")}
+         |SELECT CAST(1 AS BIGINT) AS rk, vec_id, d AS d2_pick FROM cs1
+         |${(2 to 6).map(r => s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, d FROM c$r").mkString("\n")}
+         |ORDER BY rk""".stripMargin
+    },
+
     // Top-20 vectors by |projection| onto the canonical top PC.
     "embed_pca_scores" ->
       s"""$pcaCtes,

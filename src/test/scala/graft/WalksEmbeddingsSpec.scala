@@ -108,6 +108,32 @@ class WalksEmbeddingsSpec extends SparkSpec {
     assert(mags.sameElements(mags.sorted.reverse), "rows come back ranked by |score|")
   }
 
+  test("kCenterSelect: geometric fixture picks the spread extremes in order") {
+    val dim = 8
+    def v(xs: (Int, Float)*) = {
+      val a = Array.fill(dim)(0.0f); xs.foreach { case (i, x) => a(i) = x }; a
+    }
+    val emb = Seq(
+      (0L, v()),                 // origin -> seed (min vec_id)
+      (1L, v(0 -> 0.9f)),        // farthest from origin
+      (2L, v(1 -> 0.8f)),        // farthest from {0,1}
+      (3L, v(0 -> 0.5f, 1 -> 0.5f)),
+      (4L, v(0 -> 0.05f))        // never picked at k=4
+    ).toDF("vec_id", "embedding")
+    val picks = Embeddings.kCenterSelect(emb, k = 4).orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(picks.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(picks.head._3 === 0L, "seed carries d2 = 0")
+    // covering radius sequence is non-increasing (greedy guarantee)
+    picks.drop(1).map(_._3).sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"radius must not grow: $a < $b in ${picks.toSeq}")
+    case _ => ()
+    }
+    val again = Embeddings.kCenterSelect(emb.repartition(5), 4).orderBy("rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === picks.toSeq)
+  }
+
   test("stlDecompose: constant series has flat trend, zero seasonal and residual") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val events = (0 until 72).map { h =>
