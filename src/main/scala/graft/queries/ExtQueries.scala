@@ -822,6 +822,81 @@ object ExtQueries {
     one.select(explode(unpivoted).as("p")).select("p.*").orderBy("column")
   }
 
+  /** Pairwise Pearson correlation matrix over lineitem's numeric columns
+    * — the feature-redundancy screen a dataset card reports. All six
+    * pairs' moments ride ONE map-side aggregate over the cent-quantised
+    * columns (exact decimal(38,0) sums — int64 would overflow on the
+    * price×price products past ~1e5 rows), exploded to one row per pair;
+    * only the final ratio is float (sqrt-only dag on identical exact
+    * operands — the assortativity policy), rounded to 9 decimals. One
+    * scan, one 1-row reduce: the 100 TB shape for a full-table profile. */
+  def profileCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (c: String) => round(col(c) * 100d, 0).cast("long")
+    val cols = Seq( // name-sorted so col_a < col_b below
+      "l_discount" -> cents("l_discount"),
+      "l_extendedprice" -> cents("l_extendedprice"),
+      "l_quantity" -> cents("l_quantity"),
+      "l_tax" -> cents("l_tax"))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column](
+      count(lit(1)).as("n"))
+    cols.foreach { case (nm, c) =>
+      aggs += sum(dec(c)).as(s"s_$nm")
+      aggs += sum(dec(c) * dec(c)).as(s"ss_$nm")
+    }
+    pairs.foreach { case ((na, ca), (nb, cb)) =>
+      aggs += sum(dec(ca) * dec(cb)).as(s"sp_${na}__$nb")
+    }
+    val one = tbl(spark, dir, "lineitem").agg(aggs.head, aggs.tail.toSeq: _*)
+    val rows = array(pairs.map { case ((na, _), (nb, _)) =>
+      val n = dec(col("n"))
+      val num = (n * col(s"sp_${na}__$nb") - col(s"s_$na") * col(s"s_$nb"))
+        .cast("double")
+      val da = (n * col(s"ss_$na") - col(s"s_$na") * col(s"s_$na")).cast("double")
+      val db = (n * col(s"ss_$nb") - col(s"s_$nb") * col(s"s_$nb")).cast("double")
+      struct(lit(na).as("col_a"), lit(nb).as("col_b"), col("n").as("n_rows"),
+        round(num / (sqrt(da) * sqrt(db)), 9).as("corr"))
+    }: _*)
+    one.select(explode(rows).as("p")).select("p.*").orderBy("col_a", "col_b")
+  }
+
+  /** Gini-gain association profile: how well o_orderpriority predicts
+    * o_orderstatus, in EXACT integer ppm (the perplexity policy — no
+    * logs, no float sums). Per priority class x: the within-class Gini
+    * impurity of the status distribution gini_ppm = (n_x² − Σ_y n_xy²)
+    * ·10⁶ div n_x², and its population-weighted term term_ppm = (n_x² −
+    * Σ_y n_xy²)·10⁶ div (n·n_x) (per-term truncation — deterministic in
+    * both engines); the '_all' row carries the unconditional impurity,
+    * so gain = all.gini − Σ terms reads off the result. Two
+    * group-cardinality shuffles over the contingency counts. */
+  def profileGiniGain(spark: SparkSession, dir: String): DataFrame = {
+    val o = tbl(spark, dir, "orders")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val xy = o.groupBy(col("o_orderpriority").as("x"), col("o_orderstatus").as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val nTot = xy.agg(sum("nxy").as("n"))
+    val perX = xy.groupBy("x")
+      .agg(sum(col("nxy")).as("nx"), sum(dec(col("nxy")) * dec(col("nxy"))).as("sxy2"))
+      .crossJoin(broadcast(nTot))
+      .select(col("x"), col("nx"),
+        ((dec(col("nx")) * dec(col("nx")) - col("sxy2")) * lit(1000000L))
+          .cast("decimal(38,0)").as("num"),
+        dec(col("nx")).as("dx"), dec(col("n")).as("dn"))
+      .select(col("x"), col("nx"),
+        expr("num div (dx * dx)").as("gini_ppm"),
+        expr("num div (dn * dx)").as("term_ppm"))
+    val allRow = xy.groupBy("y").agg(sum("nxy").as("ny"))
+      .agg(sum(col("ny")).as("n"), sum(dec(col("ny")) * dec(col("ny"))).as("sy2"))
+      .select(lit("_all").as("x"), col("n").as("nx"),
+        expr("((CAST(n AS DECIMAL(38,0)) * n - sy2) * 1000000) div " +
+          "(CAST(n AS DECIMAL(38,0)) * n)").as("gini_ppm"),
+        lit(0L).as("term_ppm"))
+    perX.unionByName(allRow).orderBy("x")
+  }
+
   // ---- relational: windows / joins / aggregations ------------------------
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss"
@@ -3941,6 +4016,8 @@ object ExtQueries {
     "embed_pca_loadings" -> (embedPcaLoadings _),
     "embed_pca_scores" -> (embedPcaScores _),
     "sample_kcenter" -> (sampleKcenter _),
+    "profile_corr_matrix" -> (profileCorrMatrix _),
+    "profile_gini_gain" -> (profileGiniGain _),
     "graph_clustering" -> (graphClustering _),
     "graph_kcore" -> (graphKcore _),
     "graph_kcore_full" -> (graphKcoreFull _),

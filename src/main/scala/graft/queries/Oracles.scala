@@ -4067,6 +4067,63 @@ object Oracles {
          |SELECT x.dim AS dim, CAST(x.v * fl.s AS BIGINT) AS loading_ppm
          |FROM x8 x, fl ORDER BY dim""".stripMargin,
 
+    // Pairwise Pearson over lineitem numerics: one pass of exact HUGEINT
+    // moments, the ratio float-only (sqrt dag, round 9) per pair.
+    "profile_corr_matrix" -> {
+      val cols = Seq("l_discount" -> "d", "l_extendedprice" -> "p",
+        "l_quantity" -> "q", "l_tax" -> "t")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val moments =
+        cols.map { case (_, a) =>
+          s"sum(CAST($a AS HUGEINT)) AS s_$a, sum(CAST($a AS HUGEINT) * $a) AS ss_$a"
+        } ++ pairs.map { case ((_, a), (_, b)) =>
+          s"sum(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b"
+        }
+      val rows = pairs.map { case ((na, a), (nb, b)) =>
+        s"""SELECT '$na' AS col_a, '$nb' AS col_b, CAST(n AS BIGINT) AS n_rows,
+           |  round(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
+           |    (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
+           |     sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))), 9) AS corr
+           |FROM m""".stripMargin
+      }
+      s"""WITH c AS (SELECT
+         |    CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p,
+         |    CAST(round(l_quantity * 100, 0) AS BIGINT) AS q,
+         |    CAST(round(l_tax * 100, 0) AS BIGINT) AS t
+         |  FROM lineitem),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n, ${moments.mkString(",\n  ")}
+         |      FROM c)
+         |SELECT * FROM (${rows.mkString("\nUNION ALL\n")})
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+
+    // Gini-gain association (priority -> status): exact integer ppm, the
+    // per-x truncated div mirrored; '_all' row = unconditional impurity.
+    "profile_gini_gain" ->
+      """WITH xy AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+        |              count(*) AS nxy FROM orders GROUP BY 1, 2),
+        |n1 AS (SELECT CAST(sum(nxy) AS HUGEINT) AS n FROM xy),
+        |px AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx,
+        |         sum(CAST(nxy AS HUGEINT) * nxy) AS sxy2 FROM xy GROUP BY 1),
+        |det AS (SELECT px.x, px.nx,
+        |    CAST(((CAST(px.nx AS HUGEINT) * px.nx - px.sxy2) * 1000000) //
+        |      (CAST(px.nx AS HUGEINT) * px.nx) AS BIGINT) AS gini_ppm,
+        |    CAST(((CAST(px.nx AS HUGEINT) * px.nx - px.sxy2) * 1000000) //
+        |      (n1.n * px.nx) AS BIGINT) AS term_ppm
+        |  FROM px CROSS JOIN n1),
+        |py AS (SELECT y, CAST(sum(nxy) AS HUGEINT) AS ny FROM xy GROUP BY 1),
+        |alr AS (SELECT '_all' AS x, CAST(sum(ny) AS BIGINT) AS nx,
+        |    CAST(((sum(ny) * sum(ny) - sum(ny * ny)) * 1000000) //
+        |      (sum(ny) * sum(ny)) AS BIGINT) AS gini_ppm,
+        |    CAST(0 AS BIGINT) AS term_ppm
+        |  FROM py)
+        |SELECT x, nx, gini_ppm, term_ppm FROM det
+        |UNION ALL SELECT x, nx, gini_ppm, term_ppm FROM alr
+        |ORDER BY x""".stripMargin,
+
     // Greedy k-center (Gonzalez): 6 unrolled rounds — seed = min vec_id,
     // each next pick the vector farthest (exact integer squared L2) from
     // its nearest chosen center, ties to min vec_id.

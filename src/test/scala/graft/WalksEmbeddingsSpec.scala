@@ -134,6 +134,32 @@ class WalksEmbeddingsSpec extends SparkSpec {
     assert(again.toSeq === picks.toSeq)
   }
 
+  test("profileCorrMatrix: bounded in [-1,1], all pairs present, rerun-identical") {
+    val rows = graft.queries.ExtQueries.profileCorrMatrix(spark, sf).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 && c <= 1.0, s"corr out of range: $r")
+      assert(r.getString(0) < r.getString(1), "pairs are name-ordered")
+    }
+    // exact-moment dag: bit-identical on rerun
+    val again = graft.queries.ExtQueries.profileCorrMatrix(spark, sf).collect()
+    assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq)
+  }
+
+  test("profileGiniGain: impurities in [0, 1e6] ppm; conditioning never increases impurity") {
+    val rows = graft.queries.ExtQueries.profileGiniGain(spark, sf).collect()
+    val all = rows.find(_.getString(0) == "_all").get
+    val per = rows.filter(_.getString(0) != "_all")
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gini_ppm")
+      assert(g >= 0L && g <= 1000000L, s"gini ppm out of range: $r")
+    }
+    val condSum = per.map(_.getAs[Long]("term_ppm")).sum
+    assert(all.getAs[Long]("gini_ppm") >= condSum,
+      s"Gini gain must be >= 0: all=${all.getAs[Long]("gini_ppm")} cond=$condSum")
+  }
+
   test("stlDecompose: constant series has flat trend, zero seasonal and residual") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val events = (0 until 72).map { h =>
