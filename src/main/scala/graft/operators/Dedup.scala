@@ -124,6 +124,41 @@ object Dedup {
   def bandedSignaturesFromSets(hsDf: DataFrame): DataFrame =
     bandedSignaturesFromSigs(sigsFromSets(hsDf))
 
+  /** LSH banding-knob sweep — the candidate-volume curve a user reads
+    * BEFORE committing a (bands × rows) configuration (the
+    * minhash-accuracy / semantic-sweep pattern applied to the banding
+    * knob): for each config b ∈ {2,4,8,16} bands over the same 16-hash
+    * signature, the bucket census and the EXACT candidate-pair count
+    * Σ C(bucket,2) — computed from bucket sizes alone, never by
+    * materializing pairs, so the sweep stays bucket-count-sized even
+    * where a config would explode quadratically (that blowup is
+    * precisely what the number warns about). More bands (fewer rows
+    * each) = a lower effective Jaccard threshold = more candidates.
+    *
+    * One signature pass, one exploded (config, band, bandsig) shuffle
+    * (Σ b = 30 rows/doc across all four configs), one 4-row rollup. */
+  def lshBandSweep(docs: DataFrame): DataFrame = {
+    val sigs = sigsFromSets(shingleSets(docs))
+    sigs.select(explode(expr(
+        s"""flatten(transform(array(2, 4, 8, 16), b ->
+           |  transform(sequence(0, b - 1), i -> named_struct(
+           |    'b', b, 'band', i,
+           |    'key', array_join(transform(
+           |      slice(sig, i * ($NumHashes div b) + 1, $NumHashes div b),
+           |      v -> CAST(v AS STRING)), ',')))))""".stripMargin)).as("x"))
+      .groupBy(col("x.b").as("n_bands"), col("x.band"), col("x.key"))
+      .agg(count(lit(1)).as("bs"))
+      .groupBy("n_bands")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        count(when(col("bs") >= 2, lit(1))).as("n_buckets_multi"),
+        sum(expr("bs * (bs - 1) div 2")).as("candidate_pairs"))
+      .select(col("n_bands").cast("long").as("n_bands"),
+        lit(NumHashes.toLong).as("n_hashes"),
+        (lit(NumHashes.toLong) / col("n_bands")).cast("long").as("rows_per_band"),
+        col("n_buckets"), col("n_buckets_multi"), col("candidate_pairs"))
+  }
+
   def bandedSignaturesFromSigs(sigs: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / Bands
     sigs.select(

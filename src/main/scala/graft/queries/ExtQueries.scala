@@ -203,6 +203,12 @@ object ExtQueries {
     out
   }
 
+  /** Banding-knob sweep: candidate-volume curve per (bands × rows)
+    * config over the same 16-hash signature — read BEFORE committing a
+    * banding (see [[graft.operators.Dedup.lshBandSweep]]). */
+  def dedupLshBandSweep(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshBandSweep(tbl(spark, dir, "documents")).orderBy("n_bands")
+
   /** MinHash estimator accuracy harness — the dedup family's analog of
     * the simsearch recall ladder: for every LSH candidate pair, the
     * signature-agreement Jaccard ESTIMATE (matching positions ·10^6 div
@@ -4018,6 +4024,7 @@ object ExtQueries {
     "sample_kcenter" -> (sampleKcenter _),
     "profile_corr_matrix" -> (profileCorrMatrix _),
     "profile_gini_gain" -> (profileGiniGain _),
+    "dedup_lsh_band_sweep" -> (dedupLshBandSweep _),
     "graph_clustering" -> (graphClustering _),
     "graph_kcore" -> (graphKcore _),
     "graph_kcore_full" -> (graphKcoreFull _),

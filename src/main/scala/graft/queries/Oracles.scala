@@ -4067,6 +4067,23 @@ object Oracles {
          |SELECT x.dim AS dim, CAST(x.v * fl.s AS BIGINT) AS loading_ppm
          |FROM x8 x, fl ORDER BY dim""".stripMargin,
 
+    // Banding-knob sweep: per config b bands over the same 16-hash
+    // signature, bucket census + exact candidate count from bucket sizes.
+    "dedup_lsh_band_sweep" ->
+      s"""$minhashCtes,
+         |cfg AS (SELECT unnest([2, 4, 8, 16]) AS b),
+         |bd AS (SELECT m.doc_id, c.b, m.seed // (16 // c.b) AS band,
+         |         string_agg(CAST(m.mh AS VARCHAR), ',' ORDER BY m.seed) AS key
+         |       FROM mh m CROSS JOIN cfg c
+         |       GROUP BY m.doc_id, c.b, m.seed // (16 // c.b)),
+         |bs AS (SELECT b, band, key, count(*) AS bs FROM bd GROUP BY 1, 2, 3)
+         |SELECT CAST(b AS BIGINT) AS n_bands, CAST(16 AS BIGINT) AS n_hashes,
+         |  CAST(16 // b AS BIGINT) AS rows_per_band,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(count(*) FILTER (WHERE bs >= 2) AS BIGINT) AS n_buckets_multi,
+         |  CAST(sum(bs * (bs - 1) // 2) AS BIGINT) AS candidate_pairs
+         |FROM bs GROUP BY b ORDER BY n_bands""".stripMargin,
+
     // Pairwise Pearson over lineitem numerics: one pass of exact HUGEINT
     // moments, the ratio float-only (sqrt dag, round 9) per pair.
     "profile_corr_matrix" -> {
