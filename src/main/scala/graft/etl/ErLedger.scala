@@ -186,7 +186,15 @@ object ErLedger {
     * end-to-end: the history dir rewrites itself, the fwd version
     * rewrites byte-identically (the contraction reads only versions
     * below the batch id), and the golden refresh recomputes the same
-    * bucket contents. */
+    * bucket contents.
+    *
+    * CONTRACT: redelivery idempotence holds for the LATEST batch only —
+    * the single-writer at-least-once regime foreachBatch provides, where
+    * the only batch that can replay is the last uncommitted one. The fwd
+    * rewrite is byte-identical for ANY replayed id, but the golden
+    * refresh recomputes touched buckets from the CURRENT golden store and
+    * history `< batchId`: replaying an older batch after later batches
+    * committed would regress those buckets to the older view. */
   def foldBatch(batch: DataFrame, batchId: Long, histDir: String,
       fwdDir: String, goldenDir: String): Unit = {
     val b = batch.localCheckpoint() // consumed by write + bucket probe + pair gen

@@ -611,6 +611,7 @@ object Graph {
     val st = degF.agg(coalesce(max("d"), lit(0L)), coalesce(sum("d"), lit(0L))).head()
     val maxD = st.getLong(0)
     val sumD = st.getLong(1) // = 2|E|
+    var hubOriented: Option[DataFrame] = None
     val out = if (maxD * maxD <= 16L * math.max(sumD, 1L)) {
       graft.expressions.GraftFunctions.register(e.sparkSession)
       // SORTED adjacency: sorting once per node lets the per-edge
@@ -646,6 +647,7 @@ object Graph {
             .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .persist(lvl)
+      hubOriented = Some(oriented)
       val adj = oriented.groupBy("u").agg(collect_set(col("v")).as("nbrs"))
       val triEdges = oriented
         .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
@@ -665,6 +667,7 @@ object Graph {
     // materialise before releasing the probe frames (degF feeds the plan)
     val ck = out.localCheckpoint()
     degF.unpersist()
+    hubOriented.foreach(_.unpersist())
     ck
   }
 
@@ -990,6 +993,7 @@ object Graph {
       }
       lab = next
     }
+    biW.unpersist()
     deg.unpersist()
     e.unpersist()
     lab

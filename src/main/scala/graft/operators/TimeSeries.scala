@@ -258,13 +258,16 @@ object TimeSeries {
         (col("qv") - col("trend") - col("seasonal")).as("resid"))
   }
 
-  /** Lagged cross-correlation sufficient statistics between every ordered
-    * pair of event-type hourly series, lags 0..`maxLag` — "does series B
-    * follow series A h hours later?", the lead/lag discovery primitive
-    * behind metric root-causing and feature-lag selection. Series align on
-    * ABSOLUTE epoch hours (not per-series positions, which would slip
-    * wherever one series has a gap); for each lag the pair frame
-    * (a@t, b@t+lag) reduces to the same exact integer moments as
+  /** Lagged cross-correlation sufficient statistics between every ORDERED
+    * pair of distinct event-type hourly series, lags 0..`maxLag` — "does
+    * series B follow series A h hours later?", the lead/lag discovery
+    * primitive behind metric root-causing and feature-lag selection. Both
+    * orientations are emitted ((A,B) and (B,A), each with B lagging A by
+    * 0..maxLag), so an A-follows-B relationship surfaces as the (B,A) row
+    * — an `et_a < et_b` screen would silently halve the discovery space.
+    * Series align on ABSOLUTE epoch hours (not per-series positions, which
+    * would slip wherever one series has a gap); for each lag the pair
+    * frame (a@t, b@t+lag) reduces to the same exact integer moments as
     * [[autocorrStats]] — n_pairs, num = n·Σxy − Σx·Σy, den_a, den_b — and
     * the float ratio is left to the caller (den products can overflow
     * int64; integer moments stay engine-exact).
@@ -272,8 +275,8 @@ object TimeSeries {
     * Scale shape: one data-scale partial-aggregatable hourly reduce; the
     * lag fan-out explodes the TIME-bounded series `maxLag+1` ways and
     * equi-joins on the single shifted-hour key (series-length-scale
-    * shuffle, never data-scale); the a<b filter halves the pair space and
-    * the moment reduce is partial-aggregatable. */
+    * shuffle, never data-scale); the moment reduce is
+    * partial-aggregatable. */
   def crossCorrStats(events: DataFrame, maxLag: Int): DataFrame = {
     require(maxLag >= 0)
     val series = hourlyCentSeries(events)
@@ -283,7 +286,7 @@ object TimeSeries {
       .withColumn("hrs_b", col("hrs") + col("lag"))
     val b = series.select(col("event_type").as("et_b"), col("qv").as("xb"),
       col("hrs").as("hrs_b"))
-    a.join(b, Seq("hrs_b")).filter(col("et_a") < col("et_b"))
+    a.join(b, Seq("hrs_b")).filter(col("et_a") =!= col("et_b"))
       .groupBy("et_a", "et_b", "lag")
       .agg(
         count(lit(1)).as("n_pairs"),

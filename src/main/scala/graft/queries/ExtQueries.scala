@@ -3667,9 +3667,9 @@ object ExtQueries {
     TimeSeries.stlDecompose(tbl(spark, dir, "events"), halfWindow = 12)
       .orderBy("event_type", "pos")
 
-  /** Lagged cross-correlation moments between every event-type pair,
-    * lags 0..6 hours, aligned on absolute epoch hours (see
-    * TimeSeries.crossCorrStats). */
+  /** Lagged cross-correlation moments between every ORDERED event-type
+    * pair (both orientations), lags 0..6 hours, aligned on absolute
+    * epoch hours (see TimeSeries.crossCorrStats). */
   def timeseriesCrosscorr(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.crossCorrStats(tbl(spark, dir, "events"), maxLag = 6)
       .orderBy("et_a", "et_b", "lag")

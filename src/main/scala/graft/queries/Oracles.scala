@@ -4052,7 +4052,7 @@ object Oracles {
         |        a.qv AS xa, b.qv AS xb
         |      FROM s a
         |      CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS lag) lg
-        |      JOIN s b ON b.hrs = a.hrs + lg.lag AND a.event_type < b.event_type)
+        |      JOIN s b ON b.hrs = a.hrs + lg.lag AND a.event_type <> b.event_type)
         |SELECT et_a, et_b, CAST(lag AS BIGINT) AS lag,
         |  CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(count(*) * sum(xa*xb) - sum(xa) * sum(xb) AS BIGINT) AS num,

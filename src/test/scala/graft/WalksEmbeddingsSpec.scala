@@ -198,7 +198,12 @@ class WalksEmbeddingsSpec extends SparkSpec {
     val va = (0 until 48).map(h => (t(h), "a", math.sin(h * 0.7) * 10 + 20))
     val vb = (2 until 50).map(h => (t(h), "b", math.sin((h - 2) * 0.7) * 10 + 20))
     val events = (va ++ vb).toDF("ts", "event_type", "value")
-    val stats = TimeSeries.crossCorrStats(events, maxLag = 4).collect()
+    val all = TimeSeries.crossCorrStats(events, maxLag = 4).collect()
+    // both orientations are emitted; the shifted-copy relation lives on
+    // the (a, b) rows (b lags a)
+    assert(all.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("a", "b"), ("b", "a")))
+    val stats = all.filter(r => r.getString(0) == "a" && r.getString(1) == "b")
       .map(r => r.getLong(2) -> (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
     val (num2, denA2, denB2) = stats(2L)
     assert(num2 > 0 && num2 * num2 === denA2 * denB2,
