@@ -32,22 +32,78 @@ import graft.functions.CrossFns._
 object Embeddings {
 
   /** Exact sufficient statistics for the covariance numerator in ONE
-    * data-scale pass: each row fans out its UPPER-TRIANGLE elementwise
-    * products q_i·q_j (i ≤ j) plus a (i, -1, q_i) diagonal-trick entry
-    * for the linear sums — all map-side, partial-aggregated to
-    * dim·(dim+3)/2 groups per partition before the single shuffle.
-    * Returns (i, j, s, n): j = -1 rows carry Σq_i, others Σ(q_i·q_j). */
+    * data-scale pass: a per-partition dense SYRK kernel (primitive-long
+    * upper-triangle multiply-accumulate, spilled into BigInt every 4096
+    * rows so per-partition row counts are unbounded without overflow:
+    * |q_i·q_j| ≤ ~1e12·spillEvery per cell between spills ≪ int64) emits
+    * dim·(dim+3)/2 partial rows per partition; the single shuffle then
+    * reduces partitions × groups rows with an exact decimal(38,0) sum.
+    * Replaces the earlier per-row upper-triangle explode (2144 struct
+    * allocations per row + a decimal hash-agg over rows × 2144 entries —
+    * the allocation dominated the key's cost at every scale); a dense
+    * Gram is genuine per-partition imperative work, the mapPartitions
+    * contract's intended case. Partial sums cross the shuffle as strings
+    * cast to decimal(38,0) — the default BigDecimal encoder is
+    * decimal(38,18), whose 20 integer digits a big partition could
+    * overflow. Returns (i, j, s, n): j = -1 rows carry Σq_i, others
+    * Σ(q_i·q_j); n = total contributing rows on every group. */
   private def gramStats(emb: DataFrame, dim: Int): DataFrame = {
-    val d1 = dim - 1
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nPairs = dim * (dim + 1) / 2
+    val spillEvery = 4096
     emb.select(quantize(col("embedding")).as("qv"))
-      .select(explode(expr(
-        s"""flatten(transform(sequence(0, $d1), i ->
-           |  array_append(transform(sequence(i, $d1), j ->
-           |    named_struct('i', i, 'j', j, 'p', qv[i] * qv[j])),
-           |  named_struct('i', i, 'j', -1, 'p', qv[i]))))""".stripMargin)).as("x"))
-      .groupBy(col("x.i").as("i"), col("x.j").as("j"))
-      .agg(sum(col("x.p").cast("decimal(38,0)")).as("s"),
-        count(lit(1)).as("n"))
+      .where(col("qv").isNotNull)
+      .as[Array[Long]]
+      .mapPartitions { it =>
+        val accP = new Array[Long](nPairs)
+        val accS = new Array[Long](dim)
+        val bigP = Array.fill(nPairs)(BigInt(0))
+        val bigS = Array.fill(dim)(BigInt(0))
+        var n = 0L
+        var sinceSpill = 0
+        def spill(): Unit = {
+          var p = 0
+          while (p < nPairs) { bigP(p) += accP(p); accP(p) = 0L; p += 1 }
+          var i = 0
+          while (i < dim) { bigS(i) += accS(i); accS(i) = 0L; i += 1 }
+          sinceSpill = 0
+        }
+        while (it.hasNext) {
+          val q = it.next()
+          var i = 0
+          var p = 0
+          while (i < dim) {
+            val qi = q(i)
+            accS(i) += qi
+            var j = i
+            while (j < dim) { accP(p) += qi * q(j); p += 1; j += 1 }
+            i += 1
+          }
+          n += 1
+          sinceSpill += 1
+          if (sinceSpill == spillEvery) spill()
+        }
+        if (n == 0L) Iterator.empty
+        else {
+          spill()
+          val out = new Array[(Int, Int, String, Long)](nPairs + dim)
+          var p = 0
+          var i = 0
+          while (i < dim) {
+            var j = i
+            while (j < dim) { out(p) = (i, j, bigP(p).toString, n); p += 1; j += 1 }
+            i += 1
+          }
+          i = 0
+          while (i < dim) { out(nPairs + i) = (i, -1, bigS(i).toString, n); i += 1 }
+          out.iterator
+        }
+      }
+      .toDF("i", "j", "sp", "np")
+      .groupBy("i", "j")
+      .agg(sum(col("sp").cast("decimal(38,0)")).as("s"),
+        sum(col("np")).as("n"))
   }
 
   /** Top-principal-component loadings: (dim, loading_ppm), loading in
