@@ -772,6 +772,49 @@ object Graph {
     out
   }
 
+  /** LINK PREDICTION by neighbourhood Jaccard similarity: for every
+    * NON-adjacent pair (u, v) sharing ≥1 neighbour,
+    * J(u,v) = |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| in exact integer ppm —
+    * 1_000_000·common div (deg(u) + deg(v) − common), so the ranking is
+    * bit-identical across engines. The RA index ([[linkPrediction]])
+    * weights rare common neighbours; Jaccard instead normalises by the
+    * combined neighbourhood size — the similarity the "how alike are
+    * these two nodes' contexts" question wants (and the set-overlap
+    * member of the same family as the dedup Jaccard tiers).
+    *
+    * Plan: identical candidate shape to [[linkPrediction]] — common
+    * counts come from the hub-keyed wedge self-join (Σ deg² work, never
+    * all pairs), degrees join AFTER the pair-level reduce (pair-scale
+    * rows, node-scale build side), existing edges leave by one
+    * canonicalised anti-join, top-k is a distributed TakeOrdered.
+    * Same input contract: one row per undirected edge. */
+  def neighborJaccard(edges: DataFrame, topK: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
+    val bi = bidir(e).persist(lvl)
+    val deg = bi.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val common = bi.select(col("src").as("w"), col("dst").as("u"))
+      .join(bi.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common"))
+    val out = common
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .withColumn("jac_ppm",
+        expr("(1000000 * common) div (du + dv - common)"))
+      .join(e.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")),
+        Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("common"), col("jac_ppm"))
+      .orderBy(col("jac_ppm").desc, col("common").desc, col("u"), col("v"))
+      .limit(topK)
+      .localCheckpoint()
+    bi.unpersist()
+    e.unpersist()
+    out
+  }
+
   /** Degree assortativity (Newman 2002): Pearson correlation of endpoint
     * degrees over the DIRECTED edge list (both directions of every
     * undirected edge — the standard symmetrisation). All moment sums are

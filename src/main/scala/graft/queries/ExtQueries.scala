@@ -3448,6 +3448,13 @@ object ExtQueries {
     Graph.linkPrediction(
       Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L), topK = 20)
 
+  /** Link prediction on the same graph by neighbourhood Jaccard (exact
+    * integer ppm — see [[graft.operators.Graph.neighborJaccard]]): top-20
+    * non-adjacent pairs by |Γ∩|/|Γ∪|, common count as tiebreak. */
+  def graphNeighborJaccard(spark: SparkSession, dir: String): DataFrame =
+    Graph.neighborJaccard(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L), topK = 20)
+
   /** Strongly connected components of the directed functional part-key
     * graph (one successor pointer per node), run to the true fixpoint via
     * trim + cycle-CC — see [[graft.operators.Graph.sccFunctional]]. Census
@@ -4034,6 +4041,7 @@ object ExtQueries {
     "graph_sssp" -> (graphSssp _),
     "graph_ktruss" -> (graphKtruss _),
     "graph_link_prediction" -> (graphLinkPrediction _),
+    "graph_neighbor_jaccard" -> (graphNeighborJaccard _),
     "graph_scc" -> (graphScc _),
     "graph_hits" -> (graphHits _),
     "graph_ppr" -> (graphPpr _),

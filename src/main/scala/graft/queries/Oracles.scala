@@ -3384,6 +3384,24 @@ object Oracles {
         |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.src = sc.u AND e0.dst = sc.v)
         |ORDER BY ra_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
 
+    // Neighbourhood-Jaccard link prediction: same wedge candidates,
+    // J_ppm = 1e6*common // (du + dv - common), adjacency anti-joined.
+    "graph_neighbor_jaccard" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS d FROM bi GROUP BY 1),
+        |cm AS (SELECT x.dst AS u, y.dst AS v, CAST(count(*) AS BIGINT) AS common
+        |       FROM bi x JOIN bi y ON x.src = y.src AND x.dst < y.dst
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT cm.u, cm.v, cm.common,
+        |         CAST((1000000 * cm.common) // (du.d + dv.d - cm.common) AS BIGINT) AS jac_ppm
+        |       FROM cm JOIN deg du ON du.node = cm.u JOIN deg dv ON dv.node = cm.v)
+        |SELECT u, v, common, jac_ppm FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.src = sc.u AND e0.dst = sc.v)
+        |ORDER BY jac_ppm DESC, common DESC, u, v LIMIT 20""".stripMargin,
+
     // 12-truss peel unrolled to 8 rounds — past the fixture's measured
     // convergence depth (5 at sf0.01, 3 at sf0.1); rounds after the
     // edge set stabilises recompute identical supports and drop

@@ -318,6 +318,23 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(p.toSeq === Seq((2L,4L,1L,333333L), (3L,4L,1L,333333L)))
   }
 
+  test("neighborJaccard: hand-computed ppm; adjacent pairs excluded") {
+    // star 1-{2,3,4} plus edge 2-3: non-adjacent candidates (2,4),(3,4).
+    // deg 2 = deg 3 = 2, deg 4 = 1, common = 1 (hub 1) ->
+    // J = 1/(2+1-1) = 500000 ppm for both
+    val g = edgesDf((1L,2L),(1L,3L),(1L,4L),(2L,3L))
+    val p = Graph.neighborJaccard(g, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(p.toSeq === Seq((2L,4L,1L,500000L), (3L,4L,1L,500000L)))
+    // triangle 5-6-7 plus pendant 7-8: candidates (5,8),(6,8) via 7
+    // J = 1/(2+1-1) = 500000; pair (5,6) adjacent -> excluded even
+    // though they share neighbour 7
+    val g2 = edgesDf((5L,6L),(5L,7L),(6L,7L),(7L,8L))
+    val p2 = Graph.neighborJaccard(g2, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(p2.toSeq === Seq((5L,8L,500000L), (6L,8L,500000L)))
+  }
+
   test("kTruss: peel cascades (support recomputed within the subgraph), K5 survives") {
     // K5: every edge in 3 triangles -> survives k=4 (support >= 2).
     // Double triangle (10,11,12)+(11,12,13): edge 11-12 has support 2 in
