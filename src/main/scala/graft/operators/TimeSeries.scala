@@ -258,6 +258,35 @@ object TimeSeries {
         (col("qv") - col("trend") - col("seasonal")).as("resid"))
   }
 
+  /** Seasonality-aware anomaly screen: flag hours whose STL RESIDUAL
+    * deviates more than k × MAD from the series' median residual. The
+    * plain median/MAD screen ([[madAnomalies]]) flags every rush hour of
+    * a strongly seasonal series; screening the residual instead asks
+    * "is this hour surprising GIVEN the trend and the time-of-day
+    * profile" — the question an operational anomaly page actually wants.
+    * Composes [[stlDecompose]] (exact integer residuals) with the same
+    * two exact-percentile passes and float policy (round 6) as the MAD
+    * screen.
+    *
+    * Scale shape: inherits STL's one data-scale hourly reduce; the
+    * median/MAD aggregations and the flagging run on the TIME-bounded
+    * series rows, group cardinality ≤ |event types| → results broadcast
+    * back. */
+  def stlResidualAnomalies(events: DataFrame, halfWindow: Int, k: Double): DataFrame = {
+    val stl = stlDecompose(events, halfWindow)
+    val med = stl.groupBy("event_type")
+      .agg(expr("percentile(resid, 0.5)").as("med"))
+    val dev = stl.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("resid") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("adev") > lit(k) * col("mad"))
+      .select(col("event_type"), col("pos"), col("hr_s"), col("qv"),
+        col("resid"), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"))
+  }
+
   /** Lagged cross-correlation sufficient statistics between every ORDERED
     * pair of distinct event-type hourly series, lags 0..`maxLag` — "does
     * series B follow series A h hours later?", the lead/lag discovery

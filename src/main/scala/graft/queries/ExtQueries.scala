@@ -3674,6 +3674,15 @@ object ExtQueries {
     TimeSeries.stlDecompose(tbl(spark, dir, "events"), halfWindow = 12)
       .orderBy("event_type", "pos")
 
+  /** Seasonality-aware anomaly screen: hours whose STL residual exceeds
+    * 3 × MAD from the series' median residual (see
+    * TimeSeries.stlResidualAnomalies) — "surprising GIVEN trend and
+    * time-of-day profile", where the plain MAD screen flags rush hours. */
+  def anomalyStlResidual(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.stlResidualAnomalies(tbl(spark, dir, "events"),
+      halfWindow = 12, k = 3.0)
+      .orderBy("event_type", "pos")
+
   /** Lagged cross-correlation moments between every ORDERED event-type
     * pair (both orientations), lags 0..6 hours, aligned on absolute
     * epoch hours (see TimeSeries.crossCorrStats). */
@@ -4073,6 +4082,7 @@ object ExtQueries {
     "profile_k_anonymity" -> (profileKAnonymity _),
     "profile_benford" -> (profileBenford _),
     "anomaly_mad" -> (anomalyMad _),
+    "anomaly_stl_residual" -> (anomalyStlResidual _),
     "text_gopher_rules" -> (textGopherRules _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),
     "pipeline_quality_funnel" -> (pipelineQualityFunnel _),

@@ -4058,6 +4058,37 @@ object Oracles {
         |FROM d JOIN se ON d.event_type = se.event_type AND d.hod = se.hod
         |ORDER BY d.event_type, pos""".stripMargin,
 
+    // STL-residual anomaly screen: the stl ladder, then median/MAD over
+    // the residuals per series (quantile_cont = Spark's interpolated
+    // percentile, the anomaly_mad-proven pairing), flag adev > 3*mad.
+    "anomaly_stl_residual" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |             sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, hr, qv,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY hr) AS pos FROM h),
+        |t AS (SELECT *, sum(qv) OVER tw // count(qv) OVER tw AS trend
+        |      FROM s WINDOW tw AS (PARTITION BY event_type ORDER BY pos
+        |        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |d AS (SELECT *, qv - trend AS detr,
+        |        CAST(hour(hr) AS BIGINT) AS hod FROM t),
+        |se AS (SELECT event_type, hod, sum(detr) // count(*) AS seasonal
+        |       FROM d GROUP BY 1, 2),
+        |r AS (SELECT d.event_type, d.pos, d.hr, d.qv,
+        |        d.qv - d.trend - se.seasonal AS resid
+        |      FROM d JOIN se ON d.event_type = se.event_type AND d.hod = se.hod),
+        |md AS (SELECT event_type, quantile_cont(resid, 0.5) AS med FROM r GROUP BY 1),
+        |dv AS (SELECT r.*, md.med, abs(r.resid - md.med) AS adev
+        |       FROM r JOIN md ON r.event_type = md.event_type),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dv GROUP BY 1)
+        |SELECT dv.event_type, CAST(dv.pos AS BIGINT) AS pos,
+        |  strftime(dv.hr, '%Y-%m-%d %H:%M:%S') AS hr_s,
+        |  CAST(dv.qv AS BIGINT) AS qv, CAST(dv.resid AS BIGINT) AS resid,
+        |  round(dv.med, 6) AS med, round(mad.mad, 6) AS mad
+        |FROM dv JOIN mad ON dv.event_type = mad.event_type
+        |WHERE dv.adev > 3.0 * mad.mad
+        |ORDER BY dv.event_type, pos""".stripMargin,
+
     // Lagged cross-correlation moments between series pairs aligned on
     // absolute epoch hours, lags 0..6 — the autocorr moment contract
     // applied across series.

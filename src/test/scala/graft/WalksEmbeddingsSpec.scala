@@ -175,6 +175,26 @@ class WalksEmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("stlResidualAnomalies: flags an injected spike, not the seasonal rush hours") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 10 days of a strong daily profile (hour 12 is a 3x "rush hour"),
+    // plus ONE corrupted off-peak hour on day 5 (hour 3 at 10x)
+    val events = (0 until 240).map { h =>
+      val v = if (h == 4 * 24 + 3) 100.0
+        else if (h % 24 == 12) 30.0 else 10.0
+      (new java.sql.Timestamp(base.getTime + h * 3600_000L), "a", v)
+    }.toDF("ts", "event_type", "value")
+    val flagged = TimeSeries.stlResidualAnomalies(events, halfWindow = 12, k = 3.0)
+      .collect().map(_.getAs[Long]("pos")).toSet
+    assert(flagged.contains(4L * 24 + 3 + 1), s"the spike hour must flag: $flagged")
+    // the rush hours (pos ≡ 13 mod 24) carry the seasonal profile, not a
+    // residual — none of them may flag except the trend-bleed window
+    // around the spike itself
+    val rushFlags = flagged.filter(p => (p - 1) % 24 == 12 &&
+      math.abs(p - (4L * 24 + 4)) > 13)
+    assert(rushFlags.isEmpty, s"rush hours must not flag: $rushFlags")
+  }
+
   test("stlDecompose: components always recombine exactly; ramp trend tracks the centre") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val events = (0 until 96).map { h =>
