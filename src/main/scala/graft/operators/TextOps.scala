@@ -253,6 +253,41 @@ object TextOps {
       size(array_distinct(toks)).cast("long").as("n_unique"))
   }
 
+  /** Simpson token-concentration index per document, EXACT integer ppm:
+    * simpson_ppm = 1e6·Σc² div n² over the doc's token counts c — the
+    * log-free diversity/repetition quality signal (entropy's rational
+    * sibling: a doc repeating one token scores 1e6, a doc of n distinct
+    * tokens scores ~1e6/n). Also the inverse form in milli —
+    * inv_simpson_milli = 1000·n² div Σc², the "effective vocabulary
+    * size" a repetition filter thresholds on. Repetitious docs (high
+    * simpson / low effective vocab) are the classic low-quality LLM
+    * training text the Gopher rules also target, caught here by one
+    * scalar instead of per-n-gram fractions.
+    *
+    * Per-doc HOF only — Σc² comes from a run-length fold over the
+    * SORTED token array (state (prev, run, acc); runs close on token
+    * change, the finisher closes the last run), so the plan is narrow:
+    * no token-level explode, no shuffle beyond the caller's ordering.
+    * Int64 bound: 1e6·Σc² ≤ 1e6·n² — fine to ~3e6 tokens per doc. */
+  def simpsonDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_toks"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        expr("""aggregate(
+            sort_array(w),
+            named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)),
+            (s, x) -> CASE WHEN x = s.prev
+              THEN named_struct('prev', x, 'run', s.run + CAST(1 AS BIGINT), 'acc', s.acc)
+              ELSE named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+                'acc', s.acc + s.run * s.run) END,
+            s -> s.acc + s.run * s.run)""").as("sum_c2"))
+      .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+        expr("(1000000 * sum_c2) div (n_toks * n_toks)").as("simpson_ppm"),
+        expr("(1000 * n_toks * n_toks) div sum_c2").as("inv_simpson_milli"))
+
   /** BPE-ish pre-tokenizer regex (GPT-2 style classes without lookarounds,
     * so it runs identically in Spark and DuckDB): letter runs, digit runs,
     * single punctuation marks. */

@@ -538,6 +538,11 @@ object ExtQueries {
   def textTokenBpe(spark: SparkSession, dir: String): DataFrame =
     TextOps.bpeishCounts(tbl(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Exact-integer Simpson concentration / effective-vocabulary per doc
+    * (the log-free repetition signal — see TextOps.simpsonDiversity). */
+  def textSimpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    TextOps.simpsonDiversity(tbl(spark, dir, "documents")).orderBy("doc_id")
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprint(tbl(spark, dir, "documents")).orderBy("doc_id")
 
@@ -4135,6 +4140,7 @@ object ExtQueries {
     "text_textrank" -> (textTextrank _),
     "sample_doremi" -> (sampleDoremi _),
     "text_token_count" -> (textTokenCount _),
+    "text_simpson_diversity" -> (textSimpsonDiversity _),
     "text_token_bpe" -> (textTokenBpe _),
     "text_fingerprint" -> (textFingerprint _),
     "text_ngram_freq" -> (textNgramFreq _),

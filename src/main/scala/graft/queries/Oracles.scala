@@ -2290,6 +2290,20 @@ object Oracles {
       s"""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, CAST(len(list_distinct(w)) AS BIGINT) AS n_unique
          |FROM (SELECT doc_id, ${tok("text")} AS w FROM documents) ORDER BY doc_id""".stripMargin,
 
+    // Simpson concentration: per-doc token counts reduce to n, nd, sum(c^2)
+    // (the engine computes sum(c^2) by a run-length fold over the sorted
+    // token array — same value, no token-level rows).
+    "text_simpson_diversity" ->
+      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |tk AS (SELECT doc_id, unnest(w) AS t FROM w WHERE len(w) > 0),
+         |c AS (SELECT doc_id, t, count(*) AS c FROM tk GROUP BY 1, 2),
+         |a AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, sum(c * c) AS s2
+         |      FROM c GROUP BY 1)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_toks, CAST(nd AS BIGINT) AS n_distinct,
+         |  CAST((1000000 * s2) // (n * n) AS BIGINT) AS simpson_ppm,
+         |  CAST((1000 * n * n) // s2 AS BIGINT) AS inv_simpson_milli
+         |FROM a ORDER BY doc_id""".stripMargin,
+
     "text_token_bpe" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,

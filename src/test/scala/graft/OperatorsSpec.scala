@@ -203,6 +203,21 @@ class OperatorsSpec extends SparkSpec {
     assert(fp(0L) !== fp(1L), "reordered tokens must change the fingerprint")
   }
 
+  test("simpsonDiversity: hand-computed ppm; run-length fold equals count-based sum") {
+    val d = Seq(
+      (0L, "a a a a"),           // one token: simpson = 1e6, eff vocab 1.0
+      (1L, "a b c"),             // all distinct: 3e6/9 = 333333, eff 3.0
+      (2L, "a a b"),             // c = (2,1): (4+1)e6/9 = 555555, eff 1.8
+      (3L, "  "),                // no tokens: filtered out
+    ).toDF("doc_id", "text")
+    val got = TextOps.simpsonDiversity(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === Map(
+      0L -> ((4L, 1L, 1000000L, 1000L)),
+      1L -> ((3L, 3L, 333333L, 3000L)),
+      2L -> ((3L, 2L, 555555L, 1800L))))
+  }
+
   test("asOf matches the latest right row at-or-before each left row") {
     import graft.operators.AsOfJoin
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
