@@ -874,6 +874,70 @@ object ExtQueries {
     one.select(explode(rows).as("p")).select("p.*").orderBy("col_a", "col_b")
   }
 
+  /** Pairwise chi-square association matrix over orders' categorical
+    * columns (priority, status, order year) — the categorical sibling of
+    * [[profileCorrMatrix]]'s numeric screen, the "which attributes are
+    * NOT independent" panel of a dataset card. EXACT integer policy (the
+    * Gini-gain contract): per cell of the FULL ra×cb grid (absent cells
+    * included — their expected count still contributes),
+    * chi2 cell_micro = ((n_ab·n − r_a·c_b)²·10⁶) div (n·r_a·c_b) with
+    * per-cell truncation over non-negative decimal(38,0) operands
+    * (div ↔ // identical), summed to chi2_micro; Cramér's V is the only
+    * float (sqrt on identical exact integers, round 9 — the corr
+    * policy). decimal38 bound: n⁴·10⁶ < 10³⁸ → fine to ~10⁷ rows, then
+    * switch the scale to ppb.
+    *
+    * Scale shape: ONE data-scale partial-aggregatable pass to the
+    * 3-column contingency cube (≤ |A|·|B|·|C| rows, group-cardinality);
+    * every pair's grid, margins and cell sums run on that cube. */
+  def profileChi2Matrix(spark: SparkSession, dir: String): DataFrame = {
+    val o = tbl(spark, dir, "orders")
+    val cube = o.groupBy(
+        col("o_orderpriority").as("c1"),
+        col("o_orderstatus").as("c2"),
+        year(col("o_orderdate")).cast("string").as("c3"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // tiny; reused by all three pairs
+    // name-sorted so col_a < col_b in the output
+    val named = Seq("o_orderpriority" -> "c1", "o_orderstatus" -> "c2",
+      "o_year" -> "c3")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def onePair(na: String, ca: String, nb: String, cb: String): DataFrame = {
+      val ct = cube.groupBy(col(ca).as("a"), col(cb).as("b"))
+        .agg(sum("cnt").as("nab"))
+      val ra = ct.groupBy("a").agg(sum("nab").as("ra"))
+      val cbm = ct.groupBy("b").agg(sum("nab").as("cb"))
+      val nT = ct.agg(sum("nab").as("n"),
+        countDistinct("a").as("ka"), countDistinct("b").as("kb"))
+      ra.crossJoin(cbm)
+        .join(ct, Seq("a", "b"), "left")
+        .crossJoin(broadcast(nT))
+        .select(col("ka"), col("kb"), col("n"),
+          ((dec(coalesce(col("nab"), lit(0L))) * dec(col("n")) -
+              dec(col("ra")) * dec(col("cb"))) *
+            (dec(coalesce(col("nab"), lit(0L))) * dec(col("n")) -
+              dec(col("ra")) * dec(col("cb"))) * lit(1000000L))
+            .cast("decimal(38,0)").as("num"),
+          (dec(col("n")) * dec(col("ra")) * dec(col("cb")))
+            .cast("decimal(38,0)").as("den"))
+        .select(col("ka"), col("kb"), col("n"), expr("num div den").as("cell"))
+        .groupBy("ka", "kb", "n")
+        .agg(sum("cell").cast("decimal(38,0)").as("chi2d"))
+        .select(
+          lit(na).as("col_a"), lit(nb).as("col_b"),
+          col("n").as("n_rows"),
+          ((col("ka") - 1) * (col("kb") - 1)).as("dof"),
+          col("chi2d").cast("long").as("chi2_micro"),
+          round(sqrt(col("chi2d").cast("double") / 1e6 /
+            (col("n") * least(col("ka") - 1, col("kb") - 1)).cast("double")), 9)
+            .as("cramer_v"))
+    }
+    val pairs = for {
+      i <- named.indices; j <- named.indices if i < j
+    } yield onePair(named(i)._1, named(i)._2, named(j)._1, named(j)._2)
+    pairs.reduce(_.unionByName(_)).orderBy("col_a", "col_b")
+  }
+
   /** Gini-gain association profile: how well o_orderpriority predicts
     * o_orderstatus, in EXACT integer ppm (the perplexity policy — no
     * logs, no float sums). Per priority class x: the within-class Gini
@@ -4044,6 +4108,7 @@ object ExtQueries {
     "embed_pca_scores" -> (embedPcaScores _),
     "sample_kcenter" -> (sampleKcenter _),
     "profile_corr_matrix" -> (profileCorrMatrix _),
+    "profile_chi2_matrix" -> (profileChi2Matrix _),
     "profile_gini_gain" -> (profileGiniGain _),
     "dedup_lsh_band_sweep" -> (dedupLshBandSweep _),
     "graph_clustering" -> (graphClustering _),
