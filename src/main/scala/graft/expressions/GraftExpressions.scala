@@ -195,6 +195,46 @@ object GraftHash {
     c
   }
 
+  /** Unreachable-cell sentinel for [[dtwBand]]: any result ≥ this means
+    * the band was too narrow to connect (1,1) to (n,m) (band < |n−m|). */
+  val DtwInf: Long = Long.MaxValue / 4
+
+  /** Banded dynamic-time-warping distance between two int64 series:
+    * min-cost monotone path cost Σ|a_i − b_j| under the Sakoe-Chiba
+    * constraint |i − j| ≤ band. Two-row DP, zero per-cell allocation —
+    * O(min(n·band, n·m)) time, O(m) space per call. band ≥ max(n, m)
+    * degenerates to full (unconstrained) DTW; band = 0 forces the
+    * diagonal (pointwise L1). Overflow-safe: cell costs ≤ ~2e12 cents
+    * and path length ≤ n+m, so real costs stay ≪ [[DtwInf]]. */
+  def dtwBand(a: ArrayData, b: ArrayData, band: Int): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return if (n == m) 0L else DtwInf
+    var prev = new Array[Long](m + 1)
+    var cur = new Array[Long](m + 1)
+    java.util.Arrays.fill(prev, DtwInf)
+    prev(0) = 0L
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, DtwInf)
+      val ai = a.getLong(i - 1)
+      var j = math.max(1, i - band)
+      val hi = math.min(m, i.toLong + band).toInt
+      while (j <= hi) {
+        val c = math.abs(ai - b.getLong(j - 1))
+        var best = prev(j)
+        if (cur(j - 1) < best) best = cur(j - 1)
+        if (prev(j - 1) < best) best = prev(j - 1)
+        val v = c + best
+        cur(j) = if (v >= DtwInf) DtwInf else v
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val m = math.min(a.numElements(), b.numElements())
     var acc = 0L
@@ -569,6 +609,28 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_sorted_intersect_count"
+}
+
+/** Banded DTW distance of two int64 series (see [[GraftHash.dtwBand]]):
+  * the series-shape-similarity kernel. A DP is inherently sequential per
+  * pair, so it runs as a scalar expression over series ARRAYS (series
+  * are time-bounded — the caller's per-key collect_list stays small);
+  * `band` is a literal captured at plan time. Results ≥
+  * [[GraftHash.DtwInf]] mean the band was too narrow (band < |n−m|). */
+case class DtwBandExpr(left: Expression, right: Expression, band: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"graft_dtw_band needs array<bigint> x2, got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHash.dtwBand(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], band)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.GraftHash.dtwBand($a, $b, $band)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dtw_band"
 }
 
 case class DotLongExpr(left: Expression, right: Expression)

@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_dot_long"),
       info("graft_dot_long", "int64 dot product"),
       (exprs: Seq[Expression]) => DotLongExpr(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_dtw_band"),
+      info("graft_dtw_band", "banded dynamic-time-warping distance"),
+      (exprs: Seq[Expression]) => DtwBandExpr(exprs(0), exprs(1), litInt(exprs(2)))))
     e.injectFunction((FunctionIdentifier("graft_quantize"),
       info("graft_quantize", "floor(x*1e6) quantisation"),
       (exprs: Seq[Expression]) => QuantizeExpr(exprs.head)))

@@ -54,6 +54,8 @@ object GraftFunctions {
       exprs => DotLongExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect_count",
       exprs => SortedIntersectCountExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dtw_band",
+      exprs => DtwBandExpr(exprs(0), exprs(1), litInt(exprs(2), "band")), "built-in")
     reg.createOrReplaceTempFunction("graft_quantize",
       exprs => QuantizeExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash60",

@@ -258,6 +258,39 @@ object TimeSeries {
         (col("qv") - col("trend") - col("seasonal")).as("resid"))
   }
 
+  /** Shape similarity between every event-type pair's HOUR-OF-DAY
+    * profile by banded dynamic time warping — "do these two metrics have
+    * the same daily rhythm, possibly phase-shifted?", the elastic
+    * distance a seasonal-shape clustering keys on where pointwise L1
+    * punishes any phase offset. Profiles are exact integer mean cents
+    * per hour-of-day (≤24 points per series); the DP runs in the
+    * `graft_dtw_band` native expression (two-row kernel, zero per-cell
+    * allocation) with the Sakoe-Chiba band a plan-time literal —
+    * band ≥ 24 is full DTW, band = 0 degenerates to pointwise L1.
+    *
+    * Scale shape: ONE data-scale partial-aggregatable reduce to
+    * |types|×24 profile rows; the pair self-join and per-pair DP run on
+    * the |types|-row profile frame — group-cardinality, never
+    * data-scale. DTW cost is exact int64 (cents along the optimal
+    * path), bit-identical across engines. */
+  def dtwProfileDistances(events: DataFrame, band: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(events.sparkSession)
+    val prof = events
+      .withColumn("cents", round(col("value") * 100d, 0).cast("long"))
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(expr("sum(cents) div count(1)").as("qv"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hod"), col("qv")))).as("p"))
+      .select(col("event_type"), expr("transform(p, x -> x.qv)").as("arr"))
+    prof.as("a").join(prof.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(
+        col("a.event_type").as("et_a"), col("b.event_type").as("et_b"),
+        size(col("a.arr")).cast("long").as("n_a"),
+        size(col("b.arr")).cast("long").as("n_b"),
+        call_function("graft_dtw_band",
+          col("a.arr"), col("b.arr"), lit(band)).as("dtw_cost"))
+  }
+
   /** Seasonality-aware anomaly screen: flag hours whose STL RESIDUAL
     * deviates more than k × MAD from the series' median residual. The
     * plain median/MAD screen ([[madAnomalies]]) flags every rush hour of

@@ -3743,6 +3743,13 @@ object ExtQueries {
     TimeSeries.stlDecompose(tbl(spark, dir, "events"), halfWindow = 12)
       .orderBy("event_type", "pos")
 
+  /** DTW shape distance between every event-type pair's hour-of-day
+    * profile (exact integer cents; band 24 = full DTW — see
+    * TimeSeries.dtwProfileDistances). */
+  def timeseriesDtw(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.dtwProfileDistances(tbl(spark, dir, "events"), band = 24)
+      .orderBy("et_a", "et_b")
+
   /** Seasonality-aware anomaly screen: hours whose STL residual exceeds
     * 3 × MAD from the series' median residual (see
     * TimeSeries.stlResidualAnomalies) — "surprising GIVEN trend and
@@ -4104,6 +4111,7 @@ object ExtQueries {
     "graph_walk_pairs" -> (graphWalkPairs _),
     "timeseries_stl" -> (timeseriesStl _),
     "timeseries_crosscorr" -> (timeseriesCrosscorr _),
+    "timeseries_dtw" -> (timeseriesDtw _),
     "embed_pca_loadings" -> (embedPcaLoadings _),
     "embed_pca_scores" -> (embedPcaScores _),
     "sample_kcenter" -> (sampleKcenter _),

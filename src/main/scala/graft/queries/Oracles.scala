@@ -4103,6 +4103,50 @@ object Oracles {
         |WHERE dv.adev > 3.0 * mad.mad
         |ORDER BY dv.event_type, pos""".stripMargin,
 
+    // Full DTW over hour-of-day profiles as a recursive anti-diagonal
+    // relaxation: the working set carries the last TWO diagonals (each
+    // row lives exactly 2 iterations — new at front f, carried once to
+    // front f+1); a new cell on diag f+1 min-aggregates its ≤3
+    // predecessors ((i-1,j),(i,j-1) on diag f and (i-1,j-1) on f-1, all
+    // and only the adjacent working-set cells on those diagonals). The
+    // (na,nb) corner is created on the final diagonal and never carried,
+    // so it appears exactly once in the accumulated result.
+    "timeseries_dtw" ->
+      """WITH RECURSIVE
+        |pq AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |         sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
+        |       FROM events GROUP BY 1, 2),
+        |nn AS (SELECT event_type, count(*) AS n FROM pq GROUP BY 1),
+        |ix AS (SELECT event_type, qv,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY hod) AS i FROM pq),
+        |cost AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+        |           a.i AS i, b.i AS j, abs(a.qv - b.qv) AS c,
+        |           na.n AS na, nb.n AS nb
+        |         FROM ix a JOIN ix b ON a.event_type < b.event_type
+        |         JOIN nn na ON na.event_type = a.event_type
+        |         JOIN nn nb ON nb.event_type = b.event_type),
+        |dp AS (
+        |  SELECT et_a, et_b, na, nb, i, j, c AS d, 2 AS diag, 2 AS front
+        |  FROM cost WHERE i = 1 AND j = 1
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    SELECT p.et_a, p.et_b, p.na, p.nb, c.i, c.j, c.c + min(p.d) AS d,
+        |           p.front + 1 AS diag, p.front + 1 AS front
+        |    FROM dp p
+        |    JOIN cost c ON c.et_a = p.et_a AND c.et_b = p.et_b
+        |      AND c.i + c.j = p.front + 1
+        |      AND ((c.i = p.i + 1 AND c.j = p.j) OR (c.i = p.i AND c.j = p.j + 1)
+        |           OR (c.i = p.i + 1 AND c.j = p.j + 1))
+        |    GROUP BY p.et_a, p.et_b, p.na, p.nb, c.i, c.j, c.c, p.front
+        |    UNION ALL
+        |    SELECT et_a, et_b, na, nb, i, j, d, diag, front + 1
+        |    FROM dp WHERE diag = front AND front < na + nb
+        |  ) z
+        |)
+        |SELECT et_a, et_b, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(d AS BIGINT) AS dtw_cost
+        |FROM dp WHERE i = na AND j = nb ORDER BY et_a, et_b""".stripMargin,
+
     // Lagged cross-correlation moments between series pairs aligned on
     // absolute epoch hours, lags 0..6 — the autocorr moment contract
     // applied across series.

@@ -318,6 +318,46 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(p.toSeq === Seq((2L,4L,1L,333333L), (3L,4L,1L,333333L)))
   }
 
+  test("graft_dtw_band: hand-computed costs, warping vs banded vs unreachable") {
+    graft.expressions.GraftFunctions.register(spark)
+    def dtw(a: Seq[Long], b: Seq[Long], band: Int): Long =
+      spark.sql(s"SELECT graft_dtw_band(array(${a.mkString(",")}L), " +
+        s"array(${b.mkString(",")}L), $band)").head().getLong(0)
+    // classic: 1 aligns to the first 2, rest matches exactly
+    assert(dtw(Seq(1L, 2L, 3L), Seq(2L, 2L, 3L), 3) === 1L)
+    // identical series: zero at any band
+    assert(dtw(Seq(7L, 1L, 4L), Seq(7L, 1L, 4L), 0) === 0L)
+    // a one-step phase shift warps away entirely with a full band...
+    assert(dtw(Seq(0L, 0L, 5L, 0L, 0L), Seq(0L, 5L, 0L, 0L, 0L), 5) === 0L)
+    // ...but band = 0 forces the diagonal: pointwise L1 = 5 + 5
+    assert(dtw(Seq(0L, 0L, 5L, 0L, 0L), Seq(0L, 5L, 0L, 0L, 0L), 0) === 10L)
+    // band narrower than the length gap cannot connect the corners
+    assert(dtw(Seq(1L, 1L, 1L, 1L), Seq(1L), 1) >=
+      graft.expressions.GraftHash.DtwInf)
+  }
+
+  test("dtwProfileDistances: phase-shifted daily profiles warp to near zero") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // type a peaks at hour 6, type b is the SAME profile rotated +1h,
+    // type c is flat: DTW(a,b) small (one warp step), DTW(a,c) large
+    def mk(et: String, peak: Int) = (0 until 48).map { h =>
+      val v = if (h % 24 == peak) 50.0 else 10.0
+      (new java.sql.Timestamp(base.getTime + h * 3600_000L), et, v)
+    }
+    val flat = (0 until 48).map { h =>
+      (new java.sql.Timestamp(base.getTime + h * 3600_000L), "c", 10.0)
+    }
+    val events = (mk("a", 6) ++ mk("b", 7) ++ flat)
+      .toDF("ts", "event_type", "value")
+    val d = TimeSeries.dtwProfileDistances(events, band = 24).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("dtw_cost")).toMap
+    // the rotated peak needs only boundary-cell slack; a flat series must
+    // absorb the whole 4000-cent peak twice (once per series' peak hour)
+    assert(d(("a", "b")) < d(("a", "c")),
+      s"shifted profile must be closer than flat: $d")
+    assert(d(("a", "c")) >= 4000L && d(("b", "c")) >= 4000L)
+  }
+
   test("neighborJaccard: hand-computed ppm; adjacent pairs excluded") {
     // star 1-{2,3,4} plus edge 2-3: non-adjacent candidates (2,4),(3,4).
     // deg 2 = deg 3 = 2, deg 4 = 1, common = 1 (hub 1) ->
