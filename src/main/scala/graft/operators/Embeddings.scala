@@ -120,11 +120,9 @@ object Embeddings {
     * pass is data-scale, and it stays distributed. BigInt /, abs and
     * sign match the SQL `div`/abs/CASE semantics exactly (truncation
     * toward zero on the non-negative operands used here). */
-  def pcaPowerLoadings(emb: DataFrame, iters: Int, dim: Int = 64): DataFrame = {
-    require(iters >= 1)
-    val spark = emb.sparkSession
-    // assemble C = n·Σxy − Σx·Σy from the one-pass stats, driver-side
-    // (dim·(dim+3)/2 rows — metadata-scale, the centroid-pull contract)
+  /** Assemble C = n·Σxy − Σx·Σy from the one-pass stats, driver-side
+    * (dim·(dim+3)/2 rows — metadata-scale, the centroid-pull contract). */
+  private def covMatrix(emb: DataFrame, dim: Int): Array[Array[BigInt]] = {
     val rows = gramStats(emb, dim).collect()
     var n = BigInt(0)
     val si = Array.ofDim[BigInt](dim)
@@ -134,20 +132,71 @@ object Embeddings {
       if (j < 0) { si(i) = s; n = BigInt(r.getLong(3)) }
       else { sij(i)(j) = s; sij(j)(i) = s }
     }
-    val cov = Array.tabulate(dim, dim)((i, j) => n * sij(i)(j) - si(i) * si(j))
-    val scale = BigInt(1000000)
-    var x = Array.fill(dim)(scale)
+    Array.tabulate(dim, dim)((i, j) => n * sij(i)(j) - si(i) * si(j))
+  }
+
+  private val PpmScale = BigInt(1000000)
+
+  /** `iters` power steps from the all-ones start, each rescaled to
+    * max|component| = 1e6 by truncated division — RAW (no sign
+    * canonicalisation; flip at output with [[canonSign]]). */
+  private def powerLadder(mat: Array[Array[BigInt]], dim: Int, iters: Int): Array[BigInt] = {
+    var x = Array.fill(dim)(PpmScale)
     for (_ <- 1 to iters) {
       val y = Array.tabulate(dim)(i =>
-        (0 until dim).foldLeft(BigInt(0))((a, j) => a + cov(i)(j) * x(j)))
+        (0 until dim).foldLeft(BigInt(0))((a, j) => a + mat(i)(j) * x(j)))
       val m = y.map(_.abs).max
-      require(m > 0, "degenerate covariance: corpus has no variance")
-      x = y.map(v => (if (v < 0) -BigInt(1) else BigInt(1)) * ((scale * v.abs) / m))
+      require(m > 0, "degenerate matrix: no variance along any axis")
+      x = y.map(v => (if (v < 0) -BigInt(1) else BigInt(1)) * ((PpmScale * v.abs) / m))
     }
-    // canonical sign: the lowest dim attaining |v| = 1e6 ends positive
-    val s = if (x(x.indexWhere(_.abs == scale)) < 0) -1L else 1L
+    x
+  }
+
+  /** Canonical sign: flip so the lowest dim attaining |v| = 1e6 is
+    * positive. */
+  private def canonSign(x: Array[BigInt]): Long =
+    if (x(x.indexWhere(_.abs == PpmScale)) < 0) -1L else 1L
+
+  def pcaPowerLoadings(emb: DataFrame, iters: Int, dim: Int = 64): DataFrame = {
+    require(iters >= 1)
+    val spark = emb.sparkSession
+    val x = powerLadder(covMatrix(emb, dim), dim, iters)
+    val s = canonSign(x)
     import spark.implicits._
     x.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong * s) }.toSeq
+      .toDF("dim", "loading_ppm")
+  }
+
+  /** SECOND principal component by exact integer Hotelling deflation:
+    * run the PC1 ladder, coarsen the raw PC1 direction to per-mille
+    * (v' = v div 1000 — magnitudes chosen so every oracle-side product
+    * stays inside decimal(38)/HUGEINT), then power-iterate the deflated
+    * matrix D = C − trunc(T·v'_i·v'_j / S²) where S = v'ᵀv' and
+    * T = v'ᵀCv' — the integer form of C − λ·vvᵀ/(vᵀv) with per-entry
+    * truncation toward zero (sign-magnitude division, identical in
+    * BigInt and the oracle's CASE/abs/`//` form). The deflation is
+    * approximate exactly as classical Hotelling deflation is (v' is 8
+    * power steps from the true eigenvector, and the per-entry trunc
+    * perturbs D by < 1 against entries ~1e17) — but bit-reproducible:
+    * both engines build the SAME D and ladder it identically.
+    *
+    * Scale shape: same as PC1 — the one-pass distributed Gram is the
+    * only data-scale work; both ladders and the deflation fold
+    * driver-side in exact BigInt over the dim² matrix. */
+  def pcaSecondLoadings(emb: DataFrame, iters: Int, dim: Int = 64): DataFrame = {
+    require(iters >= 1)
+    val spark = emb.sparkSession
+    val cov = covMatrix(emb, dim)
+    val x1 = powerLadder(cov, dim, iters)
+    val vp = x1.map(_ / 1000) // BigInt /: truncation toward zero
+    val s2 = vp.map(v => v * v).sum
+    val t = (for { i <- 0 until dim; j <- 0 until dim }
+      yield vp(i) * cov(i)(j) * vp(j)).sum
+    val d = Array.tabulate(dim, dim)((i, j) => cov(i)(j) - (t * vp(i) * vp(j)) / (s2 * s2))
+    val x2 = powerLadder(d, dim, iters)
+    val s = canonSign(x2)
+    import spark.implicits._
+    x2.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong * s) }.toSeq
       .toDF("dim", "loading_ppm")
   }
 

@@ -3773,6 +3773,12 @@ object ExtQueries {
     Embeddings.pcaPowerLoadings(tbl(spark, dir, "embeddings"), iters = 8)
       .orderBy("dim")
 
+  /** SECOND principal component via exact integer Hotelling deflation
+    * (see [[graft.operators.Embeddings.pcaSecondLoadings]]). */
+  def embedPca2Loadings(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.pcaSecondLoadings(tbl(spark, dir, "embeddings"), iters = 8)
+      .orderBy("dim")
+
   /** Top-20 vectors by |projection| onto the top principal component —
     * the corpus-diversity/outlier probe (see
     * [[graft.operators.Embeddings.pcaScoresTopK]]). */
@@ -4113,6 +4119,7 @@ object ExtQueries {
     "timeseries_crosscorr" -> (timeseriesCrosscorr _),
     "timeseries_dtw" -> (timeseriesDtw _),
     "embed_pca_loadings" -> (embedPcaLoadings _),
+    "embed_pca2_loadings" -> (embedPca2Loadings _),
     "embed_pca_scores" -> (embedPcaScores _),
     "sample_kcenter" -> (sampleKcenter _),
     "profile_corr_matrix" -> (profileCorrMatrix _),

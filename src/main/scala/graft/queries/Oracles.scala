@@ -215,6 +215,37 @@ object Oracles {
        |       FROM x8 x JOIN fm ON x.dim = fm.dim)""".stripMargin
   }
 
+  /** Second-PC ladder: Hotelling deflation of `cov` by the RAW x8
+    * direction coarsened to per-mille (sign-magnitude `//` = BigInt
+    * truncation toward zero; magnitudes sized so t·v·v ≤ ~1e33 ≪
+    * HUGEINT), then the same 8-step ladder on cov2 as z1..z8. */
+  private val pca2Ctes: String = {
+    def step(k: Int): String =
+      s"""zy$k AS (SELECT c.i AS dim, sum(c.c * x.v) AS y
+         |  FROM cov2 c JOIN z${k - 1} x ON c.j = x.dim GROUP BY 1),
+         |zm$k AS (SELECT max(abs(y)) AS m FROM zy$k),
+         |z$k AS MATERIALIZED (SELECT dim,
+         |    (CASE WHEN y < 0 THEN -1 ELSE 1 END) *
+         |      ((CAST(1000000 AS HUGEINT) * abs(y)) // m) AS v
+         |  FROM zy$k, zm$k)""".stripMargin
+    s"""vp AS (SELECT dim,
+       |    (CASE WHEN v < 0 THEN -1 ELSE 1 END) * (abs(v) // 1000) AS v
+       |  FROM x8),
+       |vps AS (SELECT sum(v * v) AS s FROM vp),
+       |vpt AS (SELECT sum(a.v * c.c * b.v) AS t
+       |       FROM cov c JOIN vp a ON c.i = a.dim JOIN vp b ON c.j = b.dim),
+       |cov2 AS MATERIALIZED (SELECT c.i, c.j,
+       |    c.c - (CASE WHEN vpt.t * a.v * b.v < 0 THEN -1 ELSE 1 END) *
+       |      (abs(vpt.t * a.v * b.v) // (vps.s * vps.s)) AS c
+       |  FROM cov c JOIN vp a ON c.i = a.dim JOIN vp b ON c.j = b.dim, vps, vpt),
+       |z0 AS (SELECT unnest(generate_series(0, 63)) AS dim,
+       |         CAST(1000000 AS HUGEINT) AS v),
+       |${(1 to 8).map(step).mkString(",\n")},
+       |zfm AS (SELECT min(dim) AS dim FROM z8 WHERE abs(v) = 1000000),
+       |zfl AS (SELECT CASE WHEN x.v < 0 THEN -1 ELSE 1 END AS s
+       |        FROM z8 x JOIN zfm ON x.dim = zfm.dim)""".stripMargin
+  }
+
   /** Content-defined chunking census (dedup_cdc_chunks and its streaming
     * twin): boundary where the trailing-8-char polynomial hash % 64 = 0
     * (interior positions only), chunks sliced between boundaries,
@@ -4173,6 +4204,13 @@ object Oracles {
       s"""$pcaCtes
          |SELECT x.dim AS dim, CAST(x.v * fl.s AS BIGINT) AS loading_ppm
          |FROM x8 x, fl ORDER BY dim""".stripMargin,
+
+    // Second PC: the shared ladder, deflation, second ladder, own flip.
+    "embed_pca2_loadings" ->
+      s"""$pcaCtes,
+         |$pca2Ctes
+         |SELECT x.dim AS dim, CAST(x.v * zfl.s AS BIGINT) AS loading_ppm
+         |FROM z8 x, zfl ORDER BY dim""".stripMargin,
 
     // Banding-knob sweep: per config b bands over the same 16-hash
     // signature, bucket census + exact candidate count from bucket sizes.

@@ -91,6 +91,34 @@ class WalksEmbeddingsSpec extends SparkSpec {
     assert(again === l)
   }
 
+  test("pcaSecondLoadings: second planted axis recovered after deflation, near-orthogonal") {
+    val dim = 8
+    // dim 2 dominates, dim 6 is the clear runner-up, independent signs
+    val rows = (0 until 40).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(2) = if (i % 2 == 0) 0.9f else -0.9f
+      v(6) = if ((i / 2) % 2 == 0) 0.3f else -0.3f
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val l1 = Embeddings.pcaPowerLoadings(emb, iters = 8, dim = dim).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l2 = Embeddings.pcaSecondLoadings(emb, iters = 8, dim = dim).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1(2L) === 1000000L && l2(6L) === 1000000L,
+      s"PC1 must be the planted dominant axis, PC2 the runner-up: $l1 / $l2")
+    assert(l2.filterKeys(_ != 6L).values.forall(v => math.abs(v) < 100000L),
+      s"PC2 off-axis loadings should be small: $l2")
+    // near-orthogonality in ppm² units (|cos| << 1)
+    val dot = (0 until dim).map(i => l1(i.toLong) * l2(i.toLong)).sum
+    assert(math.abs(dot) < 100000L * 1000000L / 10,
+      s"PC1 . PC2 must be near zero: $dot")
+    // bit-reproducible across partitionings (the whole ladder is exact)
+    val again = Embeddings.pcaSecondLoadings(emb.repartition(7), 8, dim).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === l2)
+  }
+
   test("pcaScoresTopK: scores are the exact integer projection, top-k by |score|") {
     val dim = 8
     val rows = (0 until 30).map { i =>
