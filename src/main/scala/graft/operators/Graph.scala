@@ -480,7 +480,16 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = bidir(edges).persist(lvl)
     val nodes = e.select(col("src").as("node")).distinct()
-    val rootF = nodes.agg(min("node").as("root"))
+    val dist = bfsFullFrom(e, nodes, nodes.agg(min("node").as("root")))
+    e.unpersist()
+    dist
+  }
+
+  /** The [[bfsDistancesFull]] fixpoint loop from an ARBITRARY 1-row root
+    * frame (column `root`), resolved in-plan — shared by the min-root
+    * form and the double-sweep diameter probe. `e` must already be
+    * bidirected (and persisted by the caller). */
+  private def bfsFullFrom(e: DataFrame, nodes: DataFrame, rootF: DataFrame): DataFrame = {
     var dist = nodes.crossJoin(broadcast(rootF))
       .select(col("node"), when(col("node") === col("root"), 0L).as("dist"))
       .localCheckpoint()
@@ -499,8 +508,46 @@ object Graph {
       changed = s > prev
       prev = s
     }
-    e.unpersist()
     dist
+  }
+
+  /** DIAMETER lower bound by the double sweep (Magnien-Latapy-Habib
+    * 2009): BFS from the min-id node, re-root at the farthest node
+    * reached (a peripheral vertex — max dist, ties to the min id), BFS
+    * again; the second eccentricity is the classic lower bound that is
+    * EXACT on trees and empirically tight on real graphs — two BFS
+    * fixpoints instead of |V| (the all-pairs eccentricity nobody runs at
+    * scale). One row out: both sweep roots, the antipodal endpoint, the
+    * bound, and the component size it was measured in (the min-id
+    * node's component — unreached components are excluded, exactly as a
+    * per-component diameter wants). Both argmax picks are 1-row
+    * max(struct) reductions resolved in-plan — no driver-side topology.
+    */
+  def diameterDoubleSweep(edges: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = bidir(edges).persist(lvl)
+    val nodes = e.select(col("src").as("node")).distinct().persist(lvl)
+    val startF = nodes.agg(min("node").as("start_node")).localCheckpoint()
+    val d1 = bfsFullFrom(e, nodes,
+      startF.select(col("start_node").as("root")))
+    val uRow = d1.filter(col("dist").isNotNull)
+      .agg(max(struct(col("dist"), (-col("node")).as("negn"))).as("b"))
+      .select(col("b.dist").as("first_sweep_ecc"), (-col("b.negn")).as("root"))
+      .localCheckpoint()
+    val d2 = bfsFullFrom(e, nodes, uRow.select(col("root")))
+    val out = d2.filter(col("dist").isNotNull)
+      .agg(max(struct(col("dist"), (-col("node")).as("negn"))).as("b"),
+        count(lit(1)).as("n_reached"))
+      .crossJoin(broadcast(uRow
+        .select(col("root").as("peripheral"), col("first_sweep_ecc"))))
+      .crossJoin(broadcast(startF))
+      .select(col("start_node"), col("first_sweep_ecc"), col("peripheral"),
+        (-col("b.negn")).as("antipode"), col("b.dist").as("diameter_lb"),
+        col("n_reached"))
+      .localCheckpoint()
+    nodes.unpersist()
+    e.unpersist()
+    out
   }
 
   /** k-TRUSS of the undirected graph, run to the true fixpoint: the

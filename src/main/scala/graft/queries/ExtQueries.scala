@@ -3431,6 +3431,13 @@ object ExtQueries {
       Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L))
       .orderBy("node")
 
+  /** Diameter lower bound of the co-part graph by the double sweep —
+    * two BFS fixpoints instead of |V| (see
+    * [[graft.operators.Graph.diameterDoubleSweep]]). */
+  def graphDiameter(spark: SparkSession, dir: String): DataFrame =
+    Graph.diameterDoubleSweep(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L))
+
   /** Weighted single-source shortest paths from the min node of the
     * thresholded co-part graph, edge cost = inverse affinity
     * (1 + 1000 div co-count), run to the true Bellman-Ford fixpoint
@@ -4136,6 +4143,7 @@ object ExtQueries {
     "graph_ktruss" -> (graphKtruss _),
     "graph_link_prediction" -> (graphLinkPrediction _),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard _),
+    "graph_diameter" -> (graphDiameter _),
     "graph_scc" -> (graphScc _),
     "graph_hits" -> (graphHits _),
     "graph_ppr" -> (graphPpr _),

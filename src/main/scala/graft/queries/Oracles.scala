@@ -3522,6 +3522,40 @@ object Oracles {
         |md AS (SELECT node, min(dist) AS dist FROM walk GROUP BY 1)
         |SELECT n0.node, md.dist FROM n0 LEFT JOIN md USING (node) ORDER BY n0.node""".stripMargin,
 
+    // Double-sweep diameter bound: BFS walk from the min node, re-root
+    // at the farthest reached node (tie min id), walk again; the second
+    // sweep's eccentricity is the bound. Same UNION-walk fixpoint as
+    // graph_bfs_full, run twice with the second root data-dependent.
+    "graph_diameter" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |n0 AS (SELECT DISTINCT src AS node FROM e),
+        |rt AS (SELECT min(node) AS root FROM n0),
+        |walk1(node, dist) AS (
+        |  SELECT root, CAST(0 AS BIGINT) FROM rt
+        |  UNION
+        |  SELECT e.dst, w.dist + 1 FROM walk1 w JOIN e ON e.src = w.node
+        |  WHERE w.dist + 1 < (SELECT count(*) FROM n0)
+        |),
+        |md1 AS (SELECT node, min(dist) AS dist FROM walk1 GROUP BY 1),
+        |u AS (SELECT node AS root, dist AS ecc0 FROM md1 ORDER BY dist DESC, node LIMIT 1),
+        |walk2(node, dist) AS (
+        |  SELECT root, CAST(0 AS BIGINT) FROM u
+        |  UNION
+        |  SELECT e.dst, w.dist + 1 FROM walk2 w JOIN e ON e.src = w.node
+        |  WHERE w.dist + 1 < (SELECT count(*) FROM n0)
+        |),
+        |md2 AS (SELECT node, min(dist) AS dist FROM walk2 GROUP BY 1),
+        |f AS (SELECT node AS antipode, dist AS dlb FROM md2 ORDER BY dist DESC, node LIMIT 1)
+        |SELECT (SELECT root FROM rt) AS start_node,
+        |  CAST((SELECT ecc0 FROM u) AS BIGINT) AS first_sweep_ecc,
+        |  (SELECT root FROM u) AS peripheral,
+        |  (SELECT antipode FROM f) AS antipode,
+        |  CAST((SELECT dlb FROM f) AS BIGINT) AS diameter_lb,
+        |  (SELECT count(*) FROM md2) AS n_reached""".stripMargin,
+
     // SCC census of the functional part-key graph: ground truth by
     // transitive closure — u,v share an SCC iff mutually reachable; a node
     // is cyclic iff it reaches itself. The engine computes the same census

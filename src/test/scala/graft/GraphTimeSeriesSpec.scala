@@ -318,6 +318,24 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(p.toSeq === Seq((2L,4L,1L,333333L), (3L,4L,1L,333333L)))
   }
 
+  test("diameterDoubleSweep: exact on trees, component-scoped") {
+    // path 1-2-3-4-5: diameter 4; double sweep is exact on trees
+    val p = Graph.diameterDoubleSweep(edgesDf((1L,2L),(2L,3L),(3L,4L),(4L,5L))).head()
+    assert((p.getAs[Long]("start_node"), p.getAs[Long]("first_sweep_ecc"),
+      p.getAs[Long]("peripheral"), p.getAs[Long]("antipode"),
+      p.getAs[Long]("diameter_lb"), p.getAs[Long]("n_reached")) ===
+      ((1L, 4L, 5L, 1L, 4L, 5L)))
+    // min-id start is a leaf off the centre: sweep re-roots at 5, bound
+    // still the true diameter 3 (antipode tie -> min id 1)
+    val q = Graph.diameterDoubleSweep(edgesDf((3L,1L),(3L,2L),(3L,4L),(4L,5L))).head()
+    assert((q.getAs[Long]("peripheral"), q.getAs[Long]("antipode"),
+      q.getAs[Long]("diameter_lb")) === ((5L, 1L, 3L)))
+    // second component (10-11) is invisible to the min-id component's probe
+    val r = Graph.diameterDoubleSweep(
+      edgesDf((1L,2L),(2L,3L),(10L,11L))).head()
+    assert(r.getAs[Long]("diameter_lb") === 2L && r.getAs[Long]("n_reached") === 3L)
+  }
+
   test("graft_dtw_band: hand-computed costs, warping vs banded vs unreachable") {
     graft.expressions.GraftFunctions.register(spark)
     def dtw(a: Seq[Long], b: Seq[Long], band: Int): Long =
