@@ -258,6 +258,39 @@ object TimeSeries {
         (col("qv") - col("trend") - col("seasonal")).as("resid"))
   }
 
+  /** Theil-Sen robust trend per event-type hourly series: the MEDIAN of
+    * all pairwise slopes — the trend estimator with a 29% breakdown
+    * point, immune to the outliers that drag an OLS slope (the reason a
+    * drift monitor prefers it). Each pairwise slope is the exact integer
+    * (Δcents·10⁶) div Δhours with sign-magnitude truncating division
+    * (identical in both engines on the non-negative magnitudes); only
+    * the median is float (the anomaly_mad percentile pairing, round 6).
+    *
+    * Scale shape: the raw-events → hourly reduce is the only data-scale
+    * pass; the pair self-join is series-length² per type — TIME-bounded
+    * (thousands of points → ~10⁶ pair rows per type), never data-scale.
+    * Past ~10⁵ points per series, subsample pairs by a hash coin — the
+    * standard Theil-Sen scaling move — before the median. */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val s = hourlyCentSeries(events)
+      .withColumn("hrs", expr("unix_timestamp(hr) div 3600"))
+    val a = s.select(col("event_type"), col("qv").as("qa"), col("hrs").as("ha"))
+    val b = s.select(col("event_type"), col("qv").as("qb"), col("hrs").as("hb"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("ha") < col("hb"))
+      .select(col("event_type"),
+        expr("""(CASE WHEN qb - qa < 0 THEN -1 ELSE 1 END) *
+               |((abs(qb - qa) * 1000000) div (hb - ha))""".stripMargin)
+          .as("slope"))
+    slopes.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5)").as("m"))
+      .join(s.groupBy("event_type").agg(count(lit(1)).as("n_points")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n_points"), col("n_pairs"),
+        round(col("m"), 6).as("slope_ppm_per_hr"))
+  }
+
   /** Shape similarity between every event-type pair's HOUR-OF-DAY
     * profile by banded dynamic time warping — "do these two metrics have
     * the same daily rhythm, possibly phase-shifted?", the elastic

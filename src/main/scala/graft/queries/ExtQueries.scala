@@ -3750,6 +3750,12 @@ object ExtQueries {
     TimeSeries.stlDecompose(tbl(spark, dir, "events"), halfWindow = 12)
       .orderBy("event_type", "pos")
 
+  /** Theil-Sen robust trend per event-type hourly series — median of
+    * exact integer pairwise slopes (see TimeSeries.theilSenTrend). */
+  def timeseriesTheilsen(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.theilSenTrend(tbl(spark, dir, "events"))
+      .orderBy("event_type")
+
   /** DTW shape distance between every event-type pair's hour-of-day
     * profile (exact integer cents; band 24 = full DTW — see
     * TimeSeries.dtwProfileDistances). */
@@ -4125,6 +4131,7 @@ object ExtQueries {
     "timeseries_stl" -> (timeseriesStl _),
     "timeseries_crosscorr" -> (timeseriesCrosscorr _),
     "timeseries_dtw" -> (timeseriesDtw _),
+    "timeseries_theilsen" -> (timeseriesTheilsen _),
     "embed_pca_loadings" -> (embedPcaLoadings _),
     "embed_pca2_loadings" -> (embedPca2Loadings _),
     "embed_pca_scores" -> (embedPcaScores _),

@@ -336,6 +336,21 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Long]("diameter_lb") === 2L && r.getAs[Long]("n_reached") === 3L)
   }
 
+  test("theilSenTrend: outlier-immune median slope on a planted ramp") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 2 cents/hour ramp, with 3 wild spikes an OLS fit would chase
+    val events = (0 until 60).map { h =>
+      val v = if (h == 10 || h == 30 || h == 50) 500.0 else 0.02 * h
+      (new java.sql.Timestamp(base.getTime + h * 3600_000L), "a", v)
+    }.toDF("ts", "event_type", "value")
+    val r = TimeSeries.theilSenTrend(events).head()
+    assert(r.getAs[Long]("n_points") === 60L)
+    assert(r.getAs[Long]("n_pairs") === 60L * 59 / 2)
+    // most pairs avoid the 3 outliers: median slope = exactly 2e6 ppm/hr
+    assert(r.getAs[Double]("slope_ppm_per_hr") === 2000000.0,
+      s"robust slope must be the ramp's: ${r}")
+  }
+
   test("graft_dtw_band: hand-computed costs, warping vs banded vs unreachable") {
     graft.expressions.GraftFunctions.register(spark)
     def dtw(a: Seq[Long], b: Seq[Long], band: Int): Long =
