@@ -41,6 +41,47 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
   }
 
+  /** SQ8 scalar-quantised search: coarse-rank candidates by the dot
+    * product of SYMMETRIC INT8 codes (q8 = sign·(|q|·127 div max|q|),
+    * max|q| a corpus scalar — at rest these are 1 byte/dim, an 8×
+    * narrower candidate scan than the micro-unit vectors), keep the
+    * `refine` deepest per probe, rerank that shortlist by the exact
+    * cosine. The third compression point on the recall/scan-width curve
+    * beside IVF (prune by cell) and IVF-PQ (codebook compression):
+    * SQ8 scans everything but reads almost nothing per row.
+    *
+    * All integer steps are exact and engine-identical (sign-magnitude
+    * truncating division; int8 dots ≤ 64·127² ≪ int64); only the rerank
+    * cosine is the standard float dag. Probe side broadcasts; the
+    * corpus streams map-side; the only shuffle is the per-probe top-R.
+    * max|q| rides a 1-row crossJoin (the audited scalar pattern). */
+  def sq8TopK(emb: DataFrame, k: Int, refine: Int,
+      probePred: org.apache.spark.sql.Column): DataFrame = {
+    require(refine >= k)
+    val q = quantized(emb)
+    val mF = q.agg(
+      max(expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x)))"))
+        .as("m"))
+    val coded = q.crossJoin(broadcast(mF))
+      .withColumn("q8", expr(
+        "transform(qv, x -> (CASE WHEN x < 0 THEN -1 ELSE 1 END) * " +
+          "((abs(x) * 127) div m))"))
+    val probes = coded.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pqv"),
+        col("nrm").as("pnrm"), col("q8").as("p8"))
+    val wc = Window.partitionBy("probe_id").orderBy(col("coarse").desc, col("vec_id"))
+    val wr = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(probes).join(coded, col("probe_id") =!= col("vec_id"))
+      .withColumn("coarse", qdot(col("p8"), col("q8")))
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= refine)
+      .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"),
+        col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold.
     * All-pairs here (fine at testdata scale); at 100 TB the LSH-bucketed
     * variant below bounds the pair space first. */

@@ -313,6 +313,32 @@ object ExtQueries {
     Similarity.bruteForceTopK(tbl(spark, dir, "embeddings"), col("vec_id") < 5, 10)
       .orderBy("probe_id", "rk")
 
+  /** SQ8 scalar-quantised top-10 (coarse int8-code ranking, exact rerank
+    * of the 20-deep shortlist — see
+    * [[graft.operators.Similarity.sq8TopK]]). */
+  def simsearchSq8(spark: SparkSession, dir: String): DataFrame =
+    Similarity.sq8TopK(tbl(spark, dir, "embeddings"), k = 10, refine = 20,
+      probePred = col("vec_id") < 5)
+      .orderBy("probe_id", "rk")
+
+  /** Recall@5 of SQ8 vs the exact truth — the scan-width point on the
+    * recall curve beside IVF and IVF-PQ. */
+  def simsearchRecallSq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 5)
+      .select("probe_id", "vec_id")
+    val approx = Similarity.sq8TopK(emb, k = 5, refine = 20,
+      probePred = col("vec_id") < 5)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      .orderBy("probe_id")
+  }
+
   /** ColBERT-style MaxSim late interaction: 4 sub-vectors per embedding,
     * exact integer Σ-of-max-dot scoring, top-10 per probe — see
     * [[graft.operators.Similarity.maxSimTopK]]. */
@@ -4217,6 +4243,8 @@ object ExtQueries {
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
     "sample_stratified" -> (sampleStratified _),
     "simsearch_bruteforce" -> (simsearchBruteforce _),
+    "simsearch_sq8" -> (simsearchSq8 _),
+    "simsearch_recall_sq8" -> (simsearchRecallSq8 _),
     "simsearch_maxsim" -> (simsearchMaxsim _),
     "simsearch_range" -> (simsearchRange _),
     "simsearch_recall_range" -> (simsearchRecallRange _),

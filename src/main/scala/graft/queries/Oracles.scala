@@ -180,6 +180,27 @@ object Oracles {
   private def qdotPair(a: String, b: String): String =
     s"CAST(list_sum(list_transform(generate_series(1, len($a)), i_ -> $a[i_]*$b[i_])) AS BIGINT)"
 
+  /** Shared SQ8 CTE suffix on top of [[embCtes]]: int8 codes, coarse
+    * ranking, exact rerank of the 20-deep shortlist (rr carries rk). */
+  private lazy val sq8Ctes: String =
+    s"""$embCtes,
+       |mx AS (SELECT max(list_max(list_transform(qv, x_ -> abs(x_)))) AS m FROM f),
+       |cd AS (SELECT vec_id, qv, nrm,
+       |        list_transform(qv, x_ ->
+       |          (CASE WHEN x_ < 0 THEN -1 ELSE 1 END) * ((abs(x_) * 127) // mx.m)) AS q8
+       |      FROM f, mx),
+       |pr AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm, q8 AS p8
+       |       FROM cd WHERE vec_id < 5),
+       |co AS (SELECT pr.probe_id, c.vec_id, c.qv, c.nrm, pr.pqv, pr.pnrm,
+       |        ${qdotPair("pr.p8", "c.q8")} AS coarse
+       |      FROM pr JOIN cd c ON c.vec_id <> pr.probe_id),
+       |sh AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY coarse DESC, vec_id) AS crk FROM co),
+       |re AS (SELECT probe_id, vec_id,
+       |        CAST(${qdotPair("pqv", "qv")} AS DOUBLE) /
+       |         (sqrt(CAST(pnrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cosine
+       |      FROM sh WHERE crk <= 20),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM re)""".stripMargin
+
   /** Shared CTE prefix for the PCA family: exact HUGEINT covariance
     * numerator (n·Σxy − Σx·Σy over micro-unit quantised vectors, 0-based
     * dims) + 8 unrolled power steps, each rescaled to max|v| = 1e6 by
@@ -1500,6 +1521,30 @@ object Oracles {
          |  ON l.probe_id = t.probe_id AND l.vec_id = t.vec_id
          |GROUP BY t.probe_id ORDER BY t.probe_id""".stripMargin
     },
+
+    // SQ8: symmetric int8 codes (sign-magnitude // by the corpus max),
+    // coarse int dot ranking, exact-cosine rerank of the 20 shortlist.
+    "simsearch_sq8" ->
+      s"""$sq8Ctes
+         |SELECT probe_id, vec_id, rk, cosine FROM rr WHERE rk <= 10
+         |ORDER BY probe_id, rk""".stripMargin,
+
+    "simsearch_recall_sq8" ->
+      s"""$sq8Ctes,
+         |tp AS (SELECT p.vec_id AS probe_id, c.vec_id,
+         |   CAST(${qdotPair("p.qv", "c.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+         | FROM (SELECT * FROM f WHERE vec_id < 5) p JOIN f c ON c.vec_id <> p.vec_id),
+         |tr AS (SELECT probe_id, vec_id FROM (SELECT *,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+         |       FROM tp) WHERE rk <= 5),
+         |ah AS (SELECT probe_id, vec_id FROM rr WHERE rk <= 5)
+         |SELECT t.probe_id, CAST(count(*) AS BIGINT) AS n_true,
+         | CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+         | CAST(count(a.vec_id) AS DOUBLE) / count(*) AS recall
+         |FROM tr t LEFT JOIN ah a
+         |  ON a.probe_id = t.probe_id AND a.vec_id = t.vec_id
+         |GROUP BY t.probe_id ORDER BY t.probe_id""".stripMargin,
 
     "simsearch_bruteforce" ->
       s"""$embCtes,
