@@ -236,6 +236,37 @@ object ExtQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** b-BIT minhash estimate (Li & König 2010), b = 1: keep only each
+    * minhash's LOWEST BIT (16 bits ≈ 2 bytes per signature instead of
+    * 128 — the storage move that makes billion-doc signature stores
+    * cheap), estimate Jaccard from the bit-agreement rate by the b=1
+    * unbiasing Ĵ = 2A − 1 (clamped at 0), and report the error against
+    * the exact shingle Jaccard next to it — the accuracy harness the
+    * full-signature estimator already has, at 1/8 the signature bytes.
+    * All integer (parities, counts, ppm divisions); same banded
+    * candidate generation as every dedup tier — never all pairs. */
+  def dedupBbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val withSig = Dedup.shingleSets(docs).select(col("doc_id"), col("hs"),
+      minhashSig(col("hs"), Dedup.NumHashes).as("sig"))
+    Dedup.minhashCandidates(spark, docs)
+      .join(withSig.select(col("doc_id").as("doc_a"),
+        col("hs").as("ha"), col("sig").as("sa")), Seq("doc_a"))
+      .join(withSig.select(col("doc_id").as("doc_b"),
+        col("hs").as("hb"), col("sig").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x % 2 = y % 2, 1L, 0L)), " +
+          "0L, (acc, v) -> acc + v)").as("agree_bits"),
+        expr("size(array_intersect(ha, hb)) * 1000000L div size(array_union(ha, hb))")
+          .as("exact_ppm"))
+      .withColumn("est1bit_ppm",
+        greatest(lit(0L),
+          expr(s"(2000000 * agree_bits) div ${Dedup.NumHashes} - 1000000")))
+      .withColumn("err_ppm", abs(col("est1bit_ppm") - col("exact_ppm")))
+      .select("doc_a", "doc_b", "agree_bits", "est1bit_ppm", "exact_ppm", "err_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Scale-safe cluster output: one row per LSH cluster representative —
     * linear rows-out under any duplicate multiplicity (the pair form is
     * quadratic; see Dedup.lshClusters). */
@@ -1359,6 +1390,29 @@ object ExtQueries {
         expr("CASE WHEN te = 0 THEN 1000000 div k ELSE (1000000 * excess) div te END"))
       .select("source", "n_docs", "avg_ppm", "excess", "weight_ppm")
       .orderBy("source")
+  }
+
+  /** Effective sample size of the DoReMi mixture weights — the standard
+    * importance-sampling diagnostic ESS = (Σw)²/Σw² over per-doc weights
+    * (each doc carries its source's weight_ppm): "after this reweighting,
+    * how many nominal samples is the corpus still worth". Exact integer
+    * policy: ess_milli = 1000·(Σn_s·w_s)² div (Σn_s·w_s²) and
+    * ess_ratio_ppm = 10⁶·(Σn_s·w_s)² div (n_total·Σn_s·w_s²) in
+    * decimal(38,0) (the squared sums pass int64 at corpus scale). One
+    * source-cardinality reduce on top of the doremi frame — nothing
+    * data-scale beyond what doremi already scans. */
+  def sampleMixtureEss(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    sampleDoremi(spark, dir)
+      .agg(
+        sum("n_docs").as("n_total"),
+        count(lit(1)).as("k_sources"),
+        sum(dec(col("n_docs")) * dec(col("weight_ppm"))).as("sw"),
+        sum(dec(col("n_docs")) * dec(col("weight_ppm")) * dec(col("weight_ppm"))).as("sw2"))
+      .select(col("n_total"), col("k_sources"),
+        expr("CAST((1000 * sw * sw) div sw2 AS BIGINT)").as("ess_milli"),
+        expr("CAST((1000000 * sw * sw) div (CAST(n_total AS DECIMAL(38,0)) * sw2) AS BIGINT)")
+          .as("ess_ratio_ppm"))
   }
 
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
@@ -4222,6 +4276,7 @@ object ExtQueries {
     "dedup_lsh_persist" -> (dedupLshPersist _),
     "dedup_lsh_append" -> (dedupLshAppend _),
     "dedup_minhash_accuracy" -> (dedupMinhashAccuracy _),
+    "dedup_bbit_minhash" -> (dedupBbitMinhash _),
     "dedup_normalized" -> (dedupNormalized _),
     "pipeline_dedup_report" -> (pipelineDedupReport _),
     "pipeline_tokenizer_fertility" -> (pipelineTokenizerFertility _),
@@ -4262,6 +4317,7 @@ object ExtQueries {
     "text_readability" -> (textReadability _),
     "text_textrank" -> (textTextrank _),
     "sample_doremi" -> (sampleDoremi _),
+    "sample_mixture_ess" -> (sampleMixtureEss _),
     "text_token_count" -> (textTokenCount _),
     "text_simpson_diversity" -> (textSimpsonDiversity _),
     "text_token_bpe" -> (textTokenBpe _),

@@ -855,6 +855,30 @@ object Oracles {
          |FROM est e JOIN ex x USING (doc_a, doc_b)
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // b=1-bit minhash: agreement of signature parities, unbiased by
+    // J = 2A - 1 (clamped at 0), error vs the exact shingle Jaccard.
+    "dedup_bbit_minhash" ->
+      s"""$minhashCtes,
+         |est AS (SELECT p.doc_a, p.doc_b,
+         |          CAST(sum(CASE WHEN a.mh % 2 = b.mh % 2 THEN 1 ELSE 0 END) AS BIGINT) AS agree_bits
+         |        FROM pairs p
+         |        JOIN mh a ON a.doc_id = p.doc_a
+         |        JOIN mh b ON b.doc_id = p.doc_b AND a.seed = b.seed
+         |        GROUP BY 1, 2),
+         |ex AS (SELECT p.doc_a, p.doc_b,
+         |         CAST(len(list_intersect(x.hs, y.hs)) * 1000000
+         |           // len(list_distinct(x.hs || y.hs)) AS BIGINT) AS exact_ppm
+         |       FROM pairs p
+         |       JOIN sh0 x ON x.doc_id = p.doc_a
+         |       JOIN sh0 y ON y.doc_id = p.doc_b),
+         |e1 AS (SELECT e.doc_a, e.doc_b, e.agree_bits,
+         |         CAST(greatest(0, (2000000 * e.agree_bits) // 16 - 1000000) AS BIGINT) AS est1bit_ppm,
+         |         x.exact_ppm
+         |       FROM est e JOIN ex x USING (doc_a, doc_b))
+         |SELECT doc_a, doc_b, agree_bits, est1bit_ppm, exact_ppm,
+         |  abs(est1bit_ppm - exact_ppm) AS err_ppm
+         |FROM e1 ORDER BY doc_a, doc_b""".stripMargin,
+
     // Streaming lake merge converges to exactly-once content: census of
     // the source feed.
     "stream_lake_merge" ->
@@ -1768,6 +1792,32 @@ object Oracles {
          |  CAST(CASE WHEN tt.te = 0 THEN 1000000 // tt.k
          |       ELSE (1000000 * ex.excess) // tt.te END AS BIGINT) AS weight_ppm
          |FROM ex CROSS JOIN tt ORDER BY source""".stripMargin,
+
+    // ESS of the doremi weights: the doremi chain, then
+    // (sum n*w)^2 over sum n*w^2 in HUGEINT with truncating division.
+    "sample_mixture_ess" ->
+      s"""WITH $pplCtes,
+         |per AS (SELECT d2.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(r.ppx_ppm) AS BIGINT) AS s
+         |        FROM r JOIN documents d2 ON r.doc_id = d2.doc_id GROUP BY 1),
+         |pa AS (SELECT source, n_docs, s // n_docs AS avg_ppm FROM per),
+         |mn AS (SELECT min(avg_ppm) AS mn FROM pa),
+         |ex AS (SELECT pa.source, pa.n_docs, pa.avg_ppm - mn.mn AS excess
+         |       FROM pa CROSS JOIN mn),
+         |tt AS (SELECT CAST(sum(excess) AS BIGINT) AS te, count(*) AS k FROM ex),
+         |w AS (SELECT source, n_docs,
+         |        CASE WHEN tt.te = 0 THEN 1000000 // tt.k
+         |             ELSE (1000000 * ex.excess) // tt.te END AS weight_ppm
+         |      FROM ex CROSS JOIN tt),
+         |a AS (SELECT sum(n_docs) AS n_total, count(*) AS k_sources,
+         |        sum(CAST(n_docs AS HUGEINT) * weight_ppm) AS sw,
+         |        sum(CAST(n_docs AS HUGEINT) * weight_ppm * weight_ppm) AS sw2
+         |      FROM w)
+         |SELECT CAST(n_total AS BIGINT) AS n_total,
+         |  CAST(k_sources AS BIGINT) AS k_sources,
+         |  CAST((1000 * sw * sw) // sw2 AS BIGINT) AS ess_milli,
+         |  CAST((1000000 * sw * sw) // (CAST(n_total AS HUGEINT) * sw2) AS BIGINT) AS ess_ratio_ppm
+         |FROM a""".stripMargin,
 
     // Flesch reading-ease in exact milli-units: sentences = [.!?]+ runs,
     // syllables = vowel runs, floor division on non-negative numerators.
