@@ -947,14 +947,18 @@ object ExtQueries {
     * Scale shape: ONE data-scale partial-aggregatable pass to the
     * 3-column contingency cube (≤ |A|·|B|·|C| rows, group-cardinality);
     * every pair's grid, margins and cell sums run on that cube. */
-  def profileChi2Matrix(spark: SparkSession, dir: String): DataFrame = {
-    val o = tbl(spark, dir, "orders")
-    val cube = o.groupBy(
+  def profileChi2Matrix(spark: SparkSession, dir: String): DataFrame =
+    chi2FromCube(tbl(spark, dir, "orders").groupBy(
         col("o_orderpriority").as("c1"),
         col("o_orderstatus").as("c2"),
         year(col("o_orderdate")).cast("string").as("c3"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // tiny; reused by all three pairs
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The chi-square matrix from a (c1, c2, c3, cnt) contingency cube —
+    * shared by the batch profile and its incrementally-maintained
+    * streaming twin (the cube is the mergeable state: counts sum). */
+  private[graft] def chi2FromCube(cubeIn: DataFrame): DataFrame = {
+    val cube = cubeIn.localCheckpoint() // tiny; reused by all three pairs
     // name-sorted so col_a < col_b in the output
     val named = Seq("o_orderpriority" -> "c1", "o_orderstatus" -> "c2",
       "o_year" -> "c3")

@@ -236,6 +236,42 @@ object Oracles {
        |       FROM x8 x JOIN fm ON x.dim = fm.dim)""".stripMargin
   }
 
+  /** Pairwise chi-square matrix SQL — shared by the batch profile
+    * and its streaming twin (the merged cube converges exactly). */
+  private lazy val chi2MatrixSql: String = {
+      val cols = Seq(
+        "o_orderpriority" -> "o_orderpriority",
+        "o_orderstatus" -> "o_orderstatus",
+        "o_year" -> "CAST(year(o_orderdate) AS VARCHAR)")
+      val blocks = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield {
+        val (na, ea) = cols(i)
+        val (nb, eb) = cols(j)
+        s"""SELECT * FROM (
+           |WITH ct AS (SELECT $ea AS a, $eb AS b, count(*) AS nab FROM orders GROUP BY 1, 2),
+           |ra AS (SELECT a, sum(nab) AS ra FROM ct GROUP BY 1),
+           |cb AS (SELECT b, sum(nab) AS cb FROM ct GROUP BY 1),
+           |nt AS (SELECT sum(nab) AS n, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM ct),
+           |cells AS (SELECT nt.n, nt.ka, nt.kb,
+           |    ((CAST(coalesce(ct2.nab, 0) AS HUGEINT) * nt.n - CAST(ra.ra AS HUGEINT) * cb.cb)
+           |     * (CAST(coalesce(ct2.nab, 0) AS HUGEINT) * nt.n - CAST(ra.ra AS HUGEINT) * cb.cb)
+           |     * 1000000)
+           |    // (CAST(nt.n AS HUGEINT) * ra.ra * cb.cb) AS cell
+           |  FROM ra CROSS JOIN cb CROSS JOIN nt
+           |  LEFT JOIN ct ct2 ON ct2.a = ra.a AND ct2.b = cb.b),
+           |agg AS (SELECT any_value(n) AS n, any_value(ka) AS ka, any_value(kb) AS kb,
+           |    sum(cell) AS chi2 FROM cells)
+           |SELECT '$na' AS col_a, '$nb' AS col_b,
+           |  CAST(n AS BIGINT) AS n_rows, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+           |  CAST(chi2 AS BIGINT) AS chi2_micro,
+           |  round(sqrt((CAST(chi2 AS DOUBLE) / 1e6) /
+           |    CAST(n * least(ka - 1, kb - 1) AS DOUBLE)), 9) AS cramer_v
+           |FROM agg)""".stripMargin
+      }
+      blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+  }
+
   /** Second-PC ladder: Hotelling deflation of `cov` by the RAW x8
     * direction coarsened to per-mille (sign-magnitude `//` = BigInt
     * truncation toward zero; magnitudes sized so t·v·v ≤ ~1e33 ≪
@@ -4381,39 +4417,12 @@ object Oracles {
     // Pairwise chi-square over orders categoricals: full ra x cb grid
     // (absent cells included), per-cell ((nab*n - ra*cb)^2 * 1e6) //
     // (n*ra*cb) in HUGEINT, Cramer's V the only float (round 9).
-    "profile_chi2_matrix" -> {
-      val cols = Seq(
-        "o_orderpriority" -> "o_orderpriority",
-        "o_orderstatus" -> "o_orderstatus",
-        "o_year" -> "CAST(year(o_orderdate) AS VARCHAR)")
-      val blocks = for {
-        i <- cols.indices; j <- cols.indices if i < j
-      } yield {
-        val (na, ea) = cols(i)
-        val (nb, eb) = cols(j)
-        s"""SELECT * FROM (
-           |WITH ct AS (SELECT $ea AS a, $eb AS b, count(*) AS nab FROM orders GROUP BY 1, 2),
-           |ra AS (SELECT a, sum(nab) AS ra FROM ct GROUP BY 1),
-           |cb AS (SELECT b, sum(nab) AS cb FROM ct GROUP BY 1),
-           |nt AS (SELECT sum(nab) AS n, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM ct),
-           |cells AS (SELECT nt.n, nt.ka, nt.kb,
-           |    ((CAST(coalesce(ct2.nab, 0) AS HUGEINT) * nt.n - CAST(ra.ra AS HUGEINT) * cb.cb)
-           |     * (CAST(coalesce(ct2.nab, 0) AS HUGEINT) * nt.n - CAST(ra.ra AS HUGEINT) * cb.cb)
-           |     * 1000000)
-           |    // (CAST(nt.n AS HUGEINT) * ra.ra * cb.cb) AS cell
-           |  FROM ra CROSS JOIN cb CROSS JOIN nt
-           |  LEFT JOIN ct ct2 ON ct2.a = ra.a AND ct2.b = cb.b),
-           |agg AS (SELECT any_value(n) AS n, any_value(ka) AS ka, any_value(kb) AS kb,
-           |    sum(cell) AS chi2 FROM cells)
-           |SELECT '$na' AS col_a, '$nb' AS col_b,
-           |  CAST(n AS BIGINT) AS n_rows, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
-           |  CAST(chi2 AS BIGINT) AS chi2_micro,
-           |  round(sqrt((CAST(chi2 AS DOUBLE) / 1e6) /
-           |    CAST(n * least(ka - 1, kb - 1) AS DOUBLE)), 9) AS cramer_v
-           |FROM agg)""".stripMargin
-      }
-      blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
-    },
+    "profile_chi2_matrix" -> chi2MatrixSql,
+
+    // The streaming twin's incrementally-merged contingency cube must
+    // converge to the batch matrix exactly.
+    "stream_chi2" -> chi2MatrixSql,
+
 
     // Pairwise Pearson over lineitem numerics: one pass of exact HUGEINT
     // moments, the ratio float-only (sqrt dag, round 9) per pair.

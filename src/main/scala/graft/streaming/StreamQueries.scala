@@ -288,6 +288,42 @@ object StreamQueries {
       .orderBy("event_type", "bucket")
   }
 
+  /** Streaming twin of profile_chi2_matrix: the 3-column contingency
+    * cube is the mergeable state (counts sum per key — exactly the
+    * KeyedStateSink contract), incremented per micro-batch; the full
+    * chi-square matrix recomputes from the ≤|A|·|B|·|C|-row cube at read
+    * time. The incrementality story a drift monitor at 100 TB wants:
+    * per-batch work is one partial-aggregatable count over the batch,
+    * state is group-cardinality, the matrix itself never touches data. */
+  def streamChi2(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("schi2src")
+    val orders = tbl(spark, dir, "orders")
+    orders.repartition(4).write.mode("overwrite").parquet(src)
+    val stateRoot = tmpDir("schi2state")
+    val q = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("schi2ckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch.groupBy(
+            col("o_orderpriority").as("c1"),
+            col("o_orderstatus").as("c2"),
+            year(col("o_orderdate")).cast("string").as("c3"))
+          .agg(count(lit(1)).as("cnt"))
+        KeyedStateSink.merge(stateRoot, Seq("c1", "c2", "c3"),
+          minCols = Nil, sumCols = Seq("cnt"))(partial, batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val cube = KeyedStateSink.read(spark, stateRoot).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, String, String, Long)].toDF("c1", "c2", "c3", "cnt")
+    }
+    graft.queries.ExtQueries.chi2FromCube(cube)
+  }
+
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     val src = tmpDir("streamwin")
     val events = tbl(spark, dir, "events")
@@ -1145,6 +1181,7 @@ object StreamQueries {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_seasonal" -> (streamSeasonal _),
     "stream_drift" -> (streamDrift _),
+    "stream_chi2" -> (streamChi2 _),
     "stream_attribution" -> (AttributionStream.run _),
     "stream_lake_merge" -> (streamLakeMerge _),
     "stream_quantile" -> (streamQuantile _),
