@@ -267,6 +267,42 @@ object ExtQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Precision/recall of the LSH candidate generator against exact
+    * ground truth at J ≥ 0.5 — the eval a dedup pipeline publishes
+    * before trusting its banding knobs. Ground truth is the ALL-PAIRS
+    * exact shingle Jaccard (labeled correctness baseline — quadratic,
+    * eval-corpus only; the production path never enumerates all pairs),
+    * detected = the banded candidates verified at the same threshold.
+    * One census row: true/detected/hit counts and exact-rational ppm
+    * precision, recall, F1 (F1 = 2PR/(P+R) computed from the integer
+    * counts: 2·hit·10⁶ div (true + det)). */
+  def dedupLshEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val sets = Dedup.shingleSets(docs).localCheckpoint()
+    def jac = expr("size(array_intersect(ha, hb)) * 1000000L div size(array_union(ha, hb))")
+    val truePairs = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("j", jac).filter(col("j") >= 500000L)
+      .select("doc_a", "doc_b")
+    val detected = Dedup.minhashCandidates(spark, docs)
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .withColumn("j", jac).filter(col("j") >= 500000L)
+      .select("doc_a", "doc_b")
+    val hit = truePairs.join(detected, Seq("doc_a", "doc_b"), "left_semi")
+    truePairs.agg(count(lit(1)).as("n_true"))
+      .crossJoin(detected.agg(count(lit(1)).as("n_detected")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_detected"), col("n_hit"),
+        expr("CASE WHEN n_detected = 0 THEN 0 ELSE (n_hit * 1000000) div n_detected END")
+          .as("precision_ppm"),
+        expr("CASE WHEN n_true = 0 THEN 0 ELSE (n_hit * 1000000) div n_true END")
+          .as("recall_ppm"),
+        expr("CASE WHEN n_true + n_detected = 0 THEN 0 " +
+          "ELSE (2 * n_hit * 1000000) div (n_true + n_detected) END").as("f1_ppm"))
+  }
+
   /** Scale-safe cluster output: one row per LSH cluster representative —
     * linear rows-out under any duplicate multiplicity (the pair form is
     * quadratic; see Dedup.lshClusters). */
@@ -4281,6 +4317,7 @@ object ExtQueries {
     "dedup_lsh_append" -> (dedupLshAppend _),
     "dedup_minhash_accuracy" -> (dedupMinhashAccuracy _),
     "dedup_bbit_minhash" -> (dedupBbitMinhash _),
+    "dedup_lsh_eval" -> (dedupLshEval _),
     "dedup_normalized" -> (dedupNormalized _),
     "pipeline_dedup_report" -> (pipelineDedupReport _),
     "pipeline_tokenizer_fertility" -> (pipelineTokenizerFertility _),

@@ -891,6 +891,36 @@ object Oracles {
          |FROM est e JOIN ex x USING (doc_a, doc_b)
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // LSH eval: exact all-pairs ground truth at J >= 0.5 vs the banded
+    // candidates verified at the same threshold; P/R/F1 in exact ppm.
+    "dedup_lsh_eval" ->
+      s"""$minhashCtes,
+         |ss AS (SELECT doc_id, hs FROM sh0 WHERE len(hs) > 0),
+         |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+         |       WHERE len(list_intersect(a.hs, b.hs)) * 1000000
+         |         // len(list_distinct(a.hs || b.hs)) >= 500000),
+         |dt AS (SELECT p.doc_a, p.doc_b
+         |       FROM pairs p JOIN ss a ON a.doc_id = p.doc_a
+         |       JOIN ss b ON b.doc_id = p.doc_b
+         |       WHERE len(list_intersect(a.hs, b.hs)) * 1000000
+         |         // len(list_distinct(a.hs || b.hs)) >= 500000),
+         |ht AS (SELECT t.* FROM tp t JOIN dt d
+         |       ON d.doc_a = t.doc_a AND d.doc_b = t.doc_b),
+         |c AS (SELECT (SELECT count(*) FROM tp) AS n_true,
+         |        (SELECT count(*) FROM dt) AS n_detected,
+         |        (SELECT count(*) FROM ht) AS n_hit)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_detected AS BIGINT) AS n_detected,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN n_detected = 0 THEN 0
+         |       ELSE (n_hit * 1000000) // n_detected END AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN n_true = 0 THEN 0
+         |       ELSE (n_hit * 1000000) // n_true END AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN n_true + n_detected = 0 THEN 0
+         |       ELSE (2 * n_hit * 1000000) // (n_true + n_detected) END AS BIGINT) AS f1_ppm
+         |FROM c""".stripMargin,
+
     // b=1-bit minhash: agreement of signature parities, unbiased by
     // J = 2A - 1 (clamped at 0), error vs the exact shingle Jaccard.
     "dedup_bbit_minhash" ->
