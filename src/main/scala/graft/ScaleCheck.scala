@@ -362,6 +362,18 @@ object ScaleCheck {
       time("embed_pca_loadings", f) {
         graft.operators.Embeddings.pcaPowerLoadings(v, iters = 8).count()
       }
+      // second PC: the SAME one Gram pass + two driver-side BigInt
+      // ladders on the fixed dim² matrix — time must track
+      // embed_pca_loadings with a constant tail
+      time("embed_pca2_loadings", f) {
+        graft.operators.Embeddings.pcaSecondLoadings(v, iters = 8).count()
+      }
+      // SQ8: code construction + coarse scan are map-side over the
+      // corpus; shuffle only at the per-probe top-R — linear in f with
+      // fixed rows-out
+      time("simsearch_sq8", f) {
+        Similarity.sq8TopK(v, 10, 20, col("vec_id") < 5).count()
+      }
       // k persisted map-side scans + TakeOrdered(1) each — linear in the
       // corpus with a fixed k factor, rows-out always k
       time("sample_kcenter", f) {
@@ -388,6 +400,22 @@ object ScaleCheck {
       time("timeseries_crosscorr", f) {
         graft.operators.TimeSeries.crossCorrStats(e, maxLag = 6).count()
       }
+      // DTW profiles: replication fattens hours; the ≤24-point profiles
+      // and the |types|² pair DP are unchanged — time must flatten to
+      // the hourly-reduce scan cost
+      time("timeseries_dtw", f) {
+        graft.operators.TimeSeries.dtwProfileDistances(e, band = 24).count()
+      }
+      // Theil-Sen: the pair space is series-length², which replication
+      // does NOT grow (same hours, fatter) — flat after the scan
+      time("timeseries_theilsen", f) {
+        graft.operators.TimeSeries.theilSenTrend(e).count()
+      }
+      // STL-residual screen inherits STL's shape: one data-scale hourly
+      // reduce, everything after rides the TIME-bounded series
+      time("anomaly_stl_residual", f) {
+        graft.operators.TimeSeries.stlResidualAnomalies(e, 12, 3.0).count()
+      }
       // replicated users repeat per copy -> per-key counts grow f-fold;
       // threshold scales with f so selectivity stays comparable
       time("sketch_heavy_hitters", f) {
@@ -395,6 +423,21 @@ object ScaleCheck {
       }
       time("pipeline_pack_sequences", f) {
         graft.operators.TextOps.packSequences(d, 512).count()
+      }
+      // Simpson: per-doc run-length fold over the sorted token array —
+      // pure map-side, no token-level shuffle, linear in corpus chars
+      time("text_simpson_diversity", f) {
+        graft.operators.TextOps.simpsonDiversity(d).count()
+      }
+      // chi²: one partial-aggregatable pass to the ≤105-cell cube; all
+      // pair work on the cube — time must equal the scan cost
+      time("profile_chi2_matrix", f) {
+        graft.queries.ExtQueries.chi2FromCube(
+          replicate(tbl(spark, sfDir, "orders"), "o_orderkey", f)
+            .groupBy(col("o_orderpriority").as("c1"),
+              col("o_orderstatus").as("c2"),
+              year(col("o_orderdate")).cast("string").as("c3"))
+            .agg(count(lit(1)).as("cnt"))).count()
       }
       time("join_asof_native", f) {
         graft.operators.AsOfJoin.asOfNative(
@@ -584,6 +627,19 @@ object ScaleCheck {
       time("graph_ppr", f) {
         Graph.pageRankPersonalized(Graph.coPartEdges(lg),
           col("node") % 10 === 0, iters = 3).count()
+      }
+      // Jaccard link prediction shares the RA index's wedge space:
+      // disjoint-copy replication scales wedges f× with degrees
+      // unchanged — time must track |wedges| linearly, rows-out fixed
+      // at top-k
+      time("graph_neighbor_jaccard", f) {
+        Graph.neighborJaccard(Graph.coPartEdgesMin(lg, 2L), topK = 20).count()
+      }
+      // double sweep: two BFS fixpoints; disjoint copies leave the
+      // diameter (and so the round count) unchanged — per-round cost
+      // linear in |E|
+      time("graph_diameter", f) {
+        Graph.diameterDoubleSweep(Graph.coPartEdgesMin(lg, 2L)).count()
       }
 
       // CDC chunking: pure map-side hashing + two partial-agg shuffles —
