@@ -120,10 +120,18 @@ object Embeddings {
     * pass is data-scale, and it stays distributed. BigInt /, abs and
     * sign match the SQL `div`/abs/CASE semantics exactly (truncation
     * toward zero on the non-negative operands used here). */
+  /** The Gram sufficient statistics as a frame — the MERGEABLE state a
+    * streaming twin accumulates: sums per (i, j) key add across batches,
+    * so cross-batch merging equals the one-shot corpus pass bit-for-bit. */
+  def gramStatsOf(emb: DataFrame, dim: Int = 64): DataFrame = gramStats(emb, dim)
+
   /** Assemble C = n·Σxy − Σx·Σy from the one-pass stats, driver-side
     * (dim·(dim+3)/2 rows — metadata-scale, the centroid-pull contract). */
-  private def covMatrix(emb: DataFrame, dim: Int): Array[Array[BigInt]] = {
-    val rows = gramStats(emb, dim).collect()
+  private def covMatrix(emb: DataFrame, dim: Int): Array[Array[BigInt]] =
+    covFromStats(gramStats(emb, dim), dim)
+
+  private def covFromStats(stats: DataFrame, dim: Int): Array[Array[BigInt]] = {
+    val rows = stats.collect()
     var n = BigInt(0)
     val si = Array.ofDim[BigInt](dim)
     val sij = Array.ofDim[BigInt](dim, dim)
@@ -157,10 +165,15 @@ object Embeddings {
   private def canonSign(x: Array[BigInt]): Long =
     if (x(x.indexWhere(_.abs == PpmScale)) < 0) -1L else 1L
 
-  def pcaPowerLoadings(emb: DataFrame, iters: Int, dim: Int = 64): DataFrame = {
+  def pcaPowerLoadings(emb: DataFrame, iters: Int, dim: Int = 64): DataFrame =
+    pcaLoadingsFromStats(gramStats(emb, dim), iters, dim)
+
+  /** The ladder + sign canonicalisation from an already-computed (or
+    * incrementally merged — see [[gramStatsOf]]) stats frame. */
+  def pcaLoadingsFromStats(stats: DataFrame, iters: Int, dim: Int = 64): DataFrame = {
     require(iters >= 1)
-    val spark = emb.sparkSession
-    val x = powerLadder(covMatrix(emb, dim), dim, iters)
+    val spark = stats.sparkSession
+    val x = powerLadder(covFromStats(stats, dim), dim, iters)
     val s = canonSign(x)
     import spark.implicits._
     x.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong * s) }.toSeq

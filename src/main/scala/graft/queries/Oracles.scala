@@ -272,6 +272,14 @@ object Oracles {
       blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
   }
 
+  /** Top-PC loadings: the shared power-iteration ladder, sign flipped so
+    * the lowest max-|v| dim is positive. Shared by the batch form and
+    * its streaming (merged-Gram-state) twin. */
+  private lazy val pcaLoadingsSql: String =
+    s"""$pcaCtes
+       |SELECT x.dim AS dim, CAST(x.v * fl.s AS BIGINT) AS loading_ppm
+       |FROM x8 x, fl ORDER BY dim""".stripMargin
+
   /** Second-PC ladder: Hotelling deflation of `cov` by the RAW x8
     * direction coarsened to per-mille (sign-magnitude `//` = BigInt
     * truncation toward zero; magnitudes sized so t·v·v ≤ ~1e33 ≪
@@ -4415,10 +4423,11 @@ object Oracles {
 
     // Top-PC loadings: the shared power-iteration ladder, sign flipped so
     // the lowest max-|v| dim is positive.
-    "embed_pca_loadings" ->
-      s"""$pcaCtes
-         |SELECT x.dim AS dim, CAST(x.v * fl.s AS BIGINT) AS loading_ppm
-         |FROM x8 x, fl ORDER BY dim""".stripMargin,
+    "embed_pca_loadings" -> pcaLoadingsSql,
+
+    // The streaming twin's merged Gram state must ladder to the
+    // identical loadings.
+    "stream_pca" -> pcaLoadingsSql,
 
     // Second PC: the shared ladder, deflation, second ladder, own flip.
     "embed_pca2_loadings" ->

@@ -324,6 +324,39 @@ object StreamQueries {
     graft.queries.ExtQueries.chi2FromCube(cube)
   }
 
+  /** Streaming twin of embed_pca_loadings: the Gram sufficient statistics
+    * are the mergeable state — per-(i,j) decimal sums add across batches,
+    * so the merged cube equals the one-shot corpus pass bit-for-bit and
+    * the 8-step BigInt ladder at read time returns the IDENTICAL
+    * loadings. Per-batch work = the per-partition SYRK kernel over the
+    * batch + one dim·(dim+3)/2-key merge; the state never grows with the
+    * corpus — incremental PCA over an append-only embedding store. */
+  def streamPca(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("spcasrc")
+    val emb = tbl(spark, dir, "embeddings")
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    val stateRoot = tmpDir("spcastate")
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("spcackpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.operators.Embeddings.gramStatsOf(batch, 64)
+          .select(col("i"), col("j"),
+            col("s").cast("decimal(38,0)").as("s"), col("n"))
+        KeyedStateSink.merge(stateRoot, Seq("i", "j"),
+          minCols = Nil, sumCols = Seq("s", "n"))(partial, batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val stats = KeyedStateSink.read(spark, stateRoot)
+      .getOrElse(graft.operators.Embeddings.gramStatsOf(emb.limit(0), 64))
+    graft.operators.Embeddings.pcaLoadingsFromStats(stats, iters = 8, dim = 64)
+      .orderBy("dim")
+  }
+
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     val src = tmpDir("streamwin")
     val events = tbl(spark, dir, "events")
@@ -1182,6 +1215,7 @@ object StreamQueries {
     "stream_seasonal" -> (streamSeasonal _),
     "stream_drift" -> (streamDrift _),
     "stream_chi2" -> (streamChi2 _),
+    "stream_pca" -> (streamPca _),
     "stream_attribution" -> (AttributionStream.run _),
     "stream_lake_merge" -> (streamLakeMerge _),
     "stream_quantile" -> (streamQuantile _),
