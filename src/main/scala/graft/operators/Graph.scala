@@ -862,6 +862,41 @@ object Graph {
     out
   }
 
+  /** EIGENVECTOR centrality by integer power iteration — the Bonacich
+    * score PageRank approximates with damping removed: x' = A·x over the
+    * bidirected adjacency, rescaled each step to max = 10⁶ by truncated
+    * division (the PCA ladder's rescale applied to a graph operator, so
+    * every iterate is bit-identical across engines and partitionings;
+    * sums bounded by maxdeg·10⁶ ≪ int64, the rescale numerator by 10¹⁸).
+    * Distinguishes "connected to important nodes" from degree — the hub
+    * score HITS computes on directed graphs, here for undirected ones.
+    *
+    * Per iteration: ONE adjacency×scores equi-join + a partial sum, a
+    * 1-row max broadcast back for the rescale, scores localCheckpoint —
+    * the pageRank loop hygiene. Top-k is a distributed TakeOrdered. */
+  def eigenvectorCentrality(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bi = bidir(edges.select("src", "dst")).persist(lvl)
+    val nodes = bi.select(col("src").as("node")).distinct().persist(lvl)
+    var x = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val y = bi.join(x.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum("r").as("y"))
+      val full = nodes.join(y, Seq("node"), "left")
+        .select(col("node"), coalesce(col("y"), lit(0L)).as("y"))
+      val mF = full.agg(max("y").as("m"))
+      x = full.crossJoin(broadcast(mF))
+        .select(col("node"), expr("(1000000 * y) div m").as("r"))
+        .localCheckpoint()
+    }
+    val out = x.orderBy(col("r").desc, col("node")).limit(topK)
+      .select(col("node"), col("r").as("eig_ppm"))
+      .localCheckpoint()
+    nodes.unpersist()
+    bi.unpersist()
+    out
+  }
+
   /** Degree assortativity (Newman 2002): Pearson correlation of endpoint
     * degrees over the DIRECTED edge list (both directions of every
     * undirected edge — the standard symmetrisation). All moment sums are

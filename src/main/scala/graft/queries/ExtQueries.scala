@@ -3551,6 +3551,14 @@ object ExtQueries {
       Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L))
       .orderBy("node")
 
+  /** Eigenvector centrality of the thresholded co-part graph — 8 integer
+    * power steps, top-20 (see
+    * [[graft.operators.Graph.eigenvectorCentrality]]). */
+  def graphEigenvector(spark: SparkSession, dir: String): DataFrame =
+    Graph.eigenvectorCentrality(
+      Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+      iters = 8, topK = 20)
+
   /** Diameter lower bound of the co-part graph by the double sweep —
     * two BFS fixpoints instead of |V| (see
     * [[graft.operators.Graph.diameterDoubleSweep]]). */
@@ -4271,6 +4279,7 @@ object ExtQueries {
     "graph_link_prediction" -> (graphLinkPrediction _),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard _),
     "graph_diameter" -> (graphDiameter _),
+    "graph_eigenvector" -> (graphEigenvector _),
     "graph_scc" -> (graphScc _),
     "graph_hits" -> (graphHits _),
     "graph_ppr" -> (graphPpr _),

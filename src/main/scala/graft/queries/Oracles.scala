@@ -3373,6 +3373,28 @@ object Oracles {
         | (SELECT count(*) FROM e) AS n_edges,
         | (SELECT count(*) FROM w JOIN e e3 ON w.a = e3.src AND w.c = e3.dst) AS n_triangles""".stripMargin,
 
+    // Eigenvector centrality: 8 unrolled power steps, each a
+    // neighbour-sum + max-rescale to 1e6 (floor division on
+    // non-negative integers == Spark div).
+    "graph_eigenvector" -> {
+      def it(i: Int): String =
+        s"""y$i AS (SELECT bi.dst AS node, sum(x${i - 1}.r) AS y FROM bi
+           |       JOIN x${i - 1} ON bi.src = x${i - 1}.node GROUP BY 1),
+           |m$i AS (SELECT max(y) AS m FROM y$i),
+           |x$i AS MATERIALIZED (SELECT n0.node,
+           |         (1000000 * COALESCE(y$i.y, 0)) // m$i.m AS r
+           |       FROM n0 LEFT JOIN y$i ON n0.node = y$i.node, m$i)""".stripMargin
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |n0 AS (SELECT DISTINCT src AS node FROM bi),
+         |x0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n0),
+         |${(1 to 8).map(it).mkString(",\n")}
+         |SELECT node, CAST(r AS BIGINT) AS eig_ppm FROM x8
+         |ORDER BY eig_ppm DESC, node LIMIT 20""".stripMargin
+    },
+
     "graph_pagerank" ->
       """WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s GROUP BY 1, 2),

@@ -318,6 +318,22 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(p.toSeq === Seq((2L,4L,1L,333333L), (3L,4L,1L,333333L)))
   }
 
+  test("eigenvectorCentrality: triangle-plus-pendant ordering, max pinned at 1e6") {
+    // triangle 1-2-3 with pendant 4 off node 1: importance order is
+    // 1 (in the cycle AND feeding the pendant) > 2 = 3 > 4
+    val g = edgesDf((1L,2L),(1L,3L),(2L,3L),(1L,4L))
+    val e = Graph.eigenvectorCentrality(g, iters = 8, topK = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e(1L) === 1000000L, s"the hub must carry the max score: $e")
+    assert(e(2L) === e(3L), s"symmetric nodes must tie exactly: $e")
+    assert(e(2L) < e(1L) && e(4L) < e(2L), s"ordering 1 > 2=3 > 4: $e")
+    // bit-reproducible across partitionings (integer ladder)
+    val again = Graph.eigenvectorCentrality(
+      g.repartition(7), iters = 8, topK = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === e)
+  }
+
   test("diameterDoubleSweep: exact on trees, component-scoped") {
     // path 1-2-3-4-5: diameter 4; double sweep is exact on trees
     val p = Graph.diameterDoubleSweep(edgesDf((1L,2L),(2L,3L),(3L,4L),(4L,5L))).head()
