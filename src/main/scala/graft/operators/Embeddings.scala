@@ -265,6 +265,57 @@ object Embeddings {
     picks.toDF("rk", "vec_id", "d2_pick")
   }
 
+  /** Greedy MAXIMUM-COVERAGE selection over the shingle universe
+    * (the facility-location / submodular data-selection greedy with the
+    * classic 1−1/e guarantee): k rounds, each picking the document whose
+    * shingles cover the most NOT-YET-COVERED hashes (ties to the min
+    * doc_id) — "which k documents summarise the corpus' n-gram mass",
+    * the coreset question [[kCenterSelect]] answers for embeddings,
+    * asked of text. Returns (rk, doc_id, gain, covered) — gain is the
+    * marginal coverage, covered the running total (gains are disjoint by
+    * construction, so covered = Σ gains exactly).
+    *
+    * Scale shape: the shingle table is the only data-scale frame; each
+    * of the k rounds is one anti-join against the covered set + a
+    * partial-aggregatable gain count + a 1-row argmax pull (the
+    * kCenterSelect contract: k × scan for a sequential-greedy
+    * guarantee); the covered set is localCheckpointed per round. */
+  def maxCoverageSelect(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = docs.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = graft.operators.Dedup.shingleTable(docs).persist(lvl)
+    var covered = sh.select("h").limit(0).localCheckpoint()
+    var picks = Vector.empty[(Long, Long, Long, Long)]
+    var total = 0L
+    var r = 1L
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val pickedIds = picks.map(_._2)
+      val gains = (if (pickedIds.isEmpty) sh
+        else sh.filter(!col("doc_id").isInCollection(pickedIds)))
+        .join(covered, Seq("h"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+      val top = gains
+        .agg(max(struct(col("gain"), (-col("doc_id")).as("nd"))).as("b"))
+        .select(col("b.gain").as("gain"), (-col("b.nd")).as("doc_id"))
+        .head()
+      if (top.isNullAt(0)) exhausted = true
+      else {
+        val (gain, id) = (top.getLong(0), top.getLong(1))
+        total += gain
+        picks :+= ((r, id, gain, total))
+        covered = covered
+          .unionByName(sh.filter(col("doc_id") === id).select("h"))
+          .distinct().localCheckpoint()
+        r += 1
+      }
+    }
+    sh.unpersist()
+    import spark.implicits._
+    picks.toDF("rk", "doc_id", "gain", "covered")
+  }
+
   def pcaScoresTopK(emb: DataFrame, iters: Int, k: Int, dim: Int = 64): DataFrame = {
     val loadings = pcaPowerLoadings(emb, iters, dim)
       .orderBy("dim").collect().map(_.getLong(1))

@@ -3934,6 +3934,13 @@ object ExtQueries {
     Embeddings.kCenterSelect(tbl(spark, dir, "embeddings"), k = 6)
       .orderBy("rk")
 
+  /** Greedy max-coverage selection: 5 documents covering the most
+    * distinct shingles, marginal gains + running coverage (see
+    * [[graft.operators.Embeddings.maxCoverageSelect]]). */
+  def sampleMaxCoverage(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.maxCoverageSelect(tbl(spark, dir, "documents"), k = 5)
+      .orderBy("rk")
+
   /** Community census from synchronous label propagation (3 pinned
     * iterations, plurality labels with min tie-break) over the
     * thresholded co-part graph — see Graph.labelPropagation. */
@@ -4368,6 +4375,7 @@ object ExtQueries {
     "text_textrank" -> (textTextrank _),
     "sample_doremi" -> (sampleDoremi _),
     "sample_mixture_ess" -> (sampleMixtureEss _),
+    "sample_max_coverage" -> (sampleMaxCoverage _),
     "text_token_count" -> (textTokenCount _),
     "text_simpson_diversity" -> (textSimpsonDiversity _),
     "text_token_bpe" -> (textTokenBpe _),

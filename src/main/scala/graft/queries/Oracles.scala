@@ -1867,6 +1867,33 @@ object Oracles {
          |       ELSE (1000000 * ex.excess) // tt.te END AS BIGINT) AS weight_ppm
          |FROM ex CROSS JOIN tt ORDER BY source""".stripMargin,
 
+    // Greedy max-coverage: 5 unrolled rounds; per round the marginal
+    // gain vs the covered set, argmax with min-doc_id tie-break, covered
+    // set unioned. Gains disjoint by construction -> covered = sum.
+    "sample_max_coverage" -> {
+      def rnd(i: Int): String = {
+        val excl = if (i == 1) ""
+          else "WHERE s.doc_id NOT IN (" +
+            (1 until i).map(j => s"SELECT doc_id FROM p$j").mkString(" UNION ALL ") + ")"
+        s"""g$i AS (SELECT s.doc_id, count(*) AS gain FROM sh s
+           |  $excl
+           |  ${if (i == 1) "WHERE" else "AND"} NOT EXISTS (SELECT 1 FROM c${i - 1} c WHERE c.h = s.h)
+           |  GROUP BY 1),
+           |p$i AS MATERIALIZED (SELECT doc_id, gain FROM g$i ORDER BY gain DESC, doc_id LIMIT 1),
+           |c$i AS MATERIALIZED (SELECT h FROM c${i - 1}
+           |  UNION SELECT s.h FROM sh s JOIN p$i ON s.doc_id = p$i.doc_id)""".stripMargin
+      }
+      s"""$minhashCtes,
+         |c0 AS (SELECT CAST(NULL AS BIGINT) AS h WHERE 1 = 0),
+         |${(1 to 5).map(rnd).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to 5).map(i =>
+            s"SELECT CAST($i AS BIGINT) AS rk, doc_id, CAST(gain AS BIGINT) AS gain, " +
+              s"(SELECT CAST(count(*) AS BIGINT) FROM c$i) AS covered FROM p$i")
+           .mkString("\nUNION ALL\n")}
+         |) ORDER BY rk""".stripMargin
+    },
+
     // ESS of the doremi weights: the doremi chain, then
     // (sum n*w)^2 over sum n*w^2 in HUGEINT with truncating division.
     "sample_mixture_ess" ->

@@ -119,6 +119,19 @@ class WalksEmbeddingsSpec extends SparkSpec {
     assert(again === l2)
   }
 
+  test("maxCoverageSelect: greedy order, disjoint gains, exhaustion stops early") {
+    val d = Seq(
+      (0L, "a b c d e"),         // shingles abc bcd cde — subset of doc 1
+      (1L, "a b c d e f g"),     // 5 shingles, the biggest cover
+      (2L, "x y z w"),           // 2 disjoint shingles
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Embeddings.maxCoverageSelect(d, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 first (gain 5), then doc 2 (marginal 2); doc 0 adds NOTHING
+    // once doc 1 is covered, so the greedy exhausts after 2 picks
+    assert(got.toSeq === Seq((1L, 1L, 5L, 5L), (2L, 2L, 2L, 7L)))
+  }
+
   test("pcaScoresTopK: scores are the exact integer projection, top-k by |score|") {
     val dim = 8
     val rows = (0 until 30).map { i =>
