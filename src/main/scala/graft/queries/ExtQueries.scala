@@ -269,26 +269,35 @@ object ExtQueries {
 
   /** Precision/recall of the LSH candidate generator against exact
     * ground truth at J ≥ 0.5 — the eval a dedup pipeline publishes
-    * before trusting its banding knobs. Ground truth is the ALL-PAIRS
-    * exact shingle Jaccard (labeled correctness baseline — quadratic,
-    * eval-corpus only; the production path never enumerates all pairs),
-    * detected = the banded candidates verified at the same threshold.
-    * One census row: true/detected/hit counts and exact-rational ppm
-    * precision, recall, F1 (F1 = 2PR/(P+R) computed from the integer
-    * counts: 2·hit·10⁶ div (true + det)). */
+    * before trusting its banding knobs. Ground truth is EXACT but NOT
+    * all-pairs: a pair sharing zero shingles cannot reach J ≥ 0.5, so
+    * the inverted-index self-join on the shingle table (pair space
+    * Σ per-posting-list², the shape that scales to eval corpora —
+    * an array-based all-pairs form measured 203s at sf0.1 vs ~3s here)
+    * enumerates every qualifying pair, with the threshold applied by
+    * cross-multiplication (inter·10⁶ ≥ 5·10⁵·union ⟺ the truncated-div
+    * form — exactly, for positive integers). Detected = the banded
+    * candidates passed through the same test. One census row:
+    * true/detected/hit counts and exact-rational ppm precision, recall,
+    * F1 (2·hit·10⁶ div (true + det)). */
   def dedupLshEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val sets = Dedup.shingleSets(docs).localCheckpoint()
-    def jac = expr("size(array_intersect(ha, hb)) * 1000000L div size(array_union(ha, hb))")
-    val truePairs = sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")),
-        col("doc_a") < col("doc_b"))
-      .withColumn("j", jac).filter(col("j") >= 500000L)
-      .select("doc_a", "doc_b")
+    val sizes = sets.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    val st = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    val inter = st.select(col("doc_id").as("doc_a"), col("h"))
+      .join(st.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .localCheckpoint()
+    val passes = col("inter") * lit(1000000L) >=
+      lit(500000L) * (col("na") + col("nb") - col("inter"))
+    val truePairs = inter.filter(passes).select("doc_a", "doc_b")
     val detected = Dedup.minhashCandidates(spark, docs)
-      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
-      .withColumn("j", jac).filter(col("j") >= 500000L)
+      .join(inter, Seq("doc_a", "doc_b"))
+      .filter(passes)
       .select("doc_a", "doc_b")
     val hit = truePairs.join(detected, Seq("doc_a", "doc_b"), "left_semi")
     truePairs.agg(count(lit(1)).as("n_true"))
