@@ -3560,13 +3560,13 @@ object ExtQueries {
       Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L))
       .orderBy("node")
 
-  /** Eigenvector centrality of the thresholded co-part graph — 8 integer
+  /** Eigenvector centrality of the thresholded co-part graph — 6 integer
     * power steps, top-20 (see
     * [[graft.operators.Graph.eigenvectorCentrality]]). */
   def graphEigenvector(spark: SparkSession, dir: String): DataFrame =
     Graph.eigenvectorCentrality(
       Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
-      iters = 8, topK = 20)
+      iters = 6, topK = 20)
 
   /** Diameter lower bound of the co-part graph by the double sweep —
     * two BFS fixpoints instead of |V| (see

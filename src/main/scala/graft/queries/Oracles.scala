@@ -3417,8 +3417,8 @@ object Oracles {
          |bi AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
          |n0 AS (SELECT DISTINCT src AS node FROM bi),
          |x0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n0),
-         |${(1 to 8).map(it).mkString(",\n")}
-         |SELECT node, CAST(r AS BIGINT) AS eig_ppm FROM x8
+         |${(1 to 6).map(it).mkString(",\n")}
+         |SELECT node, CAST(r AS BIGINT) AS eig_ppm FROM x6
          |ORDER BY eig_ppm DESC, node LIMIT 20""".stripMargin
     },
 
