@@ -264,6 +264,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dtwBand: metric-style properties on seeded random int series") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def dtw(a: Seq[Long], b: Seq[Long], band: Int): Long =
+      graft.expressions.GraftHash.dtwBand(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray), band)
+    val serGen: Gen[List[Long]] =
+      Gen.choose(1, 24).flatMap(n => Gen.listOfN(n, Gen.choose(-5000L, 5000L)))
+    val pairs = samples(Gen.zip(serGen, serGen), 150)
+    pairs.foreach { case (a, b) =>
+      val full = dtw(a, b, math.max(a.size, b.size))
+      // identity and symmetry
+      assert(dtw(a, a, a.size) === 0L)
+      assert(full === dtw(b, a, math.max(a.size, b.size)), s"symmetry: $a $b")
+      // banding only restricts the path set: banded >= full, and a
+      // sufficient band reproduces full exactly
+      val band = math.max(math.abs(a.size - b.size), 1)
+      assert(dtw(a, b, band) >= full, s"band monotone: $a $b")
+      assert(dtw(a, b, 100) === full)
+      // equal lengths: the diagonal is a valid path, so full <= L1
+      if (a.size == b.size) {
+        val l1 = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+        assert(full <= l1, s"dtw > pointwise L1: $a $b")
+        assert(dtw(a, b, 0) === l1, "band 0 must BE pointwise L1")
+      }
+    }
+  }
+
   test("KMV estimate within 50% of truth on 2000 seeded random keys (k=64)") {
     graft.expressions.GraftFunctions.register(spark)
     val keys = samples(Gen.choose(0L, Long.MaxValue / 2), 2000).distinct
