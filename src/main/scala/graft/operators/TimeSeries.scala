@@ -271,8 +271,18 @@ object TimeSeries {
     * (thousands of points → ~10⁶ pair rows per type), never data-scale.
     * Past ~10⁵ points per series, subsample pairs by a hash coin — the
     * standard Theil-Sen scaling move — before the median. */
-  def theilSenTrend(events: DataFrame): DataFrame = {
-    val s = hourlyCentSeries(events)
+  def theilSenTrend(events: DataFrame): DataFrame =
+    theilSenFromHourly(
+      events
+        .withColumn("cents", round(col("value") * 100d, 0).cast("long"))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(expr("sum(cents) div count(1)").as("qv")))
+
+  /** The slope/median stage from an already-reduced (event_type, hr, qv)
+    * hourly frame — shared by the batch form and the streaming twin
+    * whose mergeable state is the (Σcents, n) hourly cube. */
+  private[graft] def theilSenFromHourly(hourly: DataFrame): DataFrame = {
+    val s = hourly
       .withColumn("hrs", expr("unix_timestamp(hr) div 3600"))
     val a = s.select(col("event_type"), col("qv").as("qa"), col("hrs").as("ha"))
     val b = s.select(col("event_type"), col("qv").as("qb"), col("hrs").as("hb"))

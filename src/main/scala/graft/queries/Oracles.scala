@@ -272,6 +272,24 @@ object Oracles {
       blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
   }
 
+  /** Theil-Sen SQL, shared by the batch form and the streaming twin. */
+  private lazy val theilsenSql: String =
+    """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+      |             sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
+      |           FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, qv, CAST(epoch(hr) AS BIGINT) // 3600 AS hrs FROM h),
+      |sl AS (SELECT a.event_type,
+      |         (CASE WHEN b.qv - a.qv < 0 THEN -1 ELSE 1 END) *
+      |         ((abs(b.qv - a.qv) * 1000000) // (b.hrs - a.hrs)) AS slope
+      |       FROM s a JOIN s b
+      |         ON a.event_type = b.event_type AND a.hrs < b.hrs),
+      |np AS (SELECT event_type, count(*) AS n_points FROM s GROUP BY 1)
+      |SELECT sl.event_type, CAST(np.n_points AS BIGINT) AS n_points,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(quantile_cont(sl.slope, 0.5), 6) AS slope_ppm_per_hr
+      |FROM sl JOIN np ON sl.event_type = np.event_type
+      |GROUP BY sl.event_type, np.n_points ORDER BY sl.event_type""".stripMargin
+
   /** Top-PC loadings: the shared power-iteration ladder, sign flipped so
     * the lowest max-|v| dim is positive. Shared by the batch form and
     * its streaming (merged-Gram-state) twin. */
@@ -4388,23 +4406,10 @@ object Oracles {
 
     // Theil-Sen: median of exact pairwise slopes, sign-magnitude
     // truncating division (// on non-negative magnitudes == Spark div),
-    // float only at the quantile_cont median (round 6).
-    "timeseries_theilsen" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
-        |             sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
-        |           FROM events GROUP BY 1, 2),
-        |s AS (SELECT event_type, qv, CAST(epoch(hr) AS BIGINT) // 3600 AS hrs FROM h),
-        |sl AS (SELECT a.event_type,
-        |         (CASE WHEN b.qv - a.qv < 0 THEN -1 ELSE 1 END) *
-        |         ((abs(b.qv - a.qv) * 1000000) // (b.hrs - a.hrs)) AS slope
-        |       FROM s a JOIN s b
-        |         ON a.event_type = b.event_type AND a.hrs < b.hrs),
-        |np AS (SELECT event_type, count(*) AS n_points FROM s GROUP BY 1)
-        |SELECT sl.event_type, CAST(np.n_points AS BIGINT) AS n_points,
-        |  CAST(count(*) AS BIGINT) AS n_pairs,
-        |  round(quantile_cont(sl.slope, 0.5), 6) AS slope_ppm_per_hr
-        |FROM sl JOIN np ON sl.event_type = np.event_type
-        |GROUP BY sl.event_type, np.n_points ORDER BY sl.event_type""".stripMargin,
+    // float only at the quantile_cont median (round 6). Shared with the
+    // streaming twin (merged hourly cube == the one-shot reduce).
+    "timeseries_theilsen" -> theilsenSql,
+    "stream_theilsen" -> theilsenSql,
 
     // Full DTW over hour-of-day profiles as a recursive anti-diagonal
     // relaxation: the working set carries the last TWO diagonals (each

@@ -357,6 +357,46 @@ object StreamQueries {
       .orderBy("dim")
   }
 
+  /** Streaming twin of timeseries_theilsen: the (Σcents, n) hourly cube
+    * is the mergeable state — per-key sums add across micro-batches, so
+    * qv = Σcents div n over the merged cube equals the one-shot hourly
+    * reduce exactly, and the slope/median stage at read time returns the
+    * identical trend (shared oracle). Per-batch work is one
+    * partial-aggregatable reduce over the batch; state is TIME-bounded
+    * (one row per series-hour), and the quadratic pair stage never runs
+    * inside a trigger. */
+  def streamTheilsen(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("stheilsrc")
+    val events = tbl(spark, dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    val stateRoot = tmpDir("stheilstate")
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("stheilckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch
+          .withColumn("cents", round(col("value") * 100d, 0).cast("long"))
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(sum("cents").as("s_cents"), count(lit(1)).as("n"))
+        KeyedStateSink.merge(stateRoot, Seq("event_type", "hr"),
+          minCols = Nil, sumCols = Seq("s_cents", "n"))(partial, batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val cube = KeyedStateSink.read(spark, stateRoot).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, java.sql.Timestamp, Long, Long)]
+        .toDF("event_type", "hr", "s_cents", "n")
+    }
+    graft.operators.TimeSeries.theilSenFromHourly(
+      cube.select(col("event_type"), col("hr"),
+        expr("s_cents div n").as("qv")))
+      .orderBy("event_type")
+  }
+
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     val src = tmpDir("streamwin")
     val events = tbl(spark, dir, "events")
@@ -1216,6 +1256,7 @@ object StreamQueries {
     "stream_drift" -> (streamDrift _),
     "stream_chi2" -> (streamChi2 _),
     "stream_pca" -> (streamPca _),
+    "stream_theilsen" -> (streamTheilsen _),
     "stream_attribution" -> (AttributionStream.run _),
     "stream_lake_merge" -> (streamLakeMerge _),
     "stream_quantile" -> (streamQuantile _),
