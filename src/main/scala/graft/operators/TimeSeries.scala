@@ -316,12 +316,20 @@ object TimeSeries {
     * the |types|-row profile frame — group-cardinality, never
     * data-scale. DTW cost is exact int64 (cents along the optimal
     * path), bit-identical across engines. */
-  def dtwProfileDistances(events: DataFrame, band: Int): DataFrame = {
-    graft.expressions.GraftFunctions.register(events.sparkSession)
-    val prof = events
-      .withColumn("cents", round(col("value") * 100d, 0).cast("long"))
-      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
-      .agg(expr("sum(cents) div count(1)").as("qv"))
+  def dtwProfileDistances(events: DataFrame, band: Int): DataFrame =
+    dtwFromHodProfiles(
+      events
+        .withColumn("cents", round(col("value") * 100d, 0).cast("long"))
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+        .agg(expr("sum(cents) div count(1)").as("qv")),
+      band)
+
+  /** The pair/DP stage from an already-reduced (event_type, hod, qv)
+    * profile frame — shared by the batch form and the streaming twin
+    * whose mergeable state is the (Σcents, n) hour-of-day cube. */
+  private[graft] def dtwFromHodProfiles(hodProfile: DataFrame, band: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(hodProfile.sparkSession)
+    val prof = hodProfile
       .groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("hod"), col("qv")))).as("p"))
       .select(col("event_type"), expr("transform(p, x -> x.qv)").as("arr"))

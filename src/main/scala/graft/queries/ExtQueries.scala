@@ -1034,8 +1034,11 @@ object ExtQueries {
           col("n").as("n_rows"),
           ((col("ka") - 1) * (col("kb") - 1)).as("dof"),
           col("chi2d").cast("long").as("chi2_micro"),
-          round(sqrt(col("chi2d").cast("double") / 1e6 /
-            (col("n") * least(col("ka") - 1, col("kb") - 1)).cast("double")), 9)
+          // a single-valued column has no measurable association (dof 0):
+          // define V = 0 rather than divide by zero (ANSI errors on it)
+          when(least(col("ka") - 1, col("kb") - 1) === 0, lit(0.0d))
+            .otherwise(round(sqrt(col("chi2d").cast("double") / 1e6 /
+              (col("n") * least(col("ka") - 1, col("kb") - 1)).cast("double")), 9))
             .as("cramer_v"))
     }
     val pairs = for {

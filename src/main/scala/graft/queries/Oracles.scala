@@ -265,12 +265,50 @@ object Oracles {
            |SELECT '$na' AS col_a, '$nb' AS col_b,
            |  CAST(n AS BIGINT) AS n_rows, CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
            |  CAST(chi2 AS BIGINT) AS chi2_micro,
-           |  round(sqrt((CAST(chi2 AS DOUBLE) / 1e6) /
-           |    CAST(n * least(ka - 1, kb - 1) AS DOUBLE)), 9) AS cramer_v
+           |  CASE WHEN least(ka - 1, kb - 1) = 0 THEN 0.0
+           |    ELSE round(sqrt((CAST(chi2 AS DOUBLE) / 1e6) /
+           |      CAST(n * least(ka - 1, kb - 1) AS DOUBLE)), 9) END AS cramer_v
            |FROM agg)""".stripMargin
       }
       blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
   }
+
+  /** Hour-of-day DTW SQL, shared by the batch form and the streaming twin. */
+  private lazy val dtwSql: String =
+      """WITH RECURSIVE
+        |pq AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |         sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
+        |       FROM events GROUP BY 1, 2),
+        |nn AS (SELECT event_type, count(*) AS n FROM pq GROUP BY 1),
+        |ix AS (SELECT event_type, qv,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY hod) AS i FROM pq),
+        |cost AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+        |           a.i AS i, b.i AS j, abs(a.qv - b.qv) AS c,
+        |           na.n AS na, nb.n AS nb
+        |         FROM ix a JOIN ix b ON a.event_type < b.event_type
+        |         JOIN nn na ON na.event_type = a.event_type
+        |         JOIN nn nb ON nb.event_type = b.event_type),
+        |dp AS (
+        |  SELECT et_a, et_b, na, nb, i, j, c AS d, 2 AS diag, 2 AS front
+        |  FROM cost WHERE i = 1 AND j = 1
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    SELECT p.et_a, p.et_b, p.na, p.nb, c.i, c.j, c.c + min(p.d) AS d,
+        |           p.front + 1 AS diag, p.front + 1 AS front
+        |    FROM dp p
+        |    JOIN cost c ON c.et_a = p.et_a AND c.et_b = p.et_b
+        |      AND c.i + c.j = p.front + 1
+        |      AND ((c.i = p.i + 1 AND c.j = p.j) OR (c.i = p.i AND c.j = p.j + 1)
+        |           OR (c.i = p.i + 1 AND c.j = p.j + 1))
+        |    GROUP BY p.et_a, p.et_b, p.na, p.nb, c.i, c.j, c.c, p.front
+        |    UNION ALL
+        |    SELECT et_a, et_b, na, nb, i, j, d, diag, front + 1
+        |    FROM dp WHERE diag = front AND front < na + nb
+        |  ) z
+        |)
+        |SELECT et_a, et_b, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(d AS BIGINT) AS dtw_cost
+        |FROM dp WHERE i = na AND j = nb ORDER BY et_a, et_b""".stripMargin
 
   /** Theil-Sen SQL, shared by the batch form and the streaming twin. */
   private lazy val theilsenSql: String =
@@ -4419,41 +4457,9 @@ object Oracles {
     // and only the adjacent working-set cells on those diagonals). The
     // (na,nb) corner is created on the final diagonal and never carried,
     // so it appears exactly once in the accumulated result.
-    "timeseries_dtw" ->
-      """WITH RECURSIVE
-        |pq AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
-        |         sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS qv
-        |       FROM events GROUP BY 1, 2),
-        |nn AS (SELECT event_type, count(*) AS n FROM pq GROUP BY 1),
-        |ix AS (SELECT event_type, qv,
-        |         row_number() OVER (PARTITION BY event_type ORDER BY hod) AS i FROM pq),
-        |cost AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
-        |           a.i AS i, b.i AS j, abs(a.qv - b.qv) AS c,
-        |           na.n AS na, nb.n AS nb
-        |         FROM ix a JOIN ix b ON a.event_type < b.event_type
-        |         JOIN nn na ON na.event_type = a.event_type
-        |         JOIN nn nb ON nb.event_type = b.event_type),
-        |dp AS (
-        |  SELECT et_a, et_b, na, nb, i, j, c AS d, 2 AS diag, 2 AS front
-        |  FROM cost WHERE i = 1 AND j = 1
-        |  UNION ALL
-        |  SELECT * FROM (
-        |    SELECT p.et_a, p.et_b, p.na, p.nb, c.i, c.j, c.c + min(p.d) AS d,
-        |           p.front + 1 AS diag, p.front + 1 AS front
-        |    FROM dp p
-        |    JOIN cost c ON c.et_a = p.et_a AND c.et_b = p.et_b
-        |      AND c.i + c.j = p.front + 1
-        |      AND ((c.i = p.i + 1 AND c.j = p.j) OR (c.i = p.i AND c.j = p.j + 1)
-        |           OR (c.i = p.i + 1 AND c.j = p.j + 1))
-        |    GROUP BY p.et_a, p.et_b, p.na, p.nb, c.i, c.j, c.c, p.front
-        |    UNION ALL
-        |    SELECT et_a, et_b, na, nb, i, j, d, diag, front + 1
-        |    FROM dp WHERE diag = front AND front < na + nb
-        |  ) z
-        |)
-        |SELECT et_a, et_b, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-        |  CAST(d AS BIGINT) AS dtw_cost
-        |FROM dp WHERE i = na AND j = nb ORDER BY et_a, et_b""".stripMargin,
+    "timeseries_dtw" -> dtwSql,
+
+    "stream_dtw" -> dtwSql,
 
     // Lagged cross-correlation moments between series pairs aligned on
     // absolute epoch hours, lags 0..6 — the autocorr moment contract

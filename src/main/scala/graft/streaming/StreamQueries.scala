@@ -397,6 +397,45 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming twin of timeseries_dtw: the (Σcents, n) hour-of-day cube
+    * is the mergeable state (≤ |types|×24 rows — constant-size state at
+    * any corpus scale); qv = Σcents div n over the merged cube equals
+    * the one-shot reduce exactly, and the native-expression DP at read
+    * time returns identical distances (shared oracle). The daily-rhythm
+    * drift monitor: re-reading the pair matrix per batch costs
+    * |types|² tiny rows, never data. */
+  def streamDtw(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("sdtwsrc")
+    val events = tbl(spark, dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    val stateRoot = tmpDir("sdtwstate")
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sdtwckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch
+          .withColumn("cents", round(col("value") * 100d, 0).cast("long"))
+          .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+          .agg(sum("cents").as("s_cents"), count(lit(1)).as("n"))
+        KeyedStateSink.merge(stateRoot, Seq("event_type", "hod"),
+          minCols = Nil, sumCols = Seq("s_cents", "n"))(partial, batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val cube = KeyedStateSink.read(spark, stateRoot).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long, Long, Long)]
+        .toDF("event_type", "hod", "s_cents", "n")
+    }
+    graft.operators.TimeSeries.dtwFromHodProfiles(
+      cube.select(col("event_type"), col("hod"),
+        expr("s_cents div n").as("qv")), band = 24)
+      .orderBy("et_a", "et_b")
+  }
+
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     val src = tmpDir("streamwin")
     val events = tbl(spark, dir, "events")
@@ -1257,6 +1296,7 @@ object StreamQueries {
     "stream_chi2" -> (streamChi2 _),
     "stream_pca" -> (streamPca _),
     "stream_theilsen" -> (streamTheilsen _),
+    "stream_dtw" -> (streamDtw _),
     "stream_attribution" -> (AttributionStream.run _),
     "stream_lake_merge" -> (streamLakeMerge _),
     "stream_quantile" -> (streamQuantile _),

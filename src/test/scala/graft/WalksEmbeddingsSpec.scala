@@ -119,6 +119,30 @@ class WalksEmbeddingsSpec extends SparkSpec {
     assert(again === l2)
   }
 
+  test("chi2FromCube: exact zero on an independent table, positive on a deterministic one") {
+    import graft.queries.ExtQueries
+    // independent: every (c1, c2) cell count = product of margins / n,
+    // integer-exactly (2x3 grid of 6s) -> every chi2 cell numerator 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q", "r") }
+      yield (a, b, "2024", 6L)).toDF("c1", "c2", "c3", "cnt")
+    val got = ExtQueries.chi2FromCube(ind).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got(("o_orderpriority", "o_orderstatus")) === ((2L, 0L)),
+      s"independent table must score chi2 = 0: $got")
+    // c3 constant -> dof 0 against either column, chi2 0
+    assert(got(("o_orderpriority", "o_year")) === ((0L, 0L)))
+    // deterministic: c2 is a function of c1 -> chi2/1e6 = n * min(ka,kb)-1
+    // = n (2x2, dof 1); Cramer's V = 1
+    val det = Seq(("x", "p", "2024", 10L), ("y", "q", "2024", 10L))
+      .toDF("c1", "c2", "c3", "cnt")
+    val d = ExtQueries.chi2FromCube(det).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(4), r.getDouble(5)))).toMap
+    assert(d(("o_orderpriority", "o_orderstatus")) === ((20L * 1000000L, 1.0)),
+      s"functional dependence must saturate chi2 and V: $d")
+  }
+
   test("maxCoverageSelect: greedy order, disjoint gains, exhaustion stops early") {
     val d = Seq(
       (0L, "a b c d e"),         // shingles abc bcd cde — subset of doc 1
