@@ -27,6 +27,42 @@ class KeyedStateSpec extends SparkSpec {
     assert(got === Seq(("a", 5L, "15.75"), ("b", 1L, "0.75"), ("c", 1L, "1.00")))
   }
 
+  test("Gram-cube merging is batch-split invariant: any split ladders to identical loadings") {
+    // the stream_pca contract: per-(i,j) decimal(38,0) sums accumulated
+    // through ANY batch split equal the one-shot corpus pass, so the
+    // BigInt ladder downstream is bit-identical
+    import graft.operators.Embeddings
+    val dim = 8
+    val rows = (0 until 36).map { i =>
+      val v = Array.fill(dim)(0.001f * (i % 7))
+      v(3) = if (i % 2 == 0) 0.8f else -0.8f
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def statsVia(splits: Seq[Seq[Int]], root: String): org.apache.spark.sql.DataFrame = {
+      splits.zipWithIndex.foreach { case (ids, b) =>
+        val part = Embeddings.gramStatsOf(
+          emb.filter(col("vec_id").isInCollection(ids.map(_.toLong))), dim)
+          .select(col("i"), col("j"), col("s").cast("decimal(38,0)").as("s"), col("n"))
+        KeyedStateSink.merge(root, Seq("i", "j"), Nil, Seq("s", "n"))(part, b.toLong)
+      }
+      KeyedStateSink.read(spark, root).get
+    }
+    val even = statsVia((0 until 36).grouped(12).toSeq,
+      Files.createTempDirectory("graft-kss-pca-a-").toString)
+    val skewed = statsVia(Seq(0 until 30, 30 until 33, 33 until 36).map(_.toSeq),
+      Files.createTempDirectory("graft-kss-pca-b-").toString)
+    val l0 = Embeddings.pcaLoadingsFromStats(Embeddings.gramStatsOf(emb, dim), 6, dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lA = Embeddings.pcaLoadingsFromStats(even, 6, dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lB = Embeddings.pcaLoadingsFromStats(skewed, 6, dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lA === l0 && lB === l0,
+      s"merged-state loadings must equal the one-shot pass: $l0 / $lA / $lB")
+    assert(l0(3L) === 1000000L)
+  }
+
   test("min-combined columns and schema stability across versions") {
     val root = Files.createTempDirectory("graft-kss-min-").toString
     def p(rows: Seq[(String, Long, Long)]) = rows.toDF("sig", "rep", "n_docs")
