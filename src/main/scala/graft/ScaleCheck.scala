@@ -429,6 +429,11 @@ object ScaleCheck {
       time("text_simpson_diversity", f) {
         graft.operators.TextOps.simpsonDiversity(d).count()
       }
+      // max-coverage greedy: k anti-join + gain-count scans over the
+      // persisted shingle table — k×scan with a fixed k, rows-out ≤ k
+      time("sample_max_coverage", f) {
+        graft.operators.Embeddings.maxCoverageSelect(d, k = 5).count()
+      }
       // chi²: one partial-aggregatable pass to the ≤105-cell cube; all
       // pair work on the cube — time must equal the scan cost
       time("profile_chi2_matrix", f) {
@@ -640,6 +645,13 @@ object ScaleCheck {
       // linear in |E|
       time("graph_diameter", f) {
         Graph.diameterDoubleSweep(Graph.coPartEdgesMin(lg, 2L)).count()
+      }
+      // eigenvector: fixed 6 power rounds, each one adjacency equi-join
+      // + partial sum + a 1-row max rescale — per-round cost linear in
+      // |E|, round count f-invariant by construction
+      time("graph_eigenvector", f) {
+        Graph.eigenvectorCentrality(Graph.coPartEdgesMin(lg, 2L),
+          iters = 6, topK = 20).count()
       }
 
       // CDC chunking: pure map-side hashing + two partial-agg shuffles —
