@@ -426,6 +426,27 @@ object Oracles {
 
   private lazy val stressFwdCtes: String = stressFwdCtesN(4)
 
+  /** Single-source BFS as an unrolled min-relax ladder over CTEs `e`
+    * (bidirectional edges) and `n0` (nodes), both defined by the caller.
+    * Emits `d{tag}0 .. d{tag}rounds` where d{tag}i holds (node, dist)
+    * with NULL dist for not-yet-reached nodes; each level MATERIALIZED
+    * (referenced twice: relax join + carry-forward). `rounds` must
+    * exceed the root's eccentricity — measured fixture diameters are
+    * 13 (sf0.01), 9 (sf0.1), 3 (sf0.001), so 16 is exact at every sf
+    * and extra rounds are least/min no-ops. Replaces r10's |V|-bounded
+    * RECURSIVE walks whose cycle frontier re-expanded for hundreds of
+    * dead levels (graph_diameter 350 s → <1 s). No trailing comma. */
+  private def bfsLadder(tag: String, rootSel: String, rounds: Int): String = {
+    def round(i: Int): String =
+      s"""r$tag$i AS (SELECT e.dst AS node, min(d.dist + 1) AS nd FROM e
+         |      JOIN d$tag${i - 1} d ON e.src = d.node WHERE d.dist IS NOT NULL GROUP BY 1),
+         |d$tag$i AS MATERIALIZED (SELECT d.node, least(d.dist, r.nd) AS dist
+         |      FROM d$tag${i - 1} d LEFT JOIN r$tag$i r ON d.node = r.node)""".stripMargin
+    s"""d${tag}0 AS MATERIALIZED (SELECT node, CASE WHEN node = ($rootSel)
+       |         THEN CAST(0 AS BIGINT) END AS dist FROM n0),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
   /** Shared CTE prefix for the bigram-LM quality family (text_perplexity
     * / sample_doremi): Laplace-smoothed bigram LM trained on even
     * doc_ids, exact integer inverse-probability ppm per odd doc, ending
@@ -3590,17 +3611,20 @@ object Oracles {
 
     // 3-core peel ladder, 4 unrolled rounds — the pinned-iteration mirror
     // of Graph.kCore (each round: degree over remaining, keep d>=3, keep
-    // edges with both endpoints kept).
+    // edges with both endpoints kept). Every CTE is MATERIALIZED: each
+    // b_i is referenced twice downstream, so inlining re-evaluates the
+    // whole chain 2^rounds times (measured 114 s plain vs 0.4 s
+    // materialized at sf0.01, identical rows) — r10's gate-timeout cause.
     "graph_kcore" -> {
       def round(i: Int): String =
-        s"""k${i - 1} AS (SELECT src AS node FROM b${i - 1} GROUP BY 1 HAVING count(*) >= 3),
-           |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+        s"""k${i - 1} AS MATERIALIZED (SELECT src AS node FROM b${i - 1} GROUP BY 1 HAVING count(*) >= 3),
+           |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
            |      JOIN k${i - 1} a ON e.src = a.node JOIN k${i - 1} b ON e.dst = b.node),
-           |b$i AS (SELECT src, dst FROM e$i UNION ALL SELECT dst AS src, src AS dst FROM e$i)""".stripMargin
+           |b$i AS MATERIALIZED (SELECT src, dst FROM e$i UNION ALL SELECT dst AS src, src AS dst FROM e$i)""".stripMargin
       s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
-         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+         |e0 AS MATERIALIZED (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
          |       GROUP BY 1, 2 HAVING count(*) >= 2),
-         |b0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |b0 AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
          |${round(1)},
          |${round(2)},
          |${round(3)},
@@ -3775,60 +3799,49 @@ object Oracles {
          |SELECT node, CAST(dist AS BIGINT) AS dist FROM d12 ORDER BY node""".stripMargin
     },
 
-    // Exact BFS to frontier exhaustion: recursive CTE with UNION (distinct)
-    // so the (node, dist) frontier dedups across iterations and terminates;
-    // the dist bound < |V| cuts cycle walks. min(dist) per node is the true
-    // hop distance; unreachable nodes surface with an explicit NULL via the
-    // final left join.
+    // Exact BFS to frontier exhaustion: 16-round min-relax ladder
+    // (MATERIALIZED per level) — past the fixture's measured diameter
+    // (13 at sf0.01, 9 at sf0.1, 3 at sf0.001), so rounds beyond the
+    // frontier's death are exact no-ops (least/min idempotent) and the
+    // unroll equals the engine's convergence-detected fixpoint. The r10
+    // RECURSIVE (node,dist) UNION walk bounded depth by |V| and kept
+    // re-expanding cycle paths for hundreds of dead levels (60 s; this
+    // form: <1 s). Unreachable nodes keep NULL throughout.
     "graph_bfs_full" ->
-      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
-        |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
-        |       GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-        |n0 AS (SELECT DISTINCT src AS node FROM e),
-        |rt AS (SELECT min(node) AS root FROM n0),
-        |walk(node, dist) AS (
-        |  SELECT root, CAST(0 AS BIGINT) FROM rt
-        |  UNION
-        |  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
-        |  WHERE w.dist + 1 < (SELECT count(*) FROM n0)
-        |),
-        |md AS (SELECT node, min(dist) AS dist FROM walk GROUP BY 1)
-        |SELECT n0.node, md.dist FROM n0 LEFT JOIN md USING (node) ORDER BY n0.node""".stripMargin,
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         |rt AS (SELECT min(node) AS root FROM n0),
+         |${bfsLadder("a", "SELECT root FROM rt", 16)}
+         |SELECT node, dist FROM da16 ORDER BY node""".stripMargin,
 
-    // Double-sweep diameter bound: BFS walk from the min node, re-root
-    // at the farthest reached node (tie min id), walk again; the second
-    // sweep's eccentricity is the bound. Same UNION-walk fixpoint as
-    // graph_bfs_full, run twice with the second root data-dependent.
+    // Double-sweep diameter bound: 16-round BFS ladder from the min node,
+    // re-root at the farthest reached node (tie min id), ladder again; the
+    // second sweep's eccentricity is the bound. Same eccentricity-capped
+    // unroll as graph_bfs_full (16 > 13+1, the max measured diameter over
+    // all sfs), replacing r10's |V|-bounded RECURSIVE walks (350 s → <1 s,
+    // identical output — the r10 gate-timeout headline).
     "graph_diameter" ->
-      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
-        |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
-        |       GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-        |n0 AS (SELECT DISTINCT src AS node FROM e),
-        |rt AS (SELECT min(node) AS root FROM n0),
-        |walk1(node, dist) AS (
-        |  SELECT root, CAST(0 AS BIGINT) FROM rt
-        |  UNION
-        |  SELECT e.dst, w.dist + 1 FROM walk1 w JOIN e ON e.src = w.node
-        |  WHERE w.dist + 1 < (SELECT count(*) FROM n0)
-        |),
-        |md1 AS (SELECT node, min(dist) AS dist FROM walk1 GROUP BY 1),
-        |u AS (SELECT node AS root, dist AS ecc0 FROM md1 ORDER BY dist DESC, node LIMIT 1),
-        |walk2(node, dist) AS (
-        |  SELECT root, CAST(0 AS BIGINT) FROM u
-        |  UNION
-        |  SELECT e.dst, w.dist + 1 FROM walk2 w JOIN e ON e.src = w.node
-        |  WHERE w.dist + 1 < (SELECT count(*) FROM n0)
-        |),
-        |md2 AS (SELECT node, min(dist) AS dist FROM walk2 GROUP BY 1),
-        |f AS (SELECT node AS antipode, dist AS dlb FROM md2 ORDER BY dist DESC, node LIMIT 1)
-        |SELECT (SELECT root FROM rt) AS start_node,
-        |  CAST((SELECT ecc0 FROM u) AS BIGINT) AS first_sweep_ecc,
-        |  (SELECT root FROM u) AS peripheral,
-        |  (SELECT antipode FROM f) AS antipode,
-        |  CAST((SELECT dlb FROM f) AS BIGINT) AS diameter_lb,
-        |  (SELECT count(*) FROM md2) AS n_reached""".stripMargin,
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         |e0 AS (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         |rt AS (SELECT min(node) AS root FROM n0),
+         |${bfsLadder("a", "SELECT root FROM rt", 16)},
+         |u AS (SELECT node AS root, dist AS ecc0 FROM da16 WHERE dist IS NOT NULL
+         |      ORDER BY dist DESC, node LIMIT 1),
+         |${bfsLadder("b", "SELECT root FROM u", 16)},
+         |f AS (SELECT node AS antipode, dist AS dlb FROM db16 WHERE dist IS NOT NULL
+         |      ORDER BY dist DESC, node LIMIT 1)
+         |SELECT (SELECT root FROM rt) AS start_node,
+         |  CAST((SELECT ecc0 FROM u) AS BIGINT) AS first_sweep_ecc,
+         |  (SELECT root FROM u) AS peripheral,
+         |  (SELECT antipode FROM f) AS antipode,
+         |  CAST((SELECT dlb FROM f) AS BIGINT) AS diameter_lb,
+         |  (SELECT count(*) FROM db16 WHERE dist IS NOT NULL) AS n_reached""".stripMargin,
 
     // SCC census of the functional part-key graph: ground truth by
     // transitive closure — u,v share an SCC iff mutually reachable; a node
