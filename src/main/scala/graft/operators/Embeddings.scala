@@ -35,7 +35,8 @@ object Embeddings {
     * data-scale pass: a per-partition dense SYRK kernel (primitive-long
     * upper-triangle multiply-accumulate, spilled into BigInt every 4096
     * rows so per-partition row counts are unbounded without overflow:
-    * |q_i·q_j| ≤ ~1e12·spillEvery per cell between spills ≪ int64) emits
+    * the kernel REQUIRES |q| ≤ 4.7e7 — checked per element, failing
+    * loudly — so spillEvery·q² < 2^63 per cell between spills) emits
     * dim·(dim+3)/2 partial rows per partition; the single shuffle then
     * reduces partitions × groups rows with an exact decimal(38,0) sum.
     * Replaces the earlier per-row upper-triangle explode (2144 struct
@@ -75,6 +76,18 @@ object Embeddings {
           var p = 0
           while (i < dim) {
             val qi = q(i)
+            // Overflow contract, checked loudly: a cell accumulates up to
+            // spillEvery products, so |q| must satisfy spillEvery·q² <
+            // 2^63 — |q| ≤ 4.7e7 (embedding magnitude ≤ 47 at the 1e6
+            // quantise scale). Unnormalized embeddings past that would
+            // silently wrap between spills and corrupt the Gram stats;
+            // fail the task instead (the decimal(38,0) reduce it feeds
+            // was exact for any magnitude, so the kernel must be too).
+            if (qi > 47000000L || qi < -47000000L)
+              throw new IllegalArgumentException(
+                s"gramStats: |quantized component| $qi exceeds the int64 " +
+                  "MAC bound 4.7e7 (embedding magnitude > 47); normalise " +
+                  "or rescale the embedding column first")
             accS(i) += qi
             var j = i
             while (j < dim) { accP(p) += qi * q(j); p += 1; j += 1 }
@@ -128,19 +141,23 @@ object Embeddings {
   /** Assemble C = n·Σxy − Σx·Σy from the one-pass stats, driver-side
     * (dim·(dim+3)/2 rows — metadata-scale, the centroid-pull contract). */
   private def covMatrix(emb: DataFrame, dim: Int): Array[Array[BigInt]] =
-    covFromStats(gramStats(emb, dim), dim)
+    covFromStats(gramStats(emb, dim), dim)._1
 
-  private def covFromStats(stats: DataFrame, dim: Int): Array[Array[BigInt]] = {
+  /** (covariance numerator matrix, n). Cells zero-initialised so a
+    * sparse or EMPTY stats frame (an all-null batch's Gram pass emits no
+    * rows) yields an all-zero matrix instead of null BigInts NPE-ing the
+    * ladder; callers gate on n == 0 for the clean empty contract. */
+  private def covFromStats(stats: DataFrame, dim: Int): (Array[Array[BigInt]], BigInt) = {
     val rows = stats.collect()
     var n = BigInt(0)
-    val si = Array.ofDim[BigInt](dim)
-    val sij = Array.ofDim[BigInt](dim, dim)
+    val si = Array.fill(dim)(BigInt(0))
+    val sij = Array.fill(dim, dim)(BigInt(0))
     rows.foreach { r =>
       val (i, j, s) = (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger))
       if (j < 0) { si(i) = s; n = BigInt(r.getLong(3)) }
       else { sij(i)(j) = s; sij(j)(i) = s }
     }
-    Array.tabulate(dim, dim)((i, j) => n * sij(i)(j) - si(i) * si(j))
+    (Array.tabulate(dim, dim)((i, j) => n * sij(i)(j) - si(i) * si(j)), n)
   }
 
   private val PpmScale = BigInt(1000000)
@@ -173,11 +190,19 @@ object Embeddings {
   def pcaLoadingsFromStats(stats: DataFrame, iters: Int, dim: Int = 64): DataFrame = {
     require(iters >= 1)
     val spark = stats.sparkSession
-    val x = powerLadder(covFromStats(stats, dim), dim, iters)
-    val s = canonSign(x)
     import spark.implicits._
-    x.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong * s) }.toSeq
-      .toDF("dim", "loading_ppm")
+    val (cov, n) = covFromStats(stats, dim)
+    // Empty stats (zero rows seen — e.g. a stream whose batches were all
+    // null) → empty loadings frame, not an opaque NPE/require crash deep
+    // in the ladder; a NON-empty degenerate matrix still fails loudly
+    // via powerLadder's variance require.
+    if (n == 0) Seq.empty[(Long, Long)].toDF("dim", "loading_ppm")
+    else {
+      val x = powerLadder(cov, dim, iters)
+      val s = canonSign(x)
+      x.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong * s) }.toSeq
+        .toDF("dim", "loading_ppm")
+    }
   }
 
   /** SECOND principal component by exact integer Hotelling deflation:

@@ -885,8 +885,14 @@ object Graph {
       val full = nodes.join(y, Seq("node"), "left")
         .select(col("node"), coalesce(col("y"), lit(0L)).as("y"))
       val mF = full.agg(max("y").as("m"))
+      // Rescale numerator in decimal(38,0): y ≤ maxdeg·10⁶, so the int64
+      // form 1000000*y wraps silently past maxdeg ≈ 9.2e6 while the
+      // DuckDB oracle multiplies in HUGEINT — exact decimal keeps the
+      // two engines identical on extreme-degree graphs (chi2FromCube
+      // pattern); the quotient is back ≤ 10⁶ so the output stays long.
       x = full.crossJoin(broadcast(mF))
-        .select(col("node"), expr("(1000000 * y) div m").as("r"))
+        .select(col("node"),
+          expr("CAST((CAST(1000000 AS decimal(38,0)) * y) div m AS BIGINT)").as("r"))
         .localCheckpoint()
     }
     val out = x.orderBy(col("r").desc, col("node")).limit(topK)

@@ -276,10 +276,14 @@ object ExtQueries {
     * an array-based all-pairs form measured 203s at sf0.1 vs ~3s here)
     * enumerates every qualifying pair, with the threshold applied by
     * cross-multiplication (inter·10⁶ ≥ 5·10⁵·union ⟺ the truncated-div
-    * form — exactly, for positive integers). Detected = the banded
-    * candidates passed through the same test. One census row:
-    * true/detected/hit counts and exact-rational ppm precision, recall,
-    * F1 (2·hit·10⁶ div (true + det)). */
+    * form — exactly, for positive integers). Detected = the RAW banded
+    * candidate set, unthresholded — precision measures how much of the
+    * banding's output is truly ≥ J (the number that evaluates the
+    * bands×rows knobs; re-verifying candidates with the exact test
+    * before counting would force precision ≡ 1 and the eval would say
+    * nothing — the r10 bug). One census row: true/detected/hit counts
+    * and exact-rational ppm precision, recall, F1
+    * (2·hit·10⁶ div (true + det)). */
   def dedupLshEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val sets = Dedup.shingleSets(docs).localCheckpoint()
@@ -296,8 +300,6 @@ object ExtQueries {
       lit(500000L) * (col("na") + col("nb") - col("inter"))
     val truePairs = inter.filter(passes).select("doc_a", "doc_b")
     val detected = Dedup.minhashCandidates(spark, docs)
-      .join(inter, Seq("doc_a", "doc_b"))
-      .filter(passes)
       .select("doc_a", "doc_b")
     val hit = truePairs.join(detected, Seq("doc_a", "doc_b"), "left_semi")
     truePairs.agg(count(lit(1)).as("n_true"))

@@ -976,8 +976,10 @@ object Oracles {
          |FROM est e JOIN ex x USING (doc_a, doc_b)
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // LSH eval: exact all-pairs ground truth at J >= 0.5 vs the banded
-    // candidates verified at the same threshold; P/R/F1 in exact ppm.
+    // LSH eval: exact all-pairs ground truth at J >= 0.5 vs the RAW
+    // banded candidate set (threshold on the truth side only — verifying
+    // candidates with the same test made precision degenerate-1 in r10);
+    // P/R/F1 in exact ppm.
     "dedup_lsh_eval" ->
       s"""$minhashCtes,
          |ss AS (SELECT doc_id, hs FROM sh0 WHERE len(hs) > 0),
@@ -985,11 +987,7 @@ object Oracles {
          |       FROM ss a JOIN ss b ON a.doc_id < b.doc_id
          |       WHERE len(list_intersect(a.hs, b.hs)) * 1000000
          |         // len(list_distinct(a.hs || b.hs)) >= 500000),
-         |dt AS (SELECT p.doc_a, p.doc_b
-         |       FROM pairs p JOIN ss a ON a.doc_id = p.doc_a
-         |       JOIN ss b ON b.doc_id = p.doc_b
-         |       WHERE len(list_intersect(a.hs, b.hs)) * 1000000
-         |         // len(list_distinct(a.hs || b.hs)) >= 500000),
+         |dt AS (SELECT p.doc_a, p.doc_b FROM pairs p),
          |ht AS (SELECT t.* FROM tp t JOIN dt d
          |       ON d.doc_a = t.doc_a AND d.doc_b = t.doc_b),
          |c AS (SELECT (SELECT count(*) FROM tp) AS n_true,
