@@ -160,6 +160,49 @@ object ScaleCheck {
     time("hot_dedup_cc_clusters", 1) { Dedup.ccClusters(spark, d, 3).count() }
   }
 
+  /** `runMain graft.ScaleCheck hubgraph <hubDeg>`: the adversarial
+    * power-law case for the link-prediction wedge engine — a graph with
+    * ONE hub of degree `hubDeg` (default 10⁴) over a background of
+    * 3-cliques (small centres generating real candidates, degrees ≤ 4).
+    * The naive centre-keyed self-join would enumerate hubDeg² wedge
+    * rows through the hub (10⁸ at default) before any filter; the
+    * hub-safe split must complete in time tracking the BACKGROUND wedge
+    * space + |candidates|, not hubDeg². Timed at hubDeg and hubDeg/4:
+    * near-flat growth is the pass criterion (quadratic would 16×).
+    * Scores stay exact for reported pairs — hub-spoke pairs are
+    * adjacent (anti-joined away), and spoke-spoke pairs through the
+    * hub alone are gated by contract (see Graph.wedgeScores). */
+  private def hubRun(spark: SparkSession, hubDeg: Long,
+                     time: (String, Int) => (=> Long) => Unit): Unit = {
+    import spark.implicits._
+    def graphOf(h: Long): DataFrame = {
+      // hub 0 — spokes 1..h; background 3-cliques on ids ≥ h+1, every
+      // third spoke also wired into a clique so hub adjacency overlaps
+      // real candidates (the hub-patch join has work to do)
+      val spokes = spark.range(1, h + 1)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      val base = h + 1
+      val cliques = spark.range((h / 3) * 3)
+        .select((col("id") / 3).as("c"), (col("id") % 3).as("i"))
+        .select((lit(base) + col("c") * 3 + col("i")).as("a"),
+          (lit(base) + col("c") * 3 + (col("i") + 1) % 3).as("b"))
+        .select(least(col("a"), col("b")).as("src"),
+          greatest(col("a"), col("b")).as("dst")).distinct()
+      val bridges = spark.range(h / 3)
+        .select((col("id") * 3 + 1).as("src"), (lit(base) + col("id") * 3).as("dst"))
+      spokes.unionByName(cliques).unionByName(bridges)
+    }
+    for ((h, f) <- Seq((hubDeg / 4, 1), (hubDeg, 4))) {
+      val g = graphOf(h).repartition(32).localCheckpoint()
+      time("hub_neighbor_jaccard", f) {
+        Graph.neighborJaccard(g, topK = 20, degCap = 1024).count()
+      }
+      time("hub_link_prediction", f) {
+        Graph.linkPrediction(g, topK = 20, degCap = 1024).count()
+      }
+    }
+  }
+
   /** `runMain graft.ScaleCheck fold <n>`: the streaming-ER fold
     * crossover — a persisted cluster map of `n` entities (pairs of
     * consecutive ids) folded with one 2000-record batch (1000 new
@@ -260,12 +303,14 @@ object ScaleCheck {
     val hotMode = args.headOption.contains("hot")
     val foldMode = args.headOption.contains("fold")
     val ledgerMode = args.headOption.contains("ledger")
-    val sfDir = if (args.nonEmpty && !synthMode && !hotMode && !foldMode && !ledgerMode) args(0)
+    val hubMode = args.headOption.contains("hubgraph")
+    val anyMode = synthMode || hotMode || foldMode || ledgerMode || hubMode
+    val sfDir = if (args.nonEmpty && !anyMode) args(0)
       else "/root/testdata/sf0.1"
     // optional op-name filter: `ScaleCheck <sfDir> op1 op2...` /
     // `ScaleCheck synth <n> op1...` times only the named ops
     val opFilter: Set[String] =
-      (if (synthMode || hotMode || foldMode || ledgerMode) args.drop(2) else args.drop(1)).toSet
+      (if (anyMode) args.drop(2) else args.drop(1)).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -305,6 +350,12 @@ object ScaleCheck {
     if (ledgerMode) {
       val n = if (args.length > 1) args(1).toLong else 1000000L
       ledgerRun(spark, n, time _)
+      spark.stop()
+      return
+    }
+    if (hubMode) {
+      val h = if (args.length > 1) args(1).toLong else 10000L
+      hubRun(spark, h, time _)
       spark.stop()
       return
     }

@@ -782,9 +782,10 @@ object Graph {
     * ranking is bit-identical across engines. The "people you may
     * know" / "frequently bought together next" primitive.
     *
-    * Plan: candidate pairs are exactly the 2-WEDGES (u-w-v), enumerated
-    * by one hub-keyed self-join of the bidirectional adjacency — the
-    * same Σ deg² class as [[triangleCount]], never all pairs; per-pair
+    * Plan: candidate pairs are the 2-WEDGES (u-w-v) through centres of
+    * degree ≤ degCap, with hub centres' contributions patched back
+    * exactly — the hub-safe [[wedgeScores]] engine (see its scaladoc
+    * for the split and the one candidate-gate contract); per-pair
     * scores partial-aggregate map-side; existing edges leave by one
     * CANONICALISED anti-join (least/greatest on the stored orientation,
     * so a caller passing edges not oriented src < dst still gets
@@ -795,18 +796,10 @@ object Graph {
     * family form). A BOTH-directions edge list would double-count the
     * wedge scores — deduplicated input is on the caller, orientation is
     * not. */
-  def linkPrediction(edges: DataFrame, topK: Int): DataFrame = {
+  def linkPrediction(edges: DataFrame, topK: Int, degCap: Int = WedgeDegCap): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst")).persist(lvl)
-    val bi = bidir(e).persist(lvl)
-    val deg = bi.groupBy(col("src").as("w")).agg(count(lit(1)).as("d"))
-    val scored = bi.select(col("src").as("w"), col("dst").as("u"))
-      .join(bi.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
-      .filter(col("u") < col("v"))
-      .join(deg, Seq("w"))
-      .groupBy("u", "v")
-      .agg(count(lit(1)).as("common"),
-        sum(expr("1000000 div d")).as("ra_ppm"))
+    val scored = wedgeScores(e, degCap)
     val out = scored
       .join(e.select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v")),
@@ -814,8 +807,79 @@ object Graph {
       .orderBy(col("ra_ppm").desc, col("common").desc, col("u"), col("v"))
       .limit(topK)
       .localCheckpoint()
-    bi.unpersist()
     e.unpersist()
+    out
+  }
+
+  /** Default wedge-center degree cap for [[wedgeScores]] — far above
+    * every fixture's max degree (51 at sf0.001, 13 at sf0.01, 6 at
+    * sf0.1), so the catalog keys are the complete exact wedge space;
+    * low enough that a 10⁵-degree crawl hub can't detonate the
+    * self-join (its deg² = 10¹⁰ wedge rows). */
+  val WedgeDegCap = 1024
+
+  /** Shared hub-safe wedge engine for the link-prediction family:
+    * (u, v, common, ra_ppm) per unordered pair sharing ≥1 common
+    * neighbour of degree ≤ degCap.
+    *
+    * The naive form self-joins the full adjacency on the centre w —
+    * every centre contributes deg(w)² rows, so ONE 10⁵-degree hub on a
+    * power-law graph contributes 10¹⁰ wedges by itself. Here the centre
+    * set splits at degCap:
+    *
+    *  - SMALL centres (deg ≤ cap) run the full self-join — Σ_small deg²
+    *    ≤ cap·Σdeg rows, linear in edges for fixed cap. They both
+    *    GENERATE the candidate pairs and score their own contributions.
+    *  - HUB centres (deg > cap) never self-join. Their exact
+    *    contributions are patched onto the small-generated candidates:
+    *    candidates ⋈ hub-adjacency on u (rows = Σ_cand |hubΓ(u)| —
+    *    each node has at most a handful of super-hub neighbours), then
+    *    an equi-join on (w, v) keeps w ∈ Γ(v). Scores stay EXACT over
+    *    the full common-neighbour set for every reported pair.
+    *
+    * The one documented semantic gate: a pair whose ONLY common
+    * neighbours are hubs is not a candidate (nothing small generated
+    * it). That pair's signal is the weakest in the family by
+    * construction — each hub term contributes ≤ 10⁶/cap ppm to RA and
+    * hub-only co-neighbourhood is the "both follow the mega-hub"
+    * non-signal link predictors discount — and with cap ≥ max degree
+    * (every test fixture) the gate admits everything, so the catalog
+    * keys remain the complete exact ranking. No silent drop: the gate
+    * is this contract, not a data-dependent truncation. */
+  private[graft] def wedgeScores(e: DataFrame, degCap: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bi = bidir(e).persist(lvl)
+    val deg = bi.groupBy(col("src").as("w")).agg(count(lit(1)).as("d"))
+      .persist(lvl)
+    val smallAdj = bi.join(deg.filter(col("d") <= degCap), bi("src") === deg("w"))
+      .select(col("w"), col("dst"), col("d"))
+    val hubAdj = bi.join(deg.filter(col("d") > degCap), bi("src") === deg("w"))
+      .select(col("w"), col("dst"), col("d"))
+    val small = smallAdj.select(col("w"), col("dst").as("u"), col("d"))
+      .join(smallAdj.select(col("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common_s"),
+        sum(expr("1000000 div d")).as("ra_s"))
+      .persist(lvl)
+    // Hub patch: per candidate pair, walk u's (few) hub neighbours and
+    // keep those also adjacent to v — exact Σ over hub centres without
+    // ever enumerating a hub's deg² pair space.
+    val hubPatch = small.select(col("u"), col("v"))
+      .join(hubAdj.select(col("dst").as("u"), col("w"), col("d")), Seq("u"))
+      .join(hubAdj.select(col("dst").as("v"), col("w")), Seq("v", "w"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("common_h"),
+        sum(expr("1000000 div d")).as("ra_h"))
+    val out = small.join(hubPatch, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        (col("common_s") + coalesce(col("common_h"), lit(0L))).as("common"),
+        (col("ra_s") + coalesce(col("ra_h"), lit(0L))).as("ra_ppm"))
+      // materialise before releasing the caches both joins feed from
+      .localCheckpoint()
+    small.unpersist()
+    deg.unpersist()
+    bi.unpersist()
     out
   }
 
@@ -830,22 +894,18 @@ object Graph {
     * member of the same family as the dedup Jaccard tiers).
     *
     * Plan: identical candidate shape to [[linkPrediction]] — common
-    * counts come from the hub-keyed wedge self-join (Σ deg² work, never
-    * all pairs), degrees join AFTER the pair-level reduce (pair-scale
-    * rows, node-scale build side), existing edges leave by one
-    * canonicalised anti-join, top-k is a distributed TakeOrdered.
+    * counts come from the hub-safe [[wedgeScores]] engine (small-centre
+    * self-join + exact hub patch, never a hub's deg² space), degrees
+    * join AFTER the pair-level reduce (pair-scale rows, node-scale
+    * build side), existing edges leave by one canonicalised anti-join,
+    * top-k is a distributed TakeOrdered.
     * Same input contract: one row per undirected edge. */
-  def neighborJaccard(edges: DataFrame, topK: Int): DataFrame = {
+  def neighborJaccard(edges: DataFrame, topK: Int, degCap: Int = WedgeDegCap): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst")).persist(lvl)
-    val bi = bidir(e).persist(lvl)
+    val bi = bidir(e)
     val deg = bi.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-    val common = bi.select(col("src").as("w"), col("dst").as("u"))
-      .join(bi.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
-      .filter(col("u") < col("v"))
-      .groupBy("u", "v")
-      .agg(count(lit(1)).as("common"))
-    val out = common
+    val out = wedgeScores(e, degCap)
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
       .withColumn("jac_ppm",
@@ -857,7 +917,6 @@ object Graph {
       .orderBy(col("jac_ppm").desc, col("common").desc, col("u"), col("v"))
       .limit(topK)
       .localCheckpoint()
-    bi.unpersist()
     e.unpersist()
     out
   }

@@ -424,6 +424,33 @@ class GraphTimeSeriesSpec extends SparkSpec {
     assert(p2.toSeq === Seq((5L,8L,500000L), (6L,8L,500000L)))
   }
 
+  test("wedge engine hub split: hub contributions exact on small-generated candidates; hub-only pairs gated") {
+    // Nodes 2 and 3 share TWO common neighbours: small centre 1 (deg 2)
+    // and hub 9 (deg 4 > cap 2). Pair (2,3) is generated by centre 1 and
+    // its score must still count hub 9 exactly: common=2,
+    // RA = 1e6 div 2 + 1e6 div 4 = 750000. Pair (4,5) shares ONLY the
+    // hub -> gated out under cap 2 (the documented candidate contract).
+    val g = edgesDf((1L,2L),(1L,3L),(9L,2L),(9L,3L),(9L,4L),(9L,5L))
+    // (1,9) is also a candidate — via SMALL centres 2 and 3 (deg 2 each):
+    // RA = 2 · 1e6 div 2 = 1000000, ahead of (2,3)
+    val p = Graph.linkPrediction(g, topK = 10, degCap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(p.toSeq === Seq((1L,9L,2L,1000000L), (2L,3L,2L,750000L)),
+      s"hub patch must add centre 9 to (2,3) and gate hub-only (4,5): ${p.toSeq}")
+    // jaccard twin: (2,3): deg2=deg3=2, common=2 -> 2e6 div 2 = 1e6;
+    // (1,9): deg1=2, deg9=4 -> 2e6 div 4 = 500000
+    val j = Graph.neighborJaccard(g, topK = 10, degCap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(j.toSeq === Seq((2L,3L,2L,1000000L), (1L,9L,2L,500000L)),
+      s"jaccard hub patch: ${j.toSeq}")
+    // with cap above every degree the gate admits everything: (4,5)
+    // appears with its hub-only score (common=1, RA = 1e6 div 4)
+    val full = Graph.linkPrediction(g, topK = 10, degCap = 1024).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(full.contains((2L,3L,2L,750000L)) && full.contains((4L,5L,1L,250000L)),
+      s"uncapped run must score hub-only pairs too: $full")
+  }
+
   test("kTruss: peel cascades (support recomputed within the subgraph), K5 survives") {
     // K5: every edge in 3 triangles -> survives k=4 (support >= 2).
     // Double triangle (10,11,12)+(11,12,13): edge 11-12 has support 2 in
