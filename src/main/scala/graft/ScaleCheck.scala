@@ -203,6 +203,31 @@ object ScaleCheck {
     }
   }
 
+  /** `runMain graft.ScaleCheck theilsen`: series-length ladder for the
+    * robust-trend estimator — the r10 form was all-pairs at ANY length
+    * (n²/2 slope rows + an n²/2-value exact-percentile buffer per
+    * series: ~3.8G pairs per type for a 10-year 87k-point monitor). The
+    * r11 length gate keeps ≤4096-point series exact and dispatches
+    * longer ones to windowed median-of-medians (n·W/2 rows, W²-bounded
+    * buffers). The ladder times 2048/4096 (exact arm — quadratic, the
+    * anchor) and 8192..32768 (windowed arm — must grow ~linearly where
+    * the exact extrapolation would 4× per doubling). Synthetic hourly
+    * series: trend 5 cents/hr + deterministic hash noise, one type. */
+  private def theilsenRun(spark: SparkSession,
+                          time: (String, Int) => (=> Long) => Unit): Unit = {
+    def hourlyOf(n: Long): DataFrame =
+      spark.range(n).select(
+        lit("synth").as("event_type"),
+        (col("id") * 3600L).cast("timestamp").as("hr"),
+        (col("id") * 5L + pmod(hash(col("id")), lit(200L))).as("qv"))
+    for ((n, f) <- Seq((2048L, 1), (4096L, 2), (8192L, 4), (16384L, 8), (32768L, 16))) {
+      val h = hourlyOf(n).localCheckpoint()
+      time("theilsen_ladder", f) {
+        graft.operators.TimeSeries.theilSenFromHourly(h).count()
+      }
+    }
+  }
+
   /** `runMain graft.ScaleCheck fold <n>`: the streaming-ER fold
     * crossover — a persisted cluster map of `n` entities (pairs of
     * consecutive ids) folded with one 2000-record batch (1000 new
@@ -304,7 +329,8 @@ object ScaleCheck {
     val foldMode = args.headOption.contains("fold")
     val ledgerMode = args.headOption.contains("ledger")
     val hubMode = args.headOption.contains("hubgraph")
-    val anyMode = synthMode || hotMode || foldMode || ledgerMode || hubMode
+    val theilsenMode = args.headOption.contains("theilsen")
+    val anyMode = synthMode || hotMode || foldMode || ledgerMode || hubMode || theilsenMode
     val sfDir = if (args.nonEmpty && !anyMode) args(0)
       else "/root/testdata/sf0.1"
     // optional op-name filter: `ScaleCheck <sfDir> op1 op2...` /
@@ -356,6 +382,11 @@ object ScaleCheck {
     if (hubMode) {
       val h = if (args.length > 1) args(1).toLong else 10000L
       hubRun(spark, h, time _)
+      spark.stop()
+      return
+    }
+    if (theilsenMode) {
+      theilsenRun(spark, time _)
       spark.stop()
       return
     }

@@ -267,10 +267,13 @@ object TimeSeries {
     * the median is float (the anomaly_mad percentile pairing, round 6).
     *
     * Scale shape: the raw-events → hourly reduce is the only data-scale
-    * pass; the pair self-join is series-length² per type — TIME-bounded
-    * (thousands of points → ~10⁶ pair rows per type), never data-scale.
-    * Past ~10⁵ points per series, subsample pairs by a hash coin — the
-    * standard Theil-Sen scaling move — before the median. */
+    * pass. The slope stage is LENGTH-GATED per series (see
+    * [[theilSenFromHourly]]): series up to [[TheilSenExactGate]] points
+    * run the exact all-pairs median (fixtures top out at 720); longer
+    * series dispatch to windowed Theil-Sen — n·W pairs instead of n²,
+    * with a bounded exact-percentile buffer per window — so a 10-year
+    * 87k-point monitor costs ~22M slope rows, not 3.8G, and nothing
+    * OOMs the percentile buffer. */
   def theilSenTrend(events: DataFrame): DataFrame =
     theilSenFromHourly(
       events
@@ -278,25 +281,78 @@ object TimeSeries {
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
         .agg(expr("sum(cents) div count(1)").as("qv")))
 
+  /** Per-series point count above which the exact all-pairs slope
+    * median dispatches to the windowed form: 4096² ≈ 8.4M pair rows and
+    * a same-sized percentile buffer per series is the accepted exact
+    * ceiling; every fixture (≤720 points) stays exact. */
+  val TheilSenExactGate = 4096
+
+  /** Window width (points) for the windowed form: W² = 65k slopes per
+    * window bound the per-group percentile buffer; total slope rows are
+    * n·W ≈ linear in series length. */
+  val TheilSenWindow = 256
+
   /** The slope/median stage from an already-reduced (event_type, hr, qv)
     * hourly frame — shared by the batch form and the streaming twin
-    * whose mergeable state is the (Σcents, n) hourly cube. */
+    * whose mergeable state is the (Σcents, n) hourly cube.
+    *
+    * Length-gated dispatch, decided per series inside one plan:
+    *
+    *  - n ≤ [[TheilSenExactGate]]: the classical estimator — median of
+    *    ALL n(n−1)/2 pairwise slopes.
+    *  - n > gate: WINDOWED Theil-Sen (median-of-medians): slopes pair
+    *    only within calendar-aligned windows of [[TheilSenWindow]]
+    *    points (`hrs div (W·3600s)` — deterministic, data-independent
+    *    boundaries), per-window exact slope median, then the median of
+    *    window medians. n·W/2 pair rows instead of n²/2, every
+    *    percentile buffer ≤ W²/2 values; robustness is preserved
+    *    (each window median has the 29% breakdown point; the outer
+    *    median tolerates corrupt windows), at the price of ignoring
+    *    cross-window pairs — the long-baseline pairs whose slopes
+    *    cluster tightest around the trend anyway, making the windowed
+    *    estimate a strictly finer-variance family member, not a
+    *    different statistic.
+    *
+    * The gate is a count over the already-reduced calendar-bounded
+    * frame (broadcast back), so both branches stay in one lazy plan and
+    * only the qualifying series reach each side's exchanges. Fixtures
+    * never cross the gate, so the oracle mirrors only the exact arm. */
   private[graft] def theilSenFromHourly(hourly: DataFrame): DataFrame = {
     val s = hourly
       .withColumn("hrs", expr("unix_timestamp(hr) div 3600"))
-    val a = s.select(col("event_type"), col("qv").as("qa"), col("hrs").as("ha"))
-    val b = s.select(col("event_type"), col("qv").as("qb"), col("hrs").as("hb"))
-    val slopes = a.join(b, Seq("event_type"))
-      .filter(col("ha") < col("hb"))
-      .select(col("event_type"),
-        expr("""(CASE WHEN qb - qa < 0 THEN -1 ELSE 1 END) *
-               |((abs(qb - qa) * 1000000) div (hb - ha))""".stripMargin)
-          .as("slope"))
-    slopes.groupBy("event_type")
+    val counts = s.groupBy("event_type").agg(count(lit(1)).as("n_points"))
+    val sized = s.join(broadcast(counts), Seq("event_type"))
+
+    def pairSlopes(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val keyCols = ("event_type" +: keys)
+      val a = df.select((keyCols.map(col) :+
+        col("qv").as("qa")) :+ col("hrs").as("ha"): _*)
+      val b = df.select((keyCols.map(col) :+
+        col("qv").as("qb")) :+ col("hrs").as("hb"): _*)
+      a.join(b, keyCols)
+        .filter(col("ha") < col("hb"))
+        .select(keyCols.map(col) :+
+          expr("""(CASE WHEN qb - qa < 0 THEN -1 ELSE 1 END) *
+                 |((abs(qb - qa) * 1000000) div (hb - ha))""".stripMargin)
+            .as("slope"): _*)
+    }
+
+    val exact = pairSlopes(sized.filter(col("n_points") <= TheilSenExactGate), Nil)
+      .groupBy("event_type")
       .agg(count(lit(1)).as("n_pairs"),
         expr("percentile(slope, 0.5)").as("m"))
-      .join(s.groupBy("event_type").agg(count(lit(1)).as("n_points")),
-        Seq("event_type"))
+
+    val windowed = pairSlopes(
+        sized.filter(col("n_points") > TheilSenExactGate)
+          .withColumn("win", expr(s"hrs div $TheilSenWindow")),
+        Seq("win"))
+      .groupBy("event_type", "win")
+      .agg(count(lit(1)).as("wp"), expr("percentile(slope, 0.5)").as("wm"))
+      .groupBy("event_type")
+      .agg(sum("wp").as("n_pairs"), expr("percentile(wm, 0.5)").as("m"))
+
+    exact.unionByName(windowed)
+      .join(counts, Seq("event_type"))
       .select(col("event_type"), col("n_points"), col("n_pairs"),
         round(col("m"), 6).as("slope_ppm_per_hr"))
   }

@@ -367,6 +367,36 @@ class GraphTimeSeriesSpec extends SparkSpec {
       s"robust slope must be the ramp's: ${r}")
   }
 
+  test("theilSen windowed dispatch above the gate: linear pair count, ramp recovered, outliers survive") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val n = TimeSeries.TheilSenExactGate + 1000 // crosses the gate
+    // planted 7 cents/hr ramp with every 97th point a wild spike
+    val hourly = spark.range(n)
+      .select(lit("big").as("event_type"),
+        (col("id") * 3600L).cast("timestamp").as("hr"),
+        org.apache.spark.sql.functions
+          .when(col("id") % 97 === 0, lit(9000000L))
+          .otherwise(col("id") * 7L).as("qv"))
+    val r = TimeSeries.theilSenFromHourly(hourly).head()
+    assert(r.getAs[Long]("n_points") === n.toLong)
+    // windowed arm: pairs bounded by n·W/2, far under the exact n²/2
+    val w = TimeSeries.TheilSenWindow.toLong
+    assert(r.getAs[Long]("n_pairs") <= n.toLong * w / 2,
+      s"dispatch must be windowed: ${r}")
+    assert(r.getAs[Long]("n_pairs") < n.toLong * (n - 1) / 4)
+    // median-of-medians still recovers the clean ramp exactly
+    assert(r.getAs[Double]("slope_ppm_per_hr") === 7000000.0, s"$r")
+    // a small series in the same frame stays on the exact arm
+    val both = hourly.unionByName(
+      spark.range(60).select(lit("small").as("event_type"),
+        (col("id") * 3600L).cast("timestamp").as("hr"),
+        (col("id") * 2L).as("qv")))
+    val rs = TimeSeries.theilSenFromHourly(both)
+      .where(col("event_type") === "small").head()
+    assert(rs.getAs[Long]("n_pairs") === 60L * 59 / 2, s"exact arm: $rs")
+    assert(rs.getAs[Double]("slope_ppm_per_hr") === 2000000.0)
+  }
+
   test("graft_dtw_band: hand-computed costs, warping vs banded vs unreachable") {
     graft.expressions.GraftFunctions.register(spark)
     def dtw(a: Seq[Long], b: Seq[Long], band: Int): Long =
