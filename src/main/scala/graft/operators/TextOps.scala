@@ -475,6 +475,96 @@ object TextOps {
         (col("start_off") % seqLen + col("n_tokens") > seqLen).as("spans"))
   }
 
+  /** Feature-hash bucket count for the learned quality classifier — the
+    * fastText/CCNet "hashing trick" dimension. 1024 buckets keep the
+    * model a broadcastable dimension-scale table (the whole point of a
+    * learned filter at 100 TB: training is ONE partial-aggregatable
+    * count pass, scoring is a map-side broadcast join) while giving the
+    * fixture vocabulary (~100 distinct words) a collision-light code
+    * space. */
+  val NbBuckets = 1024L
+
+  /** TRAIN a hashed-unigram count-ratio quality classifier (the
+    * integer-exact Naive-Bayes-style member of the fastText/CCNet
+    * model-filter lineage): labels come from the rule-based Gopher gate
+    * over the TRAIN split (even doc_id — the stand-in for "a human/LLM
+    * labelled a sample"), features are charHash(token) mod
+    * [[NbBuckets]], and each bucket's weight is the Laplace-smoothed
+    * positive-class rate in exact ppm:
+    *   w_ppm = (c_pos + 1)·10⁶ div (c_pos + c_neg + 2)
+    * — no logs, so the model is bit-identical across engines (an
+    * unseen bucket scores exactly the 500000 prior). The learned model
+    * GENERALISES the gate: it scores documents the rules never saw, at
+    * a per-doc cost of one hash per token + one broadcast probe.
+    *
+    * Scale shape: label pass = the Gopher signal aggregation
+    * (doc-scale, partial-aggregatable); training = one token-scale
+    * count pass keyed by ≤[[NbBuckets]] buckets — the ideal reduce; the
+    * model (≤1024 rows) is metadata-scale. */
+  def nbQualityModel(docs: DataFrame): DataFrame = {
+    val labels = gopherSignals(docs).select(col("doc_id"), col("passes"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .join(labels, Seq("doc_id"))
+      .select(col("passes"), explode(tokens(col("text"))).as("t"))
+      .select(col("passes"), (charHash(col("t")) % NbBuckets).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("passes"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("passes"), 0L).otherwise(1L)).as("c_neg"))
+      .select(col("bucket"), col("c_pos"), col("c_neg"),
+        expr("((c_pos + 1) * 1000000) div (c_pos + c_neg + 2)").as("w_ppm"))
+  }
+
+  /** SCORE the held-out split (odd doc_id) with a trained
+    * [[nbQualityModel]]: per document, the mean bucket weight over its
+    * token OCCURRENCES (multinomial evidence — a doc repeating junk
+    * tokens scores like junk), score_ppm = Σw div n_toks, predicted
+    * quality = score ≥ the 500000 prior. Unseen buckets contribute the
+    * exact smoothed prior via the left-join coalesce. Empty-token docs
+    * carry no evidence and are excluded (the gopher gate already fails
+    * them on n_toks — a scorer returning the bare prior would launder
+    * them into coin flips).
+    *
+    * Scale shape: the model broadcasts (≤1024 rows); scoring is one
+    * map-side probe per token + one per-doc partial agg — zero
+    * data-scale shuffles beyond the rollup. */
+  def nbQualityScores(docs: DataFrame, model: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .select(col("doc_id"), (charHash(col("t")) % NbBuckets).as("bucket"))
+      .join(broadcast(model.select(col("bucket"), col("w_ppm"))),
+        Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("w_ppm"), lit(500000L))).as("sw"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("sw div n_toks").as("score_ppm"),
+        (expr("sw div n_toks") >= 500000L).as("predicted"))
+
+  /** HELD-OUT evaluation of the learned classifier against the Gopher
+    * labels on the odd split (docs the trainer never saw) — the
+    * dedup_lsh_eval census applied to quality: one row of
+    * n_docs / n_label_pos / n_pred_pos / n_hit and exact-rational ppm
+    * precision, recall, F1. This is the number a pipeline publishes
+    * before swapping the rule gate for the model. */
+  def nbQualityEval(docs: DataFrame): DataFrame = {
+    val labels = gopherSignals(docs).select(col("doc_id"), col("passes"))
+    nbQualityScores(docs, nbQualityModel(docs))
+      .join(labels, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_label_pos"),
+        sum(when(col("predicted"), 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when(col("passes") && col("predicted"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("n_docs"), col("n_label_pos"), col("n_pred_pos"), col("n_hit"),
+        expr("CASE WHEN n_pred_pos = 0 THEN 0 ELSE (n_hit * 1000000) div n_pred_pos END")
+          .as("precision_ppm"),
+        expr("CASE WHEN n_label_pos = 0 THEN 0 ELSE (n_hit * 1000000) div n_label_pos END")
+          .as("recall_ppm"),
+        expr("CASE WHEN n_label_pos + n_pred_pos = 0 THEN 0 " +
+          "ELSE (2 * n_hit * 1000000) div (n_label_pos + n_pred_pos) END").as("f1_ppm"))
+  }
+
   /** Multimodal plumbing: treat content as an opaque binary column with
     * typed metadata. The byte length and digest are real; at 100 TB the
     * binary payload would be image/audio bytes and the decode step a

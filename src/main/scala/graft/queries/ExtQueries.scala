@@ -4068,6 +4068,23 @@ object ExtQueries {
   def textGopherRules(spark: SparkSession, dir: String): DataFrame =
     TextOps.gopherSignals(tbl(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Learned quality classifier, trained: the hashed-unigram
+    * count-ratio model table (see TextOps.nbQualityModel). */
+  def qualityNbModel(spark: SparkSession, dir: String): DataFrame =
+    TextOps.nbQualityModel(tbl(spark, dir, "documents")).orderBy("bucket")
+
+  /** Learned quality classifier, applied to the held-out split (see
+    * TextOps.nbQualityScores). */
+  def qualityNbScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    TextOps.nbQualityScores(docs, TextOps.nbQualityModel(docs)).orderBy("doc_id")
+  }
+
+  /** Held-out precision/recall census of the learned classifier vs the
+    * Gopher labels (see TextOps.nbQualityEval). */
+  def qualityNbEval(spark: SparkSession, dir: String): DataFrame =
+    TextOps.nbQualityEval(tbl(spark, dir, "documents"))
+
   /** Corpus quality gate: Gopher-rule pass ∩ exact-duplicate canonical
     * (min doc_id per identical text) → per-source/lang survivor stats.
     * The end-to-end "what survives filtering" report a data curator runs
@@ -4334,6 +4351,9 @@ object ExtQueries {
     "anomaly_mad" -> (anomalyMad _),
     "anomaly_stl_residual" -> (anomalyStlResidual _),
     "text_gopher_rules" -> (textGopherRules _),
+    "quality_nb_model" -> (qualityNbModel _),
+    "quality_nb_scores" -> (qualityNbScores _),
+    "quality_nb_eval" -> (qualityNbEval _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),
     "pipeline_quality_funnel" -> (pipelineQualityFunnel _),
     "ddl_bucket_join" -> (ddlBucketJoin _),

@@ -84,6 +84,37 @@ object Oracles {
        |     ELSE round(CAST(st.stop_hits AS DOUBLE) / st.n_toks, 6) END AS stop_frac
        | FROM st LEFT JOIN uni ON st.doc_id = uni.doc_id)""".stripMargin
 
+  /** Shared CTE prefix for the learned-quality-classifier family
+    * (quality_nb_*): Gopher labels over all docs ([[gopherCtes]] `r`),
+    * hashed-unigram buckets (charHash mod 1024 — TextOps.NbBuckets),
+    * Laplace count-ratio model over the even (train) split. */
+  private lazy val nbQualityCtes: String =
+    s"""$gopherCtes,
+       |labels AS (SELECT doc_id,
+       |   (n_toks >= 10 AND n_toks <= 100000
+       |    AND mean_tok_len >= 2.0 AND mean_tok_len <= 10.0
+       |    AND top_unigram_frac <= 0.2
+       |    AND dup_bigram_frac <= 0.3) AS passes FROM r),
+       |trtok AS (SELECT lb.passes, unnest(w.w) AS t FROM w
+       |          JOIN labels lb ON w.doc_id = lb.doc_id WHERE w.doc_id % 2 = 0),
+       |trb AS (SELECT passes, ${ch("t")} % 1024 AS bucket FROM trtok),
+       |model AS (SELECT bucket,
+       |   CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+       |   CAST(sum(CASE WHEN passes THEN 0 ELSE 1 END) AS BIGINT) AS c_neg,
+       |   CAST(((sum(CASE WHEN passes THEN 1 ELSE 0 END) + 1) * 1000000)
+       |     // (count(*) + 2) AS BIGINT) AS w_ppm
+       | FROM trb GROUP BY bucket)""".stripMargin
+
+  /** Held-out scoring CTEs on top of [[nbQualityCtes]]: odd-split token
+    * buckets probed against the model, unseen = the 500000 prior. */
+  private lazy val nbScoreCtes: String =
+    s"""hotok AS (SELECT doc_id, unnest(w) AS t FROM w
+       |          WHERE doc_id % 2 = 1 AND len(w) > 0),
+       |hob AS (SELECT doc_id, ${ch("t")} % 1024 AS bucket FROM hotok),
+       |scored AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |   CAST(sum(coalesce(m.w_ppm, 500000)) // count(*) AS BIGINT) AS score_ppm
+       | FROM hob h LEFT JOIN model m ON h.bucket = m.bucket GROUP BY h.doc_id)""".stripMargin
+
   /** Shared CTE prefix for the exact-substring dedup family (8-token
     * windows): positional 8-gram hashes -> globally duplicated hashes
     * (count >= 2 anywhere in the corpus) -> per-document merged spans
@@ -4699,6 +4730,44 @@ object Oracles {
          |  AND top_unigram_frac <= 0.2
          |  AND dup_bigram_frac <= 0.3) AS passes
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Learned quality classifier, trained on the even split with Gopher
+    // labels: hashed-unigram buckets, Laplace count-ratio weights in
+    // exact ppm (`//` ≡ Spark div on the non-negative operands).
+    "quality_nb_model" ->
+      s"""$nbQualityCtes
+         |SELECT bucket, c_pos, c_neg, w_ppm FROM model ORDER BY bucket""".stripMargin,
+
+    // Held-out scoring: mean bucket weight over token occurrences,
+    // unseen buckets = the exact 500000 prior.
+    "quality_nb_scores" ->
+      s"""$nbQualityCtes,
+         |$nbScoreCtes
+         |SELECT doc_id, n_toks, score_ppm, score_ppm >= 500000 AS predicted
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // Held-out precision/recall/F1 census of predictions vs Gopher labels.
+    "quality_nb_eval" ->
+      s"""$nbQualityCtes,
+         |$nbScoreCtes,
+         |j AS (SELECT s.doc_id, s.score_ppm >= 500000 AS predicted, lb.passes
+         |      FROM scored s JOIN labels lb ON s.doc_id = lb.doc_id),
+         |c AS (SELECT count(*) AS n_docs,
+         |        sum(CASE WHEN passes THEN 1 ELSE 0 END) AS n_label_pos,
+         |        sum(CASE WHEN predicted THEN 1 ELSE 0 END) AS n_pred_pos,
+         |        sum(CASE WHEN passes AND predicted THEN 1 ELSE 0 END) AS n_hit
+         |      FROM j)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_label_pos AS BIGINT) AS n_label_pos,
+         |  CAST(n_pred_pos AS BIGINT) AS n_pred_pos,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN n_pred_pos = 0 THEN 0
+         |       ELSE (n_hit * 1000000) // n_pred_pos END AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN n_label_pos = 0 THEN 0
+         |       ELSE (n_hit * 1000000) // n_label_pos END AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN n_label_pos + n_pred_pos = 0 THEN 0
+         |       ELSE (2 * n_hit * 1000000) // (n_label_pos + n_pred_pos) END AS BIGINT) AS f1_ppm
+         |FROM c""".stripMargin,
 
     // Sequential gate-survival funnel: lang-ID -> Gopher composite ->
     // stopword floor -> exact-dedup canonical; cascade = conjunction of

@@ -306,6 +306,38 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(3) === 3 / 5.0)
   }
 
+  test("learned quality classifier: model generalises the gate vocabulary to held-out docs") {
+    // Train split (even ids): docs 0/2 PASS the Gopher gate (clean prose
+    // vocabulary); docs 4/6 FAIL it (one token repeated -> top_unigram
+    // 1.0). Held-out odd ids reuse the vocabularies: the classifier must
+    // rank doc 1 (clean words) above doc 3 (junk words) without ever
+    // seeing their labels.
+    val clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val junk = ("junk " * 12).trim
+    val d = Seq(
+      (0L, clean), (2L, clean + " nu xi omicron pi rho sigma tau upsilon phi chi psi"),
+      (4L, junk), (6L, junk),
+      (1L, "beta gamma delta epsilon zeta eta theta iota kappa lambda mu alpha"),
+      (3L, junk),
+    ).toDF("doc_id", "text")
+    val model = TextOps.nbQualityModel(d)
+    val m = model.collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // every clean-vocab bucket has c_pos=2,c_neg=0 -> w = 3e6 div 4
+    val scores = TextOps.nbQualityScores(d, model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(scores(1L)._1 === 750000L && scores(1L)._2,
+      s"clean held-out doc must score the pure-pos rate: $scores")
+    // junk bucket: c_pos=0 (docs 4,6 fail), c_neg=24 -> w = 1e6 div 26
+    assert(scores(3L)._1 === 1000000L / 26 && !scores(3L)._2,
+      s"junk held-out doc must score the pure-neg rate: $scores")
+    assert(m.values.exists(_ === 750000L) && m.values.exists(_ === 38461L))
+    // eval census on this corpus: 1 label-pos (doc 1), predicted pos, hit
+    val e = TextOps.nbQualityEval(d).head()
+    assert(e.getAs[Long]("n_docs") === 2L && e.getAs[Long]("n_hit") === 1L)
+    assert(e.getAs[Long]("precision_ppm") === 1000000L &&
+      e.getAs[Long]("recall_ppm") === 1000000L)
+  }
+
   test("LSH index lifecycle: persisted pairs == in-memory; probe verdicts; append grows index") {
     val idx = java.nio.file.Files.createTempDirectory("lshidx").toString
     val history = docs.filter(col("doc_id") < 3)  // 0, 1 exact dups; 2 near dup
