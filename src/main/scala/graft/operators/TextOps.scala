@@ -67,6 +67,76 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_toks"), col("ppx_ppm"), col("bucket"))
   }
 
+  /** Kneser-Ney-smoothed bigram LM scoring — the standard perplexity
+    * filter [[perplexityScores]]'s Laplace smoothing is too blunt for:
+    * interpolated KN discounts every SEEN bigram by the absolute
+    * constant D = 3/4 and redistributes that mass over the CONTINUATION
+    * distribution (how many distinct contexts a word follows — "Francisco"
+    * is frequent but continues nothing, so it backs off to ~nothing),
+    * keeping unseen bigrams finite without flattening the head.
+    *
+    * Integer-exact form (D = 3/4 enters as ×4 rationals; no floats
+    * anywhere, so scores are bit-identical across engines). Per scored
+    * position with train counts c_bi = c(prev,cur), c_prev = c(prev),
+    * n_follow = |{w : c(prev,w)>0}|, n_cont = |{v : c(v,cur)>0}|,
+    * Nb = distinct train bigram types:
+    *
+    *   seen context:  p = [max(4·c_bi − 3, 0)·Nb + 3·n_follow·(n_cont+1)]
+    *                      / (4·c_prev·Nb)
+    *   unseen context: p = (n_cont + 1) / (Nb + 1)
+    *
+    * The +1 continuation floor keeps every position finite (unseen CUR
+    * has n_cont = 0 — without the floor the interpolated term vanishes
+    * and the inverse blows up); a seen context always has n_follow ≥ 1,
+    * so the numerator is ≥ 3 and the reported INVERSE probability
+    * inv = den·10⁶ div num is always defined. Per-doc score = mean
+    * inverse in ppm (the [[perplexityScores]] convention: rare
+    * transitions ⇒ large inverse ⇒ tail). Train split = even doc_id,
+    * scored split = odd.
+    *
+    * Scale shape: identical to [[perplexityScores]] — three
+    * partial-aggregatable count passes (bigram, context, continuation)
+    * plus a 1-row Nb crossJoin; scoring joins the scored bigram stream
+    * against the model on its keys (corpus-scale model, NOT broadcast).
+    * Int64 bound: 4·c_prev·Nb·10⁶ < 2^63 needs c_prev·Nb < 2.3e11 —
+    * past that (≈10⁶ context count × 10⁵ bigram types) widen the
+    * numerator to decimal(38,0); the fixture is 5 orders under. */
+  def knPerplexityScores(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+    val bi = toks.select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), size(col("w"))), i =>
+        struct(
+          when(i === 1, lit("<s>"))
+            .otherwise(element_at(col("w"), i - 1)).as("prev"),
+          element_at(col("w"), i).as("cur")))).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val train = bi.filter(col("doc_id") % 2 === 0)
+    val cBi = train.groupBy("prev", "cur").agg(count(lit(1)).as("c_bi"))
+    val cPrev = train.groupBy("prev").agg(count(lit(1)).as("c_prev"),
+      countDistinct(col("cur")).as("n_follow"))
+    val cont = cBi.groupBy("cur").agg(count(lit(1)).as("n_cont"))
+    val nb = cBi.agg(count(lit(1)).as("nb"))
+    bi.filter(col("doc_id") % 2 === 1)
+      .join(cBi, Seq("prev", "cur"), "left_outer")
+      .join(cPrev, Seq("prev"), "left_outer")
+      .join(cont, Seq("cur"), "left_outer")
+      .crossJoin(nb)
+      .select(col("doc_id"), col("lang"),
+        expr("""CASE WHEN c_prev IS NULL
+               | THEN ((nb + 1) * 1000000) div (coalesce(n_cont, 0L) + 1)
+               | ELSE (4 * c_prev * nb * 1000000) div
+               |   (greatest(4 * coalesce(c_bi, 0L) - 3, 0L) * nb
+               |    + 3 * n_follow * (coalesce(n_cont, 0L) + 1))
+               |END""".stripMargin).as("inv_ppm"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_big"), sum(col("inv_ppm")).as("sppm"))
+      .select(col("doc_id"), col("lang"), col("n_big"),
+        expr("sppm div n_big").as("kn_ppm"))
+  }
+
   /** Flesch reading-ease readability in exact milli-units. Counting
     * rules chosen for cross-engine reproducibility, not linguistic
     * fidelity: sentences = maximal runs of [.!?], syllables = maximal

@@ -1417,6 +1417,11 @@ object ExtQueries {
   def textPerplexity(spark: SparkSession, dir: String): DataFrame =
     TextOps.perplexityScores(tbl(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Kneser-Ney-smoothed bigram LM scores on the held-out split (see
+    * TextOps.knPerplexityScores). */
+  def textPerplexityKn(spark: SparkSession, dir: String): DataFrame =
+    TextOps.knPerplexityScores(tbl(spark, dir, "documents")).orderBy("doc_id")
+
   /** Flesch reading-ease per doc in exact milli-units — see
     * [[graft.operators.TextOps.readabilityScores]] for the
     * reproducibility-first counting rules. */
@@ -4405,6 +4410,7 @@ object ExtQueries {
     "text_quality_score" -> (textQualityScore _),
     "text_typicality" -> (textTypicality _),
     "text_perplexity" -> (textPerplexity _),
+    "text_perplexity_kn" -> (textPerplexityKn _),
     "text_readability" -> (textReadability _),
     "text_textrank" -> (textTextrank _),
     "sample_doremi" -> (sampleDoremi _),

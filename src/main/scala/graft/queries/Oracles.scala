@@ -1954,6 +1954,34 @@ object Oracles {
          |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
          |FROM r ORDER BY doc_id""".stripMargin,
 
+    // Interpolated Kneser-Ney bigram scoring on the same count
+    // infrastructure: D = 3/4 as exact x4 rationals, continuation
+    // distribution with a +1 floor so every position is finite, unseen
+    // contexts back off to the floored continuation alone. Mean INVERSE
+    // probability in ppm per held-out doc (`//` ≡ div on positives).
+    "text_perplexity_kn" ->
+      s"""WITH $pplCtes,
+         |cpf AS (SELECT prev, count(*) AS c_prev, count(DISTINCT cur) AS n_follow
+         |        FROM tr GROUP BY 1),
+         |ct AS (SELECT cur, count(*) AS n_cont FROM cb GROUP BY 1),
+         |nbt AS (SELECT count(*) AS nb FROM cb),
+         |sk AS (SELECT b.doc_id, b.lang,
+         |    CASE WHEN cpf.c_prev IS NULL
+         |      THEN ((nbt.nb + 1) * 1000000) // (coalesce(ct.n_cont, 0) + 1)
+         |      ELSE (4 * cpf.c_prev * nbt.nb * 1000000) //
+         |        (greatest(4 * coalesce(cb.c_bi, 0) - 3, 0) * nbt.nb
+         |         + 3 * cpf.n_follow * (coalesce(ct.n_cont, 0) + 1))
+         |    END AS inv_ppm
+         |  FROM b LEFT JOIN cb ON b.prev = cb.prev AND b.cur = cb.cur
+         |    LEFT JOIN cpf ON b.prev = cpf.prev
+         |    LEFT JOIN ct ON b.cur = ct.cur
+         |    CROSS JOIN nbt
+         |  WHERE b.doc_id % 2 = 1),
+         |dk AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_big,
+         |       CAST(sum(inv_ppm) AS BIGINT) AS sppm FROM sk GROUP BY 1, 2)
+         |SELECT doc_id, lang, n_big, CAST(sppm // n_big AS BIGINT) AS kn_ppm
+         |FROM dk ORDER BY doc_id""".stripMargin,
+
     // DoReMi-style domain reweighting on the same bigram-LM scores:
     // per-source mean ppm, excess over the best source, weight ∝ excess
     // normalised to ppm (uniform fallback when all sources tie).

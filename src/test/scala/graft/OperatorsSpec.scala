@@ -306,6 +306,44 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(3) === 3 / 5.0)
   }
 
+  test("Kneser-Ney bigram scoring: matches a brute-force reference; unseen bigrams and contexts stay finite") {
+    // train (even ids): two docs establishing bigram structure; held-out
+    // (odd ids): d1 = in-distribution, d3 = seen words in UNSEEN bigram
+    // order, d5 = entirely unseen vocabulary (unseen contexts).
+    val d = Seq(
+      (0L, "a b c a b"), (2L, "a b d"),
+      (1L, "a b c"), (3L, "c b a"), (5L, "zz qq"),
+    ).map { case (id, t) => (id, "en", t) }.toDF("doc_id", "lang", "text")
+    val got = TextOps.knPerplexityScores(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+
+    // brute-force reference: same counts, same integer rationals
+    val train = Seq("a b c a b", "a b d").flatMap { t =>
+      val w = t.split(" ").toSeq; ("<s>" +: w).zip(w)
+    }
+    val cBi = train.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cPrev = train.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nFollow = train.distinct.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nCont = train.distinct.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val nb = train.distinct.size.toLong
+    def inv(prev: String, cur: String): Long = cPrev.get(prev) match {
+      case None => ((nb + 1) * 1000000L) / (nCont.getOrElse(cur, 0L) + 1)
+      case Some(cp) =>
+        val num = math.max(4 * cBi.getOrElse((prev, cur), 0L) - 3, 0L) * nb +
+          3 * nFollow(prev) * (nCont.getOrElse(cur, 0L) + 1)
+        (4 * cp * nb * 1000000L) / num
+    }
+    def score(t: String): Long = {
+      val w = t.split(" ").toSeq
+      val invs = ("<s>" +: w).zip(w).map { case (p, c) => inv(p, c) }
+      invs.sum / invs.size
+    }
+    for ((id, t) <- Seq(1L -> "a b c", 3L -> "c b a", 5L -> "zz qq"))
+      assert(got(id) === score(t), s"doc $id: engine ${got(id)} vs brute ${score(t)}")
+    // finiteness + ranking: in-distribution < reordered < unseen vocab
+    assert(got(1L) < got(3L) && got(3L) < got(5L), s"KN ranking: $got")
+  }
+
   test("learned quality classifier: model generalises the gate vocabulary to held-out docs") {
     // Train split (even ids): docs 0/2 PASS the Gopher gate (clean prose
     // vocabulary); docs 4/6 FAIL it (one token repeated -> top_unigram
