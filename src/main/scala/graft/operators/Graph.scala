@@ -1280,6 +1280,135 @@ object Graph {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** One DETERMINISTIC skip-gram-negative-sampling (SGNS) epoch over a
+    * (center, context, n_pairs) walk-pair corpus — the step that closes
+    * the DeepWalk pipeline (walks → skip-gram pairs → node embeddings
+    * the ANN family can index). Sequential SGD is neither
+    * partition-invariant nor oracle-mirrorable, so "one epoch" here is
+    * the SYNCHRONOUS full-batch form: every gradient is computed
+    * against the hash-initialised vectors, summed exactly, and applied
+    * once — bit-identical under any partitioning, and the natural unit
+    * an incremental trainer repeats.
+    *
+    * Integer-exact contract (no exp/log/float):
+    *  - init: u₀(node,d) = scrambledHash(node‖":u:"‖d) mod 2001 − 1000
+    *    (Knuth-scrambled — see initArr's note; ":v:" for the context
+    *    table) — components in [−1000, 1000];
+    *  - hard sigmoid σ_ppm(s) = clamp(500000 + sgn(s)·(|s| div 32), 0,
+    *    10⁶) over the exact dot product (|s| ≤ dim·10⁶ — the
+    *    piecewise-linear sigmoid of quantised training, sign-magnitude
+    *    division so truncation matches DuckDB's floor on magnitudes);
+    *  - per pair with multiplicity m: positive coefficient
+    *    g⁺ = 10⁶ − σ(u·v); per deterministic negative n,
+    *    g⁻ = −σ(u·vₙ); gradients m·g·(counterpart vector) accumulate
+    *    per (node, dim) in exact int64;
+    *  - apply once: u' = u₀ + sgn(Δ)·(|Δ| div 2²¹) — the fixed learning
+    *    rate as a power-of-two shift.
+    *
+    * Negatives are drawn from a TOP-[[SgnsNegTable]]-by-frequency
+    * context table (word2vec samples negatives ∝ freq^0.75 — a
+    * frequent-head table is the deterministic, broadcastable form of
+    * that bias; a uniform draw over ALL nodes would need a global
+    * row-number over the node set, a single-partition window at corpus
+    * scale). Draw i for pair (c,x) is charHash(c‖":"‖x‖":"‖i) mod
+    * |table| — collisions with the true context are kept, as in
+    * word2vec. Output: the trained CENTER vectors (node, dim, val) —
+    * the standard "input vectors are the embeddings" convention.
+    * Context-vector gradients are not materialised: in ONE synchronous
+    * step V' cannot feed back into U', and only U' is emitted — the
+    * second gradient reduce would be pure dead weight.
+    *
+    * Scale shape: one broadcast of the ≤[[SgnsNegTable]]-row negative
+    * table + the init-vector equi-joins on center/context keys; the
+    * only data-scale exchange is the final per-(node,dim) gradient
+    * reduce — partial-aggregatable, dim-bounded fan-out. Int64 bound:
+    * Σ m·|g|·|v| per (node,dim) < 2^63 needs the node's total pair
+    * multiplicity < 9e9 — document-corpus-safe by orders. */
+  def sgnsEpoch(pairs: DataFrame, dim: Int = 32, negK: Int = 2, lrShift: Int = 21): DataFrame = {
+    import graft.functions.CrossFns.charHash
+    val spark = pairs.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = pairs.select(col("center"), col("context"),
+      col("n_pairs").as("m")).persist(lvl)
+
+    // Knuth-scrambled init (the CrossFns.scrambledHash step): the plain
+    // polynomial hash of "node:u:d" differs only in the trailing digit
+    // across dims, so components would come out CONSECUTIVE integers —
+    // near-collinear vectors with |cosine| ≈ 1 everywhere. Scrambling
+    // decorrelates the dims.
+    def initArr(node: Column, role: String): Column =
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        (charHash(concat(node.cast("string"), lit(s":$role:"), d.cast("string")))
+          * lit(2654435761L)) % lit(1000000007L) % 2001L - 1000L)
+    val nodes = p.select(col("center").as("node"))
+      .unionByName(p.select(col("context").as("node"))).distinct().persist(lvl)
+    val u0 = nodes.select(col("node"), initArr(col("node"), "u").as("vec"))
+    val v0 = nodes.select(col("node"), initArr(col("node"), "v").as("vec"))
+
+    // frequent-head negative table with a dense 0-based index (tiny
+    // frame: the window runs over <= SgnsNegTable rows)
+    val negTable = p.groupBy(col("context").as("node"))
+      .agg(sum("m").as("freq"))
+      .orderBy(col("freq").desc, col("node")).limit(SgnsNegTable)
+      .select(col("node").as("nnode"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("node"))) - 1).cast("long").as("nidx"))
+      .join(v0.select(col("node").as("nnode"), col("vec").as("vn")), Seq("nnode"))
+      .localCheckpoint()
+    val negN = negTable.count()
+
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    // sign-magnitude integer division (IntegralDivide via the registered
+    // "div" function): truncation toward zero on the magnitude, so Spark
+    // and DuckDB (`//` floors negatives) agree on every operand sign
+    def sdiv(x: Column, k: Long): Column =
+      when(x < 0, -call_function("div", abs(x), lit(k)))
+        .otherwise(call_function("div", x, lit(k)))
+    def sigma(s: Column): Column =
+      least(lit(1000000L), greatest(lit(0L), lit(500000L) + sdiv(s, 32L)))
+
+    val scoredPos = p
+      .join(u0.select(col("node").as("center"), col("vec").as("uc")), Seq("center"))
+      .join(v0.select(col("node").as("context"), col("vec").as("vx")), Seq("context"))
+      .withColumn("gpos", lit(1000000L) - sigma(dot(col("uc"), col("vx"))))
+      .persist(lvl)
+    val negs = scoredPos
+      .select(col("center"), col("context"), col("m"), col("uc"),
+        explode(sequence(lit(1), lit(negK))).as("ni"))
+      .withColumn("nidx",
+        (charHash(concat(col("center").cast("string"), lit(":"),
+          col("context").cast("string"), lit(":"), col("ni").cast("string")))
+          * lit(2654435761L)) % lit(1000000007L) % lit(negN))
+      .join(broadcast(negTable), Seq("nidx"))
+      .withColumn("gneg", -sigma(dot(col("uc"), col("vn"))))
+      .persist(lvl)
+
+    def dimDeltas(df: DataFrame, node: Column, g: Column, vec: Column): DataFrame =
+      df.select(node.as("node"),
+          posexplode(transform(vec, v => col("m") * g * v)))
+        .select(col("node"), col("pos").cast("long").as("dim"),
+          col("col").as("delta"))
+    val deltas =
+      dimDeltas(scoredPos, col("center"), col("gpos"), col("vx"))
+        .unionByName(dimDeltas(negs, col("center"), col("gneg"), col("vn")))
+        .groupBy("node", "dim").agg(sum("delta").as("d"))
+    val out = u0
+      .select(col("node"), posexplode(col("vec")))
+      .select(col("node"), col("pos").cast("long").as("dim"), col("col").as("v0"))
+      .join(deltas, Seq("node", "dim"), "left")
+      .select(col("node"), col("dim"),
+        (col("v0") + coalesce(sdiv(col("d"), 1L << lrShift), lit(0L))).as("val"))
+      .localCheckpoint()
+    negs.unpersist(); scoredPos.unpersist(); nodes.unpersist(); p.unpersist()
+    out
+  }
+
+  /** Negative-table size for [[sgnsEpoch]] — the frequent-context head
+    * that stands in for word2vec's freq^0.75 negative distribution. */
+  val SgnsNegTable = 256
+
   /** DETERMINISTIC second-order (node2vec-style) biased walks, Grover &
     * Leskovec 2016's p/q bias expressed as INTEGER candidate weights so
     * the draw stays bit-reproducible and oracle-mirrorable: from state

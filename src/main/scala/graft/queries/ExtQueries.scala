@@ -3662,6 +3662,16 @@ object ExtQueries {
       walksPerNode = 2, steps = 4, window = 2)
       .orderBy("center", "context")
 
+  /** One synchronous SGNS epoch over the walk-pair corpus: node
+    * embedding table (node, dim, val) — the DeepWalk pipeline
+    * end-to-end (see [[graft.operators.Graph.sgnsEpoch]]). */
+  def graphSgnsEpoch(spark: SparkSession, dir: String): DataFrame =
+    Graph.sgnsEpoch(
+      Graph.walkSkipgramPairs(
+        Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+        walksPerNode = 2, steps = 4, window = 2))
+      .orderBy("node", "dim")
+
   /** Link prediction on the thresholded co-part graph: top-20
     * non-adjacent pairs by the Resource-Allocation index (integer ppm —
     * see [[graft.operators.Graph.linkPrediction]]), with the common-
@@ -4299,6 +4309,7 @@ object ExtQueries {
     "graph_random_walks" -> (graphRandomWalks _),
     "graph_node2vec_walks" -> (graphNode2vecWalks _),
     "graph_walk_pairs" -> (graphWalkPairs _),
+    "graph_sgns_epoch" -> (graphSgnsEpoch _),
     "timeseries_stl" -> (timeseriesStl _),
     "timeseries_crosscorr" -> (timeseriesCrosscorr _),
     "timeseries_dtw" -> (timeseriesDtw _),

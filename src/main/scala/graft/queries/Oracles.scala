@@ -84,6 +84,39 @@ object Oracles {
        |     ELSE round(CAST(st.stop_hits AS DOUBLE) / st.n_toks, 6) END AS stop_frac
        | FROM st LEFT JOIN uni ON st.doc_id = uni.doc_id)""".stripMargin
 
+  /** Shared CTE prefix for the walk-corpus family (graph_walk_pairs /
+    * graph_sgns_epoch): the deterministic 4-hop DeepWalk ladder (2 walks
+    * per node, charHash coin) ending in `pr` (center, context, m) —
+    * skip-gram pairs at window ±2 with multiplicity kept as the
+    * training weight. */
+  private lazy val walkPairCtes: String = {
+    def coin(i: Int): String = ch(
+      "CAST(w.start AS VARCHAR) || ':' || CAST(w.wk AS VARCHAR) || " +
+        s"':' || '$i' || ':' || CAST(w.cur AS VARCHAR)")
+    def hop(i: Int): String =
+      s"""w$i AS MATERIALIZED (SELECT w.start, w.wk,
+         |    a.nbrs[CAST((${coin(i)}) % len(a.nbrs) AS BIGINT) + 1] AS cur,
+         |    list_append(w.path,
+         |      a.nbrs[CAST((${coin(i)}) % len(a.nbrs) AS BIGINT) + 1]) AS path
+         |  FROM w${i - 1} w JOIN adj a ON w.cur = a.node)""".stripMargin
+    s"""os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |adj AS MATERIALIZED (SELECT src AS node, list(dst ORDER BY dst) AS nbrs FROM e GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT a.node AS start, wks.wk, a.node AS cur, [a.node] AS path
+       |  FROM adj a CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS wk) wks),
+       |${(1 to 4).map(hop).mkString(",\n")},
+       |pr AS MATERIALIZED (SELECT path[ui.i] AS center, path[uj.j] AS context,
+       |  CAST(count(*) AS BIGINT) AS m
+       |FROM w4,
+       |  LATERAL (SELECT unnest(generate_series(1, len(path))) AS i) ui,
+       |  LATERAL (SELECT unnest(generate_series(greatest(1, ui.i - 2),
+       |                                         least(len(path), ui.i + 2))) AS j) uj
+       |WHERE uj.j <> ui.i
+       |GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Shared CTE prefix for the learned-quality-classifier family
     * (quality_nb_*): Gopher labels over all docs ([[gopherCtes]] `r`),
     * hashed-unigram buckets (charHash mod 1024 — TextOps.NbBuckets),
@@ -4384,32 +4417,60 @@ object Oracles {
     // Skip-gram pairs from the SAME walk ladder: for each position i,
     // every j within ±2 (j ≠ i) contributes one (path[i], path[j]) pair;
     // multiplicity kept as the training weight.
-    "graph_walk_pairs" -> {
-      def coin(i: Int): String = ch(
-        "CAST(w.start AS VARCHAR) || ':' || CAST(w.wk AS VARCHAR) || " +
-          s"':' || '$i' || ':' || CAST(w.cur AS VARCHAR)")
-      def hop(i: Int): String =
-        s"""w$i AS MATERIALIZED (SELECT w.start, w.wk,
-           |    a.nbrs[CAST((${coin(i)}) % len(a.nbrs) AS BIGINT) + 1] AS cur,
-           |    list_append(w.path,
-           |      a.nbrs[CAST((${coin(i)}) % len(a.nbrs) AS BIGINT) + 1]) AS path
-           |  FROM w${i - 1} w JOIN adj a ON w.cur = a.node)""".stripMargin
-      s"""WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS s FROM lineitem),
-         |e0 AS MATERIALIZED (SELECT a.s AS src, b.s AS dst FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
-         |       GROUP BY 1, 2 HAVING count(*) >= 2),
-         |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-         |adj AS MATERIALIZED (SELECT src AS node, list(dst ORDER BY dst) AS nbrs FROM e GROUP BY 1),
-         |w0 AS MATERIALIZED (SELECT a.node AS start, wks.wk, a.node AS cur, [a.node] AS path
-         |  FROM adj a CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS wk) wks),
-         |${(1 to 4).map(hop).mkString(",\n")}
-         |SELECT path[ui.i] AS center, path[uj.j] AS context,
-         |  CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM w4,
-         |  LATERAL (SELECT unnest(generate_series(1, len(path))) AS i) ui,
-         |  LATERAL (SELECT unnest(generate_series(greatest(1, ui.i - 2),
-         |                                         least(len(path), ui.i + 2))) AS j) uj
-         |WHERE uj.j <> ui.i
-         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+    "graph_walk_pairs" ->
+      s"""WITH $walkPairCtes
+         |SELECT center, context, m AS n_pairs FROM pr
+         |ORDER BY center, context""".stripMargin,
+
+    // One synchronous SGNS epoch over the walk-pair corpus, unrolled:
+    // hash-init vectors (±1000), hard sigmoid in ppm (sign-magnitude
+    // // on the magnitude ≡ Spark's sdiv), 2 deterministic negatives
+    // per pair from the top-256-frequency context table, exact
+    // full-batch gradient sums per (node, dim), one lr = 2^-21 apply.
+    "graph_sgns_epoch" -> {
+      def dot(a: String, b: String): String =
+        s"list_sum(list_transform(generate_series(1, 32), k_ -> $a[k_]*$b[k_]))"
+      def sigma(s: String): String =
+        s"least(1000000, greatest(0, 500000 + " +
+          s"CASE WHEN ($s) < 0 THEN -(abs($s) // 32) ELSE ($s) // 32 END))"
+      def initVec(role: String): String =
+        s"list_transform(generate_series(0, 31), d_ -> " +
+          s"(${ch(s"CAST(node AS VARCHAR) || ':$role:' || CAST(d_ AS VARCHAR)")}" +
+          " * 2654435761) % 1000000007 % 2001 - 1000)"
+      s"""WITH $walkPairCtes,
+         |nodes AS (SELECT center AS node FROM pr UNION SELECT context FROM pr),
+         |u0 AS MATERIALIZED (SELECT node, ${initVec("u")} AS vec FROM nodes),
+         |v0 AS MATERIALIZED (SELECT node, ${initVec("v")} AS vec FROM nodes),
+         |nt AS (SELECT node AS nnode, row_number() OVER (ORDER BY freq DESC, node) - 1 AS nidx
+         |       FROM (SELECT context AS node, sum(m) AS freq FROM pr GROUP BY 1
+         |             ORDER BY freq DESC, node LIMIT 256)),
+         |ntv AS MATERIALIZED (SELECT nt.nnode, nt.nidx, v0.vec AS vn
+         |       FROM nt JOIN v0 ON nt.nnode = v0.node),
+         |nn AS (SELECT count(*) AS n FROM ntv),
+         |sp AS MATERIALIZED (SELECT pr.center, pr.context, pr.m, u.vec AS uc, v.vec AS vx,
+         |        1000000 - ${sigma(dot("u.vec", "v.vec"))} AS gpos
+         |      FROM pr JOIN u0 u ON pr.center = u.node
+         |        JOIN v0 v ON pr.context = v.node),
+         |ng AS MATERIALIZED (SELECT s.center, s.m, s.uc, t.vn,
+         |        -${sigma(dot("s.uc", "t.vn"))} AS gneg
+         |      FROM sp s
+         |      CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS ni) i
+         |      JOIN ntv t ON t.nidx =
+         |        (${ch("CAST(s.center AS VARCHAR) || ':' || CAST(s.context AS VARCHAR) || ':' || CAST(i.ni AS VARCHAR)")}
+         |          * 2654435761) % 1000000007 % (SELECT n FROM nn)),
+         |dl AS (SELECT center AS node, d_.k - 1 AS dim, m * gpos * vx[d_.k] AS delta
+         |       FROM sp, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) d_
+         |       UNION ALL
+         |       SELECT center, d_.k - 1, m * gneg * vn[d_.k]
+         |       FROM ng, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) d_),
+         |ds AS (SELECT node, dim, sum(delta) AS d FROM dl GROUP BY 1, 2),
+         |base AS (SELECT node, d_.k - 1 AS dim, vec[d_.k] AS v0v
+         |         FROM u0, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) d_)
+         |SELECT b.node, CAST(b.dim AS BIGINT) AS dim,
+         |  CAST(b.v0v + coalesce(CASE WHEN ds.d < 0 THEN -(abs(ds.d) // 2097152)
+         |    ELSE ds.d // 2097152 END, 0) AS BIGINT) AS val
+         |FROM base b LEFT JOIN ds ON b.node = ds.node AND b.dim = ds.dim
+         |ORDER BY b.node, b.dim""".stripMargin
     },
 
     // Second-order biased walks: hop 1 uniform (the randomWalks coin),

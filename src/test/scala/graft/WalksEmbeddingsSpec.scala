@@ -22,6 +22,49 @@ class WalksEmbeddingsSpec extends SparkSpec {
     assert(n2v.toSet === dw.toSet)
   }
 
+  test("sgnsEpoch: community structure emerges vs the hash-init baseline; partition-invariant") {
+    // two K6 cliques bridged by one edge: walks stay mostly inside a
+    // clique, so after one epoch same-clique nodes should be mutual
+    // nearest neighbours in the trained space more often than under the
+    // hash-random init (the "beats the random baseline" contract).
+    def k6(off: Long) = for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (off + a, off + b)
+    val g = edgesDf((k6(0) ++ k6(10) :+ (5L, 10L)): _*)
+    val pairs = Graph.walkSkipgramPairs(g, walksPerNode = 2, steps = 4, window = 2)
+    val trained = Graph.sgnsEpoch(pairs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (n, rs) => n -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    // init baseline = the documented hash formula, recomputed here
+    def chRef(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    val init = trained.keys.map(n =>
+      n -> (0 until 32).map(d =>
+        chRef(s"$n:u:$d") * 2654435761L % 1000000007L % 2001 - 1000).toArray).toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    def sameCliqueNN(vecs: Map[Long, Seq[Long]]): Int =
+      vecs.keys.count { n =>
+        val nn = vecs.keys.filter(_ != n)
+          .maxBy(m => (cos(vecs(n), vecs(m)), -m))
+        (n < 6) == (nn < 6)
+      }
+    val afterHits = sameCliqueNN(trained.view.mapValues(_.toSeq).toMap)
+    val beforeHits = sameCliqueNN(init.view.mapValues(_.toSeq).toMap)
+    assert(afterHits > beforeHits,
+      s"trained NN same-clique hits $afterHits must beat init $beforeHits")
+    assert(afterHits >= 9, s"most of the 12 nodes must cluster: $afterHits")
+    // training moved the vectors (the epoch is not a no-op)...
+    assert(trained.exists { case (n, v) => v.toSeq != init(n).toSeq })
+    // ...deterministically under any partitioning
+    val again = Graph.sgnsEpoch(
+      Graph.walkSkipgramPairs(g.repartition(7), 2, 4, 2).repartition(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = trained.toSeq.flatMap { case (n, vs) =>
+      vs.zipWithIndex.map { case (v, d) => (n, d.toLong, v) } }.toSet
+    assert(again === first)
+  }
+
   test("node2vecWalks: hops follow edges; huge return weight oscillates; partition-invariant") {
     val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (1L, 3L), (2L, 4L))
     val g = edgesDf(es: _*)
