@@ -146,7 +146,8 @@ object Bench {
     }
     val failed = first.collect { case (n, _, false) => n }
     if (subset.isEmpty)
-      regressionDiff(sfDir, prev, timed, failed, calib, calibShuffle, driftFactor)
+      regressionDiff(sfDir, prev, timed, failed, calib, calibShuffle, driftFactor,
+        streamFixed)
     else
       timed.foreach { case (n, s) =>
         System.err.println(f"[bench] subset $n%-28s $s%.2fs" +
@@ -188,11 +189,23 @@ object Bench {
                              timed: Seq[(String, Double)],
                              failed: Seq[String],
                              calib: Double, calibShuffle: Double,
-                             driftFactor: Double): Unit = try {
+                             driftFactor: Double,
+                             streamFixed: Double): Unit = try {
     val hist = histFile(sfDir)
+    // Streaming keys carry ~n_triggers × stream_fixed of micro-batch
+    // spin-up on top of their operator work, and that overhead drifts
+    // with machine load while both CPU probes read near-baseline (the
+    // r10 false-SLOWER pattern: stream_stream_join 5.4->7.5s was pure
+    // trigger drift). The stream_fixed probe ratio IS the per-trigger
+    // drift, so stream_* keys get the larger of it and the generic
+    // normalizer — the ratio form of "subtract stream_fixed x
+    // n_triggers from both sides" when spin-up dominates the delta.
+    val streamDrift = math.max(driftFactor,
+      (for { p <- prev.get("_stream_fixed"); if p > 0 && streamFixed > 0 }
+        yield streamFixed / p).getOrElse(1.0))
     if (prev.nonEmpty) {
       System.err.println(
-        f"[bench] regression diff vs ${hist.getPath} (drift normalizer ${driftFactor}%.2fx):")
+        f"[bench] regression diff vs ${hist.getPath} (drift normalizer ${driftFactor}%.2fx, stream ${streamDrift}%.2fx):")
       var flagged = 0
       timed.foreach { case (name, secs) =>
         prev.get(name).foreach { p =>
@@ -200,7 +213,8 @@ object Bench {
           // SLOWER flags are normalized by the probe drift: a regression
           // must exceed what machine load alone explains. Faster moves
           // use the raw threshold (an improvement is never drift-masked).
-          val isSlower = delta > 0.3 * driftFactor && delta > 0.2 * p * driftFactor
+          val drift = if (name.startsWith("stream_")) streamDrift else driftFactor
+          val isSlower = delta > 0.3 * drift && delta > 0.2 * p * drift
           val isFaster = delta < -0.3 && -delta > 0.2 * p
           if (isSlower || isFaster) {
             flagged += 1
@@ -218,7 +232,8 @@ object Bench {
       System.err.println(s"[bench] ${failed.size} queries FAILED (${failed.mkString(", ")}); history NOT rewritten")
     } else {
       hist.getParentFile.mkdirs()
-      val json = (("_calibration" -> calib) +: ("_calibration_shuffle" -> calibShuffle) +: timed)
+      val json = (("_calibration" -> calib) +: ("_calibration_shuffle" -> calibShuffle) +:
+          ("_stream_fixed" -> streamFixed) +: timed)
         .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(hist.toPath, json + "\n")
     }

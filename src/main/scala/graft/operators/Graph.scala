@@ -1237,16 +1237,25 @@ object Graph {
     for (s <- 1 to steps) {
       val coin = graft.functions.CrossFns.charHash(
         concat_ws(":", col("start"), col("wk"), lit(s), col("cur")))
-      wf = truncStats(wf
+      val hopped = wf
         .join(adj.select(col("node").as("cur"), col("nbrs")), "cur")
         .withColumn("nxt", element_at(col("nbrs"),
           (pmod(coin, size(col("nbrs")).cast("long")) + lit(1L)).cast("int")))
         .select(col("start"), col("wk"), col("nxt").as("cur"),
           concat(col("path"), array(col("nxt"))).as("path"))
-        .localCheckpoint())
+      // Lineage/stats truncation every 4 hops, not every hop: each
+      // localCheckpoint+rebuild materialises the whole (growing-array)
+      // walk frame and costs two scheduler jobs — at the catalog's 4-hop
+      // ladders that per-hop hygiene DOUBLED the key's cost (r10
+      // 2.4->3.7s regression); a 4-deep join lineage is far below the
+      // depth where the estimate blow-up bites (measured at rounds
+      // 10-12, truncStats scaladoc).
+      wf = if (s % 4 == 0 && s < steps) truncStats(hopped.localCheckpoint())
+        else hopped
     }
+    val out = wf.select(col("start"), col("wk"), col("path")).localCheckpoint()
     adj.unpersist()
-    wf.select(col("start"), col("wk"), col("path"))
+    out
   }
 
   private def explodeWalks(paths: DataFrame): DataFrame =
