@@ -4451,13 +4451,14 @@ object Oracles {
          |        1000000 - ${sigma(dot("u.vec", "v.vec"))} AS gpos
          |      FROM pr JOIN u0 u ON pr.center = u.node
          |        JOIN v0 v ON pr.context = v.node),
-         |ng AS MATERIALIZED (SELECT s.center, s.m, s.uc, t.vn,
-         |        -${sigma(dot("s.uc", "t.vn"))} AS gneg
-         |      FROM sp s
-         |      CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS ni) i
-         |      JOIN ntv t ON t.nidx =
+         |ngp AS MATERIALIZED (SELECT s.center, s.m, s.uc,
          |        (${ch("CAST(s.center AS VARCHAR) || ':' || CAST(s.context AS VARCHAR) || ':' || CAST(i.ni AS VARCHAR)")}
-         |          * 2654435761) % 1000000007 % (SELECT n FROM nn)),
+         |          * 2654435761) % 1000000007 % (SELECT n FROM nn) AS nidx
+         |      FROM sp s
+         |      CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS ni) i),
+         |ng AS MATERIALIZED (SELECT p.center, p.m, p.uc, t.vn,
+         |        -${sigma(dot("p.uc", "t.vn"))} AS gneg
+         |      FROM ngp p JOIN ntv t ON t.nidx = p.nidx),
          |dl AS (SELECT center AS node, d_.k - 1 AS dim, m * gpos * vx[d_.k] AS delta
          |       FROM sp, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) d_
          |       UNION ALL
