@@ -1418,6 +1418,45 @@ object Graph {
     * that stands in for word2vec's freq^0.75 negative distribution. */
   val SgnsNegTable = 256
 
+  /** Brute-force cosine top-k over the one-epoch [[sgnsEpoch]]
+    * embeddings — the query that closes the DeepWalk loop end-to-end
+    * (walks → pairs → trained vectors → "which nodes live near this
+    * one in embedding space"). Sample queries = nodes ≡ 0 mod
+    * `sampleMod`; candidates = every trained node with positive norm;
+    * score = the integer dot over trained components divided by the
+    * exact norms — ONE IEEE division + two correctly-rounded sqrts, so
+    * the double is bit-identical across engines (the simsearch float
+    * policy); rank ties break on the neighbour id.
+    *
+    * Scale shape: the query set broadcasts (sample-mod-bounded); the
+    * scan is one map-side pass over the vector table + a per-query
+    * top-k window over sample×nodes rows. Brute force IS the contract
+    * here — the baseline the IVF/LSH tiers are graded against; at
+    * corpus scale the trained table feeds those indexes instead. */
+  def sgnsKnn(pairs: DataFrame, k: Int, sampleMod: Long): DataFrame = {
+    val emb = sgnsEpoch(pairs)
+    val vecs = emb.groupBy("node")
+      .agg(array_sort(collect_list(struct(col("dim"), col("val")))).as("sv"))
+      .select(col("node"), transform(col("sv"), s => s("val")).as("v"))
+      .withColumn("nrm",
+        aggregate(transform(col("v"), x => x * x), lit(0L), (a, x) => a + x))
+      .filter(col("nrm") > 0)
+    val q = vecs.filter(col("node") % sampleMod === 0)
+      .select(col("node").as("q_node"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = vecs.join(broadcast(q), col("node") =!= col("q_node"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x).cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("nrm").cast("double"))))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_node")
+          .orderBy(col("cosine").desc, col("node"))))
+      .filter(col("rk") <= k)
+      .select(col("q_node"), col("rk").cast("long").as("rk"),
+        col("node").as("nbr"), round(col("cosine"), 6).as("cos6"))
+  }
+
   /** DETERMINISTIC second-order (node2vec-style) biased walks, Grover &
     * Leskovec 2016's p/q bias expressed as INTEGER candidate weights so
     * the draw stays bit-reproducible and oracle-mirrorable: from state

@@ -3672,6 +3672,17 @@ object ExtQueries {
         walksPerNode = 2, steps = 4, window = 2))
       .orderBy("node", "dim")
 
+  /** Top-5 embedding-space neighbours per sample node over the trained
+    * SGNS vectors — DeepWalk end-to-end into the ANN surface (see
+    * [[graft.operators.Graph.sgnsKnn]]). */
+  def graphEmbeddingKnn(spark: SparkSession, dir: String): DataFrame =
+    Graph.sgnsKnn(
+      Graph.walkSkipgramPairs(
+        Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+        walksPerNode = 2, steps = 4, window = 2),
+      k = 5, sampleMod = 100L)
+      .orderBy("q_node", "rk")
+
   /** Link prediction on the thresholded co-part graph: top-20
     * non-adjacent pairs by the Resource-Allocation index (integer ppm —
     * see [[graft.operators.Graph.linkPrediction]]), with the common-
@@ -4310,6 +4321,7 @@ object ExtQueries {
     "graph_node2vec_walks" -> (graphNode2vecWalks _),
     "graph_walk_pairs" -> (graphWalkPairs _),
     "graph_sgns_epoch" -> (graphSgnsEpoch _),
+    "graph_embedding_knn" -> (graphEmbeddingKnn _),
     "timeseries_stl" -> (timeseriesStl _),
     "timeseries_crosscorr" -> (timeseriesCrosscorr _),
     "timeseries_dtw" -> (timeseriesDtw _),

@@ -117,6 +117,61 @@ object Oracles {
        |GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Shared CTE suffix for the SGNS family (graph_sgns_epoch /
+    * graph_embedding_knn), on top of [[walkPairCtes]]: the whole
+    * synchronous epoch unrolled — Knuth-scrambled hash init (±1000),
+    * hard sigmoid in ppm with sign-magnitude `//`, 2 deterministic
+    * negatives per pair from the top-256-frequency context table
+    * (nidx PRE-projected: hashing inside the join condition made
+    * DuckDB nested-loop 10M list_reduce calls — 30 s vs 0.8 s), exact
+    * gradient sums, lr = 2^-21 applied once. Ends in
+    * `emb` (node, dim, val). */
+  private lazy val sgnsCtes: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, 32), k_ -> $a[k_]*$b[k_]))"
+    def sigma(s: String): String =
+      s"least(1000000, greatest(0, 500000 + " +
+        s"CASE WHEN ($s) < 0 THEN -(abs($s) // 32) ELSE ($s) // 32 END))"
+    def initVec(role: String): String =
+      s"list_transform(generate_series(0, 31), d_ -> " +
+        s"(${ch(s"CAST(node AS VARCHAR) || ':$role:' || CAST(d_ AS VARCHAR)")}" +
+        " * 2654435761) % 1000000007 % 2001 - 1000)"
+    s"""$walkPairCtes,
+       |nodes AS (SELECT center AS node FROM pr UNION SELECT context FROM pr),
+       |u0 AS MATERIALIZED (SELECT node, ${initVec("u")} AS vec FROM nodes),
+       |v0 AS MATERIALIZED (SELECT node, ${initVec("v")} AS vec FROM nodes),
+       |nt AS (SELECT node AS nnode, row_number() OVER (ORDER BY freq DESC, node) - 1 AS nidx
+       |       FROM (SELECT context AS node, sum(m) AS freq FROM pr GROUP BY 1
+       |             ORDER BY freq DESC, node LIMIT 256)),
+       |ntv AS MATERIALIZED (SELECT nt.nnode, nt.nidx, v0.vec AS vn
+       |       FROM nt JOIN v0 ON nt.nnode = v0.node),
+       |nn AS (SELECT count(*) AS n FROM ntv),
+       |sp AS MATERIALIZED (SELECT pr.center, pr.context, pr.m, u.vec AS uc, v.vec AS vx,
+       |        1000000 - ${sigma(dot("u.vec", "v.vec"))} AS gpos
+       |      FROM pr JOIN u0 u ON pr.center = u.node
+       |        JOIN v0 v ON pr.context = v.node),
+       |ngp AS MATERIALIZED (SELECT s.center, s.m, s.uc,
+       |        (${ch("CAST(s.center AS VARCHAR) || ':' || CAST(s.context AS VARCHAR) || ':' || CAST(i.ni AS VARCHAR)")}
+       |          * 2654435761) % 1000000007 % (SELECT n FROM nn) AS nidx
+       |      FROM sp s
+       |      CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS ni) i),
+       |ng AS MATERIALIZED (SELECT p.center, p.m, p.uc, t.vn,
+       |        -${sigma(dot("p.uc", "t.vn"))} AS gneg
+       |      FROM ngp p JOIN ntv t ON t.nidx = p.nidx),
+       |dl AS (SELECT center AS node, d_.k - 1 AS dim, m * gpos * vx[d_.k] AS delta
+       |       FROM sp, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) d_
+       |       UNION ALL
+       |       SELECT center, d_.k - 1, m * gneg * vn[d_.k]
+       |       FROM ng, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) d_),
+       |dsums AS (SELECT node, dim, sum(delta) AS d FROM dl GROUP BY 1, 2),
+       |ebase AS (SELECT node, d_.k - 1 AS dim, vec[d_.k] AS v0v
+       |         FROM u0, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) d_),
+       |emb AS MATERIALIZED (SELECT b.node, CAST(b.dim AS BIGINT) AS dim,
+       |  CAST(b.v0v + coalesce(CASE WHEN dsums.d < 0 THEN -(abs(dsums.d) // 2097152)
+       |    ELSE dsums.d // 2097152 END, 0) AS BIGINT) AS val
+       |FROM ebase b LEFT JOIN dsums ON b.node = dsums.node AND b.dim = dsums.dim)""".stripMargin
+  }
+
   /** Shared CTE prefix for the learned-quality-classifier family
     * (quality_nb_*): Gopher labels over all docs ([[gopherCtes]] `r`),
     * hashed-unigram buckets (charHash mod 1024 — TextOps.NbBuckets),
@@ -137,6 +192,15 @@ object Oracles {
        |   CAST(((sum(CASE WHEN passes THEN 1 ELSE 0 END) + 1) * 1000000)
        |     // (count(*) + 2) AS BIGINT) AS w_ppm
        | FROM trb GROUP BY bucket)""".stripMargin
+
+  /** Full held-out scoring SQL — shared by quality_nb_scores and its
+    * streaming twin (the count-cube state merges exactly, so the
+    * stream's read-time scores equal the one-shot trainer's). */
+  private lazy val nbScoresSql: String =
+    s"""$nbQualityCtes,
+       |$nbScoreCtes
+       |SELECT doc_id, n_toks, score_ppm, score_ppm >= 500000 AS predicted
+       |FROM scored ORDER BY doc_id""".stripMargin
 
   /** Held-out scoring CTEs on top of [[nbQualityCtes]]: odd-split token
     * buckets probed against the model, unseen = the 500000 prior. */
@@ -1040,17 +1104,22 @@ object Oracles {
          |FROM est e JOIN ex x USING (doc_a, doc_b)
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // LSH eval: exact all-pairs ground truth at J >= 0.5 vs the RAW
+    // LSH eval: exact ground truth at J >= 0.5 (inverted-index shingle
+    // self-join — the same sub-all-pairs shape as the engine side; a
+    // pair sharing zero shingles can't reach the threshold) vs the RAW
     // banded candidate set (threshold on the truth side only — verifying
     // candidates with the same test made precision degenerate-1 in r10);
     // P/R/F1 in exact ppm.
     "dedup_lsh_eval" ->
       s"""$minhashCtes,
          |ss AS (SELECT doc_id, hs FROM sh0 WHERE len(hs) > 0),
-         |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |       FROM ss a JOIN ss b ON a.doc_id < b.doc_id
-         |       WHERE len(list_intersect(a.hs, b.hs)) * 1000000
-         |         // len(list_distinct(a.hs || b.hs)) >= 500000),
+         |st AS (SELECT doc_id, unnest(hs) AS h FROM ss),
+         |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |       FROM st a JOIN st b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |tp AS (SELECT i.doc_a, i.doc_b FROM iv i
+         |       JOIN ss x ON x.doc_id = i.doc_a JOIN ss y ON y.doc_id = i.doc_b
+         |       WHERE i.inter * 1000000 >= 500000 * (len(x.hs) + len(y.hs) - i.inter)),
          |dt AS (SELECT p.doc_a, p.doc_b FROM pairs p),
          |ht AS (SELECT t.* FROM tp t JOIN dt d
          |       ON d.doc_a = t.doc_a AND d.doc_b = t.doc_b),
@@ -4427,52 +4496,30 @@ object Oracles {
     // // on the magnitude ≡ Spark's sdiv), 2 deterministic negatives
     // per pair from the top-256-frequency context table, exact
     // full-batch gradient sums per (node, dim), one lr = 2^-21 apply.
-    "graph_sgns_epoch" -> {
-      def dot(a: String, b: String): String =
-        s"list_sum(list_transform(generate_series(1, 32), k_ -> $a[k_]*$b[k_]))"
-      def sigma(s: String): String =
-        s"least(1000000, greatest(0, 500000 + " +
-          s"CASE WHEN ($s) < 0 THEN -(abs($s) // 32) ELSE ($s) // 32 END))"
-      def initVec(role: String): String =
-        s"list_transform(generate_series(0, 31), d_ -> " +
-          s"(${ch(s"CAST(node AS VARCHAR) || ':$role:' || CAST(d_ AS VARCHAR)")}" +
-          " * 2654435761) % 1000000007 % 2001 - 1000)"
-      s"""WITH $walkPairCtes,
-         |nodes AS (SELECT center AS node FROM pr UNION SELECT context FROM pr),
-         |u0 AS MATERIALIZED (SELECT node, ${initVec("u")} AS vec FROM nodes),
-         |v0 AS MATERIALIZED (SELECT node, ${initVec("v")} AS vec FROM nodes),
-         |nt AS (SELECT node AS nnode, row_number() OVER (ORDER BY freq DESC, node) - 1 AS nidx
-         |       FROM (SELECT context AS node, sum(m) AS freq FROM pr GROUP BY 1
-         |             ORDER BY freq DESC, node LIMIT 256)),
-         |ntv AS MATERIALIZED (SELECT nt.nnode, nt.nidx, v0.vec AS vn
-         |       FROM nt JOIN v0 ON nt.nnode = v0.node),
-         |nn AS (SELECT count(*) AS n FROM ntv),
-         |sp AS MATERIALIZED (SELECT pr.center, pr.context, pr.m, u.vec AS uc, v.vec AS vx,
-         |        1000000 - ${sigma(dot("u.vec", "v.vec"))} AS gpos
-         |      FROM pr JOIN u0 u ON pr.center = u.node
-         |        JOIN v0 v ON pr.context = v.node),
-         |ngp AS MATERIALIZED (SELECT s.center, s.m, s.uc,
-         |        (${ch("CAST(s.center AS VARCHAR) || ':' || CAST(s.context AS VARCHAR) || ':' || CAST(i.ni AS VARCHAR)")}
-         |          * 2654435761) % 1000000007 % (SELECT n FROM nn) AS nidx
-         |      FROM sp s
-         |      CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS ni) i),
-         |ng AS MATERIALIZED (SELECT p.center, p.m, p.uc, t.vn,
-         |        -${sigma(dot("p.uc", "t.vn"))} AS gneg
-         |      FROM ngp p JOIN ntv t ON t.nidx = p.nidx),
-         |dl AS (SELECT center AS node, d_.k - 1 AS dim, m * gpos * vx[d_.k] AS delta
-         |       FROM sp, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) d_
-         |       UNION ALL
-         |       SELECT center, d_.k - 1, m * gneg * vn[d_.k]
-         |       FROM ng, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) d_),
-         |ds AS (SELECT node, dim, sum(delta) AS d FROM dl GROUP BY 1, 2),
-         |base AS (SELECT node, d_.k - 1 AS dim, vec[d_.k] AS v0v
-         |         FROM u0, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) d_)
-         |SELECT b.node, CAST(b.dim AS BIGINT) AS dim,
-         |  CAST(b.v0v + coalesce(CASE WHEN ds.d < 0 THEN -(abs(ds.d) // 2097152)
-         |    ELSE ds.d // 2097152 END, 0) AS BIGINT) AS val
-         |FROM base b LEFT JOIN ds ON b.node = ds.node AND b.dim = ds.dim
-         |ORDER BY b.node, b.dim""".stripMargin
-    },
+    "graph_sgns_epoch" ->
+      s"""WITH $sgnsCtes
+         |SELECT node, dim, val FROM emb ORDER BY node, dim""".stripMargin,
+
+    // Brute-force cosine top-5 over the trained SGNS vectors (sample
+    // queries node % 100 = 0): integer dot over trained components, one
+    // IEEE division + two sqrts (the simsearch float policy), ties on
+    // neighbour id.
+    "graph_embedding_knn" ->
+      s"""WITH $sgnsCtes,
+         |ev AS MATERIALIZED (SELECT node, list(val ORDER BY dim) AS v,
+         |        CAST(sum(val * val) AS BIGINT) AS nrm
+         |      FROM emb GROUP BY node),
+         |evf AS (SELECT * FROM ev WHERE nrm > 0),
+         |qs AS (SELECT node AS q_node, v AS qv, nrm AS qn FROM evf WHERE node % 100 = 0),
+         |sc AS (SELECT q.q_node, c.node AS nbr,
+         |    CAST(list_sum(list_transform(generate_series(1, 32),
+         |      k_ -> q.qv[k_] * c.v[k_])) AS DOUBLE) /
+         |     (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+         |  FROM qs q JOIN evf c ON c.node <> q.q_node)
+         |SELECT q_node, CAST(rk AS BIGINT) AS rk, nbr, round(cosine, 6) AS cos6
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_node
+         |        ORDER BY cosine DESC, nbr) AS rk FROM sc)
+         |WHERE rk <= 5 ORDER BY q_node, rk""".stripMargin,
 
     // Second-order biased walks: hop 1 uniform (the randomWalks coin),
     // hops 2..4 weight each candidate 1 (return to prev) / 6 (also
@@ -4829,12 +4876,11 @@ object Oracles {
          |SELECT bucket, c_pos, c_neg, w_ppm FROM model ORDER BY bucket""".stripMargin,
 
     // Held-out scoring: mean bucket weight over token occurrences,
-    // unseen buckets = the exact 500000 prior.
-    "quality_nb_scores" ->
-      s"""$nbQualityCtes,
-         |$nbScoreCtes
-         |SELECT doc_id, n_toks, score_ppm, score_ppm >= 500000 AS predicted
-         |FROM scored ORDER BY doc_id""".stripMargin,
+    // unseen buckets = the exact 500000 prior. Shared with the
+    // streaming twin: the model's count cube merges exactly across
+    // micro-batches, so the stream converges to the identical scores.
+    "quality_nb_scores" -> nbScoresSql,
+    "stream_quality_nb" -> nbScoresSql,
 
     // Held-out precision/recall/F1 census of predictions vs Gopher labels.
     "quality_nb_eval" ->

@@ -397,6 +397,54 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming twin of quality_nb_scores: the learned classifier's
+    * MODEL is the mergeable state — per-(bucket) positive/negative
+    * token counts add across micro-batches (labels are doc-local: the
+    * Gopher gate reads nothing outside the document, so per-batch
+    * labelling is exact), and the Laplace count-ratio weights derived
+    * from the merged cube equal the one-shot trainer bit-for-bit. The
+    * held-out scoring at read time therefore shares quality_nb_scores'
+    * oracle. This is the shape of an online model-based quality filter
+    * at 100 TB: each crawl increment updates ≤1024 counters; scoring
+    * never waits for a retrain job. */
+  def streamQualityNb(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("snbsrc")
+    val docs = tbl(spark, dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    val stateRoot = tmpDir("snbstate")
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("snbckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val labels = graft.operators.TextOps.gopherSignals(batch)
+          .select(col("doc_id"), col("passes"))
+        val partial = batch.filter(col("doc_id") % 2 === 0)
+          .join(labels, Seq("doc_id"))
+          .select(col("passes"),
+            explode(graft.functions.CrossFns.tokens(col("text"))).as("t"))
+          .select(col("passes"),
+            (graft.functions.CrossFns.charHash(col("t"))
+              % graft.operators.TextOps.NbBuckets).as("bucket"))
+          .groupBy("bucket")
+          .agg(sum(when(col("passes"), 1L).otherwise(0L)).as("c_pos"),
+            sum(when(col("passes"), 0L).otherwise(1L)).as("c_neg"))
+        KeyedStateSink.merge(stateRoot, Seq("bucket"),
+          minCols = Nil, sumCols = Seq("c_pos", "c_neg"))(partial, batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val counts = KeyedStateSink.read(spark, stateRoot).getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)].toDF("bucket", "c_pos", "c_neg")
+    }
+    val model = counts.select(col("bucket"),
+      expr("((c_pos + 1) * 1000000) div (c_pos + c_neg + 2)").as("w_ppm"))
+    graft.operators.TextOps.nbQualityScores(docs, model).orderBy("doc_id")
+  }
+
   /** Streaming twin of timeseries_dtw: the (Σcents, n) hour-of-day cube
     * is the mergeable state (≤ |types|×24 rows — constant-size state at
     * any corpus scale); qv = Σcents div n over the merged cube equals
@@ -1297,6 +1345,7 @@ object StreamQueries {
     "stream_pca" -> (streamPca _),
     "stream_theilsen" -> (streamTheilsen _),
     "stream_dtw" -> (streamDtw _),
+    "stream_quality_nb" -> (streamQualityNb _),
     "stream_attribution" -> (AttributionStream.run _),
     "stream_lake_merge" -> (streamLakeMerge _),
     "stream_quantile" -> (streamQuantile _),

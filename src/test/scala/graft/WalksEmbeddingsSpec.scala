@@ -63,6 +63,15 @@ class WalksEmbeddingsSpec extends SparkSpec {
     val first = trained.toSeq.flatMap { case (n, vs) =>
       vs.zipWithIndex.map { case (v, d) => (n, d.toLong, v) } }.toSet
     assert(again === first)
+    // the knn surface agrees with the driver-side cosine ranking: every
+    // query node's rank-1 neighbour is its own cosine argmax
+    val knn1 = Graph.sgnsKnn(pairs, k = 1, sampleMod = 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    trained.keys.foreach { n =>
+      val want = trained.keys.filter(_ != n)
+        .maxBy(m => (cos(trained(n).toSeq, trained(m).toSeq), -m))
+      assert(knn1(n) === want, s"knn rank-1 for $n: ${knn1(n)} vs $want")
+    }
   }
 
   test("node2vecWalks: hops follow edges; huge return weight oscillates; partition-invariant") {
