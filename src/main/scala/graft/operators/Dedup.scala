@@ -95,6 +95,42 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** Train/eval DECONTAMINATION census — the n-gram collision rule
+    * every serious pretraining pipeline runs before training (GPT-3's
+    * 13-gram / PaLM's 8-gram overlap screens, Brown et al. 2020 app. C;
+    * here k = 8 to share the substring-span window length): a training
+    * document is CONTAMINATED if any of its k-token windows also occurs
+    * in the held-out benchmark set (stand-in: doc_id ≡ 7 mod 10 — the
+    * eval split a real deployment would load as its benchmark table).
+    * Output: per-source census (n_train, n_contaminated, exact ppm
+    * rate) — the number that decides whether a source is quarantined.
+    *
+    * Scale shape: one generator pass streams (doc, window-hash) rows
+    * for BOTH splits (graft_shingle_gen — no gram strings materialise);
+    * the eval window set is a distinct on the hash key; membership is
+    * one hash-partitioned left-semi join; the census is a partial agg.
+    * Nothing is pairwise in documents, and the eval set (benchmarks are
+    * small) broadcasts under AQE when it fits. */
+  def decontaminationCensus(spark: SparkSession, docs: DataFrame,
+      k: Int = 8): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val grams = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(k)))
+    val evalGrams = grams.filter(col("doc_id") % 10 === 7)
+      .select("sh").distinct()
+    val contaminated = grams.filter(col("doc_id") % 10 =!= 7)
+      .join(evalGrams, Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1L))
+    docs.filter(col("doc_id") % 10 =!= 7)
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("source"), col("n_train"), col("n_contaminated"),
+        expr("(n_contaminated * 1000000) div n_train").as("contam_ppm"))
+  }
+
   /** doc_id -> distinct word-3-gram shingle hash SET (array form). */
   def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))

@@ -3021,6 +3021,15 @@ object ExtQueries {
     * [[substringDupSpans]]: span count, duplicated-token total, and the
     * first/last span bounds. Only documents containing at least one
     * duplicated window appear — doc-scale output. */
+  /** Train/eval contamination census per source — 8-gram collisions
+    * against the eval split (see Dedup.decontaminationCensus). The
+    * REPORT complement of [[pipelineDecontaminate]]'s row-level drop:
+    * that key emits the surviving corpus; this one emits the per-source
+    * rate a curator quarantines on. */
+  def pipelineContaminationCensus(spark: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminationCensus(spark, tbl(spark, dir, "documents"), k = 8)
+      .orderBy("source")
+
   def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
     substringDupSpans(spark, dir, k = 8)
       .groupBy("doc_id")
@@ -4531,6 +4540,7 @@ object ExtQueries {
     "dedup_winnowing_verified" -> (dedupWinnowingVerified _),
     "dedup_cluster_ari" -> (dedupClusterAri _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
+    "pipeline_contamination_census" -> (pipelineContaminationCensus _),
     "pipeline_substring_scrub" -> (pipelineSubstringScrub _),
     "pipeline_scrub_apply" -> (pipelineScrubApply _),
     "pipeline_scrub_keep_one" -> (pipelineScrubKeepOne _),
