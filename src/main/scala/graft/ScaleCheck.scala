@@ -516,6 +516,24 @@ object ScaleCheck {
       time("sample_max_coverage", f) {
         graft.operators.Embeddings.maxCoverageSelect(d, k = 5).count()
       }
+      // learned quality filter, trained + applied: one token-scale count
+      // pass into <=1024 buckets, broadcast probe scoring — must be
+      // linear in corpus tokens with flat model size
+      time("quality_nb_scores", f) {
+        graft.operators.TextOps.nbQualityScores(d,
+          graft.operators.TextOps.nbQualityModel(d)).count()
+      }
+      // Kneser-Ney scoring: three bigram-keyed count passes + the model
+      // join on the scored stream — vocabulary and corpus both scale on
+      // replication, time must track corpus tokens
+      time("text_perplexity_kn", f) {
+        graft.operators.TextOps.knPerplexityScores(d).count()
+      }
+      // contamination census: generator pass + distinct + one semi-join
+      // on the window hash — replication multiplies both splits f×
+      time("pipeline_contamination_census", f) {
+        Dedup.decontaminationCensus(spark, d).count()
+      }
       // chi²: one partial-aggregatable pass to the ≤105-cell cube; all
       // pair work on the cube — time must equal the scan cost
       time("profile_chi2_matrix", f) {
@@ -734,6 +752,20 @@ object ScaleCheck {
       time("graph_eigenvector", f) {
         Graph.eigenvectorCentrality(Graph.coPartEdgesMin(lg, 2L),
           iters = 6, topK = 20).count()
+      }
+      // SGNS epoch: walk corpus and pair set scale f× on disjoint
+      // copies while the negative table stays 256 rows and the model
+      // join keys stay (node, dim) — time must track pairs linearly
+      time("graph_sgns_epoch", f) {
+        Graph.sgnsEpoch(Graph.walkSkipgramPairs(
+          Graph.coPartEdgesMin(lg, 2L), 2, 4, 2)).count()
+      }
+      // embedding kNN: queries scale f× AND candidates scale f× — the
+      // brute-force scan is the documented quadratic baseline; the
+      // ladder records the crossover pressure toward the IVF tiers
+      time("graph_embedding_knn", f) {
+        Graph.sgnsKnn(Graph.walkSkipgramPairs(
+          Graph.coPartEdgesMin(lg, 2L), 2, 4, 2), k = 5, sampleMod = 100L).count()
       }
 
       // CDC chunking: pure map-side hashing + two partial-agg shuffles —
