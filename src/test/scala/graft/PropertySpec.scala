@@ -291,6 +291,80 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("wedgeScores: hub-split == naive all-wedges on seeded random graphs at an admitting cap") {
+    // with cap >= max degree the gate admits everything, so the split
+    // engine must equal the brute-force wedge enumeration EXACTLY
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L))).map(_.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct)
+    samples(edgeGen, 12).filter(_.nonEmpty).foreach { es =>
+      val g = es.toDF("src", "dst")
+      val got = graft.operators.Graph.wedgeScores(g, degCap = 1024).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      // brute force: adjacency sets, all pairs sharing >=1 neighbour
+      val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = adj.keys.toSeq.sorted
+      val want = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        u = nodes(i); v = nodes(j)
+        common = adj(u).intersect(adj(v))
+        if common.nonEmpty
+      } yield (u, v) -> ((common.size.toLong,
+        common.toSeq.map(w => 1000000L / adj(w).size).sum))).toMap
+      assert(got === want, s"edges=$es")
+      // with the MINIMUM cap every centre is a hub except deg-1 leaves:
+      // the run must still terminate and every reported score stay exact
+      val capped = graft.operators.Graph.wedgeScores(g, degCap = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      capped.foreach { case (k, s) =>
+        assert(want(k) === s, s"capped pair $k must keep the exact score") }
+    }
+  }
+
+  test("nbQuality scores stay in [0, 1e6] and unseen-vocab docs score the exact prior") {
+    val wordGen = Gen.choose(0, 30).map(i => s"w$i")
+    val docGen = Gen.choose(10, 25).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val model = graft.operators.TextOps.nbQualityModel(docs)
+    // unseen-vocab doc from tokens whose hash BUCKETS are collision-free
+    // vs the trained vocabulary (feature hashing aliases colliding
+    // tokens by design — the prior applies only to untouched buckets)
+    def chRef(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    def bucket(w: String): Long = chRef(w) % graft.operators.TextOps.NbBuckets
+    val trainedBuckets = (0 to 30).map(i => bucket(s"w$i")).toSet
+    val fresh = Iterator.from(0).map(i => s"u$i")
+      .filterNot(w => trainedBuckets.contains(bucket(w))).take(12).toSeq
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(Seq((9999L, fresh.mkString(" "))).toDF("doc_id", "text"))
+    val scores = graft.operators.TextOps.nbQualityScores(probe, model).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    scores.values.foreach(s => assert(s >= 0L && s <= 1000000L, s"score bound: $s"))
+    assert(scores(9999L) === 500000L,
+      "collision-free unseen vocabulary must score the exact smoothed prior")
+  }
+
+  test("knPerplexityScores: every score finite and positive on random corpora incl. unseen vocab") {
+    val wordGen = Gen.choose(0, 20).map(i => s"t$i")
+    val docGen = Gen.choose(3, 15).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val base = samples(docGen, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, "en", t) }
+    val docs = (base :+ ((41L, "en", "qq1 qq2 qq3 qq4"))).toDF("doc_id", "lang", "text")
+    val rows = graft.operators.TextOps.knPerplexityScores(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kn = r.getLong(3)
+      assert(kn > 0L && kn < Long.MaxValue, s"KN inverse must be finite positive: $r")
+    }
+    // the all-unseen doc must be present (odd id) and score WORSE than
+    // the in-distribution median
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val others = byId.filterNot(_._1 == 41L).values.toSeq.sorted
+    assert(byId(41L) > others(others.size / 2),
+      s"unseen vocab must rank worse than the median: ${byId(41L)} vs $others")
+  }
+
   test("KMV estimate within 50% of truth on 2000 seeded random keys (k=64)") {
     graft.expressions.GraftFunctions.register(spark)
     val keys = samples(Gen.choose(0L, Long.MaxValue / 2), 2000).distinct
