@@ -1418,6 +1418,116 @@ object Graph {
     * that stands in for word2vec's freq^0.75 negative distribution. */
   val SgnsNegTable = 256
 
+  /** MULTI-epoch SGNS: the [[sgnsEpoch]] unit iterated — each epoch's
+    * gradients are computed against the PREVIOUS epoch's vectors
+    * (synchronous full-batch steps, so every epoch is deterministic and
+    * partition-invariant), and past epoch 1 the CONTEXT vectors update
+    * too (in one step V' can't feed back into U', which is why the
+    * single-epoch form skips the second reduce; across epochs it's the
+    * signal path). The negative DRAW is fixed per pair across epochs
+    * (hash of (center, context, i)) — the deterministic analog of
+    * word2vec's per-pass resampling; the negative TABLE is frozen at
+    * the pair-frequency head, which epochs don't change.
+    *
+    * Per epoch: two (node, dim)-keyed partial-aggregated gradient
+    * reduces + two array reassemblies, vectors localCheckpointed per
+    * round (iterative-loop hygiene). Epoch 1's trained U is
+    * BIT-IDENTICAL to [[sgnsEpoch]]'s output (spec-pinned differential
+    * between the two implementations). Output: trained center vectors
+    * (node, dim, val). */
+  def sgnsEpochs(pairs: DataFrame, epochs: Int, dim: Int = 32,
+      negK: Int = 2, lrShift: Int = 21): DataFrame = {
+    require(epochs >= 1)
+    import graft.functions.CrossFns.charHash
+    val spark = pairs.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = pairs.select(col("center"), col("context"),
+      col("n_pairs").as("m")).persist(lvl)
+    def initArr(node: Column, role: String): Column =
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        (charHash(concat(node.cast("string"), lit(s":$role:"), d.cast("string")))
+          * lit(2654435761L)) % lit(1000000007L) % 2001L - 1000L)
+    val nodes = p.select(col("center").as("node"))
+      .unionByName(p.select(col("context").as("node"))).distinct().persist(lvl)
+    // static negative assignment: (center, context, m, nnode), one row
+    // per (pair, draw) — reused every epoch
+    val negTable = p.groupBy(col("context").as("node"))
+      .agg(sum("m").as("freq"))
+      .orderBy(col("freq").desc, col("node")).limit(SgnsNegTable)
+      .select(col("node").as("nnode"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("node"))) - 1).cast("long").as("nidx"))
+      .localCheckpoint()
+    val negN = negTable.count()
+    val negd = p
+      .select(col("center"), col("context"), col("m"),
+        explode(sequence(lit(1), lit(negK))).as("ni"))
+      .withColumn("nidx",
+        (charHash(concat(col("center").cast("string"), lit(":"),
+          col("context").cast("string"), lit(":"), col("ni").cast("string")))
+          * lit(2654435761L)) % lit(1000000007L) % lit(negN))
+      .join(broadcast(negTable), Seq("nidx"))
+      .select(col("center"), col("context"), col("m"), col("nnode"))
+      .persist(lvl)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    def sdiv(x: Column, k: Long): Column =
+      when(x < 0, -call_function("div", abs(x), lit(k)))
+        .otherwise(call_function("div", x, lit(k)))
+    def sigma(s: Column): Column =
+      least(lit(1000000L), greatest(lit(0L), lit(500000L) + sdiv(s, 32L)))
+    def dimDeltas(df: DataFrame, node: Column, g: Column, vec: Column): DataFrame =
+      df.select(node.as("node"), posexplode(transform(vec, v => col("m") * g * v)))
+        .select(col("node"), col("pos").cast("long").as("dim"), col("col").as("delta"))
+    def applyDeltas(cur: DataFrame, deltas: DataFrame): DataFrame =
+      cur.select(col("node"), posexplode(col("vec")))
+        .select(col("node"), col("pos").cast("long").as("dim"), col("col").as("v0"))
+        .join(deltas, Seq("node", "dim"), "left")
+        .select(col("node"), col("dim"),
+          (col("v0") + coalesce(sdiv(col("d"), 1L << lrShift), lit(0L))).as("val"))
+        .groupBy("node")
+        .agg(array_sort(collect_list(struct(col("dim"), col("val")))).as("sv"))
+        .select(col("node"), transform(col("sv"), s => s("val")).as("vec"))
+
+    var u = nodes.select(col("node"), initArr(col("node"), "u").as("vec"))
+      .localCheckpoint()
+    var v = nodes.select(col("node"), initArr(col("node"), "v").as("vec"))
+      .localCheckpoint()
+    for (e <- 1 to epochs) {
+      val sp = p
+        .join(u.select(col("node").as("center"), col("vec").as("uc")), Seq("center"))
+        .join(v.select(col("node").as("context"), col("vec").as("vx")), Seq("context"))
+        .withColumn("gpos", lit(1000000L) - sigma(dot(col("uc"), col("vx"))))
+        .persist(lvl)
+      val ng = negd
+        .join(u.select(col("node").as("center"), col("vec").as("uc")), Seq("center"))
+        .join(v.select(col("node").as("nnode"), col("vec").as("vn")), Seq("nnode"))
+        .withColumn("gneg", -sigma(dot(col("uc"), col("vn"))))
+        .persist(lvl)
+      val dU = dimDeltas(sp, col("center"), col("gpos"), col("vx"))
+        .unionByName(dimDeltas(ng, col("center"), col("gneg"), col("vn")))
+        .groupBy("node", "dim").agg(sum("delta").as("d"))
+      val u2 = applyDeltas(u, dU).localCheckpoint()
+      // the LAST epoch's context update is dead weight (V never feeds
+      // back after the final U step and only U is emitted) — same
+      // argument as the single-epoch form, applied to the loop's tail
+      val v2 = if (e < epochs) {
+        val dV = dimDeltas(sp, col("context"), col("gpos"), col("uc"))
+          .unionByName(dimDeltas(ng, col("nnode"), col("gneg"), col("uc")))
+          .groupBy("node", "dim").agg(sum("delta").as("d"))
+        applyDeltas(v, dV).localCheckpoint()
+      } else v
+      sp.unpersist(); ng.unpersist()
+      u = u2; v = v2
+    }
+    val out = u.select(col("node"), posexplode(col("vec")))
+      .select(col("node"), col("pos").cast("long").as("dim"), col("col").as("val"))
+      .localCheckpoint()
+    negd.unpersist(); nodes.unpersist(); p.unpersist()
+    out
+  }
+
   /** Brute-force cosine top-k over the one-epoch [[sgnsEpoch]]
     * embeddings — the query that closes the DeepWalk loop end-to-end
     * (walks → pairs → trained vectors → "which nodes live near this

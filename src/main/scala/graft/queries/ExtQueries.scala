@@ -3681,6 +3681,17 @@ object ExtQueries {
         walksPerNode = 2, steps = 4, window = 2))
       .orderBy("node", "dim")
 
+  /** Two synchronous SGNS epochs (see
+    * [[graft.operators.Graph.sgnsEpochs]] — context vectors update
+    * between epochs, fixed negative draw). */
+  def graphSgnsEpoch2(spark: SparkSession, dir: String): DataFrame =
+    Graph.sgnsEpochs(
+      Graph.walkSkipgramPairs(
+        Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+        walksPerNode = 2, steps = 4, window = 2),
+      epochs = 2)
+      .orderBy("node", "dim")
+
   /** Top-5 embedding-space neighbours per sample node over the trained
     * SGNS vectors — DeepWalk end-to-end into the ANN surface (see
     * [[graft.operators.Graph.sgnsKnn]]). */
@@ -4330,6 +4341,7 @@ object ExtQueries {
     "graph_node2vec_walks" -> (graphNode2vecWalks _),
     "graph_walk_pairs" -> (graphWalkPairs _),
     "graph_sgns_epoch" -> (graphSgnsEpoch _),
+    "graph_sgns_epoch2" -> (graphSgnsEpoch2 _),
     "graph_embedding_knn" -> (graphEmbeddingKnn _),
     "timeseries_stl" -> (timeseriesStl _),
     "timeseries_crosscorr" -> (timeseriesCrosscorr _),

@@ -172,6 +172,75 @@ object Oracles {
        |FROM ebase b LEFT JOIN dsums ON b.node = dsums.node AND b.dim = dsums.dim)""".stripMargin
   }
 
+  /** Multi-epoch SGNS chain on top of [[walkPairCtes]]: u_0/v_0
+    * hash-init, static negative assignment `negd`, then per epoch t the
+    * score/negative/gradient/apply CTEs from (u_{t-1}, v_{t-1}) to
+    * (u_t, v_t) — past epoch 1 the CONTEXT side updates too (dsv). The
+    * negative DRAW is fixed per pair across epochs, matching the
+    * engine. Ends with the chain's last u_T as (node, vec). */
+  private def sgnsEpochChainCtes(epochs: Int): String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, 32), k_ -> $a[k_]*$b[k_]))"
+    def sigma(s: String): String =
+      s"least(1000000, greatest(0, 500000 + " +
+        s"CASE WHEN ($s) < 0 THEN -(abs($s) // 32) ELSE ($s) // 32 END))"
+    def initVec(role: String): String =
+      s"list_transform(generate_series(0, 31), d_ -> " +
+        s"(${ch(s"CAST(node AS VARCHAR) || ':$role:' || CAST(d_ AS VARCHAR)")}" +
+        " * 2654435761) % 1000000007 % 2001 - 1000)"
+    def apply(cur: String, ds: String, nxt: String): String =
+      s"""$nxt AS MATERIALIZED (SELECT node, list(val ORDER BY dim) AS vec FROM (
+         |  SELECT b.node, b.dim,
+         |    CAST(b.v0v + coalesce(CASE WHEN $ds.d < 0 THEN -(abs($ds.d) // 2097152)
+         |      ELSE $ds.d // 2097152 END, 0) AS BIGINT) AS val
+         |  FROM (SELECT node, g_.k - 1 AS dim, vec[g_.k] AS v0v FROM $cur,
+         |        LATERAL (SELECT unnest(generate_series(1, 32)) AS k) g_) b
+         |  LEFT JOIN $ds ON b.node = $ds.node AND b.dim = $ds.dim)
+         |GROUP BY node)""".stripMargin
+    def epoch(t: Int): String = {
+      val (pu, pv) = (s"u_${t - 1}", s"v_${t - 1}")
+      s"""sp_$t AS MATERIALIZED (SELECT pr.center, pr.context, pr.m, u.vec AS uc, v.vec AS vx,
+         |      1000000 - ${sigma(dot("u.vec", "v.vec"))} AS gpos
+         |    FROM pr JOIN $pu u ON pr.center = u.node
+         |      JOIN $pv v ON pr.context = v.node),
+         |ng_$t AS MATERIALIZED (SELECT n.center, n.m, n.nnode, u.vec AS uc, vv.vec AS vn,
+         |      -${sigma(dot("u.vec", "vv.vec"))} AS gneg
+         |    FROM negd n JOIN $pu u ON n.center = u.node
+         |      JOIN $pv vv ON n.nnode = vv.node),
+         |dsu_$t AS (SELECT node, dim, sum(delta) AS d FROM (
+         |    SELECT center AS node, g_.k - 1 AS dim, m * gpos * vx[g_.k] AS delta
+         |    FROM sp_$t, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) g_
+         |    UNION ALL
+         |    SELECT center, g_.k - 1, m * gneg * vn[g_.k]
+         |    FROM ng_$t, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) g_)
+         |  GROUP BY 1, 2),
+         |dsv_$t AS (SELECT node, dim, sum(delta) AS d FROM (
+         |    SELECT context AS node, g_.k - 1 AS dim, m * gpos * uc[g_.k] AS delta
+         |    FROM sp_$t, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) g_
+         |    UNION ALL
+         |    SELECT nnode, g_.k - 1, m * gneg * uc[g_.k]
+         |    FROM ng_$t, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) g_)
+         |  GROUP BY 1, 2),
+         |${apply(s"u_${t - 1}", s"dsu_$t", s"u_$t")},
+         |${apply(s"v_${t - 1}", s"dsv_$t", s"v_$t")}""".stripMargin
+    }
+    s"""$walkPairCtes,
+       |nodes AS (SELECT center AS node FROM pr UNION SELECT context FROM pr),
+       |u_0 AS MATERIALIZED (SELECT node, ${initVec("u")} AS vec FROM nodes),
+       |v_0 AS MATERIALIZED (SELECT node, ${initVec("v")} AS vec FROM nodes),
+       |nt AS (SELECT node AS nnode, row_number() OVER (ORDER BY freq DESC, node) - 1 AS nidx
+       |       FROM (SELECT context AS node, sum(m) AS freq FROM pr GROUP BY 1
+       |             ORDER BY freq DESC, node LIMIT 256)),
+       |nn AS (SELECT count(*) AS n FROM nt),
+       |negd AS MATERIALIZED (SELECT p2.center, p2.context, p2.m, nt.nnode
+       |  FROM (SELECT pr.center, pr.context, pr.m,
+       |          (${ch("CAST(pr.center AS VARCHAR) || ':' || CAST(pr.context AS VARCHAR) || ':' || CAST(i.ni AS VARCHAR)")}
+       |            * 2654435761) % 1000000007 % (SELECT n FROM nn) AS nidx
+       |        FROM pr CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS ni) i) p2
+       |  JOIN nt ON nt.nidx = p2.nidx),
+       |${(1 to epochs).map(epoch).mkString(",\n")}""".stripMargin
+  }
+
   /** Shared CTE prefix for the learned-quality-classifier family
     * (quality_nb_*): Gopher labels over all docs ([[gopherCtes]] `r`),
     * hashed-unigram buckets (charHash mod 1024 — TextOps.NbBuckets),
@@ -4519,6 +4588,14 @@ object Oracles {
     "graph_sgns_epoch" ->
       s"""WITH $sgnsCtes
          |SELECT node, dim, val FROM emb ORDER BY node, dim""".stripMargin,
+
+    // Two synchronous SGNS epochs (context vectors update between
+    // epochs; fixed negative draw) — the chained unroll.
+    "graph_sgns_epoch2" ->
+      s"""WITH ${sgnsEpochChainCtes(2)}
+         |SELECT node, CAST(g_.k - 1 AS BIGINT) AS dim, vec[g_.k] AS val
+         |FROM u_2, LATERAL (SELECT unnest(generate_series(1, 32)) AS k) g_
+         |ORDER BY node, dim""".stripMargin,
 
     // Brute-force cosine top-5 over the trained SGNS vectors (sample
     // queries node % 100 = 0): integer dot over trained components, one

@@ -11,6 +11,33 @@ class WalksEmbeddingsSpec extends SparkSpec {
 
   private def edgesDf(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
 
+  test("sgnsEpochs: epoch 1 equals the single-epoch implementation bit-for-bit; epoch 2 keeps the communities") {
+    def k6(off: Long) = for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (off + a, off + b)
+    val g = edgesDf((k6(0) ++ k6(10) :+ (5L, 10L)): _*)
+    val pairs = Graph.walkSkipgramPairs(g, 2, 4, 2).localCheckpoint()
+    // two independent implementations of the same contract must agree
+    // exactly on the trained center vectors after one epoch
+    val one = Graph.sgnsEpoch(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val loop1 = Graph.sgnsEpochs(pairs, epochs = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(loop1 === one, "sgnsEpochs(1) must equal sgnsEpoch bit-for-bit")
+    // epoch 2 (context vectors now in the loop): the same-community
+    // nearest-neighbour rate must hold at or above epoch 1's 9/12
+    val two = Graph.sgnsEpochs(pairs, epochs = 2).collect()
+      .groupBy(_.getLong(0))
+      .map { case (n, rs) => n -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    val hits = two.keys.count { n =>
+      val nn = two.keys.filter(_ != n).maxBy(m => (cos(two(n), two(m)), -m))
+      (n < 6) == (nn < 6)
+    }
+    assert(hits >= 9, s"epoch-2 same-community NN rate must hold: $hits/12")
+  }
+
   test("node2vecWalks: unit weights degenerate to randomWalks bit-for-bit") {
     // with wReturn = wCommon = wOut = 1 the cumulative-weight pick is
     // exactly coin % degree into the sorted list — DeepWalk's draw
