@@ -63,6 +63,46 @@ class KeyedStateSpec extends SparkSpec {
     assert(l0(3L) === 1000000L)
   }
 
+  test("NB count-cube merging is batch-split invariant: any split scores identically") {
+    // the stream_quality_nb contract: per-bucket (c_pos, c_neg) sums
+    // accumulated through ANY batch split equal the one-shot trainer,
+    // so the derived weights — and every held-out score — are identical
+    import graft.operators.TextOps
+    val clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = (0L until 24L).map { i =>
+      (i, if (i % 3 == 2) ("junk " * 12).trim else clean + s" extra$i filler$i")
+    }.toDF("doc_id", "text")
+    def modelVia(splits: Seq[Seq[Long]], root: String): org.apache.spark.sql.DataFrame = {
+      splits.zipWithIndex.foreach { case (ids, b) =>
+        val batch = docs.filter(col("doc_id").isInCollection(ids))
+        val labels = TextOps.gopherSignals(batch).select(col("doc_id"), col("passes"))
+        val part = batch.filter(col("doc_id") % 2 === 0)
+          .join(labels, Seq("doc_id"))
+          .select(col("passes"),
+            explode(graft.functions.CrossFns.tokens(col("text"))).as("t"))
+          .select(col("passes"),
+            (graft.functions.CrossFns.charHash(col("t")) % TextOps.NbBuckets).as("bucket"))
+          .groupBy("bucket")
+          .agg(sum(when(col("passes"), 1L).otherwise(0L)).as("c_pos"),
+            sum(when(col("passes"), 0L).otherwise(1L)).as("c_neg"))
+        KeyedStateSink.merge(root, Seq("bucket"), Nil, Seq("c_pos", "c_neg"))(part, b.toLong)
+      }
+      KeyedStateSink.read(spark, root).get
+        .select(col("bucket"),
+          expr("((c_pos + 1) * 1000000) div (c_pos + c_neg + 2)").as("w_ppm"))
+    }
+    def scores(model: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      TextOps.nbQualityScores(docs, model).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val oneShot = scores(TextOps.nbQualityModel(docs))
+    val even = scores(modelVia((0L until 24L).grouped(8).toSeq.map(_.toSeq),
+      Files.createTempDirectory("graft-kss-nb-a-").toString))
+    val skewed = scores(modelVia(Seq(0L until 20L, 20L until 22L, 22L until 24L).map(_.toSeq),
+      Files.createTempDirectory("graft-kss-nb-b-").toString))
+    assert(even === oneShot && skewed === oneShot,
+      s"merged-cube scores must equal the one-shot trainer: $oneShot / $even / $skewed")
+  }
+
   test("min-combined columns and schema stability across versions") {
     val root = Files.createTempDirectory("graft-kss-min-").toString
     def p(rows: Seq[(String, Long, Long)]) = rows.toDF("sig", "rep", "n_docs")
