@@ -1543,11 +1543,17 @@ object Graph {
     * top-k window over sample×nodes rows. Brute force IS the contract
     * here — the baseline the IVF/LSH tiers are graded against; at
     * corpus scale the trained table feeds those indexes instead. */
-  def sgnsKnn(pairs: DataFrame, k: Int, sampleMod: Long): DataFrame = {
-    val emb = sgnsEpoch(pairs)
-    val vecs = emb.groupBy("node")
+  def sgnsKnn(pairs: DataFrame, k: Int, sampleMod: Long): DataFrame =
+    knnOverVecs(assembleVecs(sgnsEpoch(pairs)), k, sampleMod)
+
+  /** (node, dim, val) rows → (node, v: array) — dim-ordered. */
+  private def assembleVecs(emb: DataFrame): DataFrame =
+    emb.groupBy("node")
       .agg(array_sort(collect_list(struct(col("dim"), col("val")))).as("sv"))
       .select(col("node"), transform(col("sv"), s => s("val")).as("v"))
+
+  private def knnOverVecs(vecTable: DataFrame, k: Int, sampleMod: Long): DataFrame = {
+    val vecs = vecTable
       .withColumn("nrm",
         aggregate(transform(col("v"), x => x * x), lit(0L), (a, x) => a + x))
       .filter(col("nrm") > 0)
@@ -1566,6 +1572,26 @@ object Graph {
       .select(col("q_node"), col("rk").cast("long").as("rk"),
         col("node").as("nbr"), round(col("cosine"), 6).as("cos6"))
   }
+
+  /** BUILD a persistent node-embedding store: run the SGNS epoch ONCE
+    * and write the trained vectors as a (node, v) parquet table — the
+    * [[graft.operators.Dedup.lshIndexBuild]] /
+    * [[graft.operators.Similarity.ivfBuildIndex]] lifecycle applied to
+    * graph embeddings. A deployment trains on the walk corpus once and
+    * serves every similarity query from the store; re-walking and
+    * re-training per query (what the standalone [[sgnsKnn]] key does by
+    * construction) is the anti-pattern this table removes. */
+  def sgnsIndexBuild(pairs: DataFrame, indexDir: String): Unit =
+    assembleVecs(sgnsEpoch(pairs))
+      .write.mode("overwrite").parquet(s"$indexDir/vectors")
+
+  /** Query the persisted embedding store: zero walk/training jobs, one
+    * scan of the vector table + the per-query top-k. Bit-identical to
+    * [[sgnsKnn]] because the store holds exactly the trained vectors —
+    * one oracle, two paths. */
+  def sgnsKnnPersisted(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, k: Int, sampleMod: Long): DataFrame =
+    knnOverVecs(spark.read.parquet(s"$indexDir/vectors"), k, sampleMod)
 
   /** DETERMINISTIC second-order (node2vec-style) biased walks, Grover &
     * Leskovec 2016's p/q bias expressed as INTEGER candidate weights so

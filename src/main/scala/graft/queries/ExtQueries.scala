@@ -3703,6 +3703,20 @@ object ExtQueries {
       k = 5, sampleMod = 100L)
       .orderBy("q_node", "rk")
 
+  /** Persisted-embedding-store lifecycle: train the SGNS epoch once,
+    * write the vectors, query the LOADED store (zero training jobs) —
+    * bit-identical to graph_embedding_knn, shared oracle (see
+    * [[graft.operators.Graph.sgnsIndexBuild]] / sgnsKnnPersisted). */
+  def graphEmbeddingKnnPersist(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Staging.tmpDir("sgnsidx")
+    Graph.sgnsIndexBuild(
+      Graph.walkSkipgramPairs(
+        Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+        walksPerNode = 2, steps = 4, window = 2), idx)
+    Graph.sgnsKnnPersisted(spark, idx, k = 5, sampleMod = 100L)
+      .orderBy("q_node", "rk")
+  }
+
   /** Link prediction on the thresholded co-part graph: top-20
     * non-adjacent pairs by the Resource-Allocation index (integer ppm —
     * see [[graft.operators.Graph.linkPrediction]]), with the common-
@@ -4343,6 +4357,7 @@ object ExtQueries {
     "graph_sgns_epoch" -> (graphSgnsEpoch _),
     "graph_sgns_epoch2" -> (graphSgnsEpoch2 _),
     "graph_embedding_knn" -> (graphEmbeddingKnn _),
+    "graph_embedding_knn_persist" -> (graphEmbeddingKnnPersist _),
     "timeseries_stl" -> (timeseriesStl _),
     "timeseries_crosscorr" -> (timeseriesCrosscorr _),
     "timeseries_dtw" -> (timeseriesDtw _),

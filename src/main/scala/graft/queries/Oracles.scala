@@ -241,6 +241,25 @@ object Oracles {
        |${(1 to epochs).map(epoch).mkString(",\n")}""".stripMargin
   }
 
+  /** Brute-force cosine top-5 over the one-epoch SGNS vectors — shared
+    * by graph_embedding_knn and its persisted-store twin. */
+  private lazy val sgnsKnnSql: String =
+    s"""WITH $sgnsCtes,
+       |ev AS MATERIALIZED (SELECT node, list(val ORDER BY dim) AS v,
+       |        CAST(sum(val * val) AS BIGINT) AS nrm
+       |      FROM emb GROUP BY node),
+       |evf AS (SELECT * FROM ev WHERE nrm > 0),
+       |qs AS (SELECT node AS q_node, v AS qv, nrm AS qn FROM evf WHERE node % 100 = 0),
+       |sc AS (SELECT q.q_node, c.node AS nbr,
+       |    CAST(list_sum(list_transform(generate_series(1, 32),
+       |      k_ -> q.qv[k_] * c.v[k_])) AS DOUBLE) /
+       |     (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+       |  FROM qs q JOIN evf c ON c.node <> q.q_node)
+       |SELECT q_node, CAST(rk AS BIGINT) AS rk, nbr, round(cosine, 6) AS cos6
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_node
+       |        ORDER BY cosine DESC, nbr) AS rk FROM sc)
+       |WHERE rk <= 5 ORDER BY q_node, rk""".stripMargin
+
   /** Shared CTE prefix for the learned-quality-classifier family
     * (quality_nb_*): Gopher labels over all docs ([[gopherCtes]] `r`),
     * hashed-unigram buckets (charHash mod 1024 — TextOps.NbBuckets),
@@ -4600,23 +4619,10 @@ object Oracles {
     // Brute-force cosine top-5 over the trained SGNS vectors (sample
     // queries node % 100 = 0): integer dot over trained components, one
     // IEEE division + two sqrts (the simsearch float policy), ties on
-    // neighbour id.
-    "graph_embedding_knn" ->
-      s"""WITH $sgnsCtes,
-         |ev AS MATERIALIZED (SELECT node, list(val ORDER BY dim) AS v,
-         |        CAST(sum(val * val) AS BIGINT) AS nrm
-         |      FROM emb GROUP BY node),
-         |evf AS (SELECT * FROM ev WHERE nrm > 0),
-         |qs AS (SELECT node AS q_node, v AS qv, nrm AS qn FROM evf WHERE node % 100 = 0),
-         |sc AS (SELECT q.q_node, c.node AS nbr,
-         |    CAST(list_sum(list_transform(generate_series(1, 32),
-         |      k_ -> q.qv[k_] * c.v[k_])) AS DOUBLE) /
-         |     (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
-         |  FROM qs q JOIN evf c ON c.node <> q.q_node)
-         |SELECT q_node, CAST(rk AS BIGINT) AS rk, nbr, round(cosine, 6) AS cos6
-         |FROM (SELECT *, row_number() OVER (PARTITION BY q_node
-         |        ORDER BY cosine DESC, nbr) AS rk FROM sc)
-         |WHERE rk <= 5 ORDER BY q_node, rk""".stripMargin,
+    // neighbour id. The persist twin queries the same trained vectors
+    // from a parquet store — one oracle, two paths.
+    "graph_embedding_knn" -> sgnsKnnSql,
+    "graph_embedding_knn_persist" -> sgnsKnnSql,
 
     // Second-order biased walks: hop 1 uniform (the randomWalks coin),
     // hops 2..4 weight each candidate 1 (return to prev) / 6 (also
