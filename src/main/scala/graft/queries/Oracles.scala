@@ -241,6 +241,26 @@ object Oracles {
        |${(1 to epochs).map(epoch).mkString(",\n")}""".stripMargin
   }
 
+  /** Train/eval contamination census — shared by the batch report and
+    * its streaming twin (per-batch verdicts against the static eval
+    * grams sum-merge to the identical per-source counts). */
+  private lazy val contaminationSql: String = {
+    val sh8 = ch("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2] || ' ' || w[pos+3]" +
+      " || ' ' || w[pos+4] || ' ' || w[pos+5] || ' ' || w[pos+6] || ' ' || w[pos+7]")
+    s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+       |t AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS pos FROM w),
+       |h AS (SELECT doc_id, $sh8 AS sh FROM t),
+       |ev AS (SELECT DISTINCT sh FROM h WHERE doc_id % 10 = 7),
+       |c AS (SELECT DISTINCT h.doc_id FROM h JOIN ev USING (sh)
+       |      WHERE h.doc_id % 10 != 7)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_train,
+       |  CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+       |  CAST((count(c.doc_id) * 1000000) // count(*) AS BIGINT) AS contam_ppm
+       |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+       |WHERE d.doc_id % 10 != 7
+       |GROUP BY 1 ORDER BY d.source""".stripMargin
+  }
+
   /** Brute-force cosine top-5 over the one-epoch SGNS vectors — shared
     * by graph_embedding_knn and its persisted-store twin. */
   private lazy val sgnsKnnSql: String =
@@ -2585,22 +2605,7 @@ object Oracles {
     // Train/eval decontamination census: a training doc (doc_id % 10
     // != 7) is contaminated if any 8-token window hash also occurs in
     // the eval split; per-source counts with exact ppm rate.
-    "pipeline_contamination_census" -> {
-      val sh8 = ch("w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2] || ' ' || w[pos+3]" +
-        " || ' ' || w[pos+4] || ' ' || w[pos+5] || ' ' || w[pos+6] || ' ' || w[pos+7]")
-      s"""WITH w AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
-         |t AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS pos FROM w),
-         |h AS (SELECT doc_id, $sh8 AS sh FROM t),
-         |ev AS (SELECT DISTINCT sh FROM h WHERE doc_id % 10 = 7),
-         |c AS (SELECT DISTINCT h.doc_id FROM h JOIN ev USING (sh)
-         |      WHERE h.doc_id % 10 != 7)
-         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_train,
-         |  CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
-         |  CAST((count(c.doc_id) * 1000000) // count(*) AS BIGINT) AS contam_ppm
-         |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
-         |WHERE d.doc_id % 10 != 7
-         |GROUP BY 1 ORDER BY d.source""".stripMargin
-    },
+    "pipeline_contamination_census" -> contaminationSql,
 
     "dedup_substring_spans" ->
       s"""$substringSpanCtes
@@ -4984,6 +4989,9 @@ object Oracles {
     // micro-batches, so the stream converges to the identical scores.
     "quality_nb_scores" -> nbScoresSql,
     "stream_quality_nb" -> nbScoresSql,
+    // streaming census with fixed benchmarks: per-batch verdicts merge
+    // to the identical per-source counts (shared oracle)
+    "stream_contamination" -> contaminationSql,
 
     // Held-out precision/recall/F1 census of predictions vs Gopher labels.
     "quality_nb_eval" ->

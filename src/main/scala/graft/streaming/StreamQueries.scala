@@ -445,6 +445,58 @@ object StreamQueries {
     graft.operators.TextOps.nbQualityScores(docs, model).orderBy("doc_id")
   }
 
+  /** Streaming twin of pipeline_contamination_census: benchmarks are
+    * FIXED upfront (the realistic deployment — the eval set is a static
+    * table loaded before the crawl starts), so a training document's
+    * contamination verdict is decidable the moment its batch arrives:
+    * one semi-join of the batch's window hashes against the static
+    * eval-gram set. The per-source (n_train, n_contaminated) counts are
+    * the mergeable state — each doc is counted exactly once by its
+    * batch, sums add, and the merged census equals the one-shot report
+    * bit-for-bit (shared oracle). At 100 TB: the eval grams broadcast
+    * (benchmarks are small), each crawl increment pays one scan of
+    * itself, and no batch ever re-reads history. */
+  def streamContamination(spark: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir("sconsrc")
+    val docs = tbl(spark, dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    graft.expressions.GraftFunctions.register(spark)
+    def gramsOf(d: DataFrame) = d
+      .select(col("doc_id"), graft.functions.CrossFns.tokens(col("text")).as("w"))
+      .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(8)))
+    // the static benchmark side, materialised once before the stream
+    val evalGrams = gramsOf(docs.filter(col("doc_id") % 10 === 7))
+      .select("sh").distinct().localCheckpoint()
+    val stateRoot = tmpDir("sconstate")
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sconckpt"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val train = batch.filter(col("doc_id") % 10 =!= 7)
+        val hit = gramsOf(train)
+          .join(evalGrams, Seq("sh"), "left_semi")
+          .select("doc_id").distinct().withColumn("h", lit(1L))
+        val partial = train.join(hit, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_train"),
+            sum(coalesce(col("h"), lit(0L))).as("n_contaminated"))
+        KeyedStateSink.merge(stateRoot, Seq("source"),
+          minCols = Nil, sumCols = Seq("n_train", "n_contaminated"))(partial, batchId)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val census = KeyedStateSink.read(spark, stateRoot).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long, Long)].toDF("source", "n_train", "n_contaminated")
+    }
+    census.select(col("source"), col("n_train"), col("n_contaminated"),
+        expr("(n_contaminated * 1000000) div n_train").as("contam_ppm"))
+      .orderBy("source")
+  }
+
   /** Streaming twin of timeseries_dtw: the (Σcents, n) hour-of-day cube
     * is the mergeable state (≤ |types|×24 rows — constant-size state at
     * any corpus scale); qv = Σcents div n over the merged cube equals
@@ -1346,6 +1398,7 @@ object StreamQueries {
     "stream_theilsen" -> (streamTheilsen _),
     "stream_dtw" -> (streamDtw _),
     "stream_quality_nb" -> (streamQualityNb _),
+    "stream_contamination" -> (streamContamination _),
     "stream_attribution" -> (AttributionStream.run _),
     "stream_lake_merge" -> (streamLakeMerge _),
     "stream_quantile" -> (streamQuantile _),
