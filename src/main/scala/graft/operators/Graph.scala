@@ -845,12 +845,24 @@ object Graph {
     * non-signal link predictors discount — and with cap ≥ max degree
     * (every test fixture) the gate admits everything, so the catalog
     * keys remain the complete exact ranking. No silent drop: the gate
-    * is this contract, not a data-dependent truncation. */
+    * is this contract, not a data-dependent truncation — and it is
+    * not invisible either: when any centre exceeds degCap a WARN log
+    * reports the gated-centre count, so a production run on a
+    * power-law graph gets a runtime signal that the contract was
+    * active (the count is a 1-row aggregate over the already-persisted
+    * degree frame — metadata-scale, not a data pass). */
   private[graft] def wedgeScores(e: DataFrame, degCap: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bi = bidir(e).persist(lvl)
     val deg = bi.groupBy(col("src").as("w")).agg(count(lit(1)).as("d"))
       .persist(lvl)
+    val gatedCentres = deg.filter(col("d") > degCap).count()
+    if (gatedCentres > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"wedgeScores: $gatedCentres centre(s) exceed degCap=$degCap — their " +
+          "wedges are patched exactly onto small-generated candidates; pairs " +
+          "whose ONLY common neighbours are these hubs are absent from the " +
+          "candidate set (documented contract)")
     val smallAdj = bi.join(deg.filter(col("d") <= degCap), bi("src") === deg("w"))
       .select(col("w"), col("dst"), col("d"))
     val hubAdj = bi.join(deg.filter(col("d") > degCap), bi("src") === deg("w"))

@@ -98,9 +98,12 @@ object TextOps {
     * partial-aggregatable count passes (bigram, context, continuation)
     * plus a 1-row Nb crossJoin; scoring joins the scored bigram stream
     * against the model on its keys (corpus-scale model, NOT broadcast).
-    * Int64 bound: 4·c_prev·Nb·10⁶ < 2^63 needs c_prev·Nb < 2.3e11 —
-    * past that (≈10⁶ context count × 10⁵ bigram types) widen the
-    * numerator to decimal(38,0); the fixture is 5 orders under. */
+    * The seen-context numerator 4·c_prev·Nb·10⁶ is computed in
+    * decimal(38,0) (HUGEINT in the oracle) — at web scale c_prev·Nb
+    * crosses 2.3e11 (≈10⁶ context count × 10⁵ bigram types) and an
+    * int64 product would fail there; the decimal form is exact to
+    * 1e38 and the `div` result (bounded by 4/3·c_prev·10⁶) stays well
+    * inside int64 for any real corpus. */
   def knPerplexityScores(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
@@ -127,9 +130,9 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         expr("""CASE WHEN c_prev IS NULL
                | THEN ((nb + 1) * 1000000) div (coalesce(n_cont, 0L) + 1)
-               | ELSE (4 * c_prev * nb * 1000000) div
-               |   (greatest(4 * coalesce(c_bi, 0L) - 3, 0L) * nb
-               |    + 3 * n_follow * (coalesce(n_cont, 0L) + 1))
+               | ELSE (CAST(4 AS DECIMAL(38,0)) * c_prev * nb * 1000000) div
+               |   (CAST(greatest(4 * coalesce(c_bi, 0L) - 3, 0L) AS DECIMAL(38,0)) * nb
+               |    + CAST(3 AS DECIMAL(38,0)) * n_follow * (coalesce(n_cont, 0L) + 1))
                |END""".stripMargin).as("inv_ppm"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_big"), sum(col("inv_ppm")).as("sppm"))

@@ -302,24 +302,36 @@ object TimeSeries {
     *    ALL n(n−1)/2 pairwise slopes.
     *  - n > gate: WINDOWED Theil-Sen (median-of-medians): slopes pair
     *    only within calendar-aligned windows of [[TheilSenWindow]]
-    *    points (`hrs div (W·3600s)` — deterministic, data-independent
-    *    boundaries), per-window exact slope median, then the median of
-    *    window medians. n·W/2 pair rows instead of n²/2, every
-    *    percentile buffer ≤ W²/2 values; robustness is preserved
-    *    (each window median has the 29% breakdown point; the outer
-    *    median tolerates corrupt windows), at the price of ignoring
-    *    cross-window pairs — the long-baseline pairs whose slopes
-    *    cluster tightest around the trend anyway, making the windowed
-    *    estimate a strictly finer-variance family member, not a
-    *    different statistic.
+    *    points — window id = `hrs div W` where `hrs` is the hour index
+    *    (unix seconds already divided by 3600), so boundaries are
+    *    deterministic and data-independent — per-window exact slope
+    *    median, then the median of window medians. n·W/2 pair rows
+    *    instead of n²/2, every percentile buffer ≤ W²/2 values;
+    *    robustness is preserved (each window median has the 29%
+    *    breakdown point; the outer median tolerates corrupt windows),
+    *    at the price of ignoring cross-window pairs — the long-baseline
+    *    pairs whose slopes cluster tightest around the trend anyway,
+    *    making the windowed estimate a strictly finer-variance family
+    *    member, not a different statistic.
+    *
+    * `n_pairs` reports the pairs the estimate actually aggregated, so
+    * its meaning follows the arm: all n(n−1)/2 pairs below the gate,
+    * the Σ of WITHIN-window pair counts above it (≈ n·W/2 — NOT
+    * comparable to the exact arm's count; a series' arm is decidable
+    * from the reported n_points vs [[TheilSenExactGate]]).
     *
     * The gate is a count over the already-reduced calendar-bounded
     * frame (broadcast back), so both branches stay in one lazy plan and
-    * only the qualifying series reach each side's exchanges. Fixtures
+    * only the qualifying series reach each side's exchanges. The hourly
+    * frame is localCheckpointed first: it is group-cardinality-sized
+    * (series × hours), and the checkpoint stops the data-scale
+    * events→hourly reduce from re-running once per consumer (gate
+    * count, both self-join sides, final join — 4× before this). Fixtures
     * never cross the gate, so the oracle mirrors only the exact arm. */
   private[graft] def theilSenFromHourly(hourly: DataFrame): DataFrame = {
     val s = hourly
       .withColumn("hrs", expr("unix_timestamp(hr) div 3600"))
+      .localCheckpoint()
     val counts = s.groupBy("event_type").agg(count(lit(1)).as("n_points"))
     val sized = s.join(broadcast(counts), Seq("event_type"))
 

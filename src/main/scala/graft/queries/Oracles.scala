@@ -671,16 +671,34 @@ object Oracles {
     * 13 (sf0.01), 9 (sf0.1), 3 (sf0.001), so 16 is exact at every sf
     * and extra rounds are least/min no-ops. Replaces r10's |V|-bounded
     * RECURSIVE walks whose cycle frontier re-expanded for hundreds of
-    * dead levels (graph_diameter 350 s → <1 s). No trailing comma. */
+    * dead levels (graph_diameter 350 s → <1 s). No trailing comma.
+    *
+    * The unroll's exactness assumption is VERIFIED, not assumed: the
+    * exported final level errors loudly if the last round still
+    * relaxed anything (min-relax is monotone, so a fixed point stays
+    * fixed — "round `rounds` ≡ round `rounds`−1" proves convergence).
+    * A future fixture with eccentricity > `rounds` therefore fails
+    * with "oracle incomplete — raise rounds", pointing at the oracle
+    * rather than at the engine as a silent hash mismatch would. */
   private def bfsLadder(tag: String, rootSel: String, rounds: Int): String = {
+    // the genuine last relax round lands in d{tag}{rounds}raw; the name
+    // callers consume (d{tag}{rounds}) re-exports it behind the check
+    def lvl(i: Int): String = if (i == rounds) s"d$tag${i}raw" else s"d$tag$i"
     def round(i: Int): String =
       s"""r$tag$i AS (SELECT e.dst AS node, min(d.dist + 1) AS nd FROM e
-         |      JOIN d$tag${i - 1} d ON e.src = d.node WHERE d.dist IS NOT NULL GROUP BY 1),
-         |d$tag$i AS MATERIALIZED (SELECT d.node, least(d.dist, r.nd) AS dist
-         |      FROM d$tag${i - 1} d LEFT JOIN r$tag$i r ON d.node = r.node)""".stripMargin
+         |      JOIN ${lvl(i - 1)} d ON e.src = d.node WHERE d.dist IS NOT NULL GROUP BY 1),
+         |${lvl(i)} AS MATERIALIZED (SELECT d.node, least(d.dist, r.nd) AS dist
+         |      FROM ${lvl(i - 1)} d LEFT JOIN r$tag$i r ON d.node = r.node)""".stripMargin
     s"""d${tag}0 AS MATERIALIZED (SELECT node, CASE WHEN node = ($rootSel)
        |         THEN CAST(0 AS BIGINT) END AS dist FROM n0),
-       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+       |${(1 to rounds).map(round).mkString(",\n")},
+       |d$tag$rounds AS MATERIALIZED (SELECT a.node,
+       |      CASE WHEN (SELECT count(*) FROM d$tag${rounds}raw x
+       |                 JOIN d$tag${rounds - 1} y ON x.node = y.node
+       |                 WHERE x.dist IS DISTINCT FROM y.dist) = 0
+       |        THEN a.dist
+       |        ELSE error('bfsLadder($tag): BFS not converged in $rounds rounds — oracle incomplete, raise rounds') END AS dist
+       |      FROM d$tag${rounds}raw a)""".stripMargin
   }
 
   /** Shared CTE prefix for the bigram-LM quality family (text_perplexity
@@ -2178,9 +2196,9 @@ object Oracles {
          |sk AS (SELECT b.doc_id, b.lang,
          |    CASE WHEN cpf.c_prev IS NULL
          |      THEN ((nbt.nb + 1) * 1000000) // (coalesce(ct.n_cont, 0) + 1)
-         |      ELSE (4 * cpf.c_prev * nbt.nb * 1000000) //
-         |        (greatest(4 * coalesce(cb.c_bi, 0) - 3, 0) * nbt.nb
-         |         + 3 * cpf.n_follow * (coalesce(ct.n_cont, 0) + 1))
+         |      ELSE CAST((CAST(4 AS HUGEINT) * cpf.c_prev * nbt.nb * 1000000) //
+         |        (CAST(greatest(4 * coalesce(cb.c_bi, 0) - 3, 0) AS HUGEINT) * nbt.nb
+         |         + CAST(3 AS HUGEINT) * cpf.n_follow * (coalesce(ct.n_cont, 0) + 1)) AS BIGINT)
          |    END AS inv_ppm
          |  FROM b LEFT JOIN cb ON b.prev = cb.prev AND b.cur = cb.cur
          |    LEFT JOIN cpf ON b.prev = cpf.prev

@@ -1,10 +1,18 @@
-package graft.tmp
+package graft
 
 import java.nio.file.{Files, Paths}
 
-/** Scratch: dump the full oracleSql map as JSON (no Spark) so
-  * tools/oracle_times.py can time the DuckDB leg of the gate alone. */
-object DumpOracles {
+/** Dev CLI (test scope — ships nothing in the production tree): dump the
+  * full oracleSql map as JSON so the DuckDB leg of the gate can be timed
+  * or iterated on without running graft.Verify's Spark leg.
+  *
+  *   sbt "Test/runMain graft.DumpOraclesTool /tmp/oracles.json"
+  *
+  * The round-close oracle-budget guard itself no longer needs this —
+  * tools/compare.py times every oracle on each gate run and rewrites the
+  * sweep table in tools/ORACLE_TIMES.md.
+  */
+object DumpOraclesTool {
   def main(args: Array[String]): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

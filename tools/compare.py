@@ -1,8 +1,17 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each oracle SQL in
 DuckDB over the sf parquet tables and diff against the Spark result parquet
-written by graft.Verify. Usage: compare.py <sfDir> <verifyOutDir>."""
-import sys, json, glob, os
+written by graft.Verify. Usage: compare.py <sfDir> <verifyOutDir>.
+
+Also the ORACLE-BUDGET GUARD (the round-10 failure mode: one 350 s oracle
+blew the driver's ~10-min DuckDB budget and zeroed the round's correctness
+artifact): every oracle is timed, the sweep table is rewritten into
+tools/ORACLE_TIMES.md below its auto-gen marker, and — at the driver's gate
+scale (sf0.01, or when ORACLE_BUDGET_ENFORCE=1) — the run FAILS if the full
+sweep exceeds ORACLE_BUDGET_TOTAL (default 300 s) or any single oracle
+exceeds ORACLE_BUDGET_SINGLE (default 20 s). A key whose oracle is too
+expensive must fix the oracle, not ship and hope."""
+import sys, json, glob, os, time
 import duckdb
 import pandas as pd
 
@@ -13,7 +22,7 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
-fails, passes = [], []
+fails, passes, times = [], [], []
 for name, sql in sorted(oracle.items()):
     spark_dir = os.path.join(outdir, name)
     files = glob.glob(os.path.join(spark_dir, "*.parquet"))
@@ -21,7 +30,9 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, "no spark output"))
         continue
     try:
+        t0 = time.monotonic()
         duck = con.execute(sql).df()
+        times.append((name, time.monotonic() - t0))
     except Exception as e:
         fails.append((name, f"oracle error: {e}"))
         continue
@@ -61,4 +72,41 @@ for name, n in passes:
 for name, msg in fails:
     print(f"FAIL {name}: {msg}")
 print(f"\n{len(passes)} pass / {len(fails)} fail")
+
+# ---- oracle-budget guard + auto-generated timing table ----
+budget_total = float(os.environ.get("ORACLE_BUDGET_TOTAL", "300"))
+budget_single = float(os.environ.get("ORACLE_BUDGET_SINGLE", "20"))
+enforce = (os.path.basename(os.path.normpath(sfdir)) == "sf0.01"
+           or os.environ.get("ORACLE_BUDGET_ENFORCE") == "1")
+total_t = sum(t for _, t in times)
+slowest = sorted(times, key=lambda x: -x[1])[:20]
+print(f"\n[oracle-budget] {len(times)} oracles, total {total_t:.1f}s "
+      f"(budget {budget_total:.0f}s), slowest "
+      + ", ".join(f"{n} {t:.2f}s" for n, t in slowest[:3]))
+marker = "<!-- AUTO-GENERATED: latest gate sweep below; edited by tools/compare.py -->"
+try:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ORACLE_TIMES.md")
+    head = open(path).read().split(marker)[0] if os.path.exists(path) else "# Oracle timing\n\n"
+    tbl = "\n".join(f"| `{n}` | {t:.2f} |" for n, t in slowest)
+    open(path, "w").write(
+        f"{head}{marker}\n\n## Latest gate sweep ({os.path.basename(os.path.normpath(sfdir))}, "
+        f"{time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())})\n\n"
+        f"**{len(times)} oracles, total {total_t:.1f} s** "
+        f"(budgets: total {budget_total:.0f} s, single {budget_single:.0f} s, "
+        f"{'ENFORCED' if enforce else 'report-only at this sf'}). Slowest 20:\n\n"
+        f"| oracle | sec |\n|---|---|\n{tbl}\n")
+except Exception as e:
+    print(f"[oracle-budget] ORACLE_TIMES.md update skipped: {e}")
+over_single = [(n, t) for n, t in times if t > budget_single]
+budget_fail = []
+if total_t > budget_total:
+    budget_fail.append(f"full sweep {total_t:.1f}s > {budget_total:.0f}s budget")
+for n, t in over_single:
+    budget_fail.append(f"oracle {n} {t:.1f}s > {budget_single:.0f}s budget")
+if budget_fail:
+    verdict = "FAIL" if enforce else "WARN (not enforced at this sf)"
+    for msg in budget_fail:
+        print(f"[oracle-budget] {verdict}: {msg}")
+    if enforce and not fails:
+        sys.exit(2)
 sys.exit(1 if fails else 0)
