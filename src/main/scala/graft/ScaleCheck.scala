@@ -767,6 +767,24 @@ object ScaleCheck {
         Graph.sgnsKnn(Graph.walkSkipgramPairs(
           Graph.coPartEdgesMin(lg, 2L), 2, 4, 2), k = 5, sampleMod = 100L).count()
       }
+      // ANN store SERVE: the deployment counter-point to the quadratic
+      // brute tier above. K scales with the corpus (8·f — the standard
+      // IVF sizing rule: cells stay ~constant-sized as data grows), so
+      // with nprobe fixed each probe scans ~constant candidates and
+      // total serve work is linear in f where brute is f². Index build
+      // (SGNS train + Lloyd + partitioned write) runs OUTSIDE the
+      // timer — the ladder records the warm-store serve cost a
+      // deployment actually pays per query batch.
+      if (opFilter.isEmpty || opFilter.contains("graph_embedding_ann_serve")) {
+        val annIdx = graft.queries.Staging.tmpDir(s"annscale$f")
+        Graph.sgnsAnnIndexBuild(Graph.walkSkipgramPairs(
+          Graph.coPartEdgesMin(lg, 2L), 2, 4, 2), annIdx,
+          numCentroids = 8 * f, iterations = 1)
+        time("graph_embedding_ann_serve", f) {
+          Graph.sgnsAnnServe(spark, annIdx, k = 5, nprobe = 2,
+            sampleMod = 100L).count()
+        }
+      }
 
       // CDC chunking: pure map-side hashing + two partial-agg shuffles —
       // must be linear in corpus chars with flat rows-out (per-source

@@ -1600,10 +1600,76 @@ object Graph {
   /** Query the persisted embedding store: zero walk/training jobs, one
     * scan of the vector table + the per-query top-k. Bit-identical to
     * [[sgnsKnn]] because the store holds exactly the trained vectors —
-    * one oracle, two paths. */
+    * one oracle, two paths. Serving is the same brute-force scan as
+    * [[sgnsKnn]] — the graded BASELINE tier; the deployable serving
+    * path over this data is the ANN store ([[sgnsAnnIndexBuild]] /
+    * [[sgnsAnnServe]]), which cell-prunes instead of scanning. */
   def sgnsKnnPersisted(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, k: Int, sampleMod: Long): DataFrame =
     knnOverVecs(spark.read.parquet(s"$indexDir/vectors"), k, sampleMod)
+
+  /** BUILD the ANN-INDEXED node-embedding store: train the SGNS epoch
+    * once, then run the trained vectors through the
+    * [[Similarity.ivfBuildIndexQ]] lifecycle — deterministic Lloyd
+    * centroids over the integer components (no quantise step: SGNS
+    * components are exact int64 by construction), K-row centroid
+    * metadata + cell-PARTITIONED vectors. This closes the lifecycle gap
+    * the plain [[sgnsIndexBuild]] store left: that store persists the
+    * vectors but still serves by the brute-force corpus scan (quadratic
+    * by documented contract — queries ×f and candidates ×f); this one
+    * serves each probe from its nprobe cells, ~nprobe/K of the corpus. */
+  def sgnsAnnIndexBuild(pairs: DataFrame, indexDir: String,
+      numCentroids: Int = 8, iterations: Int = 1): Unit =
+    Similarity.ivfBuildIndexQ(
+      assembleVecs(sgnsEpoch(pairs))
+        .select(col("node").as("vec_id"), col("v").as("qv"),
+          aggregate(transform(col("v"), x => x * x), lit(0L), (a, x) => a + x)
+            .as("nrm")),
+      numCentroids, iterations, indexDir)
+
+  /** SERVE embedding-space top-k from the ANN store
+    * ([[sgnsAnnIndexBuild]]): probes = store nodes ≡ 0 mod sampleMod
+    * (the [[sgnsKnn]] sample), candidates = each probe's nprobe nearest
+    * cells only — zero walk/training jobs, cell-pruned candidate read.
+    * Output matches [[sgnsKnn]]'s shape (q_node, rk, nbr, cos6) so the
+    * recall census ([[sgnsAnnRecall]]) grades it directly against the
+    * brute-force truth over the same store. */
+  def sgnsAnnServe(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      k: Int, nprobe: Int, sampleMod: Long): DataFrame =
+    Similarity.ivfProbeIndexSelf(spark, indexDir, k, nprobe,
+        col("vec_id") % sampleMod === 0)
+      .select(col("probe_id").as("q_node"), col("rk"),
+        col("vec_id").as("nbr"), round(col("cosine"), 6).as("cos6"))
+
+  /** Brute-force cosine top-k over the ANN store's OWN vector table —
+    * the exact truth the recall census grades [[sgnsAnnServe]] against
+    * (same vectors, same sample, no index shortcuts). */
+  def sgnsAnnStoreBrute(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, k: Int, sampleMod: Long): DataFrame =
+    knnOverVecs(spark.read.parquet(s"$indexDir/vectors")
+        .select(col("vec_id").as("node"), col("qv").as("v")),
+      k, sampleMod)
+
+  /** Recall@k census of the ANN serving path vs the brute-force truth,
+    * both served from the SAME store (one training, two serving paths):
+    * per probe, how many of the true top-k the cell-pruned scan
+    * recovered — the simsearch_recall_* harness applied to graph
+    * embeddings. Misses are cell misses only (scores inside a probed
+    * cell are exact), so recall measures exactly what nprobe/K trade
+    * away. */
+  def sgnsAnnRecall(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, k: Int, nprobe: Int, sampleMod: Long): DataFrame = {
+    val truth = sgnsAnnStoreBrute(spark, indexDir, k, sampleMod)
+      .select(col("q_node"), col("nbr"))
+    val ann = sgnsAnnServe(spark, indexDir, k, nprobe, sampleMod)
+      .select(col("q_node"), col("nbr").as("ann_nbr"))
+    truth.join(ann, truth("q_node") === ann("q_node")
+        && truth("nbr") === ann("ann_nbr"), "left")
+      .groupBy(truth("q_node").as("q_node"))
+      .agg(count(lit(1)).as("n_true"), count(col("ann_nbr")).as("n_hit"))
+      .select(col("q_node"), col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"))
+  }
 
   /** DETERMINISTIC second-order (node2vec-style) biased walks, Grover &
     * Leskovec 2016's p/q bias expressed as INTEGER candidate weights so

@@ -155,13 +155,38 @@ object Similarity {
     * accumulation-order-dependent). Empty cells keep their previous
     * centroid. Driver holds K×dim longs — index-training footprint only. */
   private def lloydCentroids(q: DataFrame, numCentroids: Int,
-      iterations: Int): Array[(Long, Array[Long], Long)] = {
-    var cents: Array[(Long, Array[Long], Long)] = q.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id"), col("qv"), col("nrm"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
-      .sortBy(_._1).zipWithIndex
-      .map { case ((_, qv, nrm), i) => (i.toLong, qv, nrm) }
+      iterations: Int): Array[(Long, Array[Long], Long)] =
+    lloydIterate(q, iterations,
+      q.filter(col("vec_id") < numCentroids)
+        .select(col("vec_id"), col("qv"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+        .sortBy(_._1).zipWithIndex
+        .map { case ((_, qv, nrm), i) => (i.toLong, qv, nrm) })
+
+  /** [[lloydCentroids]] for corpora whose vec_ids are ARBITRARY (graph
+    * node ids, not dense 0..N, where `vec_id < K` could seed an empty or
+    * undersized set): seeds = the first K vectors in vec_id order,
+    * renumbered 0..K−1. Same deterministic truncated-integer-mean
+    * iteration. */
+  private[graft] def lloydCentroidsQ(q: DataFrame, numCentroids: Int,
+      iterations: Int): Array[(Long, Array[Long], Long)] =
+    lloydIterate(q, iterations,
+      q.orderBy("vec_id").limit(numCentroids)
+        .select(col("vec_id"), col("qv"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+        .sortBy(_._1).zipWithIndex
+        .map { case ((_, qv, nrm), i) => (i.toLong, qv, nrm) })
+
+  /** The shared Lloyd iteration: per round ONE map-side assignment pass
+    * (centroids ride the task binary as a referenced object) + one
+    * (cid, pos) hash agg; new centroid = truncated integer mean (`s/n`,
+    * identical to DuckDB `//` which also truncates toward zero). Empty
+    * cells keep their previous centroid. */
+  private def lloydIterate(q: DataFrame, iterations: Int,
+      init: Array[(Long, Array[Long], Long)]): Array[(Long, Array[Long], Long)] = {
+    var cents = init
 
     def cellsExpr(n: Int) = call_function("graft_ivf_cells", col("qv"), col("nrm"),
       typedLit(cents.map(_._1).toSeq), typedLit(cents.map(_._2.toSeq).toSeq),
@@ -376,6 +401,57 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     assignCells(q, cents)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/vectors")
+  }
+
+  /** [[ivfBuildIndex]] for a PRE-QUANTISED corpus (vec_id, qv, nrm) —
+    * vector tables whose components are already exact int64 (the
+    * graph-embedding store: SGNS components are integers by
+    * construction, so there is no float column to quantise). Zero-norm
+    * vectors are dropped (cosine undefined — the [[quantized]] rule);
+    * seeds per [[lloydCentroidsQ]] (first K in vec_id order, so
+    * arbitrary id spaces like graph node ids work). Same two-table
+    * layout: K-row `centroids/` metadata + cell-PARTITIONED `vectors/`. */
+  def ivfBuildIndexQ(qRaw: DataFrame, numCentroids: Int, iterations: Int,
+      indexDir: String): Unit = {
+    val spark = qRaw.sparkSession
+    import spark.implicits._
+    val q = qRaw.select(col("vec_id"), col("qv"), col("nrm"))
+      .filter(col("nrm") > 0)
+    val cents = lloydCentroidsQ(q, numCentroids, iterations)
+    cents.toSeq.map { case (cid, cqv, cnrm) => (cid, cqv.toSeq, cnrm) }
+      .toDF("cid", "cqv", "cnrm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignCells(q, cents)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/vectors")
+  }
+
+  /** SERVE top-k from a persisted IVF index where the PROBES are rows of
+    * the index itself (self-similarity serving — "which vectors live
+    * near this one", the graph-embedding query shape): zero training
+    * jobs, no corpus re-read. Centroids load from the K-row metadata
+    * table; the probe set is one filter pass over the vectors table
+    * (broadcast — sample-bounded by probePred); each probe's candidate
+    * scan then reads ONLY its nprobe cell partitions via the cid
+    * equi-join against the broadcast probe side. Per-probe cost is
+    * ~nprobe/K of the corpus instead of all of it — the sub-quadratic
+    * serving path the brute-force contract keys are graded against. */
+  def ivfProbeIndexSelf(spark: SparkSession, indexDir: String, k: Int,
+      nprobe: Int, probePred: org.apache.spark.sql.Column): DataFrame = {
+    val cents = ivfLoadCentroids(spark, indexDir)
+    val index = spark.read.parquet(s"$indexDir/vectors")
+      // partition-column type inference may narrow cid — normalise to long
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cid").cast("long").as("cid"))
+    val probes = index.filter(probePred)
+      .withColumn("cid", explode(centroidCells(cents, nprobe)))
+      .select(col("cid"), col("vec_id").as("probe_id"),
+        col("qv").as("pqv"), col("nrm").as("pnrm"))
+    broadcast(probes).join(index, Seq("cid"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rk").cast("long").as("rk"), col("cosine"))
   }
 
   /** Load a persisted index's centroids to the driver — K rows of index

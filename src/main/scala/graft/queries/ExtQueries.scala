@@ -3706,7 +3706,10 @@ object ExtQueries {
   /** Persisted-embedding-store lifecycle: train the SGNS epoch once,
     * write the vectors, query the LOADED store (zero training jobs) —
     * bit-identical to graph_embedding_knn, shared oracle (see
-    * [[graft.operators.Graph.sgnsIndexBuild]] / sgnsKnnPersisted). */
+    * [[graft.operators.Graph.sgnsIndexBuild]] / sgnsKnnPersisted).
+    * Serving here is the brute-force scan BY CONTRACT — with
+    * graph_embedding_knn it is the graded exact-truth baseline tier;
+    * the deployable serving path is graph_embedding_ann below. */
   def graphEmbeddingKnnPersist(spark: SparkSession, dir: String): DataFrame = {
     val idx = Staging.tmpDir("sgnsidx")
     Graph.sgnsIndexBuild(
@@ -3715,6 +3718,42 @@ object ExtQueries {
         walksPerNode = 2, steps = 4, window = 2), idx)
     Graph.sgnsKnnPersisted(spark, idx, k = 5, sampleMod = 100L)
       .orderBy("q_node", "rk")
+  }
+
+  /** ANN-indexed node-embedding store: train the SGNS epoch once, build
+    * the IVF index over the trained vectors (8 deterministic Lloyd
+    * cells, 1 refinement iteration), then serve top-5 per sample node
+    * from each probe's 2 nearest cells ONLY — the sub-quadratic serving
+    * path over the persisted store (see
+    * [[graft.operators.Graph.sgnsAnnIndexBuild]] / sgnsAnnServe);
+    * graph_embedding_knn* remain the brute-force exact baseline this
+    * is graded against by graph_embedding_ann_recall. */
+  def graphEmbeddingAnn(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Staging.tmpDir("sgnsann")
+    Graph.sgnsAnnIndexBuild(
+      Graph.walkSkipgramPairs(
+        Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+        walksPerNode = 2, steps = 4, window = 2),
+      idx, numCentroids = 8, iterations = 1)
+    Graph.sgnsAnnServe(spark, idx, k = 5, nprobe = 2, sampleMod = 100L)
+      .orderBy("q_node", "rk")
+  }
+
+  /** Recall@5 census of the ANN serving path against the brute-force
+    * truth over the SAME trained store (one SGNS training, two serving
+    * paths — see [[graft.operators.Graph.sgnsAnnRecall]]): per sample
+    * node, how many of the exact top-5 the 2-of-8-cell pruned scan
+    * recovered. The simsearch_recall_* self-grading harness applied to
+    * graph embeddings. */
+  def graphEmbeddingAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Staging.tmpDir("sgnsannr")
+    Graph.sgnsAnnIndexBuild(
+      Graph.walkSkipgramPairs(
+        Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+        walksPerNode = 2, steps = 4, window = 2),
+      idx, numCentroids = 8, iterations = 1)
+    Graph.sgnsAnnRecall(spark, idx, k = 5, nprobe = 2, sampleMod = 100L)
+      .orderBy("q_node")
   }
 
   /** Link prediction on the thresholded co-part graph: top-20
@@ -4358,6 +4397,8 @@ object ExtQueries {
     "graph_sgns_epoch2" -> (graphSgnsEpoch2 _),
     "graph_embedding_knn" -> (graphEmbeddingKnn _),
     "graph_embedding_knn_persist" -> (graphEmbeddingKnnPersist _),
+    "graph_embedding_ann" -> (graphEmbeddingAnn _),
+    "graph_embedding_ann_recall" -> (graphEmbeddingAnnRecall _),
     "timeseries_stl" -> (timeseriesStl _),
     "timeseries_crosscorr" -> (timeseriesCrosscorr _),
     "timeseries_dtw" -> (timeseriesDtw _),

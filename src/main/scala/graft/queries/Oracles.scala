@@ -261,6 +261,85 @@ object Oracles {
        |GROUP BY 1 ORDER BY d.source""".stripMargin
   }
 
+  /** Shared CTE suffix for the ANN-indexed embedding-store family
+    * (graph_embedding_ann / graph_embedding_ann_recall), on top of
+    * [[sgnsCtes]]: the trained vectors as the pre-quantised corpus `fg`
+    * (node → vec_id, integer components ARE the quantised form), IVF
+    * training mirrored bit-for-bit — seeds = first 8 vectors in vec_id
+    * order renumbered 0..7, ONE Lloyd iteration with truncated integer
+    * means (`s // n`, trunc-toward-zero in both engines), empty cells
+    * keeping their seed — then assignment of every vector to its
+    * nearest trained cell (cosine desc, cid asc) in `ag`, and the
+    * sample probes with their 2 nearest cells in `pcg`. */
+  private lazy val sgnsAnnCtes: String =
+    s"""$sgnsCtes,
+       |evg AS MATERIALIZED (SELECT node, list(val ORDER BY dim) AS v,
+       |        CAST(sum(val * val) AS BIGINT) AS nrm
+       |      FROM emb GROUP BY node),
+       |fg AS (SELECT node AS vec_id, v AS qv, nrm FROM evg WHERE nrm > 0),
+       |cg0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |          qv AS cqv, nrm AS cnrm
+       |        FROM (SELECT * FROM fg ORDER BY vec_id LIMIT 8)),
+       |ccg0 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+       |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+       |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+       |  FROM fg v, cg0 c),
+       |ag0 AS (SELECT vec_id, qv, nrm, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk
+       |    FROM ccg0) WHERE crk = 1),
+       |gsums AS (SELECT cid, i_ - 1 AS pos, CAST(sum(qv[i_]) AS BIGINT) AS s, count(*) AS n
+       |          FROM ag0, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i_)
+       |          GROUP BY cid, i_),
+       |gcm AS (SELECT cid, list(s // n ORDER BY pos) AS cqv FROM gsums GROUP BY cid),
+       |cg1 AS (SELECT cg0.cid, coalesce(gcm.cqv, cg0.cqv) AS cqv
+       |        FROM cg0 LEFT JOIN gcm USING (cid)),
+       |cg1n AS (SELECT cid, cqv,
+       |           CAST(list_sum(list_transform(cqv, x_ -> x_*x_)) AS BIGINT) AS cnrm
+       |         FROM cg1),
+       |ccg1 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+       |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+       |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+       |  FROM fg v, cg1n c),
+       |rkg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk
+       |        FROM ccg1),
+       |ag AS MATERIALIZED (SELECT vec_id, qv, nrm, cid FROM rkg WHERE crk = 1),
+       |pcg AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm, cid
+       |        FROM rkg WHERE vec_id % 100 = 0 AND crk <= 2),
+       |anntop AS (SELECT probe_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM (SELECT p.probe_id, a.vec_id,
+       |     CAST(${qdotPair("p.pqv", "a.qv")} AS DOUBLE) /
+       |      (sqrt(CAST(p.pnrm AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cosine
+       |   FROM pcg p JOIN ag a ON a.cid = p.cid AND a.vec_id <> p.probe_id))""".stripMargin
+
+  /** The ANN store's serve path: top-5 per sample node from the probed
+    * cells only — mirrors Graph.sgnsAnnServe over the sgnsAnnCtes index. */
+  private lazy val sgnsAnnSql: String =
+    s"""WITH $sgnsAnnCtes
+       |SELECT probe_id AS q_node, CAST(rk AS BIGINT) AS rk, vec_id AS nbr,
+       |  round(cosine, 6) AS cos6
+       |FROM anntop WHERE rk <= 5 ORDER BY q_node, rk""".stripMargin
+
+  /** Recall@5 census: the same ANN top-5 vs the brute-force exact top-5
+    * over the same trained vectors — mirrors Graph.sgnsAnnRecall. */
+  private lazy val sgnsAnnRecallSql: String =
+    s"""WITH $sgnsAnnCtes,
+       |btopg AS (SELECT probe_id, vec_id FROM (
+       |   SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+       |     row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |       CAST(${qdotPair("p.qv", "c.qv")} AS DOUBLE) /
+       |        (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) DESC,
+       |       c.vec_id) AS rk
+       |   FROM (SELECT * FROM fg WHERE vec_id % 100 = 0) p
+       |   JOIN fg c ON c.vec_id <> p.vec_id) WHERE rk <= 5),
+       |itopg AS (SELECT probe_id, vec_id FROM anntop WHERE rk <= 5)
+       |SELECT t.probe_id AS q_node, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(count(l.vec_id) AS BIGINT) AS n_hit,
+       |  CAST(count(l.vec_id) AS DOUBLE) / count(*) AS recall
+       |FROM btopg t LEFT JOIN itopg l
+       |  ON l.probe_id = t.probe_id AND l.vec_id = t.vec_id
+       |GROUP BY t.probe_id ORDER BY q_node""".stripMargin
+
   /** Brute-force cosine top-5 over the one-epoch SGNS vectors — shared
     * by graph_embedding_knn and its persisted-store twin. */
   private lazy val sgnsKnnSql: String =
@@ -4646,6 +4725,8 @@ object Oracles {
     // from a parquet store — one oracle, two paths.
     "graph_embedding_knn" -> sgnsKnnSql,
     "graph_embedding_knn_persist" -> sgnsKnnSql,
+    "graph_embedding_ann" -> sgnsAnnSql,
+    "graph_embedding_ann_recall" -> sgnsAnnRecallSql,
 
     // Second-order biased walks: hop 1 uniform (the randomWalks coin),
     // hops 2..4 weight each candidate 1 (return to prev) / 6 (also

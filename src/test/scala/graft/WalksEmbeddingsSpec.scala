@@ -375,4 +375,66 @@ class WalksEmbeddingsSpec extends SparkSpec {
     val (num0, denA0, denB0) = stats(0L)
     assert(num0 * num0 < denA0 * denB0, "lag 0 must correlate imperfectly")
   }
+
+  test("sgnsAnn: single-cell index serves exactly the brute-force ranking over the same store") {
+    def k6(off: Long) = for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (off + a, off + b)
+    val g = edgesDf((k6(0) ++ k6(10) :+ (5L, 10L)): _*)
+    val pairs = Graph.walkSkipgramPairs(g, 2, 4, 2).localCheckpoint()
+    val idx = graft.queries.Staging.tmpDir("sgnsann-one")
+    // K=1: every vector in the one cell, nprobe=1 probes it -> the cell
+    // scan IS the full corpus scan, so ANN must equal brute bit-for-bit
+    Graph.sgnsAnnIndexBuild(pairs, idx, numCentroids = 1, iterations = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val ann = rows(Graph.sgnsAnnServe(spark, idx, k = 3, nprobe = 1, sampleMod = 1L))
+    val brute = rows(Graph.sgnsAnnStoreBrute(spark, idx, k = 3, sampleMod = 1L))
+    assert(ann === brute, "one cell + one probe must degenerate to exact brute force")
+    assert(ann.nonEmpty)
+  }
+
+  test("sgnsAnnRecall: nprobe=K recalls everything; nprobe=1 stays a valid census") {
+    def k6(off: Long) = for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (off + a, off + b)
+    val g = edgesDf((k6(0) ++ k6(10) :+ (5L, 10L)): _*)
+    val pairs = Graph.walkSkipgramPairs(g, 2, 4, 2).localCheckpoint()
+    val idx = graft.queries.Staging.tmpDir("sgnsann-rec")
+    Graph.sgnsAnnIndexBuild(pairs, idx, numCentroids = 4, iterations = 1)
+    // probing every cell = exact search; every probe's recall must be 1
+    val full = Graph.sgnsAnnRecall(spark, idx, k = 3, nprobe = 4, sampleMod = 1L).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(1) <= 3, s"n_true bounded by k: $r")
+      assert(r.getLong(2) === r.getLong(1), s"nprobe=K must recall all of top-k: $r")
+      assert(r.getDouble(3) === 1.0)
+    }
+    // cell-pruned probing is a genuine census: hits never exceed truth,
+    // recall in [0,1], and the probe set is unchanged
+    val pruned = Graph.sgnsAnnRecall(spark, idx, k = 3, nprobe = 1, sampleMod = 1L).collect()
+    assert(pruned.map(_.getLong(0)).toSet === full.map(_.getLong(0)).toSet)
+    pruned.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"hits bounded by truth: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("sgnsAnn store layout: cell-partitioned vectors, K-row centroid metadata, serve-only reread") {
+    def k6(off: Long) = for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (off + a, off + b)
+    val g = edgesDf((k6(0) ++ k6(10) :+ (5L, 10L)): _*)
+    val pairs = Graph.walkSkipgramPairs(g, 2, 4, 2).localCheckpoint()
+    val idx = graft.queries.Staging.tmpDir("sgnsann-layout")
+    Graph.sgnsAnnIndexBuild(pairs, idx, numCentroids = 4, iterations = 1)
+    assert(spark.read.parquet(s"$idx/centroids").count() === 4L,
+      "centroid metadata is K rows")
+    val vecs = spark.read.parquet(s"$idx/vectors")
+    assert(vecs.columns.toSet === Set("vec_id", "qv", "nrm", "cid"))
+    val cids = vecs.select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cids.subsetOf((0L until 4L).toSet), "cells numbered 0..K-1")
+    assert(new java.io.File(s"$idx/vectors").listFiles()
+      .exists(f => f.getName.startsWith("cid=")),
+      "vectors table is physically partitioned by cell for probe pruning")
+    // two serves from the same store are identical (no retraining jitter)
+    val a = Graph.sgnsAnnServe(spark, idx, k = 2, nprobe = 2, sampleMod = 1L).collect().toSet
+    val b = Graph.sgnsAnnServe(spark, idx, k = 2, nprobe = 2, sampleMod = 1L).collect().toSet
+    assert(a === b)
+  }
 }
