@@ -145,11 +145,35 @@ object Bench {
       }
     }
     val failed = first.collect { case (n, _, false) => n }
+
+    // Serve-vs-build split for the persisted-store keys: the store is
+    // staged OUTSIDE the timer (the catalog key's end-to-end number
+    // already carries the build cost); what's timed and recorded as
+    // <key>__serve is one warm-store serve-only pass — the latency a
+    // deployment pays per query batch. Failures surface in `failed`
+    // like any other key (a broken serve path must not silently vanish
+    // from the record).
+    val serveRuns = SparkEntry.serveSplit.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.isEmpty || subset(n) || subset(n + "__serve") }
+      .map { case (name, mk) =>
+        val sName = name + "__serve"
+        try {
+          val thunk = mk(spark, sfDir) // store build — untimed
+          val t0 = System.nanoTime()
+          thunk().count()
+          (sName, (System.nanoTime() - t0) / 1e9, true)
+        } catch { case _: Throwable => (sName, 0.0, false) }
+        finally spark.catalog.clearCache()
+      }
+    val serveTimed = serveRuns.collect { case (n, s, true) => n -> s }
+    val allTimed = timed ++ serveTimed
+    val allFailed = failed ++ serveRuns.collect { case (n, _, false) => n }
+
     if (subset.isEmpty)
-      regressionDiff(sfDir, prev, timed, failed, calib, calibShuffle, driftFactor,
+      regressionDiff(sfDir, prev, allTimed, allFailed, calib, calibShuffle, driftFactor,
         streamFixed)
     else
-      timed.foreach { case (n, s) =>
+      allTimed.foreach { case (n, s) =>
         System.err.println(f"[bench] subset $n%-28s $s%.2fs" +
           prev.get(n).map(p => f" (history $p%.2fs)").getOrElse(""))
       }
@@ -159,10 +183,12 @@ object Bench {
     // slowest subset so the line stays well under the tail window. The
     // full per-query record is the committed docs/bench/<sf>.json.
     System.err.flush()
-    val top = timed.sortBy(-_._2).take(20).sortBy(_._1)
+    // the serve-split numbers always ride the JSON line (they're the
+    // round's headline split), the rest of the map is the slowest subset
+    val top = (timed.sortBy(-_._2).take(20) ++ serveTimed).distinct.sortBy(_._1)
     val qs = top.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = allFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${first.size},"failed":$failedJson,"calibration":$calib%.3f,"calibration_shuffle":$calibShuffle%.3f,"stream_fixed":$streamFixed%.3f,"queries":$qs,"full":"docs/bench/${new java.io.File(sfDir).getName}.json","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -25,4 +25,11 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] = graft.queries.Oracles.all
+
+  /** Bench-only serve-vs-build split for the persisted-store keys: the
+    * builder stages the store untimed, the returned thunk is the
+    * serve-only query Bench records as `<key>__serve`. See
+    * [[graft.queries.ExtQueries.serveSplit]]. */
+  def serveSplit: Map[String, (SparkSession, String) => () => DataFrame] =
+    graft.queries.ExtQueries.serveSplit
 }

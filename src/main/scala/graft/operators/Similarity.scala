@@ -415,8 +415,13 @@ object Similarity {
       indexDir: String): Unit = {
     val spark = qRaw.sparkSession
     import spark.implicits._
+    // the pre-quantised corpus is often EXPENSIVE to produce (the graph
+    // store: a full SGNS training) and the build consumes it 2+iterations
+    // times (seed collect, each Lloyd pass, the assignment write) —
+    // checkpoint once so the input pipeline runs once, not three times
     val q = qRaw.select(col("vec_id"), col("qv"), col("nrm"))
       .filter(col("nrm") > 0)
+      .localCheckpoint()
     val cents = lloydCentroidsQ(q, numCentroids, iterations)
     cents.toSeq.map { case (cid, cqv, cnrm) => (cid, cqv.toSeq, cnrm) }
       .toDF("cid", "cqv", "cnrm")

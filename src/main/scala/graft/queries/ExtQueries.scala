@@ -4638,4 +4638,49 @@ object ExtQueries {
     "typed_agg" -> (typedAgg _),
     "stream_sessionize" -> (graft.streaming.SessionizeStream.run _),
   )
+
+  /** Bench-only SERVE-vs-BUILD split for the persisted-store keys. Each
+    * catalog `*_persist` key's end-to-end time is dominated by the
+    * one-time store BUILD (SGNS training, corpus shingling, Lloyd
+    * iterations, partitioned write) — but the quantity a deployment
+    * cares about is the warm-store serve-only latency, which the
+    * end-to-end number hides. Each entry here stages its store ONCE
+    * (outside the bench timer) and returns a thunk producing the
+    * serve-only frame; Bench times the thunk and records it as
+    * `<key>__serve` beside the catalog key's end-to-end number.
+    *
+    * Not catalog entries: these run exactly the catalog keys' code
+    * paths (same builders, same serve functions, same parameters), so
+    * there are no new semantics to oracle-check — only a timing split. */
+  def serveSplit: Map[String, (SparkSession, String) => () => DataFrame] = Map(
+    "graph_embedding_knn_persist" -> ((spark, dir) => {
+      val idx = Staging.tmpDir("sgnsidx-serve")
+      Graph.sgnsIndexBuild(
+        Graph.walkSkipgramPairs(
+          Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+          walksPerNode = 2, steps = 4, window = 2), idx)
+      () => Graph.sgnsKnnPersisted(spark, idx, k = 5, sampleMod = 100L)
+    }),
+    "graph_embedding_ann" -> ((spark, dir) => {
+      val idx = Staging.tmpDir("sgnsann-serve")
+      Graph.sgnsAnnIndexBuild(
+        Graph.walkSkipgramPairs(
+          Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
+          walksPerNode = 2, steps = 4, window = 2),
+        idx, numCentroids = 8, iterations = 1)
+      () => Graph.sgnsAnnServe(spark, idx, k = 5, nprobe = 2, sampleMod = 100L)
+    }),
+    "simsearch_ivf_persist" -> ((spark, dir) => {
+      val emb = tbl(spark, dir, "embeddings")
+      val idx = Staging.tmpDir("ivfidx-serve")
+      Similarity.ivfBuildIndex(emb, numCentroids = 8, iterations = 1, indexDir = idx)
+      () => Similarity.ivfProbePersisted(emb, idx, k = 5, nprobe = 2,
+        probePred = col("vec_id") < 5)
+    }),
+    "dedup_lsh_persist" -> ((spark, dir) => {
+      val idx = Staging.tmpDir("lshidx-serve")
+      Dedup.lshIndexBuild(tbl(spark, dir, "documents"), idx)
+      () => Dedup.lshIndexPairs(spark, idx)
+    }),
+  )
 }
