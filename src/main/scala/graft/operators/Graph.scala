@@ -1368,12 +1368,16 @@ object Graph {
     val v0 = nodes.select(col("node"), initArr(col("node"), "v").as("vec"))
 
     // frequent-head negative table with a dense 0-based index (tiny
-    // frame: the window runs over <= SgnsNegTable rows)
+    // frame: the window runs over <= SgnsNegTable rows after the limit —
+    // single-partition BY CONSTRUCTION; keyed on a non-foldable
+    // constant (a foldable lit(0) is optimised away and still warns) so
+    // WindowExec's partition-less warning stays a real signal elsewhere)
     val negTable = p.groupBy(col("context").as("node"))
       .agg(sum("m").as("freq"))
       .orderBy(col("freq").desc, col("node")).limit(SgnsNegTable)
       .select(col("node").as("nnode"),
         (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("freq"), lit(1L)))
           .orderBy(col("freq").desc, col("node"))) - 1).cast("long").as("nidx"))
       .join(v0.select(col("node").as("nnode"), col("vec").as("vn")), Seq("nnode"))
       .localCheckpoint()
@@ -1463,12 +1467,17 @@ object Graph {
     val nodes = p.select(col("center").as("node"))
       .unionByName(p.select(col("context").as("node"))).distinct().persist(lvl)
     // static negative assignment: (center, context, m, nnode), one row
-    // per (pair, draw) — reused every epoch
+    // per (pair, draw) — reused every epoch. Window input is the
+    // <= SgnsNegTable-row limited head — single-partition BY
+    // CONSTRUCTION, keyed on a non-foldable constant (a foldable lit(0)
+    // is optimised away and still warns) to keep the WindowExec
+    // partition-less warning meaningful elsewhere.
     val negTable = p.groupBy(col("context").as("node"))
       .agg(sum("m").as("freq"))
       .orderBy(col("freq").desc, col("node")).limit(SgnsNegTable)
       .select(col("node").as("nnode"),
         (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("freq"), lit(1L)))
           .orderBy(col("freq").desc, col("node"))) - 1).cast("long").as("nidx"))
       .localCheckpoint()
     val negN = negTable.count()
