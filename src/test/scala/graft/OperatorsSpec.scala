@@ -100,6 +100,19 @@ class OperatorsSpec extends SparkSpec {
     assert(cellsAfter.subsetOf(cellsBefore), "appended vectors assigned to existing cells only")
   }
 
+  test("serveSplit registry: every entry shadows a live catalog key and serves rows") {
+    // the bench serve-vs-build split references catalog keys by name —
+    // a catalog rename must fail HERE, not silently orphan the split
+    val catalog = SparkEntry.queries.keySet
+    SparkEntry.serveSplit.foreach { case (name, mk) =>
+      assert(catalog.contains(name),
+        s"serveSplit entry '$name' does not match any catalog key")
+      val serve = mk(spark, sf)() // build store (untimed path), then serve
+      assert(serve.count() > 0, s"serve-only path for '$name' returned no rows")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("ccClusters coarsens lshClusters and still covers every doc once") {
     val cc = Dedup.ccClusters(spark, docs, 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
