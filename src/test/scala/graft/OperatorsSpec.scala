@@ -100,6 +100,35 @@ class OperatorsSpec extends SparkSpec {
     assert(cellsAfter.subsetOf(cellsBefore), "appended vectors assigned to existing cells only")
   }
 
+  test("ivfBuildIndexQ/ivfProbeIndexSelf edges: oversized K, empty probes, zero-norm drops") {
+    import spark.implicits._
+    // 6 integer vectors, one all-zero (must be dropped at build)
+    val vecs = Seq(
+      (1L, Seq(3L, 0L, 0L)), (2L, Seq(0L, 5L, 0L)), (3L, Seq(0L, 0L, 7L)),
+      (4L, Seq(2L, 2L, 0L)), (5L, Seq(0L, 0L, 0L)), (6L, Seq(1L, 0L, 8L)))
+      .toDF("vec_id", "qv")
+      .withColumn("nrm", expr("aggregate(transform(qv, x -> x*x), 0L, (a, x) -> a + x)"))
+    val idx = graft.queries.Staging.tmpDir("ivfq-edge")
+    // K far beyond the corpus: seeds = every surviving vector, empty cells harmless
+    Similarity.ivfBuildIndexQ(vecs, numCentroids = 50, iterations = 2, indexDir = idx)
+    val stored = spark.read.parquet(s"$idx/vectors")
+    assert(stored.count() === 5L, "zero-norm vector dropped at build")
+    assert(spark.read.parquet(s"$idx/centroids").count() === 5L,
+      "oversized K clamps to the corpus (one seed per vector)")
+    // probe everything: K >= corpus and nprobe >= K means exact search
+    val served = Similarity.ivfProbeIndexSelf(spark, idx, k = 2, nprobe = 50,
+      probePred = lit(true)).collect()
+    assert(served.map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 6L))
+    served.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 2, "at most k rows per probe")
+      assert(rows.map(_.getLong(2)).sorted.toSeq ===
+        (1L to rows.length.toLong).toSeq, "dense ranks 1..k per probe")
+    }
+    // empty probe set: empty frame, not an error
+    assert(Similarity.ivfProbeIndexSelf(spark, idx, k = 2, nprobe = 2,
+      probePred = col("vec_id") < 0).count() === 0L)
+  }
+
   test("serveSplit registry: every entry shadows a live catalog key and serves rows") {
     // the bench serve-vs-build split references catalog keys by name —
     // a catalog rename must fail HERE, not silently orphan the split
