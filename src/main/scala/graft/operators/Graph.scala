@@ -1341,10 +1341,13 @@ object Graph {
     *
     * Scale shape: one broadcast of the ≤[[SgnsNegTable]]-row negative
     * table + the init-vector equi-joins on center/context keys; the
-    * only data-scale exchange is the final per-(node,dim) gradient
-    * reduce — partial-aggregatable, dim-bounded fan-out. Int64 bound:
-    * Σ m·|g|·|v| per (node,dim) < 2^63 needs the node's total pair
-    * multiplicity < 9e9 — document-corpus-safe by orders. */
+    * only data-scale exchange is the final per-node gradient reduce —
+    * ONE row per contributing (pair, draw) carrying its whole delta
+    * vector, summed as `dim` partial-aggregatable columns (the
+    * (node, dim)-explode form moved ×dim the rows through the same
+    * exchange for identical sums). Int64 bound: Σ m·|g|·|v| per
+    * (node, dim) < 2^63 needs the node's total pair multiplicity
+    * < 9e9 — document-corpus-safe by orders. */
   def sgnsEpoch(pairs: DataFrame, dim: Int = 32, negK: Int = 2, lrShift: Int = 21): DataFrame = {
     import graft.functions.CrossFns.charHash
     val spark = pairs.sparkSession
@@ -1410,21 +1413,30 @@ object Graph {
       .withColumn("gneg", -sigma(dot(col("uc"), col("vn"))))
       .persist(lvl)
 
-    def dimDeltas(df: DataFrame, node: Column, g: Column, vec: Column): DataFrame =
-      df.select(node.as("node"),
-          posexplode(transform(vec, v => col("m") * g * v)))
-        .select(col("node"), col("pos").cast("long").as("dim"),
-          col("col").as("delta"))
+    // Gradient reduce WITHOUT the ×dim row explosion: each contributing
+    // row carries its whole delta VECTOR (transform — map-side, no
+    // shuffle growth) and the reduce is ONE groupBy(node) with `dim`
+    // partial-aggregatable column sums reassembled into an array. Same
+    // exact integer sums as the previous (node, dim)-keyed explode form
+    // (addition is commutative; the int64 bound is per-component and
+    // unchanged) at 1/dim-th the shuffle rows — at web scale the
+    // gradient exchange moves pairs·(1+negK) array rows, not ×32 that.
+    def dimDeltaVec(df: DataFrame, node: Column, g: Column, vec: Column): DataFrame =
+      df.select(node.as("node"), transform(vec, v => col("m") * g * v).as("dv"))
     val deltas =
-      dimDeltas(scoredPos, col("center"), col("gpos"), col("vx"))
-        .unionByName(dimDeltas(negs, col("center"), col("gneg"), col("vn")))
-        .groupBy("node", "dim").agg(sum("delta").as("d"))
+      dimDeltaVec(scoredPos, col("center"), col("gpos"), col("vx"))
+        .unionByName(dimDeltaVec(negs, col("center"), col("gneg"), col("vn")))
+        .groupBy("node")
+        .agg(sum(element_at(col("dv"), 1)).as("_d0"),
+          (1 until dim).map(i => sum(element_at(col("dv"), i + 1)).as(s"_d$i")): _*)
+        .select(col("node"),
+          array((0 until dim).map(i => col(s"_d$i")): _*).as("dvec"))
     val out = u0
-      .select(col("node"), posexplode(col("vec")))
-      .select(col("node"), col("pos").cast("long").as("dim"), col("col").as("v0"))
-      .join(deltas, Seq("node", "dim"), "left")
-      .select(col("node"), col("dim"),
-        (col("v0") + coalesce(sdiv(col("d"), 1L << lrShift), lit(0L))).as("val"))
+      .join(deltas, Seq("node"), "left")
+      .select(col("node"), posexplode(zip_with(col("vec"),
+        coalesce(col("dvec"), array_repeat(lit(0L), lit(dim))),
+        (v0, d) => v0 + coalesce(sdiv(d, 1L << lrShift), lit(0L)))))
+      .select(col("node"), col("pos").cast("long").as("dim"), col("col").as("val"))
       .localCheckpoint()
     negs.unpersist(); scoredPos.unpersist(); nodes.unpersist(); p.unpersist()
     out
@@ -1445,9 +1457,10 @@ object Graph {
     * word2vec's per-pass resampling; the negative TABLE is frozen at
     * the pair-frequency head, which epochs don't change.
     *
-    * Per epoch: two (node, dim)-keyed partial-aggregated gradient
-    * reduces + two array reassemblies, vectors localCheckpointed per
-    * round (iterative-loop hygiene). Epoch 1's trained U is
+    * Per epoch: two node-keyed partial-aggregated gradient reduces
+    * (delta vectors summed as `dim` columns — see [[sgnsEpoch]]) +
+    * two zip_with applies, vectors localCheckpointed per round
+    * (iterative-loop hygiene). Epoch 1's trained U is
     * BIT-IDENTICAL to [[sgnsEpoch]]'s output (spec-pinned differential
     * between the two implementations). Output: trained center vectors
     * (node, dim, val). */
@@ -1498,18 +1511,24 @@ object Graph {
         .otherwise(call_function("div", x, lit(k)))
     def sigma(s: Column): Column =
       least(lit(1000000L), greatest(lit(0L), lit(500000L) + sdiv(s, 32L)))
-    def dimDeltas(df: DataFrame, node: Column, g: Column, vec: Column): DataFrame =
-      df.select(node.as("node"), posexplode(transform(vec, v => col("m") * g * v)))
-        .select(col("node"), col("pos").cast("long").as("dim"), col("col").as("delta"))
-    def applyDeltas(cur: DataFrame, deltas: DataFrame): DataFrame =
-      cur.select(col("node"), posexplode(col("vec")))
-        .select(col("node"), col("pos").cast("long").as("dim"), col("col").as("v0"))
-        .join(deltas, Seq("node", "dim"), "left")
-        .select(col("node"), col("dim"),
-          (col("v0") + coalesce(sdiv(col("d"), 1L << lrShift), lit(0L))).as("val"))
-        .groupBy("node")
-        .agg(array_sort(collect_list(struct(col("dim"), col("val")))).as("sv"))
-        .select(col("node"), transform(col("sv"), s => s("val")).as("vec"))
+    // see [[sgnsEpoch]]: per-row delta VECTORS + one groupBy(node) with
+    // `dim` partial-aggregatable column sums — 1/dim-th the shuffle rows
+    // of the (node, dim)-explode form, exact same integer sums; apply is
+    // a zip_with over the joined arrays, so each epoch loses both the
+    // ×dim explode AND the collect_list/array_sort reassembly.
+    def dimDeltaVec(df: DataFrame, node: Column, g: Column, vec: Column): DataFrame =
+      df.select(node.as("node"), transform(vec, v => col("m") * g * v).as("dv"))
+    def sumDeltaVecs(df: DataFrame): DataFrame =
+      df.groupBy("node")
+        .agg(sum(element_at(col("dv"), 1)).as("_d0"),
+          (1 until dim).map(i => sum(element_at(col("dv"), i + 1)).as(s"_d$i")): _*)
+        .select(col("node"),
+          array((0 until dim).map(i => col(s"_d$i")): _*).as("dvec"))
+    def applyDeltas(cur: DataFrame, dsum: DataFrame): DataFrame =
+      cur.join(dsum, Seq("node"), "left")
+        .select(col("node"), zip_with(col("vec"),
+          coalesce(col("dvec"), array_repeat(lit(0L), lit(dim))),
+          (v0, d) => v0 + coalesce(sdiv(d, 1L << lrShift), lit(0L))).as("vec"))
 
     var u = nodes.select(col("node"), initArr(col("node"), "u").as("vec"))
       .localCheckpoint()
@@ -1526,17 +1545,17 @@ object Graph {
         .join(v.select(col("node").as("nnode"), col("vec").as("vn")), Seq("nnode"))
         .withColumn("gneg", -sigma(dot(col("uc"), col("vn"))))
         .persist(lvl)
-      val dU = dimDeltas(sp, col("center"), col("gpos"), col("vx"))
-        .unionByName(dimDeltas(ng, col("center"), col("gneg"), col("vn")))
-        .groupBy("node", "dim").agg(sum("delta").as("d"))
+      val dU = sumDeltaVecs(
+        dimDeltaVec(sp, col("center"), col("gpos"), col("vx"))
+          .unionByName(dimDeltaVec(ng, col("center"), col("gneg"), col("vn"))))
       val u2 = applyDeltas(u, dU).localCheckpoint()
       // the LAST epoch's context update is dead weight (V never feeds
       // back after the final U step and only U is emitted) — same
       // argument as the single-epoch form, applied to the loop's tail
       val v2 = if (e < epochs) {
-        val dV = dimDeltas(sp, col("context"), col("gpos"), col("uc"))
-          .unionByName(dimDeltas(ng, col("nnode"), col("gneg"), col("uc")))
-          .groupBy("node", "dim").agg(sum("delta").as("d"))
+        val dV = sumDeltaVecs(
+          dimDeltaVec(sp, col("context"), col("gpos"), col("uc"))
+            .unionByName(dimDeltaVec(ng, col("nnode"), col("gneg"), col("uc"))))
         applyDeltas(v, dV).localCheckpoint()
       } else v
       sp.unpersist(); ng.unpersist()
