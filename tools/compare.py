@@ -100,9 +100,9 @@ except Exception as e:
 over_single = [(n, t) for n, t in times if t > budget_single]
 budget_fail = []
 if total_t > budget_total:
-    budget_fail.append(f"full sweep {total_t:.1f}s > {budget_total:.0f}s budget")
+    budget_fail.append(f"full sweep {total_t:.1f}s > {budget_total:g}s budget")
 for n, t in over_single:
-    budget_fail.append(f"oracle {n} {t:.1f}s > {budget_single:.0f}s budget")
+    budget_fail.append(f"oracle {n} {t:.1f}s > {budget_single:g}s budget")
 if budget_fail:
     verdict = "FAIL" if enforce else "WARN (not enforced at this sf)"
     for msg in budget_fail:
