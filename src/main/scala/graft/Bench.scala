@@ -149,20 +149,30 @@ object Bench {
     // Serve-vs-build split for the persisted-store keys: the store is
     // staged OUTSIDE the timer (the catalog key's end-to-end number
     // already carries the build cost); what's timed and recorded as
-    // <key>__serve is one warm-store serve-only pass — the latency a
-    // deployment pays per query batch. Failures surface in `failed`
-    // like any other key (a broken serve path must not silently vanish
-    // from the record).
+    // <key>__serve is the MIN of two warm-store serve-only passes — the
+    // latency a deployment pays per query batch. Min-of-2 (the store is
+    // already staged, a serve pass is sub-second) gives serve runs the
+    // same one-off-load-spike protection the catalog keys get from the
+    // regressed-rerun-median policy. Failures surface in `failed` like
+    // any other key, with the cause on stderr (a broken serve path must
+    // not silently vanish from the record); only NonFatal is caught so
+    // an OOM is not recorded as a 0.0s bench row.
     val serveRuns = SparkEntry.serveSplit.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.isEmpty || subset(n) || subset(n + "__serve") }
       .map { case (name, mk) =>
         val sName = name + "__serve"
         try {
           val thunk = mk(spark, sfDir) // store build — untimed
-          val t0 = System.nanoTime()
-          thunk().count()
-          (sName, (System.nanoTime() - t0) / 1e9, true)
-        } catch { case _: Throwable => (sName, 0.0, false) }
+          def onePass(): Double = {
+            val t0 = System.nanoTime()
+            thunk().count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (sName, math.min(onePass(), onePass()), true)
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $sName FAILED: $e")
+          (sName, 0.0, false)
+        }
         finally spark.catalog.clearCache()
       }
     val serveTimed = serveRuns.collect { case (n, s, true) => n -> s }
@@ -189,7 +199,7 @@ object Bench {
     val qs = top.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     val failedJson = allFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${first.size},"failed":$failedJson,"calibration":$calib%.3f,"calibration_shuffle":$calibShuffle%.3f,"stream_fixed":$streamFixed%.3f,"queries":$qs,"full":"docs/bench/${new java.io.File(sfDir).getName}.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${first.size},"n_serve":${serveRuns.size},"failed":$failedJson,"calibration":$calib%.3f,"calibration_shuffle":$calibShuffle%.3f,"stream_fixed":$streamFixed%.3f,"queries":$qs,"full":"docs/bench/${new java.io.File(sfDir).getName}.json","sf":"$sfDir"}""")
     spark.stop()
   }
 

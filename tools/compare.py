@@ -84,19 +84,28 @@ print(f"\n[oracle-budget] {len(times)} oracles, total {total_t:.1f}s "
       f"(budget {budget_total:.0f}s), slowest "
       + ", ".join(f"{n} {t:.2f}s" for n, t in slowest[:3]))
 marker = "<!-- AUTO-GENERATED: latest gate sweep below; edited by tools/compare.py -->"
-try:
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ORACLE_TIMES.md")
-    head = open(path).read().split(marker)[0] if os.path.exists(path) else "# Oracle timing\n\n"
-    tbl = "\n".join(f"| `{n}` | {t:.2f} |" for n, t in slowest)
-    open(path, "w").write(
-        f"{head}{marker}\n\n## Latest gate sweep ({os.path.basename(os.path.normpath(sfdir))}, "
-        f"{time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())})\n\n"
-        f"**{len(times)} oracles, total {total_t:.1f} s** "
-        f"(budgets: total {budget_total:.0f} s, single {budget_single:.0f} s, "
-        f"{'ENFORCED' if enforce else 'report-only at this sf'}). Slowest 20:\n\n"
-        f"| oracle | sec |\n|---|---|\n{tbl}\n")
-except Exception as e:
-    print(f"[oracle-budget] ORACLE_TIMES.md update skipped: {e}")
+# Only a FULL sweep may rewrite the committed table: a partial/dev run
+# against an incomplete verify dir (oracles skipped on "no spark output"
+# are never timed) must not replace the full-gate sweep with a
+# misleadingly small total.
+full_sweep = len(times) == len(oracle)
+if not full_sweep:
+    print(f"[oracle-budget] partial run ({len(times)}/{len(oracle)} oracles timed); "
+          "ORACLE_TIMES.md left untouched")
+else:
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ORACLE_TIMES.md")
+        head = open(path).read().split(marker)[0] if os.path.exists(path) else "# Oracle timing\n\n"
+        tbl = "\n".join(f"| `{n}` | {t:.2f} |" for n, t in slowest)
+        open(path, "w").write(
+            f"{head}{marker}\n\n## Latest gate sweep ({os.path.basename(os.path.normpath(sfdir))}, "
+            f"{time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())})\n\n"
+            f"**{len(times)} oracles, total {total_t:.1f} s** "
+            f"(budgets: total {budget_total:.0f} s, single {budget_single:.0f} s, "
+            f"{'ENFORCED' if enforce else 'report-only at this sf'}). Slowest 20:\n\n"
+            f"| oracle | sec |\n|---|---|\n{tbl}\n")
+    except Exception as e:
+        print(f"[oracle-budget] ORACLE_TIMES.md update skipped: {e}")
 over_single = [(n, t) for n, t in times if t > budget_single]
 budget_fail = []
 if total_t > budget_total:
