@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-JVM smoke of the heaviest catalog keys — the one execution shape
+  * `local[n]` can never exercise.
+  *
+  * `local[n]` runs driver and executor in ONE JVM: no task serialization
+  * across processes, no executor-side classloading of the engine's custom
+  * expressions/broadcast payloads (IVF indexes, bloom filters, PQ
+  * codebooks), and executor loss is impossible — so the eager
+  * lineage-truncation the iterative operators rely on is never stressed.
+  * This runner executes the top-N slowest keys from the committed bench
+  * history under `local-cluster[2,16,4096]` — an in-process standalone
+  * master + 2 workers that launch REAL separate executor JVMs — with
+  * `spark.graft.checkpoint.mode=reliable` (see [[Ckpt]]), so every
+  * truncation point writes cluster-visible checkpoint files instead of
+  * executor-local blocks.
+  *
+  * Green here demonstrates: (a) all closures/broadcasts in the hot keys
+  * survive cross-JVM serialization, (b) executor JVMs can load every
+  * engine class (custom Catalyst expressions included) from the shipped
+  * classpath, (c) the reliable-checkpoint mode works end-to-end on the
+  * keys that iterate.
+  *
+  * Usage: `runMain graft.ClusterSmoke [sfDir] [topN]`
+  * (defaults: /root/testdata/sf0.001, 30). Exit 1 on any key failure.
+  */
+object ClusterSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val topN = if (args.length > 1) args(1).toInt else 30
+
+    // Ship the engine classes to the executor JVMs: the dir/jar this very
+    // class was loaded from is exactly the application classpath entry the
+    // workers need (spark jars come from SPARK_HOME on their side).
+    val appClasses = new java.io.File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-smoke-ckpt").toString
+
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,16,4096]")
+      .appName("graft-cluster-smoke")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.extraClassPath", appClasses)
+      // the standalone launcher resolves the jars dir via the Scala
+      // version; a dist without build dirs needs it pinned explicitly
+      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      .config("spark.graft.checkpoint.mode", "reliable")
+      .config("spark.graft.checkpoint.dir", ckptDir)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Top-N slowest catalog keys from the committed bench history (the
+    // keys most worth a cross-JVM pass), falling back to the whole-catalog
+    // head if no history is committed for this checkout.
+    val hist: Map[String, Double] = try {
+      val f = new java.io.File("docs/bench/sf0.1.json")
+      if (!f.exists()) Map.empty
+      else "\"([A-Za-z0-9_]+)\":([-0-9.eE+]+)".r
+        .findAllMatchIn(scala.io.Source.fromFile(f).mkString)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val catalog = SparkEntry.queries
+    val keys: Seq[String] =
+      if (hist.nonEmpty)
+        hist.toSeq.filter { case (k, _) => catalog.contains(k) }
+          .sortBy(-_._2).take(topN).map(_._1).sorted
+      else catalog.keys.toSeq.sorted.take(topN)
+
+    System.err.println(s"[smoke] ${keys.size} keys on local-cluster[2,16,4096], " +
+      s"reliable checkpoints -> $ckptDir, app classes $appClasses")
+    var failed = List.empty[(String, String)]
+    keys.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        val n = catalog(name)(spark, sfDir).count()
+        System.err.println(f"[smoke] $name%-28s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      } catch { case scala.util.control.NonFatal(e) =>
+        failed ::= (name, e.toString.take(300))
+        System.err.println(s"[smoke] $name FAILED: $e")
+      }
+      spark.catalog.clearCache()
+    }
+    val failedJson = failed.reverse.map { case (n, _) => "\"" + n + "\"" }.mkString("[", ",", "]")
+    println(s"""{"metric":"cluster_smoke","keys":${keys.size},"failed":$failedJson,"master":"local-cluster[2,16,4096]","mode":"reliable","sf":"$sfDir"}""")
+    spark.stop()
+    // local-cluster leaves worker dirs under SPARK_HOME/work; checkpoint
+    // tmp dir is removed here (cleaner handles per-RDD files during the run)
+    try {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(ckptDir))
+    } catch { case scala.util.control.NonFatal(_) => () }
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}

@@ -1,5 +1,6 @@
 package graft.etl
 
+import graft.Ckpt.{Ops => CkptOps}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -197,7 +198,7 @@ object ErLedger {
     * committed would regress those buckets to the older view. */
   def foldBatch(batch: DataFrame, batchId: Long, histDir: String,
       fwdDir: String, goldenDir: String): Unit = {
-    val b = batch.localCheckpoint() // consumed by write + bucket probe + pair gen
+    val b = batch.graftCheckpoint() // consumed by write + bucket probe + pair gen
     val ss = b.sparkSession
     // Scoped for the fold (restored in the finally): parquet pushes IN
     // row-group filters only up to inFilterThreshold values (default
@@ -342,7 +343,7 @@ object ErLedger {
             case None => Graph.connectedComponents(cp)
               .filter(col("node") =!= col("comp_id"))
               .select(col("node").as("retired"), col("comp_id").as("cur"))
-              .localCheckpoint() // consumed 3× below
+              .graftCheckpoint() // consumed 3× below
           }
           val newFwd = fwd
             .join(merge.select(col("retired").as("mr"), col("cur").as("mc")),

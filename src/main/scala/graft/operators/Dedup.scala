@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.CrossFns._
@@ -370,12 +371,12 @@ object Dedup {
     // un-truncated m re-executes the banded-LSH tail 2^rounds times
     // (measured 7.0s -> 1.5s at sf0.1 for 3 rounds; the frame is
     // doc-count-sized, so the checkpoint itself is trivial)
-    var m = lshDocRepsFromSets(hsDf).localCheckpoint()
+    var m = lshDocRepsFromSets(hsDf).graftCheckpoint()
     for (_ <- 1 to rounds) {
       val parent = m.select(col("doc_id").as("rep"), col("rep").as("rep2"))
       m = m.join(parent, Seq("rep"), "left")
         .select(col("doc_id"), coalesce(col("rep2"), col("rep")).as("rep"))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
     m.join(c.select(col("doc_id"), col("n_copies")), Seq("doc_id"))
       .groupBy("rep").agg(sum(col("n_copies")).as("n_docs"))
@@ -520,7 +521,7 @@ object Dedup {
     // group-by never runs twice
     val stats = bands.groupBy("band", "sig")
       .agg(min(col("doc_id")).as("grp_rep"), count(lit(1)).as("bs"))
-      .localCheckpoint()
+      .graftCheckpoint()
     // hot probe over the checkpointed census (a trivial scalar job);
     // cold corpora take the plain r6-shape plan
     if (maxKeyCount(stats, "bs") < HotKeyCap) {

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.Ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.CrossFns._
@@ -310,7 +311,7 @@ object Embeddings {
     val spark = docs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sh = graft.operators.Dedup.shingleTable(docs).persist(lvl)
-    var covered = sh.select("h").limit(0).localCheckpoint()
+    var covered = sh.select("h").limit(0).graftCheckpoint()
     var picks = Vector.empty[(Long, Long, Long, Long)]
     var total = 0L
     var r = 1L
@@ -332,7 +333,7 @@ object Embeddings {
         picks :+= ((r, id, gain, total))
         covered = covered
           .unionByName(sh.filter(col("doc_id") === id).select("h"))
-          .distinct().localCheckpoint()
+          .distinct().graftCheckpoint()
         r += 1
       }
     }

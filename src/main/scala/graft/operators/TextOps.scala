@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -460,7 +461,7 @@ object TextOps {
     import spark.implicits._
     var repr = docs
       .select(concat(lit(" "), concat_ws("  ", tokens(col("text"))), lit(" ")).as("s"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, String, Long)]
     var batch = 0L
     var exhausted = false
@@ -495,7 +496,7 @@ object TextOps {
         for ((a, b, n) <- kept) out += ((out.size + 1L, batch, a, b, n))
         val applied = kept.foldLeft(col("s")) { case (c, (a, b, _)) =>
           call_function("replace", c, lit(s" $a  $b "), lit(s" $a\u0001$b ")) }
-        repr = repr.withColumn("s", applied).localCheckpoint()
+        repr = repr.withColumn("s", applied).graftCheckpoint()
       }
     }
     out.toSeq.toDF("rank", "batch", "tok_a", "tok_b", "n")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.Ops
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -331,7 +332,7 @@ object TimeSeries {
   private[graft] def theilSenFromHourly(hourly: DataFrame): DataFrame = {
     val s = hourly
       .withColumn("hrs", expr("unix_timestamp(hr) div 3600"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val counts = s.groupBy("event_type").agg(count(lit(1)).as("n_points"))
     val sized = s.join(broadcast(counts), Seq("event_type"))
 

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Ckpt.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -466,7 +467,7 @@ object StreamQueries {
       .select(col("doc_id"), call_function("graft_shingle_gen", col("w"), lit(8)))
     // the static benchmark side, materialised once before the stream
     val evalGrams = gramsOf(docs.filter(col("doc_id") % 10 === 7))
-      .select("sh").distinct().localCheckpoint()
+      .select("sh").distinct().graftCheckpoint()
     val stateRoot = tmpDir("sconstate")
     val q = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
@@ -1124,7 +1125,7 @@ object StreamQueries {
       .writeStream
       .option("checkpointLocation", tmpDir("slpckpt"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.localCheckpoint() // batch is consumed twice (pairs + history append)
+        val b = batch.graftCheckpoint() // batch is consumed twice (pairs + history append)
         // first-batch case only: path-not-found is an AnalysisException;
         // any OTHER read failure must propagate — a broad catch here
         // would silently drop the accumulated history (advisor finding)
@@ -1223,7 +1224,7 @@ object StreamQueries {
           // rather than silently resetting the MV to this batch's delta
           catch { case _: org.apache.spark.sql.AnalysisException => delta }
         // write-then-swap: materialise the merge before overwriting the MV
-        val out = merged.localCheckpoint()
+        val out = merged.graftCheckpoint()
         out.write.mode("overwrite").parquet(mvPath)
       }
       .start()
@@ -1264,7 +1265,7 @@ object StreamQueries {
         val prev = // path-not-found = first batch; real errors propagate
           try pts.sparkSession.read.parquet(front)
           catch { case _: org.apache.spark.sql.AnalysisException => pts.limit(0) }
-        val merged = skyline(prev.unionByName(pts)).localCheckpoint()
+        val merged = skyline(prev.unionByName(pts)).graftCheckpoint()
         merged.write.mode("overwrite").parquet(front)
       }
       .start()
