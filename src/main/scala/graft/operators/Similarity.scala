@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.Ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -303,19 +304,51 @@ object Similarity {
   def ivfTrainedTopK(emb: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
       iterations: Int, probePred: org.apache.spark.sql.Column): DataFrame = {
     val q = quantized(emb)
-    val cents = lloydCentroids(q, numCentroids, iterations)
+    probeWithCents(q, lloydCentroids(q, numCentroids, iterations), k, nprobe, probePred)
+  }
 
-    def cellsExpr(n: Int) = call_function("graft_ivf_cells", col("qv"), col("nrm"),
-      typedLit(cents.map(_._1).toSeq), typedLit(cents.map(_._2.toSeq).toSeq),
-      typedLit(cents.map(_._3).toSeq), lit(n))
+  /** [[ivfTrainedTopK]] with SAMPLE-BOUNDED training — the FAISS posture
+    * for a 100 TB index: k-means never needs the whole corpus, it needs a
+    * representative sample, so Lloyd runs on the deterministic modulus
+    * sample `vec_id % sampleMod = 0` (seeds = the first K sample vectors
+    * in vec_id order, renumbered 0..K−1 per [[lloydCentroidsQ]]) and ONLY
+    * the final assignment + probe pass touches the full corpus. Training
+    * cost is thereby decoupled from corpus growth: pick sampleMod ∝
+    * corpus/targetSample and each Lloyd iteration scans a ~constant-sized
+    * frame while the serving path is unchanged (ScaleCheck's
+    * `simsearch_ivf_train_sampled` ladder records the decoupling). The
+    * sample rule is pure integer arithmetic, so the DuckDB oracle
+    * reproduces the trained centroids bit-for-bit. */
+  def ivfTrainedTopKSampled(emb: DataFrame, k: Int, numCentroids: Int, nprobe: Int,
+      iterations: Int, sampleMod: Long,
+      probePred: org.apache.spark.sql.Column): DataFrame = {
+    val q = quantized(emb)
+    val cents = lloydCentroidsQ(trainSample(q, sampleMod), numCentroids, iterations)
+    probeWithCents(q, cents, k, nprobe, probePred)
+  }
 
-    val assigned = q
-      .withColumn("cid", element_at(cellsExpr(1), 1))
-      .select(col("vec_id"), col("qv"), col("nrm"), col("cid"))
+  /** Extract-and-materialise the training sample ONCE (one corpus pass,
+    * via [[graft.Ckpt]]), so each Lloyd iteration scans sample-sized
+    * blocks instead of re-filtering the full corpus — without this the
+    * per-iteration scan stays linear in the corpus and sampling buys
+    * nothing (measured: ScaleCheck's train ladder was scan-bound equal
+    * before the materialisation). Total training cost becomes
+    * 1 corpus pass + iterations × sample pass. */
+  private def trainSample(q: DataFrame, sampleMod: Long): DataFrame =
+    if (sampleMod <= 1L) q
+    else q.filter(col("vec_id") % sampleMod === 0).graftCheckpoint()
+
+  /** Shared serving tail of the trained-IVF family: assign the full
+    * corpus to the given centroids (one map-side pass), explode each
+    * probe into its nprobe nearest cells, equi-join, exact cosine, per
+    * probe top-k. */
+  private def probeWithCents(q: DataFrame, cents: Array[(Long, Array[Long], Long)],
+      k: Int, nprobe: Int, probePred: org.apache.spark.sql.Column): DataFrame = {
+    val assigned = assignCells(q, cents)
     val probes = q.filter(probePred)
       .select(
         col("vec_id").as("probe_id"), col("qv").as("pqv"), col("nrm").as("pnrm"),
-        explode(cellsExpr(nprobe)).as("cid"))
+        explode(centroidCells(cents, nprobe)).as("cid"))
     broadcast(probes).join(assigned, Seq("cid"))
       .filter(col("probe_id") =!= col("vec_id"))
       .withColumn("cosine", qcosine(qdot(col("pqv"), col("qv")), col("pnrm"), col("nrm")))
@@ -391,11 +424,16 @@ object Similarity {
     * build is one assignment pass + one partitioned write, and index
     * metadata (centroids) stays K×dim longs. */
   def ivfBuildIndex(emb: DataFrame, numCentroids: Int, iterations: Int,
-      indexDir: String): Unit = {
+      indexDir: String, sampleMod: Long = 1L): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val q = quantized(emb)
-    val cents = lloydCentroids(q, numCentroids, iterations)
+    // sampleMod > 1: sample-bounded training (see ivfTrainedTopKSampled) —
+    // Lloyd scans only the materialised modulus sample; assignment below
+    // stays full-corpus
+    val cents =
+      if (sampleMod <= 1L) lloydCentroids(q, numCentroids, iterations)
+      else lloydCentroidsQ(trainSample(q, sampleMod), numCentroids, iterations)
     cents.toSeq.map { case (cid, cqv, cnrm) => (cid, cqv.toSeq, cnrm) }
       .toDF("cid", "cqv", "cnrm")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -412,7 +450,7 @@ object Similarity {
     * arbitrary id spaces like graph node ids work). Same two-table
     * layout: K-row `centroids/` metadata + cell-PARTITIONED `vectors/`. */
   def ivfBuildIndexQ(qRaw: DataFrame, numCentroids: Int, iterations: Int,
-      indexDir: String): Unit = {
+      indexDir: String, sampleMod: Long = 1L): Unit = {
     val spark = qRaw.sparkSession
     import spark.implicits._
     // the pre-quantised corpus is often EXPENSIVE to produce (the graph
@@ -421,8 +459,9 @@ object Similarity {
     // checkpoint once so the input pipeline runs once, not three times
     val q = qRaw.select(col("vec_id"), col("qv"), col("nrm"))
       .filter(col("nrm") > 0)
-      .localCheckpoint()
-    val cents = lloydCentroidsQ(q, numCentroids, iterations)
+      .graftCheckpoint()
+    // sampleMod > 1: sample-bounded training (see ivfTrainedTopKSampled)
+    val cents = lloydCentroidsQ(trainSample(q, sampleMod), numCentroids, iterations)
     cents.toSeq.map { case (cid, cqv, cnrm) => (cid, cqv.toSeq, cnrm) }
       .toDF("cid", "cqv", "cnrm")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -504,6 +543,38 @@ object Similarity {
     val cents = ivfLoadCentroids(spark, indexDir)
     assignCells(quantized(embNew), cents)
       .write.mode("append").partitionBy("cid").parquet(s"$indexDir/vectors")
+  }
+
+  /** Cell-balance CENSUS of a persisted IVF index — the maintenance
+    * signal [[ivfAppendIndex]] needs: appends assign into FROZEN cells,
+    * so sustained drift (or a near-duplicate flood) silently skews the
+    * inverted file and probe cost degrades toward a scan of the hot
+    * cell. One row per cell: vector count, its load relative to the mean
+    * cell (`load_ppm`, exact integer ppm — 1_000_000 = exactly
+    * mean-sized), and the rebuild flag `needs_rebuild = 1` when the cell
+    * holds more than `rebuildFactor`× the mean (default 2× — the
+    * documented skew threshold at which a deployment should retrain
+    * centroids via [[ivfBuildIndex]] rather than keep appending).
+    *
+    * Cost is metadata-scale by construction: the scan reads only the
+    * partition column and row counts of `vectors/` (cid is a partition
+    * value — no data pages), one partial-agg shuffle on K cell ids, and
+    * a 1-row broadcast for the corpus totals. Run it after every append
+    * batch; it is the census that converts "probe latency drifted" from
+    * a mystery into a rebuild ticket. */
+  def ivfCellCensus(spark: SparkSession, indexDir: String,
+      rebuildFactor: Int = 2): DataFrame = {
+    val perCell = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("cid").cast("long").as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+    val totals = perCell.agg(count(lit(1)).as("n_cells"),
+      sum(col("n_vectors")).as("n_total"))
+    perCell.crossJoin(broadcast(totals)) // 1-row scalar: observed-cell totals
+      .select(col("cid"), col("n_vectors"),
+        expr("n_vectors * n_cells * 1000000 div n_total").as("load_ppm"),
+        when(col("n_vectors") * col("n_cells") > lit(rebuildFactor.toLong) * col("n_total"),
+          1L).otherwise(0L).as("needs_rebuild"))
+      .orderBy("cid")
   }
 
   /** IVF-PQ approximate top-k: IVF cells bound WHICH vectors a probe

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Ckpt.Ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -153,7 +154,7 @@ object ExtQueries {
     // cache — no second cache layer.
     val docRep = Dedup.lshDocRepsFromSigs(sigs.select("doc_id", "sig"),
         cacheBands = false)
-      .localCheckpoint()
+      .graftCheckpoint()
     // tier 5: 3 pointer-jumping rounds over the doc→rep mapping only
     var m = docRep
     for (_ <- 1 to 3) {
@@ -198,7 +199,7 @@ object ExtQueries {
       .unionByName(a345.select("tier", "n_docs_in", "n_groups"))
       .withColumn("n_collapsed", col("n_docs_in") - col("n_groups"))
       .orderBy("tier")
-      .localCheckpoint() // 5 rows: materialise, then release the shared cache
+      .graftCheckpoint() // 5 rows: materialise, then release the shared cache
     shared.unpersist()
     out
   }
@@ -286,7 +287,7 @@ object ExtQueries {
     * (2·hit·10⁶ div (true + det)). */
   def dedupLshEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
-    val sets = Dedup.shingleSets(docs).localCheckpoint()
+    val sets = Dedup.shingleSets(docs).graftCheckpoint()
     val sizes = sets.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
     val st = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val inter = st.select(col("doc_id").as("doc_a"), col("h"))
@@ -295,7 +296,7 @@ object ExtQueries {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val passes = col("inter") * lit(1000000L) >=
       lit(500000L) * (col("na") + col("nb") - col("inter"))
     val truePairs = inter.filter(passes).select("doc_a", "doc_b")
@@ -481,6 +482,41 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_vectors"),
         sum(when(col("vec_id") >= 400, 1L).otherwise(0L)).as("n_appended"))
       .orderBy("cid")
+  }
+
+  /** Sample-bounded IVF training — the 100 TB k-means posture: Lloyd
+    * runs on the deterministic modulus sample (vec_id % 2 = 0 here;
+    * sampleMod ∝ corpus/targetSample in a deployment), only the final
+    * assignment + probe pass reads the full corpus (see
+    * [[graft.operators.Similarity.ivfTrainedTopKSampled]]). Training
+    * cost decouples from corpus growth; the ScaleCheck ladder
+    * `simsearch_ivf_train_sampled` records the decoupling. */
+  def simsearchIvfSampled(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTrainedTopKSampled(tbl(spark, dir, "embeddings"), k = 5,
+      numCentroids = 8, nprobe = 2, iterations = 1, sampleMod = 2L,
+      probePred = col("vec_id") < 5)
+      .orderBy("probe_id", "rk")
+
+  /** Cell-balance census + rebuild trigger over a DELIBERATELY skewed
+    * persisted index: build on the first 400 vectors, append the rest,
+    * then append a near-duplicate FLOOD (100 copies each of vectors
+    * 0–3, fresh ids ≥ 10000) — appends assign into frozen cells, so the
+    * flood concentrates in the donor vectors' cells, exactly the silent
+    * drift [[graft.operators.Similarity.ivfCellCensus]] exists to
+    * catch. Output per cell: count, load vs the mean cell in exact ppm,
+    * and the ≥2×-mean rebuild flag a deployment alerts on. */
+  def simsearchIvfCensus(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val idx = Staging.tmpDir("ivfcen")
+    Similarity.ivfBuildIndex(emb.filter(col("vec_id") < 400),
+      numCentroids = 8, iterations = 1, indexDir = idx)
+    Similarity.ivfAppendIndex(emb.filter(col("vec_id") >= 400), idx)
+    val flood = emb.filter(col("vec_id") < 4)
+      .crossJoin(spark.range(100).toDF("i"))
+      .select((lit(10000L) + col("vec_id") * 100L + col("i")).as("vec_id"),
+        col("embedding"))
+    Similarity.ivfAppendIndex(flood, idx)
+    Similarity.ivfCellCensus(spark, idx)
   }
 
   /** LSH-bucket ANN: probes scan only their hyperplane bucket (4 planes). */
@@ -1005,7 +1041,7 @@ object ExtQueries {
     * shared by the batch profile and its incrementally-maintained
     * streaming twin (the cube is the mergeable state: counts sum). */
   private[graft] def chi2FromCube(cubeIn: DataFrame): DataFrame = {
-    val cube = cubeIn.localCheckpoint() // tiny; reused by all three pairs
+    val cube = cubeIn.graftCheckpoint() // tiny; reused by all three pairs
     // name-sorted so col_a < col_b in the output
     val named = Seq("o_orderpriority" -> "c1", "o_orderstatus" -> "c2",
       "o_year" -> "c3")
@@ -2488,12 +2524,12 @@ object ExtQueries {
     val docs = tbl(spark, dir, "documents")
     val hs = Dedup.shingleSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var m = Dedup.lshDocRepsFromSets(hs).localCheckpoint()
+    var m = Dedup.lshDocRepsFromSets(hs).graftCheckpoint()
     for (_ <- 1 to 3) {
       val parent = m.select(col("doc_id").as("rep"), col("rep").as("rep2"))
       m = m.join(parent, Seq("rep"), "left")
         .select(col("doc_id"), coalesce(col("rep2"), col("rep")).as("rep"))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
     // docs below the shingle threshold have no banded rep: they are
     // their own singleton cluster on both sides of the comparison
@@ -2506,7 +2542,7 @@ object ExtQueries {
       .withColumn("safe",
         when(charHash(col("rep").cast("string")) % 100 < 80, "train")
           .otherwise("test"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val cand = Dedup.minhashCandidates(spark, docs)
     def strategy(name: String, c: String): DataFrame = {
       val counts = sides.agg(
@@ -2935,7 +2971,7 @@ object ExtQueries {
         col("ra_p").as("a_pairs"), col("rb_p").as("b_pairs"), col("ari_ppm"))
       // 1-row result: materialise eagerly so the persisted pair frame can
       // be released before returning (no cache leak into the session).
-      .localCheckpoint()
+      .graftCheckpoint()
     j.unpersist()
     out
   }
@@ -3632,7 +3668,7 @@ object ExtQueries {
     * per round), then the census over min-member community ids. */
   def graphLouvain(spark: SparkSession, dir: String): DataFrame = {
     val e = Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L)
-      .localCheckpoint() // shared by the move ladder and the census
+      .graftCheckpoint() // shared by the move ladder and the census
     Graph.modularityCensus(e, Graph.louvainMoves(e, rounds = 6))
       .orderBy("community")
   }
@@ -4504,6 +4540,8 @@ object ExtQueries {
     "simsearch_hard_negatives" -> (simsearchHardNegatives _),
     "simsearch_ivf_persist" -> (simsearchIvfPersist _),
     "simsearch_ivf_append" -> (simsearchIvfAppend _),
+    "simsearch_ivf_sampled" -> (simsearchIvfSampled _),
+    "simsearch_ivf_census" -> (simsearchIvfCensus _),
     "simsearch_lsh" -> (simsearchLsh _),
     "text_lang_id" -> (textLangId _),
     "text_lang_id_ngram" -> (textLangIdNgram _),

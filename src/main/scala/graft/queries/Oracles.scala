@@ -1001,6 +1001,40 @@ object Oracles {
        |probecells AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm, cid
        |               FROM ranked WHERE vec_id < 5 AND crk <= 2)""".stripMargin
 
+  /** [[ivfTrainedCtes]] with SAMPLE-BOUNDED training: seeds and the one
+    * Lloyd iteration run over the modulus sample `vec_id % 2 = 0` only
+    * (seeds = first 8 sample vectors in vec_id order, renumbered 0..7);
+    * the final assignment + probecells pass runs over the FULL corpus —
+    * mirroring Similarity.ivfTrainedTopKSampled exactly. */
+  private lazy val ivfSampledCtes: String =
+    s"""$embCtes,
+       |fs AS (SELECT * FROM f WHERE vec_id % 2 = 0),
+       |c0 AS (SELECT cid, cqv, cnrm FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv, nrm AS cnrm
+       |    FROM fs) WHERE cid < 8),
+       |cc0 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+       |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+       |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+       |  FROM fs v, c0 c),
+       |a0 AS (SELECT vec_id, qv, nrm, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc0)
+       |  WHERE crk = 1),
+       |sums AS (SELECT cid, i_ - 1 AS pos, CAST(sum(qv[i_]) AS BIGINT) AS s, count(*) AS n
+       |         FROM a0, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i_)
+       |         GROUP BY cid, i_),
+       |cm AS (SELECT cid, list(s // n ORDER BY pos) AS cqv FROM sums GROUP BY cid),
+       |c1 AS (SELECT c0.cid, coalesce(cm.cqv, c0.cqv) AS cqv FROM c0 LEFT JOIN cm USING (cid)),
+       |c1n AS (SELECT cid, cqv,
+       |          CAST(list_sum(list_transform(cqv, x_ -> x_*x_)) AS BIGINT) AS cnrm FROM c1),
+       |cc1 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+       |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+       |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+       |  FROM f v, c1n c),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc1),
+       |assigned AS (SELECT vec_id, qv, nrm, cid FROM ranked WHERE crk = 1),
+       |probecells AS (SELECT vec_id AS probe_id, qv AS pqv, nrm AS pnrm, cid
+       |               FROM ranked WHERE vec_id < 5 AND crk <= 2)""".stripMargin
+
   /** Shared CTE prefix for the BM25 family (text_bm25 / text_rrf_fusion):
     * tokenise → tf/df for the fixed query → per-(doc,term) integer-micro
     * partial scores `s`. */
@@ -2110,6 +2144,17 @@ object Oracles {
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM scored)
          |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
 
+    // Sample-bounded training: identical serving tail, centroids trained
+    // on the vec_id % 2 = 0 sample only (ivfSampledCtes).
+    "simsearch_ivf_sampled" ->
+      s"""$ivfSampledCtes,
+         |scored AS (SELECT p.probe_id, a.vec_id,
+         |   CAST(${qdotPair("p.pqv", "a.qv")} AS DOUBLE) /
+         |    (sqrt(CAST(p.pnrm AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))) AS cosine
+         | FROM probecells p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.probe_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+         |SELECT probe_id, vec_id, rk, cosine FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
     // Hard-negative mining: same trained cells + nprobe probing, candidate
     // set restricted to DIFFERENT-label vectors (self drops via its equal
     // label) before the per-anchor ranking.
@@ -2157,6 +2202,48 @@ object Oracles {
          |SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
          | CAST(sum(CASE WHEN vec_id >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_appended
          |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // Cell-balance census after the skewed append: same first-400
+    // training as simsearch_ivf_append; the assigned set is the full
+    // corpus PLUS the 400-row near-duplicate flood (100 copies each of
+    // vectors 0-3, ids >= 10000); census = per-cell count, exact ppm
+    // load vs the mean cell, and the >2x-mean rebuild flag.
+    "simsearch_ivf_census" ->
+      s"""$embCtes,
+         |ft AS (SELECT * FROM f WHERE vec_id < 400),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv, nrm AS cnrm
+         |       FROM ft WHERE vec_id < 8),
+         |cc0 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         |  FROM ft v, c0 c),
+         |a0 AS (SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc0)
+         |  WHERE crk = 1),
+         |sums AS (SELECT cid, i_ - 1 AS pos, CAST(sum(qv[i_]) AS BIGINT) AS s, count(*) AS n
+         |         FROM a0, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i_)
+         |         GROUP BY cid, i_),
+         |cm AS (SELECT cid, list(s // n ORDER BY pos) AS cqv FROM sums GROUP BY cid),
+         |c1 AS (SELECT c0.cid, coalesce(cm.cqv, c0.cqv) AS cqv FROM c0 LEFT JOIN cm USING (cid)),
+         |c1n AS (SELECT cid, cqv,
+         |          CAST(list_sum(list_transform(cqv, x_ -> x_*x_)) AS BIGINT) AS cnrm FROM c1),
+         |allv AS (SELECT vec_id, qv, nrm FROM f
+         |         UNION ALL
+         |         SELECT 10000 + fl.vec_id * 100 + g.i AS vec_id, fl.qv, fl.nrm
+         |         FROM f fl, generate_series(0, 99) AS g(i) WHERE fl.vec_id < 4),
+         |cc1 AS (SELECT v.vec_id, c.cid,
+         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         |  FROM allv v, c1n c),
+         |assigned AS (SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc1)
+         |  WHERE crk = 1),
+         |percell AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors FROM assigned GROUP BY cid),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n_vectors) AS BIGINT) AS n_total FROM percell)
+         |SELECT cid, n_vectors,
+         | n_vectors * n_cells * 1000000 // n_total AS load_ppm,
+         | CAST(CASE WHEN n_vectors * n_cells > 2 * n_total THEN 1 ELSE 0 END AS BIGINT) AS needs_rebuild
+         |FROM percell, tot ORDER BY cid""".stripMargin,
 
     "window_sessionize" ->
       """WITH b AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
