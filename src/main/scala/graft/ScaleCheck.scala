@@ -1,5 +1,6 @@
 package graft
 
+import graft.Ckpt.Ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Graph, Similarity}
@@ -193,7 +194,7 @@ object ScaleCheck {
       spokes.unionByName(cliques).unionByName(bridges)
     }
     for ((h, f) <- Seq((hubDeg / 4, 1), (hubDeg, 4))) {
-      val g = graphOf(h).repartition(32).localCheckpoint()
+      val g = graphOf(h).repartition(32).graftCheckpoint()
       time("hub_neighbor_jaccard", f) {
         Graph.neighborJaccard(g, topK = 20, degCap = 1024).count()
       }
@@ -221,7 +222,7 @@ object ScaleCheck {
         (col("id") * 3600L).cast("timestamp").as("hr"),
         (col("id") * 5L + pmod(hash(col("id")), lit(200L))).as("qv"))
     for ((n, f) <- Seq((2048L, 1), (4096L, 2), (8192L, 4), (16384L, 8), (32768L, 16))) {
-      val h = hourlyOf(n).localCheckpoint()
+      val h = hourlyOf(n).graftCheckpoint()
       time("theilsen_ladder", f) {
         graft.operators.TimeSeries.theilSenFromHourly(h).count()
       }
@@ -246,7 +247,7 @@ object ScaleCheck {
     // prior state: n nodes in n/2 two-member clusters (even id = rep)
     val prevMap = spark.range(n)
       .select(col("id").as("node"), (col("id") - col("id") % 2).as("comp_id"))
-      .localCheckpoint()
+      .graftCheckpoint()
     // batch pairs: 1000 brand-new 2-clusters above the id space + 50
     // pairs bridging existing clusters. Bridge ids DERIVE from n (step
     // even, max endpoint < n) so every bridge references two live map
@@ -261,7 +262,7 @@ object ScaleCheck {
     val bridges = spark.range(50)
       .select((col("id") * step).as("cust_a"), (col("id") * step + half).as("cust_b"))
     val pairs = fresh.unionByName(bridges)
-      .withColumn("name_dist", lit(0L)).localCheckpoint()
+      .withColumn("name_dist", lit(0L)).graftCheckpoint()
     time("fold_direct", 1) {
       val edges = pairs.select(col("cust_a").as("src"), col("cust_b").as("dst"))
         .unionByName(prevMap.filter(col("node") =!= col("comp_id"))
@@ -309,7 +310,7 @@ object ScaleCheck {
       md5(col("id").cast("string")).as("c_name"),
       expr("cast(id div 200 as int)").as("c_nationkey"),
       lit("LEDGER").as("c_mktsegment"),
-      lit(0.0).as("c_acctbal")).localCheckpoint()
+      lit(0.0).as("c_acctbal")).graftCheckpoint()
     time("ledger_fold", 1) {
       ErLedger.foldBatch(batch, 1L, s"$base/hist", s"$base/fwd",
         s"$base/golden")
@@ -423,6 +424,23 @@ object ScaleCheck {
       }
       time("simsearch_ivf_trained", f) {
         Similarity.ivfTrainedTopK(v, 5, 8, 2, 1, col("vec_id") < 5).count()
+      }
+      // Lloyd training cost vs corpus growth: full-corpus training scans
+      // f x the data per iteration; SAMPLE-BOUNDED training keeps the
+      // sample ~constant (sampleMod = 2f) so its time must stay flat as
+      // the corpus grows - the decoupling ivfTrainedTopKSampled claims.
+      // 5 iterations so per-iteration Lloyd compute dominates the fixed
+      // input scan (at 1 iteration both arms are scan-bound and equal).
+      time("simsearch_ivf_train_full", f) {
+        Similarity.lloydCentroidsQ(Similarity.quantized(v), 8, 5).length.toLong
+      }
+      // timing INCLUDES the one-time sample extraction pass: total cost
+      // = 1 corpus pass + 5 sample passes, vs full = 5 corpus passes
+      time("simsearch_ivf_train_sampled", f) {
+        Similarity.lloydCentroidsQ(
+          Similarity.quantized(v).filter(col("vec_id") % lit(2L * f) === 0)
+            .graftCheckpoint(),
+          8, 5).length.toLong
       }
       time("dedup_embedding_lsh", f) {
         Similarity.lshCosinePairs(v, 4, 0.4).count()
@@ -775,7 +793,8 @@ object ScaleCheck {
       // (SGNS train + Lloyd + partitioned write) runs OUTSIDE the
       // timer — the ladder records the warm-store serve cost a
       // deployment actually pays per query batch.
-      if (opFilter.isEmpty || opFilter.contains("graph_embedding_ann_serve")) {
+      if (opFilter.isEmpty || opFilter.exists(_.startsWith("graph_embedding_ann")) ||
+          opFilter.contains("graph_embedding_truth_census")) {
         val annIdx = graft.queries.Staging.tmpDir(s"annscale$f")
         Graph.sgnsAnnIndexBuild(Graph.walkSkipgramPairs(
           Graph.coPartEdgesMin(lg, 2L), 2, 4, 2), annIdx,
@@ -783,6 +802,30 @@ object ScaleCheck {
         time("graph_embedding_ann_serve", f) {
           Graph.sgnsAnnServe(spark, annIdx, k = 5, nprobe = 2,
             sampleMod = 100L).count()
+        }
+        // The brute TRUTH tier is quadratic by contract (probes x
+        // corpus); auto-scaling sampleMod to a fixed ~64-probe budget
+        // bounds the census at probes(const) x corpus(linear) - the
+        // ladder must show truth time growing ~linearly, not f^2.
+        val autoMod = Graph.autoSampleMod(spark, annIdx, targetProbes = 64L)
+        time("graph_embedding_truth_census", f) {
+          Graph.sgnsAnnStoreBrute(spark, annIdx, k = 5, sampleMod = autoMod).count()
+        }
+        // nprobe recall ladder over the same store + auto-sampled truth:
+        // records whether the catalog's nprobe=2 recall is a chosen
+        // point on a rising curve, not a ceiling. Recall printed per
+        // point; time per point rides the JSON line like every op.
+        for (np <- Seq(1, 2, 4)) {
+          time(s"graph_embedding_ann_recall_np$np", f) {
+            val r = Graph.sgnsAnnRecall(spark, annIdx, k = 5, nprobe = np,
+                sampleMod = autoMod)
+              .agg(sum(col("n_hit")).as("h"), sum(col("n_true")).as("t"))
+              .collect()(0)
+            System.err.println(f"[scale] graph_ann recall@5 f=$f nprobe=$np " +
+              f"mod=$autoMod: ${r.getLong(0).toDouble / r.getLong(1)}%.3f " +
+              f"(${r.getLong(0)}/${r.getLong(1)})")
+            r.getLong(1)
+          }
         }
       }
 

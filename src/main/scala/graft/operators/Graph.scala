@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -105,7 +106,7 @@ object Graph {
     val rootF = nodes.agg(min("node").as("root"))
     var dist = nodes.crossJoin(broadcast(rootF))
       .select(col("node"), when(col("node") === col("root"), 0L).as("dist"))
-      .localCheckpoint()
+      .graftCheckpoint()
     def sig(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(col("dist")).as("n"),
         coalesce(sum(col("dist")), lit(0L)).as("s")).head()
@@ -120,7 +121,7 @@ object Graph {
         .groupBy(col("dst").as("node")).agg(min(col("dist") + col("w")).as("nd"))
       dist = dist.join(relax, Seq("node"), "left")
         .select(col("node"), least(col("dist"), col("nd")).as("dist"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val s = sig(dist)
       changed = s != prev
       prev = s
@@ -156,7 +157,7 @@ object Graph {
     val e = bidir(edges).persist(lvl)
     var labels = e.groupBy(col("src").as("node")).agg(min(col("dst")).as("nm"))
       .select(col("node"), least(col("node"), col("nm")).as("label"))
-      .localCheckpoint()
+      .graftCheckpoint()
     // Convergence signal: labels only ever DECREASE (min semilattice), so
     // the fixpoint is reached exactly when sum(label) stops dropping — one
     // scan of the checkpointed O(|V|) frame per round, no compare join.
@@ -178,7 +179,7 @@ object Graph {
           Seq("label"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val s = labelSum(jumped)
       changed = s.compareTo(prevSum) < 0
       prevSum = s
@@ -246,7 +247,7 @@ object Graph {
     // a long-lived session doesn't accumulate them until eviction.
     val out = tri.crossJoin(stats).crossJoin(nodes)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
-      .localCheckpoint()
+      .graftCheckpoint()
     oriented.unpersist()
     base.unpersist()
     out
@@ -293,7 +294,7 @@ object Graph {
       .withColumn("cc_ppm", expr("(2 * tri * 1000000L) div (d * (d - 1))"))
       .orderBy(col("cc_ppm").desc, col("node"))
       .limit(topN)
-      .localCheckpoint()
+      .graftCheckpoint()
     oriented.unpersist()
     deg.unpersist()
     base.unpersist()
@@ -314,7 +315,7 @@ object Graph {
     * dataflow contract pageRankRun measured). Returns (node, core_deg) =
     * degrees within the surviving subgraph. */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var e = edges.select(col("src"), col("dst")).graftCheckpoint()
     for (r <- 1 to rounds) {
       val keep = bidir(e).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("node")
@@ -325,7 +326,7 @@ object Graph {
       // shrinks, so a 2-round lineage stays cheap to plan while halving the
       // per-round materialisation jobs that made the 4-round ladder pay 4
       // fixed costs (the round-6 bench regression on this key).
-      e = if (r % 2 == 0 || r == rounds) next.localCheckpoint() else next
+      e = if (r % 2 == 0 || r == rounds) next.graftCheckpoint() else next
     }
     bidir(e).groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
       .orderBy("node")
@@ -343,7 +344,7 @@ object Graph {
     * loop-termination signal for iterative dataflow. At most |V| rounds;
     * per-round cost is the same two endpoint semi-joins as the ladder. */
   def kCoreFull(edges: DataFrame, k: Int): DataFrame = {
-    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var e = edges.select(col("src"), col("dst")).graftCheckpoint()
     var n = e.count()
     var changed = n > 0
     while (changed) {
@@ -352,7 +353,7 @@ object Graph {
       val next = e.join(keep.select(col("node").as("src")), "src")
         .join(keep.select(col("node").as("dst")), "dst")
         .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val n2 = next.count()
       changed = n2 < n && n2 > 0
       n = n2
@@ -402,7 +403,7 @@ object Graph {
     * cyclic = whether the SCC is a cycle — false exactly for trimmed
     * singletons). */
   def sccFunctional(edges: DataFrame): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e0 = edges.select(col("src"), col("dst")).graftCheckpoint()
     val verts = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()
     var e = e0
@@ -414,7 +415,7 @@ object Graph {
       val next = e.join(hasIn, Seq("src"), "left_semi")
         .join(hasOut, Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val n2 = next.count()
       changed = n2 < n && n2 > 0
       n = n2
@@ -448,7 +449,7 @@ object Graph {
     val rootF = nodes.agg(min("node").as("root"))
     var dist = nodes.crossJoin(broadcast(rootF))
       .select(col("node"), when(col("node") === col("root"), 0L).as("dist"))
-      .localCheckpoint()
+      .graftCheckpoint()
     for (_ <- 1 to rounds) {
       val relax = e
         .join(dist.filter(col("dist").isNotNull)
@@ -459,7 +460,7 @@ object Graph {
         // unreached node takes the newly relaxed distance, a settled node
         // keeps the min of old and new
         .select(col("node"), least(col("dist"), col("nd")).as("dist"))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
     e.unpersist()
     dist.filter(col("dist").isNotNull)
@@ -492,7 +493,7 @@ object Graph {
   private def bfsFullFrom(e: DataFrame, nodes: DataFrame, rootF: DataFrame): DataFrame = {
     var dist = nodes.crossJoin(broadcast(rootF))
       .select(col("node"), when(col("node") === col("root"), 0L).as("dist"))
-      .localCheckpoint()
+      .graftCheckpoint()
     def settled(df: DataFrame): Long = df.filter(col("dist").isNotNull).count()
     var prev = settled(dist)
     var changed = true
@@ -503,7 +504,7 @@ object Graph {
         .groupBy(col("dst").as("node")).agg(min(col("dist") + 1L).as("nd"))
       dist = dist.join(relax, Seq("node"), "left")
         .select(col("node"), least(col("dist"), col("nd")).as("dist"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val s = settled(dist)
       changed = s > prev
       prev = s
@@ -527,13 +528,13 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = bidir(edges).persist(lvl)
     val nodes = e.select(col("src").as("node")).distinct().persist(lvl)
-    val startF = nodes.agg(min("node").as("start_node")).localCheckpoint()
+    val startF = nodes.agg(min("node").as("start_node")).graftCheckpoint()
     val d1 = bfsFullFrom(e, nodes,
       startF.select(col("start_node").as("root")))
     val uRow = d1.filter(col("dist").isNotNull)
       .agg(max(struct(col("dist"), (-col("node")).as("negn"))).as("b"))
       .select(col("b.dist").as("first_sweep_ecc"), (-col("b.negn")).as("root"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val d2 = bfsFullFrom(e, nodes, uRow.select(col("root")))
     val out = d2.filter(col("dist").isNotNull)
       .agg(max(struct(col("dist"), (-col("node")).as("negn"))).as("b"),
@@ -544,7 +545,7 @@ object Graph {
       .select(col("start_node"), col("first_sweep_ecc"), col("peripheral"),
         (-col("b.negn")).as("antipode"), col("b.dist").as("diameter_lb"),
         col("n_reached"))
-      .localCheckpoint()
+      .graftCheckpoint()
     nodes.unpersist()
     e.unpersist()
     out
@@ -603,20 +604,20 @@ object Graph {
     * edges). */
   def kTruss(edges: DataFrame, k: Int): DataFrame = {
     val thr = (k - 2).toLong
-    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e0 = edges.select(col("src"), col("dst")).graftCheckpoint()
     var sup = initialSupport(e0)
     var nEdges = sup.count()
-    var dropped = sup.filter(col("sup") < thr).select("src", "dst").localCheckpoint()
+    var dropped = sup.filter(col("sup") < thr).select("src", "dst").graftCheckpoint()
     var nDropped = dropped.count()
     while (nDropped > 0) {
-      val survivors = sup.filter(col("sup") >= thr).localCheckpoint()
+      val survivors = sup.filter(col("sup") >= thr).graftCheckpoint()
       sup =
         if (nDropped * 2 >= nEdges) // collapse round: recount the small survivor graph
           initialSupport(survivors.select("src", "dst"))
         else
-          touchedRecount(survivors, dropped).localCheckpoint()
+          touchedRecount(survivors, dropped).graftCheckpoint()
       nEdges = nEdges - nDropped
-      dropped = sup.filter(col("sup") < thr).select("src", "dst").localCheckpoint()
+      dropped = sup.filter(col("sup") < thr).select("src", "dst").graftCheckpoint()
       nDropped = dropped.count()
     }
     bidir(sup.select("src", "dst"))
@@ -712,7 +713,7 @@ object Graph {
         .select(col("src"), col("dst"), coalesce(col("sup"), lit(0L)).as("sup"))
     }
     // materialise before releasing the probe frames (degF feeds the plan)
-    val ck = out.localCheckpoint()
+    val ck = out.graftCheckpoint()
     degF.unpersist()
     hubOriented.foreach(_.unpersist())
     ck
@@ -746,7 +747,7 @@ object Graph {
     * cascading fixtures (and as the reference a debugging session
     * reaches for). Same input contract as [[kTruss]]. */
   def kTrussFullRecount(edges: DataFrame, k: Int): DataFrame = {
-    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var e = edges.select(col("src"), col("dst")).graftCheckpoint()
     var n = e.count()
     var changed = n > 0
     while (changed) {
@@ -765,7 +766,7 @@ object Graph {
       val next = e.join(sup, Seq("src", "dst"), "left")
         .filter(coalesce(col("sup"), lit(0L)) >= (k - 2).toLong)
         .select("src", "dst")
-        .localCheckpoint()
+        .graftCheckpoint()
       val n2 = next.count()
       changed = n2 < n && n2 > 0
       n = n2
@@ -806,7 +807,7 @@ object Graph {
         Seq("u", "v"), "left_anti")
       .orderBy(col("ra_ppm").desc, col("common").desc, col("u"), col("v"))
       .limit(topK)
-      .localCheckpoint()
+      .graftCheckpoint()
     e.unpersist()
     out
   }
@@ -847,22 +848,16 @@ object Graph {
     * keys remain the complete exact ranking. No silent drop: the gate
     * is this contract, not a data-dependent truncation — and it is
     * not invisible either: when any centre exceeds degCap a WARN log
-    * reports the gated-centre count, so a production run on a
-    * power-law graph gets a runtime signal that the contract was
-    * active (the count is a 1-row aggregate over the already-persisted
-    * degree frame — metadata-scale, not a data pass). */
+    * reports the gated-centre count. The count is taken AFTER the
+    * localCheckpoint that materialises the result (this function is
+    * eager by contract — construction IS execution), so it is a
+    * cache-local aggregate over the already-computed degree frame,
+    * never an extra data pass fired ahead of the main job. */
   private[graft] def wedgeScores(e: DataFrame, degCap: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bi = bidir(e).persist(lvl)
     val deg = bi.groupBy(col("src").as("w")).agg(count(lit(1)).as("d"))
       .persist(lvl)
-    val gatedCentres = deg.filter(col("d") > degCap).count()
-    if (gatedCentres > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"wedgeScores: $gatedCentres centre(s) exceed degCap=$degCap — their " +
-          "wedges are patched exactly onto small-generated candidates; pairs " +
-          "whose ONLY common neighbours are these hubs are absent from the " +
-          "candidate set (documented contract)")
     val smallAdj = bi.join(deg.filter(col("d") <= degCap), bi("src") === deg("w"))
       .select(col("w"), col("dst"), col("d"))
     val hubAdj = bi.join(deg.filter(col("d") > degCap), bi("src") === deg("w"))
@@ -888,7 +883,16 @@ object Graph {
         (col("common_s") + coalesce(col("common_h"), lit(0L))).as("common"),
         (col("ra_s") + coalesce(col("ra_h"), lit(0L))).as("ra_ppm"))
       // materialise before releasing the caches both joins feed from
-      .localCheckpoint()
+      .graftCheckpoint()
+    // WARN rides the still-cached degree frame post-materialisation:
+    // node-scale rows out of the block cache, zero extra data passes.
+    val gatedCentres = deg.filter(col("d") > degCap).count()
+    if (gatedCentres > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"wedgeScores: $gatedCentres centre(s) exceed degCap=$degCap — their " +
+          "wedges are patched exactly onto small-generated candidates; pairs " +
+          "whose ONLY common neighbours are these hubs are absent from the " +
+          "candidate set (documented contract)")
     small.unpersist()
     deg.unpersist()
     bi.unpersist()
@@ -928,7 +932,7 @@ object Graph {
       .select(col("u"), col("v"), col("common"), col("jac_ppm"))
       .orderBy(col("jac_ppm").desc, col("common").desc, col("u"), col("v"))
       .limit(topK)
-      .localCheckpoint()
+      .graftCheckpoint()
     e.unpersist()
     out
   }
@@ -949,7 +953,7 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bi = bidir(edges.select("src", "dst")).persist(lvl)
     val nodes = bi.select(col("src").as("node")).distinct().persist(lvl)
-    var x = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+    var x = nodes.withColumn("r", lit(1000000L)).graftCheckpoint()
     for (_ <- 1 to iters) {
       val y = bi.join(x.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum("r").as("y"))
@@ -964,11 +968,11 @@ object Graph {
       x = full.crossJoin(broadcast(mF))
         .select(col("node"),
           expr("CAST((CAST(1000000 AS decimal(38,0)) * y) div m AS BIGINT)").as("r"))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
     val out = x.orderBy(col("r").desc, col("node")).limit(topK)
       .select(col("node"), col("r").as("eig_ppm"))
-      .localCheckpoint()
+      .graftCheckpoint()
     nodes.unpersist()
     bi.unpersist()
     out
@@ -1001,7 +1005,7 @@ object Graph {
             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9)
           .as("assortativity"))
       // 1-row scalar: materialise, then release the cached frames.
-      .localCheckpoint()
+      .graftCheckpoint()
     deg.unpersist()
     base.unpersist()
     out
@@ -1026,7 +1030,7 @@ object Graph {
     val e = bidir(edges).persist(lvl)
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+      .graftCheckpoint()
     for (_ <- 1 to iters) {
       val counted = e.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
@@ -1039,7 +1043,7 @@ object Graph {
         .select(col("node"), col("label").as("nl"))
       labels = labels.join(plural, Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
     e.unpersist()
     labels.select(col("node"), col("label").as("community"))
@@ -1086,7 +1090,7 @@ object Graph {
         (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
           - col("d_sum") * col("d_sum")).as("q_num"),
         (lit(4L) * col("m") * col("m")).as("q_den"))
-      .localCheckpoint()
+      .graftCheckpoint()
   }
 
   /** LOUVAIN local-move phase (Blondel et al. 2008) — the
@@ -1145,7 +1149,7 @@ object Graph {
     val deg = biW.groupBy(col("src").as("node")).agg(sum("w").as("di")).persist(lvl)
     // loop-invariant 1-row scalar (audited pattern): total edge weight
     val wTot = e.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
-    var lab = deg.select(col("node"), col("node").as("label")).localCheckpoint()
+    var lab = deg.select(col("node"), col("node").as("label")).graftCheckpoint()
     var r = 0
     var quiet = 0
     while (r < maxRounds && (!untilQuiet || quiet < 2)) {
@@ -1187,7 +1191,7 @@ object Graph {
               pmod(col("node") + lit(r.toLong), lit(2L)) === 0 &&
               col("bc") =!= col("curc") && col("bs") > col("cs"), col("bc"))
             .otherwise(col("curc")).as("label"))
-        .localCheckpoint())
+        .graftCheckpoint())
       if (untilQuiet) {
         val moves = next.join(lab.withColumnRenamed("label", "old"), "node")
           .filter(col("label") =!= col("old")).count()
@@ -1245,7 +1249,7 @@ object Graph {
         explode(sequence(lit(0L), lit((walksPerNode - 1).toLong))).as("wk"))
       .select(col("start"), col("wk"), col("start").as("cur"),
         array(col("start")).as("path"))
-      .localCheckpoint()
+      .graftCheckpoint()
     for (s <- 1 to steps) {
       val coin = graft.functions.CrossFns.charHash(
         concat_ws(":", col("start"), col("wk"), lit(s), col("cur")))
@@ -1262,10 +1266,10 @@ object Graph {
       // 2.4->3.7s regression); a 4-deep join lineage is far below the
       // depth where the estimate blow-up bites (measured at rounds
       // 10-12, truncStats scaladoc).
-      wf = if (s % 4 == 0 && s < steps) truncStats(hopped.localCheckpoint())
+      wf = if (s % 4 == 0 && s < steps) truncStats(hopped.graftCheckpoint())
         else hopped
     }
-    val out = wf.select(col("start"), col("wk"), col("path")).localCheckpoint()
+    val out = wf.select(col("start"), col("wk"), col("path")).graftCheckpoint()
     adj.unpersist()
     out
   }
@@ -1383,7 +1387,7 @@ object Graph {
           .partitionBy(pmod(col("freq"), lit(1L)))
           .orderBy(col("freq").desc, col("node"))) - 1).cast("long").as("nidx"))
       .join(v0.select(col("node").as("nnode"), col("vec").as("vn")), Seq("nnode"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val negN = negTable.count()
 
     def dot(a: Column, b: Column): Column =
@@ -1437,7 +1441,7 @@ object Graph {
         coalesce(col("dvec"), array_repeat(lit(0L), lit(dim))),
         (v0, d) => v0 + coalesce(sdiv(d, 1L << lrShift), lit(0L)))))
       .select(col("node"), col("pos").cast("long").as("dim"), col("col").as("val"))
-      .localCheckpoint()
+      .graftCheckpoint()
     negs.unpersist(); scoredPos.unpersist(); nodes.unpersist(); p.unpersist()
     out
   }
@@ -1492,7 +1496,7 @@ object Graph {
         (row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(pmod(col("freq"), lit(1L)))
           .orderBy(col("freq").desc, col("node"))) - 1).cast("long").as("nidx"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val negN = negTable.count()
     val negd = p
       .select(col("center"), col("context"), col("m"),
@@ -1531,9 +1535,9 @@ object Graph {
           (v0, d) => v0 + coalesce(sdiv(d, 1L << lrShift), lit(0L))).as("vec"))
 
     var u = nodes.select(col("node"), initArr(col("node"), "u").as("vec"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var v = nodes.select(col("node"), initArr(col("node"), "v").as("vec"))
-      .localCheckpoint()
+      .graftCheckpoint()
     for (e <- 1 to epochs) {
       val sp = p
         .join(u.select(col("node").as("center"), col("vec").as("uc")), Seq("center"))
@@ -1548,7 +1552,7 @@ object Graph {
       val dU = sumDeltaVecs(
         dimDeltaVec(sp, col("center"), col("gpos"), col("vx"))
           .unionByName(dimDeltaVec(ng, col("center"), col("gneg"), col("vn"))))
-      val u2 = applyDeltas(u, dU).localCheckpoint()
+      val u2 = applyDeltas(u, dU).graftCheckpoint()
       // the LAST epoch's context update is dead weight (V never feeds
       // back after the final U step and only U is emitted) — same
       // argument as the single-epoch form, applied to the loop's tail
@@ -1556,14 +1560,14 @@ object Graph {
         val dV = sumDeltaVecs(
           dimDeltaVec(sp, col("context"), col("gpos"), col("uc"))
             .unionByName(dimDeltaVec(ng, col("nnode"), col("gneg"), col("uc"))))
-        applyDeltas(v, dV).localCheckpoint()
+        applyDeltas(v, dV).graftCheckpoint()
       } else v
       sp.unpersist(); ng.unpersist()
       u = u2; v = v2
     }
     val out = u.select(col("node"), posexplode(col("vec")))
       .select(col("node"), col("pos").cast("long").as("dim"), col("col").as("val"))
-      .localCheckpoint()
+      .graftCheckpoint()
     negd.unpersist(); nodes.unpersist(); p.unpersist()
     out
   }
@@ -1699,6 +1703,22 @@ object Graph {
         (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"))
   }
 
+  /** Probe-budget-bounded sample modulus for the brute-force truth tier:
+    * the truth census ([[sgnsAnnStoreBrute]] / [[sgnsAnnRecall]]) is
+    * quadratic BY CONTRACT — probes × corpus — so a fixed sampleMod lets
+    * its cost ride corpus growth squared. Deriving the modulus from the
+    * store size caps the expected probe count at `targetProbes` whatever
+    * ×f the corpus reaches: census cost becomes probes(bounded) ×
+    * corpus(linear), and recall grading over ~targetProbes probes is a
+    * statistically equivalent estimate at any scale. One count over the
+    * store's partition column — metadata-scale. Deterministic given the
+    * data, so graded recalls reproduce run-to-run. */
+  def autoSampleMod(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      targetProbes: Long): Long = {
+    val n = spark.read.parquet(s"$indexDir/vectors").count()
+    math.max(1L, n / targetProbes)
+  }
+
   /** DETERMINISTIC second-order (node2vec-style) biased walks, Grover &
     * Leskovec 2016's p/q bias expressed as INTEGER candidate weights so
     * the draw stays bit-reproducible and oracle-mirrorable: from state
@@ -1736,7 +1756,7 @@ object Graph {
         (pmod(coin1, size(col("nbrs")).cast("long")) + lit(1L)).cast("int")))
       .select(col("start"), col("wk"), col("cur").as("prev"),
         col("nxt").as("cur"), concat(col("path"), array(col("nxt"))).as("path"))
-      .localCheckpoint()
+      .graftCheckpoint()
     for (s <- 2 to steps) {
       val coin = graft.functions.CrossFns.charHash(
         concat_ws(":", col("start"), col("wk"), lit(s), col("cur")))
@@ -1756,7 +1776,7 @@ object Graph {
             "ELSE named_struct('rem', a.rem - wts[i-1], 'pick', a.pick) END).pick"))
         .select(col("start"), col("wk"), col("cur").as("prev"),
           col("nxt").as("cur"), concat(col("path"), array(col("nxt"))).as("path"))
-        .localCheckpoint())
+        .graftCheckpoint())
     }
     val out = wf.select(col("start"), col("wk"), posexplode(col("path")))
       .select(col("start"), col("wk"), col("pos").cast("long").as("step"),
@@ -1798,7 +1818,7 @@ object Graph {
     * dominated by level 1 — the property that makes Louvain the
     * standard at scale. */
   def louvain(edges: DataFrame, maxLevels: Int = 4): DataFrame = {
-    var g = edges.select(col("src"), col("dst"), lit(1L).as("w")).localCheckpoint()
+    var g = edges.select(col("src"), col("dst"), lit(1L).as("w")).graftCheckpoint()
     var mapping: DataFrame = null // node -> current super-node
     var level = 0
     var shrinking = true
@@ -1812,7 +1832,7 @@ object Graph {
           .join(lab.select(col("node").as("label0"), col("label").as("l2")),
             mapping("label") === col("label0"))
           .select(mapping("node"), col("l2").as("label"))
-          .localCheckpoint())
+          .graftCheckpoint())
       if (!merged) shrinking = false
       else {
         // contract: endpoints -> labels, canonical min/max orientation
@@ -1823,7 +1843,7 @@ object Graph {
           .select(least(col("ls"), col("ld")).as("src"),
             greatest(col("ls"), col("ld")).as("dst"), col("w"))
         g = truncStats(
-          relab.groupBy("src", "dst").agg(sum("w").as("w")).localCheckpoint())
+          relab.groupBy("src", "dst").agg(sum("w").as("w")).graftCheckpoint())
       }
     }
     canonCommunities(mapping)
@@ -1888,11 +1908,11 @@ object Graph {
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("850 * coalesce(s, 0L) div 1000")).as("r"))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
     // ranks is checkpointed (or iters == 0 and derives from sw below) —
     // pin it if the loop never ran, then release the loop-only caches.
-    if (iters == 0) ranks = ranks.localCheckpoint()
+    if (iters == 0) ranks = ranks.graftCheckpoint()
     ew.unpersist()
     sw.unpersist()
     e.unpersist()
@@ -1938,7 +1958,7 @@ object Graph {
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("850 * coalesce(s, 0L) div 1000")).as("r"))
-      val cut = if (withDeltas || i % checkpointEvery == 0) next.localCheckpoint() else next
+      val cut = if (withDeltas || i % checkpointEvery == 0) next.graftCheckpoint() else next
       if (withDeltas)
         deltas += cut.join(ranks.select(col("node"), col("r").as("rp")), "node")
           .agg(max(abs(col("r") - col("rp"))).as("max_delta"))
@@ -1951,7 +1971,7 @@ object Graph {
     // the session (the advisor's clusteringCoefficients finding, applied
     // to the whole iterative family).
     if (iters == 0 || (!withDeltas && iters % checkpointEvery != 0))
-      ranks = ranks.localCheckpoint()
+      ranks = ranks.graftCheckpoint()
     val rankOut = ranks.select(col("node"), col("r").as("rank"))
     val deltaOut =
       if (withDeltas) deltas.result().reduce(_ unionByName _)
@@ -2001,7 +2021,7 @@ object Graph {
     }
 
     var hubs = nodes.select(col("node"), lit(1000000L).as("s"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var auths = hubs
     for (_ <- 1 to iters) {
       val rawA = nodes
@@ -2009,19 +2029,19 @@ object Graph {
                 .groupBy(col("dst").as("node")).agg(sum("s").as("r")),
               Seq("node"), "left")
         .select(col("node"), coalesce(col("r"), lit(0L)).as("raw"))
-        .localCheckpoint()
+        .graftCheckpoint()
       auths = norm(rawA)
       val rawH = nodes
         .join(e.join(auths.withColumnRenamed("node", "dst"), "dst")
                 .groupBy(col("src").as("node")).agg(sum("s").as("r")),
               Seq("node"), "left")
         .select(col("node"), coalesce(col("r"), lit(0L)).as("raw"))
-        .localCheckpoint()
+        .graftCheckpoint()
       hubs = norm(rawH)
     }
     val out = auths.select(col("node"), col("s").as("auth"))
       .join(hubs.select(col("node"), col("s").as("hub")), "node")
-      .localCheckpoint()
+      .graftCheckpoint()
     nodes.unpersist()
     e.unpersist()
     out
@@ -2065,7 +2085,7 @@ object Graph {
       .select(col("node").as("s"))
     var visited = srcs
       .select(col("s"), col("s").as("node"), lit(0L).as("dist"), lit(1L).as("sigma"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var frontier = visited
     var dmax = 0
     var i = 1
@@ -2076,7 +2096,7 @@ object Graph {
         .agg(sum("sigma").as("sigma"))
         .join(visited.select("s", "node"), Seq("s", "node"), "left_anti")
         .select(col("s"), col("node"), lit(i.toLong).as("dist"), col("sigma"))
-        .localCheckpoint()
+        .graftCheckpoint()
       if (!nxt.isEmpty) dmax = i
       visited = visited.unionByName(nxt)
       frontier = nxt
@@ -2100,7 +2120,7 @@ object Graph {
       .groupBy("node")
       .agg(sum(expr("1000 div dist")).as("harmonic_milli"),
         count(lit(1)).as("n_sources"))
-      .localCheckpoint()
+      .graftCheckpoint()
     e.unpersist()
     out
   }
@@ -2150,7 +2170,7 @@ object Graph {
       val dl = lv.join(down, Seq("s", "node"), "left")
         .select(col("s"), col("node"), col("sigma"),
           coalesce(col("d"), lit(0L)).as("d"))
-        .localCheckpoint()
+        .graftCheckpoint()
       if (l > 0) levels += dl // level 0 = the sources themselves: excluded
       dnext = dl.select("s", "node", "d")
     }
@@ -2158,7 +2178,7 @@ object Graph {
       .reduceOption(_ unionByName _)
       .map(_.groupBy("node").agg(sum(col("sigma") * col("d")).as("stress")))
       .getOrElse(visited.select(col("node"), lit(0L).as("stress")).limit(0))
-      .localCheckpoint()
+      .graftCheckpoint()
     e.unpersist()
     out
   }
@@ -2201,9 +2221,9 @@ object Graph {
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (col("tele") + expr("850 * coalesce(s, 0L) div 1000")).as("r"))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
-    if (iters == 0) ranks = ranks.localCheckpoint()
+    if (iters == 0) ranks = ranks.graftCheckpoint()
     tele.unpersist()
     ed.unpersist()
     deg.unpersist()

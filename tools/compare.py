@@ -11,7 +11,7 @@ scale (sf0.01, or when ORACLE_BUDGET_ENFORCE=1) — the run FAILS if the full
 sweep exceeds ORACLE_BUDGET_TOTAL (default 300 s) or any single oracle
 exceeds ORACLE_BUDGET_SINGLE (default 20 s). A key whose oracle is too
 expensive must fix the oracle, not ship and hope."""
-import sys, json, glob, os, time
+import sys, json, glob, os, re, time
 import duckdb
 import pandas as pd
 
@@ -84,14 +84,21 @@ print(f"\n[oracle-budget] {len(times)} oracles, total {total_t:.1f}s "
       f"(budget {budget_total:.0f}s), slowest "
       + ", ".join(f"{n} {t:.2f}s" for n, t in slowest[:3]))
 marker = "<!-- AUTO-GENERATED: latest gate sweep below; edited by tools/compare.py -->"
-# Only a FULL sweep may rewrite the committed table: a partial/dev run
-# against an incomplete verify dir (oracles skipped on "no spark output"
-# are never timed) must not replace the full-gate sweep with a
-# misleadingly small total.
-full_sweep = len(times) == len(oracle)
+# Only a FULL sweep may rewrite the committed table: a partial/dev run —
+# an incomplete verify dir (oracles skipped on "no spark output" are never
+# timed) OR a subset Verify run (which narrows oracle_sql.json itself) —
+# must not replace the full-gate sweep with a misleadingly small total.
+# "Full" = every oracle in this run timed AND the sweep is at least as
+# large as the committed one (the catalog only grows).
+path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ORACLE_TIMES.md")
+prev_n = 0
+if os.path.exists(path):
+    m = re.search(r"\*\*(\d+) oracles, total", open(path).read())
+    prev_n = int(m.group(1)) if m else 0
+full_sweep = len(times) == len(oracle) and len(times) >= prev_n
 if not full_sweep:
-    print(f"[oracle-budget] partial run ({len(times)}/{len(oracle)} oracles timed); "
-          "ORACLE_TIMES.md left untouched")
+    print(f"[oracle-budget] partial run ({len(times)}/{len(oracle)} oracles timed, "
+          f"committed sweep {prev_n}); ORACLE_TIMES.md left untouched")
 else:
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ORACLE_TIMES.md")
