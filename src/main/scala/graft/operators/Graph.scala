@@ -1678,7 +1678,7 @@ object Graph {
     * (same vectors, same sample, no index shortcuts). */
   def sgnsAnnStoreBrute(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, k: Int, sampleMod: Long): DataFrame =
-    knnOverVecs(spark.read.parquet(s"$indexDir/vectors")
+    knnOverVecs(spark.read.parquet(s"${Similarity.ivfLiveRoot(spark, indexDir)}/vectors")
         .select(col("vec_id").as("node"), col("qv").as("v")),
       k, sampleMod)
 
@@ -1712,10 +1712,17 @@ object Graph {
     * corpus(linear), and recall grading over ~targetProbes probes is a
     * statistically equivalent estimate at any scale. One count over the
     * store's partition column — metadata-scale. Deterministic given the
-    * data, so graded recalls reproduce run-to-run. */
+    * data, so graded recalls reproduce run-to-run. The probe count is
+    * only ~n/targetProbes for roughly-uniform id spaces (modulus
+    * sampling); a sparse or clustered id space can yield fewer — even
+    * zero — probes, which consumers must guard (see
+    * `ScaleCheck`'s recall print). Works on both store layouts: the
+    * plain SGNS table and the IVF store (resolved through its live
+    * generation). */
   def autoSampleMod(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       targetProbes: Long): Long = {
-    val n = spark.read.parquet(s"$indexDir/vectors").count()
+    val n = spark.read.parquet(
+      s"${Similarity.ivfLiveRoot(spark, indexDir)}/vectors").count()
     math.max(1L, n / targetProbes)
   }
 

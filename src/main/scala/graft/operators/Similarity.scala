@@ -285,8 +285,10 @@ object Similarity {
       .groupBy("threshold")
       .agg(sum(when(col("max_cos") >= col("threshold"), 1L).otherwise(0L)).as("n_pruned"))
       .crossJoin(broadcast(total)) // 1-row scalar: corpus size
+      // decimal(38,0) product: n_pruned × 1e6 would overflow int64 past
+      // ~9.2e12 pruned rows (same guard as ivfCellCensus's load_ppm)
       .select(col("threshold"), col("n_pruned"), col("n_total"),
-        expr("n_pruned * 1000000L div n_total").as("prune_ppm"))
+        expr("cast(n_pruned as decimal(38,0)) * 1000000 div n_total").as("prune_ppm"))
       .orderBy("threshold")
   }
 
@@ -481,8 +483,9 @@ object Similarity {
     * serving path the brute-force contract keys are graded against. */
   def ivfProbeIndexSelf(spark: SparkSession, indexDir: String, k: Int,
       nprobe: Int, probePred: org.apache.spark.sql.Column): DataFrame = {
-    val cents = ivfLoadCentroids(spark, indexDir)
-    val index = spark.read.parquet(s"$indexDir/vectors")
+    val root = ivfLiveRoot(spark, indexDir)
+    val cents = ivfLoadCentroids(spark, root)
+    val index = spark.read.parquet(s"$root/vectors")
       // partition-column type inference may narrow cid — normalise to long
       .select(col("vec_id"), col("qv"), col("nrm"), col("cid").cast("long").as("cid"))
     val probes = index.filter(probePred)
@@ -501,7 +504,7 @@ object Similarity {
   /** Load a persisted index's centroids to the driver — K rows of index
     * METADATA (the same footprint every IVF server holds in memory). */
   def ivfLoadCentroids(spark: SparkSession, indexDir: String): Array[(Long, Array[Long], Long)] =
-    spark.read.parquet(s"$indexDir/centroids").collect()
+    spark.read.parquet(s"${ivfLiveRoot(spark, indexDir)}/centroids").collect()
       .map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Long]]("cqv").toArray,
         r.getAs[Long]("cnrm")))
       .sortBy(_._1)
@@ -516,8 +519,9 @@ object Similarity {
   def ivfProbePersisted(emb: DataFrame, indexDir: String, k: Int, nprobe: Int,
       probePred: org.apache.spark.sql.Column): DataFrame = {
     val spark = emb.sparkSession
-    val cents = ivfLoadCentroids(spark, indexDir)
-    val index = spark.read.parquet(s"$indexDir/vectors")
+    val root = ivfLiveRoot(spark, indexDir)
+    val cents = ivfLoadCentroids(spark, root)
+    val index = spark.read.parquet(s"$root/vectors")
       // partition-column type inference may narrow cid — normalise to long
       .select(col("vec_id"), col("qv"), col("nrm"), col("cid").cast("long").as("cid"))
     val probes = quantized(emb).filter(probePred)
@@ -540,9 +544,10 @@ object Similarity {
     * partitioned append — cost linear in the increment, not the index. */
   def ivfAppendIndex(embNew: DataFrame, indexDir: String): Unit = {
     val spark = embNew.sparkSession
-    val cents = ivfLoadCentroids(spark, indexDir)
+    val root = ivfLiveRoot(spark, indexDir)
+    val cents = ivfLoadCentroids(spark, root)
     assignCells(quantized(embNew), cents)
-      .write.mode("append").partitionBy("cid").parquet(s"$indexDir/vectors")
+      .write.mode("append").partitionBy("cid").parquet(s"$root/vectors")
   }
 
   /** Cell-balance CENSUS of a persisted IVF index — the maintenance
@@ -564,17 +569,162 @@ object Similarity {
     * a mystery into a rebuild ticket. */
   def ivfCellCensus(spark: SparkSession, indexDir: String,
       rebuildFactor: Int = 2): DataFrame = {
-    val perCell = spark.read.parquet(s"$indexDir/vectors")
+    val perCell = spark.read.parquet(s"${ivfLiveRoot(spark, indexDir)}/vectors")
       .select(col("cid").cast("long").as("cid"))
       .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
     val totals = perCell.agg(count(lit(1)).as("n_cells"),
       sum(col("n_vectors")).as("n_total"))
     perCell.crossJoin(broadcast(totals)) // 1-row scalar: observed-cell totals
+      // the load products run in decimal(38,0): n_vectors × n_cells ×
+      // 1e6 overflows int64 at ~1e10 vectors across thousands of cells —
+      // exactly the corpus this census targets (`div` on decimals still
+      // returns the exact integral long; the DuckDB oracle mirrors with
+      // a HUGEINT cast)
       .select(col("cid"), col("n_vectors"),
-        expr("n_vectors * n_cells * 1000000 div n_total").as("load_ppm"),
-        when(col("n_vectors") * col("n_cells") > lit(rebuildFactor.toLong) * col("n_total"),
+        expr("cast(n_vectors as decimal(38,0)) * n_cells * 1000000 div n_total")
+          .as("load_ppm"),
+        when(col("n_vectors").cast("decimal(38,0)") * col("n_cells")
+            > lit(rebuildFactor.toLong) * col("n_total"),
           1L).otherwise(0L).as("needs_rebuild"))
       .orderBy("cid")
+  }
+
+  // ---- index generations: rebuild with an atomic swap -------------------
+
+  private val GenMarkerPrefix = ".graft_ivf_gen_"
+
+  /** Resolve the LIVE root of a persisted IVF index. A freshly built
+    * index is flat (`indexDir/{centroids,vectors}` — generation 0); each
+    * [[ivfRebuild]] writes a full replacement under `indexDir/gen-<N>/`
+    * and commits it with one atomic marker-file rename, after which every
+    * reader/appender resolves through the highest marker. Readers never
+    * observe a mixed index: a half-written generation has no marker (old
+    * root stays live), and the marker rename is the single commit point —
+    * the same highest-version-wins contract as the lake manifests
+    * (`etl/LakeOps.scala`). Resolution cost is one directory listing. */
+  private[graft] def ivfLiveRoot(spark: SparkSession, indexDir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ivfLiveGen(fs, root) match {
+      case Some(g) => s"$indexDir/gen-$g"
+      case None    => indexDir
+    }
+  }
+
+  private def ivfLiveGen(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(GenMarkerPrefix))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(GenMarkerPrefix).toLong).toOption)
+      .sorted.lastOption
+
+  /** REBUILD a persisted IVF index in place — the executable remedy for
+    * [[ivfCellCensus]]'s `needs_rebuild` flag: appends assign into frozen
+    * cells, so sustained drift or a near-duplicate flood skews the
+    * inverted file until probe cost approaches a scan of the hot cell;
+    * the fix is retraining the centroids on the corpus the index actually
+    * holds now. Two phases, each crash-safe:
+    *
+    *  1. [[ivfRebuildStage]] — read the LIVE `vectors/` table (the
+    *     pre-quantised corpus; the raw embeddings are never re-read),
+    *     retrain deterministic Lloyd centroids SAMPLE-BOUNDED
+    *     (`sampleMod`, the [[ivfTrainedTopKSampled]] posture — training
+    *     cost stays ~constant as the index grows), re-assign the full
+    *     corpus in one map-side pass, and write the new K-row codebook +
+    *     cell-partitioned inverted file under `indexDir/gen-<N>/` — a
+    *     sibling of the live data, invisible to every reader.
+    *  2. [[ivfRebuildCommit]] — one atomic marker rename makes gen N the
+    *     index, then superseded generations are vacuumed. A reader
+    *     resolves either the old root or the new one, never a mix; a
+    *     crash between stage and commit leaves the old index live (the
+    *     orphaned gen dir is overwritten by the next attempt); a crash
+    *     after the marker but before the vacuum leaves only reclaimable
+    *     garbage ([[ivfVacuum]] is idempotent).
+    *
+    * Serving downtime is zero: probes against `indexDir` resolve the old
+    * generation until the marker lands, the new one after. */
+  def ivfRebuild(spark: SparkSession, indexDir: String, numCentroids: Int,
+      iterations: Int, sampleMod: Long = 1L): Unit =
+    ivfRebuildCommit(spark, indexDir,
+      ivfRebuildStage(spark, indexDir, numCentroids, iterations, sampleMod))
+
+  /** Phase 1 of [[ivfRebuild]]: stage generation N+1 next to the live
+    * index. Returns the staged generation number; nothing is live until
+    * [[ivfRebuildCommit]]. */
+  private[graft] def ivfRebuildStage(spark: SparkSession, indexDir: String,
+      numCentroids: Int, iterations: Int, sampleMod: Long = 1L): Long = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = ivfLiveGen(fs, root).getOrElse(0L) + 1
+    val live = ivfLiveRoot(spark, indexDir)
+    // one read of the live inverted file feeds the seed collect, every
+    // Lloyd pass and the re-assignment write — checkpoint so the scan
+    // runs once (the ivfBuildIndexQ rule)
+    val q = spark.read.parquet(s"$live/vectors")
+      .select(col("vec_id"), col("qv"), col("nrm"))
+      .graftCheckpoint()
+    val cents = lloydCentroidsQ(trainSample(q, sampleMod), numCentroids, iterations)
+    cents.toSeq.map { case (cid, cqv, cnrm) => (cid, cqv.toSeq, cnrm) }
+      .toDF("cid", "cqv", "cnrm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/gen-$gen/centroids")
+    assignCells(q, cents)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/gen-$gen/vectors")
+    gen
+  }
+
+  /** Phase 2 of [[ivfRebuild]]: THE commit point — rename a dot-prefixed
+    * temp file to the generation marker (atomic on every Hadoop
+    * filesystem that backs an index), then vacuum superseded data. */
+  private[graft] def ivfRebuildCommit(spark: SparkSession, indexDir: String,
+      gen: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".graft_ivf_marker_tmp_${System.nanoTime()}")
+    fs.create(tmp, false).close()
+    val dest = new org.apache.hadoop.fs.Path(root, s"$GenMarkerPrefix$gen")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"IVF generation commit failed: $tmp -> $dest")
+    ivfVacuum(spark, indexDir)
+  }
+
+  /** Reclaim superseded index generations: every gen dir below the live
+    * marker, the flat gen-0 tables once a marker exists, stale markers
+    * and orphaned temp markers. Idempotent — safe to re-run after a
+    * crashed commit's cleanup. Never touches the live generation. */
+  private[graft] def ivfVacuum(spark: SparkSession, indexDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ivfLiveGen(fs, root).foreach { live =>
+      for (s <- fs.listStatus(root)) {
+        val n = s.getPath.getName
+        val superseded =
+          (s.isDirectory && (n == "centroids" || n == "vectors")) ||
+          (s.isDirectory && n.startsWith("gen-") &&
+            scala.util.Try(n.stripPrefix("gen-").toLong).toOption.exists(_ < live)) ||
+          (s.isFile && n.startsWith(GenMarkerPrefix) &&
+            scala.util.Try(n.stripPrefix(GenMarkerPrefix).toLong).toOption.exists(_ < live)) ||
+          (s.isFile && n.startsWith(".graft_ivf_marker_tmp_"))
+        if (superseded) fs.delete(s.getPath, true)
+      }
+    }
+  }
+
+  /** The census→rebuild LOOP closed: run [[ivfCellCensus]], and when any
+    * cell crosses the `rebuildFactor`×-mean skew threshold, execute
+    * [[ivfRebuild]] — retrain (sample-bounded), atomic swap, vacuum.
+    * Returns whether a rebuild ran. The flag collect is K rows of index
+    * metadata (the same footprint [[ivfLoadCentroids]] holds). */
+  def ivfRebuildIfNeeded(spark: SparkSession, indexDir: String,
+      numCentroids: Int, iterations: Int, sampleMod: Long = 1L,
+      rebuildFactor: Int = 2): Boolean = {
+    val skewed = ivfCellCensus(spark, indexDir, rebuildFactor)
+      .agg(max(col("needs_rebuild")).as("m")).collect()(0).getLong(0) > 0
+    if (skewed) ivfRebuild(spark, indexDir, numCentroids, iterations, sampleMod)
+    skewed
   }
 
   /** IVF-PQ approximate top-k: IVF cells bound WHICH vectors a probe

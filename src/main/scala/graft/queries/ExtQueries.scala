@@ -519,6 +519,50 @@ object ExtQueries {
     Similarity.ivfCellCensus(spark, idx)
   }
 
+  /** The census→rebuild loop CLOSED. Fixture = real distribution drift:
+    * the index is built and appended on the natural corpus, then a TIGHT
+    * new cluster arrives (one-fifth of the corpus, distinct vectors
+    * pushed into the positive-orthant corner — new-domain data the
+    * frozen centroids have no cell for), so the whole cluster lands in
+    * ONE stale cell and the census crosses the 2×-mean threshold. The
+    * flag is then ACTED on — [[graft.operators.Similarity
+    * .ivfRebuildIfNeeded]] retrains the centroids SAMPLE-BOUNDED
+    * (vec_id % 2 — the 100 TB trainer posture) on the corpus the index
+    * actually holds, re-assigns in one map-side pass, and swaps the new
+    * generation in with one atomic marker rename (readers never see a
+    * mixed index; the old generation serves until the commit instant).
+    * Post-rebuild the trained centroids give the cluster its own cell
+    * and every flag clears. Output: the census BEFORE (skewed, flag
+    * raised) and AFTER (balanced) — the before/after a deployment's
+    * maintenance run records. The pre census is checkpoint-materialised
+    * before the swap so it reads the generation it measured, not the
+    * rebuilt one. */
+  def simsearchIvfRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val idx = Staging.tmpDir("ivfreb")
+    Similarity.ivfBuildIndex(emb.filter(col("vec_id") < 400),
+      numCentroids = 8, iterations = 1, indexDir = idx)
+    Similarity.ivfAppendIndex(emb.filter(col("vec_id") >= 400), idx)
+    // the drifted cluster: |x| + 1 pushes every component positive, so
+    // the vectors are near-parallel (a genuinely new region) yet all
+    // DISTINCT — a retrain can give them a cell; a duplicate flood could
+    // never balance (identical vectors always share one cell)
+    val flood = emb.filter(col("vec_id") % 5 === 0)
+      .select((lit(1000000L) + col("vec_id")).as("vec_id"),
+        transform(col("embedding"), x => abs(x.cast("double")) + lit(1.0d))
+          .as("embedding"))
+    Similarity.ivfAppendIndex(flood, idx)
+    val pre = Similarity.ivfCellCensus(spark, idx)
+      .withColumn("phase", lit("pre")).graftCheckpoint()
+    Similarity.ivfRebuildIfNeeded(spark, idx, numCentroids = 8,
+      iterations = 1, sampleMod = 2L)
+    val post = Similarity.ivfCellCensus(spark, idx).withColumn("phase", lit("post"))
+    pre.union(post)
+      .select(col("phase"), col("cid"), col("n_vectors"), col("load_ppm"),
+        col("needs_rebuild"))
+      .orderBy("phase", "cid")
+  }
+
   /** LSH-bucket ANN: probes scan only their hyperplane bucket (4 planes). */
   def simsearchLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(tbl(spark, dir, "embeddings"), numPlanes = 4, k = 5,
@@ -4542,6 +4586,7 @@ object ExtQueries {
     "simsearch_ivf_append" -> (simsearchIvfAppend _),
     "simsearch_ivf_sampled" -> (simsearchIvfSampled _),
     "simsearch_ivf_census" -> (simsearchIvfCensus _),
+    "simsearch_ivf_rebuild" -> (simsearchIvfRebuild _),
     "simsearch_lsh" -> (simsearchLsh _),
     "text_lang_id" -> (textLangId _),
     "text_lang_id_ngram" -> (textLangIdNgram _),
@@ -4697,7 +4742,13 @@ object ExtQueries {
         Graph.walkSkipgramPairs(
           Graph.coPartEdgesMin(tbl(spark, dir, "lineitem"), minCount = 2L),
           walksPerNode = 2, steps = 4, window = 2), idx)
-      () => Graph.sgnsKnnPersisted(spark, idx, k = 5, sampleMod = 100L)
+      // the PRODUCTION form of the brute truth tier: probe count is
+      // budget-bounded by the store size (autoSampleMod), so the
+      // measured serve latency is the one that holds at any corpus
+      // scale — probes(~64, fixed) × corpus(linear), never quadratic.
+      // The catalog key keeps its fixed mod for oracle determinism.
+      val mod = Graph.autoSampleMod(spark, idx, targetProbes = 64L)
+      () => Graph.sgnsKnnPersisted(spark, idx, k = 5, sampleMod = mod)
     }),
     "graph_embedding_ann" -> ((spark, dir) => {
       val idx = Staging.tmpDir("sgnsann-serve")

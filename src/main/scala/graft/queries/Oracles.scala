@@ -2241,9 +2241,103 @@ object Oracles {
          |percell AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors FROM assigned GROUP BY cid),
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n_vectors) AS BIGINT) AS n_total FROM percell)
          |SELECT cid, n_vectors,
-         | n_vectors * n_cells * 1000000 // n_total AS load_ppm,
-         | CAST(CASE WHEN n_vectors * n_cells > 2 * n_total THEN 1 ELSE 0 END AS BIGINT) AS needs_rebuild
+         | CAST(CAST(n_vectors AS HUGEINT) * n_cells * 1000000 // n_total AS BIGINT) AS load_ppm,
+         | CAST(CASE WHEN CAST(n_vectors AS HUGEINT) * n_cells > 2 * n_total THEN 1 ELSE 0 END AS BIGINT) AS needs_rebuild
          |FROM percell, tot ORDER BY cid""".stripMargin,
+
+    // Census -> REBUILD loop: pre census = the simsearch_ivf_census
+    // machinery (first-400 training c1n) over the drifted corpus allv =
+    // full corpus + a TIGHT positive-orthant cluster (floor((|x|+1)*1e6)
+    // of every fifth vector — distinct near-parallel vectors, the same
+    // double dag as the engine's quantize(abs(x)+1.0)). The rebuild
+    // retrains SAMPLE-BOUNDED (ts = allv where vec_id % 2 = 0; seeds =
+    // first 8 sample vectors in vec_id order, renumbered — the
+    // lloydCentroidsQ rule), one Lloyd iteration of truncated integer
+    // means, full re-assignment, post census. The post phase is
+    // CONDITIONAL on the pre flag, exactly like ivfRebuildIfNeeded: no
+    // flag -> no rebuild -> post = pre. Load products run in HUGEINT,
+    // mirroring the engine's decimal(38,0).
+    "simsearch_ivf_rebuild" ->
+      s"""$embCtes,
+         |ft AS (SELECT * FROM f WHERE vec_id < 400),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cqv, nrm AS cnrm
+         |       FROM ft WHERE vec_id < 8),
+         |cc0 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         |  FROM ft v, c0 c),
+         |a0 AS (SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc0)
+         |  WHERE crk = 1),
+         |sums AS (SELECT cid, i_ - 1 AS pos, CAST(sum(qv[i_]) AS BIGINT) AS s, count(*) AS n
+         |         FROM a0, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i_)
+         |         GROUP BY cid, i_),
+         |cm AS (SELECT cid, list(s // n ORDER BY pos) AS cqv FROM sums GROUP BY cid),
+         |c1 AS (SELECT c0.cid, coalesce(cm.cqv, c0.cqv) AS cqv FROM c0 LEFT JOIN cm USING (cid)),
+         |c1n AS (SELECT cid, cqv,
+         |          CAST(list_sum(list_transform(cqv, x_ -> x_*x_)) AS BIGINT) AS cnrm FROM c1),
+         |fl AS (SELECT 1000000 + vec_id AS vec_id,
+         |         list_transform(embedding, x_ -> CAST(floor((abs(CAST(x_ AS DOUBLE)) + 1.0)*1000000) AS BIGINT)) AS qv
+         |       FROM embeddings WHERE vec_id % 5 = 0),
+         |fln AS (SELECT vec_id, qv,
+         |          CAST(list_sum(list_transform(qv, x_ -> x_*x_)) AS BIGINT) AS nrm FROM fl),
+         |allv AS (SELECT vec_id, qv, nrm FROM f
+         |         UNION ALL
+         |         SELECT vec_id, qv, nrm FROM fln WHERE nrm > 0),
+         |cc1 AS (SELECT v.vec_id, c.cid,
+         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         |  FROM allv v, c1n c),
+         |assigned AS (SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM cc1)
+         |  WHERE crk = 1),
+         |percell AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors FROM assigned GROUP BY cid),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n_vectors) AS BIGINT) AS n_total FROM percell),
+         |flag AS (SELECT max(CASE WHEN CAST(n_vectors AS HUGEINT) * n_cells > 2 * n_total THEN 1 ELSE 0 END) AS fired
+         |         FROM percell, tot),
+         |ts AS (SELECT * FROM allv WHERE vec_id % 2 = 0),
+         |r0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, cqv, cnrm FROM (
+         |       SELECT vec_id, qv AS cqv, nrm AS cnrm FROM ts ORDER BY vec_id LIMIT 8)),
+         |rcc0 AS (SELECT v.vec_id, v.qv, v.nrm, c.cid,
+         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         |  FROM ts v, r0 c),
+         |ra0 AS (SELECT vec_id, qv, nrm, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM rcc0)
+         |  WHERE crk = 1),
+         |rsums AS (SELECT cid, i_ - 1 AS pos, CAST(sum(qv[i_]) AS BIGINT) AS s, count(*) AS n
+         |          FROM ra0, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i_)
+         |          GROUP BY cid, i_),
+         |rcm AS (SELECT cid, list(s // n ORDER BY pos) AS cqv FROM rsums GROUP BY cid),
+         |rc1 AS (SELECT r0.cid, coalesce(rcm.cqv, r0.cqv) AS cqv FROM r0 LEFT JOIN rcm USING (cid)),
+         |rc1n AS (SELECT cid, cqv,
+         |           CAST(list_sum(list_transform(cqv, x_ -> x_*x_)) AS BIGINT) AS cnrm FROM rc1),
+         |rcc1 AS (SELECT v.vec_id, c.cid,
+         |    CAST(${qdotPair("v.qv", "c.cqv")} AS DOUBLE) /
+         |     (sqrt(CAST(v.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS ccos
+         |  FROM allv v, rc1n c),
+         |rassigned AS (SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crk FROM rcc1)
+         |  WHERE crk = 1),
+         |rpercell AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors FROM rassigned GROUP BY cid),
+         |rtot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(n_vectors) AS BIGINT) AS n_total FROM rpercell),
+         |phased AS (
+         | SELECT 'pre' AS phase, cid, n_vectors,
+         |  CAST(CAST(n_vectors AS HUGEINT) * n_cells * 1000000 // n_total AS BIGINT) AS load_ppm,
+         |  CAST(CASE WHEN CAST(n_vectors AS HUGEINT) * n_cells > 2 * n_total THEN 1 ELSE 0 END AS BIGINT) AS needs_rebuild
+         | FROM percell, tot
+         | UNION ALL
+         | SELECT 'post' AS phase, cid, n_vectors,
+         |  CAST(CAST(n_vectors AS HUGEINT) * n_cells * 1000000 // n_total AS BIGINT) AS load_ppm,
+         |  CAST(CASE WHEN CAST(n_vectors AS HUGEINT) * n_cells > 2 * n_total THEN 1 ELSE 0 END AS BIGINT) AS needs_rebuild
+         | FROM rpercell, rtot WHERE (SELECT fired FROM flag) = 1
+         | UNION ALL
+         | SELECT 'post' AS phase, cid, n_vectors,
+         |  CAST(CAST(n_vectors AS HUGEINT) * n_cells * 1000000 // n_total AS BIGINT) AS load_ppm,
+         |  CAST(CASE WHEN CAST(n_vectors AS HUGEINT) * n_cells > 2 * n_total THEN 1 ELSE 0 END AS BIGINT) AS needs_rebuild
+         | FROM percell, tot WHERE (SELECT fired FROM flag) = 0)
+         |SELECT phase, cid, n_vectors, load_ppm, needs_rebuild
+         |FROM phased ORDER BY phase, cid""".stripMargin,
 
     "window_sessionize" ->
       """WITH b AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),

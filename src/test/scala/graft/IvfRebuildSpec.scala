@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.queries.Staging
+
+/** The census→rebuild loop and its atomic generation swap
+  * ([[graft.operators.Similarity.ivfRebuild]]): the `needs_rebuild` flag
+  * must have an executable remedy, the swap must be invisible until its
+  * single marker-rename commit point, and a rebuilt index must serve
+  * exactly what a fresh build over the same corpus serves. */
+class IvfRebuildSpec extends SparkSpec {
+
+  /** The drifted-index fixture of the `simsearch_ivf_rebuild` catalog
+    * key: natural build+append, then a tight positive-orthant cluster
+    * (distinct vectors — balanceable, unlike a duplicate flood). */
+  private def driftedIndex(tag: String): (String, org.apache.spark.sql.DataFrame) = {
+    val emb = Staging.tbl(spark, sf, "embeddings")
+    val idx = Staging.tmpDir(tag)
+    Similarity.ivfBuildIndex(emb.filter(col("vec_id") < 400),
+      numCentroids = 8, iterations = 1, indexDir = idx)
+    Similarity.ivfAppendIndex(emb.filter(col("vec_id") >= 400), idx)
+    val flood = emb.filter(col("vec_id") % 5 === 0)
+      .select((lit(1000000L) + col("vec_id")).as("vec_id"),
+        transform(col("embedding"), x => abs(x.cast("double")) + lit(1.0d))
+          .as("embedding"))
+    Similarity.ivfAppendIndex(flood, idx)
+    val drifted = emb.select(col("vec_id"), col("embedding")).union(flood)
+    (idx, drifted)
+  }
+
+  test("census flags the drifted index; rebuild clears every flag and keeps the corpus") {
+    val (idx, _) = driftedIndex("ivfreb-loop")
+    val pre = Similarity.ivfCellCensus(spark, idx).collect()
+    assert(pre.exists(_.getAs[Long]("needs_rebuild") == 1L),
+      "fixture must trip the rebuild flag before the rebuild")
+    val ran = Similarity.ivfRebuildIfNeeded(spark, idx, numCentroids = 8,
+      iterations = 1, sampleMod = 2L)
+    assert(ran, "flagged index must trigger a rebuild")
+    val post = Similarity.ivfCellCensus(spark, idx).collect()
+    assert(post.forall(_.getAs[Long]("needs_rebuild") == 0L),
+      s"post-rebuild census still flagged: ${post.mkString(", ")}")
+    assert(post.map(_.getAs[Long]("n_vectors")).sum ==
+      pre.map(_.getAs[Long]("n_vectors")).sum, "rebuild must not lose vectors")
+    assert(post.map(_.getAs[Long]("load_ppm")).max <
+      pre.map(_.getAs[Long]("load_ppm")).max, "rebuild must reduce the hot-cell load")
+    // a balanced index does not re-trigger
+    assert(!Similarity.ivfRebuildIfNeeded(spark, idx, numCentroids = 8,
+      iterations = 1, sampleMod = 2L))
+  }
+
+  test("rebuilt index serves bit-identically to a fresh build over the drifted corpus") {
+    val (idx, drifted) = driftedIndex("ivfreb-serve")
+    Similarity.ivfRebuild(spark, idx, numCentroids = 8, iterations = 1, sampleMod = 2L)
+    val fresh = Staging.tmpDir("ivfreb-fresh")
+    Similarity.ivfBuildIndex(drifted, numCentroids = 8, iterations = 1,
+      indexDir = fresh, sampleMod = 2L)
+    val served = Similarity.ivfProbePersisted(drifted, idx, k = 5, nprobe = 2,
+      probePred = col("vec_id") < 5).collect().map(_.toString).sorted.toSeq
+    val freshServed = Similarity.ivfProbePersisted(drifted, fresh, k = 5, nprobe = 2,
+      probePred = col("vec_id") < 5).collect().map(_.toString).sorted.toSeq
+    assert(served.nonEmpty && served == freshServed,
+      "rebuilt index must serve exactly what a fresh build serves")
+  }
+
+  test("crash between stage and commit leaves the old generation live; commit swaps atomically") {
+    val (idx, drifted) = driftedIndex("ivfreb-crash")
+    def probe() = Similarity.ivfProbePersisted(drifted, idx, k = 5, nprobe = 2,
+      probePred = col("vec_id") < 5).collect().map(_.toString).sorted.toSeq
+    val before = probe()
+    // stage only — the "crash before commit": readers must be unaffected
+    val gen = Similarity.ivfRebuildStage(spark, idx, numCentroids = 8,
+      iterations = 1, sampleMod = 2L)
+    assert(gen == 1L)
+    assert(Similarity.ivfLiveRoot(spark, idx) == idx,
+      "an uncommitted generation must not change the live root")
+    assert(probe() == before, "readers must not observe a staged, uncommitted rebuild")
+    // the commit point: one marker rename — after it the new gen is live
+    Similarity.ivfRebuildCommit(spark, idx, gen)
+    assert(Similarity.ivfLiveRoot(spark, idx) == s"$idx/gen-1")
+    // vacuum (ran inside commit) reclaimed the flat gen-0 tables
+    val root = new java.io.File(idx)
+    assert(!new java.io.File(root, "vectors").exists(),
+      "superseded flat tables must be vacuumed after commit")
+    // a second rebuild bumps the generation and vacuums gen-1
+    Similarity.ivfRebuild(spark, idx, numCentroids = 8, iterations = 1, sampleMod = 2L)
+    assert(Similarity.ivfLiveRoot(spark, idx) == s"$idx/gen-2")
+    assert(!new java.io.File(root, "gen-1").exists(),
+      "superseded generation dir must be vacuumed")
+  }
+
+  test("appends after a rebuild land in the live generation") {
+    val (idx, _) = driftedIndex("ivfreb-app")
+    Similarity.ivfRebuild(spark, idx, numCentroids = 8, iterations = 1, sampleMod = 2L)
+    val emb = Staging.tbl(spark, sf, "embeddings")
+    val n0 = spark.read.parquet(s"$idx/gen-1/vectors").count()
+    Similarity.ivfAppendIndex(
+      emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + lit(2000000L)).as("vec_id"), col("embedding")),
+      idx)
+    assert(spark.read.parquet(s"$idx/gen-1/vectors").count() == n0 + 10,
+      "append must write into the live generation")
+  }
+}
