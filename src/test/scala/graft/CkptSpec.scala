@@ -19,8 +19,11 @@ class CkptSpec extends SparkSpec {
       spark.conf.set(Ckpt.ModeKey, "local")
       val local = rows(key)
       spark.conf.set(Ckpt.ModeKey, "reliable")
-      spark.conf.set(Ckpt.DirKey,
-        java.nio.file.Files.createTempDirectory(s"ckpt-$key").toString)
+      val dir = java.nio.file.Files.createTempDirectory(s"ckpt-$key").toString
+      spark.conf.set(Ckpt.DirKey, dir)
+      // Ckpt only applies DirKey while the context's checkpoint dir is
+      // unset; pin it so THIS test's temp dir is really the one used
+      spark.sparkContext.setCheckpointDir(dir)
       val reliable = rows(key)
       assert(local == reliable, s"$key differs between checkpoint modes")
       assert(local.nonEmpty, s"$key returned no rows")
@@ -39,6 +42,26 @@ class CkptSpec extends SparkSpec {
   test("kcore bit-identical across checkpoint modes")(bitIdentical("graph_kcore"))
   test("minhash-lsh dedup bit-identical across checkpoint modes")(bitIdentical("dedup_minhash_lsh"))
   test("label propagation bit-identical across checkpoint modes")(bitIdentical("graph_label_prop"))
+
+  test("mode defaults by master: local on local[n], reliable elsewhere, conf wins") {
+    // this suite runs on local[n] -> unset conf must resolve to `local`
+    val prev = spark.conf.getOption(Ckpt.ModeKey)
+    try {
+      spark.conf.unset(Ckpt.ModeKey)
+      assert(Ckpt.mode(spark) == "local",
+        s"unset mode on master ${spark.sparkContext.master} should be local")
+      // an explicit conf always wins over the master heuristic
+      spark.conf.set(Ckpt.ModeKey, "reliable")
+      assert(Ckpt.mode(spark) == "reliable")
+      spark.conf.set(Ckpt.ModeKey, "local")
+      assert(Ckpt.mode(spark) == "local")
+    } finally {
+      prev match {
+        case Some(m) => spark.conf.set(Ckpt.ModeKey, m)
+        case None => spark.conf.unset(Ckpt.ModeKey)
+      }
+    }
+  }
 
   test("reliable mode writes to the configured checkpoint dir") {
     val dir = java.nio.file.Files.createTempDirectory("ckpt-probe")
