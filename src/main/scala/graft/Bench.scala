@@ -4,13 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CKPT_MODE=reliable prices the cluster-safe checkpoint
+    // mode on the same keys/machine (the docs/SCALING.md mode A/B);
+    // unset, local[n] defaults to localCheckpoint per Ckpt.mode.
+    sys.env.get("SPARK_GRAFT_CKPT_MODE").foreach { m =>
+      builder.config(Ckpt.ModeKey, m)
+      builder.config(Ckpt.DirKey,
+        java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen compiler, parquet reader, broadcast infra)
     // so per-query timings reflect steady state, not first-query JIT.
@@ -134,7 +142,7 @@ object Bench {
       prev.get("_calibration").map(calib / _).getOrElse(1.0),
       prev.get("_calibration_shuffle").map(calibShuffle / _).getOrElse(1.0)))
     val timed = first.collect { case (n, s, true) =>
-      val regressed = prev.get(n).exists(p => s - p > 0.3 && s - p > 0.2 * p)
+      val regressed = prev.get(n).exists(p => slowerFlag(s, p, driftFactor))
       if (!regressed) n -> s
       else {
         val reruns = Seq(time(n)._1, time(n)._1)
@@ -203,6 +211,29 @@ object Bench {
     spark.stop()
   }
 
+  /** The SLOWER decision, probe-normalized: the measured time is first
+    * DIVIDED by the run's drift factor (the fixed CPU/shuffle/stream
+    * probes' slowdown vs the committed history), then held to the
+    * standard >20%-and->0.3s regression thresholds. Dividing the
+    * MEASUREMENT — rather than multiplying the thresholds, the r13 form —
+    * is the repo's own adjudication protocol mechanized: a key that
+    * merely drifted with the machine (ratio ≤ the probe ratio) normalizes
+    * back onto its baseline and is not flagged, while a real regression
+    * must exceed the drift TIMES the threshold to hide (the r13 driver
+    * run emitted ~30 SLOWER flags at 1.43× shuffle drift that this rule
+    * scores clean; a planted 2× regression still flags — BenchFlagSpec). */
+  private[graft] def slowerFlag(secs: Double, prev: Double, drift: Double): Boolean = {
+    val n = secs / math.max(drift, 1.0)
+    n - prev > 0.3 && n - prev > 0.2 * prev
+  }
+
+  /** A contended run must not become the next round's baseline: above
+    * this probe drift the history file is left untouched (flags are
+    * still printed, normalized). Override with
+    * SPARK_GRAFT_BENCH_FORCE_HISTORY=1 after a permanent machine
+    * change. */
+  private val MaxHistoryDrift = 1.25
+
   private def histFile(sfDir: String): java.io.File =
     new java.io.File(s"docs/bench/${new java.io.File(sfDir).getName}.json")
 
@@ -246,16 +277,19 @@ object Bench {
       timed.foreach { case (name, secs) =>
         prev.get(name).foreach { p =>
           val delta = secs - p
-          // SLOWER flags are normalized by the probe drift: a regression
-          // must exceed what machine load alone explains. Faster moves
-          // use the raw threshold (an improvement is never drift-masked).
+          // SLOWER flags are probe-normalized (see slowerFlag): the
+          // measurement is divided by the machine-drift factor before
+          // the thresholds apply, so a key that moved WITH the machine
+          // scores clean. Faster moves use the raw threshold (an
+          // improvement is never drift-masked).
           val drift = if (name.startsWith("stream_")) streamDrift else driftFactor
-          val isSlower = delta > 0.3 * drift && delta > 0.2 * p * drift
+          val isSlower = slowerFlag(secs, p, drift)
           val isFaster = delta < -0.3 && -delta > 0.2 * p
           if (isSlower || isFaster) {
             flagged += 1
             val dir = if (delta > 0) "SLOWER" else "faster"
-            System.err.println(f"[bench]   $name%-28s $p%.2fs -> $secs%.2fs  ($dir ${math.abs(delta)}%.2fs)")
+            val norm = if (isSlower && drift > 1.0) f" (${secs / drift}%.2fs at ${drift}%.2fx drift)" else ""
+            System.err.println(f"[bench]   $name%-28s $p%.2fs -> $secs%.2fs  ($dir ${math.abs(delta)}%.2fs)$norm")
           }
         }
       }
@@ -266,6 +300,14 @@ object Bench {
     if (failed.nonEmpty) {
       // A broken run must not become the next round's regression baseline.
       System.err.println(s"[bench] ${failed.size} queries FAILED (${failed.mkString(", ")}); history NOT rewritten")
+    } else if (prev.nonEmpty && driftFactor > MaxHistoryDrift &&
+        !sys.env.get("SPARK_GRAFT_BENCH_FORCE_HISTORY").contains("1")) {
+      // A contended run must not become the baseline either: its inflated
+      // timings would mask real regressions next round (and flag phantom
+      // "faster" moves). The committed idle baseline stays authoritative.
+      System.err.println(
+        f"[bench] probe drift ${driftFactor}%.2fx > $MaxHistoryDrift%.2fx: contended run, " +
+          "history NOT rewritten (SPARK_GRAFT_BENCH_FORCE_HISTORY=1 to override)")
     } else {
       hist.getParentFile.mkdirs()
       val json = (("_calibration" -> calib) +: ("_calibration_shuffle" -> calibShuffle) +:
