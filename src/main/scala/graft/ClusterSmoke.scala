@@ -12,10 +12,12 @@ import org.apache.spark.sql.SparkSession
   * lineage-truncation the iterative operators rely on is never stressed.
   * This runner executes the top-N slowest keys from the committed bench
   * history under `local-cluster[2,16,4096]` — an in-process standalone
-  * master + 2 workers that launch REAL separate executor JVMs — with
-  * `spark.graft.checkpoint.mode=reliable` (see [[Ckpt]]), so every
-  * truncation point writes cluster-visible checkpoint files instead of
-  * executor-local blocks.
+  * master + 2 workers that launch REAL separate executor JVMs. The
+  * checkpoint mode is left UNSET so [[Ckpt.mode]]'s safe-by-master
+  * default selects `reliable` (non-`local[n]` master) — every truncation
+  * point writes cluster-visible checkpoint files instead of
+  * executor-local blocks, and this smoke doubles as the standing proof
+  * of that default.
   *
   * Green here demonstrates: (a) all closures/broadcasts in the hot keys
   * survive cross-JVM serialization, (b) executor JVMs can load every
@@ -49,7 +51,9 @@ object ClusterSmoke {
       // the standalone launcher resolves the jars dir via the Scala
       // version; a dist without build dirs needs it pinned explicitly
       .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
-      .config("spark.graft.checkpoint.mode", "reliable")
+      // checkpoint MODE deliberately not set: local-cluster is a
+      // non-local[n] master, so [[Ckpt.mode]] must auto-select reliable —
+      // this smoke is the standing proof the safe-by-default rule works
       .config("spark.graft.checkpoint.dir", ckptDir)
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
@@ -91,19 +95,41 @@ object ClusterSmoke {
     System.err.println(s"[smoke] ${keys.size} keys on local-cluster[2,16,4096], " +
       s"reliable checkpoints -> $ckptDir, app classes $appClasses")
     var failed = List.empty[(String, String)]
+    var timed = List.empty[(String, Double)]
     keys.foreach { name =>
       val t0 = System.nanoTime()
       try {
         val n = catalog(name)(spark, sfDir).count()
-        System.err.println(f"[smoke] $name%-28s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        val secs = (System.nanoTime() - t0) / 1e9
+        timed ::= (name, secs)
+        System.err.println(f"[smoke] $name%-28s rows=$n%-8d $secs%.2fs")
       } catch { case scala.util.control.NonFatal(e) =>
         failed ::= (name, e.toString.take(300))
         System.err.println(s"[smoke] $name FAILED: $e")
       }
       spark.catalog.clearCache()
     }
+    // Gate artifact: the per-key cross-JVM timings, committed alongside
+    // the bench history (docs/bench/cluster-<sf>.json) so cluster-mode
+    // cost regressions are diffable across rounds the way bench is.
+    // Full-catalog runs overwrite; subset runs (topN below the catalog
+    // size) leave the committed record untouched.
+    try {
+      val rec = new java.io.File(
+        s"docs/bench/cluster-${new java.io.File(sfDir).getName}.json")
+      if (failed.isEmpty && keys.size >= catalog.size - embeddedOnly.size) {
+        rec.getParentFile.mkdirs()
+        val json = timed.reverse
+          .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        java.nio.file.Files.writeString(rec.toPath, json + "\n")
+        System.err.println(s"[smoke] per-key timings recorded to ${rec.getPath}")
+      } else if (rec.exists())
+        System.err.println(s"[smoke] subset/failed run: ${rec.getPath} left untouched")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[smoke] timings record skipped: $e")
+    }
     val failedJson = failed.reverse.map { case (n, _) => "\"" + n + "\"" }.mkString("[", ",", "]")
-    println(s"""{"metric":"cluster_smoke","keys":${keys.size},"failed":$failedJson,"master":"local-cluster[2,16,4096]","mode":"reliable","sf":"$sfDir"}""")
+    println(s"""{"metric":"cluster_smoke","keys":${keys.size},"failed":$failedJson,"master":"local-cluster[2,16,4096]","mode":"${Ckpt.mode(spark)}","sf":"$sfDir"}""")
     spark.stop()
     // local-cluster leaves worker dirs under SPARK_HOME/work; checkpoint
     // tmp dir is removed here (cleaner handles per-RDD files during the run)

@@ -821,10 +821,18 @@ object ScaleCheck {
                 sampleMod = autoMod)
               .agg(sum(col("n_hit")).as("h"), sum(col("n_true")).as("t"))
               .collect()(0)
-            System.err.println(f"[scale] graph_ann recall@5 f=$f nprobe=$np " +
-              f"mod=$autoMod: ${r.getLong(0).toDouble / r.getLong(1)}%.3f " +
-              f"(${r.getLong(0)}/${r.getLong(1)})")
-            r.getLong(1)
+            // modulus sampling only approximates the probe budget: a
+            // sparse/clustered node-id space can leave vec_id % mod == 0
+            // with zero probes, making the sums null — skip the recall
+            // print instead of dividing into it
+            if (r.isNullAt(1) || r.getLong(1) == 0L)
+              System.err.println(s"[scale] graph_ann recall@5 f=$f nprobe=$np " +
+                s"mod=$autoMod: no probes selected (sparse id space), recall skipped")
+            else
+              System.err.println(f"[scale] graph_ann recall@5 f=$f nprobe=$np " +
+                f"mod=$autoMod: ${r.getLong(0).toDouble / r.getLong(1)}%.3f " +
+                f"(${r.getLong(0)}/${r.getLong(1)})")
+            if (r.isNullAt(1)) 0L else r.getLong(1)
           }
         }
       }
