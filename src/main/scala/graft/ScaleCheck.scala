@@ -442,6 +442,22 @@ object ScaleCheck {
             .graftCheckpoint(),
           8, 5).length.toLong
       }
+      // Maintenance rebuild of a persisted index: read the inverted file
+      // once, sample-bounded retrain (sampleMod = 2f keeps the Lloyd
+      // frame ~constant), one re-assignment pass, partitioned write +
+      // atomic marker swap. Must grow ~linearly in the corpus (the two
+      // full passes + the write), never superlinearly — the census
+      // ladder's remedy priced at the same scale as its trigger.
+      if (opFilter.isEmpty || opFilter.contains("simsearch_ivf_rebuild")) {
+        // the index build is staging, not the measured op
+        val rebIdx = graft.queries.Staging.tmpDir(s"ivfrebscale$f")
+        Similarity.ivfBuildIndex(v, numCentroids = 8, iterations = 1, indexDir = rebIdx)
+        time("simsearch_ivf_rebuild", f) {
+          Similarity.ivfRebuild(spark, rebIdx, numCentroids = 8, iterations = 1,
+            sampleMod = 2L * f)
+          spark.read.parquet(s"${Similarity.ivfLiveRoot(spark, rebIdx)}/vectors").count()
+        }
+      }
       time("dedup_embedding_lsh", f) {
         Similarity.lshCosinePairs(v, 4, 0.4).count()
       }

@@ -429,6 +429,10 @@ object Similarity {
       indexDir: String, sampleMod: Long = 1L): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // a BUILD is from-scratch: clear any generation state a prior
+    // ivfRebuild left, or the fresh flat tables would stay invisible
+    // behind the old generation marker
+    ivfResetGenerations(spark, indexDir)
     val q = quantized(emb)
     // sampleMod > 1: sample-bounded training (see ivfTrainedTopKSampled) —
     // Lloyd scans only the materialised modulus sample; assignment below
@@ -455,6 +459,7 @@ object Similarity {
       indexDir: String, sampleMod: Long = 1L): Unit = {
     val spark = qRaw.sparkSession
     import spark.implicits._
+    ivfResetGenerations(spark, indexDir) // build = from-scratch (see ivfBuildIndex)
     // the pre-quantised corpus is often EXPENSIVE to produce (the graph
     // store: a full SGNS training) and the build consumes it 2+iterations
     // times (seed collect, each Lloyd pass, the assignment write) —
@@ -689,6 +694,22 @@ object Similarity {
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"IVF generation commit failed: $tmp -> $dest")
     ivfVacuum(spark, indexDir)
+  }
+
+  /** Drop ALL generation state under an index dir — markers and gen
+    * dirs — returning it to the flat layout a fresh build writes. Called
+    * by the build entry points so re-building over a rebuilt index
+    * cannot leave the new tables shadowed by a stale marker. */
+  private def ivfResetGenerations(spark: SparkSession, indexDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      for (s <- fs.listStatus(root)) {
+        val n = s.getPath.getName
+        if (n.startsWith(GenMarkerPrefix) || n.startsWith(".graft_ivf_marker_tmp_") ||
+            (s.isDirectory && n.startsWith("gen-")))
+          fs.delete(s.getPath, true)
+      }
   }
 
   /** Reclaim superseded index generations: every gen dir below the live

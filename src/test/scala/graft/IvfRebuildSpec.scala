@@ -89,6 +89,19 @@ class IvfRebuildSpec extends SparkSpec {
       "superseded generation dir must be vacuumed")
   }
 
+  test("rebuilding over a rebuilt dir via ivfBuildIndex resets generations") {
+    val (idx, drifted) = driftedIndex("ivfreb-reset")
+    Similarity.ivfRebuild(spark, idx, numCentroids = 8, iterations = 1, sampleMod = 2L)
+    assert(Similarity.ivfLiveRoot(spark, idx) == s"$idx/gen-1")
+    // a from-scratch BUILD over the same dir must not stay shadowed by
+    // the stale generation marker
+    Similarity.ivfBuildIndex(drifted, numCentroids = 8, iterations = 1, indexDir = idx)
+    assert(Similarity.ivfLiveRoot(spark, idx) == idx,
+      "build must reset generation state back to the flat layout")
+    assert(Similarity.ivfCellCensus(spark, idx).collect()
+      .map(_.getAs[Long]("n_vectors")).sum == drifted.count())
+  }
+
   test("appends after a rebuild land in the live generation") {
     val (idx, _) = driftedIndex("ivfreb-app")
     Similarity.ivfRebuild(spark, idx, numCentroids = 8, iterations = 1, sampleMod = 2L)
