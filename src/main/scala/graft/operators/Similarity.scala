@@ -649,7 +649,12 @@ object Similarity {
     *     garbage ([[ivfVacuum]] is idempotent).
     *
     * Serving downtime is zero: probes against `indexDir` resolve the old
-    * generation until the marker lands, the new one after. */
+    * generation until the marker lands, the new one after.
+    *
+    * Concurrency contract: SINGLE MAINTENANCE WRITER per index (the
+    * standard index-maintenance posture — run the census+rebuild from
+    * one scheduled job). Readers and probes are always safe; two
+    * concurrent rebuilds would race on the same gen-N staging dir. */
   def ivfRebuild(spark: SparkSession, indexDir: String, numCentroids: Int,
       iterations: Int, sampleMod: Long = 1L): Unit =
     ivfRebuildCommit(spark, indexDir,
