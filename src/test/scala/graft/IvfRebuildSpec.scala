@@ -89,6 +89,29 @@ class IvfRebuildSpec extends SparkSpec {
       "superseded generation dir must be vacuumed")
   }
 
+  test("vacuum is idempotent after a crash between marker commit and cleanup") {
+    val (idx, drifted) = driftedIndex("ivfreb-vac")
+    val gen = Similarity.ivfRebuildStage(spark, idx, numCentroids = 8,
+      iterations = 1, sampleMod = 2L)
+    // simulate "marker landed, vacuum crashed": write the marker by hand
+    // and skip the cleanup ivfRebuildCommit would run
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(root, s".graft_ivf_gen_$gen"), false).close()
+    // readers already resolve the committed generation despite the garbage
+    assert(Similarity.ivfLiveRoot(spark, idx) == s"$idx/gen-$gen")
+    assert(new java.io.File(idx, "vectors").exists(), "pre-crash state: old tables still on disk")
+    val served = Similarity.ivfProbePersisted(drifted, idx, k = 5, nprobe = 2,
+      probePred = col("vec_id") < 5).count()
+    assert(served > 0)
+    // re-running vacuum reclaims the superseded flat tables; twice is a no-op
+    Similarity.ivfVacuum(spark, idx)
+    Similarity.ivfVacuum(spark, idx)
+    assert(!new java.io.File(idx, "vectors").exists(), "vacuum must reclaim the old tables")
+    assert(Similarity.ivfProbePersisted(drifted, idx, k = 5, nprobe = 2,
+      probePred = col("vec_id") < 5).count() == served)
+  }
+
   test("rebuilding over a rebuilt dir via ivfBuildIndex resets generations") {
     val (idx, drifted) = driftedIndex("ivfreb-reset")
     Similarity.ivfRebuild(spark, idx, numCentroids = 8, iterations = 1, sampleMod = 2L)
