@@ -692,12 +692,14 @@ object Similarity {
       gen: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s".graft_ivf_marker_tmp_${System.nanoTime()}")
-    fs.create(tmp, false).close()
     val dest = new org.apache.hadoop.fs.Path(root, s"$GenMarkerPrefix$gen")
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"IVF generation commit failed: $tmp -> $dest")
+    if (!fs.exists(dest)) { // idempotent: a re-driven commit whose marker
+      val tmp = new org.apache.hadoop.fs.Path(root, //  already landed only vacuums
+        s".graft_ivf_marker_tmp_${System.nanoTime()}")
+      fs.create(tmp, false).close()
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"IVF generation commit failed: $tmp -> $dest")
+    }
     ivfVacuum(spark, indexDir)
   }
 

@@ -82,6 +82,9 @@ class IvfRebuildSpec extends SparkSpec {
     val root = new java.io.File(idx)
     assert(!new java.io.File(root, "vectors").exists(),
       "superseded flat tables must be vacuumed after commit")
+    // a re-driven commit whose marker already landed is a no-op + vacuum
+    Similarity.ivfRebuildCommit(spark, idx, gen)
+    assert(Similarity.ivfLiveRoot(spark, idx) == s"$idx/gen-1")
     // a second rebuild bumps the generation and vacuums gen-1
     Similarity.ivfRebuild(spark, idx, numCentroids = 8, iterations = 1, sampleMod = 2L)
     assert(Similarity.ivfLiveRoot(spark, idx) == s"$idx/gen-2")
