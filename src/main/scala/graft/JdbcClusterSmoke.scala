@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** NETWORKED executor-side JDBC smoke — the cluster shape the embedded-
+  * Derby catalog keys cannot exercise (Derby embedded locks its db dir
+  * to ONE JVM, so `ClusterSmoke` excludes the 3 JDBC keys with a logged
+  * contract). The distribution ships no derbynet/derbyclient, but it
+  * DOES ship Spark's own Thrift JDBC server (`spark-hive-thriftserver`)
+  * and the `hive-jdbc` driver — a real TCP database endpoint and a real
+  * network JDBC client, both offline.
+  *
+  * The experiment: start the Thrift server inside the driver of a
+  * `local-cluster[2,8,4096]` app (single-session mode, so the app's temp
+  * views are the served warehouse), then run a PARTITIONED
+  * `spark.read.jdbc` against `jdbc:hive2://localhost:<port>` from the
+  * SAME app. The four partition tasks execute on the remote EXECUTOR
+  * JVMs, each opening its own TCP JDBC connection back to the server —
+  * cross-process, through a socket, with the generated HiveQL carrying
+  * the partition bounds and pruned columns ([[graft.sources
+  * .HiveJdbcDialect]] makes the generated SQL valid HiveQL; without it
+  * the default dialect's double-quoted identifiers parse as string
+  * literals). Verified: row count, per-key content equality against the
+  * direct parquet read, and the executor id of every partition task
+  * (all must be real executors, not the driver).
+  *
+  * Usage: `runMain graft.JdbcClusterSmoke [sfDir] [port]`. Prints one
+  * JSON line; exit 1 on any mismatch. */
+object JdbcClusterSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val port = if (args.length > 1) args(1).toInt else 10123
+
+    val appClasses = new java.io.File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
+    // keep the server's embedded Hive metastore out of the repo cwd
+    val meta = java.nio.file.Files.createTempDirectory("graft-jdbc-meta").toString
+    sys.props("derby.system.home") = meta
+    sys.props("derby.stream.error.file") = s"$meta/derby.log"
+
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,8,4096]")
+      .appName("graft-jdbc-cluster-smoke")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.extraClassPath", appClasses)
+      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      .config("hive.server2.thrift.port", port.toString)
+      // the served session IS this session: temp views become the warehouse
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$meta/metastore_db;create=true")
+      .config("spark.sql.warehouse.dir", s"$meta/warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sources.HiveJdbcDialect.register()
+
+    val customer = graft.queries.Staging.tbl(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    customer.createOrReplaceTempView("customer_src")
+    val maxKey = customer.agg(org.apache.spark.sql.functions.max("c_custkey"))
+      .collect()(0).getLong(0)
+
+    org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+      .startWithSparkSession(spark, exitOnError = false)
+    // wait for the TCP listener
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var up = false
+    while (!up && System.nanoTime() < deadline) {
+      try { new java.net.Socket("localhost", port).close(); up = true }
+      catch { case _: java.io.IOException => Thread.sleep(500) }
+    }
+    require(up, s"Thrift JDBC server did not open port $port within 60s")
+
+    val url = s"jdbc:hive2://localhost:$port/default"
+    val jdbcDf = spark.read.format("jdbc")
+      .option("url", url)
+      .option("driver", "org.apache.hive.jdbc.HiveDriver")
+      .option("dbtable", "customer_src")
+      .option("partitionColumn", "c_custkey")
+      .option("lowerBound", "1")
+      .option("upperBound", (maxKey + 1).toString)
+      .option("numPartitions", "4")
+      .load()
+
+    val outcome = try {
+      // where did the partition tasks run? (must be executors, not driver)
+      val parts = jdbcDf.rdd.mapPartitions { it =>
+        Iterator((org.apache.spark.SparkEnv.get.executorId, it.size))
+      }.collect()
+      val execIds = parts.map(_._1).distinct.sorted
+      val viaJdbc = jdbcDf.collect().map(_.toString).sorted
+      val direct = customer.collect().map(_.toString).sorted
+      val contentEqual = viaJdbc.sameElements(direct)
+      val onExecutors = execIds.forall(_ != "driver")
+      // column pruning + predicate pushdown also cross the wire as HiveQL
+      val pushed = jdbcDf.filter(org.apache.spark.sql.functions.col("c_custkey") <= 10)
+        .select("c_name").count()
+      val pushedTruth = customer
+        .filter(org.apache.spark.sql.functions.col("c_custkey") <= 10)
+        .count()
+      val ok = contentEqual && onExecutors && parts.length == 4 && pushed == pushedTruth
+      println(s"""{"metric":"jdbc_cluster_smoke","outcome":"${if (ok) "ok" else "MISMATCH"}","rows":${viaJdbc.length},"partitions":${parts.length},"executors":${execIds.mkString("[\"", "\",\"", "\"]")},"content_equal":$contentEqual,"pushdown_rows":$pushed,"url":"jdbc:hive2://localhost:$port"}""")
+      if (ok) "ok" else "MISMATCH"
+    } catch { case e: Throwable =>
+      val msg = Option(e.getMessage).getOrElse("").replaceAll("[\"\\n]", " ").take(200)
+      println(s"""{"metric":"jdbc_cluster_smoke","outcome":"failed","error":"${e.getClass.getSimpleName}: $msg"}""")
+      "failed"
+    }
+    try spark.stop() catch { case _: Throwable => () }
+    // the embedded metastore's derby.log lands in cwd despite the
+    // derby.system.home prop (DataNucleus re-boots Derby) — sweep any
+    // cwd droppings so a smoke run never dirties the repo
+    for (n <- Seq("derby.log", "spark-warehouse", "metastore_db")) try {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val f = new java.io.File(n)
+      if (f.exists()) rm(f)
+    } catch { case scala.util.control.NonFatal(_) => () }
+    if (outcome != "ok") sys.exit(1)
+  }
+}
