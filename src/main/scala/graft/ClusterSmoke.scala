@@ -119,8 +119,12 @@ object ClusterSmoke {
         s"docs/bench/cluster-${new java.io.File(sfDir).getName}.json")
       if (failed.isEmpty && keys.size >= catalog.size - embeddedOnly.size) {
         rec.getParentFile.mkdirs()
+        // Locale.ROOT: f"%.3f" uses the default JVM locale, which on
+        // comma-decimal locales (de_DE) would emit invalid JSON.
         val json = timed.reverse
-          .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+          .map { case (k, v) =>
+            s""""$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}""" }
+          .mkString("{", ",", "}")
         java.nio.file.Files.writeString(rec.toPath, json + "\n")
         System.err.println(s"[smoke] per-key timings recorded to ${rec.getPath}")
       } else if (rec.exists())

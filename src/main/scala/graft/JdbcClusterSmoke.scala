@@ -24,6 +24,15 @@ import org.apache.spark.sql.SparkSession
   * direct parquet read, and the executor id of every partition task
   * (all must be real executors, not the driver).
   *
+  * The WRITE leg then retires the last embedded-Derby-only contract:
+  * [[graft.sources.JdbcStatementWriter]] sends multi-row
+  * `INSERT INTO … VALUES` TEXT statements (the reference's
+  * `to_sql(method='multi')` shape, btc_etl.py:179-180) from executor
+  * tasks over their own TCP connections — no prepared placeholders, so
+  * it works where Spark's built-in jdbc writer cannot — followed by a
+  * read-back equality check and a full replay through the anti-join
+  * guard that must insert zero rows.
+  *
   * Usage: `runMain graft.JdbcClusterSmoke [sfDir] [port]`. Prints one
   * JSON line; exit 1 on any mismatch. */
 object JdbcClusterSmoke {
@@ -57,14 +66,21 @@ object JdbcClusterSmoke {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.HiveJdbcDialect.register()
 
+    // coarse progress markers on stderr: the smoke runs at WARN log
+    // level, so a hang is otherwise a silent 10-minute mystery
+    def mark(s: String): Unit = System.err.println(s"[jdbc-smoke] $s")
+    mark("session up")
+
     val customer = graft.queries.Staging.tbl(spark, sfDir, "customer")
       .select("c_custkey", "c_name", "c_nationkey")
     customer.createOrReplaceTempView("customer_src")
     val maxKey = customer.agg(org.apache.spark.sql.functions.max("c_custkey"))
       .collect()(0).getLong(0)
+    mark(s"customer staged, maxKey=$maxKey")
 
     org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
       .startWithSparkSession(spark, exitOnError = false)
+    mark("thrift server starting")
     // wait for the TCP listener
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     var up = false
@@ -73,6 +89,7 @@ object JdbcClusterSmoke {
       catch { case _: java.io.IOException => Thread.sleep(500) }
     }
     require(up, s"Thrift JDBC server did not open port $port within 60s")
+    mark("port open")
 
     val url = s"jdbc:hive2://localhost:$port/default"
     val jdbcDf = spark.read.format("jdbc")
@@ -101,8 +118,53 @@ object JdbcClusterSmoke {
       val pushedTruth = customer
         .filter(org.apache.spark.sql.functions.col("c_custkey") <= 10)
         .count()
-      val ok = contentEqual && onExecutors && parts.length == 4 && pushed == pushedTruth
-      println(s"""{"metric":"jdbc_cluster_smoke","outcome":"${if (ok) "ok" else "MISMATCH"}","rows":${viaJdbc.length},"partitions":${parts.length},"executors":${execIds.mkString("[\"", "\",\"", "\"]")},"content_equal":$contentEqual,"pushdown_rows":$pushed,"url":"jdbc:hive2://localhost:$port"}""")
+      mark("read leg done")
+
+      // WRITE leg — the reference sink's actual wire shape
+      // (btc_etl.py:179-180, to_sql(method='multi')) over the network:
+      // executor tasks render multi-row `INSERT INTO … VALUES (…),(…)`
+      // TEXT statements and send them over their own TCP connection to
+      // the Thrift endpoint. No prepared-statement placeholders — which
+      // hive2 does not serve and is exactly why Spark's built-in jdbc
+      // writer cannot write here ([[graft.sources.JdbcStatementWriter]]).
+      // Verified: every write task ran on a real executor, read-back
+      // content equality vs the direct frame, and a FULL REPLAY through
+      // the anti-join guard inserts zero rows (the reference's
+      // crash-between-to_sql-and-SADD duplication made a no-op).
+      spark.sql("DROP TABLE IF EXISTS graft_sink_net")
+      spark.sql("CREATE TABLE graft_sink_net " +
+        "(c_custkey BIGINT, c_name STRING, c_nationkey BIGINT) USING parquet")
+      // The four executor-side writes run SEQUENTIALLY (four
+      // single-partition appends, each one task on a remote executor):
+      // the target here is a filesystem-backed parquet table, and
+      // Spark's FS commit protocol stages every concurrent INSERT job
+      // under the same `_temporary` dir, so racing inserts silently drop
+      // each other's task files — measured in this smoke: 26/150 rows
+      // lost at 4 concurrent writers. A real warehouse endpoint (the
+      // reference's Postgres) takes the connections CONCURRENTLY — the
+      // writer's concurrent-partition correctness is pinned against live
+      // row-locking Derby in JdbcStatementWriterSpec; the single-writer
+      // contract belongs to FS-backed tables, not to the writer.
+      val kc = org.apache.spark.sql.functions.col("c_custkey")
+      val audit = (0 until 4).flatMap { b =>
+        graft.sources.JdbcStatementWriter.append(
+          customer.filter(kc % 4 === b).coalesce(1),
+          url, "graft_sink_net", batchSize = 100)
+      }
+      mark(s"write leg: first append done (${audit.map(_.rows).sum} rows)")
+      val writeExecs = audit.map(_.executorId).distinct.sorted
+      val writtenBack = spark.table("graft_sink_net").collect().map(_.toString).sorted
+      val writeEqual = writtenBack.sameElements(direct)
+      val writeOnExecutors = audit.nonEmpty && writeExecs.forall(_ != "driver")
+      val replayRows = graft.sources.JdbcStatementWriter
+        .appendIdempotent(customer, url, "graft_sink_net", "c_custkey")
+        .map(_.rows).sum
+      val replayOk = replayRows == 0 &&
+        spark.table("graft_sink_net").count() == direct.length
+
+      val ok = contentEqual && onExecutors && parts.length == 4 &&
+        pushed == pushedTruth && writeEqual && writeOnExecutors && replayOk
+      println(s"""{"metric":"jdbc_cluster_smoke","outcome":"${if (ok) "ok" else "MISMATCH"}","rows":${viaJdbc.length},"partitions":${parts.length},"executors":${execIds.mkString("[\"", "\",\"", "\"]")},"content_equal":$contentEqual,"pushdown_rows":$pushed,"write_rows":${audit.map(_.rows).sum},"write_statements":${audit.map(_.statements).sum},"write_executors":${writeExecs.mkString("[\"", "\",\"", "\"]")},"write_content_equal":$writeEqual,"replay_inserted":$replayRows,"url":"jdbc:hive2://localhost:$port"}""")
       if (ok) "ok" else "MISMATCH"
     } catch { case e: Throwable =>
       val msg = Option(e.getMessage).getOrElse("").replaceAll("[\"\\n]", " ").take(200)

@@ -546,12 +546,35 @@ object Similarity {
     * EXISTING cells (centroids unchanged — the standard IVF increment;
     * retraining is a separate, explicit rebuild) and append to the
     * cell-partitioned vectors table. One map-side assignment pass + one
-    * partitioned append — cost linear in the increment, not the index. */
+    * partitioned append — cost linear in the increment, not the index.
+    *
+    * Concurrency vs [[ivfRebuild]]: an append racing the rebuild's STAGE
+    * phase is safe — its files land after the stage's recorded read set
+    * and the commit replays them into the new generation. Appends must
+    * not race the COMMIT itself (see the [[ivfRebuild]] contract); the
+    * streaming maintenance tail (`stream_ivf_maintain`) serialises both
+    * in one foreachBatch writer, which is the deployment shape. */
   def ivfAppendIndex(embNew: DataFrame, indexDir: String): Unit = {
     val spark = embNew.sparkSession
     val root = ivfLiveRoot(spark, indexDir)
     val cents = ivfLoadCentroids(spark, root)
     assignCells(quantized(embNew), cents)
+      .write.mode("append").partitionBy("cid").parquet(s"$root/vectors")
+  }
+
+  /** [[ivfAppendIndex]] for a PRE-QUANTISED increment (vec_id, qv, nrm)
+    * — the [[ivfBuildIndexQ]] duality, and the graph-embedding ANN
+    * store's ingest shape (SGNS components are exact int64 already, so
+    * there is no float column to quantise). Zero-norm rows are dropped
+    * (cosine undefined — the [[quantized]] rule). Same concurrency
+    * contract as [[ivfAppendIndex]]. */
+  def ivfAppendIndexQ(qNew: DataFrame, indexDir: String): Unit = {
+    val spark = qNew.sparkSession
+    val root = ivfLiveRoot(spark, indexDir)
+    val cents = ivfLoadCentroids(spark, root)
+    assignCells(
+      qNew.select(col("vec_id"), col("qv"), col("nrm")).filter(col("nrm") > 0),
+      cents)
       .write.mode("append").partitionBy("cid").parquet(s"$root/vectors")
   }
 
@@ -648,17 +671,32 @@ object Similarity {
     *     after the marker but before the vacuum leaves only reclaimable
     *     garbage ([[ivfVacuum]] is idempotent).
     *
-    * Serving downtime is zero: probes against `indexDir` resolve the old
-    * generation until the marker lands, the new one after.
+    * Serving downtime is zero for a probe that RESOLVES AND EXECUTES on
+    * one side of the commit: resolution flips atomically with the marker
+    * and each side is a complete index. The caveat is a reader that
+    * resolved the OLD root and is still scanning when the superseded
+    * generation is vacuumed — a DataFrame captures the resolved path at
+    * read time, so the default vacuum-at-commit would yank its files
+    * mid-scan. Deployments with long-running concurrent readers commit
+    * with `vacuum = false` and reclaim later via an explicit
+    * [[ivfVacuum]] once in-flight readers have drained — the lake-format
+    * retention pattern (IvfRebuildSpec loops a live reader across
+    * repeated swaps to pin this).
     *
-    * Concurrency contract: SINGLE MAINTENANCE WRITER per index (the
-    * standard index-maintenance posture — run the census+rebuild from
-    * one scheduled job). Readers and probes are always safe; two
-    * concurrent rebuilds would race on the same gen-N staging dir. */
+    * Concurrency contract: SINGLE MAINTENANCE WRITER per index for
+    * rebuild vs rebuild AND append vs COMMIT (two rebuilds race on the
+    * same gen-N staging dir; an append racing the commit's final listing
+    * can slip into the window between diff and marker). An append racing
+    * the long STAGE phase is safe: the stage records the exact file set
+    * it consumed (`.staged_manifest`), and the commit diffs the
+    * superseded root's files against it, re-assigning any rows that
+    * landed after the stage read into the new generation before the
+    * marker lands — nothing is silently vacuumed. */
   def ivfRebuild(spark: SparkSession, indexDir: String, numCentroids: Int,
-      iterations: Int, sampleMod: Long = 1L): Unit =
+      iterations: Int, sampleMod: Long = 1L, vacuum: Boolean = true): Unit =
     ivfRebuildCommit(spark, indexDir,
-      ivfRebuildStage(spark, indexDir, numCentroids, iterations, sampleMod))
+      ivfRebuildStage(spark, indexDir, numCentroids, iterations, sampleMod),
+      vacuum)
 
   /** Phase 1 of [[ivfRebuild]]: stage generation N+1 next to the live
     * index. Returns the staged generation number; nothing is live until
@@ -670,10 +708,18 @@ object Similarity {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gen = ivfLiveGen(fs, root).getOrElse(0L) + 1
     val live = ivfLiveRoot(spark, indexDir)
-    // one read of the live inverted file feeds the seed collect, every
-    // Lloyd pass and the re-assignment write — checkpoint so the scan
-    // runs once (the ivfBuildIndexQ rule)
-    val q = spark.read.parquet(s"$live/vectors")
+    // List the live inverted file's data files FIRST and read exactly
+    // that set: the listing then IS what this stage consumed, and the
+    // commit can diff it against the superseded root to catch rows a
+    // concurrent ivfAppendIndex landed after this read (which would
+    // otherwise be vacuumed away — data loss).
+    val consumed = listParquetDataFiles(fs,
+      new org.apache.hadoop.fs.Path(s"$live/vectors"))
+    require(consumed.nonEmpty, s"no live vectors under $live/vectors")
+    // one read feeds the seed collect, every Lloyd pass and the
+    // re-assignment write — checkpoint so the scan runs once (the
+    // ivfBuildIndexQ rule)
+    val q = spark.read.parquet(consumed: _*)
       .select(col("vec_id"), col("qv"), col("nrm"))
       .graftCheckpoint()
     val cents = lloydCentroidsQ(trainSample(q, sampleMod), numCentroids, iterations)
@@ -682,17 +728,69 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/gen-$gen/centroids")
     assignCells(q, cents)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/gen-$gen/vectors")
+    // the stage manifest: superseded root + exact consumed-file set
+    val mf = fs.create(
+      new org.apache.hadoop.fs.Path(s"$indexDir/gen-$gen/$StageManifest"), true)
+    try mf.write((live +: consumed).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mf.close()
     gen
   }
 
-  /** Phase 2 of [[ivfRebuild]]: THE commit point — rename a dot-prefixed
-    * temp file to the generation marker (atomic on every Hadoop
-    * filesystem that backs an index), then vacuum superseded data. */
+  private val StageManifest = ".staged_manifest"
+
+  /** Recursive data-file listing of a parquet table dir (hidden/_ files
+    * skipped), sorted for a deterministic manifest. */
+  private def listParquetDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    if (!fs.exists(dir)) Seq.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) out += f.getPath.toString
+      }
+      out.sorted.toSeq
+    }
+  }
+
+  /** Phase 2 of [[ivfRebuild]]: first REPLAY any appends that landed in
+    * the superseded root after the stage read (file-listing diff against
+    * the stage manifest, re-assigned with the NEW generation's centroids
+    * — see the [[ivfRebuild]] concurrency contract), then THE commit
+    * point — rename a dot-prefixed temp file to the generation marker
+    * (atomic on every Hadoop filesystem that backs an index) — then, by
+    * default, vacuum superseded data. Pass `vacuum = false` when
+    * long-running readers may still be scanning the old generation and
+    * reclaim later with an explicit [[ivfVacuum]] (retention pattern). */
   private[graft] def ivfRebuildCommit(spark: SparkSession, indexDir: String,
-      gen: Long): Unit = {
+      gen: Long, vacuum: Boolean = true): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = new org.apache.hadoop.fs.Path(root, s"$GenMarkerPrefix$gen")
+    val mfPath = new org.apache.hadoop.fs.Path(s"$indexDir/gen-$gen/$StageManifest")
+    if (!fs.exists(dest) && fs.exists(mfPath)) {
+      // append-replay: rows landed in the superseded root after the
+      // stage read must follow the corpus into the new generation
+      val lines = {
+        val in = fs.open(mfPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      val consumed = lines.tail.toSet
+      val nowFiles = listParquetDataFiles(fs,
+        new org.apache.hadoop.fs.Path(s"${lines.head}/vectors"))
+      val missed = nowFiles.filterNot(consumed)
+      if (missed.nonEmpty) {
+        val cents = ivfLoadCentroids(spark, s"$indexDir/gen-$gen")
+        assignCells(
+          spark.read.parquet(missed: _*).select(col("vec_id"), col("qv"), col("nrm")),
+          cents)
+          .write.mode("append").partitionBy("cid").parquet(s"$indexDir/gen-$gen/vectors")
+      }
+    }
     if (!fs.exists(dest)) { // idempotent: a re-driven commit whose marker
       val tmp = new org.apache.hadoop.fs.Path(root, //  already landed only vacuums
         s".graft_ivf_marker_tmp_${System.nanoTime()}")
@@ -700,7 +798,7 @@ object Similarity {
       if (!fs.rename(tmp, dest))
         throw new java.io.IOException(s"IVF generation commit failed: $tmp -> $dest")
     }
-    ivfVacuum(spark, indexDir)
+    if (vacuum) ivfVacuum(spark, indexDir)
   }
 
   /** Drop ALL generation state under an index dir — markers and gen

@@ -345,6 +345,52 @@ object CoreQueries {
       .load().orderBy("event_id")
   }
 
+  /** #13d sink_jdbc_multirow — the reference sink's actual STATEMENT
+    * shape, not just its writer options: `to_sql(..., method='multi')`
+    * renders multi-row `INSERT INTO … VALUES (…),(…)` TEXT per chunk
+    * from each worker thread (btc_etl.py:179-180).
+    * [[graft.sources.JdbcStatementWriter]] is that writer — one
+    * connection per partition task, `batchSize`-row statements, no
+    * prepared placeholders (so it also writes to endpoints like hive2
+    * that Spark's built-in jdbc writer cannot; the networked
+    * executor-JVM leg is `graft.JdbcClusterSmoke`'s write leg). Here it
+    * runs END-TO-END against live embedded Derby with the replay guard:
+    * append, then a FULL replay through the anti-join (must insert zero
+    * rows), then a partitioned parallel read-back — exactly one copy of
+    * every row. */
+  def sinkJdbcMultirow(spark: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:${tmpDir("jdbcmulti")}/multidb;create=true"
+    // DDL over a plain connection: the statement writer appends only.
+    // Column names are QUOTED lowercase so they match the frame's
+    // schema verbatim (the writer double-quotes ANSI identifiers —
+    // `value` is reserved in Derby).
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("""CREATE TABLE GRAFT_MULTI ("event_id" BIGINT,
+        "date_time" VARCHAR(32), "event_type" VARCHAR(32), "value" DOUBLE)""")
+      finally st.close()
+    } finally conn.close()
+    val shaped = tbl(spark, dir, "events").select(
+      col("event_id"),
+      date_format(col("ts"), tsFmt).as("date_time"),
+      col("event_type"), col("value"))
+    val audit = graft.sources.JdbcStatementWriter.append(
+      shaped.repartition(4, col("event_id")), url, "GRAFT_MULTI", batchSize = 500)
+    require(audit.map(_.rows).sum > 0, "first append wrote nothing")
+    val replay = graft.sources.JdbcStatementWriter
+      .appendIdempotent(shaped, url, "GRAFT_MULTI", "event_id")
+    require(replay.map(_.rows).sum == 0,
+      s"replay must insert zero rows, inserted ${replay.map(_.rows).sum}")
+    val b = shaped.agg(min("event_id"), max("event_id")).head()
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "GRAFT_MULTI")
+      .option("partitionColumn", "event_id")
+      .option("lowerBound", b.getLong(0)).option("upperBound", b.getLong(1) + 1)
+      .option("numPartitions", 4)
+      .load().orderBy("event_id")
+  }
+
   /** #14 ddl_create_table (btc_etl.py:70-86): idempotent CREATE TABLE in the
     * session catalog; result = resulting schema. */
   def ddlCreateTable(spark: SparkSession, dir: String): DataFrame = {
@@ -455,6 +501,7 @@ object CoreQueries {
     "sink_append_db" -> (sinkAppendDb _),
     "sink_jdbc_roundtrip" -> (sinkJdbcRoundtrip _),
     "sink_jdbc_idempotent" -> (sinkJdbcIdempotent _),
+    "sink_jdbc_multirow" -> (sinkJdbcMultirow _),
     "ddl_create_table" -> (ddlCreateTable _),
     "ddl_partition_time" -> (ddlPartitionTime _),
     "parallel_files" -> (parallelFiles _),

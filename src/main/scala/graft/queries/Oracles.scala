@@ -1169,6 +1169,11 @@ object Oracles {
       s"""SELECT event_id, $tsS AS date_time, event_type, value
          |FROM events ORDER BY event_id""".stripMargin,
 
+    // statement-based multi-row INSERT writer + replay guard: one copy
+    "sink_jdbc_multirow" ->
+      s"""SELECT event_id, $tsS AS date_time, event_type, value
+         |FROM events ORDER BY event_id""".stripMargin,
+
     "stream_jdbc_sink" ->
       s"""SELECT event_id, $tsS AS date_time, event_type, value
          |FROM events ORDER BY event_id""".stripMargin,
@@ -1405,6 +1410,24 @@ object Oracles {
     "stream_lake_merge" ->
       s"""SELECT event_type, count(*) AS n, ${decSum2("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Streaming IVF maintenance converges to exactly-once CONTENT
+    // whatever the trigger slicing and whenever the mid-stream rebuild
+    // fires: the final corpus is base ∪ increments ∪ drifted cluster
+    // (the simsearch_ivf_rebuild flood — same floor((|x|+1)*1e6) dag),
+    // each vec_id exactly once. Census/cell layout is deliberately NOT
+    // in the output — it depends on batch boundaries; content cannot.
+    "stream_ivf_maintain" ->
+      s"""$embCtes,
+         |fl AS (SELECT 1000000 + vec_id AS vec_id,
+         |         list_transform(embedding, x_ -> CAST(floor((abs(CAST(x_ AS DOUBLE)) + 1.0)*1000000) AS BIGINT)) AS qv
+         |       FROM embeddings WHERE vec_id % 5 = 0),
+         |fln AS (SELECT vec_id, qv,
+         |          CAST(list_sum(list_transform(qv, x_ -> x_*x_)) AS BIGINT) AS nrm FROM fl),
+         |allv AS (SELECT vec_id FROM f
+         |         UNION ALL
+         |         SELECT vec_id FROM fln WHERE nrm > 0)
+         |SELECT vec_id, CAST(1 AS BIGINT) AS n FROM allv ORDER BY vec_id""".stripMargin,
 
     "dedup_minhash_clusters" ->
       s"""$minhashCtes,

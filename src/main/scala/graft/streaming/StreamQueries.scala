@@ -100,6 +100,70 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming INDEX-MAINTENANCE tail — the stream_lake_merge pattern
+    * applied to the persisted IVF index: each micro-batch APPENDS its
+    * increment into the live generation ([[graft.operators.Similarity
+    * .ivfAppendIndex]], replay-guarded by a vec_id anti-join against the
+    * live inverted file so foreachBatch's at-least-once replay converges
+    * to exactly-once CONTENT), then runs the census trigger and
+    * [[graft.operators.Similarity.ivfRebuildIfNeeded]] — the drifted
+    * positive-orthant cluster arrives ACROSS batches, so the retrain +
+    * atomic generation swap fires mid-stream while ingest continues.
+    * foreachBatch serialises append, census and rebuild in ONE
+    * maintenance-writer thread — the single-writer contract's deployment
+    * shape ([[graft.operators.Similarity.ivfRebuild]]). Output: the
+    * final corpus census by vec_id — every ingested id exactly once,
+    * whatever generation holds it now. Exactly-once content across the
+    * swap, and batch-boundary-INDEPENDENT (the census would differ by
+    * trigger slicing; the content cannot), so the DuckDB oracle is exact
+    * whatever file order the source chose. */
+  def streamIvfMaintain(spark: SparkSession, dir: String): DataFrame =
+    streamIvfMaintainAt(spark, dir, tmpDir("sivfmidx"))
+
+  /** [[streamIvfMaintain]] with the index dir exposed, so the spec can
+    * additionally assert the mid-stream generation swap and the final
+    * census (batch-boundary-dependent facts the oracle-checked output
+    * deliberately excludes). */
+  private[graft] def streamIvfMaintainAt(spark: SparkSession, dir: String,
+      idx: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = tbl(spark, dir, "embeddings")
+    Similarity.ivfBuildIndex(emb.filter(col("vec_id") < 400),
+      numCentroids = 8, iterations = 1, indexDir = idx)
+    // the ingest stream: the rest of the corpus + the drifted cluster
+    // (the simsearch_ivf_rebuild fixture, arriving incrementally)
+    val incoming = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .union(emb.filter(col("vec_id") % 5 === 0)
+        .select((lit(1000000L) + col("vec_id")).as("vec_id"),
+          transform(col("embedding"), x => abs(x.cast("double")) + lit(1.0d))
+            .as("embedding")))
+    val src = tmpDir("sivfmsrc")
+    incoming.repartition(6).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 2).option("pathGlobFilter", "*.parquet")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sivfmckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // replay guard: one pruned key-column read of the live file
+        val existing = spark.read
+          .parquet(s"${Similarity.ivfLiveRoot(spark, idx)}/vectors")
+          .select("vec_id")
+        val fresh = batch.join(existing, Seq("vec_id"), "left_anti")
+        if (!fresh.isEmpty) Similarity.ivfAppendIndex(fresh, idx)
+        Similarity.ivfRebuildIfNeeded(spark, idx, numCentroids = 8,
+          iterations = 1, sampleMod = 2L)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(s"${Similarity.ivfLiveRoot(spark, idx)}/vectors")
+      .groupBy("vec_id").agg(count(lit(1)).as("n"))
+      .orderBy("vec_id")
+  }
+
   /** Streaming quantile sketch: each micro-batch reduces to its PARTIAL
     * (event_type, bucket) histogram counts, merged through the keyed
     * versioned state by plain count ADDITION — the exact mergeability
@@ -1402,6 +1466,7 @@ object StreamQueries {
     "stream_contamination" -> (streamContamination _),
     "stream_attribution" -> (AttributionStream.run _),
     "stream_lake_merge" -> (streamLakeMerge _),
+    "stream_ivf_maintain" -> (streamIvfMaintain _),
     "stream_quantile" -> (streamQuantile _),
     "stream_hll" -> (streamHll _),
     "stream_static_join" -> (streamStaticJoin _),

@@ -32,4 +32,53 @@ class BenchFlagSpec extends AnyFunSuite {
   test("a FASTER machine never hides a regression (drift floored at 1)") {
     assert(Bench.slowerFlag(secs = 2.8, prev = 2.0, drift = 0.7))
   }
+
+  // --- contended-run flag suppression (r14 adjudication mechanized) ---
+
+  test("contended run emits zero per-key flags, one marker line") {
+    // the r14 artifact shape: 1.98x shuffle drift, graph_bfs 3.63->131.7s
+    // (barrier amplification — normalization cannot absorb it)
+    val prev = Map("graph_bfs" -> 3.63, "graph_eigenvector" -> 5.31, "agg_mode" -> 1.0)
+    val timed = Seq("graph_bfs" -> 131.7, "graph_eigenvector" -> 12.0, "agg_mode" -> 1.1)
+    val lines = Bench.diffLines(prev, timed, driftFactor = 1.98, streamDrift = 1.98)
+    assert(lines.size == 1)
+    assert(lines.head.contains("CONTENDED RUN"))
+    assert(!lines.exists(_.contains("->"))) // no per-key "prev -> now" flag rows
+    assert(Bench.contendedRun(1.98, 1.98))
+  }
+
+  test("stream-only probe drift also counts as contended (history guard)") {
+    // cpu/shuffle probes idle but the streaming trigger probe drifted:
+    // history must not be rewritten and stream flags must be suppressed
+    assert(Bench.contendedRun(driftFactor = 1.0, streamDrift = 1.6))
+    val lines = Bench.diffLines(Map("stream_window_append" -> 5.16),
+      Seq("stream_window_append" -> 8.5), driftFactor = 1.0, streamDrift = 1.6)
+    assert(lines.size == 1 && lines.head.contains("CONTENDED RUN"))
+  }
+
+  test("planted regression on a clean run still flags per-key") {
+    val prev = Map("graph_bfs" -> 3.63, "agg_mode" -> 1.0)
+    val timed = Seq("graph_bfs" -> 9.0, "agg_mode" -> 1.05)
+    val lines = Bench.diffLines(prev, timed, driftFactor = 1.1, streamDrift = 1.1)
+    assert(!Bench.contendedRun(1.1, 1.1))
+    assert(lines.exists(l => l.contains("graph_bfs") && l.contains("SLOWER")))
+    assert(!lines.exists(_.contains("agg_mode")))
+    assert(!lines.exists(_.contains("CONTENDED")))
+  }
+
+  test("clean quiet run with no movement reports the all-clear line") {
+    val lines = Bench.diffLines(Map("agg_mode" -> 1.0), Seq("agg_mode" -> 1.02),
+      driftFactor = 1.0, streamDrift = 1.0)
+    assert(lines == Seq("no query moved beyond drift-normalized 20% and 0.3s"))
+  }
+
+  test("per-key normalizer: stream keys answer to the stream probe, others to cpu/shuffle") {
+    assert(Bench.keyDrift("stream_window_append", 1.0, 1.2) == 1.2)
+    assert(Bench.keyDrift("graph_bfs", 1.1, 1.2) == 1.1)
+    // a stream key that moved WITH a 1.2x trigger drift scores clean even
+    // though the generic normalizer alone would flag it
+    val lines = Bench.diffLines(Map("stream_window_append" -> 5.0),
+      Seq("stream_window_append" -> 5.9), driftFactor = 1.0, streamDrift = 1.2)
+    assert(lines == Seq("no query moved beyond drift-normalized 20% and 0.3s"))
+  }
 }

@@ -128,6 +128,95 @@ class IvfRebuildSpec extends SparkSpec {
       .map(_.getAs[Long]("n_vectors")).sum == drifted.count())
   }
 
+  test("an append racing the stage phase is replayed into the new generation at commit") {
+    val (idx, _) = driftedIndex("ivfreb-appreplay")
+    val total0 = spark.read.parquet(s"${Similarity.ivfLiveRoot(spark, idx)}/vectors").count()
+    val gen = Similarity.ivfRebuildStage(spark, idx, numCentroids = 8,
+      iterations = 1, sampleMod = 2L)
+    // concurrent ingest lands in the about-to-be-superseded live root —
+    // without commit-time replay these rows would be silently vacuumed
+    val emb = Staging.tbl(spark, sf, "embeddings")
+    Similarity.ivfAppendIndex(
+      emb.filter(col("vec_id") < 7)
+        .select((col("vec_id") + lit(3000000L)).as("vec_id"), col("embedding")),
+      idx)
+    Similarity.ivfRebuildCommit(spark, idx, gen) // default: vacuum at commit
+    val live = Similarity.ivfLiveRoot(spark, idx)
+    assert(live == s"$idx/gen-1")
+    val vecs = spark.read.parquet(s"$live/vectors")
+    assert(vecs.count() == total0 + 7,
+      "rows appended after the stage read must survive the swap")
+    assert(vecs.filter(col("vec_id") >= 3000000L).count() == 7,
+      "the replayed rows must be the appended ones")
+    assert(!new java.io.File(idx, "vectors").exists(),
+      "vacuum still reclaims the superseded root after the replay")
+  }
+
+  test("vacuum=false retention: a reader that resolved before the commit finishes; explicit vacuum reclaims") {
+    val (idx, drifted) = driftedIndex("ivfreb-retain")
+    // this reader resolves the OLD root now (paths capture at read time)
+    val pinned = Similarity.ivfProbePersisted(drifted, idx, k = 5, nprobe = 2,
+      probePred = col("vec_id") < 5)
+    val gen = Similarity.ivfRebuildStage(spark, idx, numCentroids = 8,
+      iterations = 1, sampleMod = 2L)
+    Similarity.ivfRebuildCommit(spark, idx, gen, vacuum = false)
+    assert(Similarity.ivfLiveRoot(spark, idx) == s"$idx/gen-1")
+    // the pinned reader SPANS the commit — with retention it must finish
+    assert(pinned.collect().nonEmpty,
+      "a reader spanning a vacuum=false commit must complete its scan")
+    assert(new java.io.File(idx, "vectors").exists(),
+      "retention: superseded generation stays on disk until explicit vacuum")
+    // maintenance-time reclamation once in-flight readers drained
+    Similarity.ivfVacuum(spark, idx)
+    assert(!new java.io.File(idx, "vectors").exists())
+    assert(Similarity.ivfProbePersisted(drifted, idx, k = 5, nprobe = 2,
+      probePred = col("vec_id") < 5).count() > 0)
+  }
+
+  test("a reader looping across repeated swaps always sees one full generation, never a mix or an error") {
+    val (idx, drifted) = driftedIndex("ivfreb-race")
+    // first rebuild: from here on every rebuild retrains the SAME corpus
+    // with the same params, so every generation serves bit-identically —
+    // any deviation a racing reader observes is a torn read
+    Similarity.ivfRebuild(spark, idx, numCentroids = 8, iterations = 1, sampleMod = 2L)
+    def serve(): Seq[String] = Similarity.ivfProbePersisted(drifted, idx,
+      k = 5, nprobe = 2, probePred = col("vec_id") < 5)
+      .collect().map(_.toString).sorted.toSeq
+    val baseline = serve()
+    assert(baseline.nonEmpty)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!done.get() || probes.get() < 3) {
+        try {
+          val r = serve()
+          probes.incrementAndGet()
+          if (r != baseline) failures.add(s"torn/partial read: ${r.size} rows vs baseline ${baseline.size}")
+        } catch { case e: Throwable => failures.add(s"reader error: $e"); probes.incrementAndGet() }
+      }
+    })
+    reader.start()
+    try {
+      // swaps land WHILE the reader loops; retention keeps each reader's
+      // resolved generation alive until its scan completes
+      for (_ <- 1 to 2) {
+        val g = Similarity.ivfRebuildStage(spark, idx, numCentroids = 8,
+          iterations = 1, sampleMod = 2L)
+        Similarity.ivfRebuildCommit(spark, idx, g, vacuum = false)
+      }
+    } finally {
+      done.set(true)
+      reader.join(120000)
+    }
+    assert(!reader.isAlive, "reader thread must terminate")
+    assert(failures.isEmpty, s"concurrent reader failures: ${failures.toArray.mkString("; ")}")
+    assert(probes.get() >= 3)
+    // maintenance vacuum after the readers drain; serving unchanged
+    Similarity.ivfVacuum(spark, idx)
+    assert(serve() == baseline)
+  }
+
   test("appends after a rebuild land in the live generation") {
     val (idx, _) = driftedIndex("ivfreb-app")
     Similarity.ivfRebuild(spark, idx, numCentroids = 8, iterations = 1, sampleMod = 2L)
