@@ -79,7 +79,7 @@ object ClusterSmoke {
     // correct cluster shape — excluded explicitly and logged, not
     // silently failed.
     val embeddedOnly = Set("sink_jdbc_roundtrip", "sink_jdbc_idempotent",
-      "stream_jdbc_sink")
+      "sink_jdbc_multirow", "stream_jdbc_sink")
     // slowest-first from history, then any catalog keys history hasn't
     // seen yet (fresh keys) — so a large topN covers the WHOLE catalog
     val keys: Seq[String] = {

@@ -45,14 +45,21 @@ object Sf1Sim {
   def replicate(df: DataFrame, cols: Seq[String], f: Int): DataFrame = {
     val spark = df.sparkSession
     // one copy-index cross join, not f unions: a single scan of the
-    // source feeds all copies, and the write parallelises over
-    // (source partitions × f)
+    // source feeds all copies
     val copies = spark.range(0, f).toDF("__copy")
     df.crossJoin(broadcast(copies))
       .select(df.columns.map { c =>
         if (cols.contains(c)) (col(c) + col("__copy") * CopyOffset).as(c)
         else col(c)
       }: _*)
+      // A realistic file count is part of the fixture's fidelity: the
+      // crossJoin preserves the (often single-file) source partitioning,
+      // and a 10×-corpus written as ONE file starves byte-driven scan
+      // splitting — measured on the first sf1-sim attempt, where the 50k
+      // documents landed in one 1 MB file and every explode-heavy text
+      // key ran its 1000×-amplifying scan stage on a single core. Real
+      // multi-TB corpora arrive as many files; write ≥32 here.
+      .repartition(32)
   }
 
   def main(args: Array[String]): Unit = {

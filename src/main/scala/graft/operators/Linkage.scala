@@ -27,9 +27,24 @@ object Linkage {
     * (nation, mktsegment) block whose names are within `maxDist` edits.
     * Emits (cust_a, cust_b, name_dist) with cust_a < cust_b. */
   def blockedPairs(customer: DataFrame, maxDist: Int): DataFrame = {
+    // Co-partition the probe side by the BLOCKING KEY before the
+    // self-join: the blocking key's cardinality is fixed (25 nations × 5
+    // segments), so blocks grow linearly with the corpus and the
+    // within-block pair work quadratically — and a byte-driven scan of a
+    // small-in-bytes customer table coalesces to a handful of partitions
+    // (measured at the 10× sf1-sim corpus: 90M levenshtein comparisons
+    // on TWO tasks). One cheap row-count shuffle here spreads the blocks
+    // over every core, and it is the shape that holds at 1000×: the
+    // expensive stage's parallelism follows the block key, not the
+    // input's file-packing. The partition COUNT is pinned to the session
+    // shuffle parallelism: left size-based, AQE would coalesce the
+    // few-MB name frame right back to one partition — the sizing driver
+    // here is the downstream pair fan-out, which AQE cannot see.
+    val np = customer.sparkSession.sessionState.conf.numShufflePartitions
     val x = customer.select(
       col("c_custkey").as("ck"), col("c_name").as("nm"),
       col("c_nationkey").as("bn"), col("c_mktsegment").as("bs"))
+      .repartition(np, col("bn"), col("bs"))
     x.as("a").join(x.as("b"),
         col("a.bn") === col("b.bn") && col("a.bs") === col("b.bs") &&
           col("a.ck") < col("b.ck"))
@@ -56,7 +71,12 @@ object Linkage {
     def keyed(df: DataFrame, p: String) = df.select(
       col("c_custkey").as(s"${p}k"), col("c_name").as(s"${p}n"),
       col("c_nationkey").as(s"${p}b1"), col("c_mktsegment").as(s"${p}b2"))
-    val cross = keyed(newDf, "x").join(keyed(hist, "y"),
+    // history is the PROBE side of the new×history verify join: spread
+    // its blocks across the cores (same rationale + AQE pin as
+    // blockedPairs — the pair fan-out, not history's bytes, is the cost)
+    val np = hist.sparkSession.sessionState.conf.numShufflePartitions
+    val cross = keyed(newDf, "x").join(
+        keyed(hist, "y").repartition(np, col("yb1"), col("yb2")),
         col("xb1") === col("yb1") && col("xb2") === col("yb2") &&
           col("xk") =!= col("yk"))
       .withColumn("name_dist", levenshtein(col("xn"), col("yn"), maxDist).cast("long"))
