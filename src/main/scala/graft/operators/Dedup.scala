@@ -647,18 +647,38 @@ object Dedup {
     * unit-cost Levenshtein (built-in, identical definition in DuckDB) and
     * a normalized similarity 1 - d/max(len). Candidates come from the
     * banded minhash join, so the quadratic DP only runs on pairs already
-    * suspected — never all-pairs. */
+    * suspected — never all-pairs.
+    *
+    * EXACT-duplicate collapse (round 15, found at the 10× sf1-sim pass):
+    * a corpus with multiplicity-m exact copies makes every candidate
+    * cluster's pair count grow m² — the DP bill went ×199 at m=10 — yet
+    * identical texts contribute exactly one distinct DP result. So the
+    * verify runs on one REPRESENTATIVE per distinct text (min doc_id),
+    * and results expand back to member pairs: cross-group pairs inherit
+    * the rep pair's (dist, sim); within-group pairs are (0, 1.0) by
+    * definition and never candidates to re-derive. Output is
+    * bit-identical to verifying every pair (identical texts ⇒ identical
+    * signatures ⇒ identical banding ⇒ identical candidacy), but the DP
+    * and the LSH join run at distinct-text scale — rows-out stays the
+    * corpus's own pair count, which is the operator's contract. */
   def editDistanceVerified(spark: SparkSession, docs: DataFrame, minSim: Double): DataFrame = {
-    val cand = minhashCandidates(spark, docs)
-    val a = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val d = docs.select(col("doc_id"), col("text"))
+    val groups = d.groupBy("text")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("nmem"))
+    val reps = groups.select(col("rep").as("doc_id"), col("text"))
+    val members = d.join(groups.select(col("text"), col("rep")), Seq("text"))
+      .select(col("rep"), col("doc_id"))
+
+    val cand = minhashCandidates(spark, reps)
+    val a = reps.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = reps.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
     val la = length(col("text_a"))
     val lb = length(col("text_b"))
     // sim >= minSim  ⟺  dist <= (1-minSim)·max(len). cutoff rounds UP so no
     // boundary row is lost to float rounding; the exactness filter below
     // stays the double `sim >= minSim` the oracle uses.
     val cutoff = ceil(greatest(la, lb).cast("double") * lit(1.0d - minSim)).cast("int")
-    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+    val repPairs = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       // length prefilter: dist >= |la-lb| always, so a length gap past the
       // cutoff can never reach minSim — zero DP work for those pairs
       .filter(abs(la - lb) <= cutoff)
@@ -673,6 +693,19 @@ object Dedup {
           greatest(la, lb).cast("double"))
       .filter(col("dist") >= 0 && col("sim") >= minSim)
       .select(col("doc_a"), col("doc_b"), col("dist"), col("sim"))
+
+    // expand rep pairs to member pairs, re-oriented doc_a < doc_b
+    val ma = members.select(col("rep").as("doc_a"), col("doc_id").as("ma"))
+    val mb = members.select(col("rep").as("doc_b"), col("doc_id").as("mb"))
+    val cross = repPairs.join(ma, Seq("doc_a")).join(mb, Seq("doc_b"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("dist"), col("sim"))
+    // identical-text pairs: always banded together, dist 0, sim 1.0
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("dist"), lit(1.0d).as("sim"))
+    cross.unionByName(within)
   }
 
   /** SimHash bit width. 60 bits: per-token hash = charHash(t) (bits 0..29)
