@@ -700,8 +700,15 @@ object Dedup {
     val cross = repPairs.join(ma, Seq("doc_a")).join(mb, Seq("doc_b"))
       .select(least(col("ma"), col("mb")).as("doc_a"),
         greatest(col("ma"), col("mb")).as("doc_b"), col("dist"), col("sim"))
-    // identical-text pairs: always banded together, dist 0, sim 1.0
-    val within = members.as("x").join(members.as("y"),
+    // identical-text pairs: dist 0, sim 1.0 — but ONLY for texts that
+    // actually produce a banded signature. shingleSets drops docs with no
+    // word-3-gram shingles (empty / <3-word texts), so the naive pair path
+    // never emits pairs for duplicated degenerate texts; the collapse must
+    // not either (the bit-identical contract). Semi-join the groups against
+    // the reps that shingle before expanding within-group pairs.
+    val bandedReps = shingleSets(reps).select(col("doc_id").as("rep"))
+    val bandedMembers = members.join(bandedReps, Seq("rep"), "left_semi")
+    val within = bandedMembers.as("x").join(bandedMembers.as("y"),
         col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         lit(0L).as("dist"), lit(1.0d).as("sim"))

@@ -785,9 +785,19 @@ object Similarity {
       val missed = nowFiles.filterNot(consumed)
       if (missed.nonEmpty) {
         val cents = ivfLoadCentroids(spark, s"$indexDir/gen-$gen")
-        assignCells(
-          spark.read.parquet(missed: _*).select(col("vec_id"), col("qv"), col("nrm")),
-          cents)
+        // idempotent replay: a commit re-driven after a pre-marker failure
+        // (e.g. the rename IOException path) recomputes the same `missed`
+        // diff — anti-join on vec_id against what gen-N already holds so
+        // the second drive appends nothing. Column-pruned id scan of the
+        // staged generation only; assignment is deterministic, so any rows
+        // the first drive landed are byte-identical to what this would
+        // re-derive.
+        val already = spark.read.parquet(s"$indexDir/gen-$gen/vectors")
+          .select(col("vec_id"))
+        val replay = spark.read.parquet(missed: _*)
+          .select(col("vec_id"), col("qv"), col("nrm"))
+          .join(already, Seq("vec_id"), "left_anti")
+        assignCells(replay, cents)
           .write.mode("append").partitionBy("cid").parquet(s"$indexDir/gen-$gen/vectors")
       }
     }

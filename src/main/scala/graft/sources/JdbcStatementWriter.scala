@@ -47,11 +47,29 @@ object JdbcStatementWriter {
   /** HiveQL/Spark SQL: backslash escapes; backslash itself doubles. */
   case object BackslashQuoting extends Quoting
 
-  /** hive2 endpoints parse HiveQL; everything else gets ANSI. */
-  def quotingFor(url: String): Quoting =
-    if (url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:hive2"))
-      BackslashQuoting
-    else AnsiQuoting
+  /** Map a JDBC URL family to its literal dialect — and FAIL FAST on
+    * families outside the mapped set rather than guess. Escaping is a
+    * correctness/injection boundary: a backslash-escaping endpoint fed
+    * ANSI-escaped literals lets a trailing `\` in a value consume the
+    * closing quote and corrupt (or break out of) the statement.
+    *
+    *  - hive2/mysql/mariadb parse backslash escapes by default →
+    *    [[BackslashQuoting]].
+    *  - derby/postgresql/h2/sqlite follow ANSI '' doubling →
+    *    [[AnsiQuoting]]. Postgres note: assumes the server-default
+    *    `standard_conforming_strings=on` (default since 9.1); a legacy
+    *    `off` server would need the backslash dialect.
+    *  - anything else throws — add the family here once its escaping
+    *    rules are verified, don't silently mis-escape. */
+  def quotingFor(url: String): Quoting = {
+    val u = url.toLowerCase(java.util.Locale.ROOT)
+    def fam(names: String*) = names.exists(n => u.startsWith(s"jdbc:$n:"))
+    if (fam("hive2", "mysql", "mariadb")) BackslashQuoting
+    else if (fam("derby", "postgresql", "h2", "sqlite")) AnsiQuoting
+    else throw new IllegalArgumentException(
+      s"unmapped JDBC URL family for statement-literal escaping: $url — " +
+        "supported: hive2/mysql/mariadb (backslash), derby/postgresql/h2/sqlite (ANSI)")
+  }
 
   private[sources] def escape(s: String, q: Quoting): String = q match {
     case AnsiQuoting      => s.replace("'", "''")

@@ -26,7 +26,13 @@ class EditDistanceCollapseSpec extends SparkSpec {
     val near = base.filter(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 3000L).as("doc_id"),
         concat(lit("x"), substring(col("text"), 2, 1000000)).as("text"))
-    val docs = base.union(dup1).union(dup2).union(near)
+    // degenerate duplicated texts (<3 words ⇒ no word-3-gram shingles ⇒
+    // never banded ⇒ the naive path emits NO pair for them): the collapse
+    // must not invent within-group (0, 1.0) pairs for these
+    val short1 = spark.createDataFrame(Seq(
+      (9001L, "tiny doc"), (9002L, "tiny doc"), (9003L, "tiny doc"),
+      (9004L, ""), (9005L, ""))).toDF("doc_id", "text")
+    val docs = base.union(dup1).union(dup2).union(near).union(short1)
 
     // the naive reference: the pre-collapse implementation verbatim —
     // candidates over EVERY doc, the DP on every candidate pair

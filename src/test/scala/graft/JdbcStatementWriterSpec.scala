@@ -31,6 +31,18 @@ class JdbcStatementWriterSpec extends SparkSpec {
       JdbcStatementWriter.BackslashQuoting)
     assert(JdbcStatementWriter.quotingFor("jdbc:derby:/tmp/x") ===
       JdbcStatementWriter.AnsiQuoting)
+    // backslash-escaping families route to the backslash dialect (a value
+    // ending in '\' under ANSI doubling would eat MySQL's closing quote)
+    assert(JdbcStatementWriter.quotingFor("jdbc:mysql://h:3306/db") ===
+      JdbcStatementWriter.BackslashQuoting)
+    assert(JdbcStatementWriter.quotingFor("jdbc:mariadb://h:3306/db") ===
+      JdbcStatementWriter.BackslashQuoting)
+    assert(JdbcStatementWriter.quotingFor("jdbc:postgresql://h:5432/db") ===
+      JdbcStatementWriter.AnsiQuoting)
+    // unmapped families fail fast instead of guessing an escaping rule
+    intercept[IllegalArgumentException] {
+      JdbcStatementWriter.quotingFor("jdbc:oracle:thin:@//h:1521/svc")
+    }
   }
 
   test("literal rendering: NULL, numerics, bool, timestamp; NaN rejected") {
