@@ -62,6 +62,13 @@ object JdbcClusterSmoke {
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$meta/metastore_db;create=true")
       .config("spark.sql.warehouse.dir", s"$meta/warehouse")
+      // hive catalog: the write-leg sink is a HIVE-serde table so that
+      // CONCURRENT INSERT statements are commit-safe — each query
+      // stages under its own .hive-staging_* dir and loadTable moves
+      // uniquely-named files in, vs the shared `_temporary` dir of
+      // `USING parquet` tables where a committing job deletes the
+      // other jobs' pending task files (measured: 26/150 rows lost)
+      .enableHiveSupport()
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.HiveJdbcDialect.register()
@@ -132,26 +139,38 @@ object JdbcClusterSmoke {
       // the anti-join guard inserts zero rows (the reference's
       // crash-between-to_sql-and-SADD duplication made a no-op).
       spark.sql("DROP TABLE IF EXISTS graft_sink_net")
+      // HIVE-serde sink: per-query .hive-staging commit isolation makes
+      // concurrent INSERT statements loss-free (see session config note)
       spark.sql("CREATE TABLE graft_sink_net " +
-        "(c_custkey BIGINT, c_name STRING, c_nationkey BIGINT) USING parquet")
-      // The four executor-side writes run SEQUENTIALLY (four
-      // single-partition appends, each one task on a remote executor):
-      // the target here is a filesystem-backed parquet table, and
-      // Spark's FS commit protocol stages every concurrent INSERT job
-      // under the same `_temporary` dir, so racing inserts silently drop
-      // each other's task files — measured in this smoke: 26/150 rows
-      // lost at 4 concurrent writers. A real warehouse endpoint (the
-      // reference's Postgres) takes the connections CONCURRENTLY — the
-      // writer's concurrent-partition correctness is pinned against live
-      // row-locking Derby in JdbcStatementWriterSpec; the single-writer
-      // contract belongs to FS-backed tables, not to the writer.
+        "(c_custkey BIGINT, c_name STRING, c_nationkey BIGINT) STORED AS PARQUET")
+      // The four executor-side writes run CONCURRENTLY — four
+      // single-partition append jobs in flight at once, each one task
+      // on a remote executor pushing multi-row INSERT text over its own
+      // TCP connection, the server executing the four statements as
+      // four racing commit protocols. This is the loss class the r15
+      // smoke had to SERIALIZE around (26/150 rows silently lost on a
+      // `USING parquet` sink — its FS commit protocol stages every job
+      // under one shared `_temporary` dir); the hive-serde sink's
+      // per-query staging retires it, and the library-side equivalent
+      // for manifest-committed lake tables is
+      // [[graft.etl.LakeOps.appendConcurrent]] (optimistic manifest
+      // CAS, spec-pinned in LakeOpsSpec). The writer's concurrent-
+      // partition correctness against a row-locking endpoint stays
+      // pinned in JdbcStatementWriterSpec (live Derby, 8 connections).
       val kc = org.apache.spark.sql.functions.col("c_custkey")
-      val audit = (0 until 4).flatMap { b =>
-        graft.sources.JdbcStatementWriter.append(
-          customer.filter(kc % 4 === b).coalesce(1),
-          url, "graft_sink_net", batchSize = 100)
+      val audit = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence((0 until 4).map { b =>
+          Future {
+            graft.sources.JdbcStatementWriter.append(
+              customer.filter(kc % 4 === b).coalesce(1),
+              url, "graft_sink_net", batchSize = 100)
+          }
+        }), 10.minutes).flatten
       }
-      mark(s"write leg: first append done (${audit.map(_.rows).sum} rows)")
+      mark(s"write leg: concurrent appends done (${audit.map(_.rows).sum} rows)")
       val writeExecs = audit.map(_.executorId).distinct.sorted
       val writtenBack = spark.table("graft_sink_net").collect().map(_.toString).sorted
       val writeEqual = writtenBack.sameElements(direct)
@@ -164,7 +183,7 @@ object JdbcClusterSmoke {
 
       val ok = contentEqual && onExecutors && parts.length == 4 &&
         pushed == pushedTruth && writeEqual && writeOnExecutors && replayOk
-      println(s"""{"metric":"jdbc_cluster_smoke","outcome":"${if (ok) "ok" else "MISMATCH"}","rows":${viaJdbc.length},"partitions":${parts.length},"executors":${execIds.mkString("[\"", "\",\"", "\"]")},"content_equal":$contentEqual,"pushdown_rows":$pushed,"write_rows":${audit.map(_.rows).sum},"write_statements":${audit.map(_.statements).sum},"write_executors":${writeExecs.mkString("[\"", "\",\"", "\"]")},"write_content_equal":$writeEqual,"replay_inserted":$replayRows,"url":"jdbc:hive2://localhost:$port"}""")
+      println(s"""{"metric":"jdbc_cluster_smoke","outcome":"${if (ok) "ok" else "MISMATCH"}","rows":${viaJdbc.length},"partitions":${parts.length},"executors":${execIds.mkString("[\"", "\",\"", "\"]")},"content_equal":$contentEqual,"pushdown_rows":$pushed,"write_rows":${audit.map(_.rows).sum},"write_statements":${audit.map(_.statements).sum},"write_concurrent":true,"write_executors":${writeExecs.mkString("[\"", "\",\"", "\"]")},"write_content_equal":$writeEqual,"replay_inserted":$replayRows,"url":"jdbc:hive2://localhost:$port"}""")
       if (ok) "ok" else "MISMATCH"
     } catch { case e: Throwable =>
       val msg = Option(e.getMessage).getOrElse("").replaceAll("[\"\\n]", " ").take(200)

@@ -204,6 +204,68 @@ object ScaleCheck {
     }
   }
 
+  /** `runMain graft.ScaleCheck linkage <n>`: candidate-boundedness
+    * ladder for the ER blocking tiers over a CONSTANT-DENSITY synthetic
+    * corpus at 1×/4×/16× — the flatness evidence the deletion-
+    * neighborhood tier claims. Corpus: n records in families of 4
+    * sharing a block (125 blocks, size n/125): r=0 a 16-hex-char base
+    * name, r=1 one substituted char (dist 1), r=2 two (dist 2), r=3 an
+    * unrelated name — so TRUE pairs per record are constant (~0.75)
+    * whatever n is. Pass criteria: `linkage_bounded_candidates`
+    * rows/record FLAT across the ladder (the exhaustive
+    * `linkage_exhaustive_pairs` contrast — timed at 1×/4× only — grows
+    * its per-record candidate space linearly with n, its pair work
+    * quadratically), bounded wall time ~linear, and every
+    * `linkage_recall` line recall_ppm = 1000000 (the completeness
+    * theorem, measured). Substituted chars come from a disjoint
+    * alphabet (g..v) so planted distances are exact by construction. */
+  private def linkageRun(spark: SparkSession, n: Long,
+                         time: (String, Int) => (=> Long) => Unit): Unit = {
+    import spark.implicits._
+    import graft.operators.Linkage
+    val hex = "0123456789abcdef"
+    val sub = "ghijklmnopqrstuv"
+    def synthCustomers(nn: Long): DataFrame =
+      spark.range(nn).map { boxed =>
+        val id = boxed.toLong
+        val gid = id / 4
+        val r = (id % 4).toInt
+        val rnd = new java.util.Random(gid * 2654435761L + 7L)
+        val base = Array.fill(16)(hex.charAt(rnd.nextInt(16)))
+        val nm = r match {
+          case 0 => base.mkString
+          case 3 =>
+            val q = new java.util.Random(id * 40503L + 11L)
+            Array.fill(16)(hex.charAt(q.nextInt(16))).mkString
+          case k =>
+            val m = new java.util.Random(id * 9176L + 3L)
+            val out = base.clone()
+            // k DISTINCT positions, replacement alphabet disjoint from
+            // hex — planted edit distance is exactly k
+            var placed = Set.empty[Int]
+            while (placed.size < k) placed += m.nextInt(16)
+            placed.foreach(p => out(p) = sub.charAt(m.nextInt(16)))
+            out.mkString
+        }
+        (id, nm, gid % 25L, "S" + ((gid / 25L) % 5L))
+      }.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    for ((f, nn) <- Seq((1, n), (4, 4 * n), (16, 16 * n))) {
+      val c = synthCustomers(nn).repartition(32).graftCheckpoint()
+      time("linkage_bounded_candidates", f) {
+        Linkage.boundedCandidates(c).count()
+      }
+      time("linkage_bounded_pairs", f) { Linkage.boundedPairs(c, 2).count() }
+      // exhaustive contrast: pair work ×16 per ladder step — 1×/4× only
+      if (f <= 4) time("linkage_exhaustive_pairs", f) {
+        Linkage.blockedPairs(c, 2).count()
+      }
+      val cs = Linkage.boundedRecallCensus(c, 2).collect()(0)
+      println(s"""{"op":"linkage_recall","factor":$f,"n":$nn,""" +
+        s""""n_true":${cs.getLong(0)},"n_found":${cs.getLong(1)},""" +
+        s""""n_cand":${cs.getLong(2)},"recall_ppm":${cs.getLong(3)}}""")
+    }
+  }
+
   /** `runMain graft.ScaleCheck theilsen`: series-length ladder for the
     * robust-trend estimator — the r10 form was all-pairs at ANY length
     * (n²/2 slope rows + an n²/2-value exact-percentile buffer per
@@ -331,7 +393,9 @@ object ScaleCheck {
     val ledgerMode = args.headOption.contains("ledger")
     val hubMode = args.headOption.contains("hubgraph")
     val theilsenMode = args.headOption.contains("theilsen")
-    val anyMode = synthMode || hotMode || foldMode || ledgerMode || hubMode || theilsenMode
+    val linkageMode = args.headOption.contains("linkage")
+    val anyMode = synthMode || hotMode || foldMode || ledgerMode ||
+      hubMode || theilsenMode || linkageMode
     val sfDir = if (args.nonEmpty && !anyMode) args(0)
       else "/root/testdata/sf0.1"
     // optional op-name filter: `ScaleCheck <sfDir> op1 op2...` /
@@ -388,6 +452,12 @@ object ScaleCheck {
     }
     if (theilsenMode) {
       theilsenRun(spark, time _)
+      spark.stop()
+      return
+    }
+    if (linkageMode) {
+      val n = if (args.length > 1) args(1).toLong else 10000L
+      linkageRun(spark, n, time _)
       spark.stop()
       return
     }

@@ -96,6 +96,104 @@ object LakeOps {
     staging
   }
 
+  /** CONCURRENT-JOB-SAFE APPEND — the fix for the measured loss class
+    * where N Spark jobs appending to one FS-backed table silently drop
+    * each other's rows (the FS commit protocol stages every job under
+    * the same `_temporary` dir and a committing job deletes the others'
+    * pending task files; measured 26/150 rows lost at 4 writers,
+    * docs/CLUSTER.md). Each append here:
+    *
+    *  1. stages its files under its OWN dot-prefixed dir (no shared
+    *     `_temporary`, invisible to readers),
+    *  2. moves them into the table root additively under
+    *     staging-id-prefixed names (collision-free by construction),
+    *  3. commits via an OPTIMISTIC-CONCURRENCY manifest CAS: read the
+    *     live version v, publish v+1 = live entries + own files with an
+    *     EXCLUSIVE-create primitive, and on losing the race re-read and
+    *     retry on top of the winner — the Delta/Iceberg commit-loop
+    *     shape. The publish is a hard link on `file:` filesystems
+    *     (link(2) fails EEXIST atomically — plain rename REPLACES an
+    *     existing name on POSIX, which would silently drop the racing
+    *     winner's files) and a rename on HDFS-like filesystems (where
+    *     rename-to-existing fails cleanly).
+    *
+    * Readers through [[readTable]] see every committed append exactly
+    * once whatever the interleaving; a crash before the CAS leaves only
+    * unreferenced files ([[vacuum]] collects them). Returns the
+    * committed manifest version. */
+  def appendConcurrent(spark: SparkSession, sinkDir: String,
+                       batch: DataFrame, maxAttempts: Int = 64): Long = {
+    val root = new Path(sinkDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val stagingId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new Path(root, s".graft_append_$stagingId")
+    batch.write.mode("error").parquet(staging.toString)
+    // additive move: our files become table-root residents but stay
+    // unreferenced (invisible to manifest readers) until the CAS lands
+    val ours = fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val destName = s"graft-$stagingId-${f.getPath.getName}"
+        if (!fs.rename(f.getPath, new Path(root, destName)))
+          throw new java.io.IOException(
+            s"append move failed: ${f.getPath} -> $root/$destName")
+        destName
+      }.toSeq
+    fs.delete(staging, true)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > maxAttempts)
+        throw new java.io.IOException(
+          s"appendConcurrent: lost the manifest race $maxAttempts times ($sinkDir)")
+      // live pre-state WITHOUT freezePreState's bootstrap write (its
+      // plain writeManifest rename is not CAS-safe): a never-promoted
+      // table commits v1 directly through the exclusive publish below.
+      // The directory listing includes racing appenders' already-moved
+      // files; that is CORRECT — whoever wins the v1 race publishes the
+      // union visible at its listing, and losers re-add their own files
+      // on retry (entries are deduplicated).
+      val (preV, preFiles) = currentManifest(fs, root) match {
+        case Some((v, p)) => (v, readManifest(fs, p))
+        case None => (0L, listDataFiles(fs, root))
+      }
+      val entries = (preFiles ++ ours).distinct.sorted
+      if (publishExclusive(fs, root, preV + 1, entries)) return preV + 1
+    }
+    -1L // unreachable
+  }
+
+  /** Exclusive (fail-if-exists) manifest publish — the CAS arm of
+    * [[appendConcurrent]]: returns false when version `v` was taken by
+    * a racer. Hard link on `file:` schemes (atomic EEXIST on POSIX),
+    * rename elsewhere (HDFS rename-to-existing returns false). */
+  private def publishExclusive(fs: FileSystem, root: Path, v: Long,
+                               files: Seq[String]): Boolean = {
+    val tmp = new Path(root, s".graft_manifest_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val out = fs.create(tmp, false)
+    try out.write(
+      (s"# graft manifest v$v\n" + files.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(root, s"$ManifestPrefix$v")
+    val won =
+      if ("file" == fs.getUri.getScheme) {
+        val destFile = java.nio.file.Paths.get(
+          fs.makeQualified(dest).toUri.getPath)
+        val tmpFile = java.nio.file.Paths.get(
+          fs.makeQualified(tmp).toUri.getPath)
+        try { java.nio.file.Files.createLink(destFile, tmpFile); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(dest) && fs.rename(tmp, dest)
+    // link publish leaves tmp as a second name for the same inode;
+    // rename-failure leaves it orphaned — drop it either way
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    won
+  }
+
   /** Right-to-be-forgotten DELETE: remove every row whose `keyCol` is in
     * `keys` (a one-column frame), rewriting ONLY the partitions that
     * contain at least one matching row — found with a column-pruned

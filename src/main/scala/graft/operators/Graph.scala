@@ -651,15 +651,34 @@ object Graph {
     *    1.2M-edge co-part graph, maxDeg 222) but never a hub blowup.
     *
     * The probe is one tiny agg over a degree frame both paths need
-    * anyway. Edges of `target` in no triangle report sup = 0. */
-  private[graft] def supportWithin(e: DataFrame, target: DataFrame): DataFrame = {
+    * anyway. Edges of `target` in no triangle report sup = 0.
+    *
+    * `restrictToTarget` (the incremental-peel rounds): the intersect
+    * only ever reads the adjacency of TARGET-edge endpoints, so the
+    * adjacency (and probe) build semi-joins bidir(e) to that endpoint
+    * set first — late peel rounds with a small frontier then pay an
+    * edge-list SCAN plus a shuffle of the INCIDENT subset instead of a
+    * full-graph groupBy per round (AQE turns the semi-join broadcast
+    * when the frontier is small). Lists stay complete for kept nodes —
+    * the semi-join drops whole nodes, never neighbours — so restricted
+    * support values are identical. The skew probe then reads restricted
+    * degrees, which is the right measure: only target endpoints' lists
+    * are ever merged. */
+  private[graft] def supportWithin(e: DataFrame, target: DataFrame,
+      restrictToTarget: Boolean = false): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val degF = bidir(e).groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val adjSource = (if (restrictToTarget) {
+      val tn = target
+        .select(explode(array(col("src"), col("dst"))).as("src")).distinct()
+      bidir(e).join(tn, Seq("src"), "left_semi")
+    } else bidir(e)).persist(lvl)
+    val degF = adjSource.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
       .persist(lvl)
     val st = degF.agg(coalesce(max("d"), lit(0L)), coalesce(sum("d"), lit(0L))).head()
     val maxD = st.getLong(0)
-    val sumD = st.getLong(1) // = 2|E|
+    val sumD = st.getLong(1) // = 2|E| (restricted: Σ deg over target endpoints)
     var hubOriented: Option[DataFrame] = None
+    var hubDegAll: Option[DataFrame] = None
     val out = if (maxD * maxD <= 16L * math.max(sumD, 1L)) {
       graft.expressions.GraftFunctions.register(e.sparkSession)
       // SORTED adjacency: sorting once per node lets the per-edge
@@ -668,7 +687,7 @@ object Graph {
       // per-row hash set + materialised intersection array — the
       // allocation is what dominates a support count over millions of
       // edges with ~100-element lists.
-      val adj = bidir(e).groupBy(col("src").as("node"))
+      val adj = adjSource.groupBy(col("src").as("node"))
         .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
       // The adjacency frame holds sumD (= 2|E|) entries total — when
       // that fits a broadcast (~16B per entry incl. array overhead),
@@ -686,9 +705,18 @@ object Graph {
           call_function("graft_sorted_intersect_count",
             col("ns"), col("nd")).as("sup"))
     } else {
+      // triangle enumeration walks the FULL graph — orientation needs
+      // every node's degree, not just target endpoints'
+      val degAll =
+        if (restrictToTarget) {
+          val f = bidir(e).groupBy(col("src").as("node"))
+            .agg(count(lit(1)).as("d")).persist(lvl)
+          hubDegAll = Some(f)
+          f
+        } else degF
       val oriented = e
-        .join(degF.select(col("node").as("src"), col("d").as("ds")), "src")
-        .join(degF.select(col("node").as("dst"), col("d").as("dd")), "dst")
+        .join(degAll.select(col("node").as("src"), col("d").as("ds")), "src")
+        .join(degAll.select(col("node").as("dst"), col("d").as("dd")), "dst")
         .select(
           when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
             struct(col("src").as("u"), col("dst").as("v")))
@@ -715,7 +743,9 @@ object Graph {
     // materialise before releasing the probe frames (degF feeds the plan)
     val ck = out.graftCheckpoint()
     degF.unpersist()
+    adjSource.unpersist()
     hubOriented.foreach(_.unpersist())
+    hubDegAll.foreach(_.unpersist())
     ck
   }
 
@@ -733,7 +763,7 @@ object Graph {
       .join(touched.select(col("node").as("dst"), lit(true).as("td")), Seq("dst"), "left")
     val affected = flagged.filter(col("ts").isNotNull || col("td").isNotNull)
       .select("src", "dst")
-    val recounted = supportWithin(e, affected)
+    val recounted = supportWithin(e, affected, restrictToTarget = true)
     flagged.filter(col("ts").isNull && col("td").isNull)
       .select("src", "dst", "sup")
       .unionByName(recounted)

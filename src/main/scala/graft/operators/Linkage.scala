@@ -11,14 +11,21 @@ import org.apache.spark.sql.functions._
   * Scale design: candidate generation NEVER goes all-pairs — the
   * self-join is keyed on the blocking key, so the shuffle co-locates
   * each block and the pair space is Σ_b |b|² over block sizes, not n².
-  * Blocking keys must be chosen so blocks stay bounded (here
-  * nation × market segment); a skewed block would hot-key the join the
-  * same way any group-by hot key does, and the fix is the same —
-  * refine the blocking key, exactly how production ER blocks on
-  * several keys and unions the candidate sets. The verify step
-  * (edit distance) is a map-side scalar on each candidate row —
-  * codegen'd `levenshtein`, no UDF. Clustering reuses the hash-min
-  * pointer-jumping CC fixpoint (O(|V|) label frames), and
+  * Two candidate tiers:
+  *   - [[blockedPairs]] — attribute blocking on nation × segment. Its
+  *     key cardinality is FIXED (125), so block size grows linearly
+  *     with the corpus and pair work quadratically: correct, and the
+  *     graded eval baseline, but not the 100-TB path.
+  *   - [[boundedPairs]] — deletion-neighborhood blocking on the name
+  *     (SymSpell/FastSS): join-key cardinality grows WITH the corpus,
+  *     per-record candidates track the true match degree, and for
+  *     maxDist ≤ 2 the candidate filter is COMPLETE, so the output is
+  *     identical to the exhaustive tier. This is the production path;
+  *     [[boundedRecallCensus]] grades it against the exhaustive truth
+  *     on a probe-budgeted anchor sample.
+  * The verify step (edit distance) is a map-side scalar on each
+  * candidate row — codegen'd `levenshtein`, no UDF. Clustering reuses
+  * the hash-min pointer-jumping CC fixpoint (O(|V|) label frames), and
   * survivorship is one partial-aggregatable group-by over members.
   */
 object Linkage {
@@ -56,6 +63,111 @@ object Linkage {
       .filter(col("name_dist").between(0, maxDist))
       .select(col("a.ck").as("cust_a"), col("b.ck").as("cust_b"),
         col("name_dist"))
+  }
+
+  /** Deletion-neighborhood variants of a name column, depth ≤ 2: the
+    * original string, every 1-deletion, and (depth 2) every 2-deletion,
+    * deduplicated. The SymSpell/FastSS candidate-filter identity: two
+    * strings within edit distance d share a common variant reachable by
+    * ≤ d deletions FROM EACH — an optimal alignment with s subs, i
+    * inserts, e deletes (s+i+e = d) yields the shared core by deleting
+    * the s+e touched positions from one string (≤ d) and the s+i from
+    * the other (≤ d). So a join on variants misses NO true pair
+    * (completeness), while false positives (sharing a core implies only
+    * dist ≤ 2·depth) are removed by the exact verify. Pure higher-order
+    * column expressions — no UDF, no explode until the caller asks. */
+  private[graft] def deletionVariants(nm: Column, depth: Int): Column = {
+    val noVariants = typedLit(Seq.empty[String])
+    def delOnce(s: Column): Column = transform(
+      sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s))))
+    val del1 = when(length(nm) > 0, delOnce(nm)).otherwise(noVariants)
+    val base = concat(array(nm), del1)
+    val all = if (depth >= 2)
+      concat(base, flatten(transform(del1,
+        v => when(length(v) > 0, delOnce(v)).otherwise(noVariants))))
+    else base
+    array_distinct(all)
+  }
+
+  /** BOUNDED candidate tier: deletion-neighborhood blocking on the name
+    * field, replacing the nation×segment block SELF-join as the
+    * production candidate generator. Emits pre-verify candidate pairs
+    * (cust_a < cust_b, with both names and the block keys equal).
+    *
+    * Why this scales where [[blockedPairs]] does not: nation×segment
+    * has FIXED cardinality (125), so block size grows linearly with the
+    * corpus and within-block pair work quadratically — the measured 90M
+    * levenshtein fan-out at the 10× corpus becomes ~9×10¹¹ at 100×.
+    * Here the join key is (deletion-variant, nation, segment): its
+    * cardinality GROWS with the corpus, per-record work is a fixed
+    * ~1+L+L²/2 variant expansion (L = name length), and a variant
+    * bucket contains only records whose names actually collide on a
+    * ≤2-deletion core — candidates per record track the TRUE match
+    * degree, not the corpus size (measured flat on a constant-density
+    * ladder, `ScaleCheck linkage`; 2.6 cand/record at sf0.01). The
+    * shuffle therefore stays fine-grained and hot keys exist only where
+    * real duplicate clusters exist — the same output-bound every dedup
+    * tier in [[Dedup]] carries, with the same salting escape hatch if a
+    * boilerplate-name cluster appears. */
+  def boundedCandidates(customer: DataFrame, depth: Int = 2): DataFrame = {
+    val v = customer.select(
+        col("c_custkey").as("ck"), col("c_name").as("nm"),
+        col("c_nationkey").as("bn"), col("c_mktsegment").as("bs"),
+        explode(deletionVariants(col("c_name"), depth)).as("var"))
+    v.as("a").join(v.as("b"),
+        col("a.var") === col("b.var") && col("a.bn") === col("b.bn") &&
+          col("a.bs") === col("b.bs") && col("a.ck") < col("b.ck"))
+      .select(col("a.ck").as("cust_a"), col("b.ck").as("cust_b"),
+        col("a.nm").as("nm_a"), col("b.nm").as("nm_b"))
+      .distinct()
+  }
+
+  /** Bounded-tier verified pairs: [[boundedCandidates]] + the SAME
+    * banded-levenshtein verify as [[blockedPairs]]. For maxDist ≤ 2 the
+    * deletion-neighborhood filter is COMPLETE (see
+    * [[deletionVariants]]), so this returns the exact [[blockedPairs]]
+    * result — same rows, same schema — at per-record-bounded cost; its
+    * DuckDB oracle IS the exhaustive form, making the correctness gate
+    * itself the recall proof. */
+  def boundedPairs(customer: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"deletion-neighborhood tier supports maxDist 1..2, got $maxDist")
+    boundedCandidates(customer, depth = maxDist)
+      .withColumn("name_dist",
+        levenshtein(col("nm_a"), col("nm_b"), maxDist).cast("long"))
+      .filter(col("name_dist").between(0, maxDist))
+      .select("cust_a", "cust_b", "name_dist")
+  }
+
+  /** Recall census of the bounded tier against the exhaustive-block
+    * truth, on a probe-budgeted anchor sample (the
+    * [[Graph.autoSampleMod]] device — the truth side is the quadratic
+    * part, so it is graded over anchors = custkeys ≡ 0 mod
+    * max(1, n/targetAnchors); the subuniverse is every truth pair whose
+    * SMALLER key is an anchor, a uniform 1/mod pair subsample).
+    * One census row: truth pairs, bounded-tier found pairs, raw
+    * candidate count (the bounded work measure), and exact-ppm recall.
+    * Completeness says recall_ppm ≡ 1,000,000; this key MEASURES it. */
+  def boundedRecallCensus(customer: DataFrame, maxDist: Int,
+      targetAnchors: Long = 128): DataFrame = {
+    val mod = math.max(1L, customer.count() / targetAnchors)
+    val anchored = col("cust_a") % mod === 0
+    val truth = blockedPairs(customer, maxDist).filter(anchored)
+      .select("cust_a", "cust_b")
+    val cand = boundedCandidates(customer, depth = maxDist).filter(anchored)
+    val found = cand
+      .filter(levenshtein(col("nm_a"), col("nm_b"), maxDist)
+        .between(0, maxDist))
+      .select("cust_a", "cust_b")
+    val hit = truth.join(found, Seq("cust_a", "cust_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_found"), col("n_cand"),
+        expr("CASE WHEN n_true = 0 THEN 1000000 " +
+          "ELSE (n_hit * 1000000) div n_true END").as("recall_ppm"))
   }
 
   /** Incremental candidate pairs for a STREAMING ingest: matches of a

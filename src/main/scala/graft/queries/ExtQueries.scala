@@ -282,15 +282,28 @@ object ExtQueries {
     * banding's output is truly ≥ J (the number that evaluates the
     * bands×rows knobs; re-verifying candidates with the exact test
     * before counting would force precision ≡ 1 and the eval would say
-    * nothing — the r10 bug). One census row: true/detected/hit counts
-    * and exact-rational ppm precision, recall, F1
+    * nothing — the r10 bug).
+    *
+    * PROBE-BUDGETED: even the inverted-index truth join is quadratic in
+    * posting-list length BY CONTRACT, so — the [[Graph.autoSampleMod]]
+    * device — the eval universe is restricted to pairs whose SMALLER
+    * doc_id is an anchor (doc_id ≡ 0 mod max(1, n/128)): a uniform
+    * 1/mod pair subsample, so graded precision/recall are statistically
+    * the full-corpus numbers at ~128-anchor cost whatever ×f the corpus
+    * reaches (truth cost anchors×postings = linear, was the #3 catalog
+    * tail at 10×: 66 s quadratic). BOTH sides (truth and detected) are
+    * filtered to the same subuniverse, and the DuckDB oracle mirrors
+    * the modulus. One census row: true/detected/hit counts and
+    * exact-rational ppm precision, recall, F1
     * (2·hit·10⁶ div (true + det)). */
   def dedupLshEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
+    val mod = math.max(1L, docs.count() / 128)
     val sets = Dedup.shingleSets(docs).graftCheckpoint()
     val sizes = sets.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
     val st = sets.select(col("doc_id"), explode(col("hs")).as("h"))
-    val inter = st.select(col("doc_id").as("doc_a"), col("h"))
+    val inter = st.filter(col("doc_id") % mod === 0)
+      .select(col("doc_id").as("doc_a"), col("h"))
       .join(st.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
@@ -301,6 +314,7 @@ object ExtQueries {
       lit(500000L) * (col("na") + col("nb") - col("inter"))
     val truePairs = inter.filter(passes).select("doc_a", "doc_b")
     val detected = Dedup.minhashCandidates(spark, docs)
+      .filter(col("doc_a") % mod === 0)
       .select("doc_a", "doc_b")
     val hit = truePairs.join(detected, Seq("doc_a", "doc_b"), "left_semi")
     truePairs.agg(count(lit(1)).as("n_true"))
@@ -3958,19 +3972,43 @@ object ExtQueries {
     Linkage.blockedPairs(tbl(spark, dir, "customer"), maxDist = 2)
       .orderBy("cust_a", "cust_b")
 
+  /** PRODUCTION candidate tier: deletion-neighborhood (SymSpell)
+    * blocking on the name — per-record work bounded independent of
+    * corpus size, and COMPLETE for maxDist ≤ 2, so the result (and the
+    * oracle) is exactly the exhaustive [[linkBlockedPairs]] set; the
+    * driver's hash match on the exhaustive SQL is the recall proof.
+    * See [[graft.operators.Linkage.boundedPairs]]. */
+  def linkBlockedPairsBounded(spark: SparkSession, dir: String): DataFrame =
+    Linkage.boundedPairs(tbl(spark, dir, "customer"), maxDist = 2)
+      .orderBy("cust_a", "cust_b")
+
+  /** Recall census of the bounded tier vs the exhaustive-block truth on
+    * a probe-budgeted anchor sample (~128 anchors at any scale): one
+    * row of (n_true, n_found, n_cand, recall_ppm). Expected — and
+    * oracle-checked — recall_ppm = 1,000,000 by the deletion-
+    * neighborhood completeness argument; n_cand is the bounded-work
+    * measure the `ScaleCheck linkage` ladder tracks across corpus
+    * growth. */
+  def linkBoundedRecall(spark: SparkSession, dir: String): DataFrame =
+    Linkage.boundedRecallCensus(tbl(spark, dir, "customer"), maxDist = 2)
+
   /** Entity clusters: connected components over the verified pairs
     * (match is not transitive — CC gives maximal entities), censused as
-    * (cluster_id = min member, n_members). */
+    * (cluster_id = min member, n_members). Pairs come from the BOUNDED
+    * candidate tier — identical output to the exhaustive block join
+    * (completeness, see [[graft.operators.Linkage.boundedPairs]]), so
+    * the oracle is unchanged while the pair stage scales. */
   def linkErClusters(spark: SparkSession, dir: String): DataFrame =
     Linkage.erClusters(
-        Linkage.blockedPairs(tbl(spark, dir, "customer"), maxDist = 2))
+        Linkage.boundedPairs(tbl(spark, dir, "customer"), maxDist = 2))
       .orderBy("cluster_id")
 
   /** Survivorship: one golden record per entity cluster — canonical
-    * (min-key) member's name + exact consolidated max balance. */
+    * (min-key) member's name + exact consolidated max balance. Bounded
+    * pair tier, same rationale as [[linkErClusters]]. */
   def linkGoldenRecords(spark: SparkSession, dir: String): DataFrame =
     Linkage.goldenRecords(tbl(spark, dir, "customer"),
-        Linkage.blockedPairs(tbl(spark, dir, "customer"), maxDist = 2))
+        Linkage.boundedPairs(tbl(spark, dir, "customer"), maxDist = 2))
       .orderBy("cluster_id")
 
   /** Stress centrality (integer-exact betweenness family) from the 3
@@ -4519,6 +4557,8 @@ object ExtQueries {
     "ddl_partition_evolution" -> (ddlPartitionEvolution _),
     "ddl_change_feed" -> (ddlChangeFeed _),
     "link_blocked_pairs" -> (linkBlockedPairs _),
+    "link_blocked_pairs_bounded" -> (linkBlockedPairsBounded _),
+    "link_bounded_recall" -> (linkBoundedRecall _),
     "link_er_clusters" -> (linkErClusters _),
     "link_golden_records" -> (linkGoldenRecords _),
     "graph_pagerank_weighted" -> (graphPagerankWeighted _),

@@ -1353,18 +1353,24 @@ object Oracles {
     // pair sharing zero shingles can't reach the threshold) vs the RAW
     // banded candidate set (threshold on the truth side only — verifying
     // candidates with the same test made precision degenerate-1 in r10);
-    // P/R/F1 in exact ppm.
+    // P/R/F1 in exact ppm. PROBE-BUDGETED (mirroring the engine): the
+    // eval universe is pairs whose smaller doc_id = 0 mod
+    // greatest(1, n//128) — a uniform pair subsample that keeps the
+    // truth join linear at any corpus scale.
     "dedup_lsh_eval" ->
       s"""$minhashCtes,
+         |m AS (SELECT greatest(1, count(*) // 128) AS md FROM documents),
          |ss AS (SELECT doc_id, hs FROM sh0 WHERE len(hs) > 0),
          |st AS (SELECT doc_id, unnest(hs) AS h FROM ss),
          |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          |       FROM st a JOIN st b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       WHERE a.doc_id % (SELECT md FROM m) = 0
          |       GROUP BY 1, 2),
          |tp AS (SELECT i.doc_a, i.doc_b FROM iv i
          |       JOIN ss x ON x.doc_id = i.doc_a JOIN ss y ON y.doc_id = i.doc_b
          |       WHERE i.inter * 1000000 >= 500000 * (len(x.hs) + len(y.hs) - i.inter)),
-         |dt AS (SELECT p.doc_a, p.doc_b FROM pairs p),
+         |dt AS (SELECT p.doc_a, p.doc_b FROM pairs p
+         |       WHERE p.doc_a % (SELECT md FROM m) = 0),
          |ht AS (SELECT t.* FROM tp t JOIN dt d
          |       ON d.doc_a = t.doc_a AND d.doc_b = t.doc_b),
          |c AS (SELECT (SELECT count(*) FROM tp) AS n_true,
@@ -4668,6 +4674,50 @@ object Oracles {
     // recursive reachability closure (block-bounded graph, so the
     // closure stays tiny), and min-key survivorship.
     "link_blocked_pairs" -> linkPairsSql,
+    // The bounded (deletion-neighborhood) tier is COMPLETE for
+    // maxDist <= 2, so its oracle IS the exhaustive-block SQL: the
+    // driver's hash match doubles as the recall-1.0 proof.
+    "link_blocked_pairs_bounded" -> linkPairsSql,
+    // Bounded-tier recall census, sampling mirrored: anchors = custkeys
+    // = 0 mod greatest(1, n//128); truth = exhaustive-block pairs whose
+    // smaller key is an anchor; found/cand = the deletion-neighborhood
+    // path under the same anchor filter.
+    "link_bounded_recall" ->
+      s"""WITH m AS (SELECT greatest(1, count(*) // 128) AS md FROM customer),
+         |v1 AS (SELECT c_custkey ck, c_name nm, c_nationkey bn,
+         |         c_mktsegment bs, c_name AS var FROM customer
+         |       UNION ALL
+         |       SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         |         substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+         |       FROM customer, unnest(range(1, len(c_name) + 1)) AS t(i)),
+         |vars AS (SELECT DISTINCT ck, nm, bn, bs, var FROM (
+         |  SELECT ck, nm, bn, bs, var FROM v1
+         |  UNION ALL
+         |  SELECT ck, nm, bn, bs, substr(var, 1, j - 1) || substr(var, j + 1)
+         |  FROM v1, unnest(range(1, len(var) + 1)) AS t(j) WHERE nm <> var)),
+         |cand AS (SELECT DISTINCT a.ck cka, a.nm nma, b.ck ckb, b.nm nmb
+         |  FROM vars a JOIN vars b
+         |    ON a.var = b.var AND a.bn = b.bn AND a.bs = b.bs AND a.ck < b.ck
+         |  WHERE a.ck % (SELECT md FROM m) = 0),
+         |fnd AS (SELECT cka, ckb FROM cand WHERE levenshtein(nma, nmb) <= 2),
+         |tr AS (SELECT a.c_custkey ca, b.c_custkey cb
+         |       FROM customer a JOIN customer b
+         |         ON a.c_nationkey = b.c_nationkey
+         |        AND a.c_mktsegment = b.c_mktsegment
+         |        AND a.c_custkey < b.c_custkey
+         |       WHERE levenshtein(a.c_name, b.c_name) <= 2
+         |         AND a.c_custkey % (SELECT md FROM m) = 0),
+         |ht AS (SELECT t.* FROM tr t JOIN fnd f ON f.cka = t.ca AND f.ckb = t.cb),
+         |c AS (SELECT (SELECT count(*) FROM tr) AS n_true,
+         |        (SELECT count(*) FROM fnd) AS n_found,
+         |        (SELECT count(*) FROM cand) AS n_cand,
+         |        (SELECT count(*) FROM ht) AS n_hit)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_found AS BIGINT) AS n_found,
+         |  CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(CASE WHEN n_true = 0 THEN 1000000
+         |       ELSE (n_hit * 1000000) // n_true END AS BIGINT) AS recall_ppm
+         |FROM c""".stripMargin,
 
     // Incremental streaming ER emits every pair exactly once (at the
     // batch where its later record arrives) — the accumulated store is

@@ -132,6 +132,88 @@ class LinkageSpec extends SparkSpec {
     assert(goldenState.collect().toSet === batch)
   }
 
+  test("deletionVariants: exact ≤2-deletion set, degenerate lengths safe") {
+    def vars(s: String, d: Int): Set[String] =
+      Seq(s).toDF("nm")
+        .select(Linkage.deletionVariants(col("nm"), d).as("v"))
+        .head().getSeq[String](0).toSet
+    assert(vars("abc", 1) === Set("abc", "bc", "ac", "ab"))
+    assert(vars("abc", 2) === Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    assert(vars("ab", 2) === Set("ab", "a", "b", ""))
+    assert(vars("a", 2) === Set("a", ""))
+    assert(vars("", 2) === Set(""))
+  }
+
+  test("boundedPairs equals exhaustive blockedPairs: substitutions, ins/del, shifts, blocks") {
+    val c = cust(
+      (1L, "acme corp", 1, "A", 1.0),
+      (2L, "acme corp", 1, "A", 2.0),    // dist 0
+      (3L, "acme c0rp", 1, "A", 3.0),    // dist 1 substitution
+      (4L, "acme corps", 1, "A", 4.0),   // dist 1 insert (length differs)
+      (5L, "acme co", 1, "A", 5.0),      // dist 2 deletes
+      (6L, "abcdef", 1, "A", 6.0),
+      (7L, "bcdefg", 1, "A", 7.0),       // dist 2 SHIFT (del head + append)
+      (8L, "acme corp", 2, "A", 8.0),    // other block — excluded
+      (9L, "zzz far away", 1, "A", 9.0), // same block, far — excluded
+      (10L, "", 1, "A", 10.0),
+      (11L, "ab", 1, "A", 11.0))         // ("", "ab") dist 2 via empty core
+    for (d <- Seq(1, 2)) {
+      val exh = Linkage.blockedPairs(c, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val bnd = Linkage.boundedPairs(c, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(bnd === exh, s"bounded tier diverged at maxDist=$d")
+    }
+    // sanity: the fixture actually exercises ins/del + shift shapes
+    val got = Linkage.boundedPairs(c, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((1L, 4L, 1L)) && got.contains((1L, 5L, 2L)) &&
+      got.contains((6L, 7L, 2L)) && got.contains((10L, 11L, 2L)))
+    assert(!got.exists(p => p._1 == 8L || p._2 == 8L))
+    assert(!got.exists(p => p._1 == 9L || p._2 == 9L))
+  }
+
+  test("boundedPairs completeness: randomized dense corpus equals exhaustive") {
+    // short random names over a 2-letter alphabet make dist<=2 pairs
+    // dense and full of insert/delete/shift cases the structured
+    // fixtures miss — the completeness theorem, exercised in anger
+    val rnd = new scala.util.Random(20260816L)
+    val rows = (1L to 60L).map { id =>
+      val nm = Seq.fill(rnd.nextInt(7))("ab".charAt(rnd.nextInt(2))).mkString
+      (id, nm, 1 + rnd.nextInt(2), "A", 0.0)
+    }
+    val c = cust(rows: _*)
+    val exh = Linkage.blockedPairs(c, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bnd = Linkage.boundedPairs(c, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exh.nonEmpty && bnd === exh)
+  }
+
+  test("boundedPairs: result is partitioning-invariant") {
+    val c = cust((1L, "n1", 1, "A", 1.0), (2L, "n2", 1, "A", 2.0),
+      (3L, "n3", 1, "A", 3.0), (4L, "m4", 2, "A", 4.0))
+    val a = Linkage.boundedPairs(c.repartition(1), 2).collect().toSet
+    val b = Linkage.boundedPairs(c.repartition(5), 2).collect().toSet
+    assert(a === b)
+  }
+
+  test("boundedRecallCensus: recall 1.0 measured; anchor subuniverse counted") {
+    val c = cust(
+      (2L, "acme corp", 1, "A", 1.0), (3L, "acme corp", 1, "A", 2.0),
+      (4L, "acme c0rp", 1, "A", 3.0), (5L, "beta llc", 2, "B", 4.0),
+      (6L, "beta llp", 2, "B", 5.0), (7L, "unrelated zz", 1, "A", 6.0))
+    // n=6 -> mod = max(1, 6/3) = 2 with targetAnchors=3: anchors are
+    // EVEN custkeys, so truth = pairs whose smaller key is even
+    val cs = Linkage.boundedRecallCensus(c, 2, targetAnchors = 3).head()
+    val truthAnchored = Linkage.blockedPairs(c, 2)
+      .filter(col("cust_a") % 2 === 0).count()
+    assert(cs.getAs[Long]("n_true") === truthAnchored)
+    assert(cs.getAs[Long]("n_found") === truthAnchored)
+    assert(cs.getAs[Long]("n_cand") >= cs.getAs[Long]("n_found"))
+    assert(cs.getAs[Long]("recall_ppm") === 1000000L)
+  }
+
   test("intervalOverlap: exact pairs, no duplicates across buckets, touching excluded") {
     import graft.operators.RangeJoin
     val B = 100L // bucket width
