@@ -29,7 +29,10 @@ import org.apache.spark.sql.SparkSession
   * `INSERT INTO … VALUES` TEXT statements (the reference's
   * `to_sql(method='multi')` shape, btc_etl.py:179-180) from executor
   * tasks over their own TCP connections — no prepared placeholders, so
-  * it works where Spark's built-in jdbc writer cannot — followed by a
+  * it works where Spark's built-in jdbc writer cannot. The four writes
+  * run CONCURRENTLY through per-writer staging tables + one atomic
+  * commit statement (the staged-commit shape that closes the measured
+  * shared-`_temporary` loss class on FS-backed tables), followed by a
   * read-back equality check and a full replay through the anti-join
   * guard that must insert zero rows.
   *
@@ -62,13 +65,13 @@ object JdbcClusterSmoke {
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$meta/metastore_db;create=true")
       .config("spark.sql.warehouse.dir", s"$meta/warehouse")
-      // hive catalog: the write-leg sink is a HIVE-serde table so that
-      // CONCURRENT INSERT statements are commit-safe — each query
-      // stages under its own .hive-staging_* dir and loadTable moves
-      // uniquely-named files in, vs the shared `_temporary` dir of
-      // `USING parquet` tables where a committing job deletes the
-      // other jobs' pending task files (measured: 26/150 rows lost)
-      .enableHiveSupport()
+      // NOT enableHiveSupport(): a hive-serde sink would give per-query
+      // commit staging, but every new HS2 connection then initialises
+      // Spark's EXECUTION hive client against a `jdbc:derby:memory:`
+      // metastore this distribution's Derby cannot create (measured:
+      // "Failed to create database 'memory:'" on the replay leg's fresh
+      // connection). Concurrent-append safety comes from per-writer
+      // staging tables + one commit statement instead (write leg below).
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.HiveJdbcDialect.register()
@@ -139,25 +142,30 @@ object JdbcClusterSmoke {
       // the anti-join guard inserts zero rows (the reference's
       // crash-between-to_sql-and-SADD duplication made a no-op).
       spark.sql("DROP TABLE IF EXISTS graft_sink_net")
-      // HIVE-serde sink: per-query .hive-staging commit isolation makes
-      // concurrent INSERT statements loss-free (see session config note)
       spark.sql("CREATE TABLE graft_sink_net " +
-        "(c_custkey BIGINT, c_name STRING, c_nationkey BIGINT) STORED AS PARQUET")
-      // The four executor-side writes run CONCURRENTLY — four
-      // single-partition append jobs in flight at once, each one task
-      // on a remote executor pushing multi-row INSERT text over its own
-      // TCP connection, the server executing the four statements as
-      // four racing commit protocols. This is the loss class the r15
-      // smoke had to SERIALIZE around (26/150 rows silently lost on a
-      // `USING parquet` sink — its FS commit protocol stages every job
-      // under one shared `_temporary` dir); the hive-serde sink's
-      // per-query staging retires it, and the library-side equivalent
-      // for manifest-committed lake tables is
-      // [[graft.etl.LakeOps.appendConcurrent]] (optimistic manifest
-      // CAS, spec-pinned in LakeOpsSpec). The writer's concurrent-
-      // partition correctness against a row-locking endpoint stays
-      // pinned in JdbcStatementWriterSpec (live Derby, 8 connections).
+        "(c_custkey BIGINT, c_name STRING, c_nationkey BIGINT) USING parquet")
+      // The four executor-side writes run CONCURRENTLY — four append
+      // jobs in flight at once, each one task on a remote executor
+      // pushing multi-row INSERT text over its own TCP connection. A
+      // naive concurrent append into ONE `USING parquet` table loses
+      // rows (measured 26/150: the FS commit protocol stages every job
+      // under one shared `_temporary` dir and a committing job deletes
+      // the others' pending task files — the reason the r15 smoke
+      // serialized its writes). The fix is the STAGED-COMMIT shape
+      // ([[graft.etl.LakeOps.appendConcurrent]]'s pattern translated to
+      // warehouse SQL): each writer appends to its OWN staging table —
+      // own directory, own `_temporary`, nothing shared — and one
+      // atomic `INSERT INTO sink SELECT ... UNION ALL ...` statement
+      // commits all four at once. Against a real row-locking endpoint
+      // (the reference's Postgres) no staging is needed at all — the
+      // writer's concurrent-partition correctness there is pinned in
+      // JdbcStatementWriterSpec (live Derby, 8 connections, zero loss).
       val kc = org.apache.spark.sql.functions.col("c_custkey")
+      for (b <- 0 until 4) {
+        spark.sql(s"DROP TABLE IF EXISTS graft_sink_stage_$b")
+        spark.sql(s"CREATE TABLE graft_sink_stage_$b " +
+          "(c_custkey BIGINT, c_name STRING, c_nationkey BIGINT) USING parquet")
+      }
       val audit = {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration._
@@ -166,11 +174,17 @@ object JdbcClusterSmoke {
           Future {
             graft.sources.JdbcStatementWriter.append(
               customer.filter(kc % 4 === b).coalesce(1),
-              url, "graft_sink_net", batchSize = 100)
+              url, s"graft_sink_stage_$b", batchSize = 100)
           }
         }), 10.minutes).flatten
       }
-      mark(s"write leg: concurrent appends done (${audit.map(_.rows).sum} rows)")
+      mark(s"write leg: concurrent staged appends done (${audit.map(_.rows).sum} rows)")
+      // the commit point: one statement, one job, no concurrency
+      spark.sql("INSERT INTO graft_sink_net " +
+        (0 until 4).map(b => s"SELECT * FROM graft_sink_stage_$b")
+          .mkString(" UNION ALL "))
+      (0 until 4).foreach(b => spark.sql(s"DROP TABLE graft_sink_stage_$b"))
+      mark("write leg: staged commit done")
       val writeExecs = audit.map(_.executorId).distinct.sorted
       val writtenBack = spark.table("graft_sink_net").collect().map(_.toString).sorted
       val writeEqual = writtenBack.sameElements(direct)

@@ -83,10 +83,18 @@ object Linkage {
       i => concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s))))
     val del1 = when(length(nm) > 0, delOnce(nm)).otherwise(noVariants)
     val base = concat(array(nm), del1)
-    val all = if (depth >= 2)
-      concat(base, flatten(transform(del1,
-        v => when(length(v) > 0, delOnce(v)).otherwise(noVariants))))
-    else base
+    // depth 2 generates C(L,2) two-deletion cores DIRECTLY from index
+    // pairs i<j (delete j then i; i needs no shift since i<j) — three
+    // substrings per variant instead of materialising every
+    // variant-of-variant twice (L(L-1) strings) and deduplicating them
+    val del2 = when(length(nm) >= 2, flatten(transform(
+      sequence(lit(1), length(nm) - 1),
+      i => transform(
+        sequence(i + lit(1), length(nm)),
+        j => concat(nm.substr(lit(1), i - lit(1)),
+          nm.substr(i + lit(1), j - i - lit(1)),
+          nm.substr(j + lit(1), length(nm))))))).otherwise(noVariants)
+    val all = if (depth >= 2) concat(base, del2) else base
     array_distinct(all)
   }
 
@@ -111,16 +119,38 @@ object Linkage {
     * tier in [[Dedup]] carries, with the same salting escape hatch if a
     * boilerplate-name cluster appears. */
   def boundedCandidates(customer: DataFrame, depth: Int = 2): DataFrame = {
+    // The shuffled frame is (key, record) — 16 bytes/row: the variant
+    // string and the block keys fold into ONE xxhash64 join key and the
+    // strings die before the exchange. Hash collisions can only ADD
+    // candidates (equal variants always collide equal), and every
+    // candidate is re-checked downstream — block equality explicitly
+    // here, edit distance by the caller's verify — so output exactness
+    // never rests on the hash. Names and block keys rejoin at PAIR
+    // granularity (candidates ≪ variant rows — output-bounded).
     val v = customer.select(
-        col("c_custkey").as("ck"), col("c_name").as("nm"),
+        col("c_custkey").as("ck"),
         col("c_nationkey").as("bn"), col("c_mktsegment").as("bs"),
         explode(deletionVariants(col("c_name"), depth)).as("var"))
-    v.as("a").join(v.as("b"),
-        col("a.var") === col("b.var") && col("a.bn") === col("b.bn") &&
-          col("a.bs") === col("b.bs") && col("a.ck") < col("b.ck"))
-      .select(col("a.ck").as("cust_a"), col("b.ck").as("cust_b"),
-        col("a.nm").as("nm_a"), col("b.nm").as("nm_b"))
+      .select(col("ck"),
+        xxhash64(col("var"), col("bn"), col("bs")).as("vk"))
+    // SHUFFLE-HASH pinned: the variant frame is ~1+L+L²/2 rows per
+    // record but sits behind a Generate, whose size ESTIMATE stays the
+    // pre-explode child's — the planner would happily broadcast a
+    // frame 100×+ its estimate (measured: driver OOM at the 16× ladder
+    // step). The join key is fine-grained and corpus-cardinality, so
+    // the partitioned hash build is the plan that holds at any scale;
+    // per-partition build maps are bucket-sized (output-bounded),
+    // never corpus-sized.
+    val ids = v.as("a").join(v.as("b").hint("shuffle_hash"),
+        col("a.vk") === col("b.vk") && col("a.ck") < col("b.ck"))
+      .select(col("a.ck").as("cust_a"), col("b.ck").as("cust_b"))
       .distinct()
+    def attrs(side: String) = customer.select(
+      col("c_custkey").as(s"cust_$side"), col("c_name").as(s"nm_$side"),
+      col("c_nationkey").as(s"bn_$side"), col("c_mktsegment").as(s"bs_$side"))
+    ids.join(attrs("a"), "cust_a").join(attrs("b"), "cust_b")
+      .filter(col("bn_a") === col("bn_b") && col("bs_a") === col("bs_b"))
+      .select("cust_a", "cust_b", "nm_a", "nm_b")
   }
 
   /** Bounded-tier verified pairs: [[boundedCandidates]] + the SAME
