@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dev measurement harness for the optimization rounds: times named
+  * sub-stages of expensive catalog pipelines in isolation with the noop
+  * sink (guide §1.4 — computes every column, discards the result), so
+  * per-key wall time can be attributed to its stages.
+  *
+  * Usage: runMain graft.OptProbe <stage> [sfDir]
+  * (mirrors the bench session conf: local[$SPARK_GRAFT_CPUS], shuffle
+  * partitions = cpus, AQE on.)
+  */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val stage = if (args.nonEmpty) args(0) else "sgns"
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm-up, as in Bench
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def t(name: String)(body: => Unit): Unit = {
+      spark.sparkContext.setJobDescription(name)
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $name%-40s ${runs.map(r => f"$r%8.3f").mkString(" ")}s")
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    val li = graft.queries.Staging.tbl(spark, sfDir, "lineitem")
+    stage match {
+      case "sgns" =>
+        import graft.operators.Graph
+        t("coPartEdgesMin(2)")(noop(Graph.coPartEdgesMin(li, 2L)))
+        val edges = Graph.coPartEdgesMin(li, 2L)
+        t("randomWalks(2,4)")(noop(Graph.randomWalks(edges, 2, 4)))
+        t("walkSkipgramPairs(2,4,2)")(
+          noop(Graph.walkSkipgramPairs(edges, 2, 4, 2)))
+        val pairs = Graph.walkSkipgramPairs(edges, 2, 4, 2)
+        t("sgnsEpoch(pairs)")(noop(Graph.sgnsEpoch(pairs)))
+        t("sgnsKnn(pairs,5,100)")(noop(Graph.sgnsKnn(pairs, 5, 100L)))
+        t("FULL graph_embedding_knn")(noop(
+          graft.queries.ExtQueries.all("graph_embedding_knn")(spark, sfDir)))
+      case "linkage" =>
+        import graft.operators.Linkage
+        val cust = graft.queries.Staging.tbl(spark, sfDir, "customer")
+        t("boundedCandidates")(noop(Linkage.boundedCandidates(cust)))
+        t("boundedPairs")(noop(Linkage.boundedPairs(cust, 2)))
+        t("erClusters(bounded)")(noop(
+          Linkage.erClusters(Linkage.boundedPairs(cust, 2))))
+        t("goldenRecords(bounded)")(noop(
+          Linkage.goldenRecords(cust, Linkage.boundedPairs(cust, 2))))
+      case "edges" =>
+        import graft.operators.Graph
+        t("coPartEdgesMin default")(noop(Graph.coPartEdgesMin(li, 2L)))
+        spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+        t("coPartEdgesMin fb=4096")(noop(Graph.coPartEdgesMin(li, 2L)))
+        spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+      case "key" =>
+        // time any single catalog key with the noop sink: OptProbe key <sf> <name>
+        val name = args(2)
+        t(name)(noop(SparkEntry.queries(name)(spark, sfDir)))
+      case other => sys.error(s"unknown stage $other")
+    }
+    spark.stop()
+  }
+}

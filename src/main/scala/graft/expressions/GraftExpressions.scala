@@ -235,6 +235,70 @@ object GraftHash {
     prev(m)
   }
 
+  /** Distinct 64-bit hashes of the ≤`depth`-deletion neighborhood of s —
+    * the SymSpell/FastSS candidate cores behind
+    * [[graft.operators.Linkage.boundedCandidates]] — produced WITHOUT
+    * materialising any variant string: one fused FNV-1a pass over the
+    * retained code points per core (O(L) each, O(L³) worst-case char
+    * ops per record, zero allocation beyond the output array) instead
+    * of the HOF form's O(L²) substring builds + array_distinct over
+    * ~L²/2 strings. Deletions are CODE-POINT level, matching the
+    * char-based `substr` semantics of the HOF `deletionVariants` (and
+    * the char-based `levenshtein` verify the caller applies).
+    *
+    * Join-key property: equal cores always hash equal (deterministic
+    * content hash), so the SymSpell completeness argument is untouched;
+    * distinct cores colliding (~2⁻⁶⁴) can only ADD candidate pairs,
+    * which the caller's exact verify removes — exactness never rests on
+    * this hash (same contract the previous xxhash64-over-strings form
+    * carried). Output sorted ascending + deduplicated (the
+    * array_distinct contract; order is irrelevant to the join). */
+  def deletionHashes(s: UTF8String, depth: Int): ArrayData = {
+    val str = s.toString
+    // code points once; most names are ASCII so this is one pass
+    val nchars = str.length
+    var n = 0
+    val cps = new Array[Int](nchars)
+    var ci = 0
+    while (ci < nchars) {
+      val cp = str.codePointAt(ci)
+      cps(n) = cp; n += 1
+      ci += Character.charCount(cp)
+    }
+    // FNV-1a 64 over code points, skipping up to two positions
+    def hashSkip(skip1: Int, skip2: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j != skip1 && j != skip2) { h = (h ^ cps(j)) * 0x100000001b3L }
+        j += 1
+      }
+      h
+    }
+    val cnt = 1 + n + (if (depth >= 2 && n >= 2) n * (n - 1) / 2 else 0)
+    val out = new Array[Long](cnt)
+    var c = 0
+    out(c) = hashSkip(-1, -1); c += 1
+    var i = 0
+    while (i < n) { out(c) = hashSkip(i, -1); c += 1; i += 1 }
+    if (depth >= 2) {
+      i = 0
+      while (i < n - 1) {
+        var j = i + 1
+        while (j < n) { out(c) = hashSkip(i, j); c += 1; j += 1 }
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(out, 0, c)
+    var w = 0
+    var r = 0
+    while (r < c) {
+      if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val m = math.min(a.numElements(), b.numElements())
     var acc = 0L
@@ -512,6 +576,21 @@ case class CharHashExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.charHash($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "graft_char_hash"
+}
+
+case class DeletionHashesExpr(child: Expression, depth: Int) extends UnaryExpression {
+  require(depth >= 1 && depth <= 2, s"deletion depth must be 1..2, got $depth")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_deletion_hashes needs string, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.deletionHashes(input.asInstanceOf[UTF8String], depth)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftHash.deletionHashes($c, $depth)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "graft_deletion_hashes"
 }
 
 case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {

@@ -48,6 +48,8 @@ object GraftFunctions {
       exprs => CharHashExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       exprs => ShingleHashesExpr(exprs(0), litInt(exprs(1), "n")), "built-in")
+    reg.createOrReplaceTempFunction("graft_deletion_hashes",
+      exprs => DeletionHashesExpr(exprs(0), litInt(exprs(1), "depth")), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       exprs => MinHashSigExpr(exprs(0), litInt(exprs(1), "numHashes")), "built-in")
     reg.createOrReplaceTempFunction("graft_dot_long",

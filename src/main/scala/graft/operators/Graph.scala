@@ -21,14 +21,36 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-order (src < dst) part pairs — the shared kernel of every
+    * coPartEdges* builder. One row per (order, unordered part pair),
+    * exactly what the old `distinct → self-join on l_orderkey` form
+    * emitted, produced with ONE exchange instead of two passes + a
+    * join: lineitem aggregates straight to per-order sorted distinct
+    * part arrays (collect_set partially aggregates map-side, so the
+    * exchange carries one row per order), and the C(n,2) i<j pairs are
+    * generated MAP-SIDE from each array (guide §2.4 — the join was
+    * rebuilding the within-order locality the array already has; same
+    * device as walkSkipgramPairs' map-side pair generation). Per-order
+    * distinct-part count is bounded by the items-per-order cap, so the
+    * explode is O(1) per order and the sorted array gives src < dst for
+    * free. The old form additionally paid a (ok, partkey) distinct
+    * exchange and a second scan/shuffle of the keyed frame for the
+    * self-join's probe side. */
+  private def orderPartPairs(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ps) - 1), i ->
+          |  transform(sequence(i + 1, size(ps)), j ->
+          |    named_struct('src', ps[i-1], 'dst', ps[j-1]))))""".stripMargin)).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   /** Undirected co-part edges (src < dst), deduplicated. One shuffle on
-    * the order key for the self-join, one on the edge pair for distinct. */
-  def coPartEdges(lineitem: DataFrame): DataFrame = {
-    val os = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("s")).distinct()
-    os.as("a").join(os.as("b"), col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("src"), col("b.s").as("dst"))
-      .distinct()
-  }
+    * the order key for the per-order part arrays ([[orderPartPairs]]),
+    * one on the edge pair for distinct. */
+  def coPartEdges(lineitem: DataFrame): DataFrame =
+    orderPartPairs(lineitem).distinct()
 
   /** Both directions of the undirected edge set. Emitted by exploding a
     * 2-element array per edge rather than a self-union: a union scans the
@@ -49,14 +71,12 @@ object Graph {
     * [[coPartEdges]], with the count filter applied in the partial
     * aggregation (map-side combine), so high-frequency pairs never
     * dominate a reducer. */
-  def coPartEdgesMin(lineitem: DataFrame, minCount: Long): DataFrame = {
-    val os = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("s")).distinct()
-    os.as("a").join(os.as("b"), col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("src"), col("b.s").as("dst"))
+  def coPartEdgesMin(lineitem: DataFrame, minCount: Long): DataFrame =
+    orderPartPairs(lineitem)
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minCount)
       .select("src", "dst")
-  }
 
   /** [[coPartEdgesMin]] with an integer edge COST: w = 1 + 1000 div
     * co-count — frequently-bought-together pairs are CHEAP to traverse,
@@ -66,14 +86,12 @@ object Graph {
     * integers, so shortest paths are Dijkstra-well-defined and every
     * engine computes bit-identical sums. Same single self-join +
     * map-side-combined count as the unweighted form. */
-  def coPartEdgesCost(lineitem: DataFrame, minCount: Long): DataFrame = {
-    val os = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("s")).distinct()
-    os.as("a").join(os.as("b"), col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("src"), col("b.s").as("dst"))
+  def coPartEdgesCost(lineitem: DataFrame, minCount: Long): DataFrame =
+    orderPartPairs(lineitem)
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select(col("src"), col("dst"), expr("1 + 1000 div c").as("w"))
-  }
 
   /** Weighted single-source shortest paths (distributed Bellman-Ford),
     * run to the TRUE fixpoint on strictly positive integer weights —
@@ -1404,6 +1422,12 @@ object Graph {
     val u0 = nodes.select(col("node"), initArr(col("node"), "u").as("vec"))
     val v0 = nodes.select(col("node"), initArr(col("node"), "v").as("vec"))
 
+    // NOTE r16: dot products run through the native codegen'd
+    // graft_dot_long (CrossFns.qdot) instead of the interpreted
+    // aggregate(zip_with(...)) HOF pair — identical exact int64 sums
+    // (same ascending element order), no per-element lambda dispatch or
+    // intermediate product array on the scoring hot path (guide §4).
+
     // frequent-head negative table with a dense 0-based index (tiny
     // frame: the window runs over <= SgnsNegTable rows after the limit —
     // single-partition BY CONSTRUCTION; keyed on a non-foldable
@@ -1421,7 +1445,7 @@ object Graph {
     val negN = negTable.count()
 
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      graft.functions.CrossFns.qdot(a, b)
     // sign-magnitude integer division (IntegralDivide via the registered
     // "div" function): truncation toward zero on the magnitude, so Spark
     // and DuckDB (`//` floors negatives) agree on every operand sign
@@ -1539,7 +1563,7 @@ object Graph {
       .select(col("center"), col("context"), col("m"), col("nnode"))
       .persist(lvl)
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      graft.functions.CrossFns.qdot(a, b)
     def sdiv(x: Column, k: Long): Column =
       when(x < 0, -call_function("div", abs(x), lit(k)))
         .otherwise(call_function("div", x, lit(k)))
@@ -1627,16 +1651,20 @@ object Graph {
       .select(col("node"), transform(col("sv"), s => s("val")).as("v"))
 
   private def knnOverVecs(vecTable: DataFrame, k: Int, sampleMod: Long): DataFrame = {
+    // native codegen'd dot (graft_dot_long) on the queries × corpus hot
+    // path — same exact int64 sums as the aggregate(zip_with) HOF form
+    // it replaces, without the per-element interpreted lambda (guide §4);
+    // the norm is the self-dot
+    graft.expressions.GraftFunctions.register(vecTable.sparkSession)
+    val qd = graft.functions.CrossFns.qdot _
     val vecs = vecTable
-      .withColumn("nrm",
-        aggregate(transform(col("v"), x => x * x), lit(0L), (a, x) => a + x))
+      .withColumn("nrm", qd(col("v"), col("v")))
       .filter(col("nrm") > 0)
     val q = vecs.filter(col("node") % sampleMod === 0)
       .select(col("node").as("q_node"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = vecs.join(broadcast(q), col("node") =!= col("q_node"))
       .withColumn("cosine",
-        aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
-          lit(0L), (a, x) => a + x).cast("double") /
+        qd(col("qv"), col("v")).cast("double") /
           (sqrt(col("qn").cast("double")) * sqrt(col("nrm").cast("double"))))
     scored
       .withColumn("rk", row_number().over(
@@ -1685,8 +1713,7 @@ object Graph {
     Similarity.ivfBuildIndexQ(
       assembleVecs(sgnsEpoch(pairs))
         .select(col("node").as("vec_id"), col("v").as("qv"),
-          aggregate(transform(col("v"), x => x * x), lit(0L), (a, x) => a + x)
-            .as("nrm")),
+          graft.functions.CrossFns.qdot(col("v"), col("v")).as("nrm")),
       numCentroids, iterations, indexDir)
 
   /** SERVE embedding-space top-k from the ANN store
@@ -1907,15 +1934,13 @@ object Graph {
 
   /** Weighted co-part edges: like [[coPartEdgesMin]] but keeping the
     * co-occurrence count as the edge weight (the "bought together N
-    * times" strength a recommender ranks by). Same single self-join
-    * shuffle with map-side combine. */
-  def coPartEdgesWeighted(lineitem: DataFrame, minCount: Long): DataFrame = {
-    val os = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("s")).distinct()
-    os.as("a").join(os.as("b"), col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("src"), col("b.s").as("dst"))
+    * times" strength a recommender ranks by). Same one-exchange
+    * [[orderPartPairs]] kernel with map-side combine on the pair count. */
+  def coPartEdgesWeighted(lineitem: DataFrame, minCount: Long): DataFrame =
+    orderPartPairs(lineitem)
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minCount)
-  }
 
   /** WEIGHTED PageRank (the standard web-graph form: contribution
     * proportional to edge weight over the source's total out-weight),

@@ -120,19 +120,27 @@ object Linkage {
     * boilerplate-name cluster appears. */
   def boundedCandidates(customer: DataFrame, depth: Int = 2): DataFrame = {
     // The shuffled frame is (key, record) — 16 bytes/row: the variant
-    // string and the block keys fold into ONE xxhash64 join key and the
-    // strings die before the exchange. Hash collisions can only ADD
-    // candidates (equal variants always collide equal), and every
-    // candidate is re-checked downstream — block equality explicitly
-    // here, edit distance by the caller's verify — so output exactness
-    // never rests on the hash. Names and block keys rejoin at PAIR
-    // granularity (candidates ≪ variant rows — output-bounded).
+    // and the block keys fold into ONE hash join key and no variant
+    // string is ever materialised — graft_deletion_hashes (native,
+    // codegen'd) emits the deletion-core hashes straight off the name's
+    // code points (guide §4: the HOF deletionVariants built ~L²/2
+    // substring strings per record and array_distinct'ed them; the
+    // kernel is one fused FNV-1a pass per core, zero allocation).
+    // Hash collisions can only ADD candidates (equal cores always
+    // collide equal), and every candidate is re-checked downstream —
+    // block equality explicitly here, edit distance by the caller's
+    // verify — so output exactness never rests on the hash (the HOF
+    // form remains as the differential-tested reference —
+    // LinkageSpec). Names and block keys rejoin at PAIR granularity
+    // (candidates ≪ variant rows — output-bounded).
+    graft.expressions.GraftFunctions.register(customer.sparkSession)
     val v = customer.select(
         col("c_custkey").as("ck"),
         col("c_nationkey").as("bn"), col("c_mktsegment").as("bs"),
-        explode(deletionVariants(col("c_name"), depth)).as("var"))
+        explode(call_function("graft_deletion_hashes",
+          col("c_name"), lit(depth))).as("dh"))
       .select(col("ck"),
-        xxhash64(col("var"), col("bn"), col("bs")).as("vk"))
+        xxhash64(col("dh"), col("bn"), col("bs")).as("vk"))
     // SHUFFLE-HASH pinned: the variant frame is ~1+L+L²/2 rows per
     // record but sits behind a Generate, whose size ESTIMATE stays the
     // pre-explode child's — the planner would happily broadcast a

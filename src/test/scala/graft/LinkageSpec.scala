@@ -190,6 +190,41 @@ class LinkageSpec extends SparkSpec {
     assert(exh.nonEmpty && bnd === exh)
   }
 
+  test("graft_deletion_hashes: candidate tier equals the string-variant reference") {
+    // r16: boundedCandidates joins on native deletion-core HASHES
+    // (graft_deletion_hashes) instead of materialised variant strings.
+    // Differential: on a dense corpus (plus multibyte names — deletions
+    // are code-point level, matching substr/levenshtein), the candidate
+    // PAIR set from the hash tier must equal the pair set from exact
+    // string-core equality over deletionVariants.
+    val rnd = new scala.util.Random(20260819L)
+    val base = (1L to 50L).map { id =>
+      val nm = Seq.fill(rnd.nextInt(6))("ab".charAt(rnd.nextInt(2))).mkString
+      (id, nm, 1 + rnd.nextInt(2), "A", 0.0)
+    }
+    val uni = Seq(
+      (101L, "héllo wörld", 1, "A", 0.0),
+      (102L, "héllo wörl", 1, "A", 0.0),   // 1 code-point delete
+      (103L, "héllo wörld!", 1, "A", 0.0), // 1 insert
+      (104L, "日本語テスト", 1, "A", 0.0),
+      (105L, "日本語テス", 1, "A", 0.0))   // 1 code-point delete
+    val c = cust((base ++ uni): _*)
+    val hashCand = Linkage.boundedCandidates(c, depth = 2)
+      .select("cust_a", "cust_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def varSide(p: String) = c.select(
+      col("c_custkey").as(s"ck_$p"), col("c_nationkey").as(s"bn_$p"),
+      col("c_mktsegment").as(s"bs_$p"),
+      explode(Linkage.deletionVariants(col("c_name"), 2)).as(s"v_$p"))
+    val strCand = varSide("a").join(varSide("b"),
+        col("v_a") === col("v_b") && col("bn_a") === col("bn_b") &&
+          col("bs_a") === col("bs_b") && col("ck_a") < col("ck_b"))
+      .select(col("ck_a"), col("ck_b")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hashCand === strCand)
+    assert(hashCand.contains((101L, 102L)) && hashCand.contains((104L, 105L)))
+  }
+
   test("boundedPairs: result is partitioning-invariant") {
     val c = cust((1L, "n1", 1, "A", 1.0), (2L, "n2", 1, "A", 2.0),
       (3L, "n3", 1, "A", 3.0), (4L, "m4", 2, "A", 4.0))
