@@ -64,12 +64,26 @@ object OptProbe {
           Linkage.erClusters(Linkage.boundedPairs(cust, 2))))
         t("goldenRecords(bounded)")(noop(
           Linkage.goldenRecords(cust, Linkage.boundedPairs(cust, 2))))
+      case "tri" =>
+        import graft.operators.Graph
+        val e = Graph.coPartEdges(li)
+        println(s"[probe] edges=${e.count()}")
+        t("coPartEdges")(noop(Graph.coPartEdges(li)))
+        t("triangleCount")(noop(Graph.triangleCount(Graph.coPartEdges(li))))
+        t("kTruss(4)")(noop(Graph.kTruss(Graph.coPartEdges(li), 12)))
       case "edges" =>
         import graft.operators.Graph
         t("coPartEdgesMin default")(noop(Graph.coPartEdgesMin(li, 2L)))
         spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
         t("coPartEdgesMin fb=4096")(noop(Graph.coPartEdgesMin(li, 2L)))
         spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+      case "tri2" =>
+        import graft.operators.Graph
+        spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+        t("triangleCount fb=4096")(noop(Graph.triangleCount(Graph.coPartEdges(li))))
+        t("kTruss(12) fb=4096")(noop(Graph.kTruss(Graph.coPartEdges(li), 12)))
+        t("walkPairs fb=4096")(noop(
+          Graph.walkSkipgramPairs(Graph.coPartEdgesMin(li, 2L), 2, 4, 2)))
       case "key" =>
         // time any single catalog key with the noop sink: OptProbe key <sf> <name>
         val name = args(2)

@@ -262,7 +262,12 @@ object ErLedger {
       // distributed fwd it runs as broadcast joins before the pull.
       // Either pull is `limit`-bounded by DriverCcCap; past the cap the
       // distributed CC fixpoint takes over.
-      val pairs = Linkage.blockedPairsIncremental(b, histPrev, maxDist = 2)
+      // r16: bounded (deletion-core) incremental tier — identical pairs
+      // by the maxDist ≤ 2 completeness argument, per-batch verify work
+      // output-bounded instead of |batch|·|hist-block| (the fixed-
+      // cardinality block key made the exhaustive cross grow linearly
+      // with history per batch; see Linkage.boundedPairsIncremental)
+      val pairs = Linkage.boundedPairsIncremental(b, histPrev, maxDist = 2)
       lazy val cp = {
         val f = fwd // force the frame only on this path
         pairs

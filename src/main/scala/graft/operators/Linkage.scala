@@ -208,6 +208,90 @@ object Linkage {
           "ELSE (n_hit * 1000000) div n_true END").as("recall_ppm"))
   }
 
+  /** Incremental candidate pairs for a STREAMING ingest, BOUNDED tier:
+    * matches of a new batch = new×new ([[boundedPairs]]) ∪ new×history
+    * (deletion-core hash join, pair oriented smaller-key-first). Same
+    * exactly-once-per-pair contract as [[blockedPairsIncremental]]
+    * (each pair emits at the batch where its later record arrives) and
+    * — by the maxDist ≤ 2 completeness of the deletion neighborhood —
+    * the SAME pairs, so the two incremental tiers share the batch
+    * oracle. Why this is the production path: the exhaustive
+    * incremental form verifies |batch|·|hist-block| candidates per
+    * batch on the FIXED-cardinality block key, which grows linearly
+    * with history (quadratic summed over the ingest — the same
+    * scale-killer the batch path retired in r16); here the history
+    * side is hashed to deletion cores per batch (linear, 16-byte rows)
+    * and the verify set is output-bounded. Verified pairs still carry
+    * equal block keys, so block-pruned history readers (ErLedger) keep
+    * their pruning contract. */
+  /** The deletion-core index rows of an entity frame: one (ck, vk) row
+    * per (record, distinct ≤`depth`-deletion core), vk folding the core
+    * hash with the block keys — the SymSpell index a streaming ingest
+    * MAINTAINS (append this for each batch) so history is hashed once
+    * per record across the whole ingest, not once per micro-batch. */
+  def deletionCoreIndex(df: DataFrame, depth: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.select(
+        col("c_custkey").as("ck"),
+        col("c_nationkey").as("bn"), col("c_mktsegment").as("bs"),
+        explode(call_function("graft_deletion_hashes",
+          col("c_name"), lit(depth))).as("dh"))
+      .select(col("ck"), xxhash64(col("dh"), col("bn"), col("bs")).as("vk"))
+  }
+
+  def boundedPairsIncremental(newDf: DataFrame, hist: DataFrame,
+      maxDist: Int): DataFrame =
+    boundedPairsIncrementalIndexed(newDf,
+      deletionCoreIndex(hist, maxDist), hist, maxDist)
+
+  /** [[boundedPairsIncremental]] with the history side's deletion-core
+    * index supplied PRE-BUILT (`histVars` = accumulated
+    * [[deletionCoreIndex]] rows of `hist`) — the streaming form: the
+    * ingest appends each batch's index rows once, so per-batch work is
+    * hash-the-batch + one join against the stored index instead of
+    * re-deriving every historical record's cores every micro-batch. */
+  def boundedPairsIncrementalIndexed(newDf: DataFrame, histVars: DataFrame,
+      hist: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"deletion-neighborhood tier supports maxDist 1..2, got $maxDist")
+    graft.expressions.GraftFunctions.register(newDf.sparkSession)
+    // ONE candidate join covers both pair classes (within-batch and
+    // batch×history): probe side = the batch's core hashes, build side =
+    // batch ∪ history core hashes with an is-history tag. Within-batch
+    // pairs match on xk < yk (the boundedCandidates orientation),
+    // cross pairs on xk ≠ yk — a separate boundedPairs(new) pass +
+    // union would pay the whole explode/shuffle/rejoin barrier chain
+    // twice per micro-batch for the same rows (measured: the two-pass
+    // form regressed the streaming keys ~20-40% at sf0.1).
+    def hashed(df: DataFrame, p: String) =
+      deletionCoreIndex(df, maxDist).select(col("ck").as(s"${p}k"), col("vk"))
+    val build = hashed(newDf, "y").withColumn("yh", lit(false))
+      .unionByName(histVars.select(col("ck").as("yk"), col("vk"))
+        .withColumn("yh", lit(true)))
+    // shuffle-hash pinned for the same Generate-underestimate reason as
+    // boundedCandidates (the planner would broadcast the exploded frame
+    // off its pre-explode size estimate)
+    val candIds = hashed(newDf, "x")
+      .join(build.hint("shuffle_hash"), Seq("vk"))
+      .filter((col("yh") && col("xk") =!= col("yk")) ||
+        (!col("yh") && col("xk") < col("yk")))
+      .select(col("xk"), col("yk"), col("yh")).distinct()
+    def attrs(df: DataFrame, side: String) = df.select(
+      col("c_custkey").as(s"${side}k2"), col("c_name").as(s"${side}n"),
+      col("c_nationkey").as(s"${side}b1"), col("c_mktsegment").as(s"${side}b2"))
+    val rightAttrs = attrs(newDf, "y").withColumn("yh", lit(false))
+      .unionByName(attrs(hist, "y").withColumn("yh", lit(true)))
+    candIds
+      .join(attrs(newDf, "x"), col("xk") === col("xk2"))
+      .join(rightAttrs, col("yk") === col("yk2") && candIds("yh") === rightAttrs("yh"))
+      .filter(col("xb1") === col("yb1") && col("xb2") === col("yb2"))
+      .withColumn("name_dist",
+        levenshtein(col("xn"), col("yn"), maxDist).cast("long"))
+      .filter(col("name_dist").between(0, maxDist))
+      .select(least(col("xk"), col("yk")).as("cust_a"),
+        greatest(col("xk"), col("yk")).as("cust_b"), col("name_dist"))
+  }
+
   /** Incremental candidate pairs for a STREAMING ingest: matches of a
     * new batch = new×new (within-batch blocked pairs) ∪ new×history
     * (cross join on the blocking key, pair oriented smaller-key-first).
@@ -215,7 +299,9 @@ object Linkage {
     * set — each pair appears once, at the batch where its later record
     * arrives — so the incremental crawl shares the batch oracle. Cost
     * per batch is O(|batch|·avg-block + |batch|·|hist-block|), never a
-    * re-pair of history against itself. */
+    * re-pair of history against itself. Retained as the graded
+    * exhaustive baseline; production consumers use
+    * [[boundedPairsIncremental]] (identical output, bounded work). */
   def blockedPairsIncremental(newDf: DataFrame, hist: DataFrame,
       maxDist: Int): DataFrame = {
     def keyed(df: DataFrame, p: String) = df.select(

@@ -1196,7 +1196,18 @@ object StreamQueries {
         val histDf =
           try b.sparkSession.read.parquet(hist)
           catch { case _: org.apache.spark.sql.AnalysisException => b.limit(0) }
-        graft.operators.Linkage.blockedPairsIncremental(b, histDf, maxDist = 2)
+        // r16: bounded (deletion-core) incremental tier — same pairs by
+        // the deletion-neighborhood completeness argument, per-batch
+        // verify work output-bounded instead of |batch|·|hist-block|
+        // (see Linkage.boundedPairsIncremental). At index-worthy history
+        // sizes a deployment maintains the SymSpell core index
+        // (deletionCoreIndex rows appended per batch) and calls
+        // boundedPairsIncrementalIndexed instead — measured at sf0.1
+        // the 4 extra per-batch index-append write jobs cost MORE
+        // (~2s/key) than re-hashing the 11k-row history they avoid, so
+        // the staged fixture keeps the re-hash form.
+        graft.operators.Linkage
+          .boundedPairsIncremental(b, histDf, maxDist = 2)
           .write.mode("append").parquet(out)
         b.write.mode("append").parquet(hist)
       }

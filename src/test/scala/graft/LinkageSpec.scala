@@ -72,6 +72,31 @@ class LinkageSpec extends SparkSpec {
     assert(acc.map(_.size).sum === full.size)
   }
 
+  test("boundedPairsIncremental: equals exhaustive incremental on every batch split") {
+    // r16: the bounded (deletion-core) incremental tier must emit the
+    // SAME pairs at the SAME batches as blockedPairsIncremental — both
+    // the union-equals-batch-run contract and the per-batch sets.
+    val rnd = new scala.util.Random(20260817L)
+    val rows = (1L to 40L).map { id =>
+      val nm = Seq.fill(rnd.nextInt(6))("ab".charAt(rnd.nextInt(2))).mkString
+      (id, nm, 1 + rnd.nextInt(2), "A", 0.0)
+    }
+    val all = cust(rows: _*)
+    val full = Linkage.blockedPairs(all, 2).collect().toSet
+    val batches = (1L to 40L).grouped(13).map(_.toSeq).toSeq
+    var hist = all.limit(0)
+    val acc = batches.map { ids =>
+      val b = all.filter(col("c_custkey").isin(ids: _*))
+      val bounded = Linkage.boundedPairsIncremental(b, hist, 2).collect().toSet
+      val exhaustive = Linkage.blockedPairsIncremental(b, hist, 2).collect().toSet
+      assert(bounded === exhaustive, s"tiers diverged at batch $ids")
+      hist = hist.unionByName(b)
+      bounded
+    }
+    assert(acc.reduce(_ ++ _) === full)
+    assert(acc.map(_.size).sum === full.size)
+  }
+
   test("quotient cluster fold equals batch CC at every boundary; refold idempotent") {
     import graft.operators.Graph
     // the stream_link_golden kernel (the above-threshold path local
