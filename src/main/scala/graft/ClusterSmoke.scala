@@ -45,6 +45,17 @@ object ClusterSmoke {
       .appName("graft-cluster-smoke")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // r16 (guide §9-style baseline conf, measured in OPTIMIZATION_r16.md):
+      // ObjectHashAggregate (collect_set/collect_list adjacency and
+      // per-order array builds) falls back to SORT-based aggregation
+      // after only 128 distinct keys per task by default, turning every
+      // partial array-agg into a per-partition sort at ANY scale; 4096
+      // keys of bounded small per-group state is far below task memory.
+      // Measured: triangleCount 5.2s -> 4.2s, kTruss 6.0s -> 5.1s at
+      // sf0.1. Not a local[32]-only win: the fallback costs the same
+      // sort on a cluster.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "4096"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.executor.extraClassPath", appClasses)

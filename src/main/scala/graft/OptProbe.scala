@@ -84,6 +84,27 @@ object OptProbe {
         t("kTruss(12) fb=4096")(noop(Graph.kTruss(Graph.coPartEdges(li), 12)))
         t("walkPairs fb=4096")(noop(
           Graph.walkSkipgramPairs(Graph.coPartEdgesMin(li, 2L), 2, 4, 2)))
+      case "stream" =>
+        // per-trigger fixed-cost decomposition: a trivial availableNow
+        // file stream, 1 file (1 trigger) vs 8 files (8 triggers)
+        val dir = graft.queries.Staging.tmpDir("probe-stream")
+        spark.range(8).coalesce(1).write.mode("overwrite").parquet(s"$dir/in1")
+        spark.range(8).repartition(8).write.mode("overwrite").parquet(s"$dir/in8")
+        def run(tag: String, in: String, mfpt: Int): Unit = t(s"stream $tag") {
+          val ck = s"$dir/ck-$tag-${System.nanoTime()}"
+          val out = s"$dir/out-$tag-${System.nanoTime()}"
+          val q = spark.readStream.schema("id LONG")
+            .option("maxFilesPerTrigger", mfpt).parquet(in)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        run("warm", s"$dir/in1", 1)
+        run("1file-1trig", s"$dir/in1", 1)
+        run("8file-8trig", s"$dir/in8", 1)
+        run("8file-1trig", s"$dir/in8", 8)
       case "key" =>
         // time any single catalog key with the noop sink: OptProbe key <sf> <name>
         val name = args(2)

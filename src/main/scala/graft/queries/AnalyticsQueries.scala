@@ -364,16 +364,26 @@ object AnalyticsQueries {
     * passes, a 1-row basket total on a crossJoin (audited scalar
     * pattern). Top-20 by (lift, x, y) via TakeOrdered. */
   def analyticsMarketBasket(spark: SparkSession, dir: String): DataFrame = {
-    // Four plan branches read the basket set (order count, item counts, both
-    // sides of the pair self-join) — persist so the distinct shuffle runs once.
-    val baskets = tbl(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")).distinct()
+    // r16: per-order sorted distinct item ARRAYS replace the (ok, item)
+    // distinct + self-join — the same map-side i<j pair kernel as
+    // Graph.orderPartPairs (guide §2.4): one exchange on the order key
+    // (partial collect_set) instead of a distinct pass + a join's
+    // second probe-side shuffle; the sorted array gives x < y for free.
+    // Three plan branches read the array frame (order count, item
+    // counts, pair explode) — persist so the basket build runs once.
+    val arrs = tbl(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nOrders = baskets.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
-    val itemN = baskets.groupBy("item").agg(count(lit(1)).as("n_item"))
-    val pairN = baskets.as("a")
-      .join(baskets.as("b"), col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+    val nOrders = arrs.agg(count(lit(1)).as("n_orders"))
+    val itemN = arrs.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairN = arrs.filter(size(col("items")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(items) - 1), i ->
+          |  transform(sequence(i + 1, size(items)), j ->
+          |    named_struct('x', items[i-1], 'y', items[j-1]))))""".stripMargin)).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
       .agg(count(lit(1)).as("n_xy"))
       .filter(col("n_xy") >= 3)
     pairN
