@@ -105,6 +105,29 @@ object OptProbe {
         run("1file-1trig", s"$dir/in1", 1)
         run("8file-8trig", s"$dir/in8", 1)
         run("8file-1trig", s"$dir/in8", 8)
+      case "ann" =>
+        // A/B the sgnsAnnIndexBuild input forms: array-form epoch output
+        // direct vs the explode→reassemble round trip it replaced
+        import graft.operators.{Graph, Similarity}
+        import org.apache.spark.sql.functions._
+        val edges = Graph.coPartEdgesMin(li, 2L)
+        val pairs = Graph.walkSkipgramPairs(edges, 2, 4, 2)
+        t("sgnsEpochVecs noop")(noop(Graph.sgnsEpochVecs(pairs)))
+        val dir = graft.queries.Staging.tmpDir("probe-ann")
+        t("ivfBuildIndexQ over sgnsEpochVecs") {
+          Similarity.ivfBuildIndexQ(
+            Graph.sgnsEpochVecs(pairs)
+              .select(col("node").as("vec_id"), col("vec").as("qv"),
+                graft.functions.CrossFns.qdot(col("vec"), col("vec")).as("nrm")),
+            8, 1, s"$dir/a-${System.nanoTime()}")
+        }
+        t("ivfBuildIndexQ over assembleVecs(sgnsEpoch)") {
+          Similarity.ivfBuildIndexQ(
+            Graph.assembleVecs(Graph.sgnsEpoch(pairs))
+              .select(col("node").as("vec_id"), col("v").as("qv"),
+                graft.functions.CrossFns.qdot(col("v"), col("v")).as("nrm")),
+            8, 1, s"$dir/b-${System.nanoTime()}")
+        }
       case "key" =>
         // time any single catalog key with the noop sink: OptProbe key <sf> <name>
         val name = args(2)

@@ -1400,7 +1400,25 @@ object Graph {
     * exchange for identical sums). Int64 bound: Σ m·|g|·|v| per
     * (node, dim) < 2^63 needs the node's total pair multiplicity
     * < 9e9 — document-corpus-safe by orders. */
-  def sgnsEpoch(pairs: DataFrame, dim: Int = 32, negK: Int = 2, lrShift: Int = 21): DataFrame = {
+  def sgnsEpoch(pairs: DataFrame, dim: Int = 32, negK: Int = 2, lrShift: Int = 21): DataFrame =
+    sgnsEpochVecs(pairs, dim, negK, lrShift)
+      .select(col("node"), posexplode(col("vec")))
+      .select(col("node"), col("pos").cast("long").as("dim"), col("col").as("val"))
+
+  /** [[sgnsEpoch]] in ARRAY form: the trained center vectors as one
+    * (node, vec) row per node — the representation the epoch's final
+    * zip_with already holds. The row-form [[sgnsEpoch]] is a posexplode
+    * of this frame (its declared-key contract); the kNN/ANN consumers
+    * ([[sgnsKnn]], [[sgnsIndexBuild]], [[sgnsAnnIndexBuild]]) read the
+    * arrays DIRECTLY, skipping the explode→Exchange→ObjectHashAggregate
+    * (collect_list + array_sort) round trip that rebuilt per-node
+    * locality the epoch's output never lost (guide §2.4: the reassembly
+    * shuffled ×dim rows to recover a partitioning the data was born
+    * with). Bit-identical by construction: posexplode(vec) enumerates
+    * (dim, val) in ascending dim order, which is exactly the order
+    * array_sort(collect_list(struct(dim, val))) restored. */
+  private[graft] def sgnsEpochVecs(pairs: DataFrame, dim: Int = 32,
+      negK: Int = 2, lrShift: Int = 21): DataFrame = {
     import graft.functions.CrossFns.charHash
     val spark = pairs.sparkSession
     graft.expressions.GraftFunctions.register(spark)
@@ -1491,10 +1509,9 @@ object Graph {
           array((0 until dim).map(i => col(s"_d$i")): _*).as("dvec"))
     val out = u0
       .join(deltas, Seq("node"), "left")
-      .select(col("node"), posexplode(zip_with(col("vec"),
+      .select(col("node"), zip_with(col("vec"),
         coalesce(col("dvec"), array_repeat(lit(0L), lit(dim))),
-        (v0, d) => v0 + coalesce(sdiv(d, 1L << lrShift), lit(0L)))))
-      .select(col("node"), col("pos").cast("long").as("dim"), col("col").as("val"))
+        (v0, d) => v0 + coalesce(sdiv(d, 1L << lrShift), lit(0L))).as("vec"))
       .graftCheckpoint()
     negs.unpersist(); scoredPos.unpersist(); nodes.unpersist(); p.unpersist()
     out
@@ -1619,9 +1636,12 @@ object Graph {
       sp.unpersist(); ng.unpersist()
       u = u2; v = v2
     }
+    // u is already checkpointed by the loop's last epoch; the ×dim
+    // posexplode stays LAZY (same device as sgnsEpoch's wrapper over
+    // sgnsEpochVecs) — checkpointing the exploded rows re-materialised
+    // nodes×dim rows the consumer enumerates once anyway
     val out = u.select(col("node"), posexplode(col("vec")))
       .select(col("node"), col("pos").cast("long").as("dim"), col("col").as("val"))
-      .graftCheckpoint()
     negd.unpersist(); nodes.unpersist(); p.unpersist()
     out
   }
@@ -1642,10 +1662,15 @@ object Graph {
     * here — the baseline the IVF/LSH tiers are graded against; at
     * corpus scale the trained table feeds those indexes instead. */
   def sgnsKnn(pairs: DataFrame, k: Int, sampleMod: Long): DataFrame =
-    knnOverVecs(assembleVecs(sgnsEpoch(pairs)), k, sampleMod)
+    knnOverVecs(sgnsEpochVecs(pairs).select(col("node"), col("vec").as("v")),
+      k, sampleMod)
 
-  /** (node, dim, val) rows → (node, v: array) — dim-ordered. */
-  private def assembleVecs(emb: DataFrame): DataFrame =
+  /** (node, dim, val) rows → (node, v: array) — dim-ordered. The
+    * reference reassembly of [[sgnsEpoch]]'s row form back into
+    * [[sgnsEpochVecs]]'s array form; production consumers read the
+    * array form directly (no explode/reassemble round trip), and
+    * WalksEmbeddingsSpec pins this reassembly ≡ sgnsEpochVecs. */
+  private[graft] def assembleVecs(emb: DataFrame): DataFrame =
     emb.groupBy("node")
       .agg(array_sort(collect_list(struct(col("dim"), col("val")))).as("sv"))
       .select(col("node"), transform(col("sv"), s => s("val")).as("v"))
@@ -1684,7 +1709,12 @@ object Graph {
     * re-training per query (what the standalone [[sgnsKnn]] key does by
     * construction) is the anti-pattern this table removes. */
   def sgnsIndexBuild(pairs: DataFrame, indexDir: String): Unit =
-    assembleVecs(sgnsEpoch(pairs))
+    // explicit output sizing (guide §6): the epoch checkpoint holds
+    // ~shuffle-partition-count tiny partitions; REBALANCE lets AQE size
+    // the store's files by data volume instead (scale-adaptive — no
+    // constant tuned to either local mode or a cluster)
+    sgnsEpochVecs(pairs).select(col("node"), col("vec").as("v"))
+      .hint("rebalance")
       .write.mode("overwrite").parquet(s"$indexDir/vectors")
 
   /** Query the persisted embedding store: zero walk/training jobs, one
@@ -1711,9 +1741,9 @@ object Graph {
   def sgnsAnnIndexBuild(pairs: DataFrame, indexDir: String,
       numCentroids: Int = 8, iterations: Int = 1): Unit =
     Similarity.ivfBuildIndexQ(
-      assembleVecs(sgnsEpoch(pairs))
-        .select(col("node").as("vec_id"), col("v").as("qv"),
-          graft.functions.CrossFns.qdot(col("v"), col("v")).as("nrm")),
+      sgnsEpochVecs(pairs)
+        .select(col("node").as("vec_id"), col("vec").as("qv"),
+          graft.functions.CrossFns.qdot(col("vec"), col("vec")).as("nrm")),
       numCentroids, iterations, indexDir)
 
   /** SERVE embedding-space top-k from the ANN store

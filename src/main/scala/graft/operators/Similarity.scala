@@ -472,7 +472,17 @@ object Similarity {
     cents.toSeq.map { case (cid, cqv, cnrm) => (cid, cqv.toSeq, cnrm) }
       .toDF("cid", "cqv", "cnrm")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    assignCells(q, cents)
+    // Output sizing is EXPLICIT (guide §6): the assignment inherits its
+    // input's partitioning — for the graph store that is the SGNS
+    // epoch's checkpointed join output (~shuffle-partition-count tiny
+    // partitions), and a bare partitionBy write would cut
+    // partitions×K files (measured: 256 vs 8 at sf0.1, every later
+    // store read paying the per-file open cost). AQE REBALANCE on the
+    // cell key sizes files by DATA, not by inherited partition count —
+    // locally it coalesces to a handful of files; at corpus scale it
+    // splits oversized cells across files (skew-aware), the
+    // write.distribution-mode=hash pattern.
+    assignCells(q, cents).hint("rebalance", col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/vectors")
   }
 

@@ -38,6 +38,22 @@ class WalksEmbeddingsSpec extends SparkSpec {
     assert(hits >= 9, s"epoch-2 same-community NN rate must hold: $hits/12")
   }
 
+  test("sgnsEpochVecs: array form equals the reassembled row form bit-for-bit") {
+    // the kNN/ANN consumers read sgnsEpochVecs directly (no
+    // explode→shuffle→collect_list reassembly); this pins that the
+    // direct arrays are exactly what assembleVecs(rows) reconstructs
+    def k6(off: Long) = for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (off + a, off + b)
+    val g = edgesDf((k6(0) ++ k6(10) :+ (5L, 10L)): _*)
+    val pairs = Graph.walkSkipgramPairs(g, 2, 4, 2).localCheckpoint()
+    val direct = Graph.sgnsEpochVecs(pairs).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toMap
+    val reassembled = Graph.assembleVecs(Graph.sgnsEpoch(pairs)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toMap
+    assert(direct === reassembled,
+      "sgnsEpochVecs must equal assembleVecs(sgnsEpoch) exactly")
+    assert(direct.nonEmpty && direct.values.forall(_.size == 32))
+  }
+
   test("node2vecWalks: unit weights degenerate to randomWalks bit-for-bit") {
     // with wReturn = wCommon = wOut = 1 the cumulative-weight pick is
     // exactly coin % degree into the sorted list — DeepWalk's draw
