@@ -56,6 +56,21 @@ class BenchFlagSpec extends AnyFunSuite {
     assert(lines.size == 1 && lines.head.contains("CONTENDED RUN"))
   }
 
+  test("history guard: stream probe held to its tighter 1.10x bound (r16 driver shape)") {
+    // the r16 driver run: cpu/shuffle probes clean, stream probe 1.17x —
+    // it passed the shared 1.25x guard and rewrote the stream family's
+    // history +36s. The rewrite guard must refuse that run...
+    assert(Bench.historyGuardExceeded(driftFactor = 1.02, streamDrift = 1.17))
+    // ...while per-key flag suppression keeps the looser bound (verdicts
+    // on such a run are still probe-normalized per key)
+    assert(!Bench.contendedRun(driftFactor = 1.02, streamDrift = 1.17))
+    // an idle run passes both
+    assert(!Bench.historyGuardExceeded(driftFactor = 1.05, streamDrift = 1.05))
+    // cpu/shuffle drift alone still trips the rewrite guard at 1.25x
+    assert(Bench.historyGuardExceeded(driftFactor = 1.3, streamDrift = 1.0))
+    assert(!Bench.historyGuardExceeded(driftFactor = 1.2, streamDrift = 1.0))
+  }
+
   test("planted regression on a clean run still flags per-key") {
     val prev = Map("graph_bfs" -> 3.63, "agg_mode" -> 1.0)
     val timed = Seq("graph_bfs" -> 9.0, "agg_mode" -> 1.05)
