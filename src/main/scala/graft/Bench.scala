@@ -167,9 +167,14 @@ object Bench {
     // trigger drift). The stream_fixed probe ratio IS the per-trigger
     // drift; it's computed HERE, before the rerun pass, so the rerun
     // trigger and the final flag use the same per-key normalizer.
-    val streamDrift = math.max(driftFactor,
+    // raw stream-probe ratio (for the history guard, which holds each
+    // probe to ITS OWN bound) vs the flag normalizer below, which is
+    // floored by the cpu/shuffle drift so a stream key never gets a
+    // SMALLER normalizer than a batch key on the same machine
+    val streamRatio =
       (for { p <- prev.get("_stream_fixed"); if p > 0 && streamFixed > 0 }
-        yield streamFixed / p).getOrElse(1.0))
+        yield streamFixed / p).getOrElse(1.0)
+    val streamDrift = math.max(driftFactor, streamRatio)
     // On a contended run (any probe past the history guard) per-key
     // regression verdicts are structurally unreliable — see diffLines —
     // so the rerun-median pass is skipped too: its 2 extra runs per
@@ -226,7 +231,7 @@ object Bench {
 
     if (subset.isEmpty)
       regressionDiff(sfDir, prev, allTimed, allFailed, calib, calibShuffle, driftFactor,
-        streamDrift, streamFixed)
+        streamDrift, streamRatio, streamFixed)
     else
       allTimed.foreach { case (n, s) =>
         System.err.println(f"[bench] subset $n%-28s $s%.2fs" +
@@ -282,9 +287,13 @@ object Bench {
   private[graft] val MaxStreamHistoryDrift = 1.10
 
   /** History-rewrite guard over ALL THREE probes (cpu, shuffle, stream),
-    * each held to its own bound. */
-  private[graft] def historyGuardExceeded(driftFactor: Double, streamDrift: Double): Boolean =
-    driftFactor > MaxHistoryDrift || streamDrift > MaxStreamHistoryDrift
+    * each held to its own bound. `streamRatio` is the RAW stream-probe
+    * ratio, not the cpu-floored flag normalizer — a clean stream probe
+    * on a 1.1–1.25× cpu-drifted run must answer to the cpu bound alone
+    * (the maxed normalizer would smuggle the cpu drift past the tighter
+    * stream bound and block every rewrite above 1.10× cpu). */
+  private[graft] def historyGuardExceeded(driftFactor: Double, streamRatio: Double): Boolean =
+    driftFactor > MaxHistoryDrift || streamRatio > MaxStreamHistoryDrift
 
   /** Per-key drift normalizer: stream_* keys answer to the streaming
     * trigger probe (their wall time is dominated by micro-batch spin-up,
@@ -358,6 +367,7 @@ object Bench {
                              failed: Seq[String],
                              calib: Double, calibShuffle: Double,
                              driftFactor: Double, streamDrift: Double,
+                             streamRatio: Double,
                              streamFixed: Double): Unit = try {
     val hist = histFile(sfDir)
     if (prev.nonEmpty) {
@@ -371,7 +381,7 @@ object Bench {
     if (failed.nonEmpty) {
       // A broken run must not become the next round's regression baseline.
       System.err.println(s"[bench] ${failed.size} queries FAILED (${failed.mkString(", ")}); history NOT rewritten")
-    } else if (prev.nonEmpty && historyGuardExceeded(driftFactor, streamDrift) &&
+    } else if (prev.nonEmpty && historyGuardExceeded(driftFactor, streamRatio) &&
         !sys.env.get("SPARK_GRAFT_BENCH_FORCE_HISTORY").contains("1")) {
       // A contended run must not become the baseline either: its inflated
       // timings would mask real regressions next round (and flag phantom
@@ -382,7 +392,7 @@ object Bench {
       // baseline stays authoritative.
       System.err.println(
         f"[bench] probe drift cpu/shuffle ${driftFactor}%.2fx (guard $MaxHistoryDrift%.2fx) / " +
-          f"stream ${streamDrift}%.2fx (guard $MaxStreamHistoryDrift%.2fx): " +
+          f"stream ${streamRatio}%.2fx (guard $MaxStreamHistoryDrift%.2fx): " +
           "history NOT rewritten (SPARK_GRAFT_BENCH_FORCE_HISTORY=1 to override)")
     } else {
       hist.getParentFile.mkdirs()

@@ -244,6 +244,32 @@ object Linkage {
     boundedPairsIncrementalIndexed(newDf,
       deletionCoreIndex(hist, maxDist), hist, maxDist)
 
+  /** History-size crossover between the incremental tiers. The
+    * exhaustive block cross ([[blockedPairsIncremental]]) and the
+    * bounded deletion-core tier ([[boundedPairsIncremental]]) emit
+    * IDENTICAL pairs for maxDist ≤ 2 (the deletion-neighborhood
+    * completeness theorem; LinkageSpec pins the per-batch equality), so
+    * which one a consumer runs is purely a cost question: the bounded
+    * tier pays a fixed multi-exchange barrier chain per batch
+    * (explode → shuffle-hash join → distinct → two attr joins) that
+    * only amortises once the exhaustive |batch|·|hist-block| verify
+    * fan-out outgrows it. Below this many history rows the exhaustive
+    * form is the cheaper per-batch plan; above it the bounded tier's
+    * output-bounded work wins (r17, measured on the customer ingest
+    * shape — see OPTIMIZATION_r17.md). */
+  val BoundedIncrementalMinHist = 65536L
+
+  /** Size-ADAPTIVE incremental pairs: the semantics-free tier switch —
+    * exhaustive below [[BoundedIncrementalMinHist]] history rows,
+    * bounded deletion-core at or above it. `histRows` is supplied by
+    * the caller (a parquet-footer count or an already-persisted frame's
+    * count — both cheap) so this adds no extra job of its own. */
+  def pairsIncrementalAdaptive(newDf: DataFrame, hist: DataFrame,
+      histRows: Long, maxDist: Int): DataFrame =
+    if (histRows < BoundedIncrementalMinHist)
+      blockedPairsIncremental(newDf, hist, maxDist)
+    else boundedPairsIncremental(newDf, hist, maxDist)
+
   /** [[boundedPairsIncremental]] with the history side's deletion-core
     * index supplied PRE-BUILT (`histVars` = accumulated
     * [[deletionCoreIndex]] rows of `hist`) — the streaming form: the

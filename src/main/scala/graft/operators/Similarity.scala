@@ -456,7 +456,17 @@ object Similarity {
     * arbitrary id spaces like graph node ids work). Same two-table
     * layout: K-row `centroids/` metadata + cell-PARTITIONED `vectors/`. */
   def ivfBuildIndexQ(qRaw: DataFrame, numCentroids: Int, iterations: Int,
-      indexDir: String, sampleMod: Long = 1L): Unit = {
+      indexDir: String, sampleMod: Long = 1L): Unit =
+    ivfBuildIndexQImpl(qRaw, numCentroids, iterations, indexDir, sampleMod,
+      rebalance = true)
+
+  /** [[ivfBuildIndexQ]] with the pre-write REBALANCE togglable — the
+    * A/B seam the r16/r17 store-layout adjudication measures through
+    * (rebalance=false reproduces the 256-tiny-file write the hint
+    * exists to prevent). Production callers use the public form. */
+  private[graft] def ivfBuildIndexQImpl(qRaw: DataFrame, numCentroids: Int,
+      iterations: Int, indexDir: String, sampleMod: Long,
+      rebalance: Boolean): Unit = {
     val spark = qRaw.sparkSession
     import spark.implicits._
     ivfResetGenerations(spark, indexDir) // build = from-scratch (see ivfBuildIndex)
@@ -482,7 +492,8 @@ object Similarity {
     // locally it coalesces to a handful of files; at corpus scale it
     // splits oversized cells across files (skew-aware), the
     // write.distribution-mode=hash pattern.
-    assignCells(q, cents).hint("rebalance", col("cid"))
+    val assigned = assignCells(q, cents)
+    (if (rebalance) assigned.hint("rebalance", col("cid")) else assigned)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/vectors")
   }
 

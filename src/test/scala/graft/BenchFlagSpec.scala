@@ -60,15 +60,19 @@ class BenchFlagSpec extends AnyFunSuite {
     // the r16 driver run: cpu/shuffle probes clean, stream probe 1.17x —
     // it passed the shared 1.25x guard and rewrote the stream family's
     // history +36s. The rewrite guard must refuse that run...
-    assert(Bench.historyGuardExceeded(driftFactor = 1.02, streamDrift = 1.17))
+    assert(Bench.historyGuardExceeded(driftFactor = 1.02, streamRatio = 1.17))
     // ...while per-key flag suppression keeps the looser bound (verdicts
     // on such a run are still probe-normalized per key)
     assert(!Bench.contendedRun(driftFactor = 1.02, streamDrift = 1.17))
     // an idle run passes both
-    assert(!Bench.historyGuardExceeded(driftFactor = 1.05, streamDrift = 1.05))
+    assert(!Bench.historyGuardExceeded(driftFactor = 1.05, streamRatio = 1.05))
     // cpu/shuffle drift alone still trips the rewrite guard at 1.25x
-    assert(Bench.historyGuardExceeded(driftFactor = 1.3, streamDrift = 1.0))
-    assert(!Bench.historyGuardExceeded(driftFactor = 1.2, streamDrift = 1.0))
+    assert(Bench.historyGuardExceeded(driftFactor = 1.3, streamRatio = 1.0))
+    assert(!Bench.historyGuardExceeded(driftFactor = 1.2, streamRatio = 1.0))
+    // the guard takes the RAW stream ratio, not the cpu-floored flag
+    // normalizer: a clean stream probe (0.92x) on a 1.11x-cpu run (the
+    // r17 measure-first shape) answers to the cpu bound alone
+    assert(!Bench.historyGuardExceeded(driftFactor = 1.11, streamRatio = 0.92))
   }
 
   test("planted regression on a clean run still flags per-key") {

@@ -113,21 +113,63 @@ object OptProbe {
         val edges = Graph.coPartEdgesMin(li, 2L)
         val pairs = Graph.walkSkipgramPairs(edges, 2, 4, 2)
         t("sgnsEpochVecs noop")(noop(Graph.sgnsEpochVecs(pairs)))
+        // fixed store paths (mode=overwrite in the build): reruns reuse
+        // the same dirs instead of accumulating nanoTime-suffixed stores
+        // across probe runs (r16 advisor finding)
         val dir = graft.queries.Staging.tmpDir("probe-ann")
         t("ivfBuildIndexQ over sgnsEpochVecs") {
           Similarity.ivfBuildIndexQ(
             Graph.sgnsEpochVecs(pairs)
               .select(col("node").as("vec_id"), col("vec").as("qv"),
                 graft.functions.CrossFns.qdot(col("vec"), col("vec")).as("nrm")),
-            8, 1, s"$dir/a-${System.nanoTime()}")
+            8, 1, s"$dir/a")
         }
         t("ivfBuildIndexQ over assembleVecs(sgnsEpoch)") {
           Similarity.ivfBuildIndexQ(
             Graph.assembleVecs(Graph.sgnsEpoch(pairs))
               .select(col("node").as("vec_id"), col("v").as("qv"),
                 graft.functions.CrossFns.qdot(col("v"), col("v")).as("nrm")),
-            8, 1, s"$dir/b-${System.nanoTime()}")
+            8, 1, s"$dir/b")
         }
+      case "ann2" =>
+        // r17 item-1 adjudication: FULL-key A/B across the two
+        // sgnsAnnIndexBuild input forms x the pre-write REBALANCE —
+        // build, on-disk store file count, then the serve / brute /
+        // recall paths that READ the store (the side the r16 probe
+        // never timed). Each variant re-derives its input from the walk
+        // pipeline so it arrives with its natural partitioning (that
+        // partitioning is the variable under test).
+        import graft.operators.{Graph, Similarity}
+        import org.apache.spark.sql.functions._
+        val dir = graft.queries.Staging.tmpDir("probe-ann2")
+        def storeFiles(idx: String): Long = {
+          def walk(f: java.io.File): Long =
+            if (f.isDirectory) f.listFiles().map(walk).sum
+            else if (f.getName.startsWith("part-")) 1L else 0L
+          walk(new java.io.File(s"$idx/vectors"))
+        }
+        def edges() = Graph.coPartEdgesMin(li, 2L)
+        def arrInput() = Graph.sgnsEpochVecs(
+            Graph.walkSkipgramPairs(edges(), 2, 4, 2))
+          .select(col("node").as("vec_id"), col("vec").as("qv"),
+            graft.functions.CrossFns.qdot(col("vec"), col("vec")).as("nrm"))
+        def asmInput() = Graph.assembleVecs(Graph.sgnsEpoch(
+            Graph.walkSkipgramPairs(edges(), 2, 4, 2)))
+          .select(col("node").as("vec_id"), col("v").as("qv"),
+            graft.functions.CrossFns.qdot(col("v"), col("v")).as("nrm"))
+        def variant(tag: String, mkInput: () => DataFrame, reb: Boolean): Unit = {
+          val idx = s"$dir/$tag"
+          t(s"$tag build")(Similarity.ivfBuildIndexQImpl(
+            mkInput(), 8, 1, idx, 1L, rebalance = reb))
+          println(s"[probe] $tag store files: ${storeFiles(idx)}")
+          t(s"$tag serve")(noop(Graph.sgnsAnnServe(spark, idx, 5, 2, 100L)))
+          t(s"$tag brute")(noop(Graph.sgnsAnnStoreBrute(spark, idx, 5, 100L)))
+          t(s"$tag recall")(noop(Graph.sgnsAnnRecall(spark, idx, 5, 2, 100L)))
+        }
+        variant("arr+reb", arrInput _, reb = true)    // shipped r16 form
+        variant("arr-reb", arrInput _, reb = false)   // the 256-file regression
+        variant("asm+reb", asmInput _, reb = true)
+        variant("asm-reb", asmInput _, reb = false)   // pre-change-7 form
       case "key" =>
         // time any single catalog key with the noop sink: OptProbe key <sf> <name>
         val name = args(2)
