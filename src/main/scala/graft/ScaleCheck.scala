@@ -219,38 +219,48 @@ object ScaleCheck {
     * `linkage_recall` line recall_ppm = 1000000 (the completeness
     * theorem, measured). Substituted chars come from a disjoint
     * alphabet (g..v) so planted distances are exact by construction. */
-  private def linkageRun(spark: SparkSession, n: Long,
-                         time: (String, Int) => (=> Long) => Unit): Unit = {
+  /** Constant-density synthetic customer corpus shared by the `linkage`
+    * and `erinc` ladders: families of 4 sharing a block (25 nations × 5
+    * segments = 125 fixed blocks — the stream fixture's key shape),
+    * r=0 a 16-hex base name, r=1/2 one/two substituted chars (planted
+    * distance exactly k — disjoint alphabet), r=3 unrelated.
+    * `idOffset` shifts keys AND family seeds so a batch frame is
+    * key- and name-disjoint from a history frame. */
+  private def synthCustomers(spark: SparkSession, nn: Long,
+      idOffset: Long = 0L): DataFrame = {
     import spark.implicits._
-    import graft.operators.Linkage
     val hex = "0123456789abcdef"
     val sub = "ghijklmnopqrstuv"
-    def synthCustomers(nn: Long): DataFrame =
-      spark.range(nn).map { boxed =>
-        val id = boxed.toLong
-        val gid = id / 4
-        val r = (id % 4).toInt
-        val rnd = new java.util.Random(gid * 2654435761L + 7L)
-        val base = Array.fill(16)(hex.charAt(rnd.nextInt(16)))
-        val nm = r match {
-          case 0 => base.mkString
-          case 3 =>
-            val q = new java.util.Random(id * 40503L + 11L)
-            Array.fill(16)(hex.charAt(q.nextInt(16))).mkString
-          case k =>
-            val m = new java.util.Random(id * 9176L + 3L)
-            val out = base.clone()
-            // k DISTINCT positions, replacement alphabet disjoint from
-            // hex — planted edit distance is exactly k
-            var placed = Set.empty[Int]
-            while (placed.size < k) placed += m.nextInt(16)
-            placed.foreach(p => out(p) = sub.charAt(m.nextInt(16)))
-            out.mkString
-        }
-        (id, nm, gid % 25L, "S" + ((gid / 25L) % 5L))
-      }.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    spark.range(nn).map { boxed =>
+      val id = boxed.toLong + idOffset
+      val gid = id / 4
+      val r = (id % 4).toInt
+      val rnd = new java.util.Random(gid * 2654435761L + 7L)
+      val base = Array.fill(16)(hex.charAt(rnd.nextInt(16)))
+      val nm = r match {
+        case 0 => base.mkString
+        case 3 =>
+          val q = new java.util.Random(id * 40503L + 11L)
+          Array.fill(16)(hex.charAt(q.nextInt(16))).mkString
+        case k =>
+          val m = new java.util.Random(id * 9176L + 3L)
+          val out = base.clone()
+          // k DISTINCT positions, replacement alphabet disjoint from
+          // hex — planted edit distance is exactly k
+          var placed = Set.empty[Int]
+          while (placed.size < k) placed += m.nextInt(16)
+          placed.foreach(p => out(p) = sub.charAt(m.nextInt(16)))
+          out.mkString
+      }
+      (id, nm, gid % 25L, "S" + ((gid / 25L) % 5L))
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+  }
+
+  private def linkageRun(spark: SparkSession, n: Long,
+                         time: (String, Int) => (=> Long) => Unit): Unit = {
+    import graft.operators.Linkage
     for ((f, nn) <- Seq((1, n), (4, 4 * n), (16, 16 * n))) {
-      val c = synthCustomers(nn).repartition(32).graftCheckpoint()
+      val c = synthCustomers(spark, nn).repartition(32).graftCheckpoint()
       time("linkage_bounded_candidates", f) {
         Linkage.boundedCandidates(c).count()
       }
@@ -263,6 +273,54 @@ object ScaleCheck {
       println(s"""{"op":"linkage_recall","factor":$f,"n":$nn,""" +
         s""""n_true":${cs.getLong(0)},"n_found":${cs.getLong(1)},""" +
         s""""n_cand":${cs.getLong(2)},"recall_ppm":${cs.getLong(3)}}""")
+    }
+  }
+
+  /** `runMain graft.ScaleCheck erinc <n>`: per-batch cost ladder of the
+    * three incremental-ER tiers over a GROWING history with the fixed
+    * 125-block key (the stream-fixture shape — block size grows with
+    * history, so exhaustive per-batch work grows linearly with it).
+    * One 4096-record batch against history of n/4n/16n rows, each tier
+    * timed as the pure per-batch pair computation (identical outputs —
+    * the LinkageSpec-pinned tier equality):
+    *   - `erinc_exhaustive` (block cross + levenshtein verify) must
+    *     grow ~linearly with the rung;
+    *   - `erinc_bounded_rehash` re-derives history's deletion cores
+    *     per batch — also linear, smaller slope;
+    *   - `erinc_indexed` joins the batch's cores against the STORED
+    *     index — per-batch work is batch-sized + the pruned index read
+    *     (~flat), with `erinc_index_append` the per-batch maintenance
+    *     write it buys and `erinc_index_build` the one-time backfill.
+    * The crossovers justify Linkage.BoundedIncrementalMinHist and the
+    * ErLedger `_vars` threshold (same constant). */
+  private def erIncRun(spark: SparkSession, n: Long,
+                       time: (String, Int) => (=> Long) => Unit): Unit = {
+    import graft.operators.Linkage
+    val batch = synthCustomers(spark, 4096, idOffset = 1L << 40)
+      .repartition(32).graftCheckpoint()
+    for ((f, nn) <- Seq((1, n), (4, 4 * n), (16, 16 * n))) {
+      val hist = synthCustomers(spark, nn).repartition(32).graftCheckpoint()
+      time("erinc_exhaustive", f) {
+        Linkage.blockedPairsIncremental(batch, hist, 2).count()
+      }
+      time("erinc_bounded_rehash", f) {
+        Linkage.boundedPairsIncremental(batch, hist, 2).count()
+      }
+      val varsDir = graft.queries.Staging.tmpDir(s"erinc$f")
+      time("erinc_index_build", f) {
+        Linkage.deletionCoreIndex(hist, 2)
+          .write.mode("overwrite").parquet(s"$varsDir/hist")
+        1L
+      }
+      time("erinc_index_append", f) {
+        Linkage.deletionCoreIndex(batch, 2)
+          .write.mode("overwrite").parquet(s"$varsDir/b")
+        1L
+      }
+      time("erinc_indexed", f) {
+        Linkage.boundedPairsIncrementalIndexed(batch,
+          spark.read.parquet(s"$varsDir/hist"), hist, 2).count()
+      }
     }
   }
 
@@ -394,8 +452,9 @@ object ScaleCheck {
     val hubMode = args.headOption.contains("hubgraph")
     val theilsenMode = args.headOption.contains("theilsen")
     val linkageMode = args.headOption.contains("linkage")
+    val erIncMode = args.headOption.contains("erinc")
     val anyMode = synthMode || hotMode || foldMode || ledgerMode ||
-      hubMode || theilsenMode || linkageMode
+      hubMode || theilsenMode || linkageMode || erIncMode
     val sfDir = if (args.nonEmpty && !anyMode) args(0)
       else "/root/testdata/sf0.1"
     // optional op-name filter: `ScaleCheck <sfDir> op1 op2...` /
@@ -469,6 +528,12 @@ object ScaleCheck {
     if (linkageMode) {
       val n = if (args.length > 1) args(1).toLong else 10000L
       linkageRun(spark, n, time _)
+      spark.stop()
+      return
+    }
+    if (erIncMode) {
+      val n = if (args.length > 1) args(1).toLong else 15000L
+      erIncRun(spark, n, time _)
       spark.stop()
       return
     }

@@ -180,6 +180,75 @@ object ErLedger {
       .drop("ingest_batch", "blk_bucket", "blk_key")
   }
 
+  // ---- the stored SymSpell core index (`_vars`) ----------------------
+  //
+  // Above [[graft.operators.Linkage.BoundedIncrementalMinHist]] pruned
+  // history rows, re-hashing history to deletion cores every micro-batch
+  // is the fold's last history-LINEAR per-batch compute (quadratic
+  // summed over an ingest). The ledger then maintains the index the
+  // bounded tier needs as a store of its own: one `_vars` table beside
+  // the record store (the `_` prefix hides it from the history reads'
+  // file listing), per-batch partition dirs mirroring history's layout
+  // (`ingest_batch=<id>/blk_bucket=<b>`, rows sorted by blk_key), so
+  //   - each record is hashed ONCE per ingest (its batch's write),
+  //   - the candidate join reads index rows with the SAME dir/row-group
+  //     pruning as the record store (vk folds the block keys, so a
+  //     history record matching a batch record shares its blk_key —
+  //     the prune-safety argument of readHist verbatim),
+  //   - replay overwrites the replayed batch's own dir — idempotent.
+  // Below the crossover none of this runs (zero extra write jobs — the
+  // r16 measurement that kept the re-hash form locally).
+
+  private def varsDirOf(histDir: String): String =
+    s"${histDir.stripSuffix("/")}/_vars"
+
+  /** Index rows of a record frame in the ledger's block layout. */
+  private def varsOf(df: DataFrame): DataFrame =
+    Linkage.deletionCoreIndex(df, depth = 2)
+      .withColumn("blk_key", blkKey(col("bn"), col("bs")))
+      .withColumn("blk_bucket", pmod(col("blk_key"), lit(HistBuckets)))
+      .select(col("ck"), col("vk"), col("blk_key"), col("blk_bucket"))
+
+  private def writeVars(df: DataFrame, varsDir: String, batchId: Long): Unit =
+    varsOf(df)
+      .sortWithinPartitions("blk_bucket", "blk_key")
+      .write.partitionBy("blk_bucket").mode("overwrite")
+      .parquet(s"$varsDir/ingest_batch=$batchId")
+
+  private def batchDirs(ss: SparkSession, dir: String): Set[Long] = {
+    val p = new Path(dir)
+    val f = fs(ss)
+    if (!f.exists(p)) Set.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch="))
+      .map(_.drop("ingest_batch=".length).toLong).toSet
+  }
+
+  /** Backfill `_vars` partitions for history batches written before the
+    * ingest crossed the index threshold (or by an older ledger): one
+    * linear hash pass per missing batch, ONCE per ingest — afterwards
+    * every fold appends only its own batch's rows. Reads the missing
+    * batches UNPRUNED: future batches may touch any block. */
+  private def ensureVars(ss: SparkSession, histDir: String, varsDir: String,
+      batchId: Long): Unit =
+    (batchDirs(ss, histDir).filter(_ < batchId) -- batchDirs(ss, varsDir))
+      .toSeq.sorted.foreach { id =>
+        writeVars(
+          ss.read.option("basePath", histDir).parquet(s"$histDir/ingest_batch=$id")
+            .drop("ingest_batch", "blk_bucket", "blk_key"),
+          varsDir, id)
+      }
+
+  /** Stored index rows pruned to the touched blocks — the exact
+    * [[readHist]] pruning applied to the `_vars` table. */
+  private def readVars(ss: SparkSession, varsDir: String,
+      buckets: Option[Seq[Int]], keys: Option[Seq[Int]], cond: Column): DataFrame = {
+    val base = ss.read.option("basePath", varsDir).parquet(varsDir).filter(cond)
+    val bk = buckets.fold(base)(bs => base.filter(col("blk_bucket").isin(bs: _*)))
+    keys.fold(bk)(ks => bk.filter(col("blk_key").isin(ks: _*)))
+      .select(col("ck"), col("vk"))
+  }
+
   /** Fold one record batch into the ledger: write history, generate the
     * batch's candidate pairs against the batch-blocks' history only,
     * contract them to current labels, merge, and refresh exactly the
@@ -262,12 +331,32 @@ object ErLedger {
       // distributed fwd it runs as broadcast joins before the pull.
       // Either pull is `limit`-bounded by DriverCcCap; past the cap the
       // distributed CC fixpoint takes over.
-      // r16: bounded (deletion-core) incremental tier — identical pairs
-      // by the maxDist ≤ 2 completeness argument, per-batch verify work
-      // output-bounded instead of |batch|·|hist-block| (the fixed-
-      // cardinality block key made the exhaustive cross grow linearly
-      // with history per batch; see Linkage.boundedPairsIncremental)
-      val pairs = Linkage.boundedPairsIncremental(b, histPrev, maxDist = 2)
+      // r17: THREE-tier, size-adaptive pair generation over the pruned
+      // history (every tier emits IDENTICAL pairs — the maxDist ≤ 2
+      // deletion-neighborhood completeness argument; ErLedgerSpec pins
+      // the boundary equalities across tiers):
+      //   - below Linkage.BoundedIncrementalMinHist pruned rows, the
+      //     exhaustive block cross — one verify join, the cheapest
+      //     per-batch plan while |batch|·|hist-block| is small (the r16
+      //     unconditional bounded tier paid its fixed multi-exchange
+      //     barrier chain here for nothing);
+      //   - above it, the bounded tier fed from the STORED core index
+      //     (`_vars`): history is hashed once per ingest, not once per
+      //     micro-batch — re-hashing was the fold's last history-linear
+      //     per-batch compute. The count() is on the already-persisted
+      //     frame the pair join consumes anyway.
+      val histN = histPrev.count()
+      val pairs =
+        if (histN < Linkage.BoundedIncrementalMinHist)
+          Linkage.blockedPairsIncremental(b, histPrev, maxDist = 2)
+        else {
+          val varsDir = varsDirOf(histDir)
+          ensureVars(ss, histDir, varsDir, batchId)
+          writeVars(b, varsDir, batchId) // own rows, for future folds
+          Linkage.boundedPairsIncrementalIndexed(b,
+            readVars(ss, varsDir, bb, fineKeys, col("ingest_batch") < batchId),
+            histPrev, maxDist = 2)
+        }
       lazy val cp = {
         val f = fwd // force the frame only on this path
         pairs

@@ -228,7 +228,11 @@ object Linkage {
     * per (record, distinct ≤`depth`-deletion core), vk folding the core
     * hash with the block keys — the SymSpell index a streaming ingest
     * MAINTAINS (append this for each batch) so history is hashed once
-    * per record across the whole ingest, not once per micro-batch. */
+    * per record across the whole ingest, not once per micro-batch. The
+    * block keys (bn, bs) ride along so a stored index can lay itself
+    * out for block-pruned reads (the ErLedger `_vars` store derives its
+    * bucket/sort columns from them); in-memory consumers project them
+    * away. */
   def deletionCoreIndex(df: DataFrame, depth: Int): DataFrame = {
     graft.expressions.GraftFunctions.register(df.sparkSession)
     df.select(
@@ -236,7 +240,8 @@ object Linkage {
         col("c_nationkey").as("bn"), col("c_mktsegment").as("bs"),
         explode(call_function("graft_deletion_hashes",
           col("c_name"), lit(depth))).as("dh"))
-      .select(col("ck"), xxhash64(col("dh"), col("bn"), col("bs")).as("vk"))
+      .select(col("ck"), xxhash64(col("dh"), col("bn"), col("bs")).as("vk"),
+        col("bn"), col("bs"))
   }
 
   def boundedPairsIncremental(newDf: DataFrame, hist: DataFrame,
@@ -249,15 +254,26 @@ object Linkage {
     * bounded deletion-core tier ([[boundedPairsIncremental]]) emit
     * IDENTICAL pairs for maxDist ≤ 2 (the deletion-neighborhood
     * completeness theorem; LinkageSpec pins the per-batch equality), so
-    * which one a consumer runs is purely a cost question: the bounded
-    * tier pays a fixed multi-exchange barrier chain per batch
-    * (explode → shuffle-hash join → distinct → two attr joins) that
-    * only amortises once the exhaustive |batch|·|hist-block| verify
-    * fan-out outgrows it. Below this many history rows the exhaustive
-    * form is the cheaper per-batch plan; above it the bounded tier's
-    * output-bounded work wins (r17, measured on the customer ingest
-    * shape — see OPTIMIZATION_r17.md). */
-  val BoundedIncrementalMinHist = 65536L
+    * which one a consumer runs is purely a cost question. Measured on
+    * the 125-block ingest shape (`ScaleCheck erinc`, 4096-record batch,
+    * see OPTIMIZATION_r17.md): the exhaustive cross stays the cheapest
+    * per-batch plan through the 960k-row rung (~2s — its banded
+    * early-exit levenshtein verifies ~31M same-block pairs cheaper than
+    * the bounded tier's fixed multi-exchange barrier chain), while the
+    * bounded tier's cost is ~flat in history; the extrapolated cost
+    * crossing sits a few× above the last measured rung, so the default
+    * switches at 1M rows. Both directions are safe: each tier is
+    * within ~2× of the other across the whole measured band, and the
+    * bounded side is the one that must own the asymptote (per-batch
+    * verify fan-out ∝ history is the 100 TB scale-killer class).
+    * Env-overridable (`SPARK_GRAFT_ER_MINHIST`; the system property
+    * `graft.er.minhist` takes precedence — the spec seam) so a
+    * deployment whose block cardinality or name lengths move the
+    * crossing can tune it without a rebuild. */
+  def BoundedIncrementalMinHist: Long =
+    sys.props.get("graft.er.minhist")
+      .orElse(sys.env.get("SPARK_GRAFT_ER_MINHIST"))
+      .map(_.toLong).getOrElse(1048576L)
 
   /** Size-ADAPTIVE incremental pairs: the semantics-free tier switch —
     * exhaustive below [[BoundedIncrementalMinHist]] history rows,
@@ -291,14 +307,19 @@ object Linkage {
     // form regressed the streaming keys ~20-40% at sf0.1).
     def hashed(df: DataFrame, p: String) =
       deletionCoreIndex(df, maxDist).select(col("ck").as(s"${p}k"), col("vk"))
-    val build = hashed(newDf, "y").withColumn("yh", lit(false))
+    val probe = hashed(newDf, "y").withColumn("yh", lit(false))
       .unionByName(histVars.select(col("ck").as("yk"), col("vk"))
         .withColumn("yh", lit(true)))
     // shuffle-hash pinned for the same Generate-underestimate reason as
     // boundedCandidates (the planner would broadcast the exploded frame
-    // off its pre-explode size estimate)
-    val candIds = hashed(newDf, "x")
-      .join(build.hint("shuffle_hash"), Seq("vk"))
+    // off its pre-explode size estimate) — but the hash map BUILDS on
+    // the BATCH's cores: the hinted side becomes the build side, and
+    // building on batch∪history made per-partition maps history-sized
+    // (r17 erinc ladder: OOM at the 480k-row rung in the harness heap).
+    // With the batch as the build side the map is batch-bounded at ANY
+    // history size; the history-sized side streams through as the probe.
+    val candIds = probe
+      .join(hashed(newDf, "x").hint("shuffle_hash"), Seq("vk"))
       .filter((col("yh") && col("xk") =!= col("yk")) ||
         (!col("yh") && col("xk") < col("yk")))
       .select(col("xk"), col("yk"), col("yh")).distinct()

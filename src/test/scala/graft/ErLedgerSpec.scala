@@ -58,6 +58,53 @@ class ErLedgerSpec extends SparkSpec {
     assert(ErLedger.readFwd(spark, fwd).collect().toSet === fwdBefore)
   }
 
+  test("stored-index tier (forced crossover): golden equals batch recompute; backfill + replay") {
+    // graft.er.minhist=2 forces the fold across the tier boundary mid-
+    // ingest: batch 0 folds exhaustively (empty history), batches 1-2
+    // run the stored-index tier — batch 1 must BACKFILL batch 0's _vars
+    // partition (written before the ingest crossed), batch 2 finds the
+    // store complete and appends only its own rows. Golden equality at
+    // every boundary proves tier-switching changes nothing; it also
+    // proves the underscore-prefixed _vars dir stays invisible to the
+    // history reads (a leak would corrupt the recompute equality).
+    val all = cust(
+      (1L, "acme corp", 1, "A", 1.0), (2L, "acme corp", 1, "A", 2.0),
+      (3L, "acme c0rp", 1, "A", 3.0), (4L, "acme c0rpX", 1, "A", 4.0),
+      (5L, "beta llc", 2, "B", 5.0), (6L, "beta llp", 2, "B", 6.0),
+      (7L, "gamma gmbh", 3, "C", 7.0))
+    val batches = Seq(Seq(1L, 2L, 5L), Seq(4L, 6L), Seq(3L))
+    val (hist, fwd, golden) = stores()
+    sys.props("graft.er.minhist") = "2"
+    try {
+      var seen = all.limit(0)
+      batches.zipWithIndex.foreach { case (ids, i) =>
+        val b = all.filter(col("c_custkey").isin(ids: _*))
+        ErLedger.foldBatch(b, i.toLong, hist, fwd, golden)
+        seen = seen.unionByName(b).localCheckpoint()
+        val expect = Linkage
+          .goldenRecords(seen, Linkage.blockedPairs(seen, maxDist = 2))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+        val got = ErLedger.readGolden(spark, golden)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+        assert(got === expect, s"golden diverged from batch recompute after indexed batch $i")
+      }
+      // every batch's _vars partition exists: 0 backfilled by batch 1's
+      // crossing fold, 1 and 2 written by their own folds
+      (0 to 2).foreach { i =>
+        assert(new java.io.File(s"$hist/_vars/ingest_batch=$i").exists(),
+          s"_vars partition for batch $i missing")
+      }
+      // at-least-once redelivery in the indexed regime is still a no-op
+      val before = ErLedger.readGolden(spark, golden).collect().toSet
+      val fwdBefore = ErLedger.readFwd(spark, fwd).collect().toSet
+      ErLedger.foldBatch(all.filter(col("c_custkey").isin(3L)), 2L, hist, fwd, golden)
+      assert(ErLedger.readGolden(spark, golden).collect().toSet === before)
+      assert(ErLedger.readFwd(spark, fwd).collect().toSet === fwdBefore)
+    } finally sys.props -= "graft.er.minhist"
+  }
+
   test("pkBucketLocal matches the Column pkBucket for any long id") {
     // a mismatch would silently corrupt the copy-on-write bucket
     // selection (wrong buckets read/swapped), so pin exact parity

@@ -174,6 +174,53 @@ object OptProbe {
         // time any single catalog key with the noop sink: OptProbe key <sf> <name>
         val name = args(2)
         t(name)(noop(SparkEntry.queries(name)(spark, sfDir)))
+      case "tasks" =>
+        // per-stage task census for a catalog key — the 8→32-core
+        // flatness adjudication's evidence: is wall time spread over
+        // many tiny tasks (per-stage scheduling/barrier overhead) or
+        // concentrated in one fat task per stage (skew / serial tail)?
+        // Usage: OptProbe tasks <sfDir> <key>
+        val name = args(2)
+        class StageAgg {
+          var tasks = 0; var maxMs = 0L; var sumMs = 0L
+        }
+        val stages = scala.collection.concurrent.TrieMap.empty[Int, StageAgg]
+        val lst = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val s = stages.getOrElseUpdate(te.stageId, new StageAgg)
+            s.synchronized {
+              s.tasks += 1
+              val ms = te.taskInfo.duration
+              s.maxMs = math.max(s.maxMs, ms)
+              s.sumMs += ms
+            }
+          }
+        }
+        // warm pass (JIT, codegen) without the listener, then measure
+        t(s"$name (warm+census)") {
+          noop(SparkEntry.queries(name)(spark, sfDir))
+          spark.catalog.clearCache()
+        }
+        spark.sparkContext.addSparkListener(lst)
+        val t0 = System.nanoTime()
+        noop(SparkEntry.queries(name)(spark, sfDir))
+        val wall = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.removeSparkListener(lst)
+        val ss = stages.values.toSeq
+        val nStages = ss.size
+        val nTasks = ss.map(_.tasks).sum
+        val sumMs = ss.map(_.sumMs).sum
+        val tiny = ss.count(_.sumMs < 50)
+        val fatShare = if (sumMs == 0) 0.0
+          else ss.map(_.maxMs).sum.toDouble / sumMs
+        println(f"[tasks] $name: wall ${wall}%.2fs, stages $nStages, tasks $nTasks, " +
+          f"task-time ${sumMs / 1000.0}%.1fs, stages<50ms-total $tiny, " +
+          f"sum(maxTask)/sum(taskTime) ${fatShare}%.2f")
+        ss.sortBy(-_.sumMs).take(8).foreach { s =>
+          println(f"[tasks]   stage: tasks ${s.tasks}%4d  total ${s.sumMs / 1000.0}%7.2fs" +
+            f"  max ${s.maxMs / 1000.0}%6.2fs  mean ${s.sumMs / math.max(s.tasks, 1) / 1000.0}%6.3fs")
+        }
       case other => sys.error(s"unknown stage $other")
     }
     spark.stop()
