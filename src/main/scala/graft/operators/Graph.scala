@@ -1712,7 +1712,13 @@ object Graph {
     // explicit output sizing (guide §6): the epoch checkpoint holds
     // ~shuffle-partition-count tiny partitions; REBALANCE lets AQE size
     // the store's files by data volume instead (scale-adaptive — no
-    // constant tuned to either local mode or a cluster)
+    // constant tuned to either local mode or a cluster). With AQE off
+    // the hint is a no-op and the flat store writes one file per
+    // checkpoint partition — tolerable here (this store's only reader
+    // is the full-scan brute tier, so per-file open cost is paid once
+    // per query, not per probed cell; the cell-partitioned ANN store,
+    // where file count gates every probe, carries an explicit AQE-off
+    // fallback in ivfBuildIndexQ).
     sgnsEpochVecs(pairs).select(col("node"), col("vec").as("v"))
       .hint("rebalance")
       .write.mode("overwrite").parquet(s"$indexDir/vectors")

@@ -473,7 +473,16 @@ object Similarity {
     // the pre-quantised corpus is often EXPENSIVE to produce (the graph
     // store: a full SGNS training) and the build consumes it 2+iterations
     // times (seed collect, each Lloyd pass, the assignment write) —
-    // checkpoint once so the input pipeline runs once, not three times
+    // checkpoint once so the input pipeline runs once, not three times.
+    // Deliberately NOT rebalanced (r17 adjudication): the graph input
+    // arrives as the SGNS epoch's checkpoint partitioning — at local
+    // scale that is ~shuffle-partition-count tiny partitions whose
+    // per-job scheduling floor costs the build ~1s at sf0.1 vs an
+    // AQE-coalesced input, but at corpus scale those partitions are
+    // data-sized and an input rebalance would be a pure extra corpus
+    // exchange. A local-only constant is exactly what this build must
+    // not be tuned for; the write-side REBALANCE below is the one that
+    // owns output layout.
     val q = qRaw.select(col("vec_id"), col("qv"), col("nrm"))
       .filter(col("nrm") > 0)
       .graftCheckpoint()
@@ -493,8 +502,17 @@ object Similarity {
     // splits oversized cells across files (skew-aware), the
     // write.distribution-mode=hash pattern.
     val assigned = assignCells(q, cents)
-    (if (rebalance) assigned.hint("rebalance", col("cid")) else assigned)
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/vectors")
+    // the REBALANCE hint is an AQE feature — with AQE disabled it is a
+    // silent no-op and the write regresses to partitions×K tiny files
+    // (r16 advisor finding); fall back to an explicit cid hash
+    // repartition there (the plain write.distribution-mode=hash shape,
+    // without AQE's skew-splitting of oversized cells)
+    val sized =
+      if (!rebalance) assigned
+      else if (spark.sessionState.conf.adaptiveExecutionEnabled)
+        assigned.hint("rebalance", col("cid"))
+      else assigned.repartition(col("cid"))
+    sized.write.mode("overwrite").partitionBy("cid").parquet(s"$indexDir/vectors")
   }
 
   /** SERVE top-k from a persisted IVF index where the PROBES are rows of

@@ -80,4 +80,35 @@ class GraphAnnRebuildSpec extends SparkSpec {
     assert(recallFrom(idx) == recallFrom(fresh),
       "recall census must be unchanged vs a fresh build")
   }
+
+  test("store file count stays cell-bounded: REBALANCE with AQE, cid repartition without") {
+    // r16 advisor finding: the pre-write REBALANCE that prevents the
+    // partitions×K tiny-file write is an AQE feature — with AQE off it
+    // is a silent no-op, so the build falls back to an explicit cid
+    // repartition there. Pin BOTH session shapes to a cell-bounded file
+    // count (the r16 regression wrote 256 files for an 8-cell store;
+    // cell-bounded = at most ~2 files per cell at this scale).
+    def storeFiles(idx: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else if (f.getName.startsWith("part-")) 1L else 0L
+      walk(new java.io.File(
+        s"${Similarity.ivfLiveRoot(spark, idx)}/vectors"))
+    }
+    val pairs = Graph.walkSkipgramPairs(
+      Graph.coPartEdgesMin(Staging.tbl(spark, sf, "lineitem"), minCount = 2L),
+      walksPerNode = 2, steps = 4, window = 2)
+    val withAqe = Staging.tmpDir("gann-files-aqe")
+    Graph.sgnsAnnIndexBuild(pairs, withAqe, numCentroids = 8, iterations = 1)
+    assert(storeFiles(withAqe) <= 16L,
+      s"AQE REBALANCE store wrote ${storeFiles(withAqe)} files for 8 cells")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    spark.conf.set(aqeKey, "false")
+    try {
+      val noAqe = Staging.tmpDir("gann-files-noaqe")
+      Graph.sgnsAnnIndexBuild(pairs, noAqe, numCentroids = 8, iterations = 1)
+      assert(storeFiles(noAqe) <= 16L,
+        s"AQE-off store wrote ${storeFiles(noAqe)} files for 8 cells")
+    } finally spark.conf.set(aqeKey, "true")
+  }
 }
